@@ -1,13 +1,236 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has either a DuckDB-equivalent SQL string in
+  * `oracleSql` (hash-compared by the driver at sf0.01) or is a
+  * non-SQL-expressible operator checked rows-only + unit tests.
+  *
+  * Determinism contract for oracle-checked queries:
+  *  - output fully sorted with a unique tie-break;
+  *  - double aggregates computed via decimal(18,4) per-value casts
+  *    (order-independent exact sum) then one cast back to double;
+  *  - counts cast to BIGINT on both engines, no current_date().
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.snapshot(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1-§2.4 scans / filters / joins / pipeline shapes
+    "p_snapshot" -> (Relational.snapshot _),
+    "s1_scan_project" -> (Relational.scanProject _),
+    "f1_digit_filter" -> (Relational.digitIdFilter _),
+    "s3_full_dump" -> (Relational.fullDump _),
+    "j2_left_enrich" -> (Relational.leftEnrich _),
+    "j3_join_revenue" -> (Relational.join3Revenue _),
+    "j_anti" -> (Relational.antiJoin _),
+    // §2.5 aggregations
+    "a1_pricing_summary" -> (Aggregates.pricingSummary _),
+    "a1_explode_sum" -> (Aggregates.explodeSum _),
+    "a2_pivot_daily" -> (Aggregates.pivotDaily _),
+    "a3_count_if" -> (Aggregates.countIf _),
+    "a4_argmax" -> (Aggregates.argmaxLatest _),
+    "a5_count_gate" -> (Aggregates.countGate _),
+    "a6_daily_counts" -> (Aggregates.dailyCounts _),
+    "a7_exists_flag" -> (Aggregates.existsFlag _),
+    "a8_round_avg" -> (Aggregates.roundAvg _),
+    // §2.7 sorts / limits / windows / set ops
+    "w_topk" -> (Analytics.topCustomers _),
+    "w_running" -> (Analytics.windowRunning _),
+    "set_union" -> (Analytics.unionNations _),
+    "set_distinct" -> (Analytics.distinctPriorities _),
+    "set_rollup" -> (Analytics.rollupCustomers _),
+    // §2.8 streaming cadences (batch analogs)
+    "st1_tumbling_daily" -> (Analytics.tumblingDaily _),
+    "st2_sliding_7day" -> (Analytics.sliding7Day _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "p_snapshot" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | o_orderdate, o_orderpriority,
+        | CAST(o_orderstatus = 'F' AS INT) AS is_fulfilled,
+        | CAST(NULL AS VARCHAR) AS geolocation,
+        | DATE '2024-01-01' AS snapshot_date
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_acctbal > 0 AND c_name IS NOT NULL)
+        |ORDER BY o_orderkey""".stripMargin,
+    "s1_scan_project" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+    "f1_digit_filter" ->
+      """SELECT c_custkey, id_str, CAST(id_str AS BIGINT) AS id_num
+        |FROM (SELECT c_custkey,
+        |        trim(regexp_extract(c_name, '#([0-9]+)$', 1)) AS id_str
+        |      FROM customer)
+        |WHERE id_str IS NOT NULL AND regexp_matches(id_str, '^[0-9]+$')
+        |ORDER BY c_custkey""".stripMargin,
+    "s3_full_dump" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CAST(n_nationkey < 12 AS INT) AS is_low_key
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "j2_left_enrich" ->
+      """SELECT c.c_custkey, c.c_name,
+        | COALESCE(r.n_orders_2001, 0) AS n_orders_2001,
+        | COALESCE(r.spend_2001, 0.0) AS spend_2001,
+        | COALESCE(r.last_status, 'Not_Found') AS last_status
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey,
+        |        CAST(COUNT(*) AS BIGINT) AS n_orders_2001,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |          AS spend_2001,
+        |        MAX(o_orderstatus) AS last_status
+        |      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        |      GROUP BY o_custkey) r
+        |  ON c.c_custkey = r.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "j3_join_revenue" ->
+      """SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS order_year,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |   AS DOUBLE) AS revenue,
+        | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |   AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |   AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   / COUNT(*) AS avg_price,
+        | CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a1_explode_sum" ->
+      """SELECT event_type AS metric,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS metric_sum,
+        | CAST(COUNT(*) AS BIGINT) AS n_points
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a2_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |   AS click,
+        | CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+        |   AS error,
+        | CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        |   AS purchase,
+        | CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+        |   AS signup,
+        | CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+        |   AS view,
+        | CAST(COUNT(*) AS BIGINT) AS total_events,
+        | CAST(COUNT(CASE WHEN event_type IN ('click','purchase') THEN 1 END)
+        |   AS BIGINT) AS total_engagement
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a3_count_if" ->
+      """SELECT user_id,
+        | CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |   AS n_click,
+        | CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+        |   AS n_error,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a4_argmax" ->
+      """SELECT o_custkey, o_orderdate AS last_orderdate,
+        | o_orderkey AS last_orderkey
+        |FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "a5_count_gate" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS input_rows,
+        | CAST(COUNT(*) AS BIGINT) AS output_rows,
+        | CAST(1 AS INT) AS gate_passed
+        |FROM lineitem""".stripMargin,
+    "a6_daily_counts" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a7_exists_flag" ->
+      """SELECT user_id,
+        | CASE WHEN MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+        |   THEN 'Yes' ELSE 'No' END AS has_purchase,
+        | CASE WHEN MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+        |   THEN 'Yes' ELSE 'No' END AS has_error,
+        | CAST(COUNT(*) AS BIGINT) AS total_event_count
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a8_round_avg" ->
+      """SELECT c_nationkey,
+        | ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |   / COUNT(*), 1) AS avg_acctbal,
+        | CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_topk" ->
+      """SELECT o_custkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_spend,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1
+        |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin,
+    "w_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1",
+    "set_rollup" ->
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "st1_tumbling_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st2_sliding_7day" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS daily_events
+        |  FROM events GROUP BY 1)
+        |SELECT day, daily_events,
+        | CAST(SUM(daily_events) OVER (
+        |     ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS trailing_7d_events
+        |FROM daily ORDER BY day""".stripMargin,
+  )
 }

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NOTE: keep the default INT96 parquet timestamp output — pyarrow
+      // reads INT96 as tz-naive, matching DuckDB's naive TIMESTAMP in
+      // the driver's hash compare (TIMESTAMP_MICROS writes
+      // isAdjustedToUTC=true → tz-aware → value mismatch).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Scalars._
+
+/** Aggregation operators (SURVEY.md §2.5). Hash aggregates with
+  * automatic partial (map-side) combine; pivots use an explicit value
+  * list so the plan needs no extra pass to discover labels.
+  */
+object Aggregates {
+
+  /** A1-style grouped sums with error-tolerant casts (X10): the classic
+    * pricing summary over lineitem. `try/except int(value)` (`BP:602-606`)
+    * maps to decimal casts that null out rather than fail.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A1: explode an array-of-structs time series then grouped SUM —
+    * the `multiDailyMetricTimeSeries` unwind (`BP:587-607`). The nested
+    * shape is built from `events` (collect per user), exploded back, and
+    * summed; the oracle checks the algebraic identity against the flat
+    * table. The double `value` goes through money() so the sum is
+    * order-independent (collect_list order is nondeterministic).
+    */
+  def explodeSum(s: SparkSession, dir: String): DataFrame = {
+    val nested = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("event_type").as("metric"),
+        col("value").as("v"))).as("series"))
+    nested
+      .select(col("user_id"), explode(col("series")).as("e"))
+      .groupBy(col("e.metric").as("metric"))
+      .agg(sum(money(col("e.v"))).cast("double").as("metric_sum"),
+        count(lit(1)).as("n_points"))
+      .orderBy("metric")
+  }
+
+  /** A2: pivot metric→columns with 0-defaults + derived totals
+    * (`BP:608-615`: `metric_sum.get(m, 0)` then summed "total_*" cols).
+    */
+  def pivotDaily(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+    pivoted
+      .withColumn("total_events",
+        types.map(col).reduce(_ + _))
+      .withColumn("total_engagement", col("click") + col("purchase"))
+      .orderBy("day")
+  }
+
+  /** A3: count-if over collected arrays via higher-order functions
+    * (`size(filter(...))` — the additional-category / service-item
+    * counters, `BP:548-555,646-652`).
+    */
+  def countIf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(collect_list(col("event_type")).as("evts"))
+      .select(col("user_id"),
+        size(filter(col("evts"), _ === "click")).cast("long").as("n_click"),
+        size(filter(col("evts"), _ === "error")).cast("long").as("n_error"),
+        size(col("evts")).cast("long").as("n_events"))
+      .orderBy("user_id")
+
+  /** A4: argmax (latest-by-key) via a single max(struct) aggregate —
+    * the latest-offer extraction (`BP:658-673`). max of a struct is
+    * lexicographic, giving the row with max (date, key): a partial-agg
+    * friendly plan (no window sort shuffle of the full table).
+    */
+  def argmaxLatest(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"),
+        col("m.o_orderdate").as("last_orderdate"),
+        col("m.o_orderkey").as("last_orderkey"))
+      .orderBy("o_custkey")
+
+  /** A5: row-count reconciliation gate (`BP:717-741`): input row count
+    * vs post-transform output row count, computed in one pass.
+    */
+  def countGate(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("input_rows"))
+      .withColumn("output_rows", col("input_rows"))
+      .withColumn("gate_passed",
+        (col("input_rows") === col("output_rows")).cast("int"))
+
+  /** A6: daily active count — the audit-log upsert (`BP:20-50`) as a
+    * grouped aggregate keyed by day.
+    */
+  def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active_users"))
+      .orderBy("day")
+
+  /** A7: existence aggregate → Yes/No flag (`has_cover`/`has_menu`,
+    * `BP:631-645`) via HOF `exists` over a collected array.
+    */
+  def existsFlag(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(collect_list(col("event_type")).as("evts"),
+        count(lit(1)).as("total_event_count"))
+      .select(col("user_id"),
+        when(exists(col("evts"), _ === "purchase"), "Yes").otherwise("No")
+          .as("has_purchase"),
+        when(exists(col("evts"), _ === "error"), "Yes").otherwise("No")
+          .as("has_error"),
+        col("total_event_count"))
+      .orderBy("user_id")
+
+  /** A8 + X9: rating-style rollup with round(x, 1) (`BP:618-629`). */
+  def roundAvg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(round(moneyAvg(col("c_acctbal")), 1).as("avg_acctbal"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("c_nationkey")
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Scalars._
+
+/** Sorts, limits, set ops, window functions, grouping sets
+  * (SURVEY.md §2.7 — absent in the reference, provided as engine
+  * built-ins for a credible bench suite), plus the batch analogs of the
+  * streaming cadences (§2.8).
+  */
+object Analytics {
+
+  /** Top-k by aggregate with deterministic tie-break. */
+  def topCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(moneySum(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(10)
+
+  /** Window functions: per-customer order sequence + running total.
+    * Running decimal sum keeps the frame aggregate order-independent.
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        row_number().over(w).as("order_seq"),
+        sum(money(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** UNION (distinct) of two branches. */
+  def unionNations(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** DISTINCT projection. */
+  def distinctPriorities(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"))
+      .distinct()
+      .orderBy("o_orderpriority")
+
+  /** ROLLUP grouping sets over the region→nation→customer hierarchy.
+    * NULLS FIRST on both engines so the subtotal rows sort identically.
+    */
+  def rollupCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** ST1 batch analog: tumbling 1-day window counts over the event
+    * stream (`window()` is the same expression Structured Streaming
+    * uses; epoch-aligned UTC days).
+    */
+  def tumblingDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("day_start"), col("n_events"),
+        col("sum_value"))
+      .orderBy("day_start")
+
+  /** ST2 batch analog: 7-day trailing window recomputed per day
+    * (`BP:159-162`). Day-level pre-aggregation first, then a numeric
+    * RANGE frame over days-since-epoch — so the window input is ~30
+    * rows/day-grain, not the raw events (scales to 100 TB of events).
+    */
+  def sliding7Day(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("daily_events"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .select(col("day"), col("daily_events"),
+        sum(col("daily_events")).over(w).as("trailing_7d_events"))
+      .orderBy("day")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Scalars._
+
+/** Core relational operators: scans, filters, projections, joins
+  * (SURVEY.md §2.1, §2.3, §2.4). Each `def` is one `SparkEntry.queries`
+  * entry with a DuckDB oracle; all outputs are fully sorted with a
+  * unique tie-break so the driver's hash compare is order-stable.
+  *
+  * Scale notes (100 TB): ID sets for semi joins stay distributed and are
+  * broadcast — never collected to the driver and spliced into SQL text
+  * like the reference (`Gonukkad_Merchants.py:44,61`). All scans go
+  * through parquet relations so Catalyst pushes filters/projections.
+  */
+object Relational {
+
+  /** Flagship — the reference's daily-snapshot pipeline shape (§3.1):
+    * active-ID scan → digit/null filter → broadcast semi join → bool
+    * normalize (X1) → null column overwrite (X2, `GM:122`) → literal
+    * snapshot date (X20; literal not current_date so the oracle is
+    * deterministic, SURVEY §7.4).
+    */
+  def snapshot(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0 && col("c_name").isNotNull)
+      .select(col("c_custkey"))
+    Tables.orders(s, dir)
+      .join(broadcast(ids), col("o_custkey") === col("c_custkey"), "left_semi")
+      .withColumn("is_fulfilled", (col("o_orderstatus") === "F").cast("int"))
+      .withColumn("geolocation", lit(null).cast("string"))
+      .withColumn("snapshot_date", lit(java.sql.Date.valueOf("2024-01-01")))
+      .orderBy("o_orderkey")
+  }
+
+  /** S1/P1: scan + narrow projection (only 2 of 6 columns read). */
+  def scanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** F1: not-null + all-digits + trim id filter (`BP:69-70`, `GM:40-41`),
+    * applied to the digit suffix of customer names.
+    */
+  def digitIdFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        trim(regexp_extract(col("c_name"), "#([0-9]+)$", 1)).as("id_str"))
+      .filter(col("id_str").isNotNull && col("id_str").rlike("^[0-9]+$"))
+      .withColumn("id_num", col("id_str").cast("long"))
+      .orderBy("c_custkey")
+
+  /** S3 analog: full-table snapshot dump (`SELECT *`, `CB:37` et al.)
+    * with X1 schema-walk bool normalization — the `presentation.py`
+    * pipeline shape (§3.3).
+    */
+  def fullDump(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.nation(s, dir)
+      .withColumn("is_low_key", col("n_nationkey") < 12)
+    normalizeBooleans(base).orderBy("n_nationkey")
+  }
+
+  /** J2: per-key left-outer enrichment with null-side defaults — the
+    * token-row ⟕ API-results join (`BP:475-708`); missing side →
+    * 0 / "Not_Found" sentinels (X3).
+    */
+  def leftEnrich(s: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders_2001"),
+        moneySum(col("o_totalprice")).as("spend_2001"),
+        max(col("o_orderstatus")).as("last_status"))
+    Tables.customer(s, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders_2001"), lit(0L)).as("n_orders_2001"),
+        coalesce(col("spend_2001"), lit(0.0)).as("spend_2001"),
+        notFound(col("last_status")).as("last_status"))
+      .orderBy("c_custkey")
+  }
+
+  /** 3-way inner join + grouped rollup — revenue by market segment and
+    * order year. Join order left to Catalyst/AQE; dims would broadcast.
+    */
+  def join3Revenue(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_mktsegment", "order_year")
+
+  /** Anti join (NOT EXISTS): customers with no orders in 2001. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+}

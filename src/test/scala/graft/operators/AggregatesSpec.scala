@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class AggregatesSpec extends SparkSpec {
+
+  test("explodeSum: nest→explode→sum equals the direct flat aggregate") {
+    val viaExplode = Aggregates.explodeSum(spark, sfDir)
+      .select("metric", "n_points").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaExplode == direct)
+  }
+
+  test("pivotDaily: pivoted per-type counts sum to total_events") {
+    val bad = Aggregates.pivotDaily(spark, sfDir)
+      .filter(col("click") + col("error") + col("purchase") +
+        col("signup") + col("view") =!= col("total_events"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("countIf: HOF counts match conditional aggregation") {
+    val hof = Aggregates.countIf(spark, sfDir)
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === "click", 1)).as("n_click_d"))
+    val joined = hof.join(direct, "user_id")
+      .filter(col("n_click") =!= col("n_click_d"))
+    assert(joined.count() == 0)
+  }
+
+  test("argmaxLatest: max(struct) agrees with window row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val viaWindow = Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"))
+    val viaAgg = Aggregates.argmaxLatest(spark, sfDir)
+      .select("o_custkey", "last_orderkey")
+    assert(viaAgg.except(viaWindow).count() == 0)
+    assert(viaWindow.except(viaAgg).count() == 0)
+  }
+
+  test("countGate: reconciliation passes on an identity transform") {
+    val row = Aggregates.countGate(spark, sfDir).collect().head
+    assert(row.getAs[Long]("input_rows") == row.getAs[Long]("output_rows"))
+    assert(row.getAs[Int]("gate_passed") == 1)
+  }
+
+  test("existsFlag: Yes/No flags match per-user event sets") {
+    val out = Aggregates.existsFlag(spark, sfDir)
+    val purchasers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val flagged = out.filter(col("has_purchase") === "Yes")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == purchasers)
+  }
+
+  test("roundAvg: one decimal place, bounded by min/max") {
+    val out = Aggregates.roundAvg(spark, sfDir).collect()
+    out.foreach { r =>
+      val v = r.getAs[Double]("avg_acctbal")
+      assert((v * 10).round / 10.0 == v)
+    }
+  }
+}

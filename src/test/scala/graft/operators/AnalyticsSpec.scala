@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("topCustomers: exactly 10, sorted desc by spend") {
+    val rows = Analytics.topCustomers(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val spends = rows.map(_.getAs[Double]("total_spend"))
+    assert(spends.zip(spends.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("windowRunning: final running value equals the group total") {
+    val out = Analytics.windowRunning(spark, sfDir)
+    val lastPerCust = out.groupBy("o_custkey")
+      .agg(max(struct(col("order_seq"), col("running_spend"))).as("m"))
+      .select(col("o_custkey"), col("m.running_spend").as("final_running"))
+    val totals = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        .as("total"))
+    val bad = lastPerCust.join(totals, "o_custkey")
+      .filter(abs(col("final_running") - col("total")) > 1e-6)
+    assert(bad.count() == 0)
+  }
+
+  test("unionNations: distinct union is a set union") {
+    val got = Analytics.unionNations(spark, sfDir)
+      .collect().map(_.getInt(0)).toSet
+    val want = Tables.customer(spark, sfDir).select("c_nationkey")
+      .collect().map(_.getInt(0)).toSet ++
+      Tables.supplier(spark, sfDir).select("s_nationkey")
+        .collect().map(_.getInt(0)).toSet
+    assert(got == want)
+  }
+
+  test("rollupCustomers: grand total row equals customer count") {
+    val out = Analytics.rollupCustomers(spark, sfDir)
+    val grand = out.filter(col("r_name").isNull && col("n_name").isNull)
+      .collect().head.getAs[Long]("n_customers")
+    assert(grand == Tables.customer(spark, sfDir).count())
+  }
+
+  test("tumblingDaily: window starts are midnight UTC and counts add up") {
+    val out = Analytics.tumblingDaily(spark, sfDir).cache()
+    val total = out.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    val nonMidnight = out.filter(
+      date_format(col("day_start"), "HH:mm:ss") =!= "00:00:00").count()
+    assert(nonMidnight == 0)
+  }
+
+  test("sliding7Day: trailing window ≥ daily count, first day equal") {
+    val out = Analytics.sliding7Day(spark, sfDir).orderBy("day").collect()
+    assert(out.forall(r =>
+      r.getAs[Long]("trailing_7d_events") >= r.getAs[Long]("daily_events")))
+    assert(out.head.getAs[Long]("trailing_7d_events") ==
+      out.head.getAs[Long]("daily_events"))
+  }
+}
