@@ -50,6 +50,18 @@ object SparkEntry {
     // §2.8 streaming cadences (batch analogs)
     "st1_tumbling_daily" -> (Analytics.tumblingDaily _),
     "st2_sliding_7day" -> (Analytics.sliding7Day _),
+    // §2.6 scalar function families
+    "x_string_suite" -> (ScalarSuite.stringSuite _),
+    "x_date_suite" -> (ScalarSuite.dateSuite _),
+    "x11_ts_roundtrip" -> (ScalarSuite.timestampRoundtrip _),
+    "x18_kv_parse" -> (ScalarSuite.kvParse _),
+    "x8_status_case" -> (ScalarSuite.statusCase _),
+    "x4_address" -> (ScalarSuite.addressConcat _),
+    "x7_map_construct" -> (ScalarSuite.mapConstruct _),
+    // semi-structured JSON layer (S4-S6, X3/X6)
+    "ss_json_flatten" -> (SemiStructured.jsonFlatten _),
+    "ss_props_extract" -> (SemiStructured.propsExtract _),
+    "ss_struct_traversal" -> (SemiStructured.structTraversal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -232,5 +244,79 @@ object SparkEntry {
         |     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS trailing_7d_events
         |FROM daily ORDER BY day""".stripMargin,
+    "x_string_suite" ->
+      """SELECT c_custkey, trim(c_name) AS tname,
+        | concat_ws(', ', c_name, c_mktsegment) AS name_seg,
+        | regexp_replace(c_name, '#[0-9]+$', '') AS name_prefix,
+        | string_split(c_name, '#')[1] AS name_part,
+        | upper(c_mktsegment) AS seg_upper,
+        | substr(c_name, 1, 8) AS name_head,
+        | CASE WHEN c_acctbal > 5000 THEN 'high'
+        |      WHEN c_acctbal > 0 THEN 'mid' ELSE 'low' END AS bal_band,
+        | CAST(c_acctbal > 0 AS INT) AS is_positive
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "x_date_suite" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        | CAST(o_orderdate AS DATE) - 7 AS week_before,
+        | strftime(o_orderdate, '%Y-%m-%d') AS od_str,
+        | make_date(CAST(year(o_orderdate) AS INT),
+        |   CAST(month(o_orderdate) AS INT),
+        |   CAST(day(o_orderdate) AS INT)) AS od_rebuilt,
+        | CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(month(o_orderdate) AS INT) AS o_month,
+        | CAST(day(o_orderdate) AS INT) AS o_day,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |   AS INT) AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "x11_ts_roundtrip" ->
+      """SELECT event_id,
+        | strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso,
+        | strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ'),
+        |   '%Y-%m-%dT%H:%M:%S.%fZ') AS parsed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "x18_kv_parse" ->
+      """SELECT event_id, event_type AS evt, CAST(user_id AS BIGINT) AS uid
+        |FROM events ORDER BY event_id""".stripMargin,
+    "x8_status_case" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderstatus = 'F' THEN 'fulfilled'
+        |      WHEN o_orderpriority LIKE '1%' THEN 'urgent_open'
+        |      WHEN o_totalprice > 300000 THEN 'big_open'
+        |      WHEN o_orderstatus = 'P' THEN 'processing'
+        |      ELSE 'open' END AS status_class
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "x4_address" ->
+      """SELECT c_custkey,
+        | CASE WHEN length(concat_ws(', ', c_name, n_name, r_name)) = 0
+        |      THEN 'Not_Found'
+        |      ELSE concat_ws(', ', c_name, n_name, r_name) END AS address
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "x7_map_construct" ->
+      """WITH pc AS (SELECT user_id, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        | string_agg(event_type || '=' || CAST(cnt AS VARCHAR), ','
+        |   ORDER BY event_type) AS type_counts
+        |FROM pc GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ss_json_flatten" ->
+      """SELECT l_returnflag AS flag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ss_props_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(regexp_extract(props, '"k": *([0-9]+)', 1)
+        |   AS BIGINT)) AS BIGINT) AS k_sum,
+        | CAST(0 AS BIGINT) AS n_missing_present,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ss_struct_traversal" ->
+      """SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
+        | 'Not_Found' AS uri
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

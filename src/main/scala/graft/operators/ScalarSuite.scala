@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Scalars._
+
+/** Scalar-function operators (SURVEY.md §2.6), grouped into wide
+  * SELECTs so each family (string / date / timestamp / kv-parse /
+  * case-chain) is one oracle-checked query. All expressions are
+  * codegen'd builtins — no UDFs, so they stay inside whole-stage
+  * codegen at 100 TB.
+  */
+object ScalarSuite {
+
+  /** X15-X17, X19, X4-analog: trim, concat_ws, regexp_replace (suffix
+    * strip, `GM:153`), split + element_at (X5), substring, CASE band,
+    * bool→0/1 (X1).
+    */
+  def stringSuite(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        trim(col("c_name")).as("tname"),
+        concat_ws(", ", col("c_name"), col("c_mktsegment")).as("name_seg"),
+        regexp_replace(col("c_name"), "#[0-9]+$", "").as("name_prefix"),
+        element_at(split(col("c_name"), "#"), 1).as("name_part"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        substring(col("c_name"), 1, 8).as("name_head"),
+        when(col("c_acctbal") > 5000, "high")
+          .when(col("c_acctbal") > 0, "mid")
+          .otherwise("low").as("bal_band"),
+        (col("c_acctbal") > 0).cast("int").as("is_positive"))
+      .orderBy("c_custkey")
+
+  /** X12-X14: date arithmetic (`today - timedelta(7)`, `GM:79-80`),
+    * strftime-style formatting, date-from-parts (`BP:670-671`),
+    * calendar extraction, datediff.
+    */
+  def dateSuite(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        date_sub(to_date(col("o_orderdate")), 7).as("week_before"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od_str"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+          dayofmonth(col("o_orderdate"))).as("od_rebuilt"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")),
+          to_date(col("o_orderdate"))).as("days_to_2002"))
+      .orderBy("o_orderkey")
+
+  /** X11: ISO-8601 micros+Z round trip — the reference's exact
+    * `strptime(x, "%Y-%m-%dT%H:%M:%S.%fZ")` pattern (`BP:661`).
+    */
+  def timestampRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val pat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        date_format(col("ts"), pat).as("iso"),
+        to_timestamp(date_format(col("ts"), pat), pat).as("parsed"))
+      .orderBy("event_id")
+  }
+
+  /** X18: query-string parse → typed fields (`parse_qs`, `BP:184-191`)
+    * via str_to_map + element_at + cast.
+    */
+  def kvParse(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("qs",
+        concat(lit("event="), col("event_type"),
+          lit("&user="), col("user_id")))
+      .withColumn("m", str_to_map(col("qs"), lit("&"), lit("=")))
+      .select(col("event_id"),
+        element_at(col("m"), "event").as("evt"),
+        element_at(col("m"), "user").cast("long").as("uid"))
+      .orderBy("event_id")
+
+  /** X8: order-sensitive CASE/WHEN decision chain — the profile-status
+    * classifier shape (`BP:675-698`), priorities preserved top-down.
+    */
+  def statusCase(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "fulfilled")
+          .when(col("o_orderpriority").startsWith("1"), "urgent_open")
+          .when(col("o_totalprice") > 300000, "big_open")
+          .when(col("o_orderstatus") === "P", "processing")
+          .otherwise("open").as("status_class"))
+      .orderBy("o_orderkey")
+
+  /** X4: multi-part concat with empty→sentinel defaulting
+    * (`extract_address`, `BP:439-456`).
+    */
+  def addressConcat(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+    joined
+      .withColumn("addr",
+        concat_ws(", ", col("c_name"), col("n_name"), col("r_name")))
+      .select(col("c_custkey"),
+        when(length(col("addr")) === 0, lit(NotFoundSentinel))
+          .otherwise(col("addr")).as("address"))
+      .orderBy("c_custkey")
+  }
+
+  /** X7: key→value map construction from grouped entries
+    * (`daywise_hours`, `BP:536-546`) — MapType built with
+    * map_from_entries, then serialized deterministically (sorted
+    * entries) for the oracle compare.
+    */
+  def mapConstruct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"),
+        col("cnt")))).as("m"))
+      .select(col("user_id"),
+        array_join(
+          transform(array_sort(map_entries(col("m"))),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("string"))),
+          ",").as("type_counts"))
+      .orderBy("user_id")
+}
