@@ -62,6 +62,24 @@ object SparkEntry {
     "ss_json_flatten" -> (SemiStructured.jsonFlatten _),
     "ss_props_extract" -> (SemiStructured.propsExtract _),
     "ss_struct_traversal" -> (SemiStructured.structTraversal _),
+    // §2.10 north-star: deduplication
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash" -> (Dedup.minhashPairs _),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d).orderBy("doc_id")),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "dedup_cosine" -> (Similarity.cosineNearDup _),
+    // §2.10 north-star: similarity search
+    "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    // §2.10 north-star: text analysis
+    "text_lang_id" -> (TextAnalysis.langId _),
+    "text_quality" -> (TextAnalysis.qualityScore _),
+    "text_token_count" -> (TextAnalysis.tokenCount _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // §2.10 north-star: multimodal plumbing
+    "mm_decode_meta" -> (Multimodal.decodeMeta _),
+    "mm_frame_sample" -> (Multimodal.frameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -318,5 +336,114 @@ object SparkEntry {
       """SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
         | 'Not_Found' AS uri
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_doc_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_copies,
+        | md5(text) AS content_hash
+        |FROM documents GROUP BY text ORDER BY keeper_doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  n_inter / (na.n + nb.n - n_inter) AS jaccard
+        |FROM pr
+        |JOIN sz na ON na.doc_id = doc_a
+        |JOIN sz nb ON nb.doc_id = doc_b
+        |WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3)
+        |      >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_topk" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3)
+        |      AS sim
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 8)
+        |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "text_lang_id" ->
+      """SELECT doc_id, labeled_lang, s_en, s_zh, s_de,
+        | CASE WHEN s_en >= s_zh AND s_en >= s_de THEN 'en'
+        |      WHEN s_zh >= s_de THEN 'zh' ELSE 'de' END AS predicted_lang
+        |FROM (SELECT doc_id, lang AS labeled_lang,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of)\b')) AS INT)
+        |    AS s_en,
+        |  CAST(len(regexp_extract_all(text, '\b(data|query|row)\b')) AS INT)
+        |    AS s_zh,
+        |  CAST(len(regexp_extract_all(text, '\b(fast|slow|small)\b')) AS INT)
+        |    AS s_de
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_chars_calc, n_words, n_distinct_words,
+        | n_distinct_words / n_words AS distinct_ratio,
+        | round(0.5 * (n_distinct_words / n_words) +
+        |   0.5 * least(n_words / 100.0, 1.0), 4) AS quality_score
+        |FROM (SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_calc,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)
+        |    AS n_words,
+        |  CAST(len(list_distinct(string_split_regex(trim(lower(text)),
+        |    '\s+'))) AS INT) AS n_distinct_words
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)
+        |   AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |   AS INT) AS bpe_ish_tokens,
+        | round(length(text) /
+        |   len(string_split_regex(trim(lower(text)), '\s+')), 2)
+        |   AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint, CAST(cnt AS BIGINT) AS n_same
+        |FROM fp JOIN (SELECT fingerprint AS f2, COUNT(*) AS cnt
+        |              FROM fp GROUP BY 1) g ON fingerprint = f2
+        |ORDER BY doc_id""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        | CAST(doc_id % 480 AS INT) AS height,
+        | CASE CAST(octet_length(encode(text)) % 3 AS INT)
+        |   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        | hex(encode(substr(text, 1, 8))) AS head_hex,
+        | CAST(octet_length(encode(text)) // 16 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_no,
+        | CAST(f * 16 AS INT) AS byte_offset,
+        | hex(encode(substr(text, f * 16 + 1, 1))) AS frame_byte_hex
+        |FROM documents, (SELECT unnest(generate_series(0, 3)) AS f)
+        |WHERE f < octet_length(encode(text)) // 16
+        |ORDER BY doc_id, frame_no""".stripMargin,
   )
 }

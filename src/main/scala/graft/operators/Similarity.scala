@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorExpressions
+
+/** Similarity search over embedding columns (SURVEY.md §2.10):
+  * brute-force cosine top-k as the baseline, LSH (random-hyperplane)
+  * bucketed ANN as the scale path, and a cosine near-dup pair scan.
+  *
+  * Scale design: the probe set is small and broadcast; the corpus side
+  * streams. The inner product is the custom codegen expression
+  * `vector_dot` (graft.functions.VectorDot) — a fused loop over the
+  * float arrays instead of per-element interpreted HOF lambdas, which
+  * is what makes the 10⁶+-pair scans tractable. Cosine similarities
+  * are rounded to 3 decimals BEFORE ranking with an id tie-break, so
+  * rankings are stable across engines/float orders.
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    call_function("vector_dot", a, b)
+
+  /** Corpus with precomputed L2 norm (one pass, reused by both join
+    * sides).
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** Brute-force cosine top-k: probe rows (vec_id < 8) broadcast
+    * against the full corpus; rank by rounded sim desc, id asc.
+    */
+  def bruteForceTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val c = corpus(s, dir)
+    val probes = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val sims = c.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 3)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Random-hyperplane LSH bucket id: 6 sign bits of dot products with
+    * ±1 planes derived deterministically from xxhash64(plane*64+dim).
+    */
+  private def lshBucket(v: Column): Column = expr(
+    """aggregate(sequence(0, 5), 0L, (acc, p) ->
+      |  acc + if(aggregate(sequence(0, 63), cast(0.0 as double), (a2, d) ->
+      |    a2 + element_at(v, d + 1) *
+      |      if((xxhash64(p * 64 + d) & 1) = 1, 1.0d, -1.0d)) >= 0d,
+      |    shiftleft(1L, p), 0L))""".stripMargin)
+
+  /** LSH-bucketed ANN: candidates share the probe's bucket (equi-join
+    * on bucket id — at 100 TB this is a hash-partitioned join over
+    * ~|corpus|/64 per bucket instead of a cross join), then exact
+    * cosine top-3 within the bucket.
+    */
+  def annLsh(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val c = corpus(s, dir).withColumn("bucket", lshBucket(col("v")))
+    val probes = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val sims = c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 3)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup pair scan: all pairs with cosine ≥ 0.4.
+    * Exact over the pair space here (corpus side is small); at 100 TB
+    * gate behind `annLsh` bucketing so the pair space is per-bucket.
+    */
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).cache()
+    val a = c.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = c.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 3))
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Structured Streaming analogs of the reference's batch cadences
+  * (SURVEY.md §2.8): the daily snapshot (ST1), the upsert-by-date
+  * audit count (ST3, `buisness_profile_etl/main.py:20-50`), and a
+  * custom-state running counter (`mapGroupsWithState`).
+  *
+  * These take the (possibly streaming) events DataFrame so the same
+  * plan runs from `readStream` or from a batch relation — tested with
+  * MemoryStream in StreamingSpec. Watermarks bound state at scale:
+  * day-grain windows with a 2-day watermark keep O(days in flight)
+  * state per key regardless of input volume.
+  */
+object StreamingAnalogs {
+
+  case class Event(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** ST1: tumbling 1-day event counts. Append-capable once the
+    * watermark passes; also valid in update mode.
+    */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day_start"), col("n_events"))
+
+  /** ST3: upsert-by-date running count — update output mode gives the
+    * reference's "rewrite the date's row each run" semantics without
+    * the file rewrite. Distinct counts use the streaming-legal sketch.
+    */
+  def dailyActive(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("n_active_approx"))
+      .select(col("w.start").as("day_start"), col("n_events"),
+        col("n_active_approx"))
+
+  /** Custom keyed state: running per-user event count via
+    * mapGroupsWithState (KeyValueGroupedDataset API).
+    */
+  def runningUserCounts(events: Dataset[Event]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val total = state.getOption.getOrElse(0L) + it.size
+          state.update(total)
+          (uid, total)
+      }
+  }
+}

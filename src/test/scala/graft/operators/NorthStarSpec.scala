@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Specs for the LLM-data-pipeline operators (SURVEY.md §2.10):
+  * dedup family cross-consistency, similarity search sanity, text
+  * analysis, multimodal plumbing.
+  */
+class NorthStarSpec extends SparkSpec {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("dedup_exact: no planted exact duplicates in testdata") {
+    val out = Dedup.exact(spark, sfDir)
+    assert(out.filter(col("n_copies") > 1).count() == 0)
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+  }
+
+  test("minhash+LSH recovers nearly all exact-Jaccard near-dup pairs") {
+    val exact = pairSet(Dedup.ngramJaccard(spark, sfDir))
+    val mh = pairSet(Dedup.minhashPairs(spark, sfDir))
+    assert(exact.nonEmpty) // planted near-dups exist
+    assert(mh.subsetOf(exact)) // candidates are jaccard-verified
+    assert(mh.size >= (exact.size * 0.8).toInt)
+  }
+
+  test("simhash pairs cover most high-Jaccard pairs") {
+    val exact = pairSet(Dedup.ngramJaccard(spark, sfDir))
+    val sh = pairSet(Dedup.simhashPairs(spark, sfDir))
+    val recall = exact.intersect(sh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"simhash recall $recall")
+  }
+
+  test("simhash signature is deterministic across runs") {
+    val a = Dedup.simhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("bruteForceTopK: 5 ranked neighbors per probe, sims descending") {
+    val rows = Similarity.bruteForceTopK(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 8)
+    byQuery.values.foreach { rs =>
+      assert(rs.length == 5)
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(rs.forall(r =>
+        r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("annLsh: sims agree with brute force on shared (query, neighbor)") {
+    val bf = Similarity.bruteForceTopK(spark, sfDir, k = 100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("sim")).toMap
+    val ann = Similarity.annLsh(spark, sfDir).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bf.get(key).foreach(s => assert(s == r.getAs[Double]("sim")))
+    }
+  }
+
+  test("langId: predictions drawn from the marker-language set") {
+    val langs = TextAnalysis.langId(spark, sfDir)
+      .select("predicted_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "zh", "de")))
+  }
+
+  test("qualityScore bounded in [0,1]; tokenCount positive") {
+    val q = TextAnalysis.qualityScore(spark, sfDir).collect()
+    assert(q.forall { r =>
+      val v = r.getAs[Double]("quality_score"); v >= 0.0 && v <= 1.0
+    })
+    val t = TextAnalysis.tokenCount(spark, sfDir).collect()
+    assert(t.forall(_.getAs[Int]("ws_tokens") > 0))
+    assert(t.forall(r =>
+      r.getAs[Int]("bpe_ish_tokens") >= r.getAs[Int]("ws_tokens")))
+  }
+
+  test("fingerprint matches JVM md5 of the normalized text") {
+    val row = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id").limit(1).collect().head
+    val normalized = row.getString(1).trim.toLowerCase
+      .replaceAll("\\s+", " ")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(normalized.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = TextAnalysis.fingerprint(spark, sfDir)
+      .filter(col("doc_id") === row.getLong(0))
+      .collect().head.getAs[String]("fingerprint")
+    assert(got == digest)
+  }
+
+  test("mm decode stub: byte counts match n_chars (ASCII), hex reversible") {
+    val out = Multimodal.decodeMeta(spark, sfDir)
+      .join(Tables.documents(spark, sfDir), "doc_id")
+    assert(out.filter(col("n_bytes") =!= col("n_chars")).count() == 0)
+    val r = out.orderBy("doc_id").limit(1).collect().head
+    val decoded = r.getAs[String]("head_hex").grouped(2)
+      .map(Integer.parseInt(_, 16).toChar).mkString
+    assert(r.getAs[String]("text").startsWith(decoded))
+  }
+
+  test("frameSample: ≤4 frames per doc at stride 16") {
+    val out = Multimodal.frameSample(spark, sfDir)
+    val counts = out.groupBy("doc_id").count()
+    assert(counts.filter(col("count") > 4).count() == 0)
+    assert(out.filter(col("byte_offset") % 16 =!= 0).count() == 0)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import StreamingAnalogs.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    Event(ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+    Event(ts("2024-01-01 11:00:00"), 2L, "click", 2.0),
+    Event(ts("2024-01-02 09:00:00"), 1L, "purchase", 3.0))
+  private val batch2 = Seq(
+    Event(ts("2024-01-02 12:00:00"), 3L, "view", 4.0),
+    Event(ts("2024-01-03 08:00:00"), 1L, "error", 5.0))
+
+  test("tumblingDaily over MemoryStream equals the batch aggregate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingAnalogs.tumblingDaily(input.toDF())
+      .writeStream.format("memory").queryName("st1_out")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val streamed = s.table("st1_out")
+        .groupBy("day_start").agg(max("n_events").as("n_events"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      val batch = StreamingAnalogs
+        .tumblingDaily((batch1 ++ batch2).toDF())
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      assert(batch("2024-01-02 00:00:00.0") == 2L)
+    } finally q.stop()
+  }
+
+  test("dailyActive update mode: later batch updates the same day's row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingAnalogs.dailyActive(input.toDF())
+      .writeStream.format("memory").queryName("st3_out")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val latest = s.table("st3_out")
+        .groupBy("day_start").agg(max("n_events").as("n_events"))
+      val jan2 = latest
+        .filter(col("day_start") === ts("2024-01-02 00:00:00"))
+        .collect().head.getLong(1)
+      assert(jan2 == 2L) // 1 from batch1 upserted to 2 after batch2
+    } finally q.stop()
+  }
+
+  test("runningUserCounts keeps state across microbatches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingAnalogs.runningUserCounts(input.toDS())
+      .toDF("user_id", "running_count")
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val finalCounts = s.table("state_out")
+        .groupBy("user_id").agg(max("running_count").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalCounts == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+  }
+}
