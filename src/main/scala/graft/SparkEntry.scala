@@ -50,6 +50,19 @@ object SparkEntry {
     // §2.8 streaming cadences (batch analogs)
     "st1_tumbling_daily" -> (Analytics.tumblingDaily _),
     "st2_sliding_7day" -> (Analytics.sliding7Day _),
+    // window/aggregate extensions
+    "w_leadlag" -> (Analytics.leadLagGaps _),
+    "w_ntile" -> (Analytics.spendQuartiles _),
+    "agg_percentile" -> (Analytics.percentiles _),
+    "set_cube" -> (Analytics.cubeFlags _),
+    "agg_approx_distinct" -> (Analytics.approxDistinct _),
+    // §2.2 sinks (write → read-back round trips)
+    "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
+    "sink_json_archive" -> (Sinks.jsonArchive _),
+    "sink_latest_snapshot" -> (Sinks.latestSnapshot _),
+    "sink_ctas_promote" -> (Sinks.ctasPromote _),
+    // §3.2 pipeline B gold table
+    "p_insight_gold" -> (Pipelines.insightGold _),
     // §2.6 scalar function families
     "x_string_suite" -> (ScalarSuite.stringSuite _),
     "x_date_suite" -> (ScalarSuite.dateSuite _),
@@ -262,6 +275,98 @@ object SparkEntry {
         |     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS trailing_7d_events
         |FROM daily ORDER BY day""".stripMargin,
+    "w_leadlag" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        | CAST(date_diff('day', lag(CAST(o_orderdate AS DATE), 1) OVER w,
+        |   CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w_ntile" ->
+      """SELECT o_custkey, total_spend,
+        | CAST(NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey) AS INT)
+        |   AS quartile
+        |FROM (SELECT o_custkey,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |          AS total_spend
+        |      FROM orders GROUP BY 1)
+        |ORDER BY o_custkey""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "set_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "sink_csv_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "sink_json_archive" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_latest_snapshot" ->
+      """SELECT '2024-01-01' AS snapshot_date,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+        |FROM orders""".stripMargin,
+    "sink_ctas_promote" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+    "p_insight_gold" ->
+      """WITH oa AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_spend,
+        |    MAX(o_orderstatus) AS max_status
+        |  FROM orders GROUP BY 1),
+        |lastord AS (
+        |  SELECT o_custkey, o_orderdate AS last_orderdate,
+        |    o_orderkey AS last_orderkey
+        |  FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+        |          ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders) WHERE rn = 1),
+        |ia AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_qty
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1),
+        |ea AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS BIGINT) AS n_purchases
+        |  FROM events GROUP BY 1)
+        |SELECT c_custkey, c_name, c_mktsegment, n_name AS nation,
+        | r_name AS region,
+        | COALESCE(n_orders, 0) AS n_orders,
+        | COALESCE(total_spend, 0.0) AS total_spend,
+        | last_orderdate,
+        | COALESCE(last_orderkey, -1) AS last_orderkey,
+        | COALESCE(max_status, 'Not_Found') AS last_status,
+        | COALESCE(n_lineitems, 0) AS n_lineitems,
+        | COALESCE(total_qty, 0.0) AS total_qty,
+        | COALESCE(ea.n_events, 0) AS n_events,
+        | COALESCE(ea.n_purchases, 0) AS n_purchases,
+        | CASE WHEN COALESCE(ea.n_purchases, 0) > 0 THEN 'Yes' ELSE 'No' END
+        |   AS has_purchase,
+        | COALESCE(total_spend, 0.0) /
+        |   greatest(COALESCE(n_orders, 0), 1) AS avg_order_value,
+        | CASE WHEN c_acctbal <= 0 THEN 'suspended'
+        |      WHEN COALESCE(n_orders, 0) = 0 THEN 'inactive'
+        |      WHEN COALESCE(ea.n_purchases, 0) > 0 THEN 'engaged'
+        |      ELSE 'active' END AS profile_status,
+        | DATE '2024-01-01' AS data_date
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN oa ON oa.o_custkey = c_custkey
+        |LEFT JOIN lastord ON lastord.o_custkey = c_custkey
+        |LEFT JOIN ia ON ia.o_custkey = c_custkey
+        |LEFT JOIN ea ON ea.user_id = c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "x_string_suite" ->
       """SELECT c_custkey, trim(c_name) AS tname,
         | concat_ws(', ', c_name, c_mktsegment) AS name_seg,

@@ -62,6 +62,64 @@ object Analytics {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
 
+  /** lead/lag window: days between consecutive orders per customer. */
+  def leadLagGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        datediff(to_date(col("o_orderdate")),
+          lag(to_date(col("o_orderdate")), 1).over(w))
+          .as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** ntile quartiles over per-customer spend (global window over the
+    * pre-aggregated table — small after the groupBy, so the single
+    * ordering partition is not a scale hazard).
+    */
+  def spendQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(moneySum(col("o_totalprice")).as("total_spend"))
+    val w = Window.orderBy(col("total_spend").desc, col("o_custkey"))
+    spend
+      .select(col("o_custkey"), col("total_spend"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`).
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** CUBE grouping sets over returnflag × linestatus. */
+  def cubeFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Sketch aggregate: HLL approx distinct next to the exact count
+    * (rows-only query; relative-error bound asserted in AnalyticsSpec).
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+
   /** ST1 batch analog: tumbling 1-day window counts over the event
     * stream (`window()` is the same expression Structured Streaming
     * uses; epoch-aligned UTC days).

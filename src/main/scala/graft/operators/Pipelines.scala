@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Scalars._
+
+/** End-to-end pipeline shapes (SURVEY.md §3). `Relational.snapshot` is
+  * pipeline A (§3.1); this file adds pipeline B's gold insight table
+  * (§3.2) — the 39-column wide record (`BP:711`) re-expressed as a
+  * chain of left-outer enrichment joins over pre-aggregated facts.
+  *
+  * Scale notes: each fact table is aggregated to the join key BEFORE
+  * the join (partial aggregation upstream of the shuffle), the
+  * dimension joins (nation/region) broadcast, and the driver never
+  * materializes anything — the reference's per-merchant Python loop
+  * (`BP:475-708`) becomes one distributed plan.
+  */
+object Pipelines {
+
+  /** Gold insight table: one wide row per customer with order, item,
+    * and event enrichments, Not_Found/0 defaults on missing sides
+    * (X3), derived ratios, and the order-sensitive profile-status
+    * chain (X8).
+    */
+  def insightGold(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"), col("n_name").as("nation"),
+        col("r_name").as("region"))
+
+    val orderAgg = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_spend"),
+        max(struct(col("o_orderdate"), col("o_orderkey"))).as("last"),
+        max(col("o_orderstatus")).as("max_status"))
+      .select(col("o_custkey"), col("n_orders"), col("total_spend"),
+        col("last.o_orderdate").as("last_orderdate"),
+        col("last.o_orderkey").as("last_orderkey"),
+        col("max_status"))
+
+    val itemAgg = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_lineitems"),
+        moneySum(col("l_quantity")).as("total_qty"))
+
+    val eventAgg = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+
+    cust
+      .join(orderAgg, col("c_custkey") === col("o_custkey"), "left")
+      .join(itemAgg.withColumnRenamed("o_custkey", "i_custkey"),
+        col("c_custkey") === col("i_custkey"), "left")
+      .join(eventAgg, col("c_custkey") === col("user_id"), "left")
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("nation"), col("region"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
+        col("last_orderdate"),
+        coalesce(col("last_orderkey"), lit(-1L)).as("last_orderkey"),
+        notFound(col("max_status")).as("last_status"),
+        coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+        coalesce(col("total_qty"), lit(0.0)).as("total_qty"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        when(coalesce(col("n_purchases"), lit(0L)) > 0, "Yes")
+          .otherwise("No").as("has_purchase"),
+        // no round(): raw IEEE division is bit-identical across engines,
+        // while round(x, 2) lands on exact half-cent boundaries
+        // (e.g. spend/6) that Spark and DuckDB break differently
+        (coalesce(col("total_spend"), lit(0.0)) /
+          greatest(coalesce(col("n_orders"), lit(0L)), lit(1L)))
+          .as("avg_order_value"),
+        when(col("c_acctbal") <= 0, "suspended")
+          .when(coalesce(col("n_orders"), lit(0L)) === 0, "inactive")
+          .when(coalesce(col("n_purchases"), lit(0L)) > 0, "engaged")
+          .otherwise("active").as("profile_status"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("data_date"))
+      .orderBy("c_custkey")
+  }
+}

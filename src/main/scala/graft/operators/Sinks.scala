@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sink operators (SURVEY.md §2.2): header CSV (K1/K2) + CSV source
+  * (S7), date-partitioned JSON archive (K3 bronze layer), overwritten
+  * latest-snapshot partition (K4/K5 semantics: only the newest snapshot
+  * is load-eligible — modeled as an overwrite, not a rename pass), and
+  * CTAS promotion (K6). Each query writes then reads back, so the
+  * oracle checks the full round trip. Writes go once per sfDir under
+  * /tmp and never rewrite per-row (the reference's O(n²) sink,
+  * `BP:710-715`, is a behavior to fix, not replicate).
+  */
+object Sinks {
+
+  private def root(dir: String) =
+    s"/tmp/graft_sinks/${new File(dir).getName}"
+
+  /** K1/K2 + S7: declared-schema CSV sink with header row, read back
+    * with the explicit schema (no re-inference drift).
+    */
+  def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.nation(s, dir)
+    val out = s"${root(dir)}/nation_csv"
+    src.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(out)
+    s.read.schema(src.schema).option("header", "true").csv(out)
+      .orderBy("n_nationkey")
+  }
+
+  /** K3: date-partitioned JSON archive (bronze) → read back → daily
+    * counts. partitionBy(day) gives the `responses/<date>/` layout
+    * (`BP:175-180`) as partition pruning-friendly directories.
+    */
+  def jsonArchive(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${root(dir)}/events_json"
+    Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(col("day"), col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("day").json(out)
+    s.read.json(out)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("day").cast("string").as("day"), col("n_events"))
+      .orderBy("day")
+  }
+
+  /** K4/K5: dated snapshot where only `latest/` is load-eligible —
+    * written twice to prove overwrite idempotence (the reference
+    * renames all older blobs instead, `GM:144-155`).
+    */
+  def latestSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${root(dir)}/orders_latest"
+    val snap = Tables.orders(s, dir)
+      .withColumn("snapshot_date", lit("2024-01-01"))
+    snap.write.mode("overwrite").parquet(out)
+    snap.write.mode("overwrite").parquet(out) // idempotent re-run
+    s.read.parquet(out)
+      .groupBy("snapshot_date")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+      .orderBy("snapshot_date")
+  }
+
+  /** K6: CTAS snapshot promote (`CREATE TABLE ... AS SELECT`,
+    * `GM:164-180`) — the whole "query" the reference ships to BigQuery,
+    * executed natively with an explicit LOCATION (no warehouse dep).
+    */
+  def ctasPromote(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${root(dir)}/promoted"
+    Tables.customer(s, dir).createOrReplaceTempView("graft_tmp_customer")
+    s.sql("DROP TABLE IF EXISTS graft_promoted")
+    // DROP leaves the explicit LOCATION's files behind; clear them so
+    // the CTAS re-runs idempotently (CREATE OR REPLACE semantics).
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    s.sql(
+      s"""CREATE TABLE graft_promoted USING PARQUET LOCATION '$out'
+         |AS SELECT c_custkey, c_name, c_mktsegment
+         |   FROM graft_tmp_customer WHERE c_acctbal > 0""".stripMargin)
+    s.table("graft_promoted").orderBy("c_custkey")
+  }
+}

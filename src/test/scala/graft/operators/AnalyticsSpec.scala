@@ -52,6 +52,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(nonMidnight == 0)
   }
 
+  test("approxDistinct: HLL within 5% of exact") {
+    val r = Analytics.approxDistinct(spark, sfDir).collect().head
+    val exact = r.getAs[Long]("exact_parts").toDouble
+    val approx = r.getAs[Long]("approx_parts").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("insightGold: one row per customer, engaged implies purchases") {
+    val out = Pipelines.insightGold(spark, sfDir).cache()
+    assert(out.count() == graft.Tables.customer(spark, sfDir).count())
+    val bad = out.filter(col("profile_status") === "engaged" &&
+      col("n_purchases") === 0).count()
+    assert(bad == 0)
+  }
+
   test("sliding7Day: trailing window ≥ daily count, first day equal") {
     val out = Analytics.sliding7Day(spark, sfDir).orderBy("day").collect()
     assert(out.forall(r =>
