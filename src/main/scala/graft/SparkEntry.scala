@@ -50,6 +50,22 @@ object SparkEntry {
     // §2.8 streaming cadences (batch analogs)
     "st1_tumbling_daily" -> (Analytics.tumblingDaily _),
     "st2_sliding_7day" -> (Analytics.sliding7Day _),
+    // S4/S5 custom DataSource V2 (paginated REST shape)
+    "s4_rest_source" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.RestSource")
+        .option("pages", "16").option("pageSize", "250").load()
+        .groupBy("page")
+        .agg(count(lit(1)).as("n"),
+          sum(col("score").cast("decimal(18,6)")).cast("double")
+            .as("score_sum"),
+          count(when(col("status") === "inactive", 1)).as("n_inactive"))
+        .orderBy("page")
+    }),
+    // advanced joins / windows / skew tools
+    "adv_asof_join" -> (Advanced.asofJoin _),
+    "adv_session_window" -> (Advanced.sessionWindows _),
+    "adv_salted_agg" -> (Advanced.saltedAgg _),
     // window/aggregate extensions
     "w_leadlag" -> (Analytics.leadLagGaps _),
     "w_ntile" -> (Analytics.spendQuartiles _),
@@ -275,6 +291,50 @@ object SparkEntry {
         |     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS trailing_7d_events
         |FROM daily ORDER BY day""".stripMargin,
+    "s4_rest_source" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 3999)) AS id),
+        |v AS (SELECT id, CAST(id // 250 AS INT) AS page,
+        |        (id * 1103515245 + 12345) % 1000 AS v
+        |      FROM ids)
+        |SELECT page, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(v / 10.0 AS DECIMAL(18,6))) AS DOUBLE) AS score_sum,
+        | CAST(COUNT(CASE WHEN v % 5 = 0 THEN 1 END) AS BIGINT)
+        |   AS n_inactive
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "adv_asof_join" ->
+      """WITH lastord AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts,
+        | o.o_orderkey AS last_orderkey,
+        | o.o_orderdate AS last_orderdate
+        |FROM events e
+        |ASOF LEFT JOIN lastord o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "adv_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts >= lag(ts) OVER w + INTERVAL 2 HOUR
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 2 HOUR AS session_end,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "adv_salted_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "w_leadlag" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
         | CAST(date_diff('day', lag(CAST(o_orderdate AS DATE), 1) OVER w,

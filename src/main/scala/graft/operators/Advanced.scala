@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Scalars._
+
+/** Operators beyond the reference surface that a complete engine needs
+  * (SURVEY.md §2.4/§2.7/§2.8 "absent → provide via built-ins"):
+  * as-of join, session windows, salted (skew-safe) aggregation.
+  */
+object Advanced {
+
+  /** As-of join: for each event, the user's most recent order at or
+    * before the event time. Implemented the scale-right way — tagged
+    * union + one sort per user partition + last_value(ignoreNulls)
+    * running carry — instead of a per-key subquery or an
+    * events×orders join-then-argmax (which materializes every
+    * (event, earlier-order) pair before discarding all but one).
+    * Orders are deduped to one per (user, date) first so the as-of
+    * pick is deterministic (the testdata's order timestamps are
+    * date-grained).
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val lastOrderPerDay = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ordersTagged = lastOrderPerDay.select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(0).as("src"), // orders first at equal t: "<=" semantics
+      col("o_orderkey").as("okey"), col("o_orderdate").as("odate"),
+      lit(null).cast("long").as("event_id"))
+    val eventsTagged = Tables.events(s, dir).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("src"),
+      lit(null).cast("long").as("okey"),
+      lit(null).cast("timestamp").as("odate"),
+      col("event_id"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("src"), col("okey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordersTagged.unionByName(eventsTagged)
+      .withColumn("last_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+      .withColumn("last_orderdate", last(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("last_orderkey"), col("last_orderdate"))
+      .orderBy("event_id")
+  }
+
+  /** Session windows: per-user activity sessions with a 2-hour
+    * inactivity gap (`session_window` — the same expression Structured
+    * Streaming uses for streaming sessionization).
+    */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Salted two-stage aggregation: identical result to a plain
+    * groupBy-sum, but the first stage spreads each group key over 16
+    * salt shards so one hot key cannot pin a whole partition — the
+    * standard skew mitigation when a handful of keys dominate
+    * (event_type has only 5 values: every key is "hot" relative to 32
+    * shuffle partitions).
+    */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(money(col("value"))).as("partial_sum"),
+        count(lit(1)).as("partial_n"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("partial_sum")).cast("double").as("total_value"),
+        sum(col("partial_n")).as("n_events"))
+      .orderBy("event_type")
+}
