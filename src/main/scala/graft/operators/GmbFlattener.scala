@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Scalars._
+
+/** The reference's GMB-API response flattening layer (SURVEY.md §3.2
+  * step 4), re-expressed as typed `from_json` + column expressions over
+  * a bronze DataFrame of raw JSON strings (`id`, `doc`). Each method
+  * reproduces the cited reference derivation exactly, including its
+  * quirks:
+  *
+  *  - location (`buisness_profile_etl/main.py:439-568`): Not_Found
+  *    sentinels, Python-style address concatenation (leading ", " kept
+  *    when addressLines is empty), hours map that stays Not_Found for
+  *    an EMPTY periods array but becomes a (possibly empty) map once
+  *    any period exists, additional-category count of dicts with a
+  *    "name" key.
+  *  - performance (`main.py:587-615`): 4-level explode, non-numeric
+  *    values skipped (try_cast), pivot with 0 defaults + derived
+  *    totals.
+  *  - media (`main.py:631-645`): exists→Yes/No flags.
+  *  - localPosts (`main.py:654-673`): offer/promo counts, argmax by
+  *    parsed createTime (micros+Z), schedule dates via make_date.
+  *  - vom (`main.py:675-698`): the order-sensitive profile-status CASE
+  *    chain, incl. `verify.hasPendingVerification` defaulting to TRUE
+  *    when absent (so only an explicit false yields
+  *    verification_required; `{}` falls through to unexpected_status).
+  */
+object GmbFlattener {
+
+  val locationSchema: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("storeCode", StringType),
+    StructField("phoneNumbers", StructType(Seq(
+      StructField("primaryPhone", StringType),
+      StructField("additionalPhones", ArrayType(StringType))))),
+    StructField("websiteUri", StringType),
+    StructField("storefrontAddress", StructType(Seq(
+      StructField("addressLines", ArrayType(StringType)),
+      StructField("locality", StringType),
+      StructField("administrativeArea", StringType),
+      StructField("postalCode", StringType)))),
+    StructField("regularHours", StructType(Seq(
+      StructField("periods", ArrayType(StructType(Seq(
+        StructField("openDay", StringType),
+        StructField("openTime", StructType(Seq(
+          StructField("hours", LongType)))),
+        StructField("closeTime", StructType(Seq(
+          StructField("hours", LongType))))))))))),
+    StructField("categories", StructType(Seq(
+      StructField("primaryCategory", StructType(Seq(
+        StructField("displayName", StringType),
+        StructField("name", StringType)))),
+      StructField("additionalCategories", ArrayType(StructType(Seq(
+        StructField("name", StringType)))))))),
+    StructField("metadata", StructType(Seq(
+      StructField("newReviewUri", StringType),
+      StructField("mapsUri", StringType))))))
+
+  /** Python `"".join` + guarded `+=` address build (`main.py:439-456`):
+    * parts joined ", "; locality/administrativeArea appended with ", ",
+    * postalCode with " "; empty result → Not_Found.
+    */
+  private def addressOf(d: Column): Column = {
+    val base = array_join(
+      coalesce(d.getField("storefrontAddress").getField("addressLines"),
+        array()), ", ")
+    val withLoc = concat(base,
+      coalesce(concat(lit(", "),
+        d.getField("storefrontAddress").getField("locality")), lit("")),
+      coalesce(concat(lit(", "),
+        d.getField("storefrontAddress").getField("administrativeArea")),
+        lit("")),
+      coalesce(concat(lit(" "),
+        d.getField("storefrontAddress").getField("postalCode")), lit("")))
+    when(length(withLoc) === 0, lit(NotFoundSentinel)).otherwise(withLoc)
+  }
+
+  /** Hours map (`main.py:535-546`): Not_Found unless ≥1 period exists;
+    * periods missing either time are dropped; serialized sorted for
+    * comparability.
+    */
+  private def hoursOf(d: Column): Column = {
+    val periods = d.getField("regularHours").getField("periods")
+    val entries = filter(periods, p =>
+      p.getField("openTime").getField("hours").isNotNull &&
+        p.getField("closeTime").getField("hours").isNotNull)
+    val m = map_from_entries(transform(entries, p =>
+      struct(p.getField("openDay").as("day"),
+        concat(p.getField("openTime").getField("hours").cast("string"),
+          lit("-"),
+          p.getField("closeTime").getField("hours").cast("string"))
+          .as("hours"))))
+    when(periods.isNull || size(periods) === 0, lit(NotFoundSentinel))
+      .otherwise(array_join(transform(array_sort(map_entries(m)),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))), ","))
+  }
+
+  /** location.json → silver columns (`main.py:495-568`). Input: (id,
+    * doc) bronze rows.
+    */
+  def flattenLocation(bronze: DataFrame): DataFrame = {
+    val d = from_json(col("doc"), locationSchema)
+    bronze.select(col("id"),
+      notFound(d.getField("title")).as("business_name"),
+      notFound(d.getField("phoneNumbers").getField("primaryPhone"))
+        .as("phone"),
+      notFound(element_at(
+        d.getField("phoneNumbers").getField("additionalPhones"), 1))
+        .as("additional_phone"),
+      notFound(d.getField("websiteUri")).as("website"),
+      addressOf(d).as("address"),
+      notFound(d.getField("storeCode")).as("store_code"),
+      hoursOf(d).as("regular_hours"),
+      notFound(d.getField("categories").getField("primaryCategory")
+        .getField("displayName")).as("primary_category"),
+      coalesce(size(filter(
+        d.getField("categories").getField("additionalCategories"),
+        c => c.getField("name").isNotNull)), lit(0))
+        .as("additional_categories_count"),
+      notFound(d.getField("metadata").getField("newReviewUri"))
+        .as("review_url"),
+      notFound(d.getField("metadata").getField("mapsUri")).as("map_url"))
+  }
+
+  val performanceSchema: StructType = StructType(Seq(
+    StructField("multiDailyMetricTimeSeries", ArrayType(StructType(Seq(
+      StructField("dailyMetricTimeSeries", ArrayType(StructType(Seq(
+        StructField("dailyMetric", StringType),
+        StructField("timeSeries", StructType(Seq(
+          StructField("datedValues", ArrayType(StructType(Seq(
+            StructField("date", StructType(Seq(
+              StructField("year", IntegerType),
+              StructField("month", IntegerType),
+              StructField("day", IntegerType)))),
+            StructField("value", StringType))))))))))))))))))
+
+  val metricNames: Seq[String] = Seq(
+    "WEBSITE_CLICKS", "CALL_CLICKS",
+    "BUSINESS_IMPRESSIONS_DESKTOP_MAPS",
+    "BUSINESS_IMPRESSIONS_DESKTOP_SEARCH",
+    "BUSINESS_IMPRESSIONS_MOBILE_MAPS",
+    "BUSINESS_IMPRESSIONS_MOBILE_SEARCH",
+    "BUSINESS_CONVERSATIONS", "BUSINESS_DIRECTION_REQUESTS")
+
+  /** performance.json → per-id metric columns + totals
+    * (`main.py:587-615`): 3 explodes, try_cast skips non-numeric
+    * values, pivot over the fixed metric list with 0 defaults,
+    * total_actions / *_impressions / total_impressions arithmetic.
+    */
+  def flattenPerformance(bronze: DataFrame): DataFrame = {
+    val exploded = bronze
+      .select(col("id"),
+        explode(from_json(col("doc"), performanceSchema)
+          .getField("multiDailyMetricTimeSeries")).as("m1"))
+      .select(col("id"), explode(col("m1.dailyMetricTimeSeries")).as("m2"))
+      .select(col("id"), col("m2.dailyMetric").as("metric"),
+        explode(col("m2.timeSeries.datedValues")).as("dv"))
+      .select(col("id"), col("metric"),
+        expr("try_cast(dv.value AS LONG)").as("v"))
+    val pivoted = exploded.groupBy("id")
+      .pivot("metric", metricNames)
+      .sum("v")
+      .na.fill(0L, metricNames)
+    pivoted
+      .withColumn("total_actions",
+        col("CALL_CLICKS") + col("WEBSITE_CLICKS") +
+          col("BUSINESS_DIRECTION_REQUESTS"))
+      .withColumn("map_impressions",
+        col("BUSINESS_IMPRESSIONS_DESKTOP_MAPS") +
+          col("BUSINESS_IMPRESSIONS_MOBILE_MAPS"))
+      .withColumn("search_impressions",
+        col("BUSINESS_IMPRESSIONS_DESKTOP_SEARCH") +
+          col("BUSINESS_IMPRESSIONS_MOBILE_SEARCH"))
+      .withColumn("total_impressions",
+        col("map_impressions") + col("search_impressions"))
+  }
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("totalMediaItemCount", LongType),
+    StructField("mediaItems", ArrayType(StructType(Seq(
+      StructField("locationAssociation", StructType(Seq(
+        StructField("category", StringType))))))))))
+
+  /** media.json → Yes/No flags + count (`main.py:631-645`). */
+  def flattenMedia(bronze: DataFrame): DataFrame = {
+    val d = from_json(col("doc"), mediaSchema)
+    def flag(cat: String) = when(coalesce(exists(d.getField("mediaItems"),
+      i => i.getField("locationAssociation").getField("category") === cat),
+      lit(false)), "Yes").otherwise("No")
+    bronze.select(col("id"),
+      flag("COVER").as("has_cover"),
+      flag("MENU").as("has_menu"),
+      coalesce(d.getField("totalMediaItemCount"), lit(0L))
+        .as("total_media_item_count"))
+  }
+
+  val localPostsSchema: StructType = StructType(Seq(
+    StructField("localPosts", ArrayType(StructType(Seq(
+      StructField("topicType", StringType),
+      StructField("createTime", StringType),
+      StructField("updateTime", StringType),
+      StructField("event", StructType(Seq(
+        StructField("schedule", StructType(Seq(
+          StructField("startDate", StructType(Seq(
+            StructField("year", IntegerType),
+            StructField("month", IntegerType),
+            StructField("day", IntegerType)))),
+          StructField("endDate", StructType(Seq(
+            StructField("year", IntegerType),
+            StructField("month", IntegerType),
+            StructField("day", IntegerType)))))))))))))),
+    StructField("nextPageToken", StringType)))
+
+  private val isoPattern = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+
+  /** localPosts.json → offer/promo counts + latest-offer fields
+    * (`main.py:654-673`): argmax over parsed createTime, schedule
+    * dates via make_date, updateTime truncated to date.
+    */
+  def flattenLocalPosts(bronze: DataFrame): DataFrame = {
+    val posts = from_json(col("doc"), localPostsSchema)
+      .getField("localPosts")
+    val offers = filter(posts, p => p.getField("topicType") === "OFFER")
+    val latest = array_max(transform(offers, p =>
+      struct(to_timestamp(p.getField("createTime"), isoPattern).as("ct"),
+        p.as("post"))))
+    bronze.select(col("id"),
+      coalesce(size(offers), lit(0)).as("offer_count"),
+      coalesce(size(filter(posts,
+        p => p.getField("topicType") === "STANDARD")), lit(0))
+        .as("promo_count"),
+      make_date(
+        latest.getField("post").getField("event").getField("schedule")
+          .getField("startDate").getField("year"),
+        latest.getField("post").getField("event").getField("schedule")
+          .getField("startDate").getField("month"),
+        latest.getField("post").getField("event").getField("schedule")
+          .getField("startDate").getField("day")).as("offer_starts_at"),
+      make_date(
+        latest.getField("post").getField("event").getField("schedule")
+          .getField("endDate").getField("year"),
+        latest.getField("post").getField("event").getField("schedule")
+          .getField("endDate").getField("month"),
+        latest.getField("post").getField("event").getField("schedule")
+          .getField("endDate").getField("day")).as("offer_ends_at"),
+      to_date(to_timestamp(latest.getField("post").getField("updateTime"),
+        isoPattern)).as("offer_updates_at"))
+  }
+
+  val vomSchema: StructType = StructType(Seq(
+    StructField("complyWithGuidelines", StructType(Seq(
+      StructField("recommendationReason", StringType)))),
+    StructField("waitForVoiceOfMerchant", StructType(Seq(
+      StructField("_placeholder", StringType)))),
+    StructField("hasVoiceOfMerchant", BooleanType),
+    StructField("hasBusinessAuthority", BooleanType),
+    StructField("resolveOwnershipConflict", StructType(Seq(
+      StructField("_placeholder", StringType)))),
+    StructField("verify", StructType(Seq(
+      StructField("hasPendingVerification", BooleanType))))))
+
+  /** vom.json → profile_status via the exact priority chain
+    * (`main.py:675-698`).
+    */
+  def flattenVom(bronze: DataFrame): DataFrame = {
+    val d = from_json(col("doc"), vomSchema)
+    val reason = d.getField("complyWithGuidelines")
+      .getField("recommendationReason")
+    bronze.select(col("id"),
+      when(reason === "BUSINESS_LOCATION_SUSPENDED", "suspended")
+        .when(reason === "BUSINESS_LOCATION_DISABLED", "location_disabled")
+        .when(d.getField("waitForVoiceOfMerchant").isNotNull, "processing")
+        .when(d.getField("hasVoiceOfMerchant") &&
+          d.getField("hasBusinessAuthority"), "verified")
+        .when(d.getField("resolveOwnershipConflict").isNotNull, "duplicate")
+        .when(coalesce(d.getField("verify")
+          .getField("hasPendingVerification"), lit(true)) === false,
+          "verification_required")
+        .otherwise("unexpected_status").as("profile_status"))
+  }
+}
