@@ -16,6 +16,7 @@ object Verify {
       // the driver's hash compare (TIMESTAMP_MICROS writes
       // isAdjustedToUTC=true → tz-aware → value mismatch).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

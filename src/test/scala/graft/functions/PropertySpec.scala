@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** Property-based invariants (SURVEY.md §5.3). Uses raw ScalaCheck
+  * generators with fixed seeds (the scalatest-scalacheck bridge is not
+  * in the offline cache), so runs are deterministic.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("moneySum is order-independent (exact decimal accumulation)") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(40, Gen.chooseNum(-9999999L, 9999999L))
+    samples(gen, 10).foreach { cents =>
+      val xs = cents.map(_ / 100.0) // 2-decimal money values
+      val a = xs.toDF("v").agg(Scalars.moneySum(col("v"))).head.getDouble(0)
+      val b = scala.util.Random.shuffle(xs).toDF("v")
+        .agg(Scalars.moneySum(col("v"))).head.getDouble(0)
+      assert(a == b) // bitwise equal, not approx
+    }
+  }
+
+  test("normalizeBooleans is idempotent and preserves truth") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(20, Gen.option(Gen.oneOf(true, false)))
+    samples(gen, 10).filter(_.nonEmpty).foreach { bs =>
+      val df = bs.zipWithIndex.map { case (b, i) => (i, b) }
+        .toDF("id", "flag")
+      val twice = Scalars.normalizeBooleans(Scalars.normalizeBooleans(df))
+      val got = twice.orderBy("id").collect()
+        .map(r => Option(r.get(1)).map(_.asInstanceOf[Int])).toSeq
+      val want = bs.map(_.map(b => if (b) 1 else 0))
+      assert(got == want)
+    }
+  }
+
+  test("word_shingles matches a straightforward Scala reference impl") {
+    val s = spark
+    import s.implicits._
+    VectorExpressions.ensureRegistered(s)
+    val word = Gen.oneOf("the", "a", "fast", "row", "data", "scan", "key")
+    val gen = for {
+      ws <- Gen.listOfN(12, word)
+      k <- Gen.chooseNum(1, 4)
+    } yield (ws, k)
+    samples(gen, 20).foreach { case (ws, k) =>
+      val text = ws.mkString(" ")
+      val want =
+        if (ws.size < k) Set.empty[String]
+        else ws.sliding(k).filter(_.size == k)
+          .map(_.mkString(" ")).toSet
+      val got = Seq(text).toDF("t")
+        .select(call_function("word_shingles", col("t"), lit(k)))
+        .head.getSeq[String](0).toSet
+      assert(got == want, s"k=$k ws=$ws")
+    }
+  }
+
+  test("normalizeBooleans never changes the row count") {
+    val s = spark
+    import s.implicits._
+    samples(Gen.chooseNum(0, 50), 10).foreach { n =>
+      val df = (0 until n).map(i => (i.toLong, i % 2 == 0)).toDF("id", "b")
+      assert(Scalars.normalizeBooleans(df).count() == n.toLong)
+    }
+  }
+}
