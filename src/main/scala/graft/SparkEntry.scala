@@ -66,6 +66,7 @@ object SparkEntry {
     "adv_asof_join" -> (Advanced.asofJoin _),
     "adv_session_window" -> (Advanced.sessionWindows _),
     "adv_salted_agg" -> (Advanced.saltedAgg _),
+    "adv_bucketed_join" -> ((s, d) => Advanced.bucketedJoin(s, d)),
     // window/aggregate extensions
     "w_leadlag" -> (Analytics.leadLagGaps _),
     "w_ntile" -> (Analytics.spendQuartiles _),
@@ -330,6 +331,12 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "adv_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "adv_salted_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,

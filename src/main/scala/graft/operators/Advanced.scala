@@ -63,6 +63,40 @@ object Advanced {
         col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** Bucketed co-located join: both sides written CLUSTERED BY the join
+    * key into the same bucket count, so the join needs NO shuffle
+    * exchange — the physical plan reads bucket i of each table on the
+    * same task. This is the 100 TB answer for repeatedly-joined fact
+    * tables (pay the partitioning once at write time, reuse it across
+    * every downstream join/aggregation on that key). BucketingSpec
+    * asserts the exchange-free plan.
+    */
+  def bucketedJoin(s: SparkSession, dir: String,
+      warehouse: String = "/tmp/graft_buckets"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(warehouse)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    Tables.orders(s, dir).createOrReplaceTempView("graft_tmp_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_tmp_lineitem")
+    s.sql("DROP TABLE IF EXISTS graft_orders_b")
+    s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    s.sql(s"""CREATE TABLE graft_orders_b USING PARQUET
+             |CLUSTERED BY (o_orderkey) INTO 8 BUCKETS
+             |LOCATION '$warehouse/orders_b'
+             |AS SELECT * FROM graft_tmp_orders""".stripMargin)
+    s.sql(s"""CREATE TABLE graft_lineitem_b USING PARQUET
+             |CLUSTERED BY (l_orderkey) INTO 8 BUCKETS
+             |LOCATION '$warehouse/lineitem_b'
+             |AS SELECT * FROM graft_tmp_lineitem""".stripMargin)
+    s.table("graft_lineitem_b")
+      .join(s.table("graft_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Salted two-stage aggregation: identical result to a plain
     * groupBy-sum, but the first stage spreads each group key over 16
     * salt shards so one hot key cannot pin a whole partition — the
