@@ -47,6 +47,8 @@ object SparkEntry {
     "set_union" -> (Analytics.unionNations _),
     "set_distinct" -> (Analytics.distinctPriorities _),
     "set_rollup" -> (Analytics.rollupCustomers _),
+    "set_intersect" -> (Analytics.intersectNations _),
+    "set_except" -> (Analytics.exceptNations _),
     // §2.8 streaming cadences (batch analogs)
     "st1_tumbling_daily" -> (Analytics.tumblingDaily _),
     "st2_sliding_7day" -> (Analytics.sliding7Day _),
@@ -276,6 +278,16 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
     "st1_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         | CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -51,6 +51,20 @@ object Analytics {
       .distinct()
       .orderBy("o_orderpriority")
 
+  /** INTERSECT: nations having both customers and suppliers. */
+  def intersectNations(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, dir)
+        .select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** EXCEPT: nations with customers but no suppliers. */
+  def exceptNations(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, dir)
+        .select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
   /** ROLLUP grouping sets over the region→nation→customer hierarchy.
     * NULLS FIRST on both engines so the subtotal rows sort identically.
     */
