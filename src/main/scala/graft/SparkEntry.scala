@@ -203,7 +203,9 @@ object SparkEntry {
         |   AS signup,
         | CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
         |   AS view,
-        | CAST(COUNT(*) AS BIGINT) AS total_events,
+        | CAST(COUNT(CASE WHEN event_type IN
+        |   ('click','error','purchase','signup','view') THEN 1 END)
+        |   AS BIGINT) AS total_events,
         | CAST(COUNT(CASE WHEN event_type IN ('click','purchase') THEN 1 END)
         |   AS BIGINT) AS total_engagement
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -48,9 +48,14 @@ case class WordShingles(child: Expression, kExpr: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any, kIn: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+    // UTF8String.trim/toLowerCase, NOT java.lang.String's: SQL trim is
+    // space-only (Java trim also strips \n\t) and SQL lower is
+    // locale-independent (Java toLowerCase is default-locale — tr-TR
+    // dotless-ı would diverge from the DuckDB oracle). split(, -1)
+    // keeps leading/trailing empty tokens like Spark's split().
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
     val k = kIn.asInstanceOf[Int]
-    val toks = text.trim.toLowerCase.split("\\s+")
+    val toks = text.split("\\s+", -1)
     if (toks.length < k) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -92,18 +97,26 @@ object WordShingles {
 
 /** Fused dot product over two array<float> columns, accumulated in
   * double. Codegen: one loop, no per-element lambda dispatch.
+  *
+  * Null semantics match the HOF form `aggregate(zip_with(a, b, *), 0d,
+  * +)` exactly (required by the VectorDotRewrite rule): mismatched
+  * lengths or a null element yield NULL, not a truncated partial sum
+  * (zip_with pads with null and null poisons the fold).
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -116,10 +129,17 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

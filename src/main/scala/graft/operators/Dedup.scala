@@ -26,12 +26,21 @@ object Dedup {
     * consumer self-joins it (intersections) AND aggregates it (set
     * sizes), and Spark computes uncached identical subplans twice.
     */
-  private def shingleDf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    graft.functions.VectorExpressions.ensureRegistered(s)
-    Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(shingleArr(col("text"), k)).as("sh"))
-      .cache()
-  }
+  private val shingleMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+
+  private def shingleDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    // memoized per (session, dir, k): ngramJaccard and minhashPairs both
+    // need it, and separate .cache() instances would double the cached
+    // footprint across a multi-query session (Verify runs 64 queries in
+    // one session)
+    shingleMemo.computeIfAbsent(
+      (System.identityHashCode(s), dir, k), _ => {
+        graft.functions.VectorExpressions.ensureRegistered(s)
+        Tables.fanOut(Tables.documents(s, dir))
+          .select(col("doc_id"), explode(shingleArr(col("text"), k)).as("sh"))
+          .cache()
+      })
 
   /** Exact dedup: hash-groupBy on content; keeper = min doc_id
     * (deterministic), group size = copy count.

@@ -87,15 +87,20 @@ object GmbFlattener {
     val entries = filter(periods, p =>
       p.getField("openTime").getField("hours").isNotNull &&
         p.getField("closeTime").getField("hours").isNotNull)
-    val m = map_from_entries(transform(entries, p =>
-      struct(p.getField("openDay").as("day"),
-        concat(p.getField("openTime").getField("hours").cast("string"),
-          lit("-"),
-          p.getField("closeTime").getField("hours").cast("string"))
-          .as("hours"))))
+    // last-wins per day, like the reference's dict assignment
+    // (`daywise_hours[day] = ...`) — NOT map_from_entries, whose default
+    // duplicate-key policy throws on split hours (two MONDAY periods)
+    val days = array_distinct(transform(entries, _.getField("openDay")))
+    val serialized = array_join(transform(array_sort(days), day => {
+      val lastForDay = element_at(
+        filter(entries, p => p.getField("openDay") === day), -1)
+      concat(day, lit("="),
+        lastForDay.getField("openTime").getField("hours").cast("string"),
+        lit("-"),
+        lastForDay.getField("closeTime").getField("hours").cast("string"))
+    }), ",")
     when(periods.isNull || size(periods) === 0, lit(NotFoundSentinel))
-      .otherwise(array_join(transform(array_sort(map_entries(m)),
-        e => concat(e.getField("key"), lit("="), e.getField("value"))), ","))
+      .otherwise(serialized)
   }
 
   /** location.json → silver columns (`main.py:495-568`). Input: (id,
@@ -151,16 +156,27 @@ object GmbFlattener {
     * total_actions / *_impressions / total_impressions arithmetic.
     */
   def flattenPerformance(bronze: DataFrame): DataFrame = {
-    val exploded = bronze
+    // posexplode keeps series order: if the same dailyMetric appears in
+    // several series, the reference's `metric_sum[m] = sum` (main.py:605)
+    // means the LAST series wins — so sum per series, then keep the
+    // last series' sum per metric, not the grand total.
+    val perSeries = bronze
       .select(col("id"),
-        explode(from_json(col("doc"), performanceSchema)
-          .getField("multiDailyMetricTimeSeries")).as("m1"))
-      .select(col("id"), explode(col("m1.dailyMetricTimeSeries")).as("m2"))
-      .select(col("id"), col("m2.dailyMetric").as("metric"),
+        posexplode(from_json(col("doc"), performanceSchema)
+          .getField("multiDailyMetricTimeSeries")).as(Seq("p1", "m1")))
+      .select(col("id"), col("p1"),
+        posexplode(col("m1.dailyMetricTimeSeries")).as(Seq("p2", "m2")))
+      .select(col("id"), col("p1"), col("p2"),
+        col("m2.dailyMetric").as("metric"),
         explode(col("m2.timeSeries.datedValues")).as("dv"))
-      .select(col("id"), col("metric"),
-        expr("try_cast(dv.value AS LONG)").as("v"))
-    val pivoted = exploded.groupBy("id")
+      .groupBy("id", "p1", "p2", "metric")
+      .agg(coalesce(sum(expr("try_cast(dv.value AS LONG)")), lit(0L))
+        .as("series_sum"))
+    val lastWins = perSeries
+      .groupBy("id", "metric")
+      .agg(max(struct(col("p1"), col("p2"), col("series_sum"))).as("m"))
+      .select(col("id"), col("metric"), col("m.series_sum").as("v"))
+    val pivoted = lastWins.groupBy("id")
       .pivot("metric", metricNames)
       .sum("v")
       .na.fill(0L, metricNames)
@@ -224,9 +240,12 @@ object GmbFlattener {
     val posts = from_json(col("doc"), localPostsSchema)
       .getField("localPosts")
     val offers = filter(posts, p => p.getField("topicType") === "OFFER")
-    val latest = array_max(transform(offers, p =>
+    // reference keeps the FIRST offer on createTime ties (strict `>`,
+    // main.py:662) → tie-break by negated position so array_max prefers
+    // the earliest list element among equal createTimes
+    val latest = array_max(transform(offers, (p, i) =>
       struct(to_timestamp(p.getField("createTime"), isoPattern).as("ct"),
-        p.as("post"))))
+        (-i).as("negpos"), p.as("post"))))
     bronze.select(col("id"),
       coalesce(size(offers), lit(0)).as("offer_count"),
       coalesce(size(filter(posts,

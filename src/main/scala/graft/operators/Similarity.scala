@@ -54,13 +54,15 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id: 6 sign bits of dot products with
     * ±1 planes derived deterministically from xxhash64(plane*64+dim).
+    * Takes the vector column NAME (the expression is built as SQL text,
+    * so a Column object could not be spliced in safely).
     */
-  private def lshBucket(v: Column): Column = expr(
-    """aggregate(sequence(0, 5), 0L, (acc, p) ->
-      |  acc + if(aggregate(sequence(0, 63), cast(0.0 as double), (a2, d) ->
-      |    a2 + element_at(v, d + 1) *
-      |      if((xxhash64(p * 64 + d) & 1) = 1, 1.0d, -1.0d)) >= 0d,
-      |    shiftleft(1L, p), 0L))""".stripMargin)
+  private def lshBucket(vecColName: String): Column = expr(
+    s"""aggregate(sequence(0, 5), 0L, (acc, p) ->
+       |  acc + if(aggregate(sequence(0, 63), cast(0.0 as double), (a2, d) ->
+       |    a2 + element_at($vecColName, d + 1) *
+       |      if((xxhash64(p * 64 + d) & 1) = 1, 1.0d, -1.0d)) >= 0d,
+       |    shiftleft(1L, p), 0L))""".stripMargin)
 
   /** LSH-bucketed ANN: candidates share the probe's bucket (equi-join
     * on bucket id — at 100 TB this is a hash-partitioned join over
@@ -68,7 +70,7 @@ object Similarity {
     * cosine top-3 within the bucket.
     */
   def annLsh(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val c = corpus(s, dir).withColumn("bucket", lshBucket(col("v")))
+    val c = corpus(s, dir).withColumn("bucket", lshBucket("v"))
     val probes = c.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket"))

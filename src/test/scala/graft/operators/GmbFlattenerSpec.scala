@@ -68,6 +68,50 @@ class GmbFlattenerSpec extends SparkSpec {
     assert(r.getAs[String]("address") == ", Springfield")
   }
 
+  test("location: split hours — duplicate openDay keeps the LAST period") {
+    val doc =
+      """{"regularHours": {"periods": [
+        | {"openDay": "MONDAY", "openTime": {"hours": 9}, "closeTime": {"hours": 12}},
+        | {"openDay": "MONDAY", "openTime": {"hours": 17}, "closeTime": {"hours": 21}}
+        |]}}""".stripMargin.replace("\n", "")
+    val r = GmbFlattener.flattenLocation(bronze(5L -> doc)).collect().head
+    // reference dict assignment last-wins (main.py:538-546)
+    assert(r.getAs[String]("regular_hours") == "MONDAY=17-21")
+  }
+
+  test("performance: duplicate dailyMetric across series — last series wins") {
+    val doc =
+      """{"multiDailyMetricTimeSeries": [
+        | {"dailyMetricTimeSeries": [
+        |   {"dailyMetric": "CALL_CLICKS", "timeSeries": {"datedValues": [
+        |     {"date": {"year": 2023, "month": 10, "day": 1}, "value": "10"}]}}]},
+        | {"dailyMetricTimeSeries": [
+        |   {"dailyMetric": "CALL_CLICKS", "timeSeries": {"datedValues": [
+        |     {"date": {"year": 2023, "month": 10, "day": 2}, "value": "3"}]}}]}
+        |]}""".stripMargin.replace("\n", "")
+    val r = GmbFlattener.flattenPerformance(bronze(9L -> doc)).collect().head
+    // reference metric_sum[m] = sum overwrites per series (main.py:605)
+    assert(r.getAs[Long]("CALL_CLICKS") == 3)
+  }
+
+  test("localPosts: createTime tie keeps the FIRST offer (strict >)") {
+    val doc =
+      """{"localPosts": [
+        | {"topicType": "OFFER", "createTime": "2023-11-01T10:00:00.000000Z",
+        |  "updateTime": "2023-11-02T10:00:00.000000Z",
+        |  "event": {"schedule": {
+        |    "startDate": {"year": 2023, "month": 11, "day": 1},
+        |    "endDate": {"year": 2023, "month": 11, "day": 2}}}},
+        | {"topicType": "OFFER", "createTime": "2023-11-01T10:00:00.000000Z",
+        |  "updateTime": "2023-11-09T10:00:00.000000Z",
+        |  "event": {"schedule": {
+        |    "startDate": {"year": 2023, "month": 11, "day": 8},
+        |    "endDate": {"year": 2023, "month": 11, "day": 9}}}}
+        |]}""".stripMargin.replace("\n", "")
+    val r = GmbFlattener.flattenLocalPosts(bronze(9L -> doc)).collect().head
+    assert(r.getAs[java.sql.Date]("offer_starts_at").toString == "2023-11-01")
+  }
+
   test("performance: 4-level unwind, non-numeric skipped, totals") {
     val doc =
       """{"multiDailyMetricTimeSeries": [{"dailyMetricTimeSeries": [

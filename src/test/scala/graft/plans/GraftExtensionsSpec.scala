@@ -49,6 +49,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaRule.toSeq == direct.toSeq)
   }
 
+  test("VectorDot matches HOF null semantics: length mismatch → NULL") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .selectExpr("vector_dot(a, b) AS viaKernel",
+        """aggregate(
+          |  zip_with(transform(a, x -> cast(x as double)),
+          |           transform(b, y -> cast(y as double)),
+          |           (x, y) -> x * y),
+          |  cast(0.0 as double), (acc, v) -> acc + v) AS viaHof""".stripMargin)
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("float-typed multiply (different rounding) is NOT rewritten") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
