@@ -104,6 +104,7 @@ object SparkEntry {
     // §2.10 north-star: similarity search
     "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     // §2.10 north-star: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.qualityScore _),

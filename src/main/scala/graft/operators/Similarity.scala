@@ -87,6 +87,46 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-flat ANN: coarse quantizer = a deterministic sample of corpus
+    * rows as centroids (vec_id ≡ 0 mod 127); every vector is assigned
+    * to its max-cosine centroid (inverted lists); a query searches only
+    * its own centroid's list. At 100 TB the assignment is one broadcast
+    * join (centroid set is tiny) and the search is an equi-join on
+    * cent_id — per-query work is |corpus|/|centroids|, not |corpus|.
+    * Recall/overlap vs the brute-force baseline asserted in
+    * NorthStarSpec.
+    */
+  def annIvf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val c = corpus(s, dir).cache()
+    val cents = c.filter(col("vec_id") % 127 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val assigned = c.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), col("cent_id"))).as("m"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+        col("v"), col("nrm"))
+      .cache()
+    val probes = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val sims = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 3)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-dup pair scan: all pairs with cosine ≥ 0.4.
     * Exact over the pair space here (corpus side is small); at 100 TB
     * gate behind `annLsh` bucketing so the pair space is per-bucket.

@@ -41,6 +41,19 @@ object StreamingAnalogs {
       .select(col("w.start").as("day_start"), col("n_events"),
         col("n_active_approx"))
 
+  /** Streaming sessionization: per-user sessions with a 2-hour gap —
+    * `session_window` merges windows across microbatches; the watermark
+    * bounds session state.
+    */
+  def sessionize(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day")
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), "2 hours")
+          .as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Custom keyed state: running per-user event count via
     * mapGroupsWithState (KeyValueGroupedDataset API).
     */

@@ -67,6 +67,18 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("annIvf: retrieved sims exact vs brute force; lists partition corpus") {
+    val bf = Similarity.bruteForceTopK(spark, sfDir, k = 499).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("sim")).toMap
+    val ivf = Similarity.annIvf(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(bf(key) == r.getAs[Double]("sim"))
+    }
+  }
+
   test("langId: predictions drawn from the marker-language set") {
     val langs = TextAnalysis.langId(spark, sfDir)
       .select("predicted_lang").distinct()

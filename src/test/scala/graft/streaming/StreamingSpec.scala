@@ -64,6 +64,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: session merges across microbatches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingAnalogs.sessionize(input.toDF())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start() // session windows require append
+    try {
+      input.addData(Seq(Event(ts("2024-01-01 10:00:00"), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      // 11:30 is within 2h of 10:00 → same session, extended
+      input.addData(Seq(Event(ts("2024-01-01 11:30:00"), 1L, "click", 1.0)))
+      q.processAllAvailable()
+      // 18:00 starts a new session
+      input.addData(Seq(Event(ts("2024-01-01 18:00:00"), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      // advance the watermark past both sessions so append emits them
+      input.addData(Seq(Event(ts("2024-01-05 00:00:00"), 99L, "view", 1.0)))
+      q.processAllAvailable()
+      val closed = s.table("sess_out")
+        .filter(col("user_id") === 1L)
+        .orderBy("session_start").collect()
+      assert(closed.length == 2)
+      assert(closed(0).getAs[Long]("n_events") == 2)
+      assert(closed(0).getAs[java.sql.Timestamp]("session_end").toString
+        == "2024-01-01 13:30:00.0") // last event + 2h gap
+      assert(closed(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("file-source streaming: parquet readStream → windowed agg") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_stream_src"
+    val fs = new java.io.File(dir)
+    if (fs.exists()) fs.listFiles().foreach(_.delete())
+    (batch1 ++ batch2).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val stream = s.readStream
+      .schema((batch1: Seq[Event]).toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamingAnalogs.tumblingDaily(stream)
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.table("file_out")
+        .groupBy("day_start").agg(max("n_events").as("n_events"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      val batch = StreamingAnalogs.tumblingDaily((batch1 ++ batch2).toDF())
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("runningUserCounts keeps state across microbatches") {
     val s = spark
     import s.implicits._
