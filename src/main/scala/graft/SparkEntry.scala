@@ -110,6 +110,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_winnow" -> (TextAnalysis.winnowFingerprint _),
+    "dedup_winnow_pairs" -> (TextAnalysis.winnowPairs _),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),

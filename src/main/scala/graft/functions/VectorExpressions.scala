@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,7 +31,90 @@ object VectorExpressions {
       es => MinHashSig(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       es => WordShingles(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("winnow64",
+      es => Winnow64(es(0), es(1), es(2)), "built-in")
   }
+}
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03): polynomial rolling hash over character k-grams of the
+  * normalized text, then the minimum hash of each window of w
+  * consecutive k-gram hashes (rightmost on ties), deduplicated. Any
+  * two documents sharing a sufficiently long substring share a
+  * fingerprint — position-robust near-dup detection, O(n) per doc.
+  * Returns sorted array<long>.
+  */
+case class Winnow64(child: Expression, kExpr: Expression, wExpr: Expression)
+    extends TernaryExpression {
+  override def first: Expression = child
+  override def second: Expression = kExpr
+  override def third: Expression = wExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(tIn: Any, kIn: Any, wIn: Any): Any = {
+    val text = tIn.asInstanceOf[UTF8String].trim().toLowerCase.toString
+    val k = kIn.asInstanceOf[Int]
+    val w = wIn.asInstanceOf[Int]
+    new GenericArrayData(Winnow64.fingerprints(text, k, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k, w) =>
+      s"${ev.value} = graft.functions.Winnow64$$.MODULE$$.eval($t, $k, $w);")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression =
+    copy(child = f, kExpr = s, wExpr = t)
+}
+
+object Winnow64 {
+  private val B = 1000003L // polynomial base
+
+  /** Reference implementation, also called from codegen. */
+  def fingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array.empty[Long]
+    // rolling k-gram hashes
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val hashes = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    hashes(0) = h
+    i = k
+    while (i < n) {
+      h = (h - text.charAt(i - k) * pow) * B + text.charAt(i)
+      hashes(i - k + 1) = h
+      i += 1
+    }
+    if (hashes.length <= w)
+      return Array(hashes.min)
+    // winnow: min of each window of w hashes, rightmost on ties
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i + w <= hashes.length) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + w) {
+        if (java.lang.Long.compareUnsigned(hashes(j), hashes(minIdx)) <= 0)
+          minIdx = j
+        j += 1
+      }
+      selected.add(hashes(minIdx))
+      i += 1
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  def eval(t: UTF8String, k: Int, w: Int): ArrayData =
+    new GenericArrayData(
+      fingerprints(t.trim().toLowerCase.toString, k, w))
 }
 
 /** Distinct k-word shingles of lowercased, whitespace-split text in one

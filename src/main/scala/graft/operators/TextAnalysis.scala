@@ -64,6 +64,46 @@ object TextAnalysis {
           .as("chars_per_token"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (rolling-hash k-gram minima — the
+    * graft.functions.Winnow64 expression): per-doc fingerprint stats,
+    * plus near-dup pairs sharing many fingerprints in
+    * `winnowPairs`. Position-robust (unlike the exact md5 fingerprint
+    * below): inserting a prefix leaves most fingerprints intact.
+    */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        call_function("winnow64", col("text"), lit(12), lit(6)).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+        element_at(col("fps"), 1).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup pairs by shared winnow fingerprints (equi-join blocking,
+    * like the shingle path but position-robust and character-level).
+    */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    val fp = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        explode(call_function("winnow64", col("text"), lit(12), lit(6)))
+          .as("fp"))
+      .cache()
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    fp.as("a")
+      .join(fp.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_fp", "n_a"), "doc_a")
+      .withColumn("overlap", col("n_shared") / col("n_a"))
+      .filter(col("overlap") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text, plus
     * the exact-duplicate group size per fingerprint.
     */

@@ -111,6 +111,26 @@ class NorthStarSpec extends SparkSpec {
     assert(got == digest)
   }
 
+  test("winnow fingerprints are position-robust: prefix keeps most fps") {
+    import graft.functions.Winnow64
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val shifted = "PREFIX " + base
+    val a = Winnow64.fingerprints(base, 12, 6).toSet
+    val b = Winnow64.fingerprints(shifted.toLowerCase, 12, 6).toSet
+    assert(a.nonEmpty)
+    val overlap = a.intersect(b).size.toDouble / a.size
+    assert(overlap >= 0.7, s"overlap $overlap")
+  }
+
+  test("winnowPairs recovers most planted near-dup pairs") {
+    val exact = pairSet(Dedup.ngramJaccard(spark, sfDir))
+    val winnow = TextAnalysis.winnowPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(winnow).size.toDouble / exact.size
+    assert(recall >= 0.5, s"winnow recall $recall")
+  }
+
   test("mm decode stub: byte counts match n_chars (ASCII), hex reversible") {
     val out = Multimodal.decodeMeta(spark, sfDir)
       .join(Tables.documents(spark, sfDir), "doc_id")
