@@ -80,6 +80,8 @@ object SparkEntry {
     "sink_json_archive" -> (Sinks.jsonArchive _),
     "sink_latest_snapshot" -> (Sinks.latestSnapshot _),
     "sink_ctas_promote" -> (Sinks.ctasPromote _),
+    "sink_upsert_by_date" -> (Sinks.upsertByDate _),
+    "sink_compact" -> (Sinks.compact _),
     // §3.2 pipeline B gold table
     "p_insight_gold" -> (Pipelines.insightGold _),
     // §2.6 scalar function families
@@ -399,6 +401,14 @@ object SparkEntry {
     "sink_ctas_promote" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+    "sink_upsert_by_date" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_compact" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+        |FROM orders""".stripMargin,
     "p_insight_gold" ->
       """WITH oa AS (
         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,

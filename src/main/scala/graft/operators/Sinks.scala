@@ -65,6 +65,49 @@ object Sinks {
       .orderBy("snapshot_date")
   }
 
+  /** A6/ST3 as a sink: upsert-by-date via DYNAMIC partition overwrite —
+    * the daily incremental pattern (`BP:20-50` rewrote a whole text
+    * file per day). Full history is written once; then ONE day's
+    * partition is recomputed and overwritten without touching the
+    * others; the read-back must equal a fresh full computation. At
+    * 100 TB this is the difference between rewriting a table and
+    * rewriting 1/Nth of it per day.
+    */
+  def upsertByDate(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${root(dir)}/daily_counts"
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      daily.write.mode("overwrite").partitionBy("day").parquet(out)
+      // recompute + upsert just one day's partition (same values here,
+      // so the result must stay identical to the full computation)
+      daily.filter(col("day") === "2024-01-15")
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.read.parquet(out)
+      .select(col("day").cast("string").as("day"), col("n_events"))
+      .orderBy("day")
+  }
+
+  /** Small-file compaction: rewrite a many-file dataset to a bounded
+    * file count (the housekeeping half of K5 done the scalable way —
+    * fewer files = fewer tasks + footers at read time).
+    */
+  def compact(s: SparkSession, dir: String): DataFrame = {
+    val scattered = s"${root(dir)}/scattered"
+    val compacted = s"${root(dir)}/compacted"
+    Tables.orders(s, dir).repartition(16)
+      .write.mode("overwrite").parquet(scattered)
+    s.read.parquet(scattered).coalesce(2)
+      .write.mode("overwrite").parquet(compacted)
+    s.read.parquet(compacted)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+  }
+
   /** K6: CTAS snapshot promote (`CREATE TABLE ... AS SELECT`,
     * `GM:164-180`) — the whole "query" the reference ships to BigQuery,
     * executed natively with an explicit LOCATION (no warehouse dep).

@@ -98,10 +98,12 @@ class StreamingSpec extends SparkSpec {
   test("file-source streaming: parquet readStream → windowed agg") {
     val s = spark
     import s.implicits._
-    val dir = "/tmp/graft_stream_src"
-    val fs = new java.io.File(dir)
-    if (fs.exists()) fs.listFiles().foreach(_.delete())
-    (batch1 ++ batch2).toDF()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_src").toString
+    // one file: with several files and maxFilesPerTrigger=1 the
+    // processing ORDER is nondeterministic, and tumblingDaily's 1-day
+    // watermark would drop an out-of-order file's older events
+    (batch1 ++ batch2).toDF().coalesce(1)
       .write.mode("overwrite").parquet(dir)
     val stream = s.readStream
       .schema((batch1: Seq[Event]).toDF().schema)
