@@ -117,6 +117,8 @@ object SparkEntry {
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_resize" -> (Multimodal.resize _),
+    "mm_features" -> (Multimodal.featureExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -636,6 +638,15 @@ object SparkEntry {
         |   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
         | hex(encode(substr(text, 1, 8))) AS head_hex,
         | CAST(octet_length(encode(text)) // 16 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        | CAST(doc_id % 480 AS INT) AS height,
+        | CAST((octet_length(encode(text)) % 640) // 2 AS INT) AS out_width,
+        | CAST((doc_id % 480) // 2 AS INT) AS out_height,
+        | CAST((octet_length(encode(text)) + 3) // 4 AS INT)
+        |   AS n_sample_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_no,

@@ -60,6 +60,54 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Resize stage (STUB decode → scale dims → sample payload): halves
+    * the fake decoded dimensions and keeps every 4th byte — the
+    * partition shape of a real thumbnailer (decode, transform, re-encode
+    * per record with per-partition codec reuse).
+    */
+  def resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        decodeStub(it).map { m => // decode, then scale dims + sample size
+          (m.doc_id, m.width, m.height, m.width / 2, m.height / 2,
+            (m.n_bytes + 3) / 4)
+        }
+      }
+      .toDF("doc_id", "width", "height", "out_width", "out_height",
+        "n_sample_bytes")
+      .orderBy("doc_id")
+  }
+
+  /** Feature extraction (STUB): deterministic per-record features from
+    * the raw bytes — 4-bin byte histogram + mean byte value. The real
+    * version would run an encoder per partition; the batch shape
+    * (iterator in, iterator of fixed-width vectors out) is identical.
+    */
+  def featureExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val hist = new Array[Long](4)
+          var sum = 0L
+          r.payload.foreach { b =>
+            val v = b & 0xff
+            hist(v >> 6) += 1
+            sum += v
+          }
+          val n = math.max(r.payload.length, 1)
+          (r.doc_id, hist.toSeq, sum.toDouble / n)
+        }
+      }
+      .toDF("doc_id", "byte_hist4", "mean_byte")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over the binary payload: every 16th byte is a
     * "frame"; sample up to 4 frames/doc with their offsets — the
     * partition/batch shape of a video frame-sampler.

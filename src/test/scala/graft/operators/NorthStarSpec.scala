@@ -141,6 +141,26 @@ class NorthStarSpec extends SparkSpec {
     assert(r.getAs[String]("text").startsWith(decoded))
   }
 
+  test("featureExtract: histogram bins sum to byte count, mean in range") {
+    val out = Multimodal.featureExtract(spark, sfDir)
+      .join(Tables.documents(spark, sfDir), "doc_id")
+    val bad = out.filter(
+      expr("aggregate(byte_hist4, 0L, (a, x) -> a + x)") =!= col("n_chars"))
+      .count()
+    assert(bad == 0) // ASCII text: bytes == chars
+    val r = out.orderBy("doc_id").limit(1).collect().head
+    val m = r.getAs[Double]("mean_byte")
+    assert(m > 0 && m < 256)
+  }
+
+  test("resize: output dims are half the decoded dims") {
+    val bad = Multimodal.resize(spark, sfDir)
+      .filter(col("out_width") =!= (col("width") / 2).cast("int") ||
+        col("out_height") =!= (col("height") / 2).cast("int"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("frameSample: ≤4 frames per doc at stride 16") {
     val out = Multimodal.frameSample(spark, sfDir)
     val counts = out.groupBy("doc_id").count()
