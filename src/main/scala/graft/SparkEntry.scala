@@ -48,6 +48,7 @@ object SparkEntry {
     "set_distinct" -> (Analytics.distinctPriorities _),
     "set_rollup" -> (Analytics.rollupCustomers _),
     "set_intersect" -> (Analytics.intersectNations _),
+    "set_grouping_sets" -> (Analytics.groupingSets _),
     "set_except" -> (Analytics.exceptNations _),
     // §2.8 streaming cadences (batch analogs)
     "st1_tumbling_daily" -> (Analytics.tumblingDaily _),
@@ -287,6 +288,13 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "set_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT

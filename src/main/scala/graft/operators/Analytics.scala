@@ -124,6 +124,21 @@ object Analytics {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS: per-flag and per-status subtotals in one
+    * pass (neither ROLLUP nor CUBE — exactly two disjoint groupings).
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_tmp_li")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM graft_tmp_li
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Sketch aggregate: HLL approx distinct next to the exact count
     * (rows-only query; relative-error bound asserted in AnalyticsSpec).
     */
