@@ -11,7 +11,7 @@ import graft.operators._
   *
   * Determinism contract for oracle-checked queries:
   *  - output fully sorted with a unique tie-break;
-  *  - double aggregates computed via decimal(18,4) per-value casts
+  *  - double aggregates computed via decimal(18,6) per-value casts
   *    (order-independent exact sum) then one cast back to double;
   *  - counts cast to BIGINT on both engines, no current_date().
   */
@@ -663,5 +663,26 @@ object SparkEntry {
         |FROM documents, (SELECT unnest(generate_series(0, 3)) AS f)
         |WHERE f < octet_length(encode(text)) // 16
         |ORDER BY doc_id, frame_no""".stripMargin,
+    // documents.text is ASCII (octet_length == length over the corpus),
+    // so ascii(substr(...)) is exact per-byte extraction
+    "mm_features" ->
+      """WITH e AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text))) AS i
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS bv
+        |  FROM e
+        |)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN bv < 64 THEN 1 ELSE 0 END) AS BIGINT) AS hist0,
+        | CAST(sum(CASE WHEN bv >= 64 AND bv < 128 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS hist1,
+        | CAST(sum(CASE WHEN bv >= 128 AND bv < 192 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS hist2,
+        | CAST(sum(CASE WHEN bv >= 192 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS hist3,
+        | CAST(sum(bv) AS DOUBLE) / count(*) AS mean_byte
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -15,9 +15,9 @@ import org.apache.spark.sql.types._
   *
   * Determinism: cross-engine (Spark vs DuckDB oracle) double sums are
   * order-dependent in the last bits, so any money-style aggregate first
-  * casts each value to `decimal(18,4)` (a single deterministic IEEE
-  * rounding), sums exactly in decimal (order-independent), and casts the
-  * final total back to double (again a single deterministic rounding).
+  * casts each value to `decimal(18,6)` (exact for ≤3-factor products of
+  * 2-decimal inputs), sums exactly in decimal (order-independent), and
+  * casts the final total back to double (one deterministic rounding).
   */
 object Scalars {
   val NotFoundSentinel = "Not_Found"

@@ -89,10 +89,25 @@ object Winnow64 {
       hashes(i - k + 1) = h
       i += 1
     }
-    if (hashes.length <= w)
-      return Array(hashes.min)
+    // ordering is UNSIGNED throughout (both window minima and the
+    // returned sort), so min_fp is consistent between short and long
+    // documents with the same content
+    if (hashes.length <= w) {
+      var minIdx = 0
+      var j = 1
+      while (j < hashes.length) {
+        if (java.lang.Long.compareUnsigned(hashes(j), hashes(minIdx)) <= 0)
+          minIdx = j
+        j += 1
+      }
+      return Array(hashes(minIdx))
+    }
     // winnow: min of each window of w hashes, rightmost on ties
-    val selected = new java.util.TreeSet[java.lang.Long]()
+    val selected = new java.util.TreeSet[java.lang.Long](
+      new java.util.Comparator[java.lang.Long] {
+        override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+          java.lang.Long.compareUnsigned(a, b)
+      })
     i = 0
     while (i + w <= hashes.length) {
       var minIdx = i

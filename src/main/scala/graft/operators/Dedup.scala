@@ -25,22 +25,36 @@ object Dedup {
   /** One (doc_id, shingle) row per distinct shingle. Cached: every
     * consumer self-joins it (intersections) AND aggregates it (set
     * sizes), and Spark computes uncached identical subplans twice.
+    *
+    * Memoized per (session, dir, k): ngramJaccard and minhashPairs both
+    * need it, and separate .cache() instances would double the cached
+    * footprint across a multi-query session (Verify runs every query in
+    * one session). Lifecycle: the outer map holds the session WEAKLY —
+    * a stopped, dereferenced session drops its entries (its cached RDDs
+    * die with it) — and the per-session map is bounded, unpersisting on
+    * eviction, so cache memory can't grow without limit across many
+    * (dir, k) combinations in a long-lived process.
     */
   private val shingleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Int), DataFrame]]()
+  private val ShingleMemoMaxPerSession = 4
 
   private def shingleDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
-    // memoized per (session, dir, k): ngramJaccard and minhashPairs both
-    // need it, and separate .cache() instances would double the cached
-    // footprint across a multi-query session (Verify runs 64 queries in
-    // one session)
-    shingleMemo.computeIfAbsent(
-      (System.identityHashCode(s), dir, k), _ => {
+    shingleMemo.synchronized {
+      val perSession = shingleMemo.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty)
+      perSession.getOrElseUpdate((dir, k), {
+        if (perSession.size >= ShingleMemoMaxPerSession) {
+          perSession.valuesIterator.foreach(_.unpersist())
+          perSession.clear()
+        }
         graft.functions.VectorExpressions.ensureRegistered(s)
         Tables.fanOut(Tables.documents(s, dir))
           .select(col("doc_id"), explode(shingleArr(col("text"), k)).as("sh"))
           .cache()
       })
+    }
 
   /** Exact dedup: hash-groupBy on content; keeper = min doc_id
     * (deterministic), group size = copy count.

@@ -160,15 +160,21 @@ object GmbFlattener {
     // several series, the reference's `metric_sum[m] = sum` (main.py:605)
     // means the LAST series wins — so sum per series, then keep the
     // last series' sum per metric, not the grand total.
+    // _outer explodes throughout: the reference's nested for-loops
+    // (main.py:590-607) produce nothing for an empty datedValues, but
+    // `metric_sum[m] = sum` still RUNS with sum=0 — so an empty LAST
+    // series overwrites an earlier sum with 0, and an id whose series
+    // are all empty still surfaces as an all-zero insight row (the
+    // pivot's na.fill(0) path). Plain explode would drop both.
     val perSeries = bronze
       .select(col("id"),
-        posexplode(from_json(col("doc"), performanceSchema)
+        posexplode_outer(from_json(col("doc"), performanceSchema)
           .getField("multiDailyMetricTimeSeries")).as(Seq("p1", "m1")))
       .select(col("id"), col("p1"),
-        posexplode(col("m1.dailyMetricTimeSeries")).as(Seq("p2", "m2")))
+        posexplode_outer(col("m1.dailyMetricTimeSeries")).as(Seq("p2", "m2")))
       .select(col("id"), col("p1"), col("p2"),
         col("m2.dailyMetric").as("metric"),
-        explode(col("m2.timeSeries.datedValues")).as("dv"))
+        explode_outer(col("m2.timeSeries.datedValues")).as("dv"))
       .groupBy("id", "p1", "p2", "metric")
       .agg(coalesce(sum(expr("try_cast(dv.value AS LONG)")), lit(0L))
         .as("series_sum"))

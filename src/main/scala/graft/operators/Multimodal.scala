@@ -82,9 +82,11 @@ object Multimodal {
   }
 
   /** Feature extraction (STUB): deterministic per-record features from
-    * the raw bytes — 4-bin byte histogram + mean byte value. The real
-    * version would run an encoder per partition; the batch shape
-    * (iterator in, iterator of fixed-width vectors out) is identical.
+    * the raw bytes — 4-bin byte histogram (as four scalar columns, so
+    * downstream sort/compare tooling never sees an array cell) + mean
+    * byte value. The real version would run an encoder per partition;
+    * the batch shape (iterator in, iterator of fixed-width vectors out)
+    * is identical.
     */
   def featureExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -101,10 +103,10 @@ object Multimodal {
             sum += v
           }
           val n = math.max(r.payload.length, 1)
-          (r.doc_id, hist.toSeq, sum.toDouble / n)
+          (r.doc_id, hist(0), hist(1), hist(2), hist(3), sum.toDouble / n)
         }
       }
-      .toDF("doc_id", "byte_hist4", "mean_byte")
+      .toDF("doc_id", "hist0", "hist1", "hist2", "hist3", "mean_byte")
       .orderBy("doc_id")
   }
 

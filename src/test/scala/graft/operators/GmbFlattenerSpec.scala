@@ -94,6 +94,39 @@ class GmbFlattenerSpec extends SparkSpec {
     assert(r.getAs[Long]("CALL_CLICKS") == 3)
   }
 
+  test("performance: empty LAST series overwrites an earlier sum with 0") {
+    val doc =
+      """{"multiDailyMetricTimeSeries": [
+        | {"dailyMetricTimeSeries": [
+        |   {"dailyMetric": "CALL_CLICKS", "timeSeries": {"datedValues": [
+        |     {"date": {"year": 2023, "month": 10, "day": 1}, "value": "10"}]}}]},
+        | {"dailyMetricTimeSeries": [
+        |   {"dailyMetric": "CALL_CLICKS", "timeSeries": {"datedValues": []}}]}
+        |]}""".stripMargin.replace("\n", "")
+    val r = GmbFlattener.flattenPerformance(bronze(9L -> doc)).collect().head
+    // reference runs metric_sum[m] = 0 for the empty series (main.py:605)
+    assert(r.getAs[Long]("CALL_CLICKS") == 0)
+  }
+
+  test("performance: id with only empty series emits an all-zero row") {
+    val doc =
+      """{"multiDailyMetricTimeSeries": [{"dailyMetricTimeSeries": [
+        | {"dailyMetric": "CALL_CLICKS", "timeSeries": {"datedValues": []}}
+        |]}]}""".stripMargin.replace("\n", "")
+    val rows = GmbFlattener.flattenPerformance(bronze(3L -> doc)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("CALL_CLICKS") == 0)
+    assert(rows.head.getAs[Long]("total_impressions") == 0)
+  }
+
+  test("performance: empty multiDailyMetricTimeSeries still emits a row") {
+    val rows = GmbFlattener
+      .flattenPerformance(bronze(4L -> """{"multiDailyMetricTimeSeries": []}"""))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("total_actions") == 0)
+  }
+
   test("localPosts: createTime tie keeps the FIRST offer (strict >)") {
     val doc =
       """{"localPosts": [

@@ -122,6 +122,25 @@ class NorthStarSpec extends SparkSpec {
     assert(overlap >= 0.7, s"overlap $overlap")
   }
 
+  test("winnow short path agrees with the windowed path (unsigned min)") {
+    import graft.functions.Winnow64
+    val k = 12; val w = 6
+    // n chars → n-k+1 rolling hashes; pick n so the short path fires
+    // (exactly w hashes), then extend by one char so the windowed path
+    // fires — its first window covers the same w hashes, so the short
+    // path's single fingerprint must reappear
+    val base = "abcdefghijklmnopq" // 17 chars → 6 hashes at k=12
+    assert(base.length - k + 1 == w)
+    val short = Winnow64.fingerprints(base, k, w)
+    assert(short.length == 1)
+    val windowed = Winnow64.fingerprints(base + "r", k, w)
+    assert(windowed.contains(short.head))
+    // returned array is unsigned-sorted
+    val ws = windowed.toSeq
+    assert(ws == ws.sortWith((a, b) =>
+      java.lang.Long.compareUnsigned(a, b) < 0))
+  }
+
   test("winnowPairs recovers most planted near-dup pairs") {
     val exact = pairSet(Dedup.ngramJaccard(spark, sfDir))
     val winnow = TextAnalysis.winnowPairs(spark, sfDir)
@@ -145,7 +164,8 @@ class NorthStarSpec extends SparkSpec {
     val out = Multimodal.featureExtract(spark, sfDir)
       .join(Tables.documents(spark, sfDir), "doc_id")
     val bad = out.filter(
-      expr("aggregate(byte_hist4, 0L, (a, x) -> a + x)") =!= col("n_chars"))
+      col("hist0") + col("hist1") + col("hist2") + col("hist3") =!=
+        col("n_chars"))
       .count()
     assert(bad == 0) // ASCII text: bytes == chars
     val r = out.orderBy("doc_id").limit(1).collect().head
