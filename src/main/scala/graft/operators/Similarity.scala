@@ -130,18 +130,23 @@ object Similarity {
   /** Embedding-cosine near-dup pair scan: all pairs with cosine ≥ 0.4.
     * Exact over the pair space here (corpus side is small); at 100 TB
     * gate behind `annLsh` bucketing so the pair space is per-bucket.
+    *
+    * Physical shape: the stream side is fanned out across cores (one
+    * small parquet file would otherwise make the O(n²) scan
+    * single-threaded) and the similarity predicate lives in the JOIN
+    * CONDITION, so the nested-loop join evaluates it on the wrapped
+    * JoinedRow and only the surviving pairs (a handful) are ever
+    * materialized as output rows — not all n²/2 array-carrying rows.
     */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir).cache()
-    val a = c.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("nrm").as("na"))
+    val a = Tables.fanOut(c.select(col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na")))
     val b = c.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 3))
-      .filter(col("sim") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), col("sim"))
+    val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 3)
+    a.join(broadcast(b), col("vec_a") < col("vec_b") && sim >= 0.4)
+      .select(col("vec_a"), col("vec_b"), sim.as("sim"))
       .orderBy("vec_a", "vec_b")
   }
 }
