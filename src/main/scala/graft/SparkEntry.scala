@@ -67,9 +67,11 @@ object SparkEntry {
     }),
     // advanced joins / windows / skew tools
     "adv_asof_join" -> (Advanced.asofJoin _),
+    "adv_interval_join" -> (Advanced.intervalJoin _),
     "adv_session_window" -> (Advanced.sessionWindows _),
     "adv_salted_agg" -> (Advanced.saltedAgg _),
     "adv_bucketed_join" -> ((s, d) => Advanced.bucketedJoin(s, d)),
+    "s_hash_sample" -> (Relational.hashSample _),
     // window/aggregate extensions
     "w_leadlag" -> (Analytics.leadLagGaps _),
     "w_ntile" -> (Analytics.spendQuartiles _),
@@ -85,6 +87,8 @@ object SparkEntry {
     "sink_compact" -> (Sinks.compact _),
     // §3.2 pipeline B gold table
     "p_insight_gold" -> (Pipelines.insightGold _),
+    "p_scd2" -> (Pipelines.scd2 _),
+    "p_corpus_clean" -> (Pipelines.corpusClean _),
     // §2.6 scalar function families
     "x_string_suite" -> (ScalarSuite.stringSuite _),
     "x_date_suite" -> (ScalarSuite.dateSuite _),
@@ -371,6 +375,81 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
         | CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "adv_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | CAST(count(e.ts) AS BIGINT) AS n_prior_events,
+        | coalesce(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE),
+        |   0.0) AS prior_value
+        |FROM events p LEFT JOIN events e
+        |  ON e.user_id = p.user_id AND e.ts < p.ts
+        |  AND e.ts >= p.ts - INTERVAL 10 MINUTE
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    "s_hash_sample" ->
+      """SELECT l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n_sampled,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS sum_price
+        |FROM lineitem
+        |WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 97 < 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p_scd2" ->
+      """SELECT cust_id, version_key, attr, valid_from, valid_to,
+        | CAST(valid_to IS NULL AS INT) AS is_current
+        |FROM (SELECT o_custkey AS cust_id, o_orderkey AS version_key,
+        |        o_orderpriority AS attr, o_orderdate AS valid_from,
+        |        LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |      FROM orders)
+        |ORDER BY cust_id, valid_from, version_key""".stripMargin,
+    "p_corpus_clean" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)
+        |      AS n_words,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)),
+        |      '\s+'))) AS INT) AS n_distinct_words,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of)\b')) AS INT)
+        |      AS s_en,
+        |    CAST(len(regexp_extract_all(text, '\b(data|query|row)\b'))
+        |      AS INT) AS s_zh,
+        |    CAST(len(regexp_extract_all(text, '\b(fast|slow|small)\b'))
+        |      AS INT) AS s_de
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, n_words,
+        |    round(0.5 * (n_distinct_words / n_words) +
+        |      0.5 * least(n_words / 100.0, 1.0), 4) AS quality_score
+        |  FROM scored
+        |  WHERE (CASE WHEN s_en >= s_zh AND s_en >= s_de THEN 'en'
+        |              WHEN s_zh >= s_de THEN 'zh' ELSE 'de' END) = 'en'
+        |    AND round(0.5 * (n_distinct_words / n_words) +
+        |      0.5 * least(n_words / 100.0, 1.0), 4) >= 0.5),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+        |ek AS (SELECT f.* FROM f JOIN keepers USING (doc_id)),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM ek),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |drops AS (
+        |  SELECT DISTINCT b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) pr
+        |  JOIN sz na ON na.doc_id = a_id
+        |  JOIN sz nb ON nb.doc_id = b_id
+        |  WHERE n_inter / (na.n + nb.n - n_inter) >= 0.8)
+        |SELECT doc_id, n_words, quality_score
+        |FROM ek WHERE doc_id NOT IN (SELECT b_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
     "w_leadlag" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
         | CAST(date_diff('day', lag(CAST(o_orderdate AS DATE), 1) OVER w,

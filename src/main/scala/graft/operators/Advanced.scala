@@ -102,6 +102,34 @@ object Advanced {
       .orderBy("o_orderstatus")
   }
 
+  /** Interval (range) join: each purchase event is attributed the
+    * same-user events in the strict 10-minute window before it.
+    * Physical shape: an EQUI join on user_id carries the shuffle — the
+    * range predicate is only a residual filter on the sort-merge join,
+    * never a nested-loop pair scan. At 100 TB, if single users span
+    * many minutes of hot traffic, add a coarse time-bucket to the equi
+    * key (purchase rows duplicated into the ≤2 buckets their window
+    * covers) so the residual stays bounded per task.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val prior = ev.select(col("user_id").as("e_user"),
+      col("ts").as("e_ts"), col("value"))
+    purchases
+      .join(prior,
+        col("user_id") === col("e_user") &&
+          col("e_ts") < col("p_ts") &&
+          col("e_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"),
+        "left")
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(col("e_ts")).as("n_prior_events"),
+        coalesce(moneySum(col("value")), lit(0.0)).as("prior_value"))
+      .orderBy("purchase_id")
+  }
+
   /** Salted two-stage aggregation: identical result to a plain
     * groupBy-sum, but the first stage spreads each group key over 16
     * salt shards so one hot key cannot pin a whole partition — the

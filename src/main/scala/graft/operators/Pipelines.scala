@@ -87,4 +87,83 @@ object Pipelines {
         lit(java.sql.Date.valueOf("2024-01-01")).as("data_date"))
       .orderBy("c_custkey")
   }
+
+  /** SCD2 history build: each order becomes a version row of its
+    * customer's dimension record — valid_from = order date, valid_to =
+    * next version's valid_from (NULL on the open/current version).
+    * This is the general form of the reference's "only the latest
+    * snapshot is load-eligible" housekeeping (K5, `GM:144-155`): K5
+    * keeps version n and discards history; SCD2 keeps the full
+    * timeline. One window shuffle on the natural partition key — no
+    * self-join (the naive valid_to lookup) and no driver loop.
+    */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cust_id"))
+      .orderBy(col("valid_from"), col("version_key"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey").as("cust_id"),
+        col("o_orderkey").as("version_key"),
+        col("o_orderpriority").as("attr"),
+        col("o_orderdate").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .orderBy("cust_id", "valid_from", "version_key")
+  }
+
+  /** Training-corpus cleaning pipeline: language filter → quality
+    * gate → exact dedup (keep min doc_id per identical text) →
+    * near-dup removal (3-gram Jaccard ≥ 0.8 pairs, drop the higher
+    * doc_id of each pair). The composite every LLM-data pipeline runs
+    * before tokenization.
+    *
+    * Scale shape: the filters are embarrassingly parallel and run
+    * FIRST, so the shuffling stages (exact-dedup groupBy, shingle
+    * self-join) only see the surviving fraction; near-dup candidates
+    * come from the shingle equi-join, never a cross join.
+    */
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis._
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    val scored = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).as("n_words"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct_words"),
+        markerCount(col("text"), enMarkers).as("s_en"),
+        markerCount(col("text"), zhMarkers).as("s_zh"),
+        markerCount(col("text"), deMarkers).as("s_de"))
+      .withColumn("quality_score",
+        qualityExpr(col("n_words"), col("n_distinct_words")))
+      .filter(predictedLang(col("s_en"), col("s_zh"), col("s_de")) === "en"
+        && col("quality_score") >= 0.5)
+    val keepers = scored.groupBy(col("text").as("ktext"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactKept = scored
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .cache() // consumed by shingling, the drop-set anti join, and output
+    val sh = exactKept
+      .select(col("doc_id"),
+        explode(call_function("word_shingles", col("text"), lit(3)))
+          .as("sh"))
+      .cache() // self-joined (intersections) and aggregated (sizes)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val nearDupDrops = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .filter(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))
+        >= 0.8)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    exactKept
+      .join(nearDupDrops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+      .orderBy("doc_id")
+  }
 }

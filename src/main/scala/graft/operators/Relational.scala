@@ -106,4 +106,22 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
   }
+
+  /** Deterministic ~5% sample via a key-derived linear-congruential
+    * mix modulo a prime — reproducible across runs, engines, and
+    * partitionings (unlike df.sample, whose result depends on the
+    * partition split). The shape every 100 TB pipeline needs for
+    * debug/validation runs: the sample predicate is a pure row-local
+    * filter, pushed to the scan, no shuffle until the final rollup.
+    * (At scale prefer xxhash64(key) % N — same shape, better mixing;
+    * the LCG mix keeps this oracle-replicable.)
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter((col("l_orderkey") * lit(2654435761L) +
+        col("l_linenumber") * lit(40503L)) % 97 < 5)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
 }

@@ -15,9 +15,26 @@ object TextAnalysis {
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
-  private def markerCount(c: Column, words: Seq[String]): Column =
+  private[operators] def markerCount(c: Column, words: Seq[String]): Column =
     size(regexp_extract_all(c, lit(words.mkString("\\b(", "|", ")\\b")),
       lit(0)))
+
+  private[operators] val enMarkers = Seq("the", "a", "of")
+  private[operators] val zhMarkers = Seq("data", "query", "row")
+  private[operators] val deMarkers = Seq("fast", "slow", "small")
+
+  /** The langId decision chain over precomputed marker scores. */
+  private[operators] def predictedLang(sEn: Column, sZh: Column,
+      sDe: Column): Column =
+    when(sEn >= sZh && sEn >= sDe, "en")
+      .when(sZh >= sDe, "zh")
+      .otherwise("de")
+
+  /** The qualityScore blend over word counts (see qualityScore). */
+  private[operators] def qualityExpr(nWords: Column,
+      nDistinct: Column): Column =
+    round(lit(0.5) * (nDistinct / nWords) +
+      lit(0.5) * least(nWords / lit(100.0), lit(1.0)), 4)
 
   /** Language ID via marker n-gram profile scores + deterministic
     * argmax. (The classic stopword-profile heuristic; marker sets are
@@ -27,13 +44,11 @@ object TextAnalysis {
   def langId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        markerCount(col("text"), Seq("the", "a", "of")).as("s_en"),
-        markerCount(col("text"), Seq("data", "query", "row")).as("s_zh"),
-        markerCount(col("text"), Seq("fast", "slow", "small")).as("s_de"))
+        markerCount(col("text"), enMarkers).as("s_en"),
+        markerCount(col("text"), zhMarkers).as("s_zh"),
+        markerCount(col("text"), deMarkers).as("s_de"))
       .withColumn("predicted_lang",
-        when(col("s_en") >= col("s_zh") && col("s_en") >= col("s_de"), "en")
-          .when(col("s_zh") >= col("s_de"), "zh")
-          .otherwise("de"))
+        predictedLang(col("s_en"), col("s_zh"), col("s_de")))
       .orderBy("doc_id")
 
   /** Quality scoring: length/word-count/diversity/word-length ratios
@@ -47,8 +62,7 @@ object TextAnalysis {
         size(array_distinct(tokens(col("text")))).as("n_distinct_words"))
       .withColumn("distinct_ratio", col("n_distinct_words") / col("n_words"))
       .withColumn("quality_score",
-        round(lit(0.5) * col("distinct_ratio") +
-          lit(0.5) * least(col("n_words") / lit(100.0), lit(1.0)), 4))
+        qualityExpr(col("n_words"), col("n_distinct_words")))
       .orderBy("doc_id")
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Specs for the advanced join/window/sampling operators and the
+  * composite pipelines added in round 2 (intervalJoin, scd2,
+  * hashSample, corpusClean). asof/salted/bucketed/session are covered
+  * by the DuckDB oracle plus BucketingSpec's plan assertions.
+  */
+class AdvancedSpec extends SparkSpec {
+
+  test("intervalJoin: one row per purchase; zero-match rows are 0/0.0") {
+    val out = Advanced.intervalJoin(spark, sfDir).cache()
+    val nPurchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.count() == nPurchases)
+    val zeros = out.filter(col("n_prior_events") === 0)
+    assert(zeros.filter(col("prior_value") =!= 0.0).count() == 0)
+  }
+
+  test("intervalJoin: window bounds agree with a manual recount") {
+    val out = Advanced.intervalJoin(spark, sfDir)
+      .orderBy(desc("n_prior_events")).limit(1).collect().head
+    val pid = out.getAs[Long]("purchase_id")
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_id") === pid).collect().head
+    val manual = ev.filter(col("user_id") === p.getAs[Long]("user_id"))
+      .collect()
+      .count { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        val pt = p.getAs[java.sql.Timestamp]("ts")
+        t.before(pt) && t.getTime >= pt.getTime - 10 * 60 * 1000
+      }
+    assert(out.getAs[Long]("n_prior_events") == manual)
+  }
+
+  test("scd2: valid_to chains to the next valid_from; one open version") {
+    val out = Pipelines.scd2(spark, sfDir).cache()
+    // exactly one current (open) version per customer
+    val multiOpen = out.filter(col("is_current") === 1)
+      .groupBy("cust_id").count().filter(col("count") =!= 1)
+    assert(multiOpen.count() == 0)
+    // lead() definition: valid_to == next version's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cust_id").orderBy(col("valid_from"), col("version_key"))
+    val bad = out
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(!(col("valid_to") <=> col("next_from")))
+    assert(bad.count() == 0)
+    assert(out.count() == Tables.orders(spark, sfDir).count())
+  }
+
+  test("hashSample: deterministic across runs and plausibly ~5/97") {
+    val a = Relational.hashSample(spark, sfDir).collect().toSeq
+    val b = Relational.hashSample(spark, sfDir).collect().toSeq
+    assert(a == b)
+    val sampled = a.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    val total = Tables.lineitem(spark, sfDir).count().toDouble
+    val frac = sampled / total
+    assert(frac > 0.02 && frac < 0.09, s"sample fraction $frac")
+  }
+
+  test("corpusClean: survivors are en-classified, quality-gated, and " +
+    "contain no 0.8-jaccard pair") {
+    val out = Pipelines.corpusClean(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("quality_score") < 0.5).count() == 0)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val en = TextAnalysis.langId(spark, sfDir)
+      .filter(col("predicted_lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(en))
+    // no surviving near-dup pair: ngramJaccard at >= 0.8 must never
+    // have BOTH endpoints in the cleaned corpus
+    val stillPaired = Dedup.ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.8).collect()
+      .count(r => ids(r.getAs[Long]("doc_a")) && ids(r.getAs[Long]("doc_b")))
+    assert(stillPaired == 0)
+  }
+}
