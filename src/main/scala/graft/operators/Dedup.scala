@@ -40,7 +40,11 @@ object Dedup {
       scala.collection.mutable.Map[(String, Int), DataFrame]]()
   private val ShingleMemoMaxPerSession = 4
 
-  private def shingleDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+  /** Memoized ARRAY form (doc_id, sharr): set sizes come straight off
+    * `size(sharr)` with no aggregation, and the exploded (doc_id, sh)
+    * view is derived per consumer.
+    */
+  private def shingleArrDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     shingleMemo.synchronized {
       val perSession = shingleMemo.computeIfAbsent(s,
         _ => scala.collection.mutable.Map.empty)
@@ -51,10 +55,39 @@ object Dedup {
         }
         graft.functions.VectorExpressions.ensureRegistered(s)
         Tables.fanOut(Tables.documents(s, dir))
-          .select(col("doc_id"), explode(shingleArr(col("text"), k)).as("sh"))
+          .select(col("doc_id"), shingleArr(col("text"), k).as("sharr"))
           .cache()
       })
     }
+
+  private def shingleDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    shingleArrDf(s, dir, k)
+      .select(col("doc_id"), explode(col("sharr")).as("sh"))
+
+  /** Pairwise co-occurrence counts from an exploded (id, key) table:
+    * group ids per key, expand each group's 2-combinations map-side,
+    * count per pair. Same result as the classic self-equi-join +
+    * groupBy, but ONE shuffle of the exploded table instead of a
+    * two-sided sort-merge join — the 100 TB shape (the per-key groups
+    * are the only thing that must co-locate; pair expansion never
+    * leaves the task). ONLY for small-bucket keys (shingles, capped
+    * LSH bands): expansion is interpreted and O(B²) per bucket, so a
+    * hot key is far worse here than in the codegen'd join — cap hot
+    * keys first where semantics allow, or use the join form (see
+    * TextAnalysis.winnowPairs).
+    */
+  private[operators] def pairCounts(exploded: DataFrame, key: String,
+      id: String): DataFrame =
+    exploded
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(col(id))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, " +
+          "size(ds)), y -> named_struct('doc_a', x, 'doc_b', y))))"))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
 
   /** Exact dedup: hash-groupBy on content; keeper = min doc_id
     * (deterministic), group size = copy count.
@@ -73,13 +106,9 @@ object Dedup {
     * and set sizes; threshold 0.5.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val sizes = shingleArrDf(s, dir)
+      .select(col("doc_id"), size(col("sharr")).as("n_sh"))
+    val inter = pairCounts(shingleDf(s, dir), "sh", "doc_id")
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -133,14 +162,12 @@ object Dedup {
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sh = shingleDf(s, dir)
+    val prunedArr = shingleArrDf(s, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val sizes = prunedArr.select(col("doc_id"), size(col("sharr")).as("n_sh"))
+    val inter = pairCounts(
+      prunedArr.select(col("doc_id"), explode(col("sharr")).as("sh")),
+      "sh", "doc_id")
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -178,28 +205,27 @@ object Dedup {
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = simhash(s, dir)
-    val allChunks = sh.select(col("doc_id"), col("simhash"),
+    // one shuffle: group (doc, simhash) per chunk bucket, apply the
+    // hot-bucket cap as a group-size filter (no separate counting
+    // pass + anti join), expand each group's 2-combinations map-side
+    sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           (shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))
             .as("ckey"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
-    val hotBuckets = allChunks.groupBy("chunk", "ckey")
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > 64)
-      .select(col("chunk").as("h_chunk"), col("ckey").as("h_ckey"))
-    val chunked = allChunks
-      .join(broadcast(hotBuckets),
-        col("chunk") === col("h_chunk") && col("ckey") === col("h_ckey"),
-        "left_anti")
-      .cache() // self-joined below
-    chunked.as("x")
-      .join(chunked.as("y"), col("x.chunk") === col("y.chunk") &&
-        col("x.ckey") === col("y.ckey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-          .as("hamming"))
+      .groupBy("chunk", "ckey")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= 64)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, " +
+          "size(ds)), y -> named_struct('doc_a', x.doc_id, 'doc_b', " +
+          "y.doc_id, 'hamming', bit_count(x.simhash ^ y.simhash)))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
       .orderBy("doc_a", "doc_b")

@@ -142,17 +142,13 @@ object Pipelines {
     val exactKept = scored
       .join(keepers, Seq("doc_id"), "left_semi")
       .cache() // consumed by shingling, the drop-set anti join, and output
-    val sh = exactKept
+    val sharr = exactKept
       .select(col("doc_id"),
-        explode(call_function("word_shingles", col("text"), lit(3)))
-          .as("sh"))
-      .cache() // self-joined (intersections) and aggregated (sizes)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val nearDupDrops = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+        call_function("word_shingles", col("text"), lit(3)).as("sharr"))
+    val sizes = sharr.select(col("doc_id"), size(col("sharr")).as("n_sh"))
+    val nearDupDrops = Dedup.pairCounts(
+      sharr.select(col("doc_id"), explode(col("sharr")).as("sh")),
+      "sh", "doc_id")
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")

@@ -99,12 +99,17 @@ object TextAnalysis {
     */
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
-    val fp = Tables.fanOut(Tables.documents(s, dir))
+    val arr = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"),
-        explode(call_function("winnow64", col("text"), lit(12), lit(6)))
-          .as("fp"))
-      .cache()
-    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+        call_function("winnow64", col("text"), lit(12), lit(6)).as("fps"))
+      .cache() // consumed by both join sides and the sizes side
+    val sizes = arr.select(col("doc_id"), size(col("fps")).as("n_fp"))
+    // classic self-equi-join here, NOT Dedup.pairCounts: winnow
+    // fingerprints form LARGE buckets (one shared phrase fingerprint
+    // can span hundreds of docs), and the group-then-expand shape
+    // pays O(B²) interpreted array slicing per bucket — the codegen'd
+    // join handles big buckets far better
+    val fp = arr.select(col("doc_id"), explode(col("fps")).as("fp"))
     fp.as("a")
       .join(fp.as("b"), col("a.fp") === col("b.fp") &&
         col("a.doc_id") < col("b.doc_id"))
