@@ -20,6 +20,10 @@ object StreamingAnalogs {
   case class Event(ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Event with a delivery id, for dedup / join streams. */
+  case class IdEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
   /** ST1: tumbling 1-day event counts. Append-capable once the
     * watermark passes; also valid in update mode.
     */
@@ -53,6 +57,40 @@ object StreamingAnalogs {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
+
+  /** Streaming exact dedup: drop events whose event_id was already
+    * seen, keeping only state within the watermark — the streaming
+    * form of Dedup.exact for at-least-once sources (Kafka replays,
+    * API retries). State is bounded: ids older than the watermark are
+    * evicted, so memory is O(ids per watermark window), not O(stream).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join — the streaming form of
+    * Advanced.intervalJoin: each purchase joined to same-user click
+    * events in the 10 minutes before it. Both sides carry watermarks
+    * and the join condition bounds event time on BOTH ends, so each
+    * side's buffered state is evictable once the other side's
+    * watermark passes — the only configuration where Spark can run a
+    * stream-stream join with bounded state.
+    */
+  def purchaseAttribution(purchases: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") < col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("c_ts"), col("click_value"))
+  }
 
   /** Custom keyed state: running per-user event count via
     * mapGroupsWithState (KeyValueGroupedDataset API).

@@ -143,4 +143,56 @@ class StreamingSpec extends SparkSpec {
       assert(finalCounts == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
     } finally q.stop()
   }
+
+  test("dedupStream: replayed event_id across microbatches is dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingAnalogs.IdEvent
+    val input = MemoryStream[IdEvent]
+    val q = StreamingAnalogs.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        IdEvent(1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        IdEvent(2L, ts("2024-01-01 10:01:00"), 2L, "click", 2.0)))
+      q.processAllAvailable()
+      // batch 2 replays event 2 (at-least-once delivery) + a new event
+      input.addData(Seq(
+        IdEvent(2L, ts("2024-01-01 10:01:00"), 2L, "click", 2.0),
+        IdEvent(3L, ts("2024-01-01 10:02:00"), 1L, "purchase", 3.0)))
+      q.processAllAvailable()
+      val ids = s.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // 2 appears once, not twice
+    } finally q.stop()
+  }
+
+  test("purchaseAttribution: stream-stream join matches the 10-min window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingAnalogs.IdEvent
+    val purchases = MemoryStream[IdEvent]
+    val clicks = MemoryStream[IdEvent]
+    val q = StreamingAnalogs
+      .purchaseAttribution(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Seq(
+        IdEvent(10L, ts("2024-01-01 09:55:00"), 1L, "click", 5.0), // in
+        IdEvent(11L, ts("2024-01-01 09:40:00"), 1L, "click", 6.0), // old
+        IdEvent(12L, ts("2024-01-01 10:05:00"), 2L, "click", 7.0))) // after
+      purchases.addData(Seq(
+        IdEvent(1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0),
+        IdEvent(2L, ts("2024-01-01 10:00:00"), 2L, "purchase", 2.0)))
+      q.processAllAvailable()
+      val rows = s.table("attr_out")
+        .select("purchase_id", "click_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 5.0))) // only user 1's in-window click
+    } finally q.stop()
+  }
 }
