@@ -119,6 +119,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_winnow" -> (TextAnalysis.winnowFingerprint _),
     "dedup_winnow_pairs" -> (TextAnalysis.winnowPairs _),
+    "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
+    "text_pack" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -716,6 +718,39 @@ object SparkEntry {
         |FROM fp JOIN (SELECT fingerprint AS f2, COUNT(*) AS cnt
         |              FROM fp GROUP BY 1) g ON fingerprint = f2
         |ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |e AS (
+        |  SELECT doc_id, ts,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(len(ts) / 40.0) AS INT) - 1)) AS i
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_no,
+        |  CAST(len(ts[i*40+1 : least(i*40+50, len(ts))]) AS INT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(ts[i*40+1 : least(i*40+50, len(ts))], ' '))
+        |    AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_no""".stripMargin,
+    "text_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_before,
+        |  cum_before // 512 AS bin_first,
+        |  (cum_before + n_tokens - 1) // 512 AS bin_last,
+        |  CAST(cum_before // 512 <>
+        |    (cum_before + n_tokens - 1) // 512 AS INT) AS spans_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INT) AS n_bytes,

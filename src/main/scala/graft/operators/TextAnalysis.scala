@@ -123,6 +123,51 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Token-window chunking for training-data prep: each document cut
+    * into 50-token chunks at stride 40 (10-token overlap), the shape
+    * every pretraining pipeline runs before tokenizer packing. Pure
+    * row-local HOFs (sequence → slice → join), embarrassingly
+    * parallel — no shuffle except the final sort.
+    */
+  def chunk(s: SparkSession, dir: String, chunkTokens: Int = 50,
+      stride: Int = 40): DataFrame =
+    Tables.fanOut(Tables.documents(s, dir))
+      .filter(length(trim(col("text"))) > 0) // blank doc → no chunks
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(ts) / $stride.0D) as int) - 1),
+           |  i -> slice(ts, i * $stride + 1, $chunkTokens))""".stripMargin))
+        .as(Seq("chunk_no", "ctoks")))
+      .select(col("doc_id"), col("chunk_no"),
+        size(col("ctoks")).as("n_chunk_tokens"),
+        md5(array_join(col("ctoks"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_no")
+
+  /** Sequence packing (concat-then-cut): documents are laid out on one
+    * token stream in doc_id order and cut into fixed 512-token bins —
+    * each doc gets its first/last bin and a boundary-span flag. One
+    * prefix-sum window; at 100 TB you run it per shard/partition key
+    * (packing is only ever needed within a shard) so the window
+    * partitions instead of being global.
+    */
+  def packSequences(s: SparkSession, dir: String,
+      binTokens: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_first", expr(s"cum_before div $binTokens"))
+      .withColumn("bin_last",
+        expr(s"(cum_before + n_tokens - 1) div $binTokens"))
+      .withColumn("spans_boundary",
+        (col("bin_first") =!= col("bin_last")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text, plus
     * the exact-duplicate group size per fingerprint.
     */

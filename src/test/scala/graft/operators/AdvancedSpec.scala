@@ -61,6 +61,46 @@ class AdvancedSpec extends SparkSpec {
     assert(frac > 0.02 && frac < 0.09, s"sample fraction $frac")
   }
 
+  test("chunk: stride/size rule exact, chunk count right, full coverage") {
+    val out = TextAnalysis.chunk(spark, sfDir).cache()
+    val docToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+    val joined = out.join(docToks, "doc_id").cache()
+    // exact rule: chunk i holds min(50, n - i*40) tokens
+    val badLen = joined.filter(col("n_chunk_tokens") =!=
+      least(lit(50), col("n_tokens") - col("chunk_no") * 40))
+    assert(badLen.count() == 0)
+    // ceil(n/40) chunks per doc
+    val badCount = joined.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), first("n_tokens").as("n"))
+      .filter(col("n_chunks") =!= ceil(col("n") / 40.0).cast("long"))
+    assert(badCount.count() == 0)
+    // last chunk reaches the doc's last token
+    val uncovered = joined.groupBy("doc_id")
+      .agg(max(col("chunk_no") * 40 + col("n_chunk_tokens")).as("covered"),
+        first("n_tokens").as("n"))
+      .filter(col("covered") =!= col("n"))
+    assert(uncovered.count() == 0)
+  }
+
+  test("packSequences: bins are contiguous and prefix sums consistent") {
+    val out = TextAnalysis.packSequences(spark, sfDir).cache()
+    // cum_before of doc n+1 == cum_before + n_tokens of doc n
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val bad = out
+      .withColumn("expected_next",
+        col("cum_before") + col("n_tokens"))
+      .withColumn("actual_next", lead(col("cum_before"), 1).over(w))
+      .filter(col("actual_next").isNotNull &&
+        col("actual_next") =!= col("expected_next"))
+    assert(bad.count() == 0)
+    assert(out.filter(col("bin_last") < col("bin_first")).count() == 0)
+    // a doc spans a boundary iff first != last bin
+    assert(out.filter((col("spans_boundary") === 1) =!=
+      (col("bin_first") =!= col("bin_last"))).count() == 0)
+  }
+
   test("corpusClean: survivors are en-classified, quality-gated, and " +
     "contain no 0.8-jaccard pair") {
     val out = Pipelines.corpusClean(spark, sfDir).cache()
