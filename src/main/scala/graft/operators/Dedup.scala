@@ -128,8 +128,10 @@ object Dedup {
     */
   def minhashSignatures(s: SparkSession, dir: String, h: Int = 32): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
-    Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"), shingleArr(col("text"), 3).as("sh"))
+    // reuse the cached shingle arrays (ngramJaccard/minhashPairs share
+    // them in a multi-query session) instead of re-shingling the corpus
+    shingleArrDf(s, dir, 3)
+      .select(col("doc_id"), col("sharr").as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", call_function("minhash_sig", col("sh"), lit(h)))
   }
