@@ -112,6 +112,7 @@ object SparkEntry {
     "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    "sim_quantize" -> (Similarity.quantize _),
     // §2.10 north-star: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.qualityScore _),

@@ -127,6 +127,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Scalar int8 quantization of the embedding column: per-vector
+    * max-abs scale, v_q[i] = round(127 * v[i] / scale) — the standard
+    * 4× memory compression for ANN corpora at 100 TB (the quantized
+    * table is what you'd persist + bucket; exact rescoring reads the
+    * float vectors only for the final candidates). Row-local HOFs, no
+    * shuffle; rows-only checked (float rounding is not
+    * oracle-portable), with reconstruction-error and top-k-overlap
+    * specs in AdvancedSpec.
+    */
+  def quantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("scale",
+        expr("aggregate(v, cast(0.0 as double), (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("qv", expr( // greatest() guards the all-zero vector
+        "transform(v, x -> cast(round(127.0d * x / greatest(scale, 1e-30d)) as tinyint))"))
+      // scalar summaries in the OUTPUT (array cells break generic
+      // sort/compare tooling — the round-1 mm_features lesson): the
+      // quantized array itself stays internal; downstream ops join on
+      // vec_id to fetch it
+      .select(col("vec_id"), col("scale"),
+        expr("aggregate(qv, 0L, (a, q) -> a + abs(cast(q as bigint)))")
+          .as("q_l1"),
+        expr("aggregate(zip_with(v, qv, (x, q) -> " +
+          "abs(x - q * scale / 127.0d)), cast(0.0 as double), " +
+          "(m, e) -> greatest(m, e))").as("max_recon_err"))
+      .orderBy("vec_id")
+
   /** Embedding-cosine near-dup pair scan: all pairs with cosine ≥ 0.4.
     * Exact over the pair space here (corpus side is small); at 100 TB
     * gate behind `annLsh` bucketing so the pair space is per-bucket.

@@ -61,6 +61,51 @@ class AdvancedSpec extends SparkSpec {
     assert(frac > 0.02 && frac < 0.09, s"sample fraction $frac")
   }
 
+  test("quantize: reconstruction error within half a quantization step") {
+    val out = Similarity.quantize(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // |x - q*scale/127| <= scale/254 (+ float32 slack on v's values)
+    val bad = out.filter(
+      col("max_recon_err") > col("scale") * (0.5 / 127.0) + 1e-5)
+    assert(bad.count() == 0)
+    assert(out.filter(col("q_l1") <= 0).count() == 0) // nonzero vectors
+  }
+
+  test("asofJoin: picked order is the freshest at-or-before each event") {
+    val out = Advanced.asofJoin(spark, sfDir).cache()
+    assert(out.filter(col("last_orderdate") > col("ts")).count() == 0)
+    // no order for that user with date in (last_orderdate, ts]
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate"))
+    val missed = out.filter(col("last_orderdate").isNotNull)
+      .join(orders,
+        col("user_id") === col("o_custkey") &&
+          col("o_orderdate") <= col("ts") &&
+          col("o_orderdate") > col("last_orderdate"))
+    assert(missed.count() == 0)
+    // null pick iff the user has no order at-or-before the event
+    val shouldHave = out.filter(col("last_orderkey").isNull)
+      .join(orders, col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts"), "left_semi")
+    assert(shouldHave.count() == 0)
+  }
+
+  test("sessionWindows: sessions disjoint per user, events conserved") {
+    val out = Advanced.sessionWindows(spark, sfDir).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    val overlapping = out
+      .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("session_start") < col("prev_end"))
+    assert(overlapping.count() == 0)
+    // session_end = last event + gap → every session spans >= the gap
+    assert(out.filter(col("session_end") <
+      col("session_start") + expr("INTERVAL 2 HOURS")).count() == 0)
+    val total = out.agg(sum("n_events")).head.getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
   test("chunk: stride/size rule exact, chunk count right, full coverage") {
     val out = TextAnalysis.chunk(spark, sfDir).cache()
     val docToks = Tables.documents(spark, sfDir)
