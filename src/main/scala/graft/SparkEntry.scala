@@ -736,17 +736,18 @@ object SparkEntry {
         |FROM e ORDER BY doc_id, chunk_no""".stripMargin,
     "text_pack" ->
       """WITH t AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)
         |      AS n_tokens
         |  FROM documents),
         |c AS (
-        |  SELECT doc_id, n_tokens,
-        |    coalesce(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |  SELECT doc_id, source, n_tokens,
+        |    coalesce(CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |      AS BIGINT), 0) AS cum_before
         |  FROM t)
-        |SELECT doc_id, n_tokens, cum_before,
+        |SELECT doc_id, source, n_tokens, cum_before,
         |  cum_before // 512 AS bin_first,
         |  (cum_before + n_tokens - 1) // 512 AS bin_last,
         |  CAST(cum_before // 512 <>

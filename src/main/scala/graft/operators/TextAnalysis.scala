@@ -143,21 +143,25 @@ object TextAnalysis {
         md5(array_join(col("ctoks"), " ")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_no")
 
-  /** Sequence packing (concat-then-cut): documents are laid out on one
-    * token stream in doc_id order and cut into fixed 512-token bins —
-    * each doc gets its first/last bin and a boundary-span flag. One
-    * prefix-sum window; at 100 TB you run it per shard/partition key
-    * (packing is only ever needed within a shard) so the window
-    * partitions instead of being global.
+  /** Sequence packing (concat-then-cut): documents are laid out on a
+    * token stream per SHARD (the `source` column) in doc_id order and
+    * cut into fixed 512-token bins — each doc gets its first/last bin
+    * and a boundary-span flag. The prefix-sum window partitions by
+    * shard, so at 100 TB each shard's packing is an independent
+    * sort-within-partition, never a global single-partition window
+    * (packing is only ever needed within a shard — bins don't cross
+    * training-data shards).
     */
   def packSequences(s: SparkSession, dir: String,
       binTokens: Int = 512): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
       .orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
     Tables.documents(s, dir)
-      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin_first", expr(s"cum_before div $binTokens"))

@@ -131,8 +131,10 @@ class AdvancedSpec extends SparkSpec {
 
   test("packSequences: bins are contiguous and prefix sums consistent") {
     val out = TextAnalysis.packSequences(spark, sfDir).cache()
-    // cum_before of doc n+1 == cum_before + n_tokens of doc n
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    // within a shard: cum_before of doc n+1 == cum_before + n_tokens
+    // of doc n
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
     val bad = out
       .withColumn("expected_next",
         col("cum_before") + col("n_tokens"))
