@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory encoding the configs the library expects — the one
+  * place a user (or the Verify/Bench mains) gets a correctly-configured
+  * SparkSession from.
+  *
+  *  - `spark.sql.session.timeZone=UTC`: the reference parses ISO-8601
+  *    timestamps with a literal `Z` (`buisness_profile_etl/main.py:661`);
+  *    all date/timestamp semantics here assume UTC.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the test corpus'
+  *    `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 otherwise
+  *    refuses; `Tables.events` converts the raw ns longs.
+  *  - `graft.plans.GraftExtensions`: registers the optimizer rule that
+  *    rewrites the HOF dot-product pattern onto the codegen VectorDot
+  *    kernel.
+  *  - shuffle partitions default to the core count — on a real cluster
+  *    size them to the data (or leave AQE coalescing to shrink them).
+  */
+object Sessions {
+
+  /** Local session for the driver mains and tests. */
+  def local(cores: Int, appName: String = "graft",
+      extraConfs: Map[String, String] = Map.empty): SparkSession =
+    configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString),
+      extraConfs)
+      .getOrCreate()
+
+  /** Apply graft's required configs to any builder (cluster deploys
+    * pass their own master/resource settings and call this).
+    */
+  def configure(b: SparkSession.Builder,
+      extraConfs: Map[String, String] = Map.empty): SparkSession.Builder =
+    extraConfs.foldLeft(
+      b.config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")) {
+      case (bb, (k, v)) => bb.config(k, v)
+    }
+}

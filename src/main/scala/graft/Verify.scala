@@ -6,19 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // NOTE: keep the default INT96 parquet timestamp output — pyarrow
-      // reads INT96 as tz-naive, matching DuckDB's naive TIMESTAMP in
-      // the driver's hash compare (TIMESTAMP_MICROS writes
-      // isAdjustedToUTC=true → tz-aware → value mismatch).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // NOTE: keep the default INT96 parquet timestamp output — pyarrow
+    // reads INT96 as tz-naive, matching DuckDB's naive TIMESTAMP in
+    // the driver's hash compare (TIMESTAMP_MICROS writes
+    // isAdjustedToUTC=true → tz-aware → value mismatch).
+    val spark = Sessions.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
