@@ -84,12 +84,12 @@ object Advanced {
     // one-off write so later joins skip the shuffle — don't also pay
     // for columns no reader needs
     s.sql(s"""CREATE TABLE graft_orders_b USING PARQUET
-             |CLUSTERED BY (o_orderkey) INTO 16 BUCKETS
+             |CLUSTERED BY (o_orderkey) INTO 8 BUCKETS
              |LOCATION '$warehouse/orders_b'
              |AS SELECT o_orderkey, o_orderstatus
              |FROM graft_tmp_orders""".stripMargin)
     s.sql(s"""CREATE TABLE graft_lineitem_b USING PARQUET
-             |CLUSTERED BY (l_orderkey) INTO 16 BUCKETS
+             |CLUSTERED BY (l_orderkey) INTO 8 BUCKETS
              |LOCATION '$warehouse/lineitem_b'
              |AS SELECT l_orderkey, l_extendedprice
              |FROM graft_tmp_lineitem""".stripMargin)
