@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.{SparkSpec, SparkEntry}
+import graft.operators._
+
+/** Plan-quality regression guards: the physical-plan properties the
+  * engine is designed around (pushdown reaching the parquet scan,
+  * broadcast semi joins instead of collected ID lists, equi joins with
+  * range residuals instead of pair scans) asserted so a refactor can't
+  * silently trade them away. PLANS.md is the human-readable audit;
+  * these are the executable version.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("snapshot: broadcast LEFT SEMI join + filter pushed to the scan") {
+    val p = plan(Relational.snapshot(spark, sfDir))
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+  }
+
+  test("scanProject: ReadSchema pruned to the projected columns") {
+    val p = plan(Relational.scanProject(spark, sfDir))
+    val schemaLine = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    // projection reaches the scan: far fewer columns than lineitem's 11
+    assert(schemaLine.nonEmpty)
+    assert(schemaLine.split(",").length <= 5, schemaLine)
+  }
+
+  test("intervalJoin: equi join with range residual, no cartesian/BNLJ") {
+    val p = plan(Advanced.intervalJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the range predicate rides as a join condition, not a pair scan
+    assert(p.contains("Join condition") || p.contains("Join cond"),
+      p.take(2000))
+  }
+
+  test("hashSample: sampling predicate evaluated before any exchange") {
+    val p = plan(Relational.hashSample(spark, sfDir))
+    val filterIdx = p.indexOf("Filter")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(filterIdx >= 0 && exchangeIdx >= 0)
+    // formatted output lists operators leaves-first: the filter node
+    // must appear in the scan pipeline, i.e. the scan carries pushed
+    // filters or a Filter precedes the first Exchange
+    assert(p.contains("PushedFilters") || filterIdx < exchangeIdx, p.take(2000))
+  }
+
+  test("insightGold: dimension joins broadcast, no shuffled dim join") {
+    val p = plan(Pipelines.insightGold(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("every declared query plans without error at sf0.001") {
+    // planning-only sweep (no execution): catches analysis-time breaks
+    // in queries the specs don't individually cover
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).queryExecution.executedPlan
+      catch { case e: Throwable =>
+        fail(s"$name failed to plan: ${e.getMessage}")
+      }
+    }
+  }
+}
