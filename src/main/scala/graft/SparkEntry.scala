@@ -85,6 +85,7 @@ object SparkEntry {
     "sink_ctas_promote" -> (Sinks.ctasPromote _),
     "sink_upsert_by_date" -> (Sinks.upsertByDate _),
     "sink_compact" -> (Sinks.compact _),
+    "sink_schema_evolution" -> (Sinks.schemaEvolution _),
     // §3.2 pipeline B gold table
     "p_insight_gold" -> (Pipelines.insightGold _),
     "p_scd2" -> (Pipelines.scd2 _),
@@ -501,6 +502,13 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
         |FROM orders""".stripMargin,
+    "sink_schema_evolution" ->
+      """SELECT o_orderstatus,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_with_priority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "p_insight_gold" ->
       """WITH oa AS (
         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -31,6 +31,33 @@ object Sinks {
       .orderBy("n_nationkey")
   }
 
+  /** Schema evolution across snapshot generations: an early snapshot
+    * written WITHOUT a column, a later one with it, read back as one
+    * table via parquet mergeSchema — the schema-on-read posture of
+    * SURVEY §1 (absent fields → null, then counted/defaulted) applied
+    * at the storage layer, where long-lived 100 TB datasets actually
+    * evolve. The aggregation proves the merged view: rows from the
+    * early generation contribute null priorities.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Scalars.moneySum
+    val out = s"${root(dir)}/orders_evolved"
+    val orders = Tables.orders(s, dir)
+    orders.filter(year(col("o_orderdate")) < 1998)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    orders.filter(year(col("o_orderdate")) >= 1998)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority")) // column added in the later generation
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        moneySum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** K3: date-partitioned JSON archive (bronze) → read back → daily
     * counts. partitionBy(day) gives the `responses/<date>/` layout
     * (`BP:175-180`) as partition pruning-friendly directories.

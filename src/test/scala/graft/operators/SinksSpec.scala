@@ -30,4 +30,15 @@ class SinksSpec extends SparkSpec {
     assert(parquets(s"$root/scattered") == 16)
     assert(parquets(s"$root/compacted") <= 2)
   }
+
+  test("schemaEvolution: early-generation rows surface null priorities") {
+    val out = Sinks.schemaEvolution(spark, sfDir).collect()
+    val totalN = out.map(_.getAs[Long]("n")).sum
+    val withPriority = out.map(_.getAs[Long]("n_with_priority")).sum
+    assert(totalN == Tables.orders(spark, sfDir).count())
+    val expected = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) >= 1998).count()
+    assert(withPriority == expected) // gen-1 rows read as null priority
+    assert(withPriority < totalN)    // both generations present
+  }
 }
