@@ -92,6 +92,30 @@ object StreamingAnalogs {
         col("c_ts"), col("click_value"))
   }
 
+  /** foreachBatch upsert sink: bridge a streaming aggregation into a
+    * batch writer — each microbatch's updated day-rows dynamically
+    * overwrite ONLY their partitions in the target table. This is the
+    * production form of the reference's upsert-by-date audit file
+    * (`main.py:20-50`): update-mode aggregation + idempotent
+    * partition overwrite (a replayed microbatch rewrites the same
+    * partitions to the same content).
+    */
+  def dailyActiveUpsertQuery(events: DataFrame, outPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    dailyActive(events).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch
+          .withColumn("day",
+            date_format(col("day_start"), "yyyy-MM-dd"))
+          .write.mode("overwrite")
+          .partitionBy("day")
+          .parquet(outPath)
+      }
+      .start()
+
   /** Custom keyed state: running per-user event count via
     * mapGroupsWithState (KeyValueGroupedDataset API).
     */

@@ -169,6 +169,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dailyActiveUpsertQuery: foreachBatch upserts day partitions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val out = "/tmp/graft_stream_upsert"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val input = MemoryStream[Event]
+    val q = StreamingAnalogs.dailyActiveUpsertQuery(input.toDF(), out)
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2) // adds a Jan-2 event → that partition upserts
+      q.processAllAvailable()
+      val table = s.read.parquet(out)
+        .select(col("day").cast("string"), col("n_events"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(table("2024-01-02") == 2L) // upserted from 1 to 2
+      assert(table("2024-01-01") == 2L) // untouched partition preserved
+      assert(table("2024-01-03") == 1L)
+    } finally q.stop()
+  }
+
   test("purchaseAttribution: stream-stream join matches the 10-min window") {
     val s = spark
     import s.implicits._
