@@ -76,7 +76,7 @@ object Dedup {
     * keys first where semantics allow, or use the join form (see
     * TextAnalysis.winnowPairs).
     */
-  private[operators] def pairCounts(exploded: DataFrame, key: String,
+  def pairCounts(exploded: DataFrame, key: String,
       id: String): DataFrame =
     exploded
       .groupBy(col(key))

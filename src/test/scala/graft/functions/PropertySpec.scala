@@ -65,6 +65,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pairCounts equals the naive self-join intersection counts") {
+    val s = spark
+    import s.implicits._
+    // random (id, key) tables with duplicate keys across ids — the
+    // group-expand rewrite must agree with the classic self-equi-join
+    val gen = Gen.listOfN(60, for {
+      id <- Gen.chooseNum(0L, 9L)
+      key <- Gen.oneOf("k1", "k2", "k3", "k4", "k5")
+    } yield (id, key))
+    samples(gen, 8).foreach { rows =>
+      val distinctRows = rows.distinct // one (id, key) row per pair
+      val df = distinctRows.toDF("doc_id", "sh")
+      val fast = graft.operators.Dedup.pairCounts(df, "sh", "doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val naive = df.as("a")
+        .join(df.as("b"), col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(fast == naive)
+    }
+  }
+
   test("normalizeBooleans never changes the row count") {
     val s = spark
     import s.implicits._
