@@ -102,6 +102,7 @@ object SparkEntry {
     "ss_json_flatten" -> (SemiStructured.jsonFlatten _),
     "ss_props_extract" -> (SemiStructured.propsExtract _),
     "ss_struct_traversal" -> (SemiStructured.structTraversal _),
+    "ss_gmb_roundtrip" -> (SemiStructured.gmbPerformanceRoundTrip _),
     // §2.10 north-star: deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -502,6 +503,58 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
         |FROM orders""".stripMargin,
+    "ss_gmb_roundtrip" ->
+      """WITH m AS (
+        |  SELECT user_id AS id,
+        |    CASE event_type
+        |      WHEN 'click' THEN 'CALL_CLICKS'
+        |      WHEN 'view' THEN 'WEBSITE_CLICKS'
+        |      WHEN 'purchase' THEN 'BUSINESS_CONVERSATIONS'
+        |      WHEN 'signup' THEN 'BUSINESS_IMPRESSIONS_DESKTOP_MAPS'
+        |      ELSE 'BUSINESS_DIRECTION_REQUESTS' END AS metric,
+        |    CAST(floor(value) AS BIGINT) AS v
+        |  FROM events),
+        |p AS (
+        |  SELECT id,
+        |    CAST(coalesce(SUM(CASE WHEN metric = 'WEBSITE_CLICKS'
+        |      THEN v END), 0) AS BIGINT) AS "WEBSITE_CLICKS",
+        |    CAST(coalesce(SUM(CASE WHEN metric = 'CALL_CLICKS'
+        |      THEN v END), 0) AS BIGINT) AS "CALL_CLICKS",
+        |    CAST(coalesce(SUM(CASE WHEN metric =
+        |      'BUSINESS_IMPRESSIONS_DESKTOP_MAPS' THEN v END), 0)
+        |      AS BIGINT) AS "BUSINESS_IMPRESSIONS_DESKTOP_MAPS",
+        |    CAST(coalesce(SUM(CASE WHEN metric =
+        |      'BUSINESS_IMPRESSIONS_DESKTOP_SEARCH' THEN v END), 0)
+        |      AS BIGINT) AS "BUSINESS_IMPRESSIONS_DESKTOP_SEARCH",
+        |    CAST(coalesce(SUM(CASE WHEN metric =
+        |      'BUSINESS_IMPRESSIONS_MOBILE_MAPS' THEN v END), 0)
+        |      AS BIGINT) AS "BUSINESS_IMPRESSIONS_MOBILE_MAPS",
+        |    CAST(coalesce(SUM(CASE WHEN metric =
+        |      'BUSINESS_IMPRESSIONS_MOBILE_SEARCH' THEN v END), 0)
+        |      AS BIGINT) AS "BUSINESS_IMPRESSIONS_MOBILE_SEARCH",
+        |    CAST(coalesce(SUM(CASE WHEN metric = 'BUSINESS_CONVERSATIONS'
+        |      THEN v END), 0) AS BIGINT) AS "BUSINESS_CONVERSATIONS",
+        |    CAST(coalesce(SUM(CASE WHEN metric =
+        |      'BUSINESS_DIRECTION_REQUESTS' THEN v END), 0) AS BIGINT)
+        |      AS "BUSINESS_DIRECTION_REQUESTS"
+        |  FROM m GROUP BY id)
+        |SELECT id, "WEBSITE_CLICKS", "CALL_CLICKS",
+        |  "BUSINESS_IMPRESSIONS_DESKTOP_MAPS",
+        |  "BUSINESS_IMPRESSIONS_DESKTOP_SEARCH",
+        |  "BUSINESS_IMPRESSIONS_MOBILE_MAPS",
+        |  "BUSINESS_IMPRESSIONS_MOBILE_SEARCH",
+        |  "BUSINESS_CONVERSATIONS", "BUSINESS_DIRECTION_REQUESTS",
+        |  "CALL_CLICKS" + "WEBSITE_CLICKS" +
+        |    "BUSINESS_DIRECTION_REQUESTS" AS total_actions,
+        |  "BUSINESS_IMPRESSIONS_DESKTOP_MAPS" +
+        |    "BUSINESS_IMPRESSIONS_MOBILE_MAPS" AS map_impressions,
+        |  "BUSINESS_IMPRESSIONS_DESKTOP_SEARCH" +
+        |    "BUSINESS_IMPRESSIONS_MOBILE_SEARCH" AS search_impressions,
+        |  "BUSINESS_IMPRESSIONS_DESKTOP_MAPS" +
+        |    "BUSINESS_IMPRESSIONS_MOBILE_MAPS" +
+        |    "BUSINESS_IMPRESSIONS_DESKTOP_SEARCH" +
+        |    "BUSINESS_IMPRESSIONS_MOBILE_SEARCH" AS total_impressions
+        |FROM p ORDER BY id""".stripMargin,
     "sink_schema_evolution" ->
       """SELECT o_orderstatus,
         | CAST(COUNT(*) AS BIGINT) AS n,

@@ -77,4 +77,43 @@ object SemiStructured {
         notFound(col("d.profile.meta.uri")).as("uri"))
       .orderBy("c_custkey")
   }
+
+  /** End-to-end differential test of the GMB performance flattener
+    * (`GmbFlattener.flattenPerformance`, reference `main.py:587-615`):
+    * deterministic bronze JSON in the exact GMB response shape is
+    * BUILT from `events`, pushed through the real build → parse →
+    * explode → last-wins → pivot path, and the DuckDB oracle computes
+    * the same aggregation directly from `events` — so the whole JSON
+    * round trip must be semantics-preserving, not just parse.
+    */
+  def gmbPerformanceRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val metricOf = when(col("event_type") === "click", "CALL_CLICKS")
+      .when(col("event_type") === "view", "WEBSITE_CLICKS")
+      .when(col("event_type") === "purchase", "BUSINESS_CONVERSATIONS")
+      .when(col("event_type") === "signup",
+        "BUSINESS_IMPRESSIONS_DESKTOP_MAPS")
+      .otherwise("BUSINESS_DIRECTION_REQUESTS")
+    // floor() on both engines (double→int CAST truncates in Spark but
+    // ROUNDS in DuckDB — never cast a fractional double cross-engine)
+    val perMetric = Tables.events(s, dir)
+      .select(col("user_id").as("id"), metricOf.as("metric"),
+        col("ts"), floor(col("value")).cast("long").as("v"))
+      .groupBy(col("id"), col("metric"))
+      .agg(collect_list(struct(
+        struct(year(col("ts")).as("year"), month(col("ts")).as("month"),
+          dayofmonth(col("ts")).as("day")).as("date"),
+        col("v").cast("string").as("value"))).as("dvs"))
+    val bronze = perMetric.groupBy("id")
+      // one series per metric; sort for a deterministic series order
+      // (sum is order-independent inside a series)
+      .agg(sort_array(collect_list(struct(col("metric"), col("dvs"))))
+        .as("ms"))
+      .select(col("id"), to_json(struct(transform(col("ms"), m =>
+        struct(array(struct(
+          m.getField("metric").as("dailyMetric"),
+          struct(m.getField("dvs").as("datedValues")).as("timeSeries")))
+          .as("dailyMetricTimeSeries")))
+        .as("multiDailyMetricTimeSeries"))).as("doc"))
+    GmbFlattener.flattenPerformance(bronze).orderBy("id")
+  }
 }
