@@ -103,6 +103,10 @@ object SparkEntry {
     "ss_props_extract" -> (SemiStructured.propsExtract _),
     "ss_struct_traversal" -> (SemiStructured.structTraversal _),
     "ss_gmb_roundtrip" -> (SemiStructured.gmbPerformanceRoundTrip _),
+    "ss_gmb_media" -> (SemiStructured.gmbMediaRoundTrip _),
+    "ss_gmb_vom" -> (SemiStructured.gmbVomRoundTrip _),
+    "ss_gmb_location" -> (SemiStructured.gmbLocationRoundTrip _),
+    "ss_gmb_localposts" -> (SemiStructured.gmbLocalPostsRoundTrip _),
     // §2.10 north-star: deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -555,6 +559,79 @@ object SparkEntry {
         |    "BUSINESS_IMPRESSIONS_DESKTOP_SEARCH" +
         |    "BUSINESS_IMPRESSIONS_MOBILE_SEARCH" AS total_impressions
         |FROM p ORDER BY id""".stripMargin,
+    "ss_gmb_media" ->
+      """SELECT o_custkey AS id,
+        | CASE WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |   > 0 THEN 'Yes' ELSE 'No' END AS has_cover,
+        | CASE WHEN SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |   > 0 THEN 'Yes' ELSE 'No' END AS has_menu,
+        | CAST(COUNT(*) AS BIGINT) AS total_media_item_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ss_gmb_vom" ->
+      """SELECT c_custkey AS id,
+        | CASE c_custkey % 8
+        |   WHEN 0 THEN 'suspended'
+        |   WHEN 1 THEN 'location_disabled'
+        |   WHEN 2 THEN 'processing'
+        |   WHEN 3 THEN 'verified'
+        |   WHEN 4 THEN 'duplicate'
+        |   WHEN 5 THEN 'verification_required'
+        |   WHEN 6 THEN 'unexpected_status'
+        |   ELSE 'verification_required' END AS profile_status
+        |FROM customer ORDER BY 1""".stripMargin,
+    "ss_gmb_location" ->
+      """SELECT c_custkey AS id, c_name AS business_name,
+        | CASE WHEN c_custkey % 2 = 0
+        |   THEN '+1-' || CAST(c_custkey AS VARCHAR)
+        |   ELSE 'Not_Found' END AS phone,
+        | CASE WHEN c_custkey % 4 = 0
+        |   THEN '+1-' || CAST(c_custkey AS VARCHAR) || '-a'
+        |   ELSE 'Not_Found' END AS additional_phone,
+        | CASE WHEN c_custkey % 5 = 0
+        |   THEN 'http://ex.com/' || CAST(c_custkey AS VARCHAR)
+        |   ELSE 'Not_Found' END AS website,
+        | CASE WHEN c_custkey % 3 = 2 THEN 'Not_Found' ELSE
+        |   (CASE WHEN c_custkey % 3 = 0
+        |      THEN c_mktsegment || ', ' || n_name ELSE '' END) ||
+        |   (CASE WHEN c_custkey % 2 = 0 THEN ', ' || n_name ELSE '' END) ||
+        |   ' ' || CAST(c_custkey % 100000 AS VARCHAR) END AS address,
+        | CASE WHEN c_custkey % 7 = 0
+        |   THEN 'SC' || CAST(c_custkey AS VARCHAR)
+        |   ELSE 'Not_Found' END AS store_code,
+        | CASE c_custkey % 4 WHEN 2 THEN 'MONDAY=10-18'
+        |   WHEN 3 THEN 'WEDNESDAY=8-16'
+        |   ELSE 'Not_Found' END AS regular_hours,
+        | CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+        |   ELSE 'Not_Found' END AS primary_category,
+        | CAST(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS INT)
+        |   AS additional_categories_count,
+        | CASE WHEN c_custkey % 5 = 0
+        |   THEN 'rev://' || CAST(c_custkey AS VARCHAR)
+        |   ELSE 'Not_Found' END AS review_url,
+        | 'Not_Found' AS map_url
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY 1""".stripMargin,
+    "ss_gmb_localposts" ->
+      """WITH agg AS (
+        |  SELECT o_custkey AS id,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |      AS INT) AS offer_count,
+        |    CAST(SUM(CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END)
+        |      AS INT) AS promo_count
+        |  FROM orders GROUP BY 1),
+        |best AS (
+        |  SELECT id, o_orderdate FROM (
+        |    SELECT o_custkey AS id, o_orderdate, o_orderkey,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        |    FROM orders WHERE o_orderstatus = 'O') WHERE rn = 1)
+        |SELECT agg.id, offer_count, promo_count,
+        |  CAST(best.o_orderdate AS DATE) AS offer_starts_at,
+        |  CAST(best.o_orderdate + INTERVAL 7 DAY AS DATE) AS offer_ends_at,
+        |  CAST(best.o_orderdate + INTERVAL 1 DAY AS DATE)
+        |    AS offer_updates_at
+        |FROM agg LEFT JOIN best ON agg.id = best.id
+        |ORDER BY agg.id""".stripMargin,
     "sink_schema_evolution" ->
       """SELECT o_orderstatus,
         | CAST(COUNT(*) AS BIGINT) AS n,

@@ -116,4 +116,150 @@ object SemiStructured {
         .as("multiDailyMetricTimeSeries"))).as("doc"))
     GmbFlattener.flattenPerformance(bronze).orderBy("id")
   }
+
+  /** Differential round trip for `GmbFlattener.flattenMedia`
+    * (`main.py:631-645`): media JSON built from each customer's
+    * orders (order status → mediaItem category), flattened by the
+    * real exists→Yes/No path; the oracle computes the flags directly
+    * from orders.
+    */
+  def gmbMediaRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val cat = when(col("o_orderstatus") === "F", "COVER")
+      .when(col("o_orderstatus") === "O", "MENU")
+      .otherwise("ADDITIONAL")
+    val bronze = Tables.orders(s, dir)
+      .select(col("o_custkey").as("id"), cat.as("category"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n"),
+        collect_list(struct(struct(col("category").as("category"))
+          .as("locationAssociation"))).as("items"))
+      .select(col("id"), to_json(struct(
+        col("n").as("totalMediaItemCount"),
+        col("items").as("mediaItems"))).as("doc"))
+    GmbFlattener.flattenMedia(bronze).orderBy("id")
+  }
+
+  /** Differential round trip for `GmbFlattener.flattenVom`
+    * (`main.py:675-698`): each customer's VoM JSON is synthesized to
+    * exercise one branch of the order-sensitive profile-status chain
+    * (c_custkey mod 8 selects the branch; branch 0 also sets a
+    * lower-priority field, so priority ORDER is what's under test);
+    * the oracle states the expected branch outcomes directly.
+    */
+  def gmbVomRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val k = pmod(col("c_custkey"), lit(8))
+    val doc = to_json(struct(
+      when(k === 0,
+        struct(lit("BUSINESS_LOCATION_SUSPENDED").as("recommendationReason")))
+        .when(k === 1,
+          struct(lit("BUSINESS_LOCATION_DISABLED").as("recommendationReason")))
+        .as("complyWithGuidelines"),
+      // branch 0 ALSO sets this lower-priority field: suspended must win
+      when(k === 0 || k === 2, struct(lit("x").as("_placeholder")))
+        .as("waitForVoiceOfMerchant"),
+      when(k === 3, lit(true)).when(k === 7, lit(true))
+        .as("hasVoiceOfMerchant"),
+      when(k === 3, lit(true)).when(k === 7, lit(false))
+        .as("hasBusinessAuthority"),
+      when(k === 4, struct(lit("x").as("_placeholder")))
+        .as("resolveOwnershipConflict"),
+      when(k === 5 || k === 7, struct(lit(false).as("hasPendingVerification")))
+        .as("verify")))
+    val bronze = Tables.customer(s, dir)
+      .select(col("c_custkey").as("id"), doc.as("doc"))
+    GmbFlattener.flattenVom(bronze).orderBy("id")
+  }
+
+  /** Differential round trip for `GmbFlattener.flattenLocation`
+    * (`main.py:439-568`): location JSON synthesized per customer with
+    * key-derived presence/absence of every optional field, so the
+    * Not_Found sentinels, the leading-", " address quirk, the
+    * empty-vs-absent periods distinction, and duplicate-day last-wins
+    * hours are all exercised against a directly-computed oracle.
+    */
+  def gmbLocationRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+    val key = col("c_custkey")
+    val phoneStr = concat(lit("+1-"), key.cast("string"))
+    val postal = (key % 100000).cast("string")
+    def period(day: String, open: Option[Long], close: Option[Long]) =
+      struct(lit(day).as("openDay"),
+        open.map(h => struct(lit(h).as("hours")))
+          .getOrElse(lit(null)).as("openTime"),
+        close.map(h => struct(lit(h).as("hours")))
+          .getOrElse(lit(null)).as("closeTime"))
+    val doc = to_json(struct(
+      col("c_name").as("title"),
+      when(key % 7 === 0, concat(lit("SC"), key.cast("string")))
+        .as("storeCode"),
+      when(key % 2 === 0, struct(
+        phoneStr.as("primaryPhone"),
+        when(key % 4 === 0,
+          array(concat(phoneStr, lit("-a")), concat(phoneStr, lit("-b"))))
+          .as("additionalPhones"))).as("phoneNumbers"),
+      when(key % 5 === 0, concat(lit("http://ex.com/"), key.cast("string")))
+        .as("websiteUri"),
+      when(key % 3 =!= 2, struct(
+        when(key % 3 === 0, array(col("c_mktsegment"), col("n_name")))
+          .as("addressLines"),
+        when(key % 2 === 0, col("n_name")).as("locality"),
+        lit(null).cast("string").as("administrativeArea"),
+        postal.as("postalCode"))).as("storefrontAddress"),
+      when(key % 4 === 1, struct(array().cast(
+        "array<struct<openDay:string,openTime:struct<hours:bigint>," +
+          "closeTime:struct<hours:bigint>>>").as("periods")))
+        .when(key % 4 === 2, struct(array(
+          period("MONDAY", Some(9L), Some(17L)),
+          period("MONDAY", Some(10L), Some(18L))).as("periods")))
+        .when(key % 4 === 3, struct(array(
+          period("TUESDAY", Some(7L), None),
+          period("WEDNESDAY", Some(8L), Some(16L))).as("periods")))
+        .as("regularHours"), // key % 4 == 0 → absent
+      when(key % 2 === 0, struct(
+        struct(col("c_mktsegment").as("displayName"),
+          lit(null).cast("string").as("name")).as("primaryCategory"),
+        when(key % 4 === 0, array(
+          struct(lit("extra").as("name")),
+          struct(lit(null).cast("string").as("name"))))
+          .as("additionalCategories"))).as("categories"),
+      when(key % 5 === 0, struct(
+        concat(lit("rev://"), key.cast("string")).as("newReviewUri"),
+        lit(null).cast("string").as("mapsUri"))).as("metadata")))
+    GmbFlattener.flattenLocation(
+      c.select(key.as("id"), doc.as("doc"))).orderBy("id")
+  }
+
+  /** Differential round trip for `GmbFlattener.flattenLocalPosts`
+    * (`main.py:654-673`): posts built from each customer's orders
+    * ('O' status → OFFER), the list sorted (createTime, orderkey) so
+    * the reference's keep-FIRST-on-tie argmax is deterministic; the
+    * oracle picks the same offer with a window rank.
+    */
+  def gmbLocalPostsRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val iso = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    def dparts(c: org.apache.spark.sql.Column) =
+      struct(year(c).as("year"), month(c).as("month"),
+        dayofmonth(c).as("day"))
+    val post = struct(
+      when(col("o_orderstatus") === "O", "OFFER").otherwise("STANDARD")
+        .as("topicType"),
+      date_format(col("o_orderdate"), iso).as("createTime"),
+      date_format(col("o_orderdate") + expr("INTERVAL 1 DAY"), iso)
+        .as("updateTime"),
+      struct(struct(
+        dparts(col("o_orderdate")).as("startDate"),
+        dparts(col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("endDate"))
+        .as("schedule")).as("event"))
+    val bronze = Tables.orders(s, dir)
+      .select(col("o_custkey").as("id"),
+        struct(date_format(col("o_orderdate"), iso).as("ct"),
+          col("o_orderkey").as("okey"), post.as("post")).as("keyed"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("keyed"))).as("sorted"))
+      .select(col("id"), to_json(struct(
+        expr("transform(sorted, x -> x.post)").as("localPosts"))).as("doc"))
+    GmbFlattener.flattenLocalPosts(bronze).orderBy("id")
+  }
 }
