@@ -144,18 +144,18 @@ object Dedup {
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = 8; val rows = 4
     val sig = minhashSignatures(s, dir, bands * rows)
-    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map {
+    // candidate pairs via group-expand (pairCounts shape): LSH band
+    // buckets are small by construction (near-dups + rare collisions),
+    // so one shuffle of the banded rows replaces the two-sided
+    // self-join sort
+    val cand = sig.select(col("doc_id"), explode(array((0 until bands).map {
       b => struct(lit(b).as("band"),
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bkey"))
     }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-      .cache() // self-joined below; avoids recomputing signatures twice
-    val cand = banded.as("x")
-      .join(banded.as("y"), col("x.band") === col("y.band") &&
-        col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("doc_id"),
+        concat_ws(":", col("bb.band"), col("bb.bkey")).as("bandkey"))
+      .transform(pairCounts(_, "bandkey", "doc_id"))
+      .select(col("doc_a"), col("doc_b"))
       .cache() // consumed twice: candidate-doc pruning + final semi join
     // exact-Jaccard verification restricted to LSH candidates: prune
     // the shingle table to candidate docs BEFORE the pair join (the
