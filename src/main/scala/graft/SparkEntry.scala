@@ -107,6 +107,8 @@ object SparkEntry {
     "ss_gmb_vom" -> (SemiStructured.gmbVomRoundTrip _),
     "ss_gmb_location" -> (SemiStructured.gmbLocationRoundTrip _),
     "ss_gmb_localposts" -> (SemiStructured.gmbLocalPostsRoundTrip _),
+    "ss_gmb_reviews" -> (SemiStructured.gmbReviewsRoundTrip _),
+    "ss_gmb_services" -> (SemiStructured.gmbServicesRoundTrip _),
     // §2.10 north-star: deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -632,6 +634,20 @@ object SparkEntry {
         |    AS offer_updates_at
         |FROM agg LEFT JOIN best ON agg.id = best.id
         |ORDER BY agg.id""".stripMargin,
+    "ss_gmb_reviews" ->
+      """SELECT c_custkey AS id,
+        | CASE WHEN c_custkey % 5 <> 0
+        |   THEN round(CAST((c_custkey % 40) / 10.0 +
+        |     (c_custkey % 3 + 1) / 100.0 AS DOUBLE), 1)
+        |   ELSE NULL END AS average_rating,
+        | CAST(CASE WHEN c_custkey % 7 <> 0 THEN c_custkey % 1000
+        |   ELSE 0 END AS BIGINT) AS total_review_count
+        |FROM customer ORDER BY 1""".stripMargin,
+    "ss_gmb_services" ->
+      """SELECT o_custkey AS id,
+        | CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 1 ELSE 0
+        |   END) AS INT) AS service_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "sink_schema_evolution" ->
       """SELECT o_orderstatus,
         | CAST(COUNT(*) AS BIGINT) AS n,

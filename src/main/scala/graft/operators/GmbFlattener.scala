@@ -275,6 +275,44 @@ object GmbFlattener {
         isoPattern)).as("offer_updates_at"))
   }
 
+  val reviewsSchema: StructType = StructType(Seq(
+    StructField("averageRating", DoubleType),
+    StructField("totalReviewCount", LongType)))
+
+  /** reviews.json → rating rollup (`main.py:618-629`): averageRating
+    * rounded to 1 decimal (`:626`), count defaulted to 0; a missing
+    * averageRating stays null (the reference's guarded dict access).
+    */
+  def flattenReviews(bronze: DataFrame): DataFrame = {
+    val d = from_json(col("doc"), reviewsSchema)
+    bronze.select(col("id"),
+      round(d.getField("averageRating"), 1).as("average_rating"),
+      coalesce(d.getField("totalReviewCount"), lit(0L))
+        .as("total_review_count"))
+  }
+
+  val servicesSchema: StructType = StructType(Seq(
+    StructField("serviceItems", ArrayType(StructType(Seq(
+      StructField("structuredServiceItem", StructType(Seq(
+        StructField("serviceTypeId", StringType)))),
+      StructField("freeFormServiceItem", StructType(Seq(
+        StructField("label", StringType))))))))))
+
+  /** services.json → item count (`main.py:646-652`): an item counts
+    * iff it carries either a structuredServiceItem or a
+    * freeFormServiceItem key — bare `{}` items don't (the reference's
+    * key-presence check).
+    */
+  def flattenServices(bronze: DataFrame): DataFrame = {
+    val items = from_json(col("doc"), servicesSchema)
+      .getField("serviceItems")
+    bronze.select(col("id"),
+      coalesce(size(filter(items, i =>
+        i.getField("structuredServiceItem").isNotNull ||
+          i.getField("freeFormServiceItem").isNotNull)), lit(0))
+        .as("service_count"))
+  }
+
   val vomSchema: StructType = StructType(Seq(
     StructField("complyWithGuidelines", StructType(Seq(
       StructField("recommendationReason", StringType)))),

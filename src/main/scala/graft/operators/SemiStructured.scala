@@ -262,4 +262,43 @@ object SemiStructured {
         expr("transform(sorted, x -> x.post)").as("localPosts"))).as("doc"))
     GmbFlattener.flattenLocalPosts(bronze).orderBy("id")
   }
+
+  /** Differential round trip for `GmbFlattener.flattenReviews`
+    * (`main.py:618-629`): the rating is synthesized with hundredths
+    * in {.01,.02,.03} (never near a .x5 rounding boundary, which
+    * Spark and DuckDB may break differently on doubles) and omitted
+    * for every 5th customer to exercise the guarded access.
+    */
+  def gmbReviewsRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val rating = (k % 40) / lit(10.0) + (k % 3 + 1) / lit(100.0)
+    val bronze = Tables.customer(s, dir)
+      .select(k.as("id"), to_json(struct(
+        when(k % 5 =!= 0, rating).as("averageRating"),
+        when(k % 7 =!= 0, k % 1000).as("totalReviewCount"))).as("doc"))
+    GmbFlattener.flattenReviews(bronze).orderBy("id")
+  }
+
+  /** Differential round trip for `GmbFlattener.flattenServices`
+    * (`main.py:646-652`): each order becomes a serviceItem —
+    * structured for 'O', free-form for 'F', a bare `{}` otherwise —
+    * so the key-presence check (bare items don't count) is what the
+    * oracle verifies.
+    */
+  def gmbServicesRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val item = struct(
+      when(col("o_orderstatus") === "O",
+        struct(concat(lit("svc-"), col("o_orderkey").cast("string"))
+          .as("serviceTypeId"))).as("structuredServiceItem"),
+      when(col("o_orderstatus") === "F",
+        struct(concat(lit("free-"), col("o_orderkey").cast("string"))
+          .as("label"))).as("freeFormServiceItem"))
+    val bronze = Tables.orders(s, dir)
+      .select(col("o_custkey").as("id"), item.as("item"))
+      .groupBy("id")
+      .agg(collect_list(col("item")).as("items"))
+      .select(col("id"),
+        to_json(struct(col("items").as("serviceItems"))).as("doc"))
+    GmbFlattener.flattenServices(bronze).orderBy("id")
+  }
 }
