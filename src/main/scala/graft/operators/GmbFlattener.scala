@@ -27,6 +27,18 @@ import graft.functions.Scalars._
   *    chain, incl. `verify.hasPendingVerification` defaulting to TRUE
   *    when absent (so only an explicit false yields
   *    verification_required; `{}` falls through to unexpected_status).
+  *  - reviews (`main.py:618-629`): rating rounded to 1 decimal, count
+  *    defaulted to 0.
+  *  - services (`main.py:646-652`): items counted iff they carry a
+  *    structured/free-form key.
+  *
+  * This is the complete set of endpoint payloads the reference
+  * actually consumes: the account response is unused (`account_id` is
+  * the hardcoded constant at `main.py:483`) and the verification call
+  * is commented out (`main.py:569-570`) — both are archive-only (K3).
+  * Every flattener is verified two ways: unit specs on FIXTURES.md
+  * shapes AND a DuckDB-oracle differential round trip
+  * (SemiStructured.gmb*RoundTrip).
   */
 object GmbFlattener {
 
