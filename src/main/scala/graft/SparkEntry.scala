@@ -78,6 +78,8 @@ object SparkEntry {
     "agg_percentile" -> (Analytics.percentiles _),
     "set_cube" -> (Analytics.cubeFlags _),
     "agg_approx_distinct" -> (Analytics.approxDistinct _),
+    "agg_profile" -> (Analytics.profileOrders _),
+    "agg_histogram" -> (Analytics.histogram _),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -634,6 +636,35 @@ object SparkEntry {
         |    AS offer_updates_at
         |FROM agg LEFT JOIN best ON agg.id = best.id
         |ORDER BY agg.id""".stripMargin,
+    "agg_profile" ->
+      """WITH s AS (SELECT
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(o_orderkey) AS BIGINT) AS k_nn,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_nd,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
+        |  CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+        |  CAST(COUNT(o_custkey) AS BIGINT) AS c_nn,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS c_nd,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS c_min,
+        |  CAST(MAX(o_custkey) AS VARCHAR) AS c_max,
+        |  CAST(COUNT(o_orderstatus) AS BIGINT) AS st_nn,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS st_nd,
+        |  MIN(o_orderstatus) AS st_min, MAX(o_orderstatus) AS st_max,
+        |  CAST(COUNT(o_orderpriority) AS BIGINT) AS p_nn,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS p_nd,
+        |  MIN(o_orderpriority) AS p_min, MAX(o_orderpriority) AS p_max
+        | FROM orders)
+        |SELECT n_rows, u.* FROM s, LATERAL (
+        |  SELECT 'o_orderkey' AS column_name, k_nn AS n_nonnull,
+        |    k_nd AS n_distinct, k_min AS min_value, k_max AS max_value
+        |  UNION ALL SELECT 'o_custkey', c_nn, c_nd, c_min, c_max
+        |  UNION ALL SELECT 'o_orderstatus', st_nn, st_nd, st_min, st_max
+        |  UNION ALL SELECT 'o_orderpriority', p_nn, p_nd, p_min, p_max
+        |) u ORDER BY column_name""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "ss_gmb_reviews" ->
       """SELECT c_custkey AS id,
         | CASE WHEN c_custkey % 5 <> 0

@@ -178,4 +178,43 @@ object Analytics {
         sum(col("daily_events")).over(w).as("trailing_7d_events"))
       .orderBy("day")
   }
+
+  /** Column profiling (ANALYZE-style stats) in ONE pass + an unpivot:
+    * per column non-null count, distinct count, min/max — the table
+    * health check every pipeline runs before trusting an input. All
+    * aggregates computed in a single scan; min/max stringified only
+    * through exact-format types (longs/strings — never raw doubles,
+    * whose text form is engine-specific). At 100 TB swap
+    * countDistinct for approx_count_distinct — same plan shape minus
+    * the expand.
+    */
+  def profileOrders(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")))
+    Tables.orders(s, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max")
+            .mkString(", ") +
+          ") as (column_name, n_nonnull, n_distinct, min_value, max_value)"))
+      .orderBy("column_name")
+  }
+
+  /** Fixed-width histogram over order totals: data-independent bin
+    * bounds (floor(x / 50000)) so the binning is a pure row-local
+    * expression — one scan, one small aggregation, no global
+    * min/max pre-pass.
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / 50000).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("bin")
 }
