@@ -72,6 +72,7 @@ object SparkEntry {
     "adv_salted_agg" -> (Advanced.saltedAgg _),
     "adv_bucketed_join" -> ((s, d) => Advanced.bucketedJoin(s, d)),
     "s_hash_sample" -> (Relational.hashSample _),
+    "f4_housekeeping" -> (Relational.fileHousekeeping _),
     // window/aggregate extensions
     "w_leadlag" -> (Analytics.leadLagGaps _),
     "w_ntile" -> (Analytics.spendQuartiles _),
@@ -636,6 +637,10 @@ object SparkEntry {
         |    AS offer_updates_at
         |FROM agg LEFT JOIN best ON agg.id = best.id
         |ORDER BY agg.id""".stripMargin,
+    "f4_housekeeping" ->
+      """SELECT 'live/' || n_name || '/2024-01-01_snap.csv' AS name,
+        | 'live/' || n_name || '/2024-01-01_snap' AS renamed_to
+        |FROM nation ORDER BY 1""".stripMargin,
     "agg_profile" ->
       """WITH s AS (SELECT
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -107,6 +107,30 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** F4/X16 — the reference's blob-housekeeping listing pass
+    * (`Azure_datalake_etl/Gonukkad_Merchants.py:144-155`): list the
+    * snapshot prefix, skip directory markers (endswith "/"), leave
+    * yesterday's file load-eligible, and strip ".csv" from every older
+    * snapshot. The listing is synthesized from `nation` (one dir
+    * marker + an older and a current dated file per nation) so the
+    * filter/rename semantics are oracle-checkable.
+    */
+  def fileHousekeeping(s: SparkSession, dir: String): DataFrame = {
+    val current = "2024-01-02"
+    val listing = Tables.nation(s, dir).select(explode(array(
+      concat(lit("live/"), col("n_name"), lit("/")),
+      concat(lit("live/"), col("n_name"), lit(s"/2024-01-01_snap.csv")),
+      concat(lit("live/"), col("n_name"), lit(s"/${current}_snap.csv"))))
+      .as("name"))
+    listing
+      .filter(!col("name").endsWith("/"))       // GM:150: skip dir markers
+      .filter(!col("name").contains(current))   // GM:151: keep latest as-is
+      .filter(col("name").contains("."))        // GM:153: only real files
+      .select(col("name"),
+        regexp_replace(col("name"), "\\.csv$", "").as("renamed_to")) // X16
+      .orderBy("name")
+  }
+
   /** Deterministic ~5% sample via a key-derived linear-congruential
     * mix modulo a prime — reproducible across runs, engines, and
     * partitionings (unlike df.sample, whose result depends on the
