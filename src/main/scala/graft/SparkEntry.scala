@@ -131,6 +131,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_winnow" -> (TextAnalysis.winnowFingerprint _),
     "dedup_winnow_pairs" -> (TextAnalysis.winnowPairs _),
+    "text_vocab" -> (TextAnalysis.vocab _),
+    "text_bigrams" -> (TextAnalysis.bigrams _),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     // §2.10 north-star: multimodal plumbing
@@ -909,6 +911,25 @@ object SparkEntry {
         |FROM fp JOIN (SELECT fingerprint AS f2, COUNT(*) AS cnt
         |              FROM fp GROUP BY 1) g ON fingerprint = f2
         |ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+        |        '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |bg AS (
+        |  SELECT w || ' ' || lead(w, 1) OVER
+        |    (PARTITION BY doc_id ORDER BY i) AS bigram
+        |  FROM toks QUALIFY bigram IS NOT NULL)
+        |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM bg GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "text_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts

@@ -172,6 +172,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary: token frequencies, top 50 with a unique
+    * (count desc, token asc) tie-break — the vocab-building word
+    * count. Map-side partial aggregation absorbs the token skew
+    * (Zipfian corpora are the textbook hot-key case: partial combine
+    * means 'the' never shuffles as raw rows).
+    */
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(50)
+
+  /** Bigram counts (adjacent token pairs, NON-distinct — unlike the
+    * dedup shingles, language-model counts keep multiplicity), top 50
+    * with a unique tie-break.
+    */
+  def bigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(tokens(col("text")).as("ts"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> " +
+          "concat(ts[i - 1], ' ', ts[i]))")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(50)
+
   /** Document fingerprinting: md5 of whitespace-normalized text, plus
     * the exact-duplicate group size per fingerprint.
     */
