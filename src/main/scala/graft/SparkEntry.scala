@@ -991,7 +991,9 @@ object SparkEntry {
         |WHERE f < octet_length(encode(text)) // 16
         |ORDER BY doc_id, frame_no""".stripMargin,
     // documents.text is ASCII (octet_length == length over the corpus),
-    // so ascii(substr(...)) is exact per-byte extraction
+    // so ascii(substr(...)) is exact per-byte extraction; the LEFT JOIN
+    // keeps a zero row for zero-length payloads (featureExtract's
+    // max(len, 1) divisor emits mean_byte = 0.0 for them)
     "mm_features" ->
       """WITH e AS (
         |  SELECT doc_id, text,
@@ -1000,16 +1002,24 @@ object SparkEntry {
         |), b AS (
         |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS bv
         |  FROM e
+        |), g AS (
+        |  SELECT doc_id,
+        |   CAST(sum(CASE WHEN bv < 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS hist0,
+        |   CAST(sum(CASE WHEN bv >= 64 AND bv < 128 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS hist1,
+        |   CAST(sum(CASE WHEN bv >= 128 AND bv < 192 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS hist2,
+        |   CAST(sum(CASE WHEN bv >= 192 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS hist3,
+        |   CAST(sum(bv) AS DOUBLE) / count(*) AS mean_byte
+        |  FROM b GROUP BY doc_id
         |)
-        |SELECT doc_id,
-        | CAST(sum(CASE WHEN bv < 64 THEN 1 ELSE 0 END) AS BIGINT) AS hist0,
-        | CAST(sum(CASE WHEN bv >= 64 AND bv < 128 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS hist1,
-        | CAST(sum(CASE WHEN bv >= 128 AND bv < 192 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS hist2,
-        | CAST(sum(CASE WHEN bv >= 192 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS hist3,
-        | CAST(sum(bv) AS DOUBLE) / count(*) AS mean_byte
-        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id,
+        | coalesce(hist0, 0) AS hist0, coalesce(hist1, 0) AS hist1,
+        | coalesce(hist2, 0) AS hist2, coalesce(hist3, 0) AS hist3,
+        | coalesce(mean_byte, 0.0) AS mean_byte
+        |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

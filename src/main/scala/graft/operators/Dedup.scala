@@ -29,16 +29,25 @@ object Dedup {
     * Memoized per (session, dir, k): ngramJaccard and minhashPairs both
     * need it, and separate .cache() instances would double the cached
     * footprint across a multi-query session (Verify runs every query in
-    * one session). Lifecycle: the outer map holds the session WEAKLY —
-    * a stopped, dereferenced session drops its entries (its cached RDDs
-    * die with it) — and the per-session map is bounded, unpersisting on
-    * eviction, so cache memory can't grow without limit across many
-    * (dir, k) combinations in a long-lived process.
+    * one session). Lifecycle: a small access-ordered LRU with
+    * unpersist-on-evict bounds both heap and executor cache no matter
+    * how many (session, dir, k) combinations a long-lived process sees.
+    * (A weak-keyed map would not work here: the cached DataFrame value
+    * strongly references its own SparkSession key, which per
+    * WeakHashMap's contract pins the entry forever.)
     */
+  private val ShingleMemoMax = 8
   private val shingleMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, Int), DataFrame]]()
-  private val ShingleMemoMaxPerSession = 4
+    new java.util.LinkedHashMap[(SparkSession, String, Int), DataFrame](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Int), DataFrame])
+          : Boolean = {
+        val evict = size() > ShingleMemoMax
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
 
   /** Memoized ARRAY form (doc_id, sharr): set sizes come straight off
     * `size(sharr)` with no aggregation, and the exploded (doc_id, sh)
@@ -46,18 +55,17 @@ object Dedup {
     */
   private def shingleArrDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     shingleMemo.synchronized {
-      val perSession = shingleMemo.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty)
-      perSession.getOrElseUpdate((dir, k), {
-        if (perSession.size >= ShingleMemoMaxPerSession) {
-          perSession.valuesIterator.foreach(_.unpersist())
-          perSession.clear()
-        }
+      val key = (s, dir, k)
+      val hit = shingleMemo.get(key)
+      if (hit != null) hit
+      else {
         graft.functions.VectorExpressions.ensureRegistered(s)
-        Tables.fanOut(Tables.documents(s, dir))
+        val df = Tables.fanOut(Tables.documents(s, dir))
           .select(col("doc_id"), shingleArr(col("text"), k).as("sharr"))
           .cache()
-      })
+        shingleMemo.put(key, df)
+        df
+      }
     }
 
   private def shingleDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =

@@ -193,6 +193,10 @@ object TextAnalysis {
   def bigrams(s: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(s, dir))
       .select(tokens(col("text")).as("ts"))
+      // <2 tokens → no bigrams; also guards sequence(1, 0), which
+      // Spark evaluates DESCENDING ([1, 0]) and would index past the
+      // array under ANSI mode
+      .filter(size(col("ts")) > 1)
       .select(explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> " +
           "concat(ts[i - 1], ' ', ts[i]))")).as("bigram"))

@@ -105,12 +105,13 @@ object StreamingAnalogs {
     dailyActive(events).writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch
           .withColumn("day",
             date_format(col("day_start"), "yyyy-MM-dd"))
           .write.mode("overwrite")
+          // per-write option, NOT a session conf mutation — the shared
+          // session's overwrite semantics must not leak past this sink
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("day")
           .parquet(outPath)
       }

@@ -127,6 +127,31 @@ class GmbFlattenerSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("total_actions") == 0)
   }
 
+  test("reviews: missing averageRating stays null, count defaults to 0") {
+    val r = GmbFlattener.flattenReviews(bronze(2L -> "{}")).collect().head
+    assert(r.isNullAt(r.fieldIndex("average_rating")))
+    assert(r.getAs[Long]("total_review_count") == 0L)
+    val r2 = GmbFlattener.flattenReviews(
+      bronze(3L -> """{"averageRating": 4.27, "totalReviewCount": 12}"""))
+      .collect().head
+    assert(r2.getAs[Double]("average_rating") == 4.3)
+    assert(r2.getAs[Long]("total_review_count") == 12L)
+  }
+
+  test("services: bare {} items are not counted (key-presence check)") {
+    val doc =
+      """{"serviceItems": [
+        | {"structuredServiceItem": {"serviceTypeId": "a"}},
+        | {"freeFormServiceItem": {"label": "b"}},
+        | {}
+        |]}""".stripMargin.replace("\n", "")
+    val r = GmbFlattener.flattenServices(bronze(4L -> doc)).collect().head
+    assert(r.getAs[Int]("service_count") == 2)
+    val empty = GmbFlattener.flattenServices(bronze(5L -> "{}"))
+      .collect().head
+    assert(empty.getAs[Int]("service_count") == 0)
+  }
+
   test("localPosts: createTime tie keeps the FIRST offer (strict >)") {
     val doc =
       """{"localPosts": [

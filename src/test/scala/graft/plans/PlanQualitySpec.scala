@@ -60,13 +60,20 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("every declared query plans without error at sf0.001") {
-    // planning-only sweep (no execution): catches analysis-time breaks
-    // in queries the specs don't individually cover
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).queryExecution.executedPlan
-      catch { case e: Throwable =>
-        fail(s"$name failed to plan: ${e.getMessage}")
+    // catches analysis-time breaks in queries the specs don't
+    // individually cover. NOTE: sink_* and adv_bucketed_join run
+    // eager write/CTAS work inside their builder functions (the write
+    // IS the operator), so they are excluded here — invoking them
+    // would execute jobs and mutate the shared catalog mid-suite;
+    // Verify exercises them end-to-end instead.
+    val eagerWriters = (n: String) =>
+      n.startsWith("sink_") || n == "adv_bucketed_join"
+    SparkEntry.queries.filterNot { case (n, _) => eagerWriters(n) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).queryExecution.executedPlan
+        catch { case e: Throwable =>
+          fail(s"$name failed to plan: ${e.getMessage}")
+        }
       }
-    }
   }
 }
