@@ -102,18 +102,18 @@ object Sinks {
     */
   def upsertByDate(s: SparkSession, dir: String): DataFrame = {
     val out = s"${root(dir)}/daily_counts"
-    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val daily = Tables.events(s, dir)
-        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n_events"))
-      daily.write.mode("overwrite").partitionBy("day").parquet(out)
-      // recompute + upsert just one day's partition (same values here,
-      // so the result must stay identical to the full computation)
-      daily.filter(col("day") === "2024-01-15")
-        .write.mode("overwrite").partitionBy("day").parquet(out)
-    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    daily.write.mode("overwrite").partitionBy("day").parquet(out)
+    // recompute + upsert just one day's partition (same values here,
+    // so the result must stay identical to the full computation).
+    // Dynamic overwrite via the per-write option — never a session
+    // conf mutation, which would leak into later writes.
+    daily.filter(col("day") === "2024-01-15")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out)
     s.read.parquet(out)
       .select(col("day").cast("string").as("day"), col("n_events"))
       .orderBy("day")
