@@ -110,6 +110,7 @@ object SparkEntry {
     "ss_gmb_vom" -> (SemiStructured.gmbVomRoundTrip _),
     "ss_gmb_location" -> (SemiStructured.gmbLocationRoundTrip _),
     "ss_gmb_localposts" -> (SemiStructured.gmbLocalPostsRoundTrip _),
+    "ss_quarantine" -> (SemiStructured.qualityQuarantine _),
     "ss_gmb_reviews" -> (SemiStructured.gmbReviewsRoundTrip _),
     "ss_gmb_services" -> (SemiStructured.gmbServicesRoundTrip _),
     // §2.10 north-star: deduplication
@@ -672,6 +673,16 @@ object SparkEntry {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
         | CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ss_quarantine" ->
+      """SELECT event_type,
+        | CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_good,
+        | CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_quarantined,
+        | CAST(coalesce(SUM(CASE WHEN event_id % 7 <> 0
+        |   THEN CAST(json_extract(props, '$.k') AS BIGINT) END), 0)
+        |   AS BIGINT) AS k_sum_good
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ss_gmb_reviews" ->
       """SELECT c_custkey AS id,
         | CASE WHEN c_custkey % 5 <> 0

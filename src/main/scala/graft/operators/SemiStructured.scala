@@ -263,6 +263,41 @@ object SemiStructured {
     GmbFlattener.flattenLocalPosts(bronze).orderBy("id")
   }
 
+  /** Row-level quality quarantine — the production answer to the
+    * reference's swallowed exceptions (`GM:63-64` prints and continues
+    * with empty data): malformed JSON rows are ROUTED, not dropped or
+    * fatal. Corruption is synthesized deterministically (every 7th
+    * event's props gets trailing garbage) so the oracle can state the
+    * expected routing; Spark's side must prove `from_json` actually
+    * nulls exactly those rows. Both branches come from one pass —
+    * at scale you'd write the quarantine side to a dead-letter path
+    * with the same single-scan shape.
+    */
+  def qualityQuarantine(s: SparkSession, dir: String): DataFrame = {
+    // PERMISSIVE from_json yields a struct with null FIELDS on
+    // malformed input (never a null struct) — a corrupt-record column
+    // is the reliable malformed-row marker
+    val propsSchema = StructType(Seq(StructField("k", LongType),
+      StructField("_corrupt", StringType)))
+    val parseOpts = new java.util.HashMap[String, String]()
+    parseOpts.put("columnNameOfCorruptRecord", "_corrupt")
+    Tables.events(s, dir)
+      // garbage is PREPENDED: from_json (Jackson) stops at the end of
+      // the first JSON value and tolerates trailing junk, so only a
+      // leading corruption reliably fails the parse
+      .withColumn("raw",
+        when(col("event_id") % 7 === 0, concat(lit("x"), col("props")))
+          .otherwise(col("props")))
+      .withColumn("parsed", from_json(col("raw"), propsSchema, parseOpts))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("parsed._corrupt").isNull, 1)).as("n_good"),
+        count(when(col("parsed._corrupt").isNotNull, 1))
+          .as("n_quarantined"),
+        coalesce(sum(col("parsed").getField("k")), lit(0L)).as("k_sum_good"))
+      .orderBy("event_type")
+  }
+
   /** Differential round trip for `GmbFlattener.flattenReviews`
     * (`main.py:618-629`): the rating is synthesized with hundredths
     * in {.01,.02,.03} (never near a .x5 rounding boundary, which
