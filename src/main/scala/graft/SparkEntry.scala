@@ -143,6 +143,16 @@ object SparkEntry {
     "mm_features" -> (Multimodal.featureExtract _),
   )
 
+  /** Queries whose builder functions eagerly EXECUTE work (writes,
+    * CTAS) before returning the DataFrame — the write IS the operator.
+    * Registered here, next to the queries, so plan-only tooling
+    * (PlanQualitySpec's sweep) can skip them without maintaining a
+    * drifting name list. Keep in sync when adding a query that runs
+    * jobs inside its builder.
+    */
+  val eagerWriters: Set[String] =
+    queries.keySet.filter(_.startsWith("sink_")) + "adv_bucketed_join"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

@@ -179,24 +179,23 @@ object Analytics {
       .orderBy("day")
   }
 
-  /** Column profiling (ANALYZE-style stats) in ONE pass + an unpivot:
-    * per column non-null count, distinct count, min/max — the table
-    * health check every pipeline runs before trusting an input. All
-    * aggregates computed in a single scan; min/max stringified only
+  /** Column profiling (ANALYZE-style stats): per column non-null
+    * count, distinct count, min/max — the table health check every
+    * pipeline runs before trusting an input. One two-phase groupBy
+    * per column, unioned into a single plan (concurrent stages, each
+    * shuffling only its own group counts); min/max stringified only
     * through exact-format types (longs/strings — never raw doubles,
-    * whose text form is engine-specific). At 100 TB swap
-    * countDistinct for approx_count_distinct — same plan shape minus
-    * the expand.
+    * whose text form is engine-specific). At 100 TB replace the
+    * per-column exact groupBys with one pass of
+    * approx_count_distinct + min/max when estimates suffice.
     */
   def profileOrders(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_orderpriority")
     val df = Tables.orders(s, dir)
-    // one two-phase groupBy per column, unioned in a single plan —
-    // the stages run concurrently and each shuffles only its own
-    // group counts. (A single agg with 4 countDistincts plans an
-    // Expand that pushes 5x the row count through one aggregate —
-    // measured ~2x slower here.)
+    // NOT a single agg with 4 countDistincts: that plans an Expand
+    // pushing 5x the row count through one aggregate — measured 5x
+    // slower than these concurrent per-column groupBys
     val profiles = cols.map { c =>
       df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
         .agg(

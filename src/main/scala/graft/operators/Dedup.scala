@@ -44,7 +44,15 @@ object Dedup {
           e: java.util.Map.Entry[(SparkSession, String, Int), DataFrame])
           : Boolean = {
         val evict = size() > ShingleMemoMax
-        if (evict) e.getValue.unpersist()
+        if (evict) {
+          // the evicted entry's session may already be stopped — its
+          // cache died with it, and unpersist through a stopped
+          // context throws; never let that abort the LIVE query whose
+          // insertion triggered this eviction
+          try {
+            if (!e.getKey._1.sparkContext.isStopped) e.getValue.unpersist()
+          } catch { case _: Throwable => () }
+        }
         evict
       }
     }

@@ -294,6 +294,14 @@ object GmbFlattener {
   /** reviews.json → rating rollup (`main.py:618-629`): averageRating
     * rounded to 1 decimal (`:626`), count defaulted to 0; a missing
     * averageRating stays null (the reference's guarded dict access).
+    *
+    * Known rounding-tie divergence: Spark's round() is HALF_UP over
+    * the double's shortest decimal form, CPython's round() is
+    * half-even over the exact binary value — a rating whose shortest
+    * form lands exactly on .x5 (e.g. 4.15) can differ by 0.1. Kept as
+    * Spark round() deliberately: the DuckDB oracle shares Spark's
+    * behavior on these values, and ties are measure-zero for real
+    * aggregated ratings.
     */
   def flattenReviews(bronze: DataFrame): DataFrame = {
     val d = from_json(col("doc"), reviewsSchema)
@@ -303,25 +311,28 @@ object GmbFlattener {
         .as("total_review_count"))
   }
 
+  /** Items parsed as RAW JSON strings (a StringType field in a
+    * from_json schema captures the nested JSON text), so key presence
+    * can be tested with json_object_keys — a struct-typed parse would
+    * conflate `"structuredServiceItem": null` (key present, reference
+    * counts it) with an absent key.
+    */
   val servicesSchema: StructType = StructType(Seq(
-    StructField("serviceItems", ArrayType(StructType(Seq(
-      StructField("structuredServiceItem", StructType(Seq(
-        StructField("serviceTypeId", StringType)))),
-      StructField("freeFormServiceItem", StructType(Seq(
-        StructField("label", StringType))))))))))
+    StructField("serviceItems", ArrayType(StringType))))
 
   /** services.json → item count (`main.py:646-652`): an item counts
-    * iff it carries either a structuredServiceItem or a
-    * freeFormServiceItem key — bare `{}` items don't (the reference's
-    * key-presence check).
+    * iff it carries a structuredServiceItem or freeFormServiceItem
+    * KEY — bare `{}` items don't, explicit-null values DO (the
+    * reference's Python `in` check).
     */
   def flattenServices(bronze: DataFrame): DataFrame = {
     val items = from_json(col("doc"), servicesSchema)
       .getField("serviceItems")
     bronze.select(col("id"),
       coalesce(size(filter(items, i =>
-        i.getField("structuredServiceItem").isNotNull ||
-          i.getField("freeFormServiceItem").isNotNull)), lit(0))
+        array_contains(json_object_keys(i), "structuredServiceItem") ||
+          array_contains(json_object_keys(i), "freeFormServiceItem"))),
+        lit(0))
         .as("service_count"))
   }
 

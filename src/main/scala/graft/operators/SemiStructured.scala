@@ -279,8 +279,7 @@ object SemiStructured {
     // is the reliable malformed-row marker
     val propsSchema = StructType(Seq(StructField("k", LongType),
       StructField("_corrupt", StringType)))
-    val parseOpts = new java.util.HashMap[String, String]()
-    parseOpts.put("columnNameOfCorruptRecord", "_corrupt")
+    val parseOpts = Map("columnNameOfCorruptRecord" -> "_corrupt")
     Tables.events(s, dir)
       // garbage is PREPENDED: from_json (Jackson) stops at the end of
       // the first JSON value and tolerates trailing junk, so only a

@@ -143,10 +143,12 @@ class GmbFlattenerSpec extends SparkSpec {
       """{"serviceItems": [
         | {"structuredServiceItem": {"serviceTypeId": "a"}},
         | {"freeFormServiceItem": {"label": "b"}},
+        | {"structuredServiceItem": null},
         | {}
         |]}""".stripMargin.replace("\n", "")
     val r = GmbFlattener.flattenServices(bronze(4L -> doc)).collect().head
-    assert(r.getAs[Int]("service_count") == 2)
+    // explicit null still has the KEY → counts (Python `in`); {} doesn't
+    assert(r.getAs[Int]("service_count") == 3)
     val empty = GmbFlattener.flattenServices(bronze(5L -> "{}"))
       .collect().head
     assert(empty.getAs[Int]("service_count") == 0)

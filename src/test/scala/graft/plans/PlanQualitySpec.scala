@@ -61,14 +61,13 @@ class PlanQualitySpec extends SparkSpec {
 
   test("every declared query plans without error at sf0.001") {
     // catches analysis-time breaks in queries the specs don't
-    // individually cover. NOTE: sink_* and adv_bucketed_join run
-    // eager write/CTAS work inside their builder functions (the write
-    // IS the operator), so they are excluded here — invoking them
-    // would execute jobs and mutate the shared catalog mid-suite;
-    // Verify exercises them end-to-end instead.
-    val eagerWriters = (n: String) =>
-      n.startsWith("sink_") || n == "adv_bucketed_join"
-    SparkEntry.queries.filterNot { case (n, _) => eagerWriters(n) }
+    // individually cover. Queries registered in SparkEntry.eagerWriters
+    // execute write/CTAS jobs inside their builders (the write IS the
+    // operator) — invoking them here would run jobs and mutate the
+    // shared catalog mid-suite, so Verify exercises those end-to-end
+    // instead.
+    SparkEntry.queries.filterNot { case (n, _) =>
+      SparkEntry.eagerWriters(n) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).queryExecution.executedPlan
         catch { case e: Throwable =>
