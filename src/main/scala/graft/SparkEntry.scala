@@ -704,8 +704,9 @@ object SparkEntry {
         |FROM customer ORDER BY 1""".stripMargin,
     "ss_gmb_services" ->
       """SELECT o_custkey AS id,
-        | CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 1 ELSE 0
-        |   END) AS INT) AS service_count
+        | CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F')
+        |   OR (o_orderstatus = 'P' AND o_orderkey % 2 = 0)
+        |   THEN 1 ELSE 0 END) AS INT) AS service_count
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "sink_schema_evolution" ->
       """SELECT o_orderstatus,

@@ -315,24 +315,29 @@ object SemiStructured {
 
   /** Differential round trip for `GmbFlattener.flattenServices`
     * (`main.py:646-652`): each order becomes a serviceItem —
-    * structured for 'O', free-form for 'F', a bare `{}` otherwise —
-    * so the key-presence check (bare items don't count) is what the
-    * oracle verifies.
+    * structured for 'O', free-form for 'F'; 'P' orders split into an
+    * EXPLICIT-null key (even orderkey — the key is present, so the
+    * reference's `in` check counts it) and a bare `{}` (odd — not
+    * counted). Item JSON is built with string concat because to_json
+    * omits null fields and could never synthesize the explicit-null
+    * case.
     */
   def gmbServicesRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    val item = struct(
+    val itemJson =
       when(col("o_orderstatus") === "O",
-        struct(concat(lit("svc-"), col("o_orderkey").cast("string"))
-          .as("serviceTypeId"))).as("structuredServiceItem"),
-      when(col("o_orderstatus") === "F",
-        struct(concat(lit("free-"), col("o_orderkey").cast("string"))
-          .as("label"))).as("freeFormServiceItem"))
+        concat(lit("""{"structuredServiceItem": {"serviceTypeId": "svc-"""),
+          col("o_orderkey").cast("string"), lit("\"}}")))
+        .when(col("o_orderstatus") === "F",
+          concat(lit("""{"freeFormServiceItem": {"label": "free-"""),
+            col("o_orderkey").cast("string"), lit("\"}}")))
+        .when(col("o_orderkey") % 2 === 0,
+          lit("""{"structuredServiceItem": null}"""))
+        .otherwise(lit("{}"))
     val bronze = Tables.orders(s, dir)
-      .select(col("o_custkey").as("id"), item.as("item"))
+      .select(col("o_custkey").as("id"), itemJson.as("item"))
       .groupBy("id")
-      .agg(collect_list(col("item")).as("items"))
-      .select(col("id"),
-        to_json(struct(col("items").as("serviceItems"))).as("doc"))
+      .agg(concat(lit("""{"serviceItems": ["""),
+        array_join(collect_list(col("item")), ", "), lit("]}")).as("doc"))
     GmbFlattener.flattenServices(bronze).orderBy("id")
   }
 }
