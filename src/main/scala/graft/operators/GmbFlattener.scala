@@ -349,7 +349,16 @@ object GmbFlattener {
       StructField("hasPendingVerification", BooleanType))))))
 
   /** vom.json → profile_status via the exact priority chain
-    * (`main.py:675-698`).
+    * (`main.py:675-698`). Semantics notes:
+    *  - 'processing' is a KEY-presence test (`'waitForVoiceOfMerchant'
+    *    in response`, `:685`) — an explicit null value still matches,
+    *    hence json_object_keys, not a null check on the parsed struct.
+    *  - 'duplicate' is a VALUE test (`.get(...) != None`, `:691`) —
+    *    explicit null does NOT match; the struct null check is right.
+    *  - the reference's 'verified' branch indexes the keys directly
+    *    (`:688`) and would raise KeyError when they're absent; this
+    *    chain falls through instead (three-valued null && skips the
+    *    branch) — the sane superset of a crash.
     */
   def flattenVom(bronze: DataFrame): DataFrame = {
     val d = from_json(col("doc"), vomSchema)
@@ -358,7 +367,8 @@ object GmbFlattener {
     bronze.select(col("id"),
       when(reason === "BUSINESS_LOCATION_SUSPENDED", "suspended")
         .when(reason === "BUSINESS_LOCATION_DISABLED", "location_disabled")
-        .when(d.getField("waitForVoiceOfMerchant").isNotNull, "processing")
+        .when(array_contains(json_object_keys(col("doc")),
+          "waitForVoiceOfMerchant"), "processing")
         .when(d.getField("hasVoiceOfMerchant") &&
           d.getField("hasBusinessAuthority"), "verified")
         .when(d.getField("resolveOwnershipConflict").isNotNull, "duplicate")

@@ -166,7 +166,12 @@ object SemiStructured {
       when(k === 5 || k === 7, struct(lit(false).as("hasPendingVerification")))
         .as("verify")))
     val bronze = Tables.customer(s, dir)
-      .select(col("c_custkey").as("id"), doc.as("doc"))
+      .select(col("c_custkey").as("id"),
+        // branch 2 ships an EXPLICIT-null waitForVoiceOfMerchant (key
+        // present, value null — to_json can't synthesize it): the
+        // reference's `in` check must still classify it 'processing'
+        when(k === 2, lit("""{"waitForVoiceOfMerchant": null}"""))
+          .otherwise(doc).as("doc"))
     GmbFlattener.flattenVom(bronze).orderBy("id")
   }
 

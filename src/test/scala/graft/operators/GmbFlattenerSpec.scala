@@ -154,6 +154,18 @@ class GmbFlattenerSpec extends SparkSpec {
     assert(empty.getAs[Int]("service_count") == 0)
   }
 
+  test("vom: explicit-null waitForVoiceOfMerchant still means processing") {
+    val r = GmbFlattener.flattenVom(
+      bronze(6L -> """{"waitForVoiceOfMerchant": null}""")).collect().head
+    // reference tests KEY presence ('waitForVoiceOfMerchant' in data)
+    assert(r.getAs[String]("profile_status") == "processing")
+    // but duplicate is a VALUE test (.get(...) != None): explicit null
+    // does NOT match and falls through to unexpected_status
+    val r2 = GmbFlattener.flattenVom(
+      bronze(7L -> """{"resolveOwnershipConflict": null}""")).collect().head
+    assert(r2.getAs[String]("profile_status") == "unexpected_status")
+  }
+
   test("localPosts: createTime tie keeps the FIRST offer (strict >)") {
     val doc =
       """{"localPosts": [
