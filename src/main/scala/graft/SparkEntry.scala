@@ -599,31 +599,40 @@ object SparkEntry {
         |FROM customer ORDER BY 1""".stripMargin,
     "ss_gmb_location" ->
       """SELECT c_custkey AS id, c_name AS business_name,
-        | CASE WHEN c_custkey % 2 = 0
+        | CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |   WHEN c_custkey % 2 = 0
         |   THEN '+1-' || CAST(c_custkey AS VARCHAR)
         |   ELSE 'Not_Found' END AS phone,
-        | CASE WHEN c_custkey % 4 = 0
+        | CASE WHEN c_custkey % 11 = 0 THEN 'Not_Found'
+        |   WHEN c_custkey % 4 = 0
         |   THEN '+1-' || CAST(c_custkey AS VARCHAR) || '-a'
         |   ELSE 'Not_Found' END AS additional_phone,
-        | CASE WHEN c_custkey % 5 = 0
+        | CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |   WHEN c_custkey % 5 = 0
         |   THEN 'http://ex.com/' || CAST(c_custkey AS VARCHAR)
         |   ELSE 'Not_Found' END AS website,
-        | CASE WHEN c_custkey % 3 = 2 THEN 'Not_Found' ELSE
+        | CASE WHEN c_custkey % 11 = 0 THEN 'Not_Found'
+        |   WHEN c_custkey % 3 = 2 THEN 'Not_Found' ELSE
         |   (CASE WHEN c_custkey % 3 = 0
         |      THEN c_mktsegment || ', ' || n_name ELSE '' END) ||
         |   (CASE WHEN c_custkey % 2 = 0 THEN ', ' || n_name ELSE '' END) ||
         |   ' ' || CAST(c_custkey % 100000 AS VARCHAR) END AS address,
-        | CASE WHEN c_custkey % 7 = 0
+        | CASE WHEN c_custkey % 11 = 0 THEN 'Not_Found'
+        |   WHEN c_custkey % 7 = 0
         |   THEN 'SC' || CAST(c_custkey AS VARCHAR)
         |   ELSE 'Not_Found' END AS store_code,
-        | CASE c_custkey % 4 WHEN 2 THEN 'MONDAY=10-18'
-        |   WHEN 3 THEN 'WEDNESDAY=8-16'
+        | CASE WHEN c_custkey % 11 = 0 THEN 'Not_Found'
+        |   WHEN c_custkey % 4 = 2 THEN 'MONDAY=10-18'
+        |   WHEN c_custkey % 4 = 3 THEN 'WEDNESDAY=8-16'
         |   ELSE 'Not_Found' END AS regular_hours,
-        | CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+        | CASE WHEN c_custkey % 11 = 0 THEN 'Not_Found'
+        |   WHEN c_custkey % 2 = 0 THEN c_mktsegment
         |   ELSE 'Not_Found' END AS primary_category,
-        | CAST(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS INT)
+        | CAST(CASE WHEN c_custkey % 11 = 0 THEN 0
+        |   WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS INT)
         |   AS additional_categories_count,
-        | CASE WHEN c_custkey % 5 = 0
+        | CASE WHEN c_custkey % 11 = 0 THEN 'Not_Found'
+        |   WHEN c_custkey % 5 = 0
         |   THEN 'rev://' || CAST(c_custkey AS VARCHAR)
         |   ELSE 'Not_Found' END AS review_url,
         | 'Not_Found' AS map_url

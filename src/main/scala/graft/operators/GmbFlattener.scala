@@ -115,31 +115,51 @@ object GmbFlattener {
       .otherwise(serialized)
   }
 
+  /** KEY-presence guard mirroring the reference's `'key' in subtree`
+    * pattern: true iff the (sub)object exists AND carries the key,
+    * regardless of the key's value — an explicit null passes. A
+    * missing subtree yields false (the reference would raise on the
+    * direct index that fetches the subtree; Not_Found is the sane
+    * superset).
+    */
+  private def keyIn(path: String, key: String): Column = {
+    val subtree =
+      if (path == "$") col("doc") else get_json_object(col("doc"), path)
+    coalesce(array_contains(json_object_keys(subtree), key), lit(false))
+  }
+
   /** location.json → silver columns (`main.py:495-568`). Input: (id,
-    * doc) bronze rows.
+    * doc) bronze rows. Every guarded field follows the reference's
+    * `in` semantics exactly: key absent → Not_Found, key present →
+    * the raw value, INCLUDING an explicit null (the reference assigns
+    * None there, not 'Not_Found').
     */
   def flattenLocation(bronze: DataFrame): DataFrame = {
     val d = from_json(col("doc"), locationSchema)
+    def guarded(path: String, key: String, value: Column): Column =
+      when(keyIn(path, key), value).otherwise(lit(NotFoundSentinel))
     bronze.select(col("id"),
       notFound(d.getField("title")).as("business_name"),
-      notFound(d.getField("phoneNumbers").getField("primaryPhone"))
-        .as("phone"),
-      notFound(element_at(
-        d.getField("phoneNumbers").getField("additionalPhones"), 1))
-        .as("additional_phone"),
-      notFound(d.getField("websiteUri")).as("website"),
+      guarded("$.phoneNumbers", "primaryPhone",
+        d.getField("phoneNumbers").getField("primaryPhone")).as("phone"),
+      guarded("$.phoneNumbers", "additionalPhones",
+        element_at(d.getField("phoneNumbers").getField("additionalPhones"),
+          1)).as("additional_phone"),
+      guarded("$", "websiteUri", d.getField("websiteUri")).as("website"),
       addressOf(d).as("address"),
-      notFound(d.getField("storeCode")).as("store_code"),
+      guarded("$", "storeCode", d.getField("storeCode")).as("store_code"),
       hoursOf(d).as("regular_hours"),
-      notFound(d.getField("categories").getField("primaryCategory")
-        .getField("displayName")).as("primary_category"),
+      guarded("$.categories.primaryCategory", "displayName",
+        d.getField("categories").getField("primaryCategory")
+          .getField("displayName")).as("primary_category"),
       coalesce(size(filter(
         d.getField("categories").getField("additionalCategories"),
         c => c.getField("name").isNotNull)), lit(0))
         .as("additional_categories_count"),
-      notFound(d.getField("metadata").getField("newReviewUri"))
-        .as("review_url"),
-      notFound(d.getField("metadata").getField("mapsUri")).as("map_url"))
+      guarded("$.metadata", "newReviewUri",
+        d.getField("metadata").getField("newReviewUri")).as("review_url"),
+      guarded("$.metadata", "mapsUri",
+        d.getField("metadata").getField("mapsUri")).as("map_url"))
   }
 
   val performanceSchema: StructType = StructType(Seq(

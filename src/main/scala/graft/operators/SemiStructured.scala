@@ -232,8 +232,17 @@ object SemiStructured {
       when(key % 5 === 0, struct(
         concat(lit("rev://"), key.cast("string")).as("newReviewUri"),
         lit(null).cast("string").as("mapsUri"))).as("metadata")))
+    // every 11th customer ships explicit-null keys (built with string
+    // concat — to_json omits nulls): phone/website must surface as
+    // NULL (key present), everything else as the absent-key defaults
+    val explicitNullDoc = concat(
+      lit("{\"title\": \""), col("c_name"),
+      lit("\", \"websiteUri\": null, " +
+        "\"phoneNumbers\": {\"primaryPhone\": null}}"))
     GmbFlattener.flattenLocation(
-      c.select(key.as("id"), doc.as("doc"))).orderBy("id")
+      c.select(key.as("id"),
+        when(key % 11 === 0, explicitNullDoc).otherwise(doc).as("doc")))
+      .orderBy("id")
   }
 
   /** Differential round trip for `GmbFlattener.flattenLocalPosts`
