@@ -704,12 +704,12 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ss_gmb_reviews" ->
       """SELECT c_custkey AS id,
-        | CASE WHEN c_custkey % 5 <> 0
+        | CASE WHEN c_custkey % 7 <> 0 AND c_custkey % 5 <> 0
         |   THEN round(CAST((c_custkey % 40) / 10.0 +
         |     (c_custkey % 3 + 1) / 100.0 AS DOUBLE), 1)
         |   ELSE NULL END AS average_rating,
         | CAST(CASE WHEN c_custkey % 7 <> 0 THEN c_custkey % 1000
-        |   ELSE 0 END AS BIGINT) AS total_review_count
+        |   ELSE NULL END AS BIGINT) AS total_review_count
         |FROM customer ORDER BY 1""".stripMargin,
     "ss_gmb_services" ->
       """SELECT o_custkey AS id,

@@ -238,7 +238,11 @@ object GmbFlattener {
       StructField("locationAssociation", StructType(Seq(
         StructField("category", StringType))))))))))
 
-  /** media.json → Yes/No flags + count (`main.py:631-645`). */
+  /** media.json → Yes/No flags + count (`main.py:631-645`). The count
+    * is a guarded passthrough with NO 0-default — the reference only
+    * assigns it when the key is present (an absent key would hit an
+    * unbound local there; null is the sane superset).
+    */
   def flattenMedia(bronze: DataFrame): DataFrame = {
     val d = from_json(col("doc"), mediaSchema)
     def flag(cat: String) = when(coalesce(exists(d.getField("mediaItems"),
@@ -247,8 +251,8 @@ object GmbFlattener {
     bronze.select(col("id"),
       flag("COVER").as("has_cover"),
       flag("MENU").as("has_menu"),
-      coalesce(d.getField("totalMediaItemCount"), lit(0L))
-        .as("total_media_item_count"))
+      when(keyIn("$", "totalMediaItemCount"),
+        d.getField("totalMediaItemCount")).as("total_media_item_count"))
   }
 
   val localPostsSchema: StructType = StructType(Seq(
@@ -311,9 +315,13 @@ object GmbFlattener {
     StructField("averageRating", DoubleType),
     StructField("totalReviewCount", LongType)))
 
-  /** reviews.json → rating rollup (`main.py:618-629`): averageRating
-    * rounded to 1 decimal (`:626`), count defaulted to 0; a missing
-    * averageRating stays null (the reference's guarded dict access).
+  /** reviews.json → rating rollup (`main.py:618-629`). The reference's
+    * guards are COUPLED: both outputs default to None and are only
+    * assigned inside the `'totalReviewCount' in response` branch — so
+    * a payload carrying averageRating but no count surfaces (null,
+    * null), and nothing ever defaults to 0. (A count without a rating
+    * would hit an unbound local in the reference — here the rating
+    * just stays null, the sane superset.)
     *
     * Known rounding-tie divergence: Spark's round() is HALF_UP over
     * the double's shortest decimal form, CPython's round() is
@@ -325,9 +333,11 @@ object GmbFlattener {
     */
   def flattenReviews(bronze: DataFrame): DataFrame = {
     val d = from_json(col("doc"), reviewsSchema)
+    val hasCount = keyIn("$", "totalReviewCount")
     bronze.select(col("id"),
-      round(d.getField("averageRating"), 1).as("average_rating"),
-      coalesce(d.getField("totalReviewCount"), lit(0L))
+      when(hasCount, round(d.getField("averageRating"), 1))
+        .as("average_rating"),
+      when(hasCount, d.getField("totalReviewCount"))
         .as("total_review_count"))
   }
 
@@ -340,19 +350,21 @@ object GmbFlattener {
   val servicesSchema: StructType = StructType(Seq(
     StructField("serviceItems", ArrayType(StringType))))
 
-  /** services.json → item count (`main.py:646-652`): an item counts
-    * iff it carries a structuredServiceItem or freeFormServiceItem
-    * KEY — bare `{}` items don't, explicit-null values DO (the
-    * reference's Python `in` check).
+  /** services.json → item count (`main.py:646-652`): the reference
+    * iterates each item's KEYS and increments per matching key — so
+    * bare `{}` items count 0, explicit-null values count (the Python
+    * `in`-style presence), and an item carrying BOTH keys counts
+    * TWICE.
     */
   def flattenServices(bronze: DataFrame): DataFrame = {
     val items = from_json(col("doc"), servicesSchema)
       .getField("serviceItems")
+    def keyHit(i: Column, k: String): Column =
+      when(array_contains(json_object_keys(i), k), 1).otherwise(0)
     bronze.select(col("id"),
-      coalesce(size(filter(items, i =>
-        array_contains(json_object_keys(i), "structuredServiceItem") ||
-          array_contains(json_object_keys(i), "freeFormServiceItem"))),
-        lit(0))
+      coalesce(aggregate(items, lit(0), (acc, i) =>
+        acc + keyHit(i, "structuredServiceItem") +
+          keyHit(i, "freeFormServiceItem")), lit(0))
         .as("service_count"))
   }
 

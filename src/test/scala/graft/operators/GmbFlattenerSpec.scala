@@ -127,10 +127,13 @@ class GmbFlattenerSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("total_actions") == 0)
   }
 
-  test("reviews: missing averageRating stays null, count defaults to 0") {
-    val r = GmbFlattener.flattenReviews(bronze(2L -> "{}")).collect().head
+  test("reviews: outputs are coupled to the totalReviewCount key") {
+    // no count key → BOTH null, never 0 (main.py:619-627 only assigns
+    // inside the totalReviewCount branch)
+    val r = GmbFlattener.flattenReviews(
+      bronze(2L -> """{"averageRating": 4.9}""")).collect().head
     assert(r.isNullAt(r.fieldIndex("average_rating")))
-    assert(r.getAs[Long]("total_review_count") == 0L)
+    assert(r.isNullAt(r.fieldIndex("total_review_count")))
     val r2 = GmbFlattener.flattenReviews(
       bronze(3L -> """{"averageRating": 4.27, "totalReviewCount": 12}"""))
       .collect().head
@@ -144,11 +147,14 @@ class GmbFlattenerSpec extends SparkSpec {
         | {"structuredServiceItem": {"serviceTypeId": "a"}},
         | {"freeFormServiceItem": {"label": "b"}},
         | {"structuredServiceItem": null},
+        | {"structuredServiceItem": {"serviceTypeId": "c"},
+        |  "freeFormServiceItem": {"label": "d"}},
         | {}
         |]}""".stripMargin.replace("\n", "")
     val r = GmbFlattener.flattenServices(bronze(4L -> doc)).collect().head
-    // explicit null still has the KEY → counts (Python `in`); {} doesn't
-    assert(r.getAs[Int]("service_count") == 3)
+    // explicit null still has the KEY → counts (Python `in`); {}
+    // doesn't; an item with BOTH keys counts twice (per-key loop)
+    assert(r.getAs[Int]("service_count") == 5)
     val empty = GmbFlattener.flattenServices(bronze(5L -> "{}"))
       .collect().head
     assert(empty.getAs[Int]("service_count") == 0)
