@@ -27,10 +27,12 @@ import graft.functions.Scalars._
   *    chain, incl. `verify.hasPendingVerification` defaulting to TRUE
   *    when absent (so only an explicit false yields
   *    verification_required; `{}` falls through to unexpected_status).
-  *  - reviews (`main.py:618-629`): rating rounded to 1 decimal, count
-  *    defaulted to 0.
-  *  - services (`main.py:646-652`): items counted iff they carry a
-  *    structured/free-form key.
+  *  - reviews (`main.py:618-629`): rating rounded to 1 decimal; BOTH
+  *    outputs null unless the totalReviewCount key is present (the
+  *    reference's coupled guards — nothing defaults to 0).
+  *  - services (`main.py:646-652`): counted per matching KEY (an item
+  *    carrying both keys counts twice; explicit-null values count,
+  *    bare {} items don't).
   *
   * This is the complete set of endpoint payloads the reference
   * actually consumes: the account response is unused (`account_id` is
@@ -368,11 +370,11 @@ object GmbFlattener {
         .as("service_count"))
   }
 
+  // no waitForVoiceOfMerchant field: the 'processing' branch tests raw
+  // KEY presence on the doc (keyIn), never the parsed struct
   val vomSchema: StructType = StructType(Seq(
     StructField("complyWithGuidelines", StructType(Seq(
       StructField("recommendationReason", StringType)))),
-    StructField("waitForVoiceOfMerchant", StructType(Seq(
-      StructField("_placeholder", StringType)))),
     StructField("hasVoiceOfMerchant", BooleanType),
     StructField("hasBusinessAuthority", BooleanType),
     StructField("resolveOwnershipConflict", StructType(Seq(
@@ -399,8 +401,7 @@ object GmbFlattener {
     bronze.select(col("id"),
       when(reason === "BUSINESS_LOCATION_SUSPENDED", "suspended")
         .when(reason === "BUSINESS_LOCATION_DISABLED", "location_disabled")
-        .when(array_contains(json_object_keys(col("doc")),
-          "waitForVoiceOfMerchant"), "processing")
+        .when(keyIn("$", "waitForVoiceOfMerchant"), "processing")
         .when(d.getField("hasVoiceOfMerchant") &&
           d.getField("hasBusinessAuthority"), "verified")
         .when(d.getField("resolveOwnershipConflict").isNotNull, "duplicate")

@@ -154,8 +154,10 @@ object SemiStructured {
         .when(k === 1,
           struct(lit("BUSINESS_LOCATION_DISABLED").as("recommendationReason")))
         .as("complyWithGuidelines"),
-      // branch 0 ALSO sets this lower-priority field: suspended must win
-      when(k === 0 || k === 2, struct(lit("x").as("_placeholder")))
+      // branch 0 ALSO sets this lower-priority field: suspended must
+      // win. (Branch 2's doc is replaced wholesale by the explicit-null
+      // literal below, so only branch 0 builds the struct form here.)
+      when(k === 0, struct(lit("x").as("_placeholder")))
         .as("waitForVoiceOfMerchant"),
       when(k === 3, lit(true)).when(k === 7, lit(true))
         .as("hasVoiceOfMerchant"),
