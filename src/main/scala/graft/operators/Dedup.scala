@@ -22,79 +22,65 @@ object Dedup {
   private def shingleArr(text: Column, k: Int): Column =
     call_function("word_shingles", text, lit(k))
 
-  /** One (doc_id, shingle) row per distinct shingle. Cached: every
-    * consumer self-joins it (intersections) AND aggregates it (set
-    * sizes), and Spark computes uncached identical subplans twice.
-    *
-    * Memoized per (session, dir, k): ngramJaccard and minhashPairs both
-    * need it, and separate .cache() instances would double the cached
-    * footprint across a multi-query session (Verify runs every query in
-    * one session). Lifecycle: a small access-ordered LRU with
-    * unpersist-on-evict bounds both heap and executor cache no matter
-    * how many (session, dir, k) combinations a long-lived process sees.
-    * (A weak-keyed map would not work here: the cached DataFrame value
-    * strongly references its own SparkSession key, which per
-    * WeakHashMap's contract pins the entry forever.)
-    */
-  private val ShingleMemoMax = 8
-  private val shingleMemo =
-    new java.util.LinkedHashMap[(SparkSession, String, Int), DataFrame](
-      16, 0.75f, /* accessOrder = */ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, Int), DataFrame])
-          : Boolean = {
-        val evict = size() > ShingleMemoMax
-        if (evict) {
-          // the evicted entry's session may already be stopped — its
-          // cache died with it, and unpersist through a stopped
-          // context throws; never let that abort the LIVE query whose
-          // insertion triggered this eviction
-          try {
-            if (!e.getKey._1.sparkContext.isStopped) e.getValue.unpersist()
-          } catch { case _: Throwable => () }
-        }
-        evict
-      }
-    }
-
-  /** Memoized ARRAY form (doc_id, sharr): set sizes come straight off
-    * `size(sharr)` with no aggregation, and the exploded (doc_id, sh)
-    * view is derived per consumer.
+  /** One (doc_id, shingle-array) row per doc, memoized through
+    * graft.CachePool: every consumer self-joins it (intersections) AND
+    * aggregates it (set sizes), Spark computes uncached identical
+    * subplans twice, and ngramJaccard / minhashPairs / corpusClean all
+    * share it within a multi-query session. Set sizes come straight off
+    * `size(sharr)`; the exploded (doc_id, sh) view is derived per
+    * consumer.
     */
   private def shingleArrDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
-    shingleMemo.synchronized {
-      val key = (s, dir, k)
-      val hit = shingleMemo.get(key)
-      if (hit != null) hit
-      else {
-        graft.functions.VectorExpressions.ensureRegistered(s)
-        val df = Tables.fanOut(Tables.documents(s, dir))
-          .select(col("doc_id"), shingleArr(col("text"), k).as("sharr"))
-          .cache()
-        shingleMemo.put(key, df)
-        df
-      }
+    graft.CachePool.cached(s, s"dedup.shingles:$dir:$k") {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), shingleArr(col("text"), k).as("sharr"))
     }
 
   private def shingleDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     shingleArrDf(s, dir, k)
       .select(col("doc_id"), explode(col("sharr")).as("sh"))
 
-  /** Pairwise co-occurrence counts from an exploded (id, key) table:
-    * group ids per key, expand each group's 2-combinations map-side,
-    * count per pair. Same result as the classic self-equi-join +
-    * groupBy, but ONE shuffle of the exploded table instead of a
-    * two-sided sort-merge join — the 100 TB shape (the per-key groups
-    * are the only thing that must co-locate; pair expansion never
-    * leaves the task). ONLY for small-bucket keys (shingles, capped
-    * LSH bands): expansion is interpreted and O(B²) per bucket, so a
-    * hot key is far worse here than in the codegen'd join — cap hot
-    * keys first where semantics allow, or use the join form (see
-    * TextAnalysis.winnowPairs).
+  /** Pairwise co-occurrence counts from an exploded (id, key) table,
+    * bucket-size-adaptive and EXACT at every size:
+    *
+    *  - buckets ≤ `cap` ids: group ids per key, expand each group's
+    *    2-combinations map-side — ONE shuffle of the exploded table
+    *    instead of a two-sided sort-merge join (the per-key groups are
+    *    the only thing that must co-locate; pair expansion never
+    *    leaves the task). The win for the common case: shingle / LSH
+    *    band buckets are small by construction.
+    *  - buckets > `cap` ids: the classic codegen self-equi-join — the
+    *    group-expand's interpreted array slicing pays O(B²) per bucket
+    *    in the worst engine tier, so one ubiquitous key (a stop-word
+    *    3-gram at 100 TB) must take the codegen path instead of
+    *    pinning a task (the same reasoning TextAnalysis.winnowPairs
+    *    documents for its always-join shape).
+    *
+    * BOTH branches produce exact pair streams, so the routing decision
+    * only affects performance, never results — which is what lets hot
+    * keys be detected from a cheap fixed-seed SAMPLE instead of a full
+    * per-key count (an exact count over millions of distinct shingles
+    * costs as much as the main aggregation itself — measured ~2×
+    * query time; a window-over-exploded sizing was equally bad). A key
+    * with B occurrences survives the filter with expectation
+    * B·frac > cap·frac, so genuinely hot keys (B ≫ cap — the 100 TB
+    * scale-killers) are caught with near-certainty, borderline buckets
+    * just stay on the group-expand path, and the hot set is
+    * broadcastable by construction because "hot" means rare. The two
+    * branches' pair streams union before the final per-pair count —
+    * byte-identical to the naive self-join at ANY cap and ANY routing.
+    * An O(B²) pair count for a hot key is inherent to exact
+    * intersection semantics; callers that would rather LOSE ubiquitous
+    * keys than pay for them should filter them upstream.
     */
-  def pairCounts(exploded: DataFrame, key: String,
-      id: String): DataFrame =
-    exploded
+  def pairCounts(exploded: DataFrame, key: String, id: String,
+      cap: Int = 64): DataFrame = {
+    val frac = 0.05
+    val hot = exploded.sample(withReplacement = false, frac, seed = 42L)
+      .groupBy(col(key)).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap * frac).select(col(key))
+    val small = exploded.join(broadcast(hot), Seq(key), "left_anti")
       .groupBy(col(key))
       .agg(sort_array(collect_list(col(id))).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -102,8 +88,16 @@ object Dedup {
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, " +
           "size(ds)), y -> named_struct('doc_a', x, 'doc_b', y))))"))
         .as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    val big = exploded.join(broadcast(hot), Seq(key), "left_semi")
+    val bigPairs = big.as("a")
+      .join(big.as("b"), col(s"a.$key") === col(s"b.$key") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
+    small.unionByName(bigPairs)
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
+  }
 
   /** Exact dedup: hash-groupBy on content; keeper = min doc_id
     * (deterministic), group size = copy count.
@@ -159,20 +153,23 @@ object Dedup {
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = 8; val rows = 4
-    val sig = minhashSignatures(s, dir, bands * rows)
     // candidate pairs via group-expand (pairCounts shape): LSH band
     // buckets are small by construction (near-dups + rare collisions),
     // so one shuffle of the banded rows replaces the two-sided
-    // self-join sort
-    val cand = sig.select(col("doc_id"), explode(array((0 until bands).map {
-      b => struct(lit(b).as("band"),
-        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bkey"))
-    }: _*)).as("bb"))
-      .select(col("doc_id"),
-        concat_ws(":", col("bb.band"), col("bb.bkey")).as("bandkey"))
-      .transform(pairCounts(_, "bandkey", "doc_id"))
-      .select(col("doc_a"), col("doc_b"))
-      .cache() // consumed twice: candidate-doc pruning + final semi join
+    // self-join sort. Pooled: consumed twice below (candidate-doc
+    // pruning + final semi join), and CachePool bounds + releases the
+    // storage across a multi-query session.
+    val cand = graft.CachePool.cached(s, s"dedup.minhashCand:$dir") {
+      minhashSignatures(s, dir, bands * rows)
+        .select(col("doc_id"), explode(array((0 until bands).map {
+          b => struct(lit(b).as("band"),
+            xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bkey"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"),
+          concat_ws(":", col("bb.band"), col("bb.bkey")).as("bandkey"))
+        .transform(pairCounts(_, "bandkey", "doc_id"))
+        .select(col("doc_a"), col("doc_b"))
+    }
     // exact-Jaccard verification restricted to LSH candidates: prune
     // the shingle table to candidate docs BEFORE the pair join (the
     // candidate set is tiny vs the corpus, so the expensive
@@ -220,30 +217,40 @@ object Dedup {
     * bucket dominates the whole job while carrying almost no near-dup
     * signal (the stop-shingle trick applied to signature chunks;
     * near-dup recall comes from the remaining 3 chunks).
+    *
+    * Codegen self-equi-join on (chunk, ckey), NOT the group-expand
+    * shape: a 64-doc bucket expands to 2016 struct pairs per chunk,
+    * and doing that with interpreted transform/slice lambdas then
+    * shuffling ALL expanded pairs through distinct() measured 2.8×
+    * slower than this join (round-2 BENCH, 1.39 s → 3.87 s) — the
+    * same big-bucket reasoning TextAnalysis.winnowPairs documents.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = simhash(s, dir)
-    // one shuffle: group (doc, simhash) per chunk bucket, apply the
-    // hot-bucket cap as a group-size filter (no separate counting
-    // pass + anti join), expand each group's 2-combinations map-side
-    sh.select(col("doc_id"), col("simhash"),
+    val allChunks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           (shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)))
             .as("ckey"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
-      .groupBy("chunk", "ckey")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-        .as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= 64)
-      .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, " +
-          "size(ds)), y -> named_struct('doc_a', x.doc_id, 'doc_b', " +
-          "y.doc_id, 'hamming', bit_count(x.simhash ^ y.simhash)))))"))
-        .as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.hamming").as("hamming"))
+    val hotBuckets = allChunks.groupBy("chunk", "ckey")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > 64)
+      .select(col("chunk").as("h_chunk"), col("ckey").as("h_ckey"))
+    // pooled: self-joined below, and recomputing the simhash kernel +
+    // hot-bucket anti join for each side would double the work
+    val chunked = graft.CachePool.cached(s, s"dedup.simhashChunks:$dir") {
+      allChunks.join(broadcast(hotBuckets),
+        col("chunk") === col("h_chunk") && col("ckey") === col("h_ckey"),
+        "left_anti")
+    }
+    chunked.as("x")
+      .join(chunked.as("y"), col("x.chunk") === col("y.chunk") &&
+        col("x.ckey") === col("y.ckey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
       .orderBy("doc_a", "doc_b")

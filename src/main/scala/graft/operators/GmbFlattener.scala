@@ -73,22 +73,35 @@ object GmbFlattener {
       StructField("newReviewUri", StringType),
       StructField("mapsUri", StringType))))))
 
+  /** Parallel raw-text parse of additionalCategories items (StringType
+    * array captures each item's JSON text) for the key-presence count.
+    */
+  private val rawCategoriesSchema: StructType = StructType(Seq(
+    StructField("categories", StructType(Seq(
+      StructField("additionalCategories", ArrayType(StringType)))))))
+
   /** Python `"".join` + guarded `+=` address build (`main.py:439-456`):
     * parts joined ", "; locality/administrativeArea appended with ", ",
-    * postalCode with " "; empty result → Not_Found.
+    * postalCode with " "; empty result → Not_Found. Each append is
+    * guarded by KEY presence (`'locality' in address`), and the
+    * f-string renders an explicit-null value as the literal "None" —
+    * so `{"locality": null}` contributes ", None" exactly like the
+    * reference, while an absent key contributes nothing.
     */
   private def addressOf(d: Column): Column = {
+    def part(prefix: String, key: String): Column =
+      when(keyIn("$.storefrontAddress", key),
+        concat(lit(prefix),
+          coalesce(d.getField("storefrontAddress").getField(key),
+            lit("None"))))
+        .otherwise(lit(""))
     val base = array_join(
       coalesce(d.getField("storefrontAddress").getField("addressLines"),
         array()), ", ")
     val withLoc = concat(base,
-      coalesce(concat(lit(", "),
-        d.getField("storefrontAddress").getField("locality")), lit("")),
-      coalesce(concat(lit(", "),
-        d.getField("storefrontAddress").getField("administrativeArea")),
-        lit("")),
-      coalesce(concat(lit(" "),
-        d.getField("storefrontAddress").getField("postalCode")), lit("")))
+      part(", ", "locality"),
+      part(", ", "administrativeArea"),
+      part(" ", "postalCode"))
     when(length(withLoc) === 0, lit(NotFoundSentinel)).otherwise(withLoc)
   }
 
@@ -144,9 +157,15 @@ object GmbFlattener {
       notFound(d.getField("title")).as("business_name"),
       guarded("$.phoneNumbers", "primaryPhone",
         d.getField("phoneNumbers").getField("primaryPhone")).as("phone"),
+      // try_element_at: an EMPTY additionalPhones array passes the
+      // key-presence guard, and plain element_at(…, 1) would throw
+      // under ANSI mode (the reference ALSO crashes — IndexError — but
+      // null is the sane superset of a crash, the convention everywhere
+      // else in this file)
       guarded("$.phoneNumbers", "additionalPhones",
-        element_at(d.getField("phoneNumbers").getField("additionalPhones"),
-          1)).as("additional_phone"),
+        try_element_at(
+          d.getField("phoneNumbers").getField("additionalPhones"),
+          lit(1))).as("additional_phone"),
       guarded("$", "websiteUri", d.getField("websiteUri")).as("website"),
       addressOf(d).as("address"),
       guarded("$", "storeCode", d.getField("storeCode")).as("store_code"),
@@ -154,9 +173,15 @@ object GmbFlattener {
       guarded("$.categories.primaryCategory", "displayName",
         d.getField("categories").getField("primaryCategory")
           .getField("displayName")).as("primary_category"),
+      // counted per KEY presence (`'name' in category`, main.py:549-553)
+      // — an explicit {"name": null} item counts, a bare {} doesn't; a
+      // struct-typed parse would conflate the two, so the items are
+      // re-parsed as raw JSON strings (the servicesSchema trick) and
+      // tested with json_object_keys
       coalesce(size(filter(
-        d.getField("categories").getField("additionalCategories"),
-        c => c.getField("name").isNotNull)), lit(0))
+        from_json(col("doc"), rawCategoriesSchema)
+          .getField("categories").getField("additionalCategories"),
+        c => array_contains(json_object_keys(c), "name"))), lit(0))
         .as("additional_categories_count"),
       guarded("$.metadata", "newReviewUri",
         d.getField("metadata").getField("newReviewUri")).as("review_url"),

@@ -139,9 +139,11 @@ object Pipelines {
     val keepers = scored.groupBy(col("text").as("ktext"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val exactKept = scored
-      .join(keepers, Seq("doc_id"), "left_semi")
-      .cache() // consumed by shingling, the drop-set anti join, and output
+    // pooled: consumed by shingling, the drop-set anti join, and the
+    // output projection — CachePool bounds + releases the storage
+    val exactKept = graft.CachePool.cached(s, s"pipe.corpusExact:$dir") {
+      scored.join(keepers, Seq("doc_id"), "left_semi")
+    }
     val sharr = exactKept
       .select(col("doc_id"),
         call_function("word_shingles", col("text"), lit(3)).as("sharr"))

@@ -235,12 +235,21 @@ object SemiStructured {
         concat(lit("rev://"), key.cast("string")).as("newReviewUri"),
         lit(null).cast("string").as("mapsUri"))).as("metadata")))
     // every 11th customer ships explicit-null keys (built with string
-    // concat — to_json omits nulls): phone/website must surface as
-    // NULL (key present), everything else as the absent-key defaults
+    // concat — to_json omits nulls): phone/website surface as NULL
+    // (key present), the EMPTY additionalPhones array yields null (not
+    // a crash), the explicit-null locality renders ", None" in the
+    // address like the reference's f-string, and the explicit-null
+    // {"name": null} category item COUNTS (key presence) while the
+    // bare {} item doesn't
     val explicitNullDoc = concat(
       lit("{\"title\": \""), col("c_name"),
       lit("\", \"websiteUri\": null, " +
-        "\"phoneNumbers\": {\"primaryPhone\": null}}"))
+        "\"phoneNumbers\": {\"primaryPhone\": null, " +
+        "\"additionalPhones\": []}, " +
+        "\"storefrontAddress\": {\"locality\": null, " +
+        "\"postalCode\": \"9\"}, " +
+        "\"categories\": {\"additionalCategories\": " +
+        "[{\"name\": null}, {}]}}"))
     GmbFlattener.flattenLocation(
       c.select(key.as("id"),
         when(key % 11 === 0, explicitNullDoc).otherwise(doc).as("doc")))

@@ -22,15 +22,21 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     call_function("vector_dot", a, b)
 
-  /** Corpus with precomputed L2 norm (one pass, reused by both join
-    * sides).
+  /** Corpus with precomputed L2 norm, pooled through graft.CachePool:
+    * every similarity query reads it at least twice (probe side + full
+    * side), four queries plus the recall specs share it within one
+    * session, and the pool's LRU unpersists it instead of letting each
+    * query's private cache pile up in executor storage (the measured
+    * round-2 slowdown). At 100 TB this is the deliberate working-set
+    * choice — the normed corpus is the table every ANN probe touches.
     */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
-    VectorExpressions.ensureRegistered(s)
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-  }
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"sim.corpus:$dir") {
+      VectorExpressions.ensureRegistered(s)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    }
 
   /** Brute-force cosine top-k: probe rows (vec_id < 8) broadcast
     * against the full corpus; rank by rounded sim desc, id asc.
@@ -97,20 +103,24 @@ object Similarity {
     * NorthStarSpec.
     */
   def annIvf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val c = corpus(s, dir).cache()
+    val c = corpus(s, dir)
     val cents = c.filter(col("vec_id") % 127 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cn"))
-    val assigned = c.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("cent_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("csim"), col("cent_id"))).as("m"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("m.cent_id").as("cent_id"),
-        col("v"), col("nrm"))
-      .cache()
+    // pooled: the inverted-list assignment is read by both the probe
+    // and corpus sides below (and by recall specs) — one materialized
+    // copy, released by the pool's LRU
+    val assigned = graft.CachePool.cached(s, s"sim.ivfAssigned:$dir") {
+      c.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("csim"), col("cent_id"))).as("m"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+          col("v"), col("nrm"))
+    }
     val probes = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("cent_id"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -167,7 +177,7 @@ object Similarity {
     * materialized as output rows — not all n²/2 array-carrying rows.
     */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir).cache()
+    val c = corpus(s, dir) // pooled cache — see corpus()
     val a = Tables.fanOut(c.select(col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na")))
     val b = c.select(col("vec_id").as("vec_b"), col("v").as("vb"),

@@ -84,25 +84,30 @@ object TextAnalysis {
     * `winnowPairs`. Position-robust (unlike the exact md5 fingerprint
     * below): inserting a prefix leaves most fingerprints intact.
     */
-  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExpressions.ensureRegistered(s)
-    Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"),
-        call_function("winnow64", col("text"), lit(12), lit(6)).as("fps"))
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    winnowArr(s, dir)
       .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
         element_at(col("fps"), 1).as("min_fp"))
       .orderBy("doc_id")
-  }
+
+  /** Per-doc winnow fingerprint arrays, pooled through graft.CachePool:
+    * winnowPairs reads it from both join sides plus the sizes side,
+    * winnowFingerprint shares it, and the pool releases the storage
+    * instead of leaking a per-query cache.
+    */
+  private def winnowArr(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"text.winnowFps:$dir") {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          call_function("winnow64", col("text"), lit(12), lit(6)).as("fps"))
+    }
 
   /** Near-dup pairs by shared winnow fingerprints (equi-join blocking,
     * like the shingle path but position-robust and character-level).
     */
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExpressions.ensureRegistered(s)
-    val arr = Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"),
-        call_function("winnow64", col("text"), lit(12), lit(6)).as("fps"))
-      .cache() // consumed by both join sides and the sizes side
+    val arr = winnowArr(s, dir)
     val sizes = arr.select(col("doc_id"), size(col("fps")).as("n_fp"))
     // classic self-equi-join here, NOT Dedup.pairCounts: winnow
     // fingerprints form LARGE buckets (one shared phrase fingerprint

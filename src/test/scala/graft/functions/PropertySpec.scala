@@ -77,9 +77,6 @@ class PropertySpec extends SparkSpec {
     samples(gen, 8).foreach { rows =>
       val distinctRows = rows.distinct // one (id, key) row per pair
       val df = distinctRows.toDF("doc_id", "sh")
-      val fast = graft.operators.Dedup.pairCounts(df, "sh", "doc_id")
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       val naive = df.as("a")
         .join(df.as("b"), col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -87,7 +84,16 @@ class PropertySpec extends SparkSpec {
         .agg(count(lit(1)).as("n"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-      assert(fast == naive)
+      // cap=default → all buckets take the group-expand path here;
+      // cap=2 → every bucket takes the hot-bucket codegen join path;
+      // cap=4 → buckets split across BOTH paths and the union must
+      // still count exactly. All three must be byte-identical.
+      Seq(64, 2, 4).foreach { cap =>
+        val fast = graft.operators.Dedup.pairCounts(df, "sh", "doc_id", cap)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(fast == naive, s"cap=$cap")
+      }
     }
   }
 

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Quantified cross-checks for the no-oracle dedup queries at sf0.01 —
+  * the driver's correctness gate can only row-count them (hash-family
+  * outputs aren't SQL-expressible in DuckDB), so this spec pins their
+  * candidate sets against the oracle-verified `ngramJaccard` ground
+  * truth (3-gram Jaccard ≥ 0.5, the planted near-dup pairs) with
+  * explicit precision/recall bounds.
+  */
+class DedupRecallSpec extends SparkSpec {
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val truth = pairs(Dedup.ngramJaccard(spark, sf01))
+
+  test("sf0.01 ground truth: the 25 planted near-dup pairs") {
+    assert(truth.size == 25, s"ground truth ${truth.size}")
+  }
+
+  test("minhash+LSH at sf0.01: precision 1.0, recall >= 0.9") {
+    val mh = pairs(Dedup.minhashPairs(spark, sf01))
+    assert(mh.subsetOf(truth), "minhash pairs are Jaccard-verified")
+    val recall = mh.size.toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall")
+  }
+
+  test("simhash pairs at sf0.01: recall and precision bounds") {
+    val sh = pairs(Dedup.simhashPairs(spark, sf01))
+    val recall = truth.intersect(sh).size.toDouble / truth.size
+    val precision = truth.intersect(sh).size.toDouble / sh.size
+    assert(recall >= 0.6, s"simhash recall $recall")
+    assert(precision >= 0.05, s"simhash precision $precision")
+  }
+
+  test("winnow pairs at sf0.01: recall and precision bounds") {
+    val wp = pairs(TextAnalysis.winnowPairs(spark, sf01))
+    val recall = truth.intersect(wp).size.toDouble / truth.size
+    val precision = truth.intersect(wp).size.toDouble / wp.size
+    assert(recall >= 0.6, s"winnow recall $recall")
+    assert(precision >= 0.5, s"winnow precision $precision")
+  }
+}

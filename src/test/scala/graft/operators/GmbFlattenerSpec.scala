@@ -68,6 +68,30 @@ class GmbFlattenerSpec extends SparkSpec {
     assert(r.getAs[String]("address") == ", Springfield")
   }
 
+  test("location: explicit-null locality renders ', None' (f-string parity)") {
+    // reference appends f", {address['locality']}" under a KEY-presence
+    // guard (main.py:448-454): {"locality": null} → ", None"
+    val doc = """{"storefrontAddress": {"locality": null, "postalCode": "9"}}"""
+    val r = GmbFlattener.flattenLocation(bronze(6L -> doc)).collect().head
+    assert(r.getAs[String]("address") == ", None 9")
+  }
+
+  test("location: empty additionalPhones array yields null, not a crash") {
+    // the reference raises IndexError here; null is the sane superset
+    val doc = """{"phoneNumbers": {"primaryPhone": "1", "additionalPhones": []}}"""
+    val r = GmbFlattener.flattenLocation(bronze(7L -> doc)).collect().head
+    assert(r.isNullAt(r.fieldIndex("additional_phone")))
+  }
+
+  test("location: explicit-null category name still counts (key presence)") {
+    // main.py:549-553 counts dicts CARRYING the 'name' key — the value
+    // may be null; a bare {} has no key and is skipped
+    val doc = """{"categories": {"additionalCategories":
+      | [{"name": null}, {}, {"name": "x"}]}}""".stripMargin.replace("\n", "")
+    val r = GmbFlattener.flattenLocation(bronze(8L -> doc)).collect().head
+    assert(r.getAs[Int]("additional_categories_count") == 2)
+  }
+
   test("location: split hours — duplicate openDay keeps the LAST period") {
     val doc =
       """{"regularHours": {"periods": [
