@@ -28,10 +28,22 @@ object Bench {
         val b = if (a >= 0) timeOnce(fn, name) else a
         name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the line short enough that log-tail
+    // captures hold every query; the full line is ALSO written to
+    // BENCH_FULL.json so per-query numbers are always recoverable
+    def fmt(v: Double) = // Locale.ROOT: "." decimal point, valid JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // best-effort artifact
     spark.stop()
   }
 }

@@ -31,6 +31,7 @@ object SparkEntry {
     "j2_left_enrich" -> (Relational.leftEnrich _),
     "j3_join_revenue" -> (Relational.join3Revenue _),
     "j_anti" -> (Relational.antiJoin _),
+    "s2_jdbc_source" -> (Relational.jdbcSnapshot _),
     // §2.5 aggregations
     "a1_pricing_summary" -> (Aggregates.pricingSummary _),
     "a1_explode_sum" -> (Aggregates.explodeSum _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "sink_upsert_by_date" -> (Sinks.upsertByDate _),
     "sink_compact" -> (Sinks.compact _),
     "sink_schema_evolution" -> (Sinks.schemaEvolution _),
+    "sink_infer_csv" -> (Sinks.inferredCsv _),
     // §3.2 pipeline B gold table
     "p_insight_gold" -> (Pipelines.insightGold _),
     "p_scd2" -> (Pipelines.scd2 _),
@@ -151,7 +153,9 @@ object SparkEntry {
     * jobs inside its builder.
     */
   val eagerWriters: Set[String] =
-    queries.keySet.filter(_.startsWith("sink_")) + "adv_bucketed_join"
+    queries.keySet.filter(_.startsWith("sink_")) +
+      "adv_bucketed_join" +
+      "s2_jdbc_source" // builder seeds the embedded Derby db (a write job)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -209,6 +213,16 @@ object SparkEntry {
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2001-01-01')
         |ORDER BY c_custkey""".stripMargin,
+    "s2_jdbc_source" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |WHERE s_acctbal > 0 AND s_nationkey IN
+        |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        |ORDER BY s_suppkey""".stripMargin,
+    "sink_infer_csv" ->
+      """SELECT c_custkey, c_name,
+        | CAST(c_acctbal > 0 AS INT) AS is_positive,
+        | CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

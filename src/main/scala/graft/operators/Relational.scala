@@ -35,6 +35,28 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** S2 over a REAL JDBC relation (embedded Derby — see
+    * graft.sources.JdbcSource): the reference's database-table ingest
+    * (`Gonukkad_Merchants.py:61`) as a pushdown-capable JDBC scan +
+    * broadcast semi join against a parquet dim. The acctbal predicate
+    * and the 4-column projection reach the database as SQL (WHERE /
+    * select list — asserted in JdbcSourceSpec), the read is
+    * range-partitioned on the numeric key, and the ID set joins
+    * distributed, never spliced into the query text.
+    */
+  def jdbcSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_regionkey") === 1)
+      .select(col("n_nationkey"))
+    graft.sources.JdbcSource.supplier(s, dir)
+      .filter(col("s_acctbal") > 0)
+      .join(broadcast(nations),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
   /** S1/P1: scan + narrow projection (only 2 of 6 columns read). */
   def scanProject(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

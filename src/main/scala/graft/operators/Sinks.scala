@@ -31,6 +31,38 @@ object Sinks {
       .orderBy("n_nationkey")
   }
 
+  /** K2's inference half: headered CSV ingested with
+    * `inferSchema=true` — NO declared schema, mirroring the reference
+    * deriving its landing schema from the first row's keys
+    * (`Gonukkad_Merchants.py:86`, `presentation.py:54`) — then the X1
+    * bool-normalize schema walk runs over the INFERRED schema (the
+    * walk is runtime `df.schema` inspection, so it composes with
+    * inference exactly as with declared schemas: the inferred BOOLEAN
+    * column comes out 0/1). Key columns are cast to canonical widths
+    * after ingest: inference picks the narrowest integer type that
+    * fits the observed values, which may drift across scale factors —
+    * the ingest is inferred, the published schema is pinned.
+    */
+  def inferredCsv(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Scalars.normalizeBooleans
+    val out = s"${root(dir)}/customer_infer_csv"
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") > 0).as("is_positive"), col("c_acctbal"))
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(out)
+    val back = s.read
+      .option("header", "true").option("inferSchema", "true").csv(out)
+    assert(back.schema("is_positive").dataType ==
+      org.apache.spark.sql.types.BooleanType) // inference found the bool
+    normalizeBooleans(back)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"),
+        col("is_positive"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   /** Schema evolution across snapshot generations: an early snapshot
     * written WITHOUT a column, a later one with it, read back as one
     * table via parquet mergeSchema — the schema-on-read posture of

@@ -13,17 +13,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * source shape (SURVEY.md §2.1 S4-S5: OAuth'd GETs following
   * `nextPageToken`, `buisness_profile_etl/main.py:285-314,403-436`).
   *
-  * Each page is one `InputPartition`, so pages are fetched in parallel
-  * across executors — the scale answer to the reference's sequential
-  * page loop. The HTTP fetch is stubbed with a deterministic generator
-  * (zero-egress container); a real connector would issue the GET inside
-  * `PartitionReader.next` and keep the token→page mapping here.
+  * Pagination is TOKEN-CHAINED, like the real API: the page count is
+  * server-side state the client never sees; `planInputPartitions`
+  * discovers the pages by following `nextPageToken` until the server
+  * stops returning one (the reference's `while nextPageToken`
+  * loop, `main.py:301-308`). The token walk is a sequential
+  * metadata-only exchange on the Spark driver — inherent to token
+  * pagination, and cheap because it carries no page bodies — while the
+  * page BODIES are fetched in parallel across executors, one
+  * `InputPartition` per discovered token: the scale answer to the
+  * reference fetching every body inside that same sequential loop.
+  *
+  * The HTTP fetch is stubbed by `FakeRestServer` (deterministic,
+  * zero-egress container); a real connector would issue the GETs in
+  * `nextToken` (page metadata) and `PartitionReader.next` (body).
   * Column pruning is pushed into the reader
   * (`SupportsPushDownRequiredColumns`).
   *
   * Usage:
   *   spark.read.format("graft.sources.RestSource")
   *     .option("pages", 20).option("pageSize", 500).load()
+  * (`pages`/`pageSize` configure the FAKE SERVER's remote state; the
+  * scan itself only ever sees tokens.)
   */
 class RestSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -31,9 +42,9 @@ class RestSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new RestTable(
+    new RestTable(new FakeRestServer(
       opts.getOrDefault("pages", "8").toInt,
-      opts.getOrDefault("pageSize", "100").toInt)
+      opts.getOrDefault("pageSize", "100").toInt))
   }
 }
 
@@ -51,50 +62,89 @@ object RestSource {
   def valueOf(id: Long): Long = (id * 1103515245L + 12345L) % 1000L
 }
 
-private class RestTable(pages: Int, pageSize: Int)
+/** Deterministic stand-in for the remote endpoint's pagination
+  * protocol. Tokens are opaque to the scan (an embedded page ordinal
+  * plus a hash suffix, the shape real APIs use); only the server can
+  * mint the next one or decode one into a page of records.
+  */
+private[sources] class FakeRestServer(pages: Int, pageSize: Int)
+    extends Serializable {
+  /** GET /records — the first page's token, or None for an empty
+    * collection (the reference's first call without a pageToken).
+    */
+  def firstToken: Option[String] =
+    if (pages > 0) Some(tokenOf(0)) else None
+
+  /** The `nextPageToken` field of page `token`'s response: the
+    * following page's token, or None when this page is the last —
+    * exhaustion ends the discovery walk.
+    */
+  def nextToken(token: String): Option[String] = {
+    val p = pageIndexOf(token) + 1
+    if (p < pages) Some(tokenOf(p)) else None
+  }
+
+  /** Decode a token back to its page ordinal (server-side secret). */
+  def pageIndexOf(token: String): Int = token.slice(4, 12).toInt
+
+  private def tokenOf(p: Int): String =
+    f"tok-$p%08d-${(p * 2654435761L) & 0xFFFFFFL}%06x"
+
+  def sizeOfPage: Int = pageSize
+}
+
+private class RestTable(server: FakeRestServer)
     extends Table with SupportsRead {
-  override def name(): String = s"graft_rest(pages=$pages,pageSize=$pageSize)"
+  override def name(): String = s"graft_rest(pageSize=${server.sizeOfPage})"
   override def schema(): StructType = RestSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(pages, pageSize)
+    new RestScanBuilder(server)
 }
 
-private class RestScanBuilder(pages: Int, pageSize: Int)
+private class RestScanBuilder(server: FakeRestServer)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = RestSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RestScan(pages, pageSize, required)
+  override def build(): Scan = new RestScan(server, required)
 }
 
-private class RestScan(pages: Int, pageSize: Int, required: StructType)
+private class RestScan(server: FakeRestServer, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until pages).map(p => RestPage(p, pageSize): InputPartition).toArray
+    // the nextPageToken discovery walk: page count is unknown until
+    // the server stops minting tokens
+    Iterator.iterate(server.firstToken)(_.flatMap(server.nextToken))
+      .takeWhile(_.isDefined)
+      .map(t => RestPage(t.get, server.sizeOfPage): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new RestReaderFactory(required)
+    new RestReaderFactory(server, required)
 }
 
-private case class RestPage(page: Int, pageSize: Int) extends InputPartition
+/** One discovered page: the reader fetches BY TOKEN, like the API. */
+private case class RestPage(token: String, pageSize: Int)
+    extends InputPartition
 
-private class RestReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+private class RestReaderFactory(server: FakeRestServer,
+    required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RestPage]
+    val page = server.pageIndexOf(rp.token)
     new PartitionReader[InternalRow] {
-      // A real connector would GET the page here (token = fn(page)).
+      // A real connector would GET the page body here, by rp.token.
       private var i = -1
       override def next(): Boolean = { i += 1; i < rp.pageSize }
       override def get(): InternalRow = {
-        val id = rp.page.toLong * rp.pageSize + i
+        val id = page.toLong * rp.pageSize + i
         val v = RestSource.valueOf(id)
         val full = Map[String, Any](
           "id" -> id,
-          "page" -> rp.page,
+          "page" -> page,
           "status" -> UTF8String.fromString(if (v % 5 == 0) "inactive" else "active"),
           "score" -> v / 10.0)
         InternalRow.fromSeq(required.fields.map(f => full(f.name)).toSeq)

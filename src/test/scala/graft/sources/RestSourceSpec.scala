@@ -35,4 +35,29 @@ class RestSourceSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.collectLeaves().head
     assert(scan.schema.fieldNames.toSeq == Seq("id"))
   }
+
+  test("token chain discovers the unknown page count until exhaustion") {
+    val server = new FakeRestServer(5, 10)
+    val walked = Iterator.iterate(server.firstToken)(
+      _.flatMap(server.nextToken)).takeWhile(_.isDefined).map(_.get).toList
+    assert(walked.length == 5) // count discovered, never configured
+    assert(walked.map(server.pageIndexOf) == List(0, 1, 2, 3, 4))
+    assert(walked.distinct == walked) // tokens are unique
+    assert(server.nextToken(walked.last).isEmpty) // exhaustion
+    // and the scan's partitioning agrees with the walk
+    assert(load(5, 10).rdd.getNumPartitions == 5)
+  }
+
+  test("empty collection: no first token, zero rows, zero partitions") {
+    val server = new FakeRestServer(0, 10)
+    assert(server.firstToken.isEmpty)
+    assert(load(0, 10).count() == 0)
+  }
+
+  test("tokens are deterministic across walks (resumable discovery)") {
+    val a = new FakeRestServer(3, 7)
+    val b = new FakeRestServer(3, 7)
+    assert(a.firstToken == b.firstToken)
+    assert(a.nextToken(a.firstToken.get) == b.nextToken(b.firstToken.get))
+  }
 }
