@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d).orderBy("doc_id")),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_cosine" -> (Similarity.cosineNearDup _),
+    "dedup_clusters" -> (Dedup.nearDupClusters _),
     // §2.10 north-star: similarity search
     "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -138,6 +139,8 @@ object SparkEntry {
     "text_bigrams" -> (TextAnalysis.bigrams _),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "text_pii_scrub" -> (TextAnalysis.piiScrub _),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -155,7 +158,8 @@ object SparkEntry {
   val eagerWriters: Set[String] =
     queries.keySet.filter(_.startsWith("sink_")) +
       "adv_bucketed_join" +
-      "s2_jdbc_source" // builder seeds the embedded Derby db (a write job)
+      "s2_jdbc_source" + // builder seeds the embedded Derby db (a write job)
+      "dedup_clusters"   // builder runs the iterative CC fixpoint jobs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -893,6 +897,81 @@ object SparkEntry {
         |JOIN sz nb ON nb.doc_id = doc_b
         |WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM pr
+        |  JOIN sz na ON na.doc_id = doc_a
+        |  JOIN sz nb ON nb.doc_id = doc_b
+        |  WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |        FROM reach GROUP BY 1),
+        |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY 1)
+        |SELECT l.doc_id, l.cluster_id, cs.cluster_size,
+        |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
+        |FROM lab l JOIN cs ON l.cluster_id = cs.cluster_id
+        |ORDER BY l.doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, token) AS rank FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text || ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com or +1-555-01' ||
+        |    CAST(doc_id AS VARCHAR) AS d
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT doc_id, d,
+        |    regexp_replace(regexp_replace(d,
+        |      '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+        |      '\+1-555-[0-9]+', '[PHONE]', 'g') AS sc
+        |  FROM dirty)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(d,
+        |    '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(d, '\+1-555-[0-9]+')) AS INT)
+        |    AS n_phones,
+        |  CAST(len(d) AS INT) AS len_before,
+        |  CAST(len(sc) AS INT) AS len_after,
+        |  md5(sc) AS scrubbed_md5
+        |FROM scrub ORDER BY doc_id""".stripMargin,
     "dedup_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS sim

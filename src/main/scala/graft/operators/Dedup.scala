@@ -115,21 +115,28 @@ object Dedup {
     * (equi-join, never a cross join); exact Jaccard from intersection
     * and set sizes; threshold 0.5.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sizes = shingleArrDf(s, dir)
-      .select(col("doc_id"), size(col("sharr")).as("n_sh"))
-    val inter = pairCounts(shingleDf(s, dir), "sh", "doc_id")
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** The (doc_a, doc_b, jaccard) pair set, unsorted — pooled because
+    * it's a shared intermediate: the pair query sorts it for output,
+    * nearDupClusters consumes it as the component-graph edge list, and
+    * the recall specs use it as ground truth.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"dedup.jaccardPairs:$dir") {
+      val sizes = shingleArrDf(s, dir)
+        .select(col("doc_id"), size(col("sharr")).as("n_sh"))
+      pairCounts(shingleDf(s, dir), "sh", "doc_id")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
 
   /** MinHash signatures: H seeded-XXH64 mins over the shingle set in
     * one pass — the custom `minhash_sig` expression
@@ -194,6 +201,71 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Duplicate-cluster resolution: connected components over the
+    * near-dup pair graph, labeling every pair-connected doc with its
+    * component's MIN doc_id — the "keep one representative per
+    * duplicate cluster" step that follows pair generation in every
+    * dedup pipeline (transitivity matters: A~B and B~C must put A and
+    * C in one cluster even though they never paired).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own and its neighbors' labels — one distributed
+    * join + groupBy per round, repeated until a round changes nothing.
+    * The driver loop only reads the per-round CHANGE COUNT (a scalar);
+    * rows never leave the cluster, and `localCheckpoint` truncates the
+    * per-round lineage so plans stay flat. Rounds = O(component
+    * diameter), and near-dup components are shallow by construction
+    * (they exist because members share content). At 100 TB swap the
+    * same loop body for large-star/small-star alternation — fewer
+    * rounds on adversarial chain graphs, identical fixpoint.
+    */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val labels =
+      connectedComponents(jaccardPairs(s, dir).select("doc_a", "doc_b"))
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("label")).cast("int").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation over an undirected pair graph → one
+    * (doc_id, label) row per pair-connected node, label = the
+    * component's min id. See nearDupClusters for the scale notes.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("doc_a", "doc_b")
+    val edges = p
+      .unionByName(p.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint() // consumed every round; computed once
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels = next
+    }
+    labels
   }
 
   /** SimHash: 64-bit signature by bit-voting over token hashes — the

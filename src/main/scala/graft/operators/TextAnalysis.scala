@@ -210,6 +210,68 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("bigram"))
       .limit(50)
 
+  /** Per-document TF-IDF top terms — the relevance-weighting pass
+    * behind corpus search/keyword extraction. Shuffle shape: term
+    * frequencies aggregate per (doc, token) with map-side combine,
+    * document frequencies derive from THAT (already one row per
+    * doc-token, so df is a count, not a distinct), and the corpus size
+    * joins in as a broadcast 1-row aggregate — N never touches the
+    * driver. idf here is the raw inverse frequency N/df (the
+    * log-damped variant is a one-line swap): kept rational so the
+    * score is two IEEE ops — bit-identical across engines — where
+    * ln() is a libm call with no cross-engine rounding guarantee.
+    */
+  def tfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** PII redaction: detect + scrub email addresses and phone numbers —
+    * the compliance pass every training corpus runs before anything
+    * else sees the text. The testdata corpus contains no PII, so a
+    * deterministic contact line is INJECTED per doc first and the
+    * scrubber must take exactly it back out (the md5 of the scrubbed
+    * text pins the byte-exact replacement, not just the counts).
+    * Row-local regex work — embarrassingly parallel, no shuffle.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "\\+1-555-[0-9]+"
+    Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-01"), col("doc_id").cast("string")))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("dirty"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(phoneRe), lit(0)))
+          .as("n_phones"),
+        length(col("dirty")).as("len_before"),
+        length(col("scrubbed")).as("len_after"),
+        md5(col("scrubbed")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text, plus
     * the exact-duplicate group size per fingerprint.
     */

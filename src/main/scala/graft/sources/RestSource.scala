@@ -62,13 +62,46 @@ object RestSource {
   def valueOf(id: Long): Long = (id * 1103515245L + 12345L) % 1000L
 }
 
-/** Deterministic stand-in for the remote endpoint's pagination
-  * protocol. Tokens are opaque to the scan (an embedded page ordinal
-  * plus a hash suffix, the shape real APIs use); only the server can
-  * mint the next one or decode one into a page of records.
+/** Deterministic stand-in for the remote endpoint's pagination +
+  * auth protocol. Page tokens are opaque to the scan (an embedded
+  * page ordinal plus a hash suffix, the shape real APIs use); only
+  * the server can mint the next one or decode one into a page of
+  * records.
+  *
+  * Auth models the reference's OAuth refresh flow
+  * (`buisness_profile_etl/main.py:116-138`): a LONG-LIVED refresh
+  * token is exchanged for a SHORT-LIVED access token that expires
+  * after `accessTtlPages` page fetches. Distributed shape: the
+  * refresh credential ships with the (serializable) server handle to
+  * every task; each executor exchanges for the access token
+  * GENERATION its page needs (memoized per JVM — see
+  * `RestAuthCache`), so tokens are minted where they're used and
+  * never stream driver→executor per request.
   */
 private[sources] class FakeRestServer(pages: Int, pageSize: Int)
     extends Serializable {
+
+  /** The long-lived credential (config/secret-store in real life). */
+  val refreshToken: String = "rt-graft-fake"
+
+  /** Pages one access token is valid for before it "expires". */
+  val accessTtlPages: Int = 4
+
+  /** POST /oauth/token — exchange refresh token for the access token
+    * of `generation` (deterministic; a real server returns a random
+    * bearer + expiry and the client derives the generation from it).
+    */
+  def exchangeToken(refresh: String, generation: Int): String = {
+    require(refresh == refreshToken, "invalid refresh token")
+    f"at-$generation%04d-${(generation * 40503L) & 0xFFFFL}%04x"
+  }
+
+  /** Server-side check: the presented access token must be the live
+    * generation for the requested page (expired → the client must
+    * re-exchange, the reference's `if expired: refresh()` branch).
+    */
+  def validateAccess(accessToken: String, page: Int): Boolean =
+    accessToken == exchangeToken(refreshToken, page / accessTtlPages)
   /** GET /records — the first page's token, or None for an empty
     * collection (the reference's first call without a pageToken).
     */
@@ -130,13 +163,35 @@ private class RestScan(server: FakeRestServer, required: StructType)
 private case class RestPage(token: String, pageSize: Int)
     extends InputPartition
 
+/** Per-JVM (≈ per-executor) access-token memo: one exchange per token
+  * generation per executor, however many page tasks run there — the
+  * distributed analog of the reference's "refresh only when expired".
+  * Exposed per-sources for the spec's exchange-count assertion.
+  */
+private[sources] object RestAuthCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, String]
+  val exchanges = new java.util.concurrent.atomic.AtomicInteger(0)
+  def accessTokenFor(server: FakeRestServer, page: Int): String =
+    cache.computeIfAbsent(page / server.accessTtlPages, gen => {
+      exchanges.incrementAndGet()
+      server.exchangeToken(server.refreshToken, gen)
+    })
+  def reset(): Unit = { cache.clear(); exchanges.set(0) }
+}
+
 private class RestReaderFactory(server: FakeRestServer,
     required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RestPage]
     val page = server.pageIndexOf(rp.token)
+    // authenticate the fetch: exchange (or reuse) the generation's
+    // access token, and the server must accept it for this page
+    require(server.validateAccess(
+      RestAuthCache.accessTokenFor(server, page), page),
+      s"stale access token for page $page")
     new PartitionReader[InternalRow] {
-      // A real connector would GET the page body here, by rp.token.
+      // A real connector would GET the page body here, by rp.token +
+      // the bearer token above.
       private var i = -1
       override def next(): Boolean = { i += 1; i < rp.pageSize }
       override def get(): InternalRow = {

@@ -150,6 +150,58 @@ class NorthStarSpec extends SparkSpec {
     assert(recall >= 0.5, s"winnow recall $recall")
   }
 
+  test("connectedComponents: transitive chains collapse to min-id labels") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (1~2, 2~3, 3~4 without 1~4), pair 7-9, singleton-free
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
+  test("nearDupClusters: consistent with ngramJaccard pairs") {
+    val clusters = Dedup.nearDupClusters(spark, sfDir).collect()
+    val byDoc = clusters.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every jaccard pair lands in one cluster; keeper is the min id
+    pairSet(Dedup.ngramJaccard(spark, sfDir)).foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across clusters")
+      assert(byDoc(a) <= a && byDoc(a) <= b)
+    }
+    clusters.foreach { r =>
+      assert((r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")) ==
+        (r.getAs[Int]("is_keeper") == 1))
+    }
+  }
+
+  test("tfidf: ranks are 1..k per doc, scores non-increasing, df sane") {
+    val rows = TextAnalysis.tfidf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // a term in every doc scores tf * 1.0 — never outranks rarer terms
+    // with equal tf; df is bounded by the corpus size
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.forall(r => r.getAs[Long]("df") <= nDocs))
+  }
+
+  test("piiScrub: injected PII found and byte-exactly removed") {
+    val rows = TextAnalysis.piiScrub(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") == 1)
+      assert(r.getAs[Int]("n_phones") == 1)
+      assert(r.getAs[Int]("len_after") < r.getAs[Int]("len_before"))
+    }
+  }
+
   test("mm decode stub: byte counts match n_chars (ASCII), hex reversible") {
     val out = Multimodal.decodeMeta(spark, sfDir)
       .join(Tables.documents(spark, sfDir), "doc_id")

@@ -54,6 +54,22 @@ class RestSourceSpec extends SparkSpec {
     assert(load(0, 10).count() == 0)
   }
 
+  test("oauth: one exchange per token generation, stale tokens rejected") {
+    val server = new FakeRestServer(12, 5) // ttl 4 → generations 0,1,2
+    RestAuthCache.reset()
+    assert(load(12, 5).count() == 60) // reads all 12 pages
+    assert(RestAuthCache.exchanges.get() == 3) // NOT one per page/task
+    // server-side expiry: generation-0 token is stale for page 4
+    val gen0 = server.exchangeToken(server.refreshToken, 0)
+    assert(server.validateAccess(gen0, 3))
+    assert(!server.validateAccess(gen0, 4))
+    // only the real refresh credential can mint access tokens
+    intercept[IllegalArgumentException] {
+      server.exchangeToken("wrong-refresh", 0)
+    }
+    RestAuthCache.reset() // leave no cross-test state
+  }
+
   test("tokens are deterministic across walks (resumable discovery)") {
     val a = new FakeRestServer(3, 7)
     val b = new FakeRestServer(3, 7)
