@@ -23,7 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contract pins the entry forever.)
   */
 object CachePool {
-  private val Max = 8
+  // comfortably above the ~10 distinct tags a single-dir session
+  // creates: the bound exists to stop UNBOUNDED accumulation across
+  // many (session, dir) combinations, not to evict the live working
+  // set — a Max at exactly the tag count would make any two-dir
+  // session (tests run sf0.001 + sf0.01) thrash evict/recompute
+  private val Max = 32
   private val memo =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
       16, 0.75f, /* accessOrder = */ true) {

@@ -59,27 +59,37 @@ object Dedup {
     *
     * BOTH branches produce exact pair streams, so the routing decision
     * only affects performance, never results — which is what lets hot
-    * keys be detected from a cheap fixed-seed SAMPLE instead of a full
+    * keys be detected from a cheap ~5% SAMPLE instead of a full
     * per-key count (an exact count over millions of distinct shingles
     * costs as much as the main aggregation itself — measured ~2×
-    * query time; a window-over-exploded sizing was equally bad). A key
-    * with B occurrences survives the filter with expectation
-    * B·frac > cap·frac, so genuinely hot keys (B ≫ cap — the 100 TB
-    * scale-killers) are caught with near-certainty, borderline buckets
-    * just stay on the group-expand path, and the hot set is
-    * broadcastable by construction because "hot" means rare. The two
-    * branches' pair streams union before the final per-pair count —
-    * byte-identical to the naive self-join at ANY cap and ANY routing.
-    * An O(B²) pair count for a hot key is inherent to exact
-    * intersection semantics; callers that would rather LOSE ubiquitous
-    * keys than pay for them should filter them upstream.
+    * query time; a window-over-exploded sizing was equally bad). The
+    * sample is CONTENT-hashed (xxhash64(key, id) mod 20), not
+    * positional `df.sample`: the hot set is referenced by three
+    * independent branch plans below, and a pure function of row
+    * content evaluates identically however many times Spark computes
+    * it — a Bernoulli sample's membership depends on partition-internal
+    * row position, so two evaluations (e.g. with exchange reuse
+    * disabled) could disagree and route a key out of BOTH branches. A
+    * key with B occurrences is sampled ≈ B/20 times, so genuinely hot
+    * keys (B ≫ cap — the 100 TB scale-killers) are caught with
+    * near-certainty, borderline buckets just stay on the group-expand
+    * path, and the hot set is broadcastable by construction because
+    * "hot" means rare. The two branches' pair streams union before
+    * the final per-pair count — byte-identical to the naive self-join
+    * at ANY cap and ANY routing. (Self-pairs from duplicate (id, key)
+    * input rows are excluded on both paths, so the guarantee holds
+    * even for non-distinct input.) An O(B²) pair count for a hot key
+    * is inherent to exact intersection semantics; callers that would
+    * rather LOSE ubiquitous keys than pay for them should filter them
+    * upstream.
     */
   def pairCounts(exploded: DataFrame, key: String, id: String,
       cap: Int = 64): DataFrame = {
-    val frac = 0.05
-    val hot = exploded.sample(withReplacement = false, frac, seed = 42L)
+    val invFrac = 20 // ~5% content-hash sample
+    val hot = exploded
+      .filter(pmod(xxhash64(col(key), col(id)), lit(invFrac)) === 0)
       .groupBy(col(key)).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > cap * frac).select(col(key))
+      .filter(col("bsz") * invFrac > cap).select(col(key))
     val small = exploded.join(broadcast(hot), Seq(key), "left_anti")
       .groupBy(col(key))
       .agg(sort_array(collect_list(col(id))).as("ds"))
@@ -89,6 +99,10 @@ object Dedup {
           "size(ds)), y -> named_struct('doc_a', x, 'doc_b', y))))"))
         .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      // duplicate (id, key) input rows would expand to (a, a) here
+      // while the strict < in the join branch never emits them — drop
+      // self-pairs so routing cannot change results for ANY input
+      .filter(col("doc_a") =!= col("doc_b"))
     val big = exploded.join(broadcast(hot), Seq(key), "left_semi")
     val bigPairs = big.as("a")
       .join(big.as("b"), col(s"a.$key") === col(s"b.$key") &&
@@ -263,8 +277,19 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
         .filter(col("label") =!= col("prev"))
         .count()
+      // the superseded round's checkpoint blocks are dead the moment
+      // `changed` is computed — release them NOW rather than waiting
+      // for GC + ContextCleaner (the deterministic version of the
+      // cache-lifecycle rule the rest of the engine follows)
+      labels.unpersist(blocking = false)
       labels = next
     }
+    edges.unpersist(blocking = false)
+    // the RETURNED checkpoint stays persisted while the caller holds
+    // it; it's one row per pair-connected doc (tiny), and the
+    // ContextCleaner reclaims it when the DataFrame goes unreachable —
+    // localCheckpoint blocks are GC-tracked, unlike CacheManager
+    // entries
     labels
   }
 

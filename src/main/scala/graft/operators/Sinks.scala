@@ -53,8 +53,12 @@ object Sinks {
       .option("header", "true").csv(out)
     val back = s.read
       .option("header", "true").option("inferSchema", "true").csv(out)
-    assert(back.schema("is_positive").dataType ==
-      org.apache.spark.sql.types.BooleanType) // inference found the bool
+    // require, not assert (assert elides under -Xdisable-assertions,
+    // and this check IS the operator's contract): inference must have
+    // found the boolean or the normalize walk below silently no-ops
+    require(back.schema("is_positive").dataType ==
+      org.apache.spark.sql.types.BooleanType,
+      s"csv inference drifted: ${back.schema("is_positive").dataType}")
     normalizeBooleans(back)
       .select(col("c_custkey").cast("long").as("c_custkey"),
         col("c_name"),

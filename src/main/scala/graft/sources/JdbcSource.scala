@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, max, min}
 
 /** JDBC relational source (SURVEY.md §2.1 S2/S3): the reference's
   * primary ingest is a direct database-table read
@@ -22,46 +23,61 @@ object JdbcSource {
   private val Driver = "org.apache.derby.jdbc.EmbeddedDriver"
 
   private def url(dir: String) = {
-    val name = new java.io.File(dir).getName
-    s"jdbc:derby:/tmp/graft_derby/$name;create=true"
+    // basename + full-path hash: two sfDirs that happen to share a
+    // last path segment must NOT alias to one database (the seeded
+    // guard would silently serve the first dir's rows for the second)
+    val f = new java.io.File(dir)
+    val h = f.getCanonicalPath.hashCode.toHexString
+    s"jdbc:derby:/tmp/graft_derby/${f.getName}_$h;create=true"
   }
 
-  /** sfDirs whose Derby database already holds the seeded table (one
-    * seed per JVM run; Overwrite makes re-seeding across runs safe).
+  /** Seeded databases by URL, with the key range observed at seed
+    * time (one seed per JVM run; Overwrite makes re-seeding across
+    * runs safe).
     */
-  @volatile private var seeded = Set.empty[String]
+  @volatile private var seeded = Map.empty[String, (Long, Long)]
 
-  private def seedSupplier(s: SparkSession, dir: String): String =
+  private def seedSupplier(s: SparkSession, dir: String): (String, Long, Long) =
     synchronized {
       // keep derby.log (and lock files on crash recovery) out of cwd
       System.setProperty("derby.system.home", "/tmp/graft_derby")
       val u = url(dir)
-      if (!seeded.contains(u)) {
-        graft.Tables.supplier(s, dir)
-          .write.mode(SaveMode.Overwrite)
+      val (lo, hi) = seeded.getOrElse(u, {
+        val src = graft.Tables.supplier(s, dir)
+        src.write.mode(SaveMode.Overwrite)
           .format("jdbc")
           .option("url", u)
           .option("dbtable", "supplier")
           .option("driver", Driver)
           .save()
-        seeded += u
-      }
-      u
+        // real key range for the partitioned read: hardcoded bounds
+        // would pile every out-of-range row into a boundary partition
+        // (Spark's first/last stride is unbounded) — one task would do
+        // all the work on a table whose range drifted
+        val r = src.agg(min(col("s_suppkey")), max(col("s_suppkey")))
+          .head
+        val range = (r.getLong(0), r.getLong(1))
+        seeded += u -> range
+        range
+      })
+      (u, lo, hi)
     }
 
   /** The supplier table as a JDBC relation. Partitioned read: at real
     * scale the table splits into `numPartitions` range-parallel
-    * selects on the numeric key — the fix for the reference's
-    * single-cursor `fetchall()`.
+    * selects on the numeric key (bounds = the observed key range) —
+    * the fix for the reference's single-cursor `fetchall()`.
     */
-  def supplier(s: SparkSession, dir: String): DataFrame =
+  def supplier(s: SparkSession, dir: String): DataFrame = {
+    val (u, lo, hi) = seedSupplier(s, dir)
     s.read.format("jdbc")
-      .option("url", seedSupplier(s, dir))
+      .option("url", u)
       .option("dbtable", "supplier")
       .option("driver", Driver)
       .option("partitionColumn", "s_suppkey")
-      .option("lowerBound", "0")
-      .option("upperBound", "1000000")
+      .option("lowerBound", lo.toString)
+      .option("upperBound", (hi + 1).toString)
       .option("numPartitions", "4")
       .load()
+  }
 }
