@@ -123,6 +123,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_cosine" -> (Similarity.cosineNearDup _),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
+    "text_decontaminate" -> (Dedup.decontaminate _),
     // §2.10 north-star: similarity search
     "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -933,6 +934,29 @@ object SparkEntry {
         |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
         |FROM lab l JOIN cs ON l.cluster_id = cs.cluster_id
         |ORDER BY l.doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+        |      || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+        |      || ' ' || lead(w,5) OVER win || ' ' || lead(w,6) OVER win
+        |      || ' ' || lead(w,7) OVER win AS s
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,7) OVER win IS NOT NULL),
+        |bench AS (SELECT doc_id AS bench_doc, s FROM sh
+        |          WHERE doc_id % 25 = 0),
+        |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 25 <> 0)
+        |SELECT t.doc_id,
+        |  CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shared_ngrams,
+        |  CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+        |FROM train t JOIN bench b ON t.s = b.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -293,6 +293,33 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: find training documents that share
+    * verbatim k-grams with a held-out benchmark set — the overlap
+    * check every LLM pipeline runs before training so eval data can't
+    * leak into the corpus. Membership is deterministic here
+    * (doc_id % 25 == 0 plays the benchmark set); contamination =
+    * sharing ≥1 distinct 8-gram, reported with how many n-grams and
+    * how many benchmark docs were hit.
+    *
+    * Scale shape: the benchmark side is tiny by definition (evals are
+    * thousands of docs, the corpus is billions) so its exploded
+    * k-gram table BROADCASTS; the training side streams through one
+    * hash join, no shuffle of the corpus. Shingle arrays come from the
+    * same pooled `word_shingles` pass the dedup family uses (k=8 tag).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleArrDf(s, dir, 8)
+      .select(col("doc_id"), explode(col("sharr")).as("sh"))
+    val benchSh = sh.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("bench_doc"), col("sh"))
+    val trainSh = sh.filter(col("doc_id") % 25 =!= 0)
+    trainSh.join(broadcast(benchSh), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared_ngrams"),
+        countDistinct(col("bench_doc")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash: 64-bit signature by bit-voting over token hashes — the
     * custom `simhash64` expression (graft.functions.SimHash64), one
     * tight pass per document instead of 64 interpreted lambda sweeps.

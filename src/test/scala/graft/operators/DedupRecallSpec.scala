@@ -37,6 +37,23 @@ class DedupRecallSpec extends SparkSpec {
     assert(precision >= 0.05, s"simhash precision $precision")
   }
 
+  test("decontaminate at sf0.01: near-dup partners of benchmark docs flagged") {
+    val flagged = Dedup.decontaminate(spark, sf01).collect()
+      .map(r => r.getLong(0)).toSet
+    // any planted near-dup pair straddling the benchmark boundary
+    // (one member in doc_id % 25 == 0, the other not) MUST surface:
+    // 3-gram Jaccard >= 0.5 docs certainly share an 8-gram
+    val straddling = truth.flatMap { case (a, b) =>
+      if (a % 25 == 0 && b % 25 != 0) Some(b)
+      else if (b % 25 == 0 && a % 25 != 0) Some(a)
+      else None
+    }
+    assert(straddling.nonEmpty, "expected straddling planted pairs at sf0.01")
+    straddling.foreach(d => assert(flagged.contains(d), s"doc $d not flagged"))
+    // and no benchmark doc is ever reported as contaminated train data
+    assert(flagged.forall(_ % 25 != 0))
+  }
+
   test("winnow pairs at sf0.01: recall and precision bounds") {
     val wp = pairs(TextAnalysis.winnowPairs(spark, sf01))
     val recall = truth.intersect(wp).size.toDouble / truth.size
