@@ -22,7 +22,12 @@ object Bench {
         -1.0
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional args = query-name filter (profiling a subset); the
+    // driver invokes with no args → full sweep, unchanged
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val a = timeOnce(fn, name)
         val b = if (a >= 0) timeOnce(fn, name) else a
@@ -40,10 +45,11 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // best-effort artifact
+    if (args.isEmpty) // a filtered profiling run must not clobber the artifact
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // best-effort artifact
     spark.stop()
   }
 }

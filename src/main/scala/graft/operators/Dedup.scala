@@ -191,27 +191,26 @@ object Dedup {
         .transform(pairCounts(_, "bandkey", "doc_id"))
         .select(col("doc_a"), col("doc_b"))
     }
-    // exact-Jaccard verification restricted to LSH candidates: prune
-    // the shingle table to candidate docs BEFORE the pair join (the
-    // candidate set is tiny vs the corpus, so the expensive
-    // intersection only ever touches colliding docs)
-    val candDocs = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val prunedArr = shingleArrDf(s, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val sizes = prunedArr.select(col("doc_id"), size(col("sharr")).as("n_sh"))
-    val inter = pairCounts(
-      prunedArr.select(col("doc_id"), explode(col("sharr")).as("sh")),
-      "sh", "doc_id")
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // exact-Jaccard verification of the LSH candidates: the pairs are
+    // already KNOWN, so don't re-run pair discovery over the pruned
+    // shingle table (a second group-expand pass measured 2.2 s of
+    // pure re-aggregation) — fetch both docs' cached shingle ARRAYS
+    // onto each candidate row (two equi joins; the tiny cand side
+    // broadcasts) and intersect row-locally. Per-row work is
+    // O(|A|+|B|) hash-set intersection in codegen, and at scale the
+    // shuffle carries one array per joined row instead of an exploded
+    // row per shingle.
+    val arr = shingleArrDf(s, dir)
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("sharr").as("sh_a")),
+        "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("sharr").as("sh_b")),
+        "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+        col("n_inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
