@@ -31,6 +31,7 @@ object SparkEntry {
     "j2_left_enrich" -> (Relational.leftEnrich _),
     "j3_join_revenue" -> (Relational.join3Revenue _),
     "j_anti" -> (Relational.antiJoin _),
+    "j4_promo_revenue" -> (Relational.promoRevenue _),
     "s2_jdbc_source" -> (Relational.jdbcSnapshot _),
     // §2.5 aggregations
     "a1_pricing_summary" -> (Aggregates.pricingSummary _),
@@ -218,6 +219,21 @@ object SparkEntry {
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2001-01-01')
         |ORDER BY c_custkey""".stripMargin,
+    "j4_promo_revenue" ->
+      """SELECT p_brand,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |   AS DECIMAL(18,6))) AS DOUBLE) /
+        |   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |     AS DECIMAL(18,6))) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s2_jdbc_source" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |WHERE s_acctbal > 0 AND s_nationkey IN

@@ -134,9 +134,13 @@ object Dedup {
 
   /** The (doc_a, doc_b, jaccard) pair set, unsorted — pooled because
     * it's a shared intermediate: the pair query sorts it for output,
-    * nearDupClusters consumes it as the component-graph edge list, and
-    * the recall specs use it as ground truth.
+    * nearDupClusters consumes it as the component-graph edge list,
+    * Pipelines.corpusClean derives its ≥0.8 drop set from it, and the
+    * recall specs use it as ground truth.
     */
+  private[operators] def jaccardPairsPooled(s: SparkSession,
+      dir: String): DataFrame = jaccardPairs(s, dir)
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     graft.CachePool.cached(s, s"dedup.jaccardPairs:$dir") {
       val sizes = shingleArrDf(s, dir)

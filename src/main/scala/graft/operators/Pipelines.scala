@@ -139,24 +139,23 @@ object Pipelines {
     val keepers = scored.groupBy(col("text").as("ktext"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    // pooled: consumed by shingling, the drop-set anti join, and the
-    // output projection — CachePool bounds + releases the storage
+    // pooled: consumed by the drop-set semi joins and the output
+    // projection — CachePool bounds + releases the storage
     val exactKept = graft.CachePool.cached(s, s"pipe.corpusExact:$dir") {
       scored.join(keepers, Seq("doc_id"), "left_semi")
     }
-    val sharr = exactKept
-      .select(col("doc_id"),
-        call_function("word_shingles", col("text"), lit(3)).as("sharr"))
-    val sizes = sharr.select(col("doc_id"), size(col("sharr")).as("n_sh"))
-    val nearDupDrops = Dedup.pairCounts(
-      sharr.select(col("doc_id"), explode(col("sharr")).as("sh")),
-      "sh", "doc_id")
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .filter(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))
-        >= 0.8)
+    // near-dup drops from the POOLED corpus-wide jaccard pair set:
+    // shingle sets are per-doc, so a pair's jaccard is the same number
+    // whether computed over the filtered subset or the whole corpus —
+    // restricting the ≥0.8 pairs to exactKept on both ends yields
+    // exactly the pairs the subset-shingling used to find, minus one
+    // whole shingle+pair-count pass per query
+    val nearDupDrops = Dedup.jaccardPairsPooled(s, dir)
+      .filter(col("jaccard") >= 0.8)
+      .join(exactKept.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+        "left_semi")
+      .join(exactKept.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+        "left_semi")
       .select(col("doc_b").as("doc_id"))
       .distinct()
     exactKept

@@ -118,6 +118,26 @@ object Relational {
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy("c_mktsegment", "order_year")
 
+  /** Part-dimension enrichment rollup (TPC-H Q14 shape): lineitem ⋈
+    * part with the dim broadcast, promo-revenue share per brand. The
+    * share divides the two decimal-exact sums as one double division
+    * (bit-identical cross-engine; no round()).
+    */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        moneySum(rev).as("revenue"),
+        moneySum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_share", col("promo_revenue") / col("revenue"))
+      .orderBy("p_brand")
+  }
+
   /** Anti join (NOT EXISTS): customers with no orders in 2001. */
   def antiJoin(s: SparkSession, dir: String): DataFrame = {
     val recent = Tables.orders(s, dir)
