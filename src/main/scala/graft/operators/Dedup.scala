@@ -138,10 +138,8 @@ object Dedup {
     * Pipelines.corpusClean derives its ≥0.8 drop set from it, and the
     * recall specs use it as ground truth.
     */
-  private[operators] def jaccardPairsPooled(s: SparkSession,
-      dir: String): DataFrame = jaccardPairs(s, dir)
-
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+  private[operators] def jaccardPairs(s: SparkSession,
+      dir: String): DataFrame =
     graft.CachePool.cached(s, s"dedup.jaccardPairs:$dir") {
       val sizes = shingleArrDf(s, dir)
         .select(col("doc_id"), size(col("sharr")).as("n_sh"))
@@ -205,9 +203,13 @@ object Dedup {
     // shuffle carries one array per joined row instead of an exploded
     // row per shingle.
     val arr = shingleArrDf(s, dir)
-    cand
+    // explicit broadcast hints: cand (and cand + one fetched array) is
+    // candidate-sized — without the hint a cold cache has no stats and
+    // the planner would sort-merge, shuffling the corpus-wide array
+    // table twice
+    broadcast(broadcast(cand)
       .join(arr.select(col("doc_id").as("doc_a"), col("sharr").as("sh_a")),
-        "doc_a")
+        "doc_a"))
       .join(arr.select(col("doc_id").as("doc_b"), col("sharr").as("sh_b")),
         "doc_b")
       .withColumn("n_inter",

@@ -124,7 +124,6 @@ object Pipelines {
     */
   def corpusClean(s: SparkSession, dir: String): DataFrame = {
     import TextAnalysis._
-    graft.functions.VectorExpressions.ensureRegistered(s)
     val scored = Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), col("text"),
         size(tokens(col("text"))).as("n_words"),
@@ -150,7 +149,7 @@ object Pipelines {
     // restricting the ≥0.8 pairs to exactKept on both ends yields
     // exactly the pairs the subset-shingling used to find, minus one
     // whole shingle+pair-count pass per query
-    val nearDupDrops = Dedup.jaccardPairsPooled(s, dir)
+    val nearDupDrops = Dedup.jaccardPairs(s, dir)
       .filter(col("jaccard") >= 0.8)
       .join(exactKept.select(col("doc_id").as("doc_a")), Seq("doc_a"),
         "left_semi")
