@@ -252,9 +252,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Min-label propagation over an undirected pair graph → one
-    * (doc_id, label) row per pair-connected node, label = the
-    * component's min id. See nearDupClusters for the scale notes.
+  /** Min-label propagation with pointer doubling over an undirected
+    * pair graph → one (doc_id, label) row per pair-connected node,
+    * label = the component's min id. Each round takes the min over
+    * neighbors' labels (propagation: one hop per round) and then
+    * replaces every label by its LABEL'S label (shortcutting: halves
+    * pointer-chain depth) — plain propagation alone needs O(diameter)
+    * rounds, which degenerates to O(n) on a chain-shaped component;
+    * with doubling the round count is O(log n) on any graph.
+    * Shortcutting preserves the invariant that a node's label is
+    * always the id of some node in its own component and never below
+    * the component min, so the fixpoint is unchanged. See
+    * nearDupClusters for the driver-loop scale notes.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val p = pairs.toDF("doc_a", "doc_b")
@@ -272,10 +281,18 @@ object Dedup {
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+      // shortcut: label := label-of-label (left join: a label that is
+      // its own component's current root maps to itself)
+      val next = propagated
+        .join(propagated.select(col("doc_id").as("label"),
+          col("label").as("label2")), Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("label2"), col("label")))
             .as("label"))
         .localCheckpoint()
       changed = next

@@ -162,6 +162,19 @@ class NorthStarSpec extends SparkSpec {
       7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents: 64-node chain converges (pointer doubling)") {
+    val s = spark
+    import s.implicits._
+    // worst case for plain min-propagation: a single chain, diameter
+    // 63 — pointer doubling must still converge in few rounds, and
+    // every node must land on the chain's min id
+    val chain = (100L until 163L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 64)
+    assert(labels.values.forall(_ == 100L))
+  }
+
   test("nearDupClusters: consistent with ngramJaccard pairs") {
     val clusters = Dedup.nearDupClusters(spark, sfDir).collect()
     val byDoc = clusters.map(r =>
