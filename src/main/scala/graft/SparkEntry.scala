@@ -74,6 +74,7 @@ object SparkEntry {
     "adv_salted_agg" -> (Advanced.saltedAgg _),
     "adv_bucketed_join" -> ((s, d) => Advanced.bucketedJoin(s, d)),
     "s_hash_sample" -> (Relational.hashSample _),
+    "s_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "f4_housekeeping" -> (Relational.fileHousekeeping _),
     // window/aggregate extensions
     "w_leadlag" -> (Analytics.leadLagGaps _),
@@ -455,6 +456,13 @@ object SparkEntry {
         |FROM lineitem
         |WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 97 < 5
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s_stratified_sample" ->
+      """SELECT source, lang, doc_id, CAST(rk AS INT) AS rk
+        |FROM (SELECT source, lang, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source, lang
+        |    ORDER BY (doc_id * 2654435761) % 97, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, lang, rk""".stripMargin,
     "p_scd2" ->
       """SELECT cust_id, version_key, attr, valid_from, valid_to,
         | CAST(valid_to IS NULL AS INT) AS is_current

@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Deduplication operators (SURVEY.md §2.10): exact, n-gram Jaccard,
-  * MinHash+LSH, SimHash. Scale design: nothing here is O(n²) over the
+  * MinHash+LSH, SimHash, duplicate-cluster resolution, benchmark
+  * decontamination. Scale design: nothing here is O(n²) over the
   * corpus — candidate pairs come from equi-joins on shingles / LSH band
   * buckets / simhash chunks, so the shuffle keys are content-derived
   * and the join only touches colliding groups. At 100 TB the band/chunk
   * joins are ordinary hash-partitioned shuffles; frequent-shingle skew
-  * is bounded because near-dup thresholds make hot keys filterable
-  * (stop-shingle cap below).
+  * is handled by pairCounts' bucket-size-adaptive routing (hot buckets
+  * take the codegen self-join, results exact either way) and by
+  * simhashPairs' hot-chunk drop.
   */
 object Dedup {
 

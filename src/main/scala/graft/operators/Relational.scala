@@ -182,6 +182,25 @@ object Relational {
     * (At scale prefer xxhash64(key) % N — same shape, better mixing;
     * the LCG mix keeps this oracle-replicable.)
     */
+  /** Stratified EXACT-N sampling: up to `n` documents per
+    * (source, lang) stratum, chosen by a deterministic key-hash order
+    * — the class-balanced subset builder (per-language / per-shard
+    * quotas) training-data pipelines need where `df.sample` can give
+    * neither per-group quotas nor exact counts. One window shuffle on
+    * the stratum key; the LCG-mix order (doc_id tie-break) makes the
+    * selection reproducible across runs, engines, and partitionings.
+    */
+  def stratifiedSample(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang"))
+      .orderBy((col("doc_id") * lit(2654435761L)) % 97, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .orderBy("source", "lang", "rk")
+  }
+
   def hashSample(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter((col("l_orderkey") * lit(2654435761L) +
