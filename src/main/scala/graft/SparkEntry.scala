@@ -144,6 +144,7 @@ object SparkEntry {
     "text_pack" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "text_holdout_split" -> (TextAnalysis.holdoutSplit _),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -999,6 +1000,13 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, token) AS rank FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_holdout_split" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |  ELSE 'test' END AS split,
+        | lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | MIN(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_pii_scrub" ->
       """WITH dirty AS (
         |  SELECT doc_id, text || ' contact user' ||

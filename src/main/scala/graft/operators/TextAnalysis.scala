@@ -272,6 +272,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test holdout assignment: each doc maps to
+    * a split by key-hash bucket (80/10/10) — content- and
+    * partition-independent, so re-runs and incremental appends assign
+    * every doc the same split (the property random split loses the
+    * moment data re-partitions). Emits the per-(split, lang) counts —
+    * the balance check run after any split. Row-local assignment +
+    * one aggregation; the LCG mix keeps it oracle-replicable (at
+    * scale use xxhash64 — same shape, better mixing).
+    */
+  def holdoutSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("doc_id") * lit(2654435761L)) % 100
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("split", "lang")
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text, plus
     * the exact-duplicate group size per fingerprint.
     */
