@@ -283,11 +283,14 @@ object Dedup {
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nbr_min"))
+      // checkpointed: BOTH sides of the shortcut self-join below read
+      // it — left lazy, each side would re-run the propagation join
       val propagated = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
+        .localCheckpoint()
       // shortcut: label := label-of-label (left join: a label that is
       // its own component's current root maps to itself)
       val next = propagated
@@ -301,10 +304,11 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
         .filter(col("label") =!= col("prev"))
         .count()
-      // the superseded round's checkpoint blocks are dead the moment
+      // the superseded checkpoints' blocks are dead the moment
       // `changed` is computed — release them NOW rather than waiting
       // for GC + ContextCleaner (the deterministic version of the
       // cache-lifecycle rule the rest of the engine follows)
+      propagated.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = next
     }
