@@ -33,23 +33,38 @@ object Bench {
         val b = if (a >= 0) timeOnce(fn, name) else a
         name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
-    // millisecond precision keeps the line short enough that log-tail
-    // captures hold every query; the full line is ALSO written to
-    // BENCH_FULL.json so per-query numbers are always recoverable
     def fmt(v: Double) = // Locale.ROOT: "." decimal point, valid JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
+    def jsonOf(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val sorted = results.toSeq.sortBy(_._1)
     val total = results.values.filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    // The driver's log-tail capture holds ~2.2KB; the full 100+-query
+    // map (~2.5KB and growing) overflowed it in rounds 1-3, losing the
+    // per-query numbers ("parsed": null). So: the LAST stdout line is a
+    // SHORT parseable JSON with the total plus a fixed headline subset,
+    // and the complete per-query map goes to BENCH_FULL.json (committed
+    // with the repo, always recoverable).
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the artifact
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // best-effort artifact
+    val headline = Set(
+      "p_snapshot", "p_insight_gold", "p_corpus_clean", "j3_join_revenue",
+      "j2_left_enrich", "a1_pricing_summary", "a2_pivot_daily", "w_topk",
+      "set_rollup", "agg_percentile", "dedup_exact", "dedup_minhash",
+      "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_clusters",
+      "sim_topk", "sim_ann_lsh", "text_tfidf", "text_quality", "text_pack",
+      "ss_gmb_roundtrip", "ss_json_flatten", "sink_upsert_by_date",
+      "sink_compact", "s2_jdbc_source", "s4_rest_source",
+      "adv_bucketed_join", "st2_sliding_7day")
+    val shortLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"queries":${jsonOf(sorted.filter(p => headline(p._1)))},"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+    println(shortLine)
     spark.stop()
   }
 }

@@ -54,6 +54,13 @@ object CachePool {
     */
   def cached(s: SparkSession, tag: String)(build: => DataFrame): DataFrame =
     memo.synchronized {
+      // entries keyed by a stopped session are dead weight (their
+      // executor-side cache died with the context, but the entry still
+      // pins session + plan objects on the driver until 32 newer tags
+      // push it out) — drop them eagerly; their storage needs no
+      // unpersist, the stopped context already released it
+      val it = memo.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
       val key = (s, tag)
       val hit = memo.get(key)
       if (hit != null) hit

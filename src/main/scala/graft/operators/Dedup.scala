@@ -91,7 +91,13 @@ object Dedup {
     val hot = exploded
       .filter(pmod(xxhash64(col(key), col(id)), lit(invFrac)) === 0)
       .groupBy(col(key)).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") * invFrac > cap).select(col(key))
+      // cap/2, not cap: a bucket of size B is expected to show B/20
+      // sampled rows, so testing against the full cap lets buckets
+      // moderately above it (few expected hits, nontrivial miss
+      // probability) slip onto the O(B²) group-expand path. Halving
+      // the effective threshold means a miss requires a ~2× downward
+      // sampling deviation; routing is still exact either way.
+      .filter(col("bsz") * invFrac > cap / 2).select(col(key))
     val small = exploded.join(broadcast(hot), Seq(key), "left_anti")
       .groupBy(col(key))
       .agg(sort_array(collect_list(col(id))).as("ds"))

@@ -23,11 +23,16 @@ object JdbcSource {
   private val Driver = "org.apache.derby.jdbc.EmbeddedDriver"
 
   private def url(dir: String) = {
-    // basename + full-path hash: two sfDirs that happen to share a
+    // basename + full-path digest: two sfDirs that happen to share a
     // last path segment must NOT alias to one database (the seeded
-    // guard would silently serve the first dir's rows for the second)
+    // guard would silently serve the first dir's rows for the second).
+    // SHA-256/16-hex, not String.hashCode: a 32-bit hash collision
+    // between two dirs would silently reproduce exactly the failure
+    // this suffix exists to prevent.
     val f = new java.io.File(dir)
-    val h = f.getCanonicalPath.hashCode.toHexString
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(f.getCanonicalPath.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     s"jdbc:derby:/tmp/graft_derby/${f.getName}_$h;create=true"
   }
 
@@ -56,6 +61,10 @@ object JdbcSource {
         // all the work on a table whose range drifted
         val r = src.agg(min(col("s_suppkey")), max(col("s_suppkey")))
           .head
+        // min/max over zero rows are null; getLong would NPE with no
+        // hint of the cause — name the actual problem instead
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"supplier table at $dir is empty — cannot derive JDBC partition bounds")
         val range = (r.getLong(0), r.getLong(1))
         seeded += u -> range
         range

@@ -169,13 +169,20 @@ private case class RestPage(token: String, pageSize: Int)
   * Exposed per-sources for the spec's exchange-count assertion.
   */
 private[sources] object RestAuthCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, String]
+  // keyed by (credential, generation), not generation alone: the cache
+  // is JVM-global, so two concurrent reads against servers with
+  // DIFFERENT refresh tokens must never cross-serve each other's
+  // access tokens — generation ordinals collide across servers
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]
   val exchanges = new java.util.concurrent.atomic.AtomicInteger(0)
-  def accessTokenFor(server: FakeRestServer, page: Int): String =
-    cache.computeIfAbsent(page / server.accessTtlPages, gen => {
+  def accessTokenFor(server: FakeRestServer, page: Int): String = {
+    val gen = page / server.accessTtlPages
+    cache.computeIfAbsent((server.refreshToken, gen), _ => {
       exchanges.incrementAndGet()
       server.exchangeToken(server.refreshToken, gen)
     })
+  }
   def reset(): Unit = { cache.clear(); exchanges.set(0) }
 }
 
