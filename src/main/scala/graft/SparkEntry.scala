@@ -131,6 +131,7 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "sim_quantize" -> (Similarity.quantize _),
+    "sim_centroids" -> (Similarity.labelCentroids _),
     // §2.10 north-star: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.qualityScore _),
@@ -145,6 +146,8 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_pii_scrub" -> (TextAnalysis.piiScrub _),
     "text_holdout_split" -> (TextAnalysis.holdoutSplit _),
+    "text_repetition" -> (TextAnalysis.repetition _),
+    "text_gopher_quality" -> (TextAnalysis.gopherQuality _),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -1000,6 +1003,69 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, token) AS rank FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_repetition" ->
+      """WITH b AS (SELECT doc_id, ws,
+        |    list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+        |      s -> s[1] || ' ' || s[2]) AS bgs
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents)),
+        |wx AS (SELECT doc_id, MAX(c) AS top_word_n FROM
+        |    (SELECT doc_id, word, COUNT(*) AS c
+        |     FROM (SELECT doc_id, unnest(ws) AS word FROM b)
+        |     GROUP BY 1, 2) GROUP BY 1),
+        |bx AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM
+        |    (SELECT doc_id, bg, COUNT(*) AS c
+        |     FROM (SELECT doc_id, unnest(bgs) AS bg FROM b)
+        |     GROUP BY 1, 2) GROUP BY 1)
+        |SELECT b.doc_id, CAST(len(ws) AS INT) AS n_words,
+        |  CAST(top_word_n AS INT) AS top_word_n,
+        |  CAST(len(bgs) AS INT) AS n_bigrams,
+        |  CAST(COALESCE(top_bigram_n, 0) AS INT) AS top_bigram_n,
+        |  top_word_n / len(ws) AS top_word_frac,
+        |  CASE WHEN len(bgs) = 0 THEN 0.0
+        |       ELSE top_bigram_n / len(bgs) END AS top_bigram_frac,
+        |  CAST(top_word_n / len(ws) <= 0.2 AND
+        |    (CASE WHEN len(bgs) = 0 THEN 0.0
+        |          ELSE top_bigram_n / len(bgs) END) <= 0.18 AS INT)
+        |    AS pass_repetition
+        |FROM b JOIN wx USING (doc_id) LEFT JOIN bx USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "text_gopher_quality" ->
+      """SELECT doc_id, n_words, sum_word_len, n_symbol_chars,
+        |  n_chars_calc, n_alpha_words, stopword_n,
+        |  sum_word_len / n_words AS mean_word_len,
+        |  n_symbol_chars / n_chars_calc AS symbol_ratio,
+        |  n_alpha_words / n_words AS alpha_word_frac,
+        |  CAST(n_words BETWEEN 10 AND 1000 AND
+        |    sum_word_len / n_words BETWEEN 2.0 AND 12.0 AND
+        |    n_symbol_chars / n_chars_calc < 0.1 AND
+        |    n_alpha_words / n_words > 0.8 AND
+        |    stopword_n >= 1 AS INT) AS pass_gopher
+        |FROM (SELECT doc_id,
+        |  CAST(len(ws) AS INT) AS n_words,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS INT)
+        |    AS sum_word_len,
+        |  CAST(length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS INT)
+        |    AS n_symbol_chars,
+        |  CAST(length(text) AS INT) AS n_chars_calc,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |    AS INT) AS n_alpha_words,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of)\b')) AS INT)
+        |    AS stopword_n
+        |  FROM (SELECT doc_id, text,
+        |          string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "sim_centroids" ->
+      """SELECT label, CAST(dim AS INT) AS dim,
+        |  SUM(CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT))
+        |    / (COUNT(*) * 1e6) AS centroid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |        unnest(range(len(embedding))) AS dim
+        |      FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "text_holdout_split" ->
       """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
         |  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'

@@ -187,4 +187,31 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), sim.as("sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Per-label embedding centroids (the k-means M-step / class
+    * prototype computation): elementwise mean of every label's
+    * vectors, long format (label, dim, centroid) — scalar columns
+    * compare cleanly across engines (the round-1 `mm_features` array
+    * lesson).
+    *
+    * Scale shape: posexplode → partial-aggregatable sum on
+    * (label, dim) — map-side combine collapses each input split to at
+    * most |labels|×|dims| rows before the one shuffle, so the
+    * exchange volume is independent of corpus size. Each float is
+    * scaled to an exact integer (×1e6, round) before summing: integer
+    * sums are associative-exact, so the mean is bit-identical however
+    * Spark or the oracle orders the additions — float accumulation
+    * order would differ in the last bits between any two engines.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("v").cast("double") * 1e6).cast("long"))
+          .as("scaled_sum"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim"),
+        (col("scaled_sum") / (col("n_vecs") * lit(1e6))).as("centroid"),
+        col("n_vecs"))
+      .orderBy("label", "dim")
 }

@@ -293,6 +293,84 @@ object TextAnalysis {
       .orderBy("split", "lang")
   }
 
+  /** Longest equal-run length in the SORTED array `arr` — which equals
+    * the max frequency of any element. Row-local O(n log n) (sort +
+    * one linear fold), the scale-right way to get "most frequent
+    * token" per document: an explode→groupBy would shuffle one row per
+    * token across the cluster for a statistic every row can compute
+    * locally. (A map-accumulator fold is O(n²) per row on big docs;
+    * the sorted-run trick is the cheap exact form.)
+    */
+  private[operators] def maxRunLen(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (a, x) => {
+        val run = when(a.getField("prev") <=> x, a.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
+
+  /** Gopher-style repetition filters: fraction of the document covered
+    * by its single most frequent word / word-bigram (Rae et al. 2021
+    * §A1.1 "repetition removal" — a high top-n-gram fraction marks
+    * boilerplate and degenerate loops). Entirely row-local: the
+    * bigram array is a zip of the token array with its own tail, and
+    * both top-counts come from the sorted-run fold above — zero
+    * shuffles at any corpus size, unlike the naive explode→groupBy
+    * formulation.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val bgs = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(ws).as("n_words"),
+        maxRunLen(ws).as("top_word_n"),
+        size(bgs).as("n_bigrams"), maxRunLen(bgs).as("top_bigram_n"))
+      .withColumn("top_word_frac", col("top_word_n") / col("n_words"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("top_bigram_n") / col("n_bigrams")))
+      .withColumn("pass_repetition",
+        (col("top_word_frac") <= 0.2 && col("top_bigram_frac") <= 0.18)
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1):
+    * word-count bounds, mean word length band, symbol ratio, fraction
+    * of alphabetic words, and a minimum stop-word count, AND-ed into
+    * one keep/drop flag with every sub-signal kept for inspection.
+    * All row-local column expressions — the filter pass before any
+    * expensive dedup in a corpus pipeline, so it must not shuffle.
+    */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(ws).as("n_words"),
+        aggregate(ws, lit(0), (a, w) => a + length(w)).as("sum_word_len"),
+        length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+          .as("n_symbol_chars"),
+        length(col("text")).as("n_chars_calc"),
+        size(filter(ws, w => w.rlike("[a-z]"))).as("n_alpha_words"),
+        markerCount(col("text"), enMarkers).as("stopword_n"))
+      .withColumn("mean_word_len", col("sum_word_len") / col("n_words"))
+      .withColumn("symbol_ratio", col("n_symbol_chars") / col("n_chars_calc"))
+      .withColumn("alpha_word_frac", col("n_alpha_words") / col("n_words"))
+      .withColumn("pass_gopher",
+        (col("n_words").between(10, 1000) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("alpha_word_frac") > 0.8 &&
+          col("stopword_n") >= 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text, plus
     * the exact-duplicate group size per fingerprint.
     */

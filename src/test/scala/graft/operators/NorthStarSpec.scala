@@ -252,4 +252,64 @@ class NorthStarSpec extends SparkSpec {
     assert(counts.filter(col("count") > 4).count() == 0)
     assert(out.filter(col("byte_offset") % 16 =!= 0).count() == 0)
   }
+
+  test("repetition: sorted-run top counts equal explode-groupBy max counts") {
+    val rep = TextAnalysis.repetition(spark, sfDir)
+    // independent derivation of the same statistic through the
+    // shuffle-based plan the operator deliberately avoids
+    val viaGroupBy = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("expect_top"))
+    val bad = rep.join(viaGroupBy, "doc_id")
+      .filter(col("top_word_n") =!= col("expect_top")).count()
+    assert(bad == 0)
+    val rows = rep.collect()
+    assert(rows.forall(r => r.getAs[Int]("n_bigrams") ==
+      r.getAs[Int]("n_words") - 1))
+    assert(rows.forall { r =>
+      val f = r.getAs[Double]("top_word_frac"); f > 0.0 && f <= 1.0
+    })
+  }
+
+  test("gopherQuality: sub-signals consistent; word-soup corpus all-alpha") {
+    val g = TextAnalysis.gopherQuality(spark, sfDir).collect()
+    assert(g.nonEmpty)
+    assert(g.forall { r =>
+      val mwl = r.getAs[Double]("mean_word_len"); mwl >= 1.0 && mwl <= 20.0
+    })
+    // the synthetic corpus is lowercase word soup: no symbols, every
+    // word alphabetic — the gate must agree with that ground truth
+    assert(g.forall(_.getAs[Double]("symbol_ratio") == 0.0))
+    assert(g.forall(_.getAs[Double]("alpha_word_frac") == 1.0))
+    assert(g.forall { r =>
+      val expect = if (r.getAs[Int]("n_words") >= 10 &&
+        r.getAs[Int]("n_words") <= 1000 &&
+        r.getAs[Double]("mean_word_len") >= 2.0 &&
+        r.getAs[Double]("mean_word_len") <= 12.0 &&
+        r.getAs[Int]("stopword_n") >= 1) 1 else 0
+      r.getAs[Int]("pass_gopher") == expect
+    })
+  }
+
+  test("labelCentroids: one row per (label, dim); mean within value range") {
+    val c = Similarity.labelCentroids(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val nLabels = emb.select("label").distinct().count()
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    assert(c.count() == nLabels * dim)
+    // each centroid lies within [min, max] of its label's values at
+    // that dim (mean containment), checked against an independent
+    // posexplode derivation
+    val bounds = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+    val bad = c.join(bounds, Seq("label", "dim"))
+      .filter(col("centroid") < col("lo") - 1e-6 ||
+        col("centroid") > col("hi") + 1e-6)
+      .count()
+    assert(bad == 0)
+  }
 }
