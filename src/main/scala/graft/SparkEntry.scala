@@ -126,6 +126,7 @@ object SparkEntry {
     "dedup_cosine" -> (Similarity.cosineNearDup _),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
     "text_decontaminate" -> (Dedup.decontaminate _),
+    "dedup_incremental" -> (Dedup.incremental _),
     // §2.10 north-star: similarity search
     "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "text_holdout_split" -> (TextAnalysis.holdoutSplit _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_gopher_quality" -> (TextAnalysis.gopherQuality _),
+    "text_token_mixture" -> (TextAnalysis.tokenMixture _),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -1003,6 +1005,61 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, token) AS rank FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |delta AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |hist AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |ex AS (SELECT delta.doc_id, MIN(hist.doc_id) AS e_id
+        |       FROM delta JOIN hist USING (fp) GROUP BY 1),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |jc AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS hist_id,
+        |    count(*) / (na.n + nb.n - count(*)) AS j
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  JOIN sz na ON na.doc_id = a.doc_id
+        |  JOIN sz nb ON nb.doc_id = b.doc_id
+        |  GROUP BY 1, 2, na.n, nb.n
+        |  HAVING count(*) / (na.n + nb.n - count(*)) >= 0.5),
+        |nr AS (SELECT doc_id, MIN(hist_id) AS near_id,
+        |         arg_min(j, hist_id) AS near_j
+        |       FROM jc GROUP BY 1)
+        |SELECT delta.doc_id,
+        |  CASE WHEN ex.e_id IS NOT NULL THEN 'exact'
+        |       WHEN nr.near_id IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS verdict,
+        |  COALESCE(ex.e_id, nr.near_id) AS match_doc_id,
+        |  CASE WHEN ex.e_id IS NULL THEN nr.near_j END AS jaccard
+        |FROM delta LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+        |ORDER BY delta.doc_id""".stripMargin,
+    "text_token_mixture" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)
+        |      AS n_tokens,
+        |    (doc_id * 2654435761) % 1000000007 AS mix,
+        |    CASE WHEN source = 'src0' THEN 1200
+        |         WHEN source = 'src1' THEN 400 ELSE 800 END AS budget
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens, budget
+        |FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY mix ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |      FROM t)
+        |WHERE cum_tokens - n_tokens < budget
+        |ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH b AS (SELECT doc_id, ws,
         |    list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),

@@ -413,4 +413,55 @@ object Dedup {
       .filter(col("hamming") <= 8)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Incremental (delta-vs-history) dedup — the shape a production
+    * corpus pipeline actually runs: each new batch is deduplicated
+    * against the ACCUMULATED corpus, not against itself. Verdict per
+    * delta doc: `exact` (normalized-content fingerprint already in
+    * history), `near` (word-shingle Jaccard ≥ 0.5 with some history
+    * doc), else `new`; the matched history partner is the smallest
+    * qualifying doc_id (deterministic).
+    *
+    * Scale shape: the exact check is one fingerprint equi-join (at
+    * 100 TB history the fingerprint projection is a fraction of the
+    * corpus bytes, and a bloom-filter pushdown on `fp` would prune
+    * the history scan further); the near check reuses the pooled
+    * shingle-bucket pair stream and keeps only delta×history pairs —
+    * candidate generation already happens per shingle bucket, so a
+    * small delta only ever touches the buckets it lands in.
+    */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("doc_id") % 5 === 0
+    val fps = Tables.documents(s, dir).select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+    val delta = fps.filter(isDelta)
+    val hist = fps.filter(!isDelta)
+      .select(col("fp"), col("doc_id").as("hist_fp_id"))
+    val exactM = delta.join(hist, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(min(col("hist_fp_id")).as("e_id"))
+    // normalize undirected jaccard pairs to (delta, history) direction
+    val jp = jaccardPairs(s, dir)
+    val crossPairs = jp
+      .select(when(col("doc_a") % 5 === 0, col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"),
+        when(col("doc_a") % 5 === 0, col("doc_b"))
+          .otherwise(col("doc_a")).as("hist_id"),
+        col("jaccard"))
+      .filter(col("doc_id") % 5 === 0 && col("hist_id") % 5 =!= 0)
+    val nearM = crossPairs.groupBy("doc_id")
+      .agg(min(struct(col("hist_id"), col("jaccard"))).as("m"))
+      .select(col("doc_id"), col("m.hist_id").as("near_id"),
+        col("m.jaccard").as("near_j"))
+    delta.select(col("doc_id"))
+      .join(exactM, Seq("doc_id"), "left")
+      .join(nearM, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("e_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("e_id"), col("near_id")).as("match_doc_id"),
+        when(col("e_id").isNull, col("near_j")).as("jaccard"))
+      .orderBy("doc_id")
+  }
 }

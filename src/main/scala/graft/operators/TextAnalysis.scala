@@ -371,6 +371,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-budget mixture sampling: cap each source's contribution to
+    * the training mix at a TOKEN budget (the data-mixture rebalancing
+    * step — budgets in tokens, not documents, because that's the unit
+    * the training run consumes). Docs are ranked inside each source by
+    * a deterministic key hash, then kept while the source's running
+    * token total is still under budget — content-independent and
+    * stable across re-runs/appends, like holdoutSplit's bucketing.
+    *
+    * Scale shape: one window partitioned by source. Source counts are
+    * typically few-and-large, so at 100 TB the prefix sum runs per
+    * source-partition in parallel; a pathological single-source corpus
+    * would shard the window key like packSequences does.
+    */
+  def tokenMixture(s: SparkSession, dir: String): DataFrame = {
+    // deterministic per-source ordering key (LCG mix, oracle-replicable;
+    // at scale use xxhash64 — same shape, better mixing)
+    val mix = (col("doc_id") * lit(2654435761L)) % 1000000007L
+    val budget = when(col("source") === "src0", 1200)
+      .when(col("source") === "src1", 400)
+      .otherwise(800)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(mix)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("budget", budget)
+      // a doc is kept if the budget wasn't exhausted BEFORE it — the
+      // boundary doc that crosses the line is kept, so every non-empty
+      // source contributes at least one doc even if budget < its size
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("budget"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text, plus
     * the exact-duplicate group size per fingerprint.
     */

@@ -293,6 +293,51 @@ class NorthStarSpec extends SparkSpec {
     })
   }
 
+  test("incremental: verdicts partition the delta; near matches agree with jaccardPairs") {
+    val inc = Dedup.incremental(spark, sfDir).collect()
+    val deltaN = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(inc.length == deltaN) // one verdict per delta doc, no dupes
+    assert(inc.map(_.getAs[Long]("doc_id")).distinct.length == inc.length)
+    // no exact dups are planted in testdata → verdicts are near/new only
+    assert(inc.forall(r => Set("near", "new")(r.getAs[String]("verdict"))))
+    val nearSet = inc.filter(_.getAs[String]("verdict") == "near")
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("match_doc_id"))
+      .toSet
+    // every near verdict is backed by a cross (delta, history) jaccard
+    // pair, and every delta doc in such a pair gets a near verdict
+    val cross = pairSet(Dedup.ngramJaccard(spark, sfDir))
+      .flatMap { case (a, b) =>
+        if (a % 5 == 0 && b % 5 != 0) Some(a -> b)
+        else if (b % 5 == 0 && a % 5 != 0) Some(b -> a) else None
+      }
+    assert(nearSet.map(_._1) == cross.map(_._1))
+    assert(nearSet.forall { case (d, h) => cross.contains(d -> h) })
+    // partner is the SMALLEST qualifying history doc
+    assert(nearSet.forall { case (d, h) =>
+      h == cross.filter(_._1 == d).map(_._2).min
+    })
+  }
+
+  test("tokenMixture: budgets respected, every source represented, deterministic") {
+    val m = TextAnalysis.tokenMixture(spark, sfDir)
+    val rows = m.collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val allSources = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(bySource.size == allSources) // boundary doc keeps each source alive
+    bySource.foreach { case (_, rs) =>
+      val budget = rs.head.getAs[Int]("budget")
+      val total = rs.map(_.getAs[Int]("n_tokens")).sum
+      val maxDoc = rs.map(_.getAs[Int]("n_tokens")).max
+      // total may overshoot only by the single boundary doc
+      assert(total - maxDoc < budget, s"budget $budget total $total")
+    }
+    val again = TextAnalysis.tokenMixture(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
   test("labelCentroids: one row per (label, dim); mean within value range") {
     val c = Similarity.labelCentroids(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
