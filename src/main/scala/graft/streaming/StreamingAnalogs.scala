@@ -117,6 +117,63 @@ object StreamingAnalogs {
       }
       .start()
 
+  /** One open (not yet emitted) session in flight for a user. */
+  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+
+  /** A finished session, emitted once it can no longer grow. */
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * hand-rolled form of `sessionize` above for session semantics
+    * `session_window` can't express (here: emit a session ONLY when
+    * closed, exactly once, in append mode). A user's open session
+    * lives in keyed state; a batch's events fold into it (extend on
+    * gap ≤ `gap`, else close + emit and open a new one), and an
+    * EVENT-TIME timeout at open.end + gap flushes the final session
+    * once the watermark proves no earlier event can arrive. State per
+    * key is one tiny struct, eviction is driven by the watermark —
+    * bounded regardless of stream length, the only safe shape for
+    * unbounded keyed state.
+    */
+  def sessionizeCustom(events: Dataset[Event],
+      gapMs: Long = 2L * 3600 * 1000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    def close(uid: Long, s: OpenSession) = ClosedSession(uid,
+      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+    events.withWatermark("ts", "1 day")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed open.end + gap: nothing can extend it
+            val out = state.getOption.map(close(uid, _))
+            state.remove()
+            out.iterator
+          } else {
+            // fold this batch's events (sorted — microbatch order is
+            // arrival order, not event order) into the open session
+            val sorted = it.map(_.ts.getTime).toSeq.sorted
+            var open = state.getOption.orNull
+            val closed = Seq.newBuilder[ClosedSession]
+            for (t <- sorted) {
+              if (open == null) open = OpenSession(t, t, 0)
+              else if (t - open.endMs > gapMs) {
+                closed += close(uid, open); open = OpenSession(t, t, 0)
+              }
+              open = open.copy(endMs = math.max(open.endMs, t),
+                n = open.n + 1)
+            }
+            state.update(open)
+            // re-arm: flush when the watermark passes the gap horizon
+            state.setTimeoutTimestamp(open.endMs + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Custom keyed state: running per-user event count via
     * mapGroupsWithState (KeyValueGroupedDataset API).
     */

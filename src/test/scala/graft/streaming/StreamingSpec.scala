@@ -217,4 +217,47 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, 5.0))) // only user 1's in-window click
     } finally q.stop()
   }
+
+  test("sessionizeCustom: sessions close on gap and on watermark timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingAnalogs.sessionizeCustom(input.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // session A: user 1 at 10:00 + 10:30
+      input.addData(Seq(
+        Event(ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        Event(ts("2024-01-01 10:30:00"), 1L, "click", 1.0),
+        Event(ts("2024-01-01 11:00:00"), 2L, "view", 1.0)))
+      q.processAllAvailable()
+      // >2h gap closes session A in-stream and opens session B
+      input.addData(Seq(Event(ts("2024-01-01 14:00:00"), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      val afterGap = s.table("sess_out").as[StreamingAnalogs.ClosedSession]
+        .collect()
+      assert(afterGap.map(c =>
+        (c.user_id, c.session_start.toString, c.n_events)).toSet ==
+        Set((1L, "2024-01-01 10:00:00.0", 2L)))
+      // advancing the watermark far past end+gap flushes the open
+      // sessions via event-time timeout (two batches: the watermark
+      // used by batch N is derived from batch N-1's max event time)
+      input.addData(Seq(Event(ts("2024-01-05 00:00:00"), 3L, "view", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Event(ts("2024-01-06 00:00:00"), 3L, "view", 1.0)))
+      q.processAllAvailable()
+      val all = s.table("sess_out").as[StreamingAnalogs.ClosedSession]
+        .collect()
+        .map(c => (c.user_id, c.session_start.toString,
+          c.session_end.toString, c.n_events)).toSet
+      assert(all.contains(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0", 2L)))
+      assert(all.contains(
+        (1L, "2024-01-01 14:00:00.0", "2024-01-01 14:00:00.0", 1L)))
+      assert(all.contains(
+        (2L, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0", 1L)))
+    } finally q.stop()
+  }
 }
