@@ -75,4 +75,37 @@ class PlanQualitySpec extends SparkSpec {
         }
       }
   }
+
+  test("repetition/gopherQuality: row-local — no hash-partition shuffle") {
+    // the row-local design claim, asserted: the only exchange either
+    // plan may contain is the final orderBy's range partitioning
+    for (df <- Seq(TextAnalysis.repetition(spark, sfDir),
+        TextAnalysis.gopherQuality(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("hashpartitioning"), p.take(2000))
+    }
+  }
+
+  test("labelCentroids: partial aggregation before the one shuffle") {
+    val p = plan(Similarity.labelCentroids(spark, sfDir))
+    // map-side combine collapses each split to |labels|×|dims| rows
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(2000))
+    // formatted mode lists partitioning in the node detail sections
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"$hashExchanges hash exchanges\n${p.take(2000)}")
+  }
+
+  test("tokenMixture: one shuffle, keyed by source for the window") {
+    val p = plan(TextAnalysis.tokenMixture(spark, sfDir))
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashExchanges.size == 1, p.take(2000))
+    assert(hashExchanges.head.contains("source"), hashExchanges.head)
+  }
+
+  test("incremental: candidate joins are equi-joins, never pair scans") {
+    val p = plan(Dedup.incremental(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
