@@ -92,6 +92,7 @@ object SparkEntry {
     "sink_upsert_by_date" -> (Sinks.upsertByDate _),
     "sink_compact" -> (Sinks.compact _),
     "sink_schema_evolution" -> (Sinks.schemaEvolution _),
+    "sink_zorder" -> (Sinks.zorderCluster _),
     "sink_infer_csv" -> (Sinks.inferredCsv _),
     // §3.2 pipeline B gold table
     "p_insight_gold" -> (Pipelines.insightGold _),
@@ -378,6 +379,12 @@ object SparkEntry {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "sink_zorder" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "st1_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         | CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -190,4 +190,46 @@ object Sinks {
          |   FROM graft_tmp_customer WHERE c_acctbal > 0""".stripMargin)
     s.table("graft_promoted").orderBy("c_custkey")
   }
+
+  /** Z-order clustered layout: events written ordered by the bit
+    * interleave of (user bucket, day ordinal), so file-level parquet
+    * min/max statistics are narrow on BOTH dimensions at once — a
+    * predicate on either user OR day prunes most files at planning
+    * time, which a single-column sort can only give for its leading
+    * column. This is the table-layout decision that matters at 100 TB:
+    * the cluster write is repartitionByRange on the z-key (disjoint
+    * per-file key ranges) + sortWithinPartitions, all computed
+    * row-locally; no extra shuffle beyond the one range exchange any
+    * clustered write needs. ZorderSpec measures the per-file
+    * min/max narrowing against the global ranges.
+    *
+    * The query result is a day-grain rollup read BACK from the
+    * clustered files, so the oracle verifies the full write→read
+    * round trip, not just the write.
+    */
+  def zorderCluster(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${root(dir)}/events_zorder"
+    val bits = 10
+    val ub = pmod(col("user_id"), lit(1 << bits))
+    val db = pmod(datediff(col("ts").cast("date"),
+      lit(java.sql.Date.valueOf("2024-01-01"))), lit(1 << bits))
+    // classic Morton interleave: user bits at odd positions, day bits
+    // at even — row-local integer ops, codegen-friendly
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(ub, i).bitwiseAND(lit(1)), 2 * i + 1) +
+        shiftleft(shiftright(db, i).bitwiseAND(lit(1)), 2 * i)
+    }.reduce(_ + _)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("zkey", z)
+      .repartitionByRange(8, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Scalars.moneySum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+  }
 }

@@ -41,4 +41,39 @@ class SinksSpec extends SparkSpec {
     assert(withPriority == expected) // gen-1 rows read as null priority
     assert(withPriority < totalN)    // both generations present
   }
+
+  test("zorderCluster: per-file ranges narrow on BOTH dims; content intact") {
+    val roll = Sinks.zorderCluster(spark, sfDir)
+    // round trip: the rollup read back from the clustered files equals
+    // the same rollup straight off the source table
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val viaZ = roll.collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("n_events")).toMap
+    assert(viaZ == direct)
+    // the layout claim: average per-file (min,max) width is well under
+    // the global width on BOTH clustering dimensions — the property
+    // that lets parquet stats prune files for predicates on either
+    val root = s"/tmp/graft_sinks/${new java.io.File(sfDir).getName}"
+    val files = new java.io.File(s"$root/events_zorder").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4, s"${files.length} files")
+    def ranges(c: org.apache.spark.sql.Column) = files.map { f =>
+      val r = spark.read.parquet(f)
+        .select(min(c).cast("long"), max(c).cast("long")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val dayCol = datediff(col("ts").cast("date"),
+      lit(java.sql.Date.valueOf("2024-01-01")))
+    val userCol = pmod(col("user_id"), lit(1024))
+    for ((c, name) <- Seq((dayCol, "day"), (userCol, "user"))) {
+      val rs = ranges(c)
+      val gLo = rs.map(_._1).min; val gHi = rs.map(_._2).max
+      val avgWidth = rs.map { case (lo, hi) => (hi - lo).toDouble }.sum / rs.length
+      assert(avgWidth < 0.75 * (gHi - gLo),
+        s"$name: avg file width $avgWidth vs global ${gHi - gLo}")
+    }
+  }
 }
