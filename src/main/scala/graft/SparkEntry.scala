@@ -93,6 +93,9 @@ object SparkEntry {
     "sink_compact" -> (Sinks.compact _),
     "sink_schema_evolution" -> (Sinks.schemaEvolution _),
     "sink_zorder" -> (Sinks.zorderCluster _),
+    // data-quality gates
+    "dq_expectations" -> (Quality.expectations _),
+    "dq_volume_anomaly" -> (Quality.volumeAnomaly _),
     "sink_infer_csv" -> (Sinks.inferredCsv _),
     // §3.2 pipeline B gold table
     "p_insight_gold" -> (Pipelines.insightGold _),
@@ -379,6 +382,45 @@ object SparkEntry {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "dq_expectations" ->
+      """WITH r AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |    CAST(COUNT(CASE WHEN NOT (o_totalprice > 0) THEN 1 END)
+        |      AS BIGINT) AS v1,
+        |    CAST(COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END)
+        |      AS BIGINT) AS v2,
+        |    CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 END) AS BIGINT) AS v3
+        |  FROM orders),
+        |fk AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |    CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+        |      AS BIGINT) AS v
+        |  FROM orders o LEFT JOIN customer c
+        |    ON o.o_custkey = c.c_custkey)
+        |SELECT rule, n_checked, n_violations,
+        |  CAST(n_violations = 0 AS INT) AS pass
+        |FROM (
+        |  SELECT 'totalprice_positive' AS rule, n_checked,
+        |    v1 AS n_violations FROM r
+        |  UNION ALL SELECT 'orderdate_not_null', n_checked, v2 FROM r
+        |  UNION ALL SELECT 'status_in_domain', n_checked, v3 FROM r
+        |  UNION ALL SELECT 'custkey_resolves', n_checked, v FROM fk)
+        |ORDER BY rule""".stripMargin,
+    "dq_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_events) AS BIGINT) AS s1,
+        |    CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+        |  FROM daily)
+        |SELECT day, n_events, s1 / k AS mean_events,
+        |  CAST((n_events - s1 / k) * (n_events - s1 / k) >
+        |    4.0 * (s2 / k - (s1 / k) * (s1 / k)) AS INT) AS is_anomaly
+        |FROM daily, st ORDER BY day""".stripMargin,
     "sink_zorder" ->
       """SELECT CAST(ts AS DATE) AS day,
         | CAST(COUNT(*) AS BIGINT) AS n_events,

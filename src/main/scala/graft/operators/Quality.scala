@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality operators: a declarative expectations gate (the
+  * constraint-check pass a production pipeline runs before promoting a
+  * snapshot — the reference instead swallows per-row exceptions,
+  * `Gonukkad_Merchants.py:95-101`) and day-volume anomaly detection
+  * (the "did today's load look like yesterday's" audit its daily
+  * count file approximates, `buisness_profile_etl/main.py:20-50`).
+  *
+  * Scale design: the row-rule gate is ONE pass over the fact table
+  * (every rule a conditional count in the same aggregate — no
+  * per-rule scans); the referential rule is a broadcast anti join.
+  * Anomaly stats come from exact integer sums, so results are
+  * deterministic under any partitioning.
+  */
+object Quality {
+
+  /** Declarative expectations over orders: per-rule checked/violation
+    * counts and a pass flag. Row-local rules fold into one aggregate
+    * pass; the foreign-key rule joins against the (broadcast)
+    * customer key set.
+    */
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val rowRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "totalprice_positive" -> (col("o_totalprice") > 0),
+      "orderdate_not_null" -> col("o_orderdate").isNotNull,
+      "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"))
+    // one scan, all row rules: each rule is a conditional count in the
+    // same aggregate (N rules cost one pass, not N), then the 1-row
+    // result unpivots via stack — never a per-rule re-scan
+    val rowAgg = orders.agg(
+      count(lit(1)).as("n_checked"),
+      rowRules.map { case (name, pred) =>
+        count(when(!pred, 1)).as(s"v_$name")
+      }: _*)
+    val stackArgs = rowRules
+      .map { case (name, _) => s"'$name', v_$name" }.mkString(", ")
+    val rowResults = rowAgg.select(col("n_checked"),
+      expr(s"stack(${rowRules.size}, $stackArgs) AS (rule, n_violations)"))
+      .select(col("rule"), col("n_checked"), col("n_violations"))
+    // referential rule: orphaned o_custkey — broadcast LEFT join so
+    // checked and violation counts come out of the same single pass
+    // (an anti join would lose the denominator)
+    val fk = orders.select(col("o_custkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        count(when(col("c_custkey").isNull, 1)).as("n_violations"))
+      .select(lit("custkey_resolves").as("rule"), col("n_checked"),
+        col("n_violations"))
+    rowResults.unionByName(fk)
+      .withColumn("pass", (col("n_violations") === 0).cast("int"))
+      .orderBy("rule")
+  }
+
+  /** Day-volume anomaly detection over events: flag days whose event
+    * count deviates from the corpus mean by more than 2 standard
+    * deviations. The variance test is expressed SQUARED
+    * ((n-mean)² > 4·var) so no square root enters the output, and
+    * mean/var derive from exact integer sums — bit-identical results
+    * under any row order or partitioning, in any engine.
+    */
+  def volumeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    // exact integer corpus stats, broadcast back as a 1-row join
+    val stats = daily.agg(
+      count(lit(1)).as("k"),
+      sum(col("n_events")).as("s1"),
+      sum(col("n_events") * col("n_events")).as("s2"))
+    daily.join(broadcast(stats), lit(true))
+      .withColumn("mean_events", col("s1") / col("k"))
+      .withColumn("var_events",
+        col("s2") / col("k") - col("mean_events") * col("mean_events"))
+      .withColumn("is_anomaly",
+        ((col("n_events") - col("mean_events")) *
+          (col("n_events") - col("mean_events")) >
+          lit(4.0) * col("var_events")).cast("int"))
+      .select(col("day"), col("n_events"), col("mean_events"),
+        col("is_anomaly"))
+      .orderBy("day")
+  }
+}
