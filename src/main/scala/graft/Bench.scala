@@ -62,8 +62,13 @@ object Bench {
       "ss_gmb_roundtrip", "ss_json_flatten", "sink_upsert_by_date",
       "sink_compact", "s2_jdbc_source", "s4_rest_source",
       "adv_bucketed_join", "st2_sliding_7day")
+    // a filtered profiling run exists to print ITS queries' numbers —
+    // only the unfiltered sweep (whose 100+-entry map overflows the
+    // capture) trims stdout to the headline subset
+    val stdoutQs =
+      if (args.isEmpty) sorted.filter(p => headline(p._1)) else sorted
     val shortLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"queries":${jsonOf(sorted.filter(p => headline(p._1)))},"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"queries":${jsonOf(stdoutQs)},"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(shortLine)
     spark.stop()
   }

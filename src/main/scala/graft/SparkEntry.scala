@@ -385,12 +385,12 @@ object SparkEntry {
     "dq_expectations" ->
       """WITH r AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
-        |    CAST(COUNT(CASE WHEN NOT (o_totalprice > 0) THEN 1 END)
-        |      AS BIGINT) AS v1,
-        |    CAST(COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END)
-        |      AS BIGINT) AS v2,
-        |    CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-        |      THEN 1 END) AS BIGINT) AS v3
+        |    CAST(COUNT(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+        |      THEN 1 END) AS BIGINT) AS v1,
+        |    CAST(COUNT(CASE WHEN NOT COALESCE(o_orderdate IS NOT NULL,
+        |      FALSE) THEN 1 END) AS BIGINT) AS v2,
+        |    CAST(COUNT(CASE WHEN NOT COALESCE(o_orderstatus IN
+        |      ('O','F','P'), FALSE) THEN 1 END) AS BIGINT) AS v3
         |  FROM orders),
         |fk AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,

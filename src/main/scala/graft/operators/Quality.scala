@@ -24,19 +24,28 @@ object Quality {
     * pass; the foreign-key rule joins against the (broadcast)
     * customer key set.
     */
-  def expectations(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(s, dir)
+  def expectations(s: SparkSession, dir: String): DataFrame =
+    expectationsOn(Tables.orders(s, dir), Tables.customer(s, dir))
+
+  /** The gate over explicit inputs — separable so specs can feed a
+    * deliberately corrupted orders table through the same rule logic.
+    */
+  private[operators] def expectationsOn(orders: DataFrame,
+      customer: DataFrame): DataFrame = {
     val rowRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "totalprice_positive" -> (col("o_totalprice") > 0),
       "orderdate_not_null" -> col("o_orderdate").isNotNull,
       "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"))
     // one scan, all row rules: each rule is a conditional count in the
     // same aggregate (N rules cost one pass, not N), then the 1-row
-    // result unpivots via stack — never a per-rule re-scan
+    // result unpivots via stack — never a per-rule re-scan.
+    // coalesce(pred, false): three-valued logic would otherwise let a
+    // NULL value slip past a value constraint (NOT(NULL > 0) is NULL,
+    // which when() silently skips) — for a gate, NULL is a violation
     val rowAgg = orders.agg(
       count(lit(1)).as("n_checked"),
       rowRules.map { case (name, pred) =>
-        count(when(!pred, 1)).as(s"v_$name")
+        count(when(!coalesce(pred, lit(false)), 1)).as(s"v_$name")
       }: _*)
     val stackArgs = rowRules
       .map { case (name, _) => s"'$name', v_$name" }.mkString(", ")
@@ -47,7 +56,7 @@ object Quality {
     // checked and violation counts come out of the same single pass
     // (an anti join would lose the denominator)
     val fk = orders.select(col("o_custkey"))
-      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"))),
+      .join(broadcast(customer.select(col("c_custkey"))),
         col("o_custkey") === col("c_custkey"), "left")
       .agg(count(lit(1)).as("n_checked"),
         count(when(col("c_custkey").isNull, 1)).as("n_violations"))

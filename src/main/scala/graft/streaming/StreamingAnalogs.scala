@@ -117,8 +117,10 @@ object StreamingAnalogs {
       }
       .start()
 
-  /** One open (not yet emitted) session in flight for a user. */
-  case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  /** Open (not yet emitted) sessions in flight for one user, kept as
+    * gap-merged disjoint intervals sorted by start.
+    */
+  case class OpenSessions(sessions: List[(Long, Long, Long)])
 
   /** A finished session, emitted once it can no longer grow. */
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
@@ -127,50 +129,55 @@ object StreamingAnalogs {
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * hand-rolled form of `sessionize` above for session semantics
     * `session_window` can't express (here: emit a session ONLY when
-    * closed, exactly once, in append mode). A user's open session
-    * lives in keyed state; a batch's events fold into it (extend on
-    * gap ≤ `gap`, else close + emit and open a new one), and an
-    * EVENT-TIME timeout at open.end + gap flushes the final session
-    * once the watermark proves no earlier event can arrive. State per
-    * key is one tiny struct, eviction is driven by the watermark —
-    * bounded regardless of stream length, the only safe shape for
-    * unbounded keyed state.
+    * closed, exactly once, in append mode).
+    *
+    * Correctness under out-of-order arrival: a session may only be
+    * emitted when the WATERMARK proves nothing can extend it — a
+    * large in-batch gap proves nothing, because an event between two
+    * observed ones can still arrive within the lateness allowance and
+    * extend or even BRIDGE sessions. So state holds ALL of the user's
+    * open sessions (disjoint intervals; a new event extends one,
+    * starts one, or merges two it now bridges), and only the
+    * event-time timeout — watermark past end + gap — closes, emits,
+    * and evicts. State per key is O(open sessions inside the lateness
+    * window), watermark-bounded regardless of stream length.
     */
   def sessionizeCustom(events: Dataset[Event],
       gapMs: Long = 2L * 3600 * 1000): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, OutputMode}
-    def close(uid: Long, s: OpenSession) = ClosedSession(uid,
-      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+    def close(uid: Long, s: (Long, Long, Long)) = ClosedSession(uid,
+      new java.sql.Timestamp(s._1), new java.sql.Timestamp(s._2), s._3)
+    // insert one event, merging every interval within gap of it —
+    // handles extend-left, extend-right, and bridging two sessions
+    def insert(ss: List[(Long, Long, Long)], t: Long)
+        : List[(Long, Long, Long)] = {
+      val (near, far) = ss.partition { case (lo, hi, _) =>
+        t >= lo - gapMs && t <= hi + gapMs }
+      val merged = near.foldLeft((t, t, 1L)) {
+        case ((lo, hi, n), (l2, h2, n2)) =>
+          (math.min(lo, l2), math.max(hi, h2), n + n2)
+      }
+      (merged :: far).sortBy(_._1)
+    }
     events.withWatermark("ts", "1 day")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid, it, state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            // watermark passed open.end + gap: nothing can extend it
-            val out = state.getOption.map(close(uid, _))
-            state.remove()
-            out.iterator
-          } else {
-            // fold this batch's events (sorted — microbatch order is
-            // arrival order, not event order) into the open session
-            val sorted = it.map(_.ts.getTime).toSeq.sorted
-            var open = state.getOption.orNull
-            val closed = Seq.newBuilder[ClosedSession]
-            for (t <- sorted) {
-              if (open == null) open = OpenSession(t, t, 0)
-              else if (t - open.endMs > gapMs) {
-                closed += close(uid, open); open = OpenSession(t, t, 0)
-              }
-              open = open.copy(endMs = math.max(open.endMs, t),
-                n = open.n + 1)
-            }
-            state.update(open)
-            // re-arm: flush when the watermark passes the gap horizon
-            state.setTimeoutTimestamp(open.endMs + gapMs)
-            closed.result().iterator
+        (uid, it, state: GroupState[OpenSessions]) =>
+          val held = state.getOption.map(_.sessions).getOrElse(Nil)
+          val ss = it.foldLeft(held)((acc, e) => insert(acc, e.ts.getTime))
+          // emit every session the watermark has sealed (end + gap
+          // behind it); hasTimedOut is just the no-new-events case
+          val wm = state.getCurrentWatermarkMs()
+          val (sealedSs, open) = ss.partition(_._2 + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            // flush when the watermark passes the earliest horizon
+            state.setTimeoutTimestamp(open.map(_._2).min + gapMs)
           }
+          sealedSs.map(close(uid, _)).iterator
       }
   }
 

@@ -17,16 +17,37 @@ class QualitySpec extends SparkSpec {
     assert(out.forall(_.getAs[Int]("pass") == 1))
   }
 
-  test("expectations: violations detected on corrupted input") {
-    // independently recount a violation the declarative gate must see:
-    // orders pointing at a customer key that exists
-    val resolved = Tables.orders(spark, sfDir).join(
-      Tables.customer(spark, sfDir),
-      col("o_custkey") === col("c_custkey"), "left_semi").count()
-    val total = Tables.orders(spark, sfDir).count()
-    val fkRow = Quality.expectations(spark, sfDir).collect()
-      .find(_.getAs[String]("rule") == "custkey_resolves").get
-    assert(fkRow.getAs[Long]("n_violations") == total - resolved)
+  test("expectations: corrupted rows are counted, including NULL escapes") {
+    // corrupt a copy of orders: one orphan custkey, one negative
+    // price, one NULL price (the three-valued-logic escape), one
+    // NULL date, one out-of-domain status
+    val base = Tables.orders(spark, sfDir)
+    val bad = base.limit(5).select(
+      monotonically_increasing_id().as("rid"), col("*"))
+      .withColumn("o_custkey",
+        when(col("rid") === 0, lit(-999L)).otherwise(col("o_custkey")))
+      .withColumn("o_totalprice",
+        when(col("rid") === 1, lit(-5.0))
+          .when(col("rid") === 2, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderdate",
+        when(col("rid") === 3, lit(null).cast("timestamp"))
+          .otherwise(col("o_orderdate")))
+      .withColumn("o_orderstatus",
+        when(col("rid") === 4, lit("X")).otherwise(col("o_orderstatus")))
+      .drop("rid")
+    val out = Quality.expectationsOn(base.unionByName(bad),
+      Tables.customer(spark, sfDir)).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Int]("pass"))).toMap
+    assert(out("custkey_resolves") == ((1L, 0)))
+    assert(out("totalprice_positive") == ((2L, 0))) // negative AND null
+    assert(out("orderdate_not_null") == ((1L, 0)))
+    assert(out("status_in_domain") == ((1L, 0)))
+    val n = Tables.orders(spark, sfDir).count() + 5
+    val checked = Quality.expectationsOn(base.unionByName(bad),
+      Tables.customer(spark, sfDir)).collect()
+    assert(checked.forall(_.getAs[Long]("n_checked") == n))
   }
 
   test("volumeAnomaly: flags agree with a driver-side z-test recount") {

@@ -218,7 +218,8 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionizeCustom: sessions close on gap and on watermark timeout") {
+  test("sessionizeCustom: late events extend sealed-looking sessions; " +
+      "only the watermark emits") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -233,17 +234,20 @@ class StreamingSpec extends SparkSpec {
         Event(ts("2024-01-01 10:30:00"), 1L, "click", 1.0),
         Event(ts("2024-01-01 11:00:00"), 2L, "view", 1.0)))
       q.processAllAvailable()
-      // >2h gap closes session A in-stream and opens session B
+      // a >2h in-batch gap must NOT emit session A: with a 1-day
+      // lateness allowance, an event that extends A can still arrive
       input.addData(Seq(Event(ts("2024-01-01 14:00:00"), 1L, "view", 1.0)))
       q.processAllAvailable()
-      val afterGap = s.table("sess_out").as[StreamingAnalogs.ClosedSession]
-        .collect()
-      assert(afterGap.map(c =>
-        (c.user_id, c.session_start.toString, c.n_events)).toSet ==
-        Set((1L, "2024-01-01 10:00:00.0", 2L)))
-      // advancing the watermark far past end+gap flushes the open
-      // sessions via event-time timeout (two batches: the watermark
-      // used by batch N is derived from batch N-1's max event time)
+      assert(s.table("sess_out").isEmpty)
+      // ...and one does: 11:00 arrives late (watermark is still Dec 31)
+      // and extends A to [10:00, 11:00] n=3 — emitting at the gap
+      // would have lost this event or miscounted the session
+      input.addData(Seq(Event(ts("2024-01-01 11:00:00"), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      assert(s.table("sess_out").isEmpty)
+      // advancing the watermark past end+gap seals everything (two
+      // batches: the watermark used by batch N derives from batch
+      // N-1's max event time)
       input.addData(Seq(Event(ts("2024-01-05 00:00:00"), 3L, "view", 1.0)))
       q.processAllAvailable()
       input.addData(Seq(Event(ts("2024-01-06 00:00:00"), 3L, "view", 1.0)))
@@ -252,11 +256,9 @@ class StreamingSpec extends SparkSpec {
         .collect()
         .map(c => (c.user_id, c.session_start.toString,
           c.session_end.toString, c.n_events)).toSet
-      assert(all.contains(
-        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0", 2L)))
-      assert(all.contains(
-        (1L, "2024-01-01 14:00:00.0", "2024-01-01 14:00:00.0", 1L)))
-      assert(all.contains(
+      assert(all == Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 3L),
+        (1L, "2024-01-01 14:00:00.0", "2024-01-01 14:00:00.0", 1L),
         (2L, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0", 1L)))
     } finally q.stop()
   }
