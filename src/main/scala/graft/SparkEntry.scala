@@ -32,6 +32,7 @@ object SparkEntry {
     "j3_join_revenue" -> (Relational.join3Revenue _),
     "j_anti" -> (Relational.antiJoin _),
     "j4_promo_revenue" -> (Relational.promoRevenue _),
+    "j5_local_supplier" -> (Relational.q5LocalSupplier _),
     "s2_jdbc_source" -> (Relational.jdbcSnapshot _),
     // §2.5 aggregations
     "a1_pricing_summary" -> (Aggregates.pricingSummary _),
@@ -245,6 +246,21 @@ object SparkEntry {
         |     AS DECIMAL(18,6))) AS DOUBLE) AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN orders ON c_custkey = o_custkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "s2_jdbc_source" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |WHERE s_acctbal > 0 AND s_nationkey IN

@@ -118,6 +118,40 @@ object Relational {
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy("c_mktsegment", "order_year")
 
+  /** TPC-H Q5 shape — the heaviest classic OLAP join tree: region →
+    * nation → customer → orders → lineitem → supplier with the "local
+    * supplier" condition (the supplier sits in the customer's nation),
+    * revenue per nation over one order-date year. Physical shape at
+    * any scale: region/nation/supplier are broadcast dims, the
+    * customer⋈orders⋈lineitem chain shuffles on its keys, the date
+    * filter pushes to the orders scan, and the local-supplier
+    * predicate rides the supplier join as an equi-key — never a
+    * post-join filter over the full fact product.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.customer(s, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1997-01-01"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      // local supplier: join key includes the nation, so non-local
+      // pairs never materialize
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Part-dimension enrichment rollup (TPC-H Q14 shape): lineitem ⋈
     * part with the dim broadcast, promo-revenue share per brand. The
     * share divides the two decimal-exact sums as one double division

@@ -103,6 +103,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashExchanges.head.contains("source"), hashExchanges.head)
   }
 
+  test("q5LocalSupplier: dims broadcast, date filter pushed, no pair scan") {
+    val p = plan(Relational.q5LocalSupplier(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // region/nation and supplier ride broadcast; the fact chain doesn't
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"$broadcasts broadcast joins\n${p.take(1500)}")
+    // the order-date range reaches the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+  }
+
   test("incremental: candidate joins are equi-joins, never pair scans") {
     val p = plan(Dedup.incremental(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(800))
