@@ -83,6 +83,7 @@ object SparkEntry {
     "agg_percentile" -> (Analytics.percentiles _),
     "set_cube" -> (Analytics.cubeFlags _),
     "agg_approx_distinct" -> (Analytics.approxDistinct _),
+    "agg_sketch_rollup" -> (Analytics.sketchRollup _),
     "agg_profile" -> (Analytics.profileOrders _),
     "agg_histogram" -> (Analytics.histogram _),
     // §2.2 sinks (write → read-back round trips)

@@ -225,4 +225,28 @@ object Analytics {
       .groupBy("bin")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("bin")
+
+  /** Mergeable distinct-count sketches: per-day HLL sketches of active
+    * users, then ONE union of the day sketches for the corpus total —
+    * the reason approximate distinct scales where exact doesn't: the
+    * day sketches are built once and MERGE (hll_union_agg) without
+    * re-scanning events, so a year-to-date distinct is 365 sketch
+    * unions instead of a year-long re-aggregation. Estimates are
+    * engine-specific (DataSketches HLL here) → rows-only driver check;
+    * AnalyticsSpec bounds the estimate error against the exact count.
+    */
+  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    val perDay = daily.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n_events"),
+      hll_sketch_estimate(col("sk")).as("n_users_est"))
+    val total = daily.agg(
+        sum(col("n_events")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_est"))
+      .select(lit("TOTAL").as("day"), col("n_events"), col("n_users_est"))
+    perDay.unionByName(total).orderBy("day")
+  }
 }

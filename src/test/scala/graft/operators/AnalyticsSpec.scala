@@ -59,6 +59,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("sketchRollup: merged day sketches estimate the exact global distinct") {
+    val out = Analytics.sketchRollup(spark, sfDir).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("n_users_est")).toMap
+    val events = graft.Tables.events(spark, sfDir)
+    val exactTotal = events.select("user_id").distinct().count().toDouble
+    assert(math.abs(out("TOTAL") - exactTotal) / exactTotal < 0.05,
+      s"est ${out("TOTAL")} vs exact $exactTotal")
+    // per-day estimates exist for every day and are near-exact at this
+    // cardinality; the union can only see MORE users than any one day
+    val days = out.keySet - "TOTAL"
+    assert(days.size == events.select(col("ts").cast("date")).distinct().count())
+    assert(out.values.forall(_ <= out("TOTAL") * 1.05))
+  }
+
   test("insightGold: one row per customer, engaged implies purchases") {
     val out = Pipelines.insightGold(spark, sfDir).cache()
     assert(out.count() == graft.Tables.customer(spark, sfDir).count())

@@ -120,4 +120,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("AQE re-plans at runtime: small shuffle partitions coalesce") {
+    // the conf is asserted ON elsewhere; this asserts it DOES something:
+    // after execution the adaptive plan's shuffle reads must have
+    // coalesced the 32 tiny sf0.001 partitions
+    val df = Relational.join3Revenue(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead"), p.take(1500))
+    assert(p.toLowerCase.contains("coalesced"), p.take(1500))
+  }
 }
