@@ -61,7 +61,10 @@ object Bench {
       "sim_topk", "sim_ann_lsh", "text_tfidf", "text_quality", "text_pack",
       "ss_gmb_roundtrip", "ss_json_flatten", "sink_upsert_by_date",
       "sink_compact", "s2_jdbc_source", "s4_rest_source",
-      "adv_bucketed_join", "st2_sliding_7day")
+      "adv_bucketed_join", "st2_sliding_7day",
+      "j5_local_supplier", "dq_expectations", "dq_volume_anomaly",
+      "sink_zorder", "dedup_incremental", "text_token_mixture",
+      "sim_centroids", "text_repetition", "agg_sketch_rollup")
     // a filtered profiling run exists to print ITS queries' numbers —
     // only the unfiltered sweep (whose 100+-entry map overflows the
     // capture) trims stdout to the headline subset
