@@ -184,12 +184,26 @@ object TextAnalysis {
     * means 'the' never shuffles as raw rows).
     */
   def vocab(s: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(s, dir))
-      .select(explode(tokens(col("text"))).as("token"))
+    termFreq(s, dir)
       .groupBy("token")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("tf")).as("n"))
       .orderBy(desc("n"), asc("token"))
       .limit(50)
+
+  /** Pooled per-(doc, token) term frequencies — the shared base of the
+    * corpus-statistics family: tfidf reads it THREE times (tf side, df
+    * derivation, score join) and vocab folds it per token; uncached,
+    * Spark would re-run the explode+aggregate for every consumer.
+    * Routed through graft.CachePool so a multi-query session keeps one
+    * materialized copy and the LRU releases it.
+    */
+  private def termFreq(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"text.termFreq:$dir") {
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"))
+    }
 
   /** Bigram counts (adjacent token pairs, NON-distinct — unlike the
     * dedup shingles, language-model counts keep multiplicity), top 50
@@ -222,13 +236,9 @@ object TextAnalysis {
     * ln() is a libm call with no cross-engine rounding guarantee.
     */
   def tfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val docs = Tables.fanOut(Tables.documents(s, dir))
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreq(s, dir) // pooled — see termFreq
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df_, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
