@@ -64,7 +64,8 @@ object Bench {
       "adv_bucketed_join", "st2_sliding_7day",
       "j5_local_supplier", "dq_expectations", "dq_volume_anomaly",
       "sink_zorder", "dedup_incremental", "text_token_mixture",
-      "sim_centroids", "text_repetition", "agg_sketch_rollup")
+      "sim_centroids", "text_repetition", "text_gopher_quality",
+      "agg_sketch_rollup")
     // a filtered profiling run exists to print ITS queries' numbers —
     // only the unfiltered sweep (whose 100+-entry map overflows the
     // capture) trims stdout to the headline subset

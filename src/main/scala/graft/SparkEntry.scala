@@ -1169,8 +1169,8 @@ object SparkEntry {
         |  CAST(len(ws) AS INT) AS n_words,
         |  CAST(list_sum(list_transform(ws, w -> length(w))) AS INT)
         |    AS sum_word_len,
-        |  CAST(length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS INT)
-        |    AS n_symbol_chars,
+        |  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+        |    AS INT) AS n_symbol_chars,
         |  CAST(length(text) AS INT) AS n_chars_calc,
         |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
         |    AS INT) AS n_alpha_words,

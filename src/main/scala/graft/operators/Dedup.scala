@@ -432,8 +432,14 @@ object Dedup {
     */
   def incremental(s: SparkSession, dir: String): DataFrame = {
     val isDelta = col("doc_id") % 5 === 0
-    val fps = Tables.documents(s, dir).select(col("doc_id"),
-      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+    // pooled: the fingerprint projection feeds three branches (delta
+    // side of the exact join, history side, final delta spine) —
+    // uncached each one re-scans documents and re-runs the md5
+    // normalization
+    val fps = graft.CachePool.cached(s, s"dedup.fingerprints:$dir") {
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+    }
     val delta = fps.filter(isDelta)
     val hist = fps.filter(!isDelta)
       .select(col("fp"), col("doc_id").as("hist_fp_id"))

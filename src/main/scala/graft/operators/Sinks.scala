@@ -211,8 +211,14 @@ object Sinks {
     val out = s"${root(dir)}/events_zorder"
     val bits = 10
     val ub = pmod(col("user_id"), lit(1 << bits))
-    val db = pmod(datediff(col("ts").cast("date"),
-      lit(java.sql.Date.valueOf("2024-01-01"))), lit(1 << bits))
+    // the user dimension is a deliberate hash bucket (pmod), but day
+    // is a RANGE dimension: saturate at the 10-bit edges rather than
+    // wrap, so an event >1024 days past the epoch clusters at the top
+    // bucket instead of aliasing back onto early days and silently
+    // widening every file's day min/max
+    val db = least(greatest(datediff(col("ts").cast("date"),
+      lit(java.sql.Date.valueOf("2024-01-01"))), lit(0)),
+      lit((1 << bits) - 1))
     // classic Morton interleave: user bits at odd positions, day bits
     // at even — row-local integer ops, codegen-friendly
     val z = (0 until bits).map { i =>

@@ -364,7 +364,10 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(col("doc_id"), size(ws).as("n_words"),
         aggregate(ws, lit(0), (a, w) => a + length(w)).as("sum_word_len"),
-        length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+        // lower() first: the symbol-ratio rule targets #/…/etc., not
+        // capitalization — without it every uppercase letter counts
+        // as a symbol and Title-Case prose fails the 0.1 gate
+        length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
           .as("n_symbol_chars"),
         length(col("text")).as("n_chars_calc"),
         size(filter(ws, w => w.rlike("[a-z]"))).as("n_alpha_words"),

@@ -167,10 +167,14 @@ object StreamingAnalogs {
         (uid, it, state: GroupState[OpenSessions]) =>
           val held = state.getOption.map(_.sessions).getOrElse(Nil)
           val ss = it.foldLeft(held)((acc, e) => insert(acc, e.ts.getTime))
-          // emit every session the watermark has sealed (end + gap
-          // behind it); hasTimedOut is just the no-new-events case
+          // emit every session the watermark has sealed: STRICTLY
+          // end + gap < wm, because an event at ts == wm is still
+          // admitted (Spark drops only ts < watermark) and insert()
+          // merges it when t <= hi + gap — at hi+gap == wm both
+          // would hold and the session would split. hasTimedOut is
+          // just the no-new-events case.
           val wm = state.getCurrentWatermarkMs()
-          val (sealedSs, open) = ss.partition(_._2 + gapMs <= wm)
+          val (sealedSs, open) = ss.partition(_._2 + gapMs < wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(OpenSessions(open))
