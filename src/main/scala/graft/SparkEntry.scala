@@ -156,6 +156,8 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_gopher_quality" -> (TextAnalysis.gopherQuality _),
     "text_token_mixture" -> (TextAnalysis.tokenMixture _),
+    "text_quality_filter" -> (TextAnalysis.qualityFilter _),
+    "text_resample" -> (TextAnalysis.resample _),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -1126,6 +1128,39 @@ object SparkEntry {
         |      FROM t)
         |WHERE cum_tokens - n_tokens < budget
         |ORDER BY doc_id""".stripMargin,
+    "text_quality_filter" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)
+        |      AS n_words,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)),
+        |      '\s+'))) AS INT) AS n_distinct_words
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source,
+        |    round(0.5 * (n_distinct_words / n_words) +
+        |      0.5 * least(n_words / 100.0, 1.0), 4) AS quality_score
+        |  FROM t)
+        |SELECT doc_id, source, quality_score, q_rank
+        |FROM (SELECT *, percent_rank() OVER (PARTITION BY source
+        |        ORDER BY quality_score, doc_id) AS q_rank FROM sc)
+        |WHERE q_rank >= 0.5
+        |ORDER BY doc_id""".stripMargin,
+    "text_resample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(CASE WHEN source = 'src0' THEN 2.5
+        |              WHEN source = 'src1' THEN 0.5
+        |              ELSE 1.0 END AS DOUBLE) AS weight,
+        |    (doc_id * 2654435761) % 100 AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, weight,
+        |    CAST(floor(weight) + CASE WHEN bucket <
+        |      (weight - floor(weight)) * 100 THEN 1 ELSE 0 END AS INT)
+        |      AS n_copies
+        |  FROM t)
+        |SELECT doc_id, source, weight, n_copies, CAST(epoch AS INT) AS epoch
+        |FROM (SELECT doc_id, source, weight, n_copies,
+        |        unnest(generate_series(1, n_copies)) AS epoch
+        |      FROM c WHERE n_copies > 0)
+        |ORDER BY doc_id, epoch""".stripMargin,
     "text_repetition" ->
       """WITH b AS (SELECT doc_id, ws,
         |    list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),

@@ -421,6 +421,68 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source quality-quantile gate: keep each source's top half by
+    * quality score (the quality-classifier thresholding step of a
+    * corpus pipeline — thresholds are per DOMAIN, because an absolute
+    * cutoff would empty low-register sources and keep every doc from
+    * clean ones). percent_rank over (score, doc_id) — the doc_id
+    * tie-break makes ranks unique, so the gate is deterministic and
+    * the rank arithmetic (rank-1)/(n-1) is exact IEEE division in any
+    * engine.
+    *
+    * Scale shape: one window partitioned by source — sources are
+    * few-and-large, so each rank sort runs inside its partition in
+    * parallel; a single-source corpus would shard the window key like
+    * packSequences does.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_words"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct_words"))
+      .withColumn("quality_score",
+        qualityExpr(col("n_words"), col("n_distinct_words")))
+      .withColumn("q_rank", percent_rank().over(w))
+      .filter(col("q_rank") >= 0.5)
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("q_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Weighted epoch resampling: repeat (or drop) each document
+    * according to its source's mixture weight — the data-recipe step
+    * that upsamples scarce high-value domains to >1 epoch and
+    * downsamples bulk crawl to <1, materialized as explicit copies so
+    * the training reader stays a plain sequential scan. Copy count =
+    * floor(weight) + one stochastic extra from a deterministic hash
+    * bucket (so weight 2.5 gives every doc 2 copies and half the docs
+    * a 3rd, stable across re-runs/appends — same LCG family as
+    * holdoutSplit).
+    *
+    * Scale shape: row-local `explode(sequence(...))` — output rows are
+    * produced on the partition that holds the input row, no shuffle at
+    * any corpus size.
+    */
+  def resample(s: SparkSession, dir: String): DataFrame = {
+    val weight = when(col("source") === "src0", 2.5)
+      .when(col("source") === "src1", 0.5)
+      .otherwise(1.0)
+    val bucket = (col("doc_id") * lit(2654435761L)) % 100
+    val copies = (floor(weight) +
+      when(bucket < (weight - floor(weight)) * 100, 1).otherwise(0))
+      .cast("int")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), weight.as("weight"),
+        copies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("weight"), col("n_copies"),
+        explode(sequence(lit(1), col("n_copies"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text, plus
     * the exact-duplicate group size per fingerprint.
     */

@@ -338,6 +338,59 @@ class NorthStarSpec extends SparkSpec {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("qualityFilter: keeps each source's top half by score, threshold per source") {
+    val kept = TextAnalysis.qualityFilter(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySource = kept.groupBy(_.getAs[String]("source"))
+    // every source survives the gate (per-domain thresholding, not an
+    // absolute cutoff), keeping roughly — never less than — half
+    assert(keptBySource.keySet == perSource.keySet)
+    keptBySource.foreach { case (src, rs) =>
+      val frac = rs.length.toDouble / perSource(src)
+      assert(frac >= 0.5 && frac <= 0.7, s"$src kept $frac")
+    }
+    // the gate is a quantile: every kept score >= every dropped score
+    // within the same source
+    val dropped = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filterNot { case (id, _) => kept.exists(_.getAs[Long]("doc_id") == id) }
+    val minKept = kept.groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Double]("quality_score")).min }
+    val scores = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    dropped.foreach { case (id, src) =>
+      assert(scores(id) <= minKept(src), s"dropped $id outscores kept in $src")
+    }
+  }
+
+  test("resample: copy counts follow source weights; epochs are dense") {
+    val r = TextAnalysis.resample(spark, sfDir).collect()
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    // epochs are 1..n_copies with no gaps
+    byDoc.foreach { case (_, rs) =>
+      val n = rs.head.getAs[Int]("n_copies")
+      assert(rs.map(_.getAs[Int]("epoch")).sorted.toSeq == (1 to n))
+    }
+    // aggregate copy counts track the weights: src0 ≈ 2.5x its docs,
+    // src1 ≈ 0.5x, everything else exactly 1x
+    val docs = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val copies = r.groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.length.toDouble }
+    assert(math.abs(copies("src0") / docs("src0") - 2.5) <= 0.6)
+    assert(math.abs(copies("src1") / docs("src1") - 0.5) <= 0.4)
+    docs.keys.filterNot(Set("src0", "src1")).foreach { s =>
+      assert(copies(s) == docs(s).toDouble, s"$s not exactly 1 epoch")
+    }
+    // deterministic across runs
+    val again = TextAnalysis.resample(spark, sfDir).collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("epoch"))).toSeq ==
+      again.map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("epoch"))).toSeq)
+  }
+
   test("labelCentroids: one row per (label, dim); mean within value range") {
     val c = Similarity.labelCentroids(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
