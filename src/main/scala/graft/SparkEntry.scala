@@ -158,6 +158,7 @@ object SparkEntry {
     "text_token_mixture" -> (TextAnalysis.tokenMixture _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_resample" -> (TextAnalysis.resample _),
+    "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -1161,6 +1162,29 @@ object SparkEntry {
         |        unnest(generate_series(1, n_copies)) AS epoch
         |      FROM c WHERE n_copies > 0)
         |ORDER BY doc_id, epoch""".stripMargin,
+    "text_span_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, ws,
+        |    CAST(ceil(len(ws) / 10.0) AS INT) AS n_spans FROM d),
+        |sp AS (SELECT doc_id, n_spans,
+        |    unnest(list_transform(range(n_spans),
+        |      i -> array_to_string(ws[i*10+1 : i*10+10], ' '))) AS span,
+        |    CAST(unnest(range(n_spans)) AS INT) AS span_idx
+        |  FROM s0),
+        |k AS (SELECT doc_id, span_idx, span FROM
+        |    (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(span)
+        |        ORDER BY doc_id, span_idx) AS rn FROM sp)
+        |  WHERE rn = 1),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT s0.doc_id, n_spans, COALESCE(n_kept, 0) AS n_kept,
+        |  (n_spans - COALESCE(n_kept, 0)) / n_spans AS dup_span_frac,
+        |  COALESCE(clean_text, '') AS clean_text
+        |FROM s0 LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH b AS (SELECT doc_id, ws,
         |    list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),

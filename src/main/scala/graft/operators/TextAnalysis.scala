@@ -483,6 +483,56 @@ object TextAnalysis {
       .orderBy("doc_id", "epoch")
   }
 
+  /** C4-style duplicate-SPAN removal (Raffel et al. 2020 §2.2 dedup
+    * three-sentence spans; RefinedWeb's exact-substring analog): cut
+    * each document into non-overlapping `spanLen`-token windows, and
+    * keep only the corpus-wide FIRST occurrence of each span — later
+    * repeats are cut out of their documents and the survivors are
+    * re-joined in order. Catches boilerplate shared across documents
+    * that document-level dedup can't see. "First" = smallest
+    * (doc_id, span_idx), so the result is deterministic, and
+    * "first occurrence kept" is exactly `row_number() == 1` over the
+    * span-hash partition — a unique span is trivially its own first.
+    *
+    * Scale shape: spans are built row-locally (slice/array_join HOFs,
+    * no explode-shuffle until the spans exist), then ONE shuffle
+    * partitions by span md5 for the first-occurrence window, and one
+    * doc-key shuffle reassembles survivors. A boilerplate span
+    * repeated millions of times makes a large-but-linear window
+    * partition (count + row_number are one-pass); at 100 TB the
+    * stock skew mitigation is pre-dropping spans whose hash-sampled
+    * frequency is huge, like Dedup.pairCounts does for shingles.
+    */
+  def spanDedup(s: SparkSession, dir: String, spanLen: Int = 10): DataFrame = {
+    val ws = tokens(col("text"))
+    val nSpans = ceil(size(ws) / lit(spanLen.toDouble)).cast("int")
+    val spans = transform(sequence(lit(0), col("n_spans") - 1),
+      i => array_join(slice(ws, i * spanLen + 1, lit(spanLen)), " "))
+    val sp = Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("n_spans", nSpans)
+      .select(col("doc_id"), col("n_spans"),
+        posexplode(spans).as(Seq("span_idx", "span")))
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("span"))).orderBy(col("doc_id"), col("span_idx"))
+    val kept = sp
+      .withColumn("rn", row_number().over(firstW))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("span_idx"), col("span")))), x => x.getField("span")),
+          " ").as("clean_text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nSpans.as("n_spans"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        ((col("n_spans") - coalesce(col("n_kept"), lit(0L))) /
+          col("n_spans")).as("dup_span_frac"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text, plus
     * the exact-duplicate group size per fingerprint.
     */

@@ -391,6 +391,37 @@ class NorthStarSpec extends SparkSpec {
       again.map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("epoch"))).toSeq)
   }
 
+  test("spanDedup: first occurrences survive, repeats are cut, text rebuilds") {
+    val out = TextAnalysis.spanDedup(spark, sfDir).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every doc row present; kept <= total; clean_text word count
+    // equals whole kept spans except possibly one short tail span
+    out.foreach { r =>
+      val (n, k) = (r.getAs[Int]("n_spans"), r.getAs[Long]("n_kept"))
+      assert(k <= n && n > 0)
+      val words = r.getAs[String]("clean_text") match {
+        case "" => 0; case t => t.split(" ").length
+      }
+      assert(words <= k * 10 && words > (k - 1) * 10 - 1,
+        s"doc ${r.getAs[Long]("doc_id")}: $words words for $k spans")
+    }
+    // corpus-wide: every span string survives exactly once. Re-chunking
+    // the cleaned text reproduces the kept spans exactly — every span
+    // is 10 tokens except a doc's trailing one, so cuts never shift
+    // window alignment of later spans
+    val sp = TextAnalysis.tokens(col("clean_text"))
+    val dupSurvivors = TextAnalysis.spanDedup(spark, sfDir)
+      .filter(col("clean_text") =!= "")
+      .select(explode(transform(
+        sequence(lit(0), ceil(size(sp) / lit(10.0)).cast("int") - 1),
+        i => array_join(slice(sp, i * 10 + 1, lit(10)), " "))).as("span"))
+      .groupBy("span").count().filter(col("count") > 1).count()
+    assert(dupSurvivors == 0, s"$dupSurvivors spans survived twice")
+    // and some dedup actually happened at this SF (planted near-dups
+    // share whole spans)
+    assert(out.exists(_.getAs[Double]("dup_span_frac") > 0))
+  }
+
   test("labelCentroids: one row per (label, dim); mean within value range") {
     val c = Similarity.labelCentroids(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
