@@ -139,6 +139,7 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "sim_quantize" -> (Similarity.quantize _),
     "sim_centroids" -> (Similarity.labelCentroids _),
+    "sim_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     // §2.10 north-star: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.qualityScore _),
@@ -177,7 +178,8 @@ object SparkEntry {
     queries.keySet.filter(_.startsWith("sink_")) +
       "adv_bucketed_join" +
       "s2_jdbc_source" + // builder seeds the embedded Derby db (a write job)
-      "dedup_clusters"   // builder runs the iterative CC fixpoint jobs
+      "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
+      "sim_kmeans"       // builder runs the Lloyd-iteration jobs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1248,6 +1250,33 @@ object SparkEntry {
         |        unnest(range(len(embedding))) AS dim
         |      FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "sim_kmeans" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c1 AS (SELECT CAST(vec_id AS INT) AS ck, v AS cv
+        |  FROM e WHERE vec_id < 8),
+        |d1 AS (SELECT e.vec_id, e.v, c1.ck,
+        |    list_reduce(list_transform(list_zip(e.v, c1.cv),
+        |      s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b) AS dist
+        |  FROM e CROSS JOIN c1),
+        |a1 AS (SELECT vec_id, v, ck AS cluster FROM
+        |    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY dist, ck) AS rn FROM d1) WHERE rn = 1),
+        |x1 AS (SELECT cluster, CAST(unnest(range(len(v))) AS INT) AS dim,
+        |    unnest(v) AS x FROM a1),
+        |c2 AS (SELECT cluster AS ck, list(mu ORDER BY dim) AS cv FROM
+        |    (SELECT cluster, dim,
+        |       SUM(CAST(round(x*1e6) AS BIGINT)) / (COUNT(*)*1e6) AS mu
+        |     FROM x1 GROUP BY cluster, dim) GROUP BY cluster),
+        |d2 AS (SELECT e.vec_id, c2.ck,
+        |    list_reduce(list_transform(list_zip(e.v, c2.cv),
+        |      s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b) AS dist
+        |  FROM e CROSS JOIN c2)
+        |SELECT vec_id, ck AS cluster, round(dist, 6) AS dist_sq FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, ck) AS rn FROM d2) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "text_holdout_split" ->
       """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
         |  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'

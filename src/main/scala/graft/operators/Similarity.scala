@@ -203,6 +203,76 @@ object Similarity {
     * Spark or the oracle orders the additions — float accumulation
     * order would differ in the last bits between any two engines.
     */
+  /** Distributed k-means (Lloyd) over the embedding corpus — the
+    * "train the IVF coarse quantizer" step that annIvf presupposes.
+    * A fixed iteration count (default 2) with deterministic seeding
+    * (the first k vectors by vec_id) keeps the run oracle-replayable;
+    * a production fit loops the same two jobs until centroid shift
+    * < eps.
+    *
+    * Scale shape per iteration: centroids are TINY (k × dim doubles),
+    * so assignment is a broadcast — here a literal array the executors
+    * fold over row-locally via `array_min` of (dist, id) structs,
+    * never materializing the N×k pair table; the update is one
+    * (cluster, dim) groupBy whose partial aggregation absorbs the
+    * skew of popular clusters. Driver holds only k×dim numbers.
+    *
+    * Cross-engine determinism: vectors widen float→double (lossless),
+    * distances fold in ascending-dim order (IEEE addition order
+    * pinned), argmin tie-breaks on cluster id, and centroid means use
+    * the labelCentroids scaled-int trick — sum of round(x·1e6) as
+    * BIGINT is order-independent, so the new centroids are
+    * bit-identical in any engine and the next iteration's distances
+    * stay comparable.
+    */
+  def kmeans(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val emb = graft.CachePool.cached(s, s"sim.embDouble:$dir") {
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    }
+    // (dist, id) packed as a 2-element double array — array_min
+    // compares arrays lexicographically, giving argmin-with-tie-break;
+    // struct field aliases are stripped inside HOF lambdas, so a
+    // struct here loses its names. The id survives the double round
+    // trip exactly (k is tiny).
+    def best(centroids: Seq[(Int, Seq[Double])]): Column = {
+      val cLit = typedlit(centroids)
+      array_min(transform(cLit, c =>
+        array(
+          aggregate(zip_with(col("v"), c.getField("_2"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x),
+          c.getField("_1").cast("double"))))
+    }
+    var centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < k)
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    for (_ <- 1 until iters) {
+      centroids = emb
+        .select(element_at(best(centroids), 2).cast("int").as("cluster"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("scaled_sum"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          (col("scaled_sum") / (col("n") * lit(1e6))).as("mu"))
+        .collect()
+        .groupBy(_.getAs[Int]("cluster"))
+        .map { case (ck, rs) =>
+          ck -> rs.sortBy(_.getAs[Int]("dim"))
+            .map(_.getAs[Double]("mu")).toSeq
+        }
+        .toSeq.sortBy(_._1)
+    }
+    val b = best(centroids)
+    emb.select(col("vec_id"),
+        element_at(b, 2).cast("int").as("cluster"),
+        round(element_at(b, 1), 6).as("dist_sq"))
+      .orderBy("vec_id")
+  }
+
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))

@@ -422,6 +422,27 @@ class NorthStarSpec extends SparkSpec {
     assert(out.exists(_.getAs[Double]("dup_span_frac") > 0))
   }
 
+  test("kmeans: every vector assigned once; assignment is the argmin; " +
+      "iterating does not worsen mean distance") {
+    val out = Similarity.kmeans(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.length == n)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == n)
+    val clusters = out.map(_.getAs[Int]("cluster")).distinct
+    assert(clusters.length > 1 && clusters.forall(c => c >= 0 && c < 8))
+    // Lloyd monotonicity: 2 iterations can't be worse than 1 on the
+    // mean squared distance (each step is a coordinate descent)
+    def meanDist(iters: Int) =
+      Similarity.kmeans(spark, sfDir, iters = iters)
+        .agg(avg(col("dist_sq"))).head.getDouble(0)
+    // slack covers the scaled-int centroid rounding (≤5e-7/coord)
+    assert(meanDist(2) <= meanDist(1) + 1e-3)
+    // deterministic across runs
+    val again = Similarity.kmeans(spark, sfDir).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+  }
+
   test("labelCentroids: one row per (label, dim); mean within value range") {
     val c = Similarity.labelCentroids(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
