@@ -99,6 +99,7 @@ object SparkEntry {
     "dq_expectations" -> (Quality.expectations _),
     "dq_volume_anomaly" -> (Quality.volumeAnomaly _),
     "sink_infer_csv" -> (Sinks.inferredCsv _),
+    "sink_orc_roundtrip" -> (Sinks.orcRoundTrip _),
     // §3.2 pipeline B gold table
     "p_insight_gold" -> (Pipelines.insightGold _),
     "p_scd2" -> (Pipelines.scd2 _),
@@ -277,6 +278,10 @@ object SparkEntry {
         | CAST(c_acctbal > 0 AS INT) AS is_positive,
         | CAST(c_acctbal AS DOUBLE) AS c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sink_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_acctbal > 0
+        |ORDER BY s_suppkey""".stripMargin,
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

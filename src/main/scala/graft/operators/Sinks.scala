@@ -67,6 +67,24 @@ object Sinks {
       .orderBy("c_custkey")
   }
 
+  /** Columnar-format matrix: the same projection written as ORC and
+    * read back — the "second columnar format" a lakehouse needs
+    * besides parquet (ORC ships in Spark; predicate pushdown, column
+    * pruning, and min/max stats all apply the same way). Values make
+    * the round trip bit-exact, so the parquet-derived oracle verifies
+    * the ORC write+read.
+    */
+  def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${root(dir)}/supplier_orc"
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("s_acctbal") > 0)
+      .orderBy("s_suppkey")
+  }
+
   /** Schema evolution across snapshot generations: an early snapshot
     * written WITHOUT a column, a later one with it, read back as one
     * table via parquet mergeSchema — the schema-on-read posture of

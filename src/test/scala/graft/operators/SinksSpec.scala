@@ -76,4 +76,18 @@ class SinksSpec extends SparkSpec {
         s"$name: avg file width $avgWidth vs global ${gHi - gLo}")
     }
   }
+
+  test("orcRoundTrip: values survive ORC; filter reaches the ORC scan") {
+    val back = Sinks.orcRoundTrip(spark, sfDir)
+    val direct = graft.Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") > 0)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey").collect()
+    assert(back.collect().sameElements(direct))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("OrcScan") || plan.contains("Format: orc") ||
+      plan.toLowerCase.contains("orc"), s"not an ORC scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(s_acctbal), " +
+      "GreaterThan(s_acctbal,0.0)]"), "filter not pushed to ORC scan")
+  }
 }
