@@ -33,6 +33,65 @@ object VectorExpressions {
       es => WordShingles(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("winnow64",
       es => Winnow64(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("vector_argmin_l2",
+      es => VectorArgminL2(es(0), es(1), es(2)), "built-in")
+  }
+}
+
+/** Fused L2 argmin of one array<double> vector against k flattened
+  * centroids: returns array<double> [bestDistSq, bestId]. Bit-exact
+  * with `array_min(transform(cents, c -> [aggregate(zip_with(v, c,
+  * (a,b) -> (a-b)*(a-b)), 0.0, +), id]))`: per centroid the squared
+  * diffs accumulate in ascending-dim order from 0.0, and ties break to
+  * the earlier (smaller) id — the arithmetic Similarity.kmeans's
+  * DuckDB oracle replays. One JVM call per row instead of
+  * k·dim interpreted lambda evaluations.
+  */
+case class VectorArgminL2(vec: Expression, cents: Expression,
+    ids: Expression) extends TernaryExpression {
+  override def first: Expression = vec
+  override def second: Expression = cents
+  override def third: Expression = ids
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any, c: Any, i: Any): Any =
+    VectorArgminL2.eval(v.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], i.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c, i) =>
+      s"${ev.value} = graft.functions.VectorArgminL2$$.MODULE$$.eval($v, $c, $i);")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression =
+    copy(vec = f, cents = s, ids = t)
+}
+
+object VectorArgminL2 {
+  def eval(v: ArrayData, cents: ArrayData, ids: ArrayData): ArrayData = {
+    val dim = v.numElements()
+    val k = ids.numElements()
+    require(cents.numElements() == k * dim,
+      s"flat centroids ${cents.numElements()} != $k x $dim")
+    var bestDist = Double.MaxValue
+    var bestId = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var d = 0
+      val off = c * dim
+      while (d < dim) {
+        val diff = v.getDouble(d) - cents.getDouble(off + d)
+        acc += diff * diff
+        d += 1
+      }
+      val id = ids.getDouble(c)
+      if (acc < bestDist || (acc == bestDist && id < bestId)) {
+        bestDist = acc; bestId = id
+      }
+      c += 1
+    }
+    new GenericArrayData(Array(bestDist, bestId))
   }
 }
 

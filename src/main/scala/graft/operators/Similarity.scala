@@ -231,20 +231,17 @@ object Similarity {
       Tables.embeddings(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     }
-    // (dist, id) packed as a 2-element double array — array_min
-    // compares arrays lexicographically, giving argmin-with-tie-break;
-    // struct field aliases are stripped inside HOF lambdas, so a
-    // struct here loses its names. The id survives the double round
-    // trip exactly (k is tiny).
-    def best(centroids: Seq[(Int, Seq[Double])]): Column = {
-      val cLit = typedlit(centroids)
-      array_min(transform(cLit, c =>
-        array(
-          aggregate(zip_with(col("v"), c.getField("_2"),
-              (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x),
-          c.getField("_1").cast("double"))))
-    }
+    // (dist, id) as a 2-element double array from the fused
+    // vector_argmin_l2 kernel (graft.functions.VectorArgminL2) — the
+    // HOF formulation (array_min of transform/zip_with/aggregate)
+    // computes the identical floats but pays k·dim interpreted lambda
+    // evaluations per row, ~40× slower at 64 dims. The id survives
+    // the double round trip exactly (k is tiny).
+    VectorExpressions.ensureRegistered(s)
+    def best(centroids: Seq[(Int, Seq[Double])]): Column =
+      call_function("vector_argmin_l2", col("v"),
+        typedlit(centroids.flatMap(_._2)),
+        typedlit(centroids.map(_._1.toDouble)))
     var centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < k)
       .collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1))

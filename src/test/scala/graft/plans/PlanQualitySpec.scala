@@ -121,6 +121,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("spanDedup: exactly one span-hash exchange plus the doc reassembly") {
+    val p = plan(TextAnalysis.spanDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // span construction stays row-local: the only hash exchanges are
+    // the first-occurrence window (md5 partition) and the doc_id
+    // reassembly groupBy/join
+    val hashParts = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).size
+    assert(hashParts <= 3, s"$hashParts hash exchanges\n${p.take(1500)}")
+  }
+
+  test("kmeans: assignment is row-local — no join, no N x k expansion") {
+    val p = plan(Similarity.kmeans(spark, sfDir))
+    assert(!p.contains("Join"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("qualityFilter/resample: single-window and shuffle-free shapes") {
+    val pq = plan(TextAnalysis.qualityFilter(spark, sfDir))
+    // one window sort over the source partition; no join
+    assert(pq.contains("Window"), pq.take(800))
+    assert(!pq.contains("Join"), pq.take(1200))
+    val pr = plan(TextAnalysis.resample(spark, sfDir))
+    // epoch explosion is row-local: no exchange except the final sort
+    assert(!pr.linesIterator.exists(l => l.contains("hashpartitioning(")),
+      pr.take(1500))
+  }
+
   test("AQE re-plans at runtime: small shuffle partitions coalesce") {
     // the conf is asserted ON elsewhere; this asserts it DOES something:
     // after execution the adaptive plan's shuffle reads must have
