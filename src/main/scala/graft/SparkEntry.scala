@@ -161,6 +161,7 @@ object SparkEntry {
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_resample" -> (TextAnalysis.resample _),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
+    "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -180,11 +181,49 @@ object SparkEntry {
       "adv_bucketed_join" +
       "s2_jdbc_source" + // builder seeds the embedded Derby db (a write job)
       "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
-      "sim_kmeans"       // builder runs the Lloyd-iteration jobs
+      "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
+      "text_bpe_train"   // builder runs the merge-iteration jobs
+
+  /** DuckDB replay of TextAnalysis.bpeTrain: n chained (argmax-pair,
+    * apply-merge) CTE rounds over the pipe-encoded word-frequency
+    * table — generated here because the SQL repeats per merge rank.
+    */
+  private def bpeOracle(n: Int): String = {
+    val w0 =
+      raw"""w0 AS (SELECT '|' || array_to_string(string_split(word, ''), '|')
+           |    || '|' AS w, n
+           |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM
+           |         (SELECT unnest(string_split_regex(trim(lower(text)),
+           |            '\s+')) AS word FROM documents) GROUP BY word))""".stripMargin
+    val rounds = (1 to n).flatMap { r =>
+      val m =
+        s"""m$r AS (SELECT pair, cnt,
+           |    string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+           |  FROM (SELECT pair, SUM(n) AS cnt FROM
+           |         (SELECT unnest(list_transform(list_zip(syms[1:len(syms)-1],
+           |            syms[2:len(syms)]), s -> s[1] || ' ' || s[2])) AS pair, n
+           |          FROM (SELECT list_filter(string_split(w, '|'),
+           |                  x -> x != '') AS syms, n FROM w${r - 1}))
+           |        GROUP BY pair)
+           |  ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+      val w = if (r == n) None else Some(
+        s"""w$r AS (SELECT replace(w, '|' || m$r.a || '|' || m$r.b || '|',
+           |    '|' || m$r.a || m$r.b || '|') AS w, n
+           |  FROM w${r - 1} CROSS JOIN m$r)""".stripMargin)
+      Seq(m) ++ w
+    }
+    val sel = (1 to n).map { r =>
+      s"""SELECT $r AS merge_rank, a AS left_sym, b AS right_sym,
+         |  CAST(cnt AS BIGINT) AS pair_count FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    "WITH " + (w0 +: rounds).mkString(",\n") + "\n" + sel +
+      "\nORDER BY merge_rank"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "text_bpe_train" -> bpeOracle(8),
     "p_snapshot" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | o_orderdate, o_orderpriority,

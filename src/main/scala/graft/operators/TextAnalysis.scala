@@ -533,6 +533,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenizer-vocabulary training (Sennrich et al. 2016): learn
+    * the top `nMerges` byte-pair merges from the corpus. The corpus is
+    * touched ONCE to build the distinct-word frequency table; every
+    * merge iteration then runs over that compressed table (size =
+    * vocabulary, not corpus — the trick that makes tokenizer training
+    * corpus-size-independent after the first scan). Words are encoded
+    * as pipe-delimited symbol strings (`|a|b|c|`), so applying a merge
+    * is a literal left-to-right `replace('|a|b|', '|ab|')` — the same
+    * greedy non-overlapping semantics as the classic implementation,
+    * replayed verbatim by the DuckDB oracle. Merge choice tie-breaks
+    * on the pair string, so training is deterministic.
+    *
+    * Scale shape per iteration: one explode + pair-count groupBy over
+    * the word table (map-side combine absorbs the Zipf skew) and a
+    * 1-row argmax to the driver; the merge application is a row-local
+    * projection. Output = the learned merge table itself.
+    */
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    import s.implicits._
+    val words0 = graft.CachePool.cached(s, s"text.wordFreq:$dir") {
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+    }
+    // exact |a|b|c| encoding (split-by-"" keeps a trailing empty in
+    // Spark, which would drift the encoded string from the oracle's)
+    var words = words0.select(
+      concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")).as("w"),
+      col("n"))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    for (r <- 1 to nMerges) {
+      val syms = filter(split(col("w"), "\\|"), x => x =!= "")
+      val pairs = zip_with(
+        slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val best = words
+        .select(explode(pairs).as("pair"), col("n"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(1)
+        .collect().head
+      val Array(a, b) = best.getString(0).split(" ", 2)
+      merges += ((r, a, b, best.getLong(1)))
+      // symbols are [a-z0-9]+ — no escaping concerns in the literals
+      words = words.select(
+        expr(s"replace(w, '|$a|$b|', '|$a$b|')").as("w"), col("n"))
+    }
+    merges.toSeq
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy("merge_rank")
+  }
+
   /** Document fingerprinting: md5 of whitespace-normalized text, plus
     * the exact-duplicate group size per fingerprint.
     */

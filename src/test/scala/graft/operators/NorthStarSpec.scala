@@ -443,6 +443,27 @@ class NorthStarSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getInt(1))).toSeq)
   }
 
+  test("bpeTrain: merge counts non-increasing in effect, later merges can " +
+      "use earlier outputs, deterministic") {
+    val m = TextAnalysis.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.length == 8)
+    assert(m.map(_._1).toSeq == (1 to 8))
+    assert(m.forall(_._4 > 0))
+    // each learned symbol is composed of earlier symbols: every
+    // multi-char side must equal some earlier merge's concatenation
+    val known = scala.collection.mutable.Set[String]()
+    m.foreach { case (_, a, b, _) =>
+      for (s <- Seq(a, b) if s.length > 1)
+        assert(known.contains(s), s"symbol $s not built by earlier merges")
+      known += (a + b)
+    }
+    // deterministic
+    val again = TextAnalysis.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == again.toSeq)
+  }
+
   test("labelCentroids: one row per (label, dim); mean within value range") {
     val c = Similarity.labelCentroids(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
