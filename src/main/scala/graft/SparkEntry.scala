@@ -141,6 +141,7 @@ object SparkEntry {
     "sim_quantize" -> (Similarity.quantize _),
     "sim_centroids" -> (Similarity.labelCentroids _),
     "sim_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
+    "p_diverse_subset" -> ((s, d) => Pipelines.diverseSubset(s, d)),
     // §2.10 north-star: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.qualityScore _),
@@ -182,7 +183,40 @@ object SparkEntry {
       "s2_jdbc_source" + // builder seeds the embedded Derby db (a write job)
       "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
+      "p_diverse_subset" + // composes sim_kmeans (Lloyd jobs)
       "text_bpe_train"   // builder runs the merge-iteration jobs
+
+  /** DuckDB replay of Similarity.kmeans (two Lloyd iterations with the
+    * scaled-int centroid means) — shared: the sim_kmeans oracle and
+    * p_diverse_subset's km CTE both use it.
+    */
+  private val kmeansOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |c1 AS (SELECT CAST(vec_id AS INT) AS ck, v AS cv
+      |  FROM e WHERE vec_id < 8),
+      |d1 AS (SELECT e.vec_id, e.v, c1.ck,
+      |    list_reduce(list_transform(list_zip(e.v, c1.cv),
+      |      s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b) AS dist
+      |  FROM e CROSS JOIN c1),
+      |a1 AS (SELECT vec_id, v, ck AS cluster FROM
+      |    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |        ORDER BY dist, ck) AS rn FROM d1) WHERE rn = 1),
+      |x1 AS (SELECT cluster, CAST(unnest(range(len(v))) AS INT) AS dim,
+      |    unnest(v) AS x FROM a1),
+      |c2 AS (SELECT cluster AS ck, list(mu ORDER BY dim) AS cv FROM
+      |    (SELECT cluster, dim,
+      |       SUM(CAST(round(x*1e6) AS BIGINT)) / (COUNT(*)*1e6) AS mu
+      |     FROM x1 GROUP BY cluster, dim) GROUP BY cluster),
+      |d2 AS (SELECT e.vec_id, c2.ck,
+      |    list_reduce(list_transform(list_zip(e.v, c2.cv),
+      |      s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b) AS dist
+      |  FROM e CROSS JOIN c2)
+      |SELECT vec_id, ck AS cluster, round(dist, 6) AS dist_sq FROM
+      |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, ck) AS rn FROM d2) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
 
   /** DuckDB replay of TextAnalysis.bpeTrain: n chained (argmax-pair,
     * apply-merge) CTE rounds over the pipe-encoded word-frequency
@@ -1294,33 +1328,26 @@ object SparkEntry {
         |        unnest(range(len(embedding))) AS dim
         |      FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
-    "sim_kmeans" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |c1 AS (SELECT CAST(vec_id AS INT) AS ck, v AS cv
-        |  FROM e WHERE vec_id < 8),
-        |d1 AS (SELECT e.vec_id, e.v, c1.ck,
-        |    list_reduce(list_transform(list_zip(e.v, c1.cv),
-        |      s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b) AS dist
-        |  FROM e CROSS JOIN c1),
-        |a1 AS (SELECT vec_id, v, ck AS cluster FROM
-        |    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |        ORDER BY dist, ck) AS rn FROM d1) WHERE rn = 1),
-        |x1 AS (SELECT cluster, CAST(unnest(range(len(v))) AS INT) AS dim,
-        |    unnest(v) AS x FROM a1),
-        |c2 AS (SELECT cluster AS ck, list(mu ORDER BY dim) AS cv FROM
-        |    (SELECT cluster, dim,
-        |       SUM(CAST(round(x*1e6) AS BIGINT)) / (COUNT(*)*1e6) AS mu
-        |     FROM x1 GROUP BY cluster, dim) GROUP BY cluster),
-        |d2 AS (SELECT e.vec_id, c2.ck,
-        |    list_reduce(list_transform(list_zip(e.v, c2.cv),
-        |      s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b) AS dist
-        |  FROM e CROSS JOIN c2)
-        |SELECT vec_id, ck AS cluster, round(dist, 6) AS dist_sq FROM
-        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, ck) AS rn FROM d2) WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin,
+    "sim_kmeans" -> kmeansOracle,
+    "p_diverse_subset" ->
+      s"""WITH km AS ($kmeansOracle),
+        |q AS (SELECT doc_id, source,
+        |    round(0.5 * (n_distinct_words / n_words) +
+        |      0.5 * least(n_words / 100.0, 1.0), 4) AS quality_score
+        |  FROM (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT)
+        |      AS n_words,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)),
+        |      '\\s+'))) AS INT) AS n_distinct_words
+        |  FROM documents))
+        |SELECT cluster, CAST(rank AS INT) AS rank, doc_id, source,
+        |  quality_score
+        |FROM (SELECT km.cluster, q.doc_id, q.source, q.quality_score,
+        |        ROW_NUMBER() OVER (PARTITION BY km.cluster
+        |          ORDER BY q.quality_score DESC, q.doc_id) AS rank
+        |      FROM q JOIN km ON q.doc_id = km.vec_id)
+        |WHERE rank <= 3
+        |ORDER BY cluster, rank""".stripMargin,
     "text_holdout_split" ->
       """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
         |  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'

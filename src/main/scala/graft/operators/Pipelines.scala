@@ -122,6 +122,39 @@ object Pipelines {
     * self-join) only see the surviving fraction; near-dup candidates
     * come from the shingle equi-join, never a cross join.
     */
+  /** Diversity-balanced subset selection: the best documents from
+    * EVERY region of embedding space, not just the globally
+    * highest-scoring ones (which cluster together topically). Composes
+    * two first-class operators — `Similarity.kmeans` partitions the
+    * corpus into k semantic clusters (vec_id aligns with doc_id in the
+    * test tables), and the per-cluster quality ranking keeps the top
+    * `perCluster` docs of each — the data-recipe step that counters
+    * quality filtering's topic-collapse tendency.
+    *
+    * Scale shape: kmeans is the broadcast-centroid pass; the ranking
+    * is one window per cluster key (k partitions, each a parallel
+    * top-N). The doc-embedding join is an equi-join on the id.
+    */
+  def diverseSubset(s: SparkSession, dir: String,
+      perCluster: Int = 3): DataFrame = {
+    import TextAnalysis.{tokens, qualityExpr}
+    val clusters = Similarity.kmeans(s, dir)
+      .select(col("vec_id"), col("cluster"))
+    val quality = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        qualityExpr(size(tokens(col("text"))),
+          size(array_distinct(tokens(col("text"))))).as("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    quality.join(clusters, col("doc_id") === col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+      .select(col("cluster"), col("rank"), col("doc_id"), col("source"),
+        col("quality_score"))
+      .orderBy("cluster", "rank")
+  }
+
   def corpusClean(s: SparkSession, dir: String): DataFrame = {
     import TextAnalysis._
     val scored = Tables.fanOut(Tables.documents(s, dir))

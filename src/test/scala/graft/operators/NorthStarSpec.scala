@@ -464,6 +464,21 @@ class NorthStarSpec extends SparkSpec {
     assert(m.toSeq == again.toSeq)
   }
 
+  test("diverseSubset: top-quality docs per kmeans cluster, all clusters hit") {
+    val sub = Pipelines.diverseSubset(spark, sfDir).collect()
+    val km = Similarity.kmeans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byCluster = sub.groupBy(_.getAs[Int]("cluster"))
+    assert(byCluster.keySet == km.values.toSet) // every cluster represented
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.length <= 3)
+      // members really belong to the cluster, ranked by quality desc
+      rs.foreach(r => assert(km(r.getAs[Long]("doc_id")) == c))
+      val qs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("quality_score"))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("labelCentroids: one row per (label, dim); mean within value range") {
     val c = Similarity.labelCentroids(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
