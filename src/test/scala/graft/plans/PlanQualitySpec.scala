@@ -149,6 +149,37 @@ class PlanQualitySpec extends SparkSpec {
       pr.take(1500))
   }
 
+  test("runtime bloom filter prunes the fact side when dims can't broadcast") {
+    // at 100 TB the date-filtered orders side of q5LocalSupplier
+    // outgrows the broadcast threshold and its lineitem join falls
+    // back to shuffle — assert Spark's runtime bloom filter then
+    // prunes fact rows before the exchange (the injection rule needs
+    // a selective creation-side predicate, which the order-date range
+    // provides; thresholds lowered so the small SF qualifies)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "creationSideThreshold", "100MB")
+      val p = plan(Relational.q5LocalSupplier(spark, sfDir))
+      assert(p.contains("might_contain"), p.take(2500))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("AQE re-plans at runtime: small shuffle partitions coalesce") {
     // the conf is asserted ON elsewhere; this asserts it DOES something:
     // after execution the adaptive plan's shuffle reads must have
