@@ -195,7 +195,7 @@ object SparkEntry {
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |c1 AS (SELECT CAST(vec_id AS INT) AS ck, v AS cv
-      |  FROM e WHERE vec_id < 8),
+      |  FROM e ORDER BY vec_id LIMIT 8),
       |d1 AS (SELECT e.vec_id, e.v, c1.ck,
       |    list_reduce(list_transform(list_zip(e.v, c1.cv),
       |      s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b) AS dist
@@ -224,11 +224,12 @@ object SparkEntry {
     */
   private def bpeOracle(n: Int): String = {
     val w0 =
-      raw"""w0 AS (SELECT '|' || array_to_string(string_split(word, ''), '|')
-           |    || '|' AS w, n
+      raw"""w0 AS (SELECT '(' || array_to_string(string_split(word, ''), ')(')
+           |    || ')' AS w, n
            |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM
            |         (SELECT unnest(string_split_regex(trim(lower(text)),
-           |            '\s+')) AS word FROM documents) GROUP BY word))""".stripMargin
+           |            '\s+')) AS word FROM documents)
+           |        WHERE word != '' GROUP BY word))""".stripMargin
     val rounds = (1 to n).flatMap { r =>
       val m =
         s"""m$r AS (SELECT pair, cnt,
@@ -236,13 +237,13 @@ object SparkEntry {
            |  FROM (SELECT pair, SUM(n) AS cnt FROM
            |         (SELECT unnest(list_transform(list_zip(syms[1:len(syms)-1],
            |            syms[2:len(syms)]), s -> s[1] || ' ' || s[2])) AS pair, n
-           |          FROM (SELECT list_filter(string_split(w, '|'),
-           |                  x -> x != '') AS syms, n FROM w${r - 1}))
+           |          FROM (SELECT string_split(trim(w, '()'), ')(') AS syms,
+           |                  n FROM w${r - 1}))
            |        GROUP BY pair)
            |  ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
       val w = if (r == n) None else Some(
-        s"""w$r AS (SELECT replace(w, '|' || m$r.a || '|' || m$r.b || '|',
-           |    '|' || m$r.a || m$r.b || '|') AS w, n
+        s"""w$r AS (SELECT replace(w, '(' || m$r.a || ')(' || m$r.b || ')',
+           |    '(' || m$r.a || m$r.b || ')') AS w, n
            |  FROM w${r - 1} CROSS JOIN m$r)""".stripMargin)
       Seq(m) ++ w
     }
@@ -1222,8 +1223,9 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, source, quality_score, q_rank
         |FROM (SELECT *, percent_rank() OVER (PARTITION BY source
-        |        ORDER BY quality_score, doc_id) AS q_rank FROM sc)
-        |WHERE q_rank >= 0.5
+        |        ORDER BY quality_score, doc_id) AS q_rank,
+        |        COUNT(*) OVER (PARTITION BY source) AS n_src FROM sc)
+        |WHERE q_rank >= 0.5 OR n_src = 1
         |ORDER BY doc_id""".stripMargin,
     "text_resample" ->
       """WITH t AS (SELECT doc_id, source,

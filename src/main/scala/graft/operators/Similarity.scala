@@ -242,10 +242,13 @@ object Similarity {
       call_function("vector_argmin_l2", col("v"),
         typedlit(centroids.flatMap(_._2)),
         typedlit(centroids.map(_._1.toDouble)))
-    var centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < k)
+    // seed = the first k vectors by vec_id (NOT `vec_id < k`, which
+    // silently under-seeds when ids are sparse or offset)
+    var centroids: Seq[(Int, Seq[Double])] = emb.orderBy("vec_id").limit(k)
       .collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1))
       .sortBy(_._1)
+    require(centroids.nonEmpty, "kmeans: empty embedding corpus")
     for (_ <- 1 until iters) {
       centroids = emb
         .select(element_at(best(centroids), 2).cast("int").as("cluster"),

@@ -446,7 +446,12 @@ object TextAnalysis {
       .withColumn("quality_score",
         qualityExpr(col("n_words"), col("n_distinct_words")))
       .withColumn("q_rank", percent_rank().over(w))
-      .filter(col("q_rank") >= 0.5)
+      .withColumn("n_src", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      // a single-doc source has percent_rank 0.0 — keep it rather than
+      // empty the domain (the exact failure per-domain thresholds exist
+      // to prevent)
+      .filter(col("q_rank") >= 0.5 || col("n_src") === 1)
       .select(col("doc_id"), col("source"), col("quality_score"),
         col("q_rank"))
       .orderBy("doc_id")
@@ -539,33 +544,37 @@ object TextAnalysis {
     * merge iteration then runs over that compressed table (size =
     * vocabulary, not corpus — the trick that makes tokenizer training
     * corpus-size-independent after the first scan). Words are encoded
-    * as pipe-delimited symbol strings (`|a|b|c|`), so applying a merge
-    * is a literal left-to-right `replace('|a|b|', '|ab|')` — the same
-    * greedy non-overlapping semantics as the classic implementation,
-    * replayed verbatim by the DuckDB oracle. Merge choice tie-breaks
+    * with each symbol parenthesized (`(a)(b)(c)`), so applying a merge
+    * is a literal `replace('(a)(b)', '(ab)')` — adjacent occurrences
+    * share no boundary character, which makes replace-all exactly the
+    * classic greedy left-to-right non-overlapping merge ("abab" →
+    * [ab, ab], not [ab, a, b] — a pipe-delimited encoding gets this
+    * wrong because consecutive matches would share the separator).
+    * Replayed verbatim by the DuckDB oracle; merge choice tie-breaks
     * on the pair string, so training is deterministic.
     *
     * Scale shape per iteration: one explode + pair-count groupBy over
     * the word table (map-side combine absorbs the Zipf skew) and a
     * 1-row argmax to the driver; the merge application is a row-local
-    * projection. Output = the learned merge table itself.
+    * projection, localCheckpointed each round (superseded rounds
+    * released immediately) so plan depth and per-iteration cost stay
+    * flat in nMerges.
     */
   def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
     import s.implicits._
     val words0 = graft.CachePool.cached(s, s"text.wordFreq:$dir") {
       Tables.fanOut(Tables.documents(s, dir))
         .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "") // a blank doc would crash the slice
         .groupBy("word").agg(count(lit(1)).as("n"))
     }
-    // exact |a|b|c| encoding (split-by-"" keeps a trailing empty in
-    // Spark, which would drift the encoded string from the oracle's)
     var words = words0.select(
-      concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")).as("w"),
-      col("n"))
+      regexp_replace(col("word"), "(.)", "($1)").as("w"), col("n"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     for (r <- 1 to nMerges) {
-      val syms = filter(split(col("w"), "\\|"), x => x =!= "")
+      val syms = split(regexp_replace(col("w"), "^\\(|\\)$", ""), "\\)\\(")
       val pairs = zip_with(
         slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
         (a, b) => concat(a, lit(" "), b))
@@ -577,9 +586,13 @@ object TextAnalysis {
       val Array(a, b) = best.getString(0).split(" ", 2)
       merges += ((r, a, b, best.getLong(1)))
       // symbols are [a-z0-9]+ — no escaping concerns in the literals
-      words = words.select(
-        expr(s"replace(w, '|$a|$b|', '|$a$b|')").as("w"), col("n"))
+      val next = words.select(
+        expr(s"replace(w, '($a)($b)', '($a$b)')").as("w"), col("n"))
+        .localCheckpoint()
+      words.unpersist(blocking = false) // superseded round
+      words = next
     }
+    words.unpersist(blocking = false) // merges are collected; all done
     merges.toSeq
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy("merge_rank")

@@ -374,17 +374,22 @@ class NorthStarSpec extends SparkSpec {
       val n = rs.head.getAs[Int]("n_copies")
       assert(rs.map(_.getAs[Int]("epoch")).sorted.toSeq == (1 to n))
     }
-    // aggregate copy counts track the weights: src0 ≈ 2.5x its docs,
-    // src1 ≈ 0.5x, everything else exactly 1x
-    val docs = Tables.documents(spark, sfDir).groupBy("source").count()
-      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
-    val copies = r.groupBy(_.getAs[String]("source"))
-      .map { case (s, rs) => s -> rs.length.toDouble }
-    assert(math.abs(copies("src0") / docs("src0") - 2.5) <= 0.6)
-    assert(math.abs(copies("src1") / docs("src1") - 0.5) <= 0.4)
-    docs.keys.filterNot(Set("src0", "src1")).foreach { s =>
-      assert(copies(s) == docs(s).toDouble, s"$s not exactly 1 epoch")
-    }
+    // copy counts are an exact deterministic function of (doc_id,
+    // source) — recompute them independently and compare (a tolerance
+    // band here would pass even with a broken fractional-epoch hash)
+    val expected = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect().flatMap { x =>
+        val id = x.getLong(0)
+        val w = x.getString(1) match {
+          case "src0" => 2.5; case "src1" => 0.5; case _ => 1.0
+        }
+        val bucket = (id * 2654435761L) % 100
+        val n = w.toInt + (if (bucket < (w - w.floor) * 100) 1 else 0)
+        if (n > 0) Some(id -> n) else None
+      }.toMap
+    val actual = byDoc.map { case (id, rs) =>
+      id -> rs.head.getAs[Int]("n_copies") }
+    assert(actual == expected)
     // deterministic across runs
     val again = TextAnalysis.resample(spark, sfDir).collect()
     assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("epoch"))).toSeq ==
