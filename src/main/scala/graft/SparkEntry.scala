@@ -163,6 +163,7 @@ object SparkEntry {
     "text_resample" -> (TextAnalysis.resample _),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -184,7 +185,8 @@ object SparkEntry {
       "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
       "p_diverse_subset" + // composes sim_kmeans (Lloyd jobs)
-      "text_bpe_train"   // builder runs the merge-iteration jobs
+      "text_bpe_train" + // builder runs the merge-iteration jobs
+      "text_bpe_apply"   // builder trains (or reads the memo) first
 
   /** DuckDB replay of Similarity.kmeans (two Lloyd iterations with the
     * scaled-int centroid means) — shared: the sim_kmeans oracle and
@@ -222,10 +224,14 @@ object SparkEntry {
     * apply-merge) CTE rounds over the pipe-encoded word-frequency
     * table — generated here because the SQL repeats per merge rank.
     */
-  private def bpeOracle(n: Int): String = {
+  /** The shared CTE chain w0..wn / m1..mn: w_r = word encodings after
+    * r merges (original word carried through), m_r = the r-th learned
+    * merge. bpeOracle reads the m's; the bpeApply oracle reads wn.
+    */
+  private def bpeChain(n: Int): String = {
     val w0 =
-      raw"""w0 AS (SELECT '(' || array_to_string(string_split(word, ''), ')(')
-           |    || ')' AS w, n
+      raw"""w0 AS (SELECT word, '(' ||
+           |    array_to_string(string_split(word, ''), ')(') || ')' AS w, n
            |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM
            |         (SELECT unnest(string_split_regex(trim(lower(text)),
            |            '\s+')) AS word FROM documents)
@@ -241,24 +247,45 @@ object SparkEntry {
            |                  n FROM w${r - 1}))
            |        GROUP BY pair)
            |  ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
-      val w = if (r == n) None else Some(
-        s"""w$r AS (SELECT replace(w, '(' || m$r.a || ')(' || m$r.b || ')',
-           |    '(' || m$r.a || m$r.b || ')') AS w, n
-           |  FROM w${r - 1} CROSS JOIN m$r)""".stripMargin)
-      Seq(m) ++ w
+      val w =
+        s"""w$r AS (SELECT word, replace(w, '(' || m$r.a || ')(' || m$r.b ||
+           |    ')', '(' || m$r.a || m$r.b || ')') AS w, n
+           |  FROM w${r - 1} CROSS JOIN m$r)""".stripMargin
+      Seq(m, w)
     }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  private def bpeOracle(n: Int): String = {
     val sel = (1 to n).map { r =>
       s"""SELECT $r AS merge_rank, a AS left_sym, b AS right_sym,
          |  CAST(cnt AS BIGINT) AS pair_count FROM m$r""".stripMargin
     }.mkString("\nUNION ALL ")
-    "WITH " + (w0 +: rounds).mkString(",\n") + "\n" + sel +
-      "\nORDER BY merge_rank"
+    "WITH " + bpeChain(n) + "\n" + sel + "\nORDER BY merge_rank"
   }
+
+  /** DuckDB replay of TextAnalysis.bpeApply: final encodings from the
+    * chain's wn, joined to the corpus token stream.
+    */
+  private def bpeApplyOracle(n: Int): String =
+    s"""WITH ${bpeChain(n)},
+       |vocab AS (SELECT word,
+       |    CAST(len(string_split(trim(w, '()'), ')(')) AS INT) AS bpe_len
+       |  FROM w$n),
+       |toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+       |    '\\s+')) AS word FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(bpe_len) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(bpe_len) AS BIGINT) / CAST(COUNT(*) AS BIGINT)
+       |    AS tokens_per_word
+       |FROM toks JOIN vocab USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "text_bpe_train" -> bpeOracle(8),
+    "text_bpe_apply" -> bpeApplyOracle(8),
     "p_snapshot" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | o_orderdate, o_orderpriority,

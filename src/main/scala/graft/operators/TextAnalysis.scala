@@ -560,14 +560,35 @@ object TextAnalysis {
     * released immediately) so plan depth and per-iteration cost stay
     * flat in nMerges.
     */
-  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
-    import s.implicits._
-    val words0 = graft.CachePool.cached(s, s"text.wordFreq:$dir") {
+  /** Distinct-word frequency table, pooled (bpeTrain reads it every
+    * merge round; bpeApply re-encodes it).
+    */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"text.wordFreq:$dir") {
       Tables.fanOut(Tables.documents(s, dir))
         .select(explode(tokens(col("text"))).as("word"))
         .filter(col("word") =!= "") // a blank doc would crash the slice
         .groupBy("word").agg(count(lit(1)).as("n"))
     }
+
+  /** Learned merges, memoized per (dir, n): the merge table is a pure
+    * function of the corpus, and train + apply both need it within one
+    * Verify/Bench session — retraining in apply would double the
+    * iteration jobs.
+    */
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int), Seq[(Int, String, String, Long)]]
+
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    import s.implicits._
+    bpeMemo.get((dir, nMerges)) match {
+      case Some(m) =>
+        return m.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+          .orderBy("merge_rank")
+      case None => ()
+    }
+    val words0 = wordFreq(s, dir)
     var words = words0.select(
       regexp_replace(col("word"), "(.)", "($1)").as("w"), col("n"))
       .localCheckpoint()
@@ -593,9 +614,39 @@ object TextAnalysis {
       words = next
     }
     words.unpersist(blocking = false) // merges are collected; all done
+    bpeMemo.put((dir, nMerges), merges.toSeq)
     merges.toSeq
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy("merge_rank")
+  }
+
+  /** BPE tokenization of the corpus with the merges `bpeTrain`
+    * learned: per-document whitespace-token and BPE-token counts plus
+    * the fertility ratio (tokens per word — the metric tokenizer
+    * quality is judged by). The corpus-scale work is ONE equi-join:
+    * the token stream joins the re-encoded distinct-word VOCAB (tiny,
+    * broadcast) — the merge replay itself runs only over the vocab
+    * table, never the corpus, so tokenizing 100 TB costs a broadcast
+    * hash join plus a doc-key aggregation.
+    */
+  def bpeApply(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    val merges = { bpeTrain(s, dir, nMerges); bpeMemo((dir, nMerges)) }
+    val encoded = merges.foldLeft(
+      wordFreq(s, dir).select(col("word"),
+        regexp_replace(col("word"), "(.)", "($1)").as("w"))) {
+      case (df, (_, a, b, _)) =>
+        df.withColumn("w", expr(s"replace(w, '($a)($b)', '($a$b)')"))
+    }
+    val vocab = encoded.select(col("word"),
+      size(split(regexp_replace(col("w"), "^\\(|\\)$", ""), "\\)\\("))
+        .as("bpe_len"))
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(vocab), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tokens"), sum(col("bpe_len")).as("bpe_tokens"))
+      .withColumn("tokens_per_word", col("bpe_tokens") / col("ws_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Document fingerprinting: md5 of whitespace-normalized text, plus

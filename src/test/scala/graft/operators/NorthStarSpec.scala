@@ -469,6 +469,28 @@ class NorthStarSpec extends SparkSpec {
     assert(m.toSeq == again.toSeq)
   }
 
+  test("bpeApply: every doc covered; token counts between words and chars; " +
+      "merges only ever shrink the count") {
+    val out = TextAnalysis.bpeApply(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.length == docs.count())
+    val charCounts = docs.select(col("doc_id"),
+      length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+        .as("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (ws, bpe) = (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"))
+      // BPE tokens: at least one per word, at most one per character
+      assert(bpe >= ws, s"doc ${r.getLong(0)}: $bpe < $ws words")
+      assert(bpe <= charCounts(r.getLong(0)),
+        s"doc ${r.getLong(0)}: $bpe > chars")
+      assert(r.getAs[Double]("tokens_per_word") == bpe.toDouble / ws)
+    }
+    // 8 merges must compress at least SOME docs below 1 token/char
+    val total = out.map(_.getAs[Long]("bpe_tokens")).sum
+    assert(total < charCounts.values.map(_.toLong).sum)
+  }
+
   test("diverseSubset: top-quality docs per kmeans cluster, all clusters hit") {
     val sub = Pipelines.diverseSubset(spark, sfDir).collect()
     val km = Similarity.kmeans(spark, sfDir).collect()
