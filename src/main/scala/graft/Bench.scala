@@ -67,7 +67,7 @@ object Bench {
       "sim_centroids", "text_repetition", "text_gopher_quality",
       "agg_sketch_rollup", "text_span_dedup", "sim_kmeans",
       "text_quality_filter", "text_resample", "sink_orc_roundtrip",
-      "text_bpe_train", "p_diverse_subset")
+      "text_bpe_train", "text_bpe_apply", "p_diverse_subset")
     // a filtered profiling run exists to print ITS queries' numbers —
     // only the unfiltered sweep (whose 100+-entry map overflows the
     // capture) trims stdout to the headline subset
