@@ -220,13 +220,11 @@ object SparkEntry {
       |      ORDER BY dist, ck) AS rn FROM d2) WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
-  /** DuckDB replay of TextAnalysis.bpeTrain: n chained (argmax-pair,
-    * apply-merge) CTE rounds over the pipe-encoded word-frequency
-    * table — generated here because the SQL repeats per merge rank.
-    */
-  /** The shared CTE chain w0..wn / m1..mn: w_r = word encodings after
-    * r merges (original word carried through), m_r = the r-th learned
-    * merge. bpeOracle reads the m's; the bpeApply oracle reads wn.
+  /** The shared CTE chain w0..wn / m1..mn of the DuckDB replay of
+    * TextAnalysis.bpeTrain — generated because the SQL repeats per
+    * merge rank: w_r = word encodings after r merges (original word
+    * carried through), m_r = the r-th learned merge. bpeOracle reads
+    * the m's; the bpeApply oracle reads wn.
     */
   private def bpeChain(n: Int): String = {
     val w0 =
@@ -256,6 +254,7 @@ object SparkEntry {
     (w0 +: rounds).mkString(",\n")
   }
 
+  /** The text_bpe_train oracle: the chain's n learned merges, ranked. */
   private def bpeOracle(n: Int): String = {
     val sel = (1 to n).map { r =>
       s"""SELECT $r AS merge_rank, a AS left_sym, b AS right_sym,

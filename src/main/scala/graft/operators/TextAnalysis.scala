@@ -538,28 +538,6 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** BPE tokenizer-vocabulary training (Sennrich et al. 2016): learn
-    * the top `nMerges` byte-pair merges from the corpus. The corpus is
-    * touched ONCE to build the distinct-word frequency table; every
-    * merge iteration then runs over that compressed table (size =
-    * vocabulary, not corpus — the trick that makes tokenizer training
-    * corpus-size-independent after the first scan). Words are encoded
-    * with each symbol parenthesized (`(a)(b)(c)`), so applying a merge
-    * is a literal `replace('(a)(b)', '(ab)')` — adjacent occurrences
-    * share no boundary character, which makes replace-all exactly the
-    * classic greedy left-to-right non-overlapping merge ("abab" →
-    * [ab, ab], not [ab, a, b] — a pipe-delimited encoding gets this
-    * wrong because consecutive matches would share the separator).
-    * Replayed verbatim by the DuckDB oracle; merge choice tie-breaks
-    * on the pair string, so training is deterministic.
-    *
-    * Scale shape per iteration: one explode + pair-count groupBy over
-    * the word table (map-side combine absorbs the Zipf skew) and a
-    * 1-row argmax to the driver; the merge application is a row-local
-    * projection, localCheckpointed each round (superseded rounds
-    * released immediately) so plan depth and per-iteration cost stay
-    * flat in nMerges.
-    */
   /** Distinct-word frequency table, pooled (bpeTrain reads it every
     * merge round; bpeApply re-encodes it).
     */
@@ -571,54 +549,76 @@ object TextAnalysis {
         .groupBy("word").agg(count(lit(1)).as("n"))
     }
 
-  /** Learned merges, memoized per (dir, n): the merge table is a pure
-    * function of the corpus, and train + apply both need it within one
-    * Verify/Bench session — retraining in apply would double the
-    * iteration jobs.
+  /** `(a)(b)(c)` symbol encoding of a word column, and one merge step:
+    * a literal `replace('(a)(b)', '(ab)')`. Adjacent occurrences share
+    * no boundary character, so replace-all is exactly the classic
+    * greedy left-to-right non-overlapping merge ("abab" → [ab, ab] —
+    * a pipe-delimited encoding gets this wrong because consecutive
+    * matches would share the separator). Column-API `replace`, so
+    * learned symbols never ride through a SQL parser.
     */
-  private val bpeMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(String, Int), Seq[(Int, String, String, Long)]]
+  private def encodeSymbols(word: Column): Column =
+    regexp_replace(word, "(.)", "($1)")
+  private def applyMerge(w: Column, a: String, b: String): Column =
+    replace(w, lit(s"($a)($b)"), lit(s"($a$b)"))
+  private def symbolsOf(w: Column): Column =
+    split(regexp_replace(w, "^\\(|\\)$", ""), "\\)\\(")
 
-  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
-    import s.implicits._
-    bpeMemo.get((dir, nMerges)) match {
-      case Some(m) =>
-        return m.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-          .orderBy("merge_rank")
-      case None => ()
-    }
-    val words0 = wordFreq(s, dir)
-    var words = words0.select(
-      regexp_replace(col("word"), "(.)", "($1)").as("w"), col("n"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, String, Long)]
-    for (r <- 1 to nMerges) {
-      val syms = split(regexp_replace(col("w"), "^\\(|\\)$", ""), "\\)\\(")
-      val pairs = zip_with(
-        slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
-        (a, b) => concat(a, lit(" "), b))
-      val best = words
-        .select(explode(pairs).as("pair"), col("n"))
-        .groupBy("pair").agg(sum(col("n")).as("cnt"))
-        .orderBy(desc("cnt"), asc("pair")).limit(1)
-        .collect().head
-      val Array(a, b) = best.getString(0).split(" ", 2)
-      merges += ((r, a, b, best.getLong(1)))
-      // symbols are [a-z0-9]+ — no escaping concerns in the literals
-      val next = words.select(
-        expr(s"replace(w, '($a)($b)', '($a$b)')").as("w"), col("n"))
+  /** Learned merge table as a pooled DataFrame — train + apply both
+    * need it within one session, and routing it through graft.CachePool
+    * (instead of a private memo) gives it the same bounded-LRU,
+    * unpersist-on-evict lifecycle as every other operator-level cache.
+    */
+  private def bpeMerges(s: SparkSession, dir: String,
+      nMerges: Int): DataFrame =
+    graft.CachePool.cached(s, s"text.bpeMerges:$dir:$nMerges") {
+      import s.implicits._
+      var words = wordFreq(s, dir)
+        .select(encodeSymbols(col("word")).as("w"), col("n"))
         .localCheckpoint()
-      words.unpersist(blocking = false) // superseded round
-      words = next
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      for (r <- 1 to nMerges) {
+        val syms = symbolsOf(col("w"))
+        val pairs = zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        val best = words
+          .select(explode(pairs).as("pair"), col("n"))
+          .groupBy("pair").agg(sum(col("n")).as("cnt"))
+          .orderBy(desc("cnt"), asc("pair")).limit(1)
+          .collect().head
+        val Array(a, b) = best.getString(0).split(" ", 2)
+        merges += ((r, a, b, best.getLong(1)))
+        val next = words
+          .select(applyMerge(col("w"), a, b).as("w"), col("n"))
+          .localCheckpoint()
+        words.unpersist(blocking = false) // superseded round
+        words = next
+      }
+      words.unpersist(blocking = false) // merges are collected; all done
+      merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
     }
-    words.unpersist(blocking = false) // merges are collected; all done
-    bpeMemo.put((dir, nMerges), merges.toSeq)
-    merges.toSeq
-      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-      .orderBy("merge_rank")
-  }
+
+  /** BPE tokenizer-vocabulary training (Sennrich et al. 2016): learn
+    * the top `nMerges` byte-pair merges from the corpus. The corpus is
+    * touched ONCE to build the distinct-word frequency table; every
+    * merge iteration then runs over that compressed table (size =
+    * vocabulary, not corpus — the trick that makes tokenizer training
+    * corpus-size-independent after the first scan). Replayed verbatim
+    * by the DuckDB oracle; merge choice tie-breaks on the pair string,
+    * so training is deterministic.
+    *
+    * Scale shape per iteration: one explode + pair-count groupBy over
+    * the word table (map-side combine absorbs the Zipf skew) and a
+    * 1-row argmax to the driver; the merge application is a row-local
+    * projection, localCheckpointed each round (superseded rounds
+    * released immediately) so plan depth and per-iteration cost stay
+    * flat in nMerges.
+    */
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
+    bpeMerges(s, dir, nMerges).orderBy("merge_rank")
 
   /** BPE tokenization of the corpus with the merges `bpeTrain`
     * learned: per-document whitespace-token and BPE-token counts plus
@@ -630,16 +630,16 @@ object TextAnalysis {
     * hash join plus a doc-key aggregation.
     */
   def bpeApply(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
-    val merges = { bpeTrain(s, dir, nMerges); bpeMemo((dir, nMerges)) }
+    val merges = bpeMerges(s, dir, nMerges)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
     val encoded = merges.foldLeft(
       wordFreq(s, dir).select(col("word"),
-        regexp_replace(col("word"), "(.)", "($1)").as("w"))) {
-      case (df, (_, a, b, _)) =>
-        df.withColumn("w", expr(s"replace(w, '($a)($b)', '($a$b)')"))
+        encodeSymbols(col("word")).as("w"))) {
+      case (df, (a, b)) => df.withColumn("w", applyMerge(col("w"), a, b))
     }
     val vocab = encoded.select(col("word"),
-      size(split(regexp_replace(col("w"), "^\\(|\\)$", ""), "\\)\\("))
-        .as("bpe_len"))
+      size(symbolsOf(col("w"))).as("bpe_len"))
     Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .join(broadcast(vocab), "word")

@@ -463,10 +463,13 @@ class NorthStarSpec extends SparkSpec {
         assert(known.contains(s), s"symbol $s not built by earlier merges")
       known += (a + b)
     }
-    // deterministic
-    val again = TextAnalysis.bpeTrain(spark, sfDir).collect()
+    // determinism via the greedy-prefix property: a fresh 7-merge
+    // training run (different pool key, so NOT a cache hit — a plain
+    // re-call would just read the pooled merges back) must reproduce
+    // the first 7 merges of the 8-merge run exactly
+    val prefix = TextAnalysis.bpeTrain(spark, sfDir, nMerges = 7).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    assert(m.toSeq == again.toSeq)
+    assert(prefix.toSeq == m.toSeq.take(7))
   }
 
   test("bpeApply: every doc covered; token counts between words and chars; " +
