@@ -141,6 +141,7 @@ object SparkEntry {
     "sim_quantize" -> (Similarity.quantize _),
     "sim_centroids" -> (Similarity.labelCentroids _),
     "sim_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
+    "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "p_diverse_subset" -> ((s, d) => Pipelines.diverseSubset(s, d)),
     // §2.10 north-star: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
@@ -1421,6 +1422,18 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_hard_negatives" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS negative_id,
+        |    round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3)
+        |      AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON b.vec_id <> a.vec_id AND b.label <> a.label
+        |  WHERE a.vec_id < 8)
+        |SELECT query_id, negative_id, sim, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, negative_id) AS rank FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, labeled_lang, s_en, s_zh, s_de,

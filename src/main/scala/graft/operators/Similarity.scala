@@ -203,6 +203,35 @@ object Similarity {
     * Spark or the oracle orders the additions — float accumulation
     * order would differ in the last bits between any two engines.
     */
+  /** Hard-negative mining for retrieval training (the DPR recipe):
+    * for each probe, the top-k most-similar vectors with a DIFFERENT
+    * label — near the query in embedding space but wrong by label, the
+    * negatives that teach a retriever the decision boundary (random
+    * negatives are too easy). Same broadcast-probes × streamed-corpus
+    * shape as bruteForceTopK with the label inequality riding the join
+    * condition, so same-label rows never materialize; at 100 TB the
+    * candidate stream comes from annLsh buckets instead of the full
+    * corpus, label filter unchanged.
+    */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val lbl = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val c = corpus(s, dir).join(lbl, "vec_id")
+    val probes = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("q_label"))
+    val sims = c.join(broadcast(probes),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("negative_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 3)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("negative_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Distributed k-means (Lloyd) over the embedding corpus — the
     * "train the IVF coarse quantizer" step that annIvf presupposes.
     * A fixed iteration count (default 2) with deterministic seeding

@@ -494,6 +494,39 @@ class NorthStarSpec extends SparkSpec {
     assert(total < charCounts.values.map(_.toLong).sum)
   }
 
+  test("hardNegatives: never same label or self; sims agree with brute force") {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hn = Similarity.hardNegatives(spark, sfDir).collect()
+    assert(hn.nonEmpty)
+    hn.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("negative_id"))
+      assert(n != q)
+      assert(labels(n) != labels(q), s"negative $n shares label with $q")
+    }
+    // a hard negative's sim must match the full-corpus ranking's sim
+    // for the same (query, neighbor) pair
+    val bf = Similarity.bruteForceTopK(spark, sfDir, k = 499).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("sim")).toMap
+    hn.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("negative_id"))
+      assert(bf(key) == r.getAs[Double]("sim"))
+    }
+    // and it must be the TOP different-label sims: nothing excluded
+    // from the negatives outranks the worst kept one per query
+    hn.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val worstKept = rs.map(_.getAs[Double]("sim")).min
+      val excludedBetter = bf.collect {
+        case ((`q`, n), sim) if labels(n) != labels(q) &&
+          sim > worstKept && !rs.exists(_.getAs[Long]("negative_id") == n) => n
+      }
+      assert(excludedBetter.isEmpty,
+        s"query $q missed harder negatives: $excludedBetter")
+    }
+  }
+
   test("diverseSubset: top-quality docs per kmeans cluster, all clusters hit") {
     val sub = Pipelines.diverseSubset(spark, sfDir).collect()
     val km = Similarity.kmeans(spark, sfDir).collect()
