@@ -64,7 +64,7 @@ object Bench {
       "adv_bucketed_join", "st2_sliding_7day",
       "j5_local_supplier", "dq_expectations", "dq_volume_anomaly",
       "sink_zorder", "dedup_incremental", "text_token_mixture",
-      "sim_centroids", "text_repetition", "text_gopher_quality",
+      "sim_centroids", "sim_hard_negatives", "text_repetition", "text_gopher_quality",
       "agg_sketch_rollup", "text_span_dedup", "sim_kmeans",
       "text_quality_filter", "text_resample", "sink_orc_roundtrip",
       "text_bpe_train", "text_bpe_apply", "p_diverse_subset")
