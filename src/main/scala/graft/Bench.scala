@@ -67,7 +67,8 @@ object Bench {
       "sim_centroids", "sim_hard_negatives", "text_repetition", "text_gopher_quality",
       "agg_sketch_rollup", "text_span_dedup", "sim_kmeans",
       "text_quality_filter", "text_resample", "sink_orc_roundtrip",
-      "text_bpe_train", "text_bpe_apply", "p_diverse_subset")
+      "text_bpe_train", "text_bpe_apply", "p_diverse_subset",
+      "dedup_semantic", "text_bm25", "text_lm_score")
     // a filtered profiling run exists to print ITS queries' numbers —
     // only the unfiltered sweep (whose 100+-entry map overflows the
     // capture) trims stdout to the headline subset

@@ -142,6 +142,7 @@ object SparkEntry {
     "sim_centroids" -> (Similarity.labelCentroids _),
     "sim_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "p_diverse_subset" -> ((s, d) => Pipelines.diverseSubset(s, d)),
     // §2.10 north-star: text analysis
     "text_lang_id" -> (TextAnalysis.langId _),
@@ -155,6 +156,8 @@ object SparkEntry {
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "text_lm_score" -> (TextAnalysis.lmScore _),
     "text_pii_scrub" -> (TextAnalysis.piiScrub _),
     "text_holdout_split" -> (TextAnalysis.holdoutSplit _),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -186,6 +189,7 @@ object SparkEntry {
       "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
       "p_diverse_subset" + // composes sim_kmeans (Lloyd jobs)
+      "dedup_semantic" +   // composes sim_kmeans (Lloyd jobs)
       "text_bpe_train" + // builder runs the merge-iteration jobs
       "text_bpe_apply"   // builder trains (or reads the memo) first
 
@@ -1182,6 +1186,60 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, token) AS rank FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |              CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+        |q(query_id, token) AS (VALUES
+        |  ('q1', 'hash'), ('q1', 'join'),
+        |  ('q2', 'vector'), ('q2', 'scan'), ('q2', 'filter'),
+        |  ('q3', 'spark'), ('q3', 'stream')),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |        WHERE token IN (SELECT token FROM q) GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(round(((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+        |          / (CAST(st.total_len AS DOUBLE) / st.n_docs)))
+        |      * 1e6) AS BIGINT) AS s
+        |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
+        |    JOIN dl USING (doc_id) CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id, SUM(s) AS ssum
+        |        FROM sc GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+        |  ssum / 1e6 AS score
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY ssum DESC, doc_id) AS rank FROM agg)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |bg AS (SELECT doc_id, w AS w1,
+        |         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |       FROM toks),
+        |b AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        |       FROM b GROUP BY 1),
+        |sc AS (SELECT b.doc_id,
+        |    CAST(round((CAST(c2.c2 AS DOUBLE) / c1.c1) * 1e6) AS BIGINT)
+        |      AS s
+        |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  SUM(s) / (COUNT(*) * 1e6) AS avg_p
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -1377,6 +1435,24 @@ object SparkEntry {
         |      FROM q JOIN km ON q.doc_id = km.vec_id)
         |WHERE rank <= 3
         |ORDER BY cluster, rank""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH km AS ($kmeansOracle),
+        |j AS (SELECT km.vec_id, km.cluster, km.dist_sq, e.embedding
+        |      FROM km JOIN embeddings e USING (vec_id)),
+        |p AS (SELECT a.vec_id AS va, a.dist_sq AS da,
+        |             b.vec_id AS vb, b.dist_sq AS db
+        |      FROM j a JOIN j b
+        |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |      WHERE round(CAST(list_cosine_similarity(a.embedding,
+        |              b.embedding) AS DOUBLE), 3) >= 0.4),
+        |drp AS (SELECT DISTINCT
+        |          CASE WHEN da < db THEN va ELSE vb END AS vec_id
+        |        FROM p)
+        |SELECT km.vec_id, km.cluster,
+        |  CAST(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
+        |    AS keep
+        |FROM km LEFT JOIN drp USING (vec_id)
+        |ORDER BY km.vec_id""".stripMargin,
     "text_holdout_split" ->
       """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
         |  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'

@@ -302,6 +302,49 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SemDedup (Abbas et al. 2023): semantic near-duplicate pruning
+    * scoped to k-means clusters — embeddings are clustered first, and
+    * only WITHIN-cluster pairs are ever compared, so the pair space is
+    * ~n²/k instead of n² (cross-cluster near-dups are the accepted
+    * miss, exactly the paper's trade). Within a cluster, any pair with
+    * cosine ≥ tau drops the member CLOSER to its centroid (the paper's
+    * keep-low-centroid-similarity rule: boundary examples carry more
+    * signal than redundant cluster-core ones); ties drop the larger id.
+    *
+    * Scale shape: reuses the pooled normed corpus and the kmeans
+    * assignment; the pair scan is an equi-join ON CLUSTER with the
+    * cosine threshold as a residual join predicate, so at 100 TB the
+    * work is hash-partitioned by cluster and non-matching pairs never
+    * materialize. k grows with corpus size to hold per-cluster pair
+    * counts flat.
+    *
+    * Cross-engine determinism: sims rounded to 3 decimals before the
+    * threshold, centroid distances come pre-rounded (6) from kmeans,
+    * drop rule is a pure CASE — the DuckDB oracle replays all of it.
+    */
+  def semanticDedup(s: SparkSession, dir: String,
+      tau: Double = 0.4): DataFrame = {
+    val km = kmeans(s, dir) // (vec_id, cluster, dist_sq), Lloyd-trained
+    val c = corpus(s, dir).join(km, "vec_id")
+    val a = Tables.fanOut(c.select(col("cluster"),
+      col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"),
+      col("dist_sq").as("da")))
+    val b = c.select(col("cluster").as("cluster_b"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"),
+      col("dist_sq").as("db"))
+    val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 3)
+    val dropped = a.join(b,
+        col("cluster") === col("cluster_b")
+          && col("vec_a") < col("vec_b") && sim >= tau)
+      .select(when(col("da") < col("db"), col("vec_a"))
+        .otherwise(col("vec_b")).as("vec_id"))
+      .distinct()
+    km.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("hit").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+      .orderBy("vec_id")
+  }
+
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))

@@ -253,6 +253,104 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** BM25 keyword search (Robertson/Spärck Jones; k1=1.2, b=0.75) —
+    * the retrieval side of a corpus: rank documents for a small set of
+    * term queries over the inverted index. The postings table is the
+    * pooled per-(doc, token) frequency table; the query set broadcasts
+    * and PRUNES the index first, so everything downstream (df counts,
+    * scoring, top-k) touches only the |query-terms| posting lists —
+    * at 100 TB the index is bucketed by token and a query reads its
+    * terms' buckets, never the corpus.
+    *
+    * Cross-engine determinism: idf is kept RATIONAL —
+    * (N − df + ½)/(df + ½) without the usual ln() (libm, no
+    * cross-engine rounding guarantee; ranking-order preserving since
+    * ln is monotone). Constants are written as the same decimal
+    * literals the oracle parses (2.2 = k1+1, 0.25 = 1−b), each
+    * per-term score is scaled to an exact integer before the per-doc
+    * sum (addition order independent), and ranking tie-breaks on
+    * doc_id.
+    */
+  def bm25(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      "q1" -> "hash", "q1" -> "join",
+      "q2" -> "vector", "q2" -> "scan", "q2" -> "filter",
+      "q3" -> "spark", "q3" -> "stream").toDF("query_id", "token")
+    val tf = termFreq(s, dir) // pooled postings (doc_id, token, tf)
+    // per-doc length + corpus stats from the postings themselves
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    // prune the index to query terms BEFORE any aggregation
+    val post = tf.join(broadcast(queries), "token")
+    val df_ = tf.join(broadcast(queries.select("token").distinct()), "token")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val termScore = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val scored = post
+      .join(broadcast(df_), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(round(termScore * lit(1e6)).cast("long")).as("ssum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ssum").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("ssum") / lit(1e6)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Doc bigram stream (doc_id, w1, w2) in document order, pooled —
+    * lmScore trains on it and scores with it in one session.
+    */
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"text.docBigrams:$dir") {
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) > 1) // no bigrams; guards sequence(1,0)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> " +
+            "named_struct('w1', ts[i - 1], 'w2', ts[i]))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+
+  /** LM-likelihood quality scoring (the CCNet recipe's shape: score
+    * every document under a language model trained on the corpus, low
+    * scores = out-of-distribution junk). The model is a bigram table —
+    * P(w2|w1) = c(w1,w2)/c(w1·) — and the doc score is the MEAN token
+    * probability rather than log-perplexity: ln() is a libm call with
+    * no cross-engine rounding guarantee, the rational mean needs none,
+    * and it orders documents the same way for filtering purposes.
+    *
+    * Scale shape: counts aggregate with map-side combine from the
+    * pooled bigram stream; the model is vocabulary-sized (not
+    * corpus-sized), so the scoring join is a broadcast and the 100 TB
+    * pass is one map-side join + one per-doc aggregation. Each bigram
+    * probability is two exact BIGINTs divided once (IEEE-exact), then
+    * scaled to an integer before the per-doc sum — addition order
+    * cannot perturb the score.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val bg = docBigrams(s, dir) // pooled — see docBigrams
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val p = (col("c2").cast("double") / col("c1")).as("p")
+    bg.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(p * lit(1e6)).cast("long")).as("ssum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("ssum") / (col("n_bigrams") * lit(1e6))).as("avg_p"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction: detect + scrub email addresses and phone numbers —
     * the compliance pass every training corpus runs before anything
     * else sees the text. The testdata corpus contains no PII, so a

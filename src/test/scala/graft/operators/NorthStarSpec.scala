@@ -542,6 +542,73 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: drops are exactly the closer-to-centroid members " +
+      "of within-cluster near-dup pairs") {
+    val out = Similarity.semanticDedup(spark, sfDir).collect()
+    val km = Similarity.kmeans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out.length == km.size) // every vector classified exactly once
+    val dropped = out.collect {
+      case r if r.getAs[Int]("keep") == 0 => r.getAs[Long]("vec_id")
+    }.toSet
+    assert(dropped.nonEmpty)
+    // cosineNearDup is the FULL >= 0.4 pair set (oracle-checked);
+    // semanticDedup must drop one member of each within-cluster pair —
+    // the one closer to its centroid — and nothing else
+    val within = Similarity.cosineNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => km(a)._1 == km(b)._1 }
+    assert(within.nonEmpty)
+    val expected = within.map { case (a, b) =>
+      if (km(a)._2 < km(b)._2) a else b
+    }.toSet
+    assert(dropped == expected)
+  }
+
+  test("bm25: ranked hits per query, scores positive descending, every " +
+      "hit contains a query term") {
+    val terms = Map(
+      "q1" -> Set("hash", "join"),
+      "q2" -> Set("vector", "scan", "filter"),
+      "q3" -> Set("spark", "stream"))
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSet).toMap
+    val byQ = TextAnalysis.bm25(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("query_id"))
+    assert(byQ.keySet == terms.keySet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.forall(_ > 0))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      sorted.foreach { r =>
+        val tok = docs(r.getAs[Long]("doc_id"))
+        assert(tok.intersect(terms(q)).nonEmpty,
+          s"rank-${r.getAs[Int]("rank")} hit for $q has no query term")
+      }
+    }
+  }
+
+  test("lmScore: one row per multi-token doc; n_bigrams = tokens - 1; " +
+      "mean probability in (0, 1]") {
+    val nTok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = TextAnalysis.lmScore(spark, sfDir).collect()
+    assert(out.length == nTok.count(_._2 >= 2))
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") == nTok(id) - 1)
+      val p = r.getAs[Double]("avg_p")
+      assert(p > 0.0 && p <= 1.0, s"doc $id avg_p $p out of range")
+    }
+  }
+
   test("labelCentroids: one row per (label, dim); mean within value range") {
     val c = Similarity.labelCentroids(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
