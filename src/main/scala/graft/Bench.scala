@@ -68,7 +68,9 @@ object Bench {
       "agg_sketch_rollup", "text_span_dedup", "sim_kmeans",
       "text_quality_filter", "text_resample", "sink_orc_roundtrip",
       "text_bpe_train", "text_bpe_apply", "p_diverse_subset",
-      "dedup_semantic", "text_bm25", "text_lm_score")
+      "dedup_semantic", "text_bm25", "text_lm_score",
+      "agg_funnel", "agg_cohort", "agg_quantile_rollup",
+      "j_fuzzy_match", "sim_random_proj")
     // a filtered profiling run exists to print ITS queries' numbers —
     // only the unfiltered sweep (whose 100+-entry map overflows the
     // capture) trims stdout to the headline subset

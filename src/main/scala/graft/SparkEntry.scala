@@ -86,6 +86,11 @@ object SparkEntry {
     "agg_sketch_rollup" -> (Analytics.sketchRollup _),
     "agg_profile" -> (Analytics.profileOrders _),
     "agg_histogram" -> (Analytics.histogram _),
+    "agg_funnel" -> (Analytics.funnel _),
+    "agg_cohort" -> (Analytics.cohortRetention _),
+    "agg_quantile_rollup" -> (Analytics.quantileRollup _),
+    "j_fuzzy_match" -> (Advanced.fuzzyMatch _),
+    "sim_random_proj" -> ((s, d) => Similarity.randomProjection(s, d)),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -559,6 +564,81 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS ts_signup FROM events
+        |    WHERE event_type = 'signup' GROUP BY user_id),
+        |cl AS (SELECT e.user_id, min(e.ts) AS ts_click FROM events e
+        |    JOIN su ON e.user_id = su.user_id AND e.ts > su.ts_signup
+        |    WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, min(e.ts) AS ts_purchase FROM events e
+        |    JOIN cl ON e.user_id = cl.user_id AND e.ts > cl.ts_click
+        |    WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 1 AS stage_ord, 'signup' AS stage,
+        |  CAST(count(*) AS BIGINT) AS users FROM su
+        |UNION ALL SELECT 2 AS stage_ord, 'click_after_signup' AS stage,
+        |  CAST(count(*) AS BIGINT) AS users FROM cl
+        |UNION ALL SELECT 3 AS stage_ord, 'purchase_after_click' AS stage,
+        |  CAST(count(*) AS BIGINT) AS users FROM pu
+        |ORDER BY stage_ord""".stripMargin,
+    "agg_cohort" ->
+      """WITH w AS (SELECT o_custkey,
+        |    date_trunc('month', CAST(o_orderdate AS DATE)) AS omonth,
+        |    min(date_trunc('month', CAST(o_orderdate AS DATE)))
+        |      OVER (PARTITION BY o_custkey) AS cohort
+        |  FROM orders)
+        |SELECT cohort,
+        |  CAST(date_diff('month', cohort, omonth) AS INTEGER) AS month_offset,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers
+        |FROM w WHERE date_diff('month', cohort, omonth) <= 6
+        |GROUP BY cohort, month_offset
+        |ORDER BY cohort, month_offset""".stripMargin,
+    "agg_quantile_rollup" ->
+      """WITH b AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+        |      AS scope,
+        |    LEAST(GREATEST(CAST(floor(o_totalprice / 25000.0) AS INTEGER),
+        |      0), 63) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |n AS (SELECT scope, CAST(SUM(cnt) AS BIGINT) AS n_orders
+        |  FROM b GROUP BY scope),
+        |tb AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |  FROM b GROUP BY bin),
+        |allb AS (SELECT b.scope, b.bin, b.cnt, n.n_orders
+        |    FROM b JOIN n USING (scope)
+        |  UNION ALL SELECT 'TOTAL' AS scope, tb.bin, tb.cnt,
+        |    (SELECT CAST(SUM(cnt) AS BIGINT) FROM tb) AS n_orders FROM tb),
+        |c AS (SELECT scope, n_orders, bin,
+        |    CAST(SUM(cnt) OVER (PARTITION BY scope ORDER BY bin) AS BIGINT)
+        |      AS cum
+        |  FROM allb WHERE cnt > 0)
+        |SELECT scope, n_orders,
+        |  (MIN(CASE WHEN cum >= floor(n_orders * 0.5 + (1 - 0.5))
+        |     THEN bin END) + 1) * CAST(25000.0 AS DOUBLE) AS p50_est,
+        |  (MIN(CASE WHEN cum >= floor(n_orders * 0.95 + (1 - 0.95))
+        |     THEN bin END) + 1) * CAST(25000.0 AS DOUBLE) AS p95_est
+        |FROM c GROUP BY scope, n_orders ORDER BY scope""".stripMargin,
+    "j_fuzzy_match" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |b AS (SELECT name, list_extract(string_split(name, ' '),
+        |    len(string_split(name, ' '))) AS block FROM names)
+        |SELECT a.name AS name_a, bb.name AS name_b,
+        |  CAST(levenshtein(a.name, bb.name) AS INTEGER) AS dist
+        |FROM b a JOIN b bb ON a.block = bb.block AND a.name < bb.name
+        |WHERE levenshtein(a.name, bb.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "sim_random_proj" ->
+      """WITH k AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS dim)
+        |SELECT e.vec_id, k.dim,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(e.embedding, range(len(e.embedding))),
+        |      s -> CAST(s[1] AS DOUBLE) *
+        |        (1 - 2 * (((((CAST(k.dim AS BIGINT) + 1) * 2654435761
+        |            % 1048573 + 1) *
+        |          ((CAST(s[2] AS BIGINT) + 1) * 2654435761
+        |            % 1048573 + 1)) >> 10) & 1)))),
+        |    (a, b) -> a + b) AS val
+        |FROM embeddings e CROSS JOIN k
+        |ORDER BY vec_id, dim""".stripMargin,
     "st1_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         | CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -147,4 +147,28 @@ object Advanced {
       .agg(sum(col("partial_sum")).cast("double").as("total_value"),
         sum(col("partial_n")).as("n_events"))
       .orderBy("event_type")
+
+  /** Fuzzy entity matching with blocking: near-identical part names
+    * (edit distance ≤ 2) found WITHOUT a cross join. Names are deduped
+    * first, then paired only within a blocking key (the name's last
+    * token — the product noun), so the quadratic term is bounded by
+    * the largest block, not the table: at 100 TB the name universe is
+    * the post-distinct vocabulary and each block is one noun's
+    * adjective set. The `<` on the pair kills mirrors/self-pairs
+    * before the levenshtein ever runs; levenshtein itself is a
+    * codegen'd built-in, not a UDF.
+    */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .select(col("p_name").as("name")).distinct()
+      .withColumn("block", substring_index(col("name"), " ", -1))
+    names.select(col("block"), col("name").as("name_a"))
+      .join(names.select(col("block"), col("name").as("name_b")), Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("int"))
+      .filter(col("dist") <= 2)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -248,5 +248,105 @@ object Analytics {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_est"))
       .select(lit("TOTAL").as("day"), col("n_events"), col("n_users_est"))
     perDay.unionByName(total).orderBy("day")
+  }
+
+  /** Ordered conversion funnel over the event stream: signup → first
+    * click after the signup → first purchase after that click. Each
+    * stage is a groupBy(user) min joined back on user_id — every
+    * shuffle in the plan hashes the SAME key, so the stages
+    * co-partition (AQE reuses the exchange) and no stage ever holds
+    * more than one row per user. The row-per-user staging is the
+    * 100 TB shape: the alternative (collect_list per user, walk the
+    * sorted events) materializes each user's full history in one task.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("ts_signup"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("ts_signup"))
+      .groupBy("user_id").agg(min(col("ts")).as("ts_click"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts") > col("ts_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("ts_purchase"))
+    def stage(df: DataFrame, ord: Int, name: String) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("users"))
+    stage(signup, 1, "signup")
+      .unionByName(stage(click, 2, "click_after_signup"))
+      .unionByName(stage(purchase, 3, "purchase_after_click"))
+      .orderBy("stage_ord")
+  }
+
+  /** Cohort retention: customers grouped by first-order month, counted
+    * distinct in each later month offset. The cohort month comes from
+    * a window min over the SAME partitioning the final aggregate
+    * shuffles on — one exchange for the assignment, not a
+    * groupBy+self-join pair. Offsets capped at 6 to keep the output a
+    * fixed-width retention triangle.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        trunc(col("o_orderdate").cast("date"), "month").as("omonth"))
+      .withColumn("cohort", min(col("omonth")).over(w))
+      .withColumn("month_offset",
+        months_between(col("omonth"), col("cohort")).cast("int"))
+      .filter(col("month_offset") <= 6)
+      .groupBy("cohort", "month_offset")
+      .agg(countDistinct(col("o_custkey")).as("active_customers"))
+      .orderBy("cohort", "month_offset")
+  }
+
+  /** Mergeable quantile sketches (the percentile analog of
+    * sketchRollup's HLL): per-day fixed-bin histogram sketches of
+    * order totals built by a custom typed `Aggregator` (the engine's
+    * UDAF surface), TOTAL derived by merging the day sketches —
+    * posexplode + sum per bin, no re-scan of orders — then
+    * deterministic upper-bin-edge p50/p95 estimates read off each
+    * sketch. Bin bounds are data-independent (width 25 000, 64 bins)
+    * so sketch build is a pure row-local expression ahead of one
+    * partial-agg shuffle; a year-to-date percentile at 100 TB is 365
+    * sketch merges, not a re-aggregation. Estimate error ≤ one bin
+    * width by construction (QuantileSketchSpec bounds it against the
+    * exact percentile).
+    */
+  def quantileRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HistSketch
+    val sketch = udaf(HistSketch)
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sketch(col("o_totalprice")).as("sk"),
+        count(lit(1)).as("n_orders"))
+    val dayBins = daily.select(
+      date_format(col("day"), "yyyy-MM-dd").as("scope"),
+      col("n_orders"), posexplode(col("sk")).as(Seq("bin", "cnt")))
+    // merge path: day sketches → bin-wise sums (never back to orders)
+    val totalW = Window.partitionBy(lit(1))
+    val totalBins = daily
+      .select(posexplode(col("sk")).as(Seq("bin", "cnt")))
+      .groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+      .select(lit("TOTAL").as("scope"),
+        sum(col("cnt")).over(totalW).as("n_orders"),
+        col("bin"), col("cnt"))
+    // shared estimate read-off: cumulative count in bin order, then
+    // the upper edge of the first bin covering each target rank
+    val wc = Window.partitionBy(col("scope")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rank(frac: Column) = floor(col("n_orders") * frac + (lit(1) - frac))
+    dayBins.unionByName(totalBins)
+      .filter(col("cnt") > 0)
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .groupBy("scope", "n_orders")
+      .agg(
+        ((min(when(col("cum") >= rank(lit(0.5)), col("bin"))) + 1) *
+          HistSketch.Width).as("p50_est"),
+        ((min(when(col("cum") >= rank(lit(0.95)), col("bin"))) + 1) *
+          HistSketch.Width).as("p95_est"))
+      .orderBy("scope")
   }
 }

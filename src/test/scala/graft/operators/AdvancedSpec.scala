@@ -165,4 +165,32 @@ class AdvancedSpec extends SparkSpec {
       .count(r => ids(r.getAs[Long]("doc_a")) && ids(r.getAs[Long]("doc_b")))
     assert(stillPaired == 0)
   }
+
+  test("fuzzyMatch: blocking loses nothing vs the brute-force pair scan") {
+    val out = Advanced.fuzzyMatch(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"),
+        r.getAs[Int]("dist"))).toSet
+    assert(out.forall { case (a, b, d) => a < b && d >= 1 && d <= 2 })
+    // ground truth: every distinct-name pair within edit distance 2 —
+    // the blocked join must find exactly the pairs whose last token
+    // matches (the blocking key's contract)
+    val names = graft.Tables.part(spark, sfDir)
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && a.split(' ').last == b.split(' ').last
+      d = levenshteinDist(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(out == brute, s"blocked=${out.size} brute=${brute.size}")
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }

@@ -88,4 +88,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("trailing_7d_events") ==
       out.head.getAs[Long]("daily_events"))
   }
+
+  test("funnel: stages shrink monotonically; stage 1 = distinct signup users") {
+    val out = Analytics.funnel(spark, sfDir).orderBy("stage_ord").collect()
+    assert(out.map(_.getAs[String]("stage")).toSeq ==
+      Seq("signup", "click_after_signup", "purchase_after_click"))
+    val counts = out.map(_.getAs[Long]("users"))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel must narrow: ${counts.toSeq}")
+    val signups = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(counts(0) == signups)
+  }
+
+  test("cohortRetention: offset-0 count is the cohort size and the max") {
+    val out = Analytics.cohortRetention(spark, sfDir).collect()
+      .groupBy(_.getAs[java.sql.Date]("cohort"))
+    out.foreach { case (_, rows) =>
+      val byOff = rows.map(r => r.getAs[Int]("month_offset") ->
+        r.getAs[Long]("active_customers")).toMap
+      assert(byOff.contains(0), "every cohort retains itself at offset 0")
+      assert(byOff.values.forall(_ <= byOff(0)),
+        "no offset can exceed the cohort size")
+    }
+    // cohort sizes partition the customer base: offset-0 counts sum to
+    // the number of distinct ordering customers
+    val sizes = out.values.flatten
+      .filter(_.getAs[Int]("month_offset") == 0)
+      .map(_.getAs[Long]("active_customers")).sum
+    val custs = graft.Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(sizes == custs)
+  }
 }
