@@ -35,6 +35,58 @@ object VectorExpressions {
       es => Winnow64(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("vector_argmin_l2",
       es => VectorArgminL2(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("vector_project",
+      es => VectorProject(es(0), es(1)), "built-in")
+  }
+}
+
+/** Seeded ±1 random projection of an array<float> vector to dOut
+  * dimensions (Similarity.randomProjection's kernel). Bit-exact with
+  * the HOF form `transform(sequence(0, dOut-1), k ->
+  * aggregate(zip_with(v, sequence(0, size(v)-1), (x, j) -> x * s(k,j)),
+  * 0.0, +))`: per output dim the fold runs ascending-j from 0.0 and
+  * s(k,j) = 1 - 2·bit10(h(k)·h(j)), h(m) = (m+1)·2654435761 mod
+  * 1048573 + 1 — the same overflow-safe integer arithmetic the DuckDB
+  * oracle replays. One fused loop per row instead of dOut·dim
+  * interpreted lambda dispatches.
+  */
+case class VectorProject(vec: Expression, dOutExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = dOutExpr
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any, d: Any): Any =
+    VectorProject.eval(v.asInstanceOf[ArrayData], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, d) =>
+      s"${ev.value} = graft.functions.VectorProject$$.MODULE$$.eval($v, $d);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, dOutExpr = newRight)
+}
+
+object VectorProject {
+  def eval(v: ArrayData, dOut: Int): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Double](dOut)
+    var k = 0
+    while (k < dOut) {
+      val h = ((k + 1) * 2654435761L) % 1048573L + 1L
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        val g = ((j + 1) * 2654435761L) % 1048573L + 1L
+        val s = 1L - 2L * (((h * g) >> 10) & 1L)
+        acc += v.getFloat(j).toDouble * s
+        j += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

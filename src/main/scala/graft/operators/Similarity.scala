@@ -377,21 +377,15 @@ object Similarity {
     // base sequence, measured |corr| up to 0.94) keeps rows of the
     // implicit matrix decorrelated (measured max |corr| 0.31), and
     // every intermediate stays < 2^41 so the identical integer
-    // arithmetic runs on any engine without 64-bit overflow.
-    def sign(k: Column, j: Column): Column = {
-      val h = ((k + 1) * lit(2654435761L)) % lit(1048573L)
-      val g = ((j + 1) * lit(2654435761L)) % lit(1048573L)
-      lit(1L) - lit(2L) *
-        shiftright((h + 1) * (g + 1), 10).bitwiseAND(lit(1L))
-    }
+    // arithmetic runs on any engine without 64-bit overflow. The
+    // fused VectorProject kernel computes all dOut folds in one call
+    // per row (the HOF form would pay dOut·dim interpreted lambda
+    // dispatches); its Scaladoc pins the bit-exact equivalence.
+    VectorExpressions.ensureRegistered(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        posexplode(transform(sequence(lit(0), lit(dOut - 1)), k =>
-          aggregate(
-            zip_with(col("embedding"),
-              sequence(lit(0), size(col("embedding")) - 1),
-              (x, j) => x.cast("double") * sign(k, j)),
-            lit(0.0), (acc, t) => acc + t))).as(Seq("dim", "val")))
+        posexplode(call_function("vector_project",
+          col("embedding"), lit(dOut))).as(Seq("dim", "val")))
       .orderBy("vec_id", "dim")
   }
 }

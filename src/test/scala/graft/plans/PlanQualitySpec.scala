@@ -190,4 +190,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("AQEShuffleRead"), p.take(1500))
     assert(p.toLowerCase.contains("coalesced"), p.take(1500))
   }
+
+  test("fuzzyMatch: equi join on the block key, never a pair scan") {
+    val p = plan(Advanced.fuzzyMatch(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // levenshtein must be a post-join filter, not the join itself
+    assert(p.contains("levenshtein"), p.take(2000))
+  }
+
+  test("randomProjection: row-local kernel — no exchange before the sort") {
+    val p = plan(Similarity.randomProjection(spark, sfDir))
+    // exactly one exchange: the final orderBy's range partitioning;
+    // the projection itself must not shuffle or join
+    assert("Exchange".r.findAllIn(p.linesIterator
+      .filter(_.matches("^\\(\\d+\\) .*")).mkString("\n")).size <= 2, p.take(1500))
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("vector_project") || p.contains("vectorproject"),
+      p.take(2000))
+  }
+
+  test("quantileRollup: sketches partial-aggregate before the shuffle") {
+    val p = plan(Analytics.quantileRollup(spark, sfDir))
+    // the custom Aggregator must plan map-side partials (two-phase
+    // HashAggregate/ObjectHashAggregate), not a single global agg
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate")
+      || p.contains("HashAggregate"), p.take(1200))
+    assert(p.contains("partial"), p.take(2000))
+  }
+
+  test("funnel: all stage shuffles hash the same key (user_id)") {
+    val p = plan(Analytics.funnel(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // stage aggregates arrive as partial+final pairs on user_id
+    assert(p.contains("partial"), p.take(2000))
+  }
 }
