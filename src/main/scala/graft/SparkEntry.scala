@@ -91,6 +91,8 @@ object SparkEntry {
     "agg_quantile_rollup" -> (Analytics.quantileRollup _),
     "j_fuzzy_match" -> (Advanced.fuzzyMatch _),
     "sim_random_proj" -> ((s, d) => Similarity.randomProjection(s, d)),
+    "sim_standardize" -> (Similarity.standardize _),
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -639,6 +641,29 @@ object SparkEntry {
         |    (a, b) -> a + b) AS val
         |FROM embeddings e CROSS JOIN k
         |ORDER BY vec_id, dim""".stripMargin,
+    "sim_standardize" ->
+      """WITH x AS (SELECT vec_id,
+        |    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS xs
+        |  FROM embeddings),
+        |st AS (SELECT dim, CAST(SUM(xs) AS BIGINT) AS s1,
+        |    CAST(SUM(xs * xs) AS BIGINT) AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM x GROUP BY dim)
+        |SELECT x.vec_id, x.dim,
+        |  (CAST(x.xs AS DOUBLE) - CAST(st.s1 AS DOUBLE) / st.n) /
+        |    sqrt(CAST(st.s2 AS DOUBLE) / st.n -
+        |      (CAST(st.s1 AS DOUBLE) / st.n) *
+        |      (CAST(st.s1 AS DOUBLE) / st.n) + 1e-12) AS z
+        |FROM x JOIN st USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
+    "text_heavy_hitters" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+        |        '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
     "st1_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         | CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -370,6 +370,33 @@ object Similarity {
     * scalar columns survive engine-portable comparison where
     * float-array columns don't.
     */
+  /** Per-dimension z-score standardization of the embedding corpus —
+    * the feature-scaling pass before any distance-based method
+    * (k-means, ANN) when dimensions have uneven spread. Two-phase at
+    * any scale: ONE partial-aggregated shuffle of |dims| groups builds
+    * the per-dimension moments from exact scaled-integer sums (the
+    * labelCentroids trick — bit-exact across engines where naive
+    * float means are not), then the tiny stats table broadcasts back
+    * and the normalization is row-local. sqrt is IEEE-correctly-
+    * rounded on every engine, so even the z-scores compare exactly.
+    */
+  def standardize(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("xs", round(col("v").cast("double") * 1e6).cast("long"))
+    val stats = x.groupBy("dim").agg(
+      sum(col("xs")).as("s1"),
+      sum(col("xs") * col("xs")).as("s2"),
+      count(lit(1)).as("n"))
+    val mean = col("s1").cast("double") / col("n")
+    x.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        ((col("xs").cast("double") - mean) /
+          sqrt(col("s2").cast("double") / col("n") - mean * mean +
+            lit(1e-12))).as("z"))
+      .orderBy("vec_id", "dim")
+  }
+
   def randomProjection(s: SparkSession, dir: String, dOut: Int = 16): DataFrame = {
     // sign(k, j) = ±1 from bit 10 of h(k)·h(j), where h(·) is a
     // multiplicative hash mod a ~2^20 prime. The k×j PRODUCT (not a

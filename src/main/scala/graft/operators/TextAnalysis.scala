@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -759,5 +759,32 @@ object TextAnalysis {
     fp.join(groups, "fingerprint")
       .select(col("doc_id"), col("fingerprint"), col("n_same"))
       .orderBy("doc_id")
+  }
+
+  /** Heavy hitters, approximate-then-verify: a Misra–Gries sketch
+    * (capacity m, map-side partials of ≤ m counters each) nominates
+    * candidate tokens, then ONE exact count pass touches only the
+    * candidates — the broadcast semi-join prunes the shuffle to
+    * candidate tokens instead of aggregating the full vocabulary. MG
+    * guarantees every token with frequency > N/(m+1) is nominated, so
+    * the emitted top-k is exactly the true top-k whenever the k-th
+    * heavy hitter clears that bar (MisraGriesSpec pins the bound; on
+    * this corpus vocabulary < m makes the sketch exact outright).
+    * The same shape at 100 TB: sketch fan-in is m counters per task —
+    * constant — while vocab's full groupBy shuffles every distinct
+    * token.
+    */
+  def heavyHitters(s: SparkSession, dir: String, m: Int = 64,
+      k: Int = 10): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(m), Encoders.STRING)
+    val toks = Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(tokens(col("text"))).as("token"))
+    val cand = toks.agg(mg(col("token")).as("summary"))
+      .select(explode(map_keys(col("summary"))).as("token"))
+    toks.join(broadcast(cand), "token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(k)
   }
 }
