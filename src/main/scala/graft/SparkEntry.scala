@@ -93,6 +93,8 @@ object SparkEntry {
     "sim_random_proj" -> ((s, d) => Similarity.randomProjection(s, d)),
     "sim_standardize" -> (Similarity.standardize _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "st_gap_fill" -> (Analytics.gapFill _),
+    "p_entity_resolution" -> (Pipelines.entityResolution _),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -194,6 +196,7 @@ object SparkEntry {
       "adv_bucketed_join" +
       "s2_jdbc_source" + // builder seeds the embedded Derby db (a write job)
       "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
+      "p_entity_resolution" + // composes the CC fixpoint on fuzzy pairs
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
       "p_diverse_subset" + // composes sim_kmeans (Lloyd jobs)
       "dedup_semantic" +   // composes sim_kmeans (Lloyd jobs)
@@ -641,6 +644,43 @@ object SparkEntry {
         |    (a, b) -> a + b) AS val
         |FROM embeddings e CROSS JOIN k
         |ORDER BY vec_id, dim""".stripMargin,
+    "st_gap_fill" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events WHERE value >= 250.0 GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+        |    INTERVAL 1 DAY)) AS day)
+        |SELECT CAST(spine.day AS DATE) AS day,
+        |  COALESCE(daily.n_events, 0) AS n_events,
+        |  COALESCE(daily.sum_value, 0.0) AS sum_value
+        |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
+        |ORDER BY day""".stripMargin,
+    "p_entity_resolution" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+        |b AS (SELECT name, list_extract(string_split(name, ' '),
+        |    len(string_split(name, ' '))) AS block FROM names),
+        |pairs AS (SELECT a.name AS na, bb.name AS nb
+        |  FROM b a JOIN b bb ON a.block = bb.block AND a.name < bb.name
+        |  WHERE levenshtein(a.name, bb.name) <= 2),
+        |edges AS (SELECT na AS src, nb AS dst FROM pairs
+        |  UNION ALL SELECT nb, na FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (SELECT src AS name, MIN(dst) AS canonical_name
+        |  FROM reach GROUP BY 1),
+        |resolved AS (SELECT n.name,
+        |    COALESCE(l.canonical_name, n.name) AS canonical_name
+        |  FROM names n LEFT JOIN lab l ON n.name = l.name),
+        |cs AS (SELECT canonical_name, CAST(COUNT(*) AS BIGINT)
+        |    AS cluster_size
+        |  FROM resolved GROUP BY 1)
+        |SELECT r.name, r.canonical_name, cs.cluster_size
+        |FROM resolved r JOIN cs USING (canonical_name)
+        |ORDER BY r.name""".stripMargin,
     "sim_standardize" ->
       """WITH x AS (SELECT vec_id,
         |    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,

@@ -302,6 +302,33 @@ object Analytics {
       .orderBy("cohort", "month_offset")
   }
 
+  /** Time-series gap filling: daily aggregates of a sparse event
+    * subset joined onto a complete date spine (min..max active day),
+    * missing days emitted as explicit zeros — the resample/fill step
+    * every downstream window or forecast needs (a RANGE frame over
+    * days silently skips absent rows otherwise). The spine comes from
+    * `sequence(lo, hi)` on the 1-row span aggregate — |days| rows, so
+    * the fill join is a broadcast of the spine against the already-
+    * aggregated daily counts; the raw events aggregate with map-side
+    * combine first. No generator UDF, no driver loop, any scale.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("value") >= 250.0)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("sum_value"))
+    val spine = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("day")
+  }
+
   /** Mergeable quantile sketches (the percentile analog of
     * sketchRollup's HLL): per-day fixed-bin histogram sketches of
     * order totals built by a custom typed `Aggregator` (the engine's

@@ -195,4 +195,32 @@ object Pipelines {
       .select(col("doc_id"), col("n_words"), col("quality_score"))
       .orderBy("doc_id")
   }
+
+  /** Entity-resolution composite: fuzzy-match pairs (blocked
+    * levenshtein, `Advanced.fuzzyMatch`) feed the same min-label
+    * connected-components fixpoint the near-dup clusters use — run
+    * directly on the NAME strings, so each component's label IS its
+    * lexicographically-first name and becomes the canonical form with
+    * no separate id assignment. Names without any fuzzy pair resolve
+    * to themselves via the left join. The 100 TB shape is inherited
+    * from the parts: blocking bounds the pair scan,
+    * pointer-doubling CC converges in O(log n) rounds, and the final
+    * size/canonical joins key on the (small) post-distinct name
+    * universe.
+    */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Advanced.fuzzyMatch(s, dir).select("name_a", "name_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("name"), col("label"))
+    val names = Tables.part(s, dir)
+      .select(col("p_name").as("name")).distinct()
+    val resolved = names.join(labels, Seq("name"), "left")
+      .select(col("name"),
+        coalesce(col("label"), col("name")).as("canonical_name"))
+    val sizes = resolved.groupBy("canonical_name")
+      .agg(count(lit(1)).as("cluster_size"))
+    resolved.join(sizes, "canonical_name")
+      .select(col("name"), col("canonical_name"), col("cluster_size"))
+      .orderBy("name")
+  }
 }

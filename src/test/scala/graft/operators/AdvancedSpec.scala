@@ -184,6 +184,26 @@ class AdvancedSpec extends SparkSpec {
     assert(out == brute, s"blocked=${out.size} brute=${brute.size}")
   }
 
+  test("entityResolution: canonical is the cluster min; fuzzy pairs " +
+    "always share a canonical name") {
+    val out = Pipelines.entityResolution(spark, sfDir).collect()
+      .map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("canonical_name"), r.getAs[Long]("cluster_size")))
+      .toMap
+    // every name resolves; canonical ≤ name lexicographically (min label)
+    assert(out.forall { case (n, (c, _)) => c <= n })
+    // canonical names resolve to themselves
+    assert(out.forall { case (_, (c, _)) => out(c)._1 == c })
+    // both endpoints of every fuzzy pair share a canonical name
+    Advanced.fuzzyMatch(spark, sfDir).collect().foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(out(a)._1 == out(b)._1, s"$a / $b split across clusters")
+    }
+    // cluster sizes count their members
+    val sizes = out.values.groupBy(_._1).map { case (c, vs) => c -> vs.size }
+    assert(out.forall { case (_, (c, sz)) => sizes(c).toLong == sz })
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

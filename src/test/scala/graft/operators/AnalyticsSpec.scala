@@ -102,6 +102,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(counts(0) == signups)
   }
 
+  test("gapFill: spine is contiguous, gaps become explicit zeros") {
+    val out = Analytics.gapFill(spark, sfDir).orderBy("day").collect()
+    val days = out.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    // contiguous daily spine from min to max active day
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(b == a.plusDays(1), s"gap in spine at $a -> $b")
+    }
+    // the sparse threshold really produces gap days, and they carry
+    // explicit zeros (not dropped rows)
+    val zeros = out.filter(_.getAs[Long]("n_events") == 0L)
+    assert(zeros.nonEmpty, "expected at least one filled gap day at sf0.001")
+    assert(zeros.forall(_.getAs[Double]("sum_value") == 0.0))
+    // conservation: filled days sum to the unfilled aggregate
+    val active = graft.Tables.events(spark, sfDir)
+      .filter(col("value") >= 250.0).count()
+    assert(out.map(_.getAs[Long]("n_events")).sum == active)
+  }
+
   test("cohortRetention: offset-0 count is the cohort size and the max") {
     val out = Analytics.cohortRetention(spark, sfDir).collect()
       .groupBy(_.getAs[java.sql.Date]("cohort"))
