@@ -71,7 +71,8 @@ object Bench {
       "dedup_semantic", "text_bm25", "text_lm_score",
       "agg_funnel", "agg_cohort", "agg_quantile_rollup",
       "j_fuzzy_match", "sim_random_proj", "sim_standardize",
-      "text_heavy_hitters", "st_gap_fill", "p_entity_resolution")
+      "text_heavy_hitters", "st_gap_fill", "p_entity_resolution",
+      "p_merge_cdc")
     // a filtered profiling run exists to print ITS queries' numbers —
     // only the unfiltered sweep (whose 100+-entry map overflows the
     // capture) trims stdout to the headline subset

@@ -95,6 +95,7 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "st_gap_fill" -> (Analytics.gapFill _),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
+    "p_merge_cdc" -> (Pipelines.mergeCdc _),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -644,6 +645,28 @@ object SparkEntry {
         |    (a, b) -> a + b) AS val
         |FROM embeddings e CROSS JOIN k
         |ORDER BY vec_id, dim""".stripMargin,
+    "p_merge_cdc" ->
+      """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'U' AS op, 'R' AS c_status,
+        |      o_totalprice + CAST(1000.0 AS DOUBLE) AS c_total
+        |    FROM snap WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', CAST(NULL AS VARCHAR),
+        |      CAST(NULL AS DOUBLE)
+        |    FROM snap WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', 'N',
+        |      CAST(50000.0 AS DOUBLE)
+        |    FROM snap WHERE o_orderkey % 13 = 0)
+        |SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |  COALESCE(c.c_status, s.o_orderstatus) AS o_orderstatus,
+        |  COALESCE(c.c_total, s.o_totalprice) AS o_totalprice
+        |FROM snap s FULL OUTER JOIN changes c
+        |  ON s.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "st_gap_fill" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS n_events,

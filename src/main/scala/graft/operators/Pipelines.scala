@@ -208,6 +208,42 @@ object Pipelines {
     * size/canonical joins key on the (small) post-distinct name
     * universe.
     */
+  /** CDC MERGE (the Delta/Iceberg `MERGE INTO` semantics, engine-level):
+    * one keyed change batch carrying inserts, updates and deletes
+    * applied to the snapshot in a single full-outer join — matched+U
+    * rewrites the row, matched+D drops it, unmatched+I appends, and
+    * untouched rows pass through. ONE co-partitioned shuffle on the
+    * merge key at any scale (this is exactly how table formats execute
+    * MERGE after file pruning); no per-op scans, no driver loop. The
+    * change batch is synthesized deterministically from the snapshot
+    * keys so the oracle can replay it: key%7 → update, key%11 →
+    * delete (wins over update), key%13 → insert under a shifted key.
+    */
+  def mergeCdc(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = snap
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        lit("R").as("c_status"),
+        (col("o_totalprice") + lit(1000.0)).as("c_total"))
+    val deletes = snap.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("string").as("c_status"),
+        lit(null).cast("double").as("c_total"))
+    val inserts = snap.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        lit("I").as("op"), lit("N").as("c_status"),
+        lit(50000.0).as("c_total"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    snap.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("o_orderkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("c_total"), col("o_totalprice")).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   def entityResolution(s: SparkSession, dir: String): DataFrame = {
     val pairs = Advanced.fuzzyMatch(s, dir).select("name_a", "name_b")
     val labels = Dedup.connectedComponents(pairs)

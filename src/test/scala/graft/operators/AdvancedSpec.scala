@@ -184,6 +184,25 @@ class AdvancedSpec extends SparkSpec {
     assert(out == brute, s"blocked=${out.size} brute=${brute.size}")
   }
 
+  test("mergeCdc: deletes gone, updates applied, inserts appended, " +
+    "the rest untouched") {
+    val snap = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val out = Pipelines.mergeCdc(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    snap.foreach { case (k, (st, tot)) =>
+      if (k % 11 == 0) assert(!out.contains(k), s"delete $k survived")
+      else if (k % 7 == 0)
+        assert(out(k) == ("R", tot + 1000.0), s"update $k not applied")
+      else assert(out(k) == ((st, tot)), s"row $k changed unexpectedly")
+    }
+    val inserted = snap.keys.filter(_ % 13 == 0).map(_ + 100000000L)
+    inserted.foreach(k => assert(out(k) == (("N", 50000.0)), s"insert $k"))
+    assert(out.size ==
+      snap.size - snap.keys.count(_ % 11 == 0) + inserted.size)
+  }
+
   test("entityResolution: canonical is the cluster min; fuzzy pairs " +
     "always share a canonical name") {
     val out = Pipelines.entityResolution(spark, sfDir).collect()
