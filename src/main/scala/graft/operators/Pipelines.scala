@@ -245,9 +245,13 @@ object Pipelines {
   }
 
   def entityResolution(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Advanced.fuzzyMatch(s, dir).select("name_a", "name_b")
-    val labels = Dedup.connectedComponents(pairs)
-      .select(col("doc_id").as("name"), col("label"))
+    // pooled like dedup's CC labels: the fixpoint job cascade is the
+    // cost here (the name graph itself is tiny) — one build per
+    // (session, dir), every later invocation reads the label table
+    val labels = graft.CachePool.cached(s, s"er.ccLabels:$dir") {
+      Dedup.connectedComponents(
+        Advanced.fuzzyMatch(s, dir).select("name_a", "name_b"))
+    }.select(col("doc_id").as("name"), col("label"))
     val names = Tables.part(s, dir)
       .select(col("p_name").as("name")).distinct()
     val resolved = names.join(labels, Seq("name"), "left")
