@@ -225,4 +225,31 @@ class PlanQualitySpec extends SparkSpec {
     // stage aggregates arrive as partial+final pairs on user_id
     assert(p.contains("partial"), p.take(2000))
   }
+
+  test("mergeCdc: one full-outer join on the merge key, no pair scan") {
+    val p = plan(Pipelines.mergeCdc(spark, sfDir))
+    assert(p.contains("FullOuter"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("gapFill: the spine joins broadcast; events aggregate partially") {
+    val p = plan(Analytics.gapFill(spark, sfDir))
+    assert(p.contains("partial"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("standardize: one moment shuffle, stats re-enter via broadcast") {
+    val p = plan(Similarity.standardize(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("partial"), p.take(2000))
+  }
+
+  test("heavyHitters: candidates re-enter via broadcast, counts partial") {
+    val p = plan(TextAnalysis.heavyHitters(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    assert(p.contains("partial"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
