@@ -92,6 +92,34 @@ object StreamingAnalogs {
         col("c_ts"), col("click_value"))
   }
 
+  /** LEFT OUTER stream-stream join: purchaseAttribution where
+    * purchases with NO qualifying click still emit, null-padded. The
+    * unmatched row cannot be produced eagerly — a matching click may
+    * still arrive late — so Spark holds the purchase in state and
+    * emits the null-padded row only when the CLICK side's watermark
+    * passes the join window's upper bound, proving no match can ever
+    * arrive. Same bounded-state configuration as the inner form
+    * (watermarks on both sides + both-ends time bound); the only new
+    * cost is that unmatched left rows live until the watermark, not
+    * until first match.
+    */
+  def purchaseAttributionLeft(purchases: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") < col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("c_ts"), col("click_value"))
+  }
+
   /** foreachBatch upsert sink: bridge a streaming aggregation into a
     * batch writer — each microbatch's updated day-rows dynamically
     * overwrite ONLY their partitions in the target table. This is the

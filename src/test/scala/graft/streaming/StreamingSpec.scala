@@ -218,6 +218,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("purchaseAttributionLeft: unmatched purchase emits null-padded " +
+      "only after the click watermark seals its window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingAnalogs.IdEvent
+    val purchases = MemoryStream[IdEvent]
+    val clicks = MemoryStream[IdEvent]
+    val q = StreamingAnalogs
+      .purchaseAttributionLeft(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_left_out")
+      .outputMode("append").start()
+    try {
+      // user 1 has an in-window click; user 2 has none
+      clicks.addData(Seq(
+        IdEvent(10L, ts("2024-01-01 09:55:00"), 1L, "click", 5.0)))
+      purchases.addData(Seq(
+        IdEvent(1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0),
+        IdEvent(2L, ts("2024-01-01 10:00:00"), 2L, "purchase", 2.0)))
+      q.processAllAvailable()
+      def rows() = s.table("attr_left_out")
+        .select("purchase_id", "click_value").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      // the matched row may emit immediately; the unmatched purchase
+      // must NOT — a qualifying click could still arrive late
+      assert(!rows().contains((2L, None)),
+        "unmatched row emitted before the watermark proved no match")
+      // advance BOTH watermarks far past the join window's upper bound
+      clicks.addData(Seq(
+        IdEvent(99L, ts("2024-01-02 12:00:00"), 9L, "click", 0.0)))
+      purchases.addData(Seq(
+        IdEvent(98L, ts("2024-01-02 12:00:00"), 9L, "purchase", 0.0)))
+      q.processAllAvailable()
+      assert(rows().contains((1L, Some(5.0))))
+      assert(rows().contains((2L, None)),
+        "sealed unmatched purchase must emit null-padded")
+    } finally q.stop()
+  }
+
   test("sessionizeCustom: late events extend sealed-looking sessions; " +
       "only the watermark emits") {
     val s = spark
