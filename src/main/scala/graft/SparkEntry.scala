@@ -96,6 +96,7 @@ object SparkEntry {
     "st_gap_fill" -> (Analytics.gapFill _),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
     "p_merge_cdc" -> (Pipelines.mergeCdc _),
+    "agg_mode" -> (Analytics.modePriority _),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -645,6 +646,14 @@ object SparkEntry {
         |    (a, b) -> a + b) AS val
         |FROM embeddings e CROSS JOIN k
         |ORDER BY vec_id, dim""".stripMargin,
+    "agg_mode" ->
+      """SELECT o_orderstatus, mode_priority, n_rows FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "p_merge_cdc" ->
       """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice
         |  FROM orders),

@@ -302,6 +302,24 @@ object Analytics {
       .orderBy("cohort", "month_offset")
   }
 
+  /** MODE aggregate (most frequent value per group, deterministic
+    * low-value tie-break): count per (group, value) with map-side
+    * combine, then a row_number window over the tiny count table —
+    * the window input is |groups|×|values| rows, never the raw table.
+    */
+  def modePriority(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n_rows").desc, col("o_orderpriority"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"), col("n_rows"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Time-series gap filling: daily aggregates of a sparse event
     * subset joined onto a complete date spine (min..max active day),
     * missing days emitted as explicit zeros — the resample/fill step

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 import graft.{SparkSpec, SparkEntry}
 import graft.operators._
 
@@ -243,6 +244,46 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(Similarity.standardize(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(p.contains("partial"), p.take(2000))
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // one key owns ~95% of the left side — the exact shape salting
+    // guards against. With the skew-join thresholds scaled to the
+    // small sf, AQE must mark the SMJ skew=true and split the hot
+    // partition instead of letting one task drag the stage.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin." +
+        "skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+      // fanOut matters: a skewed REDUCE partition is split along MAP
+      // output blocks, so a single-file scan (one map task) is
+      // unsplittable no matter how skewed. The right side must be a
+      // bare keyed relation: OptimizeSkewedJoin pattern-matches Sort
+      // directly over the shuffle stage, and an aggregate in between
+      // (e.g. a distinct) silently disqualifies the join.
+      val left = graft.Tables.fanOut(graft.Tables.events(spark, sfDir))
+        .select(when(col("event_id") % 50 === 0, col("event_id"))
+          .otherwise(lit(0L)).as("k"), col("value"))
+      val right = spark.range(0, 20000)
+        .select(col("id").as("k"), (col("id") + 1).as("tag"))
+      val df = left.join(right, "k")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("heavyHitters: candidates re-enter via broadcast, counts partial") {
