@@ -21,6 +21,24 @@ class SinksSpec extends SparkSpec {
     assert(dirs.contains("day=2024-01-15"))
   }
 
+  test("jsonArchive layout: a day filter prunes to ONE partition " +
+    "directory (PartitionFilters, not a full scan)") {
+    Sinks.jsonArchive(spark, sfDir).collect() // materialize the archive
+    val out = s"/tmp/graft_sinks/${new java.io.File(sfDir).getName}" +
+      "/events_json"
+    val df = spark.read.json(out).filter(col("day") === "2024-01-15")
+    val p = df.queryExecution.executedPlan.toString
+    // the day predicate must resolve against the hive-style directory
+    // layout — a partition filter at the scan, zero data files read
+    // from other days
+    assert(p.contains("PartitionFilters"), p.take(1500))
+    assert(p.contains("day") && !p.contains("PushedFilters: [IsNotNull(day)"),
+      p.take(1500))
+    val scannedDays = df.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).map(f => f.split("/day=")(1).split("/")(0)).toSet
+    assert(scannedDays == Set("2024-01-15"), scannedDays.toString)
+  }
+
   test("compact: 16 scattered files become ≤2, same content") {
     val row = Sinks.compact(spark, sfDir).collect().head
     assert(row.getAs[Long]("n_rows") == Tables.orders(spark, sfDir).count())
