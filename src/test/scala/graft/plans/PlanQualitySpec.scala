@@ -227,6 +227,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial"), p.take(2000))
   }
 
+  test("rank-filter top-k plans WindowGroupLimit (partial+final heap " +
+    "pruning), so no custom top-k operator is needed") {
+    // the one operator we considered hand-building a custom
+    // SparkPlan for — per-group top-k without sorting whole
+    // partitions — is already planned by Spark's InferWindowGroupLimit:
+    // a map-side group-limit prunes to k rows per key BEFORE the
+    // exchange, a final one after. Pin it so a conf/refactor can't
+    // silently fall back to sort-everything.
+    val p = plan(Similarity.hardNegatives(spark, sfDir))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("mergeCdc: one full-outer join on the merge key, no pair scan") {
     val p = plan(Pipelines.mergeCdc(spark, sfDir))
     assert(p.contains("FullOuter"), p.take(1500))
