@@ -666,8 +666,7 @@ object SparkEntry {
         |      CAST(NULL AS DOUBLE)
         |    FROM snap WHERE o_orderkey % 11 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, 'I', 'N',
-        |      CAST(50000.0 AS DOUBLE)
+        |  SELECT -(o_orderkey + 1), 'I', 'N', CAST(50000.0 AS DOUBLE)
         |    FROM snap WHERE o_orderkey % 13 = 0)
         |SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
         |  COALESCE(c.c_status, s.o_orderstatus) AS o_orderstatus,

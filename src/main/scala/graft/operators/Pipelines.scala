@@ -111,17 +111,6 @@ object Pipelines {
       .orderBy("cust_id", "valid_from", "version_key")
   }
 
-  /** Training-corpus cleaning pipeline: language filter → quality
-    * gate → exact dedup (keep min doc_id per identical text) →
-    * near-dup removal (3-gram Jaccard ≥ 0.8 pairs, drop the higher
-    * doc_id of each pair). The composite every LLM-data pipeline runs
-    * before tokenization.
-    *
-    * Scale shape: the filters are embarrassingly parallel and run
-    * FIRST, so the shuffling stages (exact-dedup groupBy, shingle
-    * self-join) only see the surviving fraction; near-dup candidates
-    * come from the shingle equi-join, never a cross join.
-    */
   /** Diversity-balanced subset selection: the best documents from
     * EVERY region of embedding space, not just the globally
     * highest-scoring ones (which cluster together topically). Composes
@@ -155,6 +144,17 @@ object Pipelines {
       .orderBy("cluster", "rank")
   }
 
+  /** Training-corpus cleaning pipeline: language filter → quality
+    * gate → exact dedup (keep min doc_id per identical text) →
+    * near-dup removal (3-gram Jaccard ≥ 0.8 pairs, drop the higher
+    * doc_id of each pair). The composite every LLM-data pipeline runs
+    * before tokenization.
+    *
+    * Scale shape: the filters are embarrassingly parallel and run
+    * FIRST, so the shuffling stages (exact-dedup groupBy, shingle
+    * self-join) only see the surviving fraction; near-dup candidates
+    * come from the shingle equi-join, never a cross join.
+    */
   def corpusClean(s: SparkSession, dir: String): DataFrame = {
     import TextAnalysis._
     val scored = Tables.fanOut(Tables.documents(s, dir))
@@ -196,18 +196,6 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
-  /** Entity-resolution composite: fuzzy-match pairs (blocked
-    * levenshtein, `Advanced.fuzzyMatch`) feed the same min-label
-    * connected-components fixpoint the near-dup clusters use — run
-    * directly on the NAME strings, so each component's label IS its
-    * lexicographically-first name and becomes the canonical form with
-    * no separate id assignment. Names without any fuzzy pair resolve
-    * to themselves via the left join. The 100 TB shape is inherited
-    * from the parts: blocking bounds the pair scan,
-    * pointer-doubling CC converges in O(log n) rounds, and the final
-    * size/canonical joins key on the (small) post-distinct name
-    * universe.
-    */
   /** CDC MERGE (the Delta/Iceberg `MERGE INTO` semantics, engine-level):
     * one keyed change batch carrying inserts, updates and deletes
     * applied to the snapshot in a single full-outer join — matched+U
@@ -217,7 +205,11 @@ object Pipelines {
     * MERGE after file pruning); no per-op scans, no driver loop. The
     * change batch is synthesized deterministically from the snapshot
     * keys so the oracle can replay it: key%7 → update, key%11 →
-    * delete (wins over update), key%13 → insert under a shifted key.
+    * delete (wins over update), key%13 → insert under -(key+1) —
+    * orderkeys are non-negative, so a synthetic insert key is always
+    * strictly negative and can never collide with a live row at ANY
+    * scale (an additive shift would silently turn inserts into
+    * overwrites once keys pass it; bare negation collides at key 0).
     */
   def mergeCdc(s: SparkSession, dir: String): DataFrame = {
     val snap = Tables.orders(s, dir)
@@ -232,7 +224,7 @@ object Pipelines {
         lit(null).cast("string").as("c_status"),
         lit(null).cast("double").as("c_total"))
     val inserts = snap.filter(col("o_orderkey") % 13 === 0)
-      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+      .select((-(col("o_orderkey") + 1)).as("o_orderkey"),
         lit("I").as("op"), lit("N").as("c_status"),
         lit(50000.0).as("c_total"))
     val changes = updates.unionByName(deletes).unionByName(inserts)
@@ -244,6 +236,18 @@ object Pipelines {
       .orderBy("o_orderkey")
   }
 
+  /** Entity-resolution composite: fuzzy-match pairs (blocked
+    * levenshtein, `Advanced.fuzzyMatch`) feed the same min-label
+    * connected-components fixpoint the near-dup clusters use — run
+    * directly on the NAME strings, so each component's label IS its
+    * lexicographically-first name and becomes the canonical form with
+    * no separate id assignment. Names without any fuzzy pair resolve
+    * to themselves via the left join. The 100 TB shape is inherited
+    * from the parts: blocking bounds the pair scan,
+    * pointer-doubling CC converges in O(log n) rounds, and the final
+    * size/canonical joins key on the (small) post-distinct name
+    * universe.
+    */
   def entityResolution(s: SparkSession, dir: String): DataFrame = {
     // pooled like dedup's CC labels: the fixpoint job cascade is the
     // cost here (the name graph itself is tiny) — one build per

@@ -357,19 +357,6 @@ object Similarity {
         col("n_vecs"))
       .orderBy("label", "dim")
 
-  /** Johnson–Lindenstrauss random projection: 64-d embeddings → 16-d
-    * via a seeded ±1 matrix that is NEVER materialized — each sign is
-    * recomputed from (out-dim, in-dim) by integer arithmetic (a
-    * multiply-mix hash bit), so the operator is a pure row-local
-    * expression: no broadcast matrix, no shuffle, embarrassingly
-    * parallel at any scale. Projections sum left-to-right in index
-    * order (seeded fold, not a set aggregate) so the result is
-    * bit-deterministic and oracle-checkable; RandomProjectionSpec
-    * asserts the JL property (pairwise distances preserved after
-    * 1/sqrt(16) scaling). Output is the long form (vec_id, dim, val) —
-    * scalar columns survive engine-portable comparison where
-    * float-array columns don't.
-    */
   /** Per-dimension z-score standardization of the embedding corpus —
     * the feature-scaling pass before any distance-based method
     * (k-means, ANN) when dimensions have uneven spread. Two-phase at
@@ -397,6 +384,19 @@ object Similarity {
       .orderBy("vec_id", "dim")
   }
 
+  /** Johnson–Lindenstrauss random projection: 64-d embeddings → 16-d
+    * via a seeded ±1 matrix that is NEVER materialized — each sign is
+    * recomputed from (out-dim, in-dim) by integer arithmetic (a
+    * multiply-mix hash bit), so the operator is a pure row-local
+    * expression: no broadcast matrix, no shuffle, embarrassingly
+    * parallel at any scale. Projections sum left-to-right in index
+    * order (seeded fold, not a set aggregate) so the result is
+    * bit-deterministic and oracle-checkable; RandomProjectionSpec
+    * asserts the JL property (pairwise distances preserved after
+    * 1/sqrt(16) scaling). Output is the long form (vec_id, dim, val) —
+    * scalar columns survive engine-portable comparison where
+    * float-array columns don't.
+    */
   def randomProjection(s: SparkSession, dir: String, dOut: Int = 16): DataFrame = {
     // sign(k, j) = ±1 from bit 10 of h(k)·h(j), where h(·) is a
     // multiplicative hash mod a ~2^20 prime. The k×j PRODUCT (not a

@@ -100,8 +100,18 @@ private class FeedStream(totalRows: Long, rowsPerTrigger: Long,
   @volatile private var lastPlanned: Long = 0L
   override def commit(end: Offset): Unit = ()
 
-  override def deserializeOffset(json: String): Offset =
-    FeedOffset(json.toLong)
+  /** Restart path: Spark hands back checkpointed offsets through
+    * here before asking for new data — the high-water mark must jump
+    * to the restored offset, or latestOffset() would regress below
+    * the committed position and REPLAY already-delivered rows (the
+    * exactly-once contract breaks exactly on restart, the case it
+    * exists for).
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val rows = json.toLong
+    if (rows > lastPlanned) lastPlanned = rows
+    FeedOffset(rows)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {

@@ -48,18 +48,4 @@ class MisraGriesSpec extends SparkSpec {
       .map(r => (r.getAs[String]("token"), r.getAs[Long]("n")))
     assert(out.toSeq == exact.toSeq)
   }
-
-  test("standardize: every dimension lands at mean≈0, std≈1") {
-    import graft.operators.Similarity
-    val byDim = Similarity.standardize(spark, sfDir).collect()
-      .groupBy(_.getAs[Int]("dim"))
-    assert(byDim.nonEmpty)
-    byDim.foreach { case (d, rows) =>
-      val zs = rows.map(_.getAs[Double]("z"))
-      val mean = zs.sum / zs.length
-      val std = math.sqrt(zs.map(z => (z - mean) * (z - mean)).sum / zs.length)
-      assert(math.abs(mean) < 1e-6, s"dim $d mean $mean")
-      assert(math.abs(std - 1.0) < 0.01, s"dim $d std $std")
-    }
-  }
 }

@@ -166,22 +166,29 @@ class AdvancedSpec extends SparkSpec {
     assert(stillPaired == 0)
   }
 
-  test("fuzzyMatch: blocking loses nothing vs the brute-force pair scan") {
+  test("fuzzyMatch: blocked join equals the FULL brute-force pair scan " +
+    "(no close pair crosses a block on this data)") {
     val out = Advanced.fuzzyMatch(spark, sfDir).collect()
       .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"),
         r.getAs[Int]("dist"))).toSet
     assert(out.forall { case (a, b, d) => a < b && d >= 1 && d <= 2 })
-    // ground truth: every distinct-name pair within edit distance 2 —
-    // the blocked join must find exactly the pairs whose last token
-    // matches (the blocking key's contract)
+    // ground truth over ALL distinct-name pairs, no block restriction:
+    // the unblocked scan is the real recall bar. Equality holds
+    // because (asserted below) no dist≤2 pair spans two blocks here —
+    // blocking recall loss is the operator's documented tradeoff, and
+    // this pins that the tradeoff costs nothing on this vocabulary.
     val names = graft.Tables.part(spark, sfDir)
       .select("p_name").distinct().collect().map(_.getString(0))
-    val brute = (for {
-      a <- names; b <- names
-      if a < b && a.split(' ').last == b.split(' ').last
+    val bruteAll = (for {
+      a <- names; b <- names if a < b
       d = levenshteinDist(a, b) if d <= 2
     } yield (a, b, d)).toSet
-    assert(out == brute, s"blocked=${out.size} brute=${brute.size}")
+    val crossBlock = bruteAll.filterNot { case (a, b, _) =>
+      a.split(' ').last == b.split(' ').last
+    }
+    assert(crossBlock.isEmpty,
+      s"close pairs crossing blocks would be missed: $crossBlock")
+    assert(out == bruteAll, s"blocked=${out.size} brute=${bruteAll.size}")
   }
 
   test("mergeCdc: deletes gone, updates applied, inserts appended, " +
@@ -197,7 +204,7 @@ class AdvancedSpec extends SparkSpec {
         assert(out(k) == ("R", tot + 1000.0), s"update $k not applied")
       else assert(out(k) == ((st, tot)), s"row $k changed unexpectedly")
     }
-    val inserted = snap.keys.filter(_ % 13 == 0).map(_ + 100000000L)
+    val inserted = snap.keys.filter(_ % 13 == 0).map(k => -(k + 1))
     inserted.foreach(k => assert(out(k) == (("N", 50000.0)), s"insert $k"))
     assert(out.size ==
       snap.size - snap.keys.count(_ % 11 == 0) + inserted.size)

@@ -39,4 +39,19 @@ class FeedSourceSpec extends SparkSpec {
         batches.map(_.numInputRows).mkString(","))
     } finally q.stop()
   }
+
+  test("restart: a restored checkpoint offset advances the admission " +
+    "mark — latestOffset never regresses below it") {
+    val st = new FeedStream(totalRows = 350, rowsPerTrigger = 100,
+      partitionsPerBatch = 3)
+    // Spark replays checkpointed offsets through deserializeOffset on
+    // restart; a fresh stream instance must adopt them, or it would
+    // hand out (start=300, end=100) and re-deliver rows 100-299
+    st.deserializeOffset("300")
+    assert(st.latestOffset().json().toLong == 350L,
+      "latestOffset must continue from the restored offset")
+    // and a stale offset arriving later must not move the mark back
+    st.deserializeOffset("100")
+    assert(st.latestOffset().json().toLong == 350L)
+  }
 }
