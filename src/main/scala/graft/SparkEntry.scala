@@ -109,6 +109,7 @@ object SparkEntry {
     // data-quality gates
     "dq_expectations" -> (Quality.expectations _),
     "dq_volume_anomaly" -> (Quality.volumeAnomaly _),
+    "dq_referential" -> (Quality.referentialAudit _),
     "sink_infer_csv" -> (Sinks.inferredCsv _),
     "sink_orc_roundtrip" -> (Sinks.orcRoundTrip _),
     // §3.2 pipeline B gold table
@@ -646,6 +647,27 @@ object SparkEntry {
         |    (a, b) -> a + b) AS val
         |FROM embeddings e CROSS JOIN k
         |ORDER BY vec_id, dim""".stripMargin,
+    "dq_referential" ->
+      """SELECT 'customer->nation' AS fk_edge, CAST(count(*) AS BIGINT)
+        |  AS n_orphans FROM customer WHERE c_nationkey IS NOT NULL
+        |  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |UNION ALL
+        |SELECT 'lineitem->orders', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'nation->region', CAST(count(*) AS BIGINT)
+        |  FROM nation WHERE n_regionkey IS NOT NULL
+        |  AND n_regionkey NOT IN (SELECT r_regionkey FROM region)
+        |UNION ALL
+        |SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'supplier->nation', CAST(count(*) AS BIGINT)
+        |  FROM supplier WHERE s_nationkey IS NOT NULL
+        |  AND s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |ORDER BY fk_edge""".stripMargin,
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, n_rows FROM (
         |  SELECT o_orderstatus, o_orderpriority AS mode_priority,

@@ -95,4 +95,37 @@ object Quality {
         col("is_anomaly"))
       .orderBy("day")
   }
+
+  /** Referential-integrity audit across every FK edge of the star
+    * schema: per edge, the count of child keys with no parent (one
+    * left-anti join each). Join strategy follows table size, which is
+    * the whole scale story: tiny dimension parents (nation, region)
+    * broadcast; large parents (orders, customer at 100 TB) anti-join
+    * on the shuffle — forcing a broadcast there would OOM the build
+    * side. All five edges run as ONE union plan, so Spark schedules
+    * the independent audits concurrently.
+    */
+  def referentialAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, small: Boolean) = {
+      val p = parent.select(col(pkey).as("k")).distinct()
+      child.select(col(key).as("k")).filter(col("k").isNotNull)
+        .join(if (small) broadcast(p) else p, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_orphans"))
+    }
+    Seq(
+      edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey", small = true),
+      edge("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", small = false),
+      edge("nation->region", Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey", small = true),
+      edge("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", small = false),
+      edge("supplier->nation", Tables.supplier(s, dir), "s_nationkey",
+        Tables.nation(s, dir), "n_nationkey", small = true))
+      .reduce(_ unionByName _)
+      .orderBy("fk_edge")
+  }
 }

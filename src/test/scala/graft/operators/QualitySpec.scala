@@ -50,6 +50,24 @@ class QualitySpec extends SparkSpec {
     assert(checked.forall(_.getAs[Long]("n_checked") == n))
   }
 
+  test("referentialAudit: clean schema has zero orphans on every edge; " +
+    "an injected orphan is counted") {
+    val out = Quality.referentialAudit(spark, sfDir).collect()
+      .map(r => r.getAs[String]("fk_edge") -> r.getAs[Long]("n_orphans"))
+      .toMap
+    assert(out.keySet == Set("customer->nation", "lineitem->orders",
+      "nation->region", "orders->customer", "supplier->nation"))
+    assert(out.values.forall(_ == 0L), s"clean data must audit clean: $out")
+    // the anti-join really counts: an injected child key that cannot
+    // exist (custkeys are non-negative) surfaces as exactly one orphan
+    import spark.implicits._
+    val orphans = Seq(-12345L).toDF("k")
+      .join(graft.Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("k")).distinct(), Seq("k"), "left_anti")
+      .count()
+    assert(orphans == 1L)
+  }
+
   test("volumeAnomaly: flags agree with a driver-side z-test recount") {
     val out = Quality.volumeAnomaly(spark, sfDir).collect()
     val counts = out.map(_.getAs[Long]("n_events").toDouble)
