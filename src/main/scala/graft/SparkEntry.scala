@@ -97,6 +97,7 @@ object SparkEntry {
     "p_entity_resolution" -> (Pipelines.entityResolution _),
     "p_merge_cdc" -> (Pipelines.mergeCdc _),
     "agg_mode" -> (Analytics.modePriority _),
+    "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -200,11 +201,42 @@ object SparkEntry {
       "s2_jdbc_source" + // builder seeds the embedded Derby db (a write job)
       "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
       "p_entity_resolution" + // composes the CC fixpoint on fuzzy pairs
+      "graph_pagerank" + // builder runs the rank-iteration jobs
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
       "p_diverse_subset" + // composes sim_kmeans (Lloyd jobs)
       "dedup_semantic" +   // composes sim_kmeans (Lloyd jobs)
       "text_bpe_train" + // builder runs the merge-iteration jobs
       "text_bpe_apply"   // builder trains (or reads the memo) first
+
+  /** DuckDB replay of Graph.pagerank: the same scaled-integer
+    * contribution sums, chained one CTE pair (c_i, r_i) per
+    * iteration — generated because the SQL repeats per round.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val base =
+      """WITH pair AS (SELECT -(l_suppkey + 1) AS supp_node,
+        |    o_custkey AS cust_node, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT supp_node AS src, cust_node AS dst, w FROM pair
+        |  UNION ALL SELECT cust_node, supp_node, w FROM pair),
+        |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg
+        |  FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+        |  FROM deg, nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst,
+         |    CAST(round(r.rank * e.w / d.outdeg * 1e12) AS BIGINT) AS c
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src),
+         |r$i AS (SELECT dst AS node, CAST(0.15 AS DOUBLE) / nn.n +
+         |    CAST(0.85 AS DOUBLE) * (CAST(SUM(c) AS BIGINT) / 1e12) AS rank
+         |  FROM c$i, nn GROUP BY dst, nn.n)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
 
   /** DuckDB replay of Similarity.kmeans (two Lloyd iterations with the
     * scaled-int centroid means) — shared: the sim_kmeans oracle and
@@ -303,6 +335,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "text_bpe_train" -> bpeOracle(8),
     "text_bpe_apply" -> bpeApplyOracle(8),
+    "graph_pagerank" -> pagerankOracle(3),
     "p_snapshot" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | o_orderdate, o_orderpriority,
