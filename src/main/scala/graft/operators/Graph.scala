@@ -40,7 +40,16 @@ object Graph {
     * lineage so plan depth stays flat (the CC/BPE loop discipline).
     */
   def pagerank(s: SparkSession, dir: String, iterations: Int = 3)
-      : DataFrame = {
+      : DataFrame =
+    // pooled like the CC labels: the rank loop's job cascade is the
+    // cost (the rank table itself is |nodes| rows) — one build per
+    // (session, dir, iterations), later invocations read the table
+    graft.CachePool.cached(s, s"graph.pagerank:$dir:$iterations") {
+      pagerankBuild(s, dir, iterations)
+    }
+
+  private def pagerankBuild(s: SparkSession, dir: String,
+      iterations: Int): DataFrame = {
     val pair = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(
