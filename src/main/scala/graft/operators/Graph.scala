@@ -63,14 +63,16 @@ object Graph {
         col("supp_node").as("dst"), col("w")))
       .localCheckpoint()
     val outdeg = edges.groupBy("src").agg(sum(col("w")).as("outdeg"))
-      .localCheckpoint()
+    // loop-invariant: each edge annotated with its source's degree
+    // ONCE — re-joining degrees inside the loop would repeat a full
+    // edge-table join every round for a value that never changes
+    val edgesDeg = edges.join(outdeg, Seq("src")).localCheckpoint()
     val n = outdeg.count() // node set = all edge sources (both sides)
     var ranks = outdeg.select(col("src").as("node"),
       (lit(1.0) / n).as("rank")).localCheckpoint()
     for (_ <- 1 to iterations) {
-      val contrib = edges
-        .join(ranks, edges("src") === ranks("node"))
-        .join(outdeg, Seq("src"))
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
         .select(col("dst"),
           round(col("rank") * col("w") / col("outdeg") * lit(1e12))
             .cast("long").as("c"))

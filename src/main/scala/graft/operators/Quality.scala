@@ -105,27 +105,34 @@ object Quality {
     * side. All five edges run as ONE union plan, so Spark schedules
     * the independent audits concurrently.
     */
-  def referentialAudit(s: SparkSession, dir: String): DataFrame = {
-    def edge(name: String, child: DataFrame, key: String,
-        parent: DataFrame, pkey: String, small: Boolean) = {
-      val p = parent.select(col(pkey).as("k")).distinct()
-      child.select(col(key).as("k")).filter(col("k").isNotNull)
-        .join(if (small) broadcast(p) else p, Seq("k"), "left_anti")
+  def referentialAudit(s: SparkSession, dir: String): DataFrame =
+    auditEdges(Seq(
+      FkEdge("customer->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey", smallParent = true),
+      FkEdge("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", smallParent = false),
+      FkEdge("nation->region", Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey", smallParent = true),
+      FkEdge("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", smallParent = false),
+      FkEdge("supplier->nation", Tables.supplier(s, dir), "s_nationkey",
+        Tables.nation(s, dir), "n_nationkey", smallParent = true)))
+
+  case class FkEdge(name: String, child: DataFrame, key: String,
+      parent: DataFrame, pkey: String, smallParent: Boolean)
+
+  /** The audit over an explicit edge list — the testable core:
+    * QualitySpec feeds it an edge whose child carries an injected
+    * orphan and asserts the count surfaces THROUGH this path (the
+    * zero-orphan fixture alone cannot prove the wiring).
+    */
+  private[operators] def auditEdges(edges: Seq[FkEdge]): DataFrame =
+    edges.map { e =>
+      val p = e.parent.select(col(e.pkey).as("k")).distinct()
+      e.child.select(col(e.key).as("k")).filter(col("k").isNotNull)
+        .join(if (e.smallParent) broadcast(p) else p, Seq("k"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
-        .select(lit(name).as("fk_edge"), col("n_orphans"))
-    }
-    Seq(
-      edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
-        Tables.nation(s, dir), "n_nationkey", small = true),
-      edge("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
-        Tables.orders(s, dir), "o_orderkey", small = false),
-      edge("nation->region", Tables.nation(s, dir), "n_regionkey",
-        Tables.region(s, dir), "r_regionkey", small = true),
-      edge("orders->customer", Tables.orders(s, dir), "o_custkey",
-        Tables.customer(s, dir), "c_custkey", small = false),
-      edge("supplier->nation", Tables.supplier(s, dir), "s_nationkey",
-        Tables.nation(s, dir), "n_nationkey", small = true))
-      .reduce(_ unionByName _)
+        .select(lit(e.name).as("fk_edge"), col("n_orphans"))
+    }.reduce(_ unionByName _)
       .orderBy("fk_edge")
-  }
 }

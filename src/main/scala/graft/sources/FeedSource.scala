@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,43 +81,51 @@ private case class FeedOffset(rows: Long) extends Offset {
 }
 
 private class FeedStream(totalRows: Long, rowsPerTrigger: Long,
-    partitionsPerBatch: Int) extends MicroBatchStream {
+    partitionsPerBatch: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = FeedOffset(0L)
 
-  /** Admission control: each trigger advances by at most
-    * rowsPerTrigger — processAllAvailable drains the feed in
-    * ceil(totalRows / rowsPerTrigger) deterministic microbatches.
-    * The high-water mark moves in planInputPartitions (called exactly
-    * once per executed batch, with its final end offset) rather than
-    * in commit(): the engine's is-there-new-data probe can race a
-    * late commit callback and would then see the feed as drained one
-    * batch early.
+  /** Admission control through the API built for it
+    * (SupportsAdmissionControl): the engine passes each trigger's
+    * START offset plus the active ReadLimit, so the source is
+    * STATELESS — no hand-rolled high-water mark, no call-order
+    * assumptions, nothing to restore on restart (the start offset IS
+    * the checkpointed position). ReadMaxRows caps a normal trigger;
+    * Trigger.Once/AvailableNow ask with ReadAllAvailable and get the
+    * whole remaining feed (a plain latestOffset() cap would silently
+    * truncate those triggers to one batch).
     */
-  override def latestOffset(): Offset =
-    FeedOffset(math.min(lastPlanned + rowsPerTrigger, totalRows))
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(rowsPerTrigger)
 
-  @volatile private var lastPlanned: Long = 0L
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[FeedOffset].rows
+    limit match {
+      case m: ReadMaxRows =>
+        FeedOffset(math.min(from + m.maxRows(), totalRows))
+      case _: ReadAllAvailable => FeedOffset(totalRows)
+      case _ => FeedOffset(totalRows) // unknown limits: deliver rest
+    }
+  }
+
+  /** Only the admission-control form is used once
+    * SupportsAdmissionControl is implemented; keep the legacy
+    * entry point total-returning so any caller still drains safely.
+    */
+  override def latestOffset(): Offset = FeedOffset(totalRows)
+
+  override def reportLatestOffset(): Offset = FeedOffset(totalRows)
+
   override def commit(end: Offset): Unit = ()
 
-  /** Restart path: Spark hands back checkpointed offsets through
-    * here before asking for new data — the high-water mark must jump
-    * to the restored offset, or latestOffset() would regress below
-    * the committed position and REPLAY already-delivered rows (the
-    * exactly-once contract breaks exactly on restart, the case it
-    * exists for).
-    */
-  override def deserializeOffset(json: String): Offset = {
-    val rows = json.toLong
-    if (rows > lastPlanned) lastPlanned = rows
-    FeedOffset(rows)
-  }
+  override def deserializeOffset(json: String): Offset =
+    FeedOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val lo = start.asInstanceOf[FeedOffset].rows
     val hi = end.asInstanceOf[FeedOffset].rows
-    lastPlanned = math.max(lastPlanned, hi)
     val n = math.max(1, partitionsPerBatch)
     // contiguous index ranges, last partition takes the remainder
     val step = math.max(1L, (hi - lo + n - 1) / n)

@@ -58,14 +58,20 @@ class QualitySpec extends SparkSpec {
     assert(out.keySet == Set("customer->nation", "lineitem->orders",
       "nation->region", "orders->customer", "supplier->nation"))
     assert(out.values.forall(_ == 0L), s"clean data must audit clean: $out")
-    // the anti-join really counts: an injected child key that cannot
-    // exist (custkeys are non-negative) surfaces as exactly one orphan
+    // the nonzero path must surface THROUGH the audit itself: union
+    // an impossible child key (custkeys are non-negative) into the
+    // audited child table and the edge must report exactly 1 orphan
     import spark.implicits._
-    val orphans = Seq(-12345L).toDF("k")
-      .join(graft.Tables.customer(spark, sfDir)
-        .select(col("c_custkey").as("k")).distinct(), Seq("k"), "left_anti")
-      .count()
-    assert(orphans == 1L)
+    val brokenOrders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"))
+      .unionByName(Seq(-12345L).toDF("o_custkey"))
+    val audited = Quality.auditEdges(Seq(Quality.FkEdge(
+      "orders->customer", brokenOrders, "o_custkey",
+      graft.Tables.customer(spark, sfDir), "c_custkey",
+      smallParent = false))).collect()
+    assert(audited.length == 1 &&
+      audited.head.getAs[Long]("n_orphans") == 1L,
+      audited.mkString(","))
   }
 
   test("volumeAnomaly: flags agree with a driver-side z-test recount") {

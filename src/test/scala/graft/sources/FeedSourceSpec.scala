@@ -40,18 +40,40 @@ class FeedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("restart: a restored checkpoint offset advances the admission " +
-    "mark — latestOffset never regresses below it") {
+  test("admission control is stateless in the start offset: restart " +
+    "resumes, Once/AvailableNow get the whole remainder") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val st = new FeedStream(totalRows = 350, rowsPerTrigger = 100,
       partitionsPerBatch = 3)
-    // Spark replays checkpointed offsets through deserializeOffset on
-    // restart; a fresh stream instance must adopt them, or it would
-    // hand out (start=300, end=100) and re-deliver rows 100-299
-    st.deserializeOffset("300")
-    assert(st.latestOffset().json().toLong == 350L,
-      "latestOffset must continue from the restored offset")
-    // and a stale offset arriving later must not move the mark back
-    st.deserializeOffset("100")
-    assert(st.latestOffset().json().toLong == 350L)
+    def at(start: Long, limit: ReadLimit): Long =
+      st.latestOffset(st.deserializeOffset(start.toString), limit)
+        .json().toLong
+    // normal trigger: advance by the cap from wherever the engine
+    // says we are — a restored checkpoint offset (start=300) resumes
+    // exactly there, nothing to re-deliver, nothing to restore
+    assert(at(0, ReadLimit.maxRows(100)) == 100L)
+    assert(at(300, ReadLimit.maxRows(100)) == 350L)
+    assert(at(350, ReadLimit.maxRows(100)) == 350L, "drained feed stays put")
+    // Trigger.Once / AvailableNow ask with allAvailable and must get
+    // the ENTIRE remainder — capping here would silently truncate the
+    // query to one batch
+    assert(at(0, ReadLimit.allAvailable()) == 350L)
+    assert(at(120, ReadLimit.allAvailable()) == 350L)
+  }
+
+  test("Trigger.AvailableNow drains the whole feed, not one capped batch") {
+    val df = spark.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", "350")
+      .option("rowsPerTrigger", "100")
+      .load()
+    val q = df.writeStream.format("memory").queryName("feed_now_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("feed_now_out").count() == 350L,
+        "AvailableNow must deliver every row before terminating")
+    } finally q.stop()
   }
 }
