@@ -97,6 +97,7 @@ object SparkEntry {
     "p_entity_resolution" -> (Pipelines.entityResolution _),
     "p_merge_cdc" -> (Pipelines.mergeCdc _),
     "agg_mode" -> (Analytics.modePriority _),
+    "agg_correlation" -> (Analytics.correlation _),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
@@ -680,6 +681,31 @@ object SparkEntry {
         |    (a, b) -> a + b) AS val
         |FROM embeddings e CROSS JOIN k
         |ORDER BY vec_id, dim""".stripMargin,
+    "agg_correlation" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(xs) AS BIGINT) AS sx, CAST(SUM(ys) AS BIGINT) AS sy,
+        |    CAST(SUM(xs * xs) AS BIGINT) AS sxx,
+        |    CAST(SUM(ys * ys) AS BIGINT) AS syy,
+        |    CAST(SUM(xs * ys) AS BIGINT) AS sxy
+        |  FROM (SELECT l_returnflag,
+        |      CAST(round(l_discount * 100) AS BIGINT) AS xs,
+        |      CAST(round(l_quantity) AS BIGINT) AS ys
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100
+        |    AS beta_qty_per_discount
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "dq_referential" ->
       """SELECT 'customer->nation' AS fk_edge, CAST(count(*) AS BIGINT)
         |  AS n_orphans FROM customer WHERE c_nationkey IS NOT NULL

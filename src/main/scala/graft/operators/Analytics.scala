@@ -302,6 +302,36 @@ object Analytics {
       .orderBy("cohort", "month_offset")
   }
 
+  /** Pearson correlation + OLS slope of quantity vs discount per
+    * return flag, from EXACT integer moments: the built-in `corr` is
+    * a streaming float aggregate whose result depends on partition
+    * order; summing scaled-integer moments (discount is 2-decimal,
+    * quantity integral — both exact) makes the statistic
+    * bit-deterministic under any partitioning and replayable by any
+    * engine. One partial-aggregated pass; the closing arithmetic is
+    * a handful of double ops per group.
+    */
+  def correlation(s: SparkSession, dir: String): DataFrame = {
+    val xs = round(col("l_discount") * 100).cast("long") // exact cents
+    val ys = round(col("l_quantity")).cast("long")       // integral qty
+    val m = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(xs).as("sx"), sum(ys).as("sy"),
+        sum(xs * xs).as("sxx"), sum(ys * ys).as("syy"),
+        sum(xs * ys).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val covN = d("n") * d("sxy") - d("sx") * d("sy")
+    val varX = d("n") * d("sxx") - d("sx") * d("sx")
+    val varY = d("n") * d("syy") - d("sy") * d("sy")
+    m.select(col("l_returnflag"), col("n"),
+        (covN / sqrt(varX * varY)).as("pearson_r"),
+        // slope back in ORIGINAL units: ys/xs are scaled by 1 and
+        // 100, so d(qty)/d(discount) = 100 * scaled slope
+        (covN / varX * 100).as("beta_qty_per_discount"))
+      .orderBy("l_returnflag")
+  }
+
   /** MODE aggregate (most frequent value per group, deterministic
     * low-value tie-break): count per (group, value) with map-side
     * combine, then a row_number window over the tiny count table —

@@ -102,6 +102,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(counts(0) == signups)
   }
 
+  test("correlation: bit-exact vs a sequential moment recompute, r in " +
+    "[-1, 1]") {
+    val out = Analytics.correlation(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("pearson_r"),
+          r.getAs[Double]("beta_qty_per_discount"))).toMap
+    assert(out.values.forall { case (_, r, _) => r >= -1.0 && r <= 1.0 })
+    // independent recompute of one group with the same integer moments
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_discount"), col("l_quantity"))
+      .collect()
+    out.keys.foreach { flag =>
+      val g = rows.filter(_.getString(0) == flag)
+      val xs = g.map(r => math.round(r.getDouble(1) * 100))
+      val ys = g.map(r => math.round(r.getDouble(2)))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxx = xs.map(x => x * x).sum.toDouble
+      val syy = ys.map(y => y * y).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+      val covN = n * sxy - sx * sy
+      val r = covN / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(out(flag)._1 == g.length)
+      assert(out(flag)._2 == r, s"$flag: ${out(flag)._2} vs $r")
+      assert(out(flag)._3 == covN / (n * sxx - sx * sx) * 100)
+    }
+  }
+
   test("gapFill: spine is contiguous, gaps become explicit zeros") {
     val out = Analytics.gapFill(spark, sfDir).orderBy("day").collect()
     val days = out.map(_.getAs[java.sql.Date]("day").toLocalDate)
