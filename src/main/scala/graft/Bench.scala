@@ -73,7 +73,7 @@ object Bench {
       "j_fuzzy_match", "sim_random_proj", "sim_standardize",
       "text_heavy_hitters", "st_gap_fill", "p_entity_resolution",
       "p_merge_cdc", "agg_mode", "dq_referential", "graph_pagerank",
-      "agg_correlation")
+      "agg_correlation", "w_percent_rank", "agg_weighted_avg")
     // a filtered profiling run exists to print ITS queries' numbers —
     // only the unfiltered sweep (whose 100+-entry map overflows the
     // capture) trims stdout to the headline subset

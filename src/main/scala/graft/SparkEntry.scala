@@ -98,6 +98,8 @@ object SparkEntry {
     "p_merge_cdc" -> (Pipelines.mergeCdc _),
     "agg_mode" -> (Analytics.modePriority _),
     "agg_correlation" -> (Analytics.correlation _),
+    "w_percent_rank" -> (Analytics.spendStanding _),
+    "agg_weighted_avg" -> (Analytics.weightedAvg _),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
@@ -681,6 +683,25 @@ object SparkEntry {
         |    (a, b) -> a + b) AS val
         |FROM embeddings e CROSS JOIN k
         |ORDER BY vec_id, dim""".stripMargin,
+    "w_percent_rank" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, total_spend,
+        |  percent_rank() OVER (ORDER BY total_spend, o_custkey)
+        |    AS spend_pct_rank,
+        |  cume_dist() OVER (ORDER BY total_spend, o_custkey)
+        |    AS spend_cume_dist
+        |FROM spend ORDER BY o_custkey""".stripMargin,
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(18,6)))
+        |      AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS wavg_discount
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_correlation" ->
       """WITH m AS (SELECT l_returnflag,
         |    CAST(COUNT(*) AS BIGINT) AS n,

@@ -302,6 +302,41 @@ object Analytics {
       .orderBy("cohort", "month_offset")
   }
 
+  /** percent_rank + cume_dist over customer spend: the relative-
+    * standing window pair (every percentile-gate pipeline's
+    * primitives — qualityFilter uses percent_rank internally; this is
+    * the first-class query surface). Ties resolved by the unique
+    * custkey in the ORDER BY so both engines agree. The global window
+    * runs over the PRE-AGGREGATED per-customer table, not raw orders;
+    * a truly global rank is inherently a global sort — at 100 TB
+    * partition it (as qualityFilter does per source) or rank against
+    * approx-quantile boundaries instead.
+    */
+  def spendStanding(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(moneySum(col("o_totalprice")).cast("double").as("total_spend"))
+    val w = Window.orderBy(col("total_spend"), col("o_custkey"))
+    spend.select(col("o_custkey"), col("total_spend"),
+        percent_rank().over(w).as("spend_pct_rank"),
+        cume_dist().over(w).as("spend_cume_dist"))
+      .orderBy("o_custkey")
+  }
+
+  /** Weighted average: revenue-weighted mean discount per return flag,
+    * numerator and denominator both exact decimal sums (the naive
+    * avg-of-averages and streaming-float traps both avoided); one
+    * partial-aggregated pass.
+    */
+  def weightedAvg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (moneySum(col("l_discount") * col("l_extendedprice")).cast("double") /
+          moneySum(col("l_extendedprice")).cast("double"))
+          .as("wavg_discount"))
+      .orderBy("l_returnflag")
+
   /** Pearson correlation + OLS slope of quantity vs discount per
     * return flag, from EXACT integer moments: the built-in `corr` is
     * a streaming float aggregate whose result depends on partition
