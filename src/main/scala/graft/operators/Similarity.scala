@@ -276,6 +276,7 @@ object Similarity {
     var centroids: Seq[(Int, Seq[Double])] = emb.orderBy("vec_id").limit(k)
       .collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1))
+      .toIndexedSeq
       .sortBy(_._1)
     require(centroids.nonEmpty, "kmeans: empty embedding corpus")
     for (_ <- 1 until iters) {

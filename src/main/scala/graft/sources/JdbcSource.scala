@@ -60,7 +60,7 @@ object JdbcSource {
         // (Spark's first/last stride is unbounded) — one task would do
         // all the work on a table whose range drifted
         val r = src.agg(min(col("s_suppkey")), max(col("s_suppkey")))
-          .head
+          .head()
         // min/max over zero rows are null; getLong would NPE with no
         // hint of the cause — name the actual problem instead
         require(!r.isNullAt(0) && !r.isNullAt(1),
