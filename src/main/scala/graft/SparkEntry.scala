@@ -379,12 +379,15 @@ object SparkEntry {
         |ORDER BY c.c_custkey""".stripMargin,
     "j3_join_revenue" ->
       """SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS order_year,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-        |   AS DOUBLE) AS revenue,
-        | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
+        | CAST(SUM(CAST(order_revenue AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |          AS DECIMAL(18,6))) AS DOUBLE) AS order_revenue
+        |      FROM lineitem GROUP BY l_orderkey) lo
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "j_anti" ->
       """SELECT c_custkey, c_name FROM customer

@@ -306,20 +306,54 @@ object Analytics {
     * standing window pair (every percentile-gate pipeline's
     * primitives — qualityFilter uses percent_rank internally; this is
     * the first-class query surface). Ties resolved by the unique
-    * custkey in the ORDER BY so both engines agree. The global window
-    * runs over the PRE-AGGREGATED per-customer table, not raw orders;
-    * a truly global rank is inherently a global sort — at 100 TB
-    * partition it (as qualityFilter does per source) or rank against
-    * approx-quantile boundaries instead.
+    * custkey in the ORDER BY so both engines agree.
+    *
+    * DISTRIBUTED: a truly global rank needs a total order, but not a
+    * single-task sort (`Window.orderBy` with no partition — the one
+    * shape that cannot finish at 100 TB). Shape here: (1) approx-
+    * quantile boundaries of the sort key (≤ buckets-1 scalars to the
+    * driver) define ORDERED buckets, assignment a pure row-local
+    * function of the value; (2) ONE hash shuffle ranks rows inside
+    * each bucket; (3) per-bucket counts (≤ buckets rows) come back to
+    * the driver and re-enter as a literal prefix-sum offset map, so
+    * global_rank = bucket_offset + local_rank, and percent_rank /
+    * cume_dist are row-local arithmetic over (global_rank, N) —
+    * bit-identical to the one-window formula because the unique
+    * tie-break makes rank ≡ row_number. Boundary quality affects only
+    * bucket BALANCE, never results (equal values never split across
+    * buckets). Driver traffic is O(buckets), like kmeans' centroids.
     */
   def spendStanding(s: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(s, dir)
-      .groupBy("o_custkey")
-      .agg(moneySum(col("o_totalprice")).cast("double").as("total_spend"))
-    val w = Window.orderBy(col("total_spend"), col("o_custkey"))
-    spend.select(col("o_custkey"), col("total_spend"),
-        percent_rank().over(w).as("spend_pct_rank"),
-        cume_dist().over(w).as("spend_cume_dist"))
+    val spend = graft.CachePool.cached(s, s"analytics.custSpend:$dir") {
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(moneySum(col("o_totalprice")).cast("double").as("total_spend"))
+    }
+    val nBuckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val bounds = spend.stat.approxQuantile("total_spend",
+      (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+      .distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("total_spend") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = spend.withColumn("bkt", bucket)
+    val counts = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.zip(counts.scanLeft(0L)(_ + _._2))
+      .map { case ((b, _), off) => (b, off) }.toSeq
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(map(offsets.flatMap {
+        case (b, o) => Seq(lit(b), lit(o)) }: _*), col("bkt"))
+    val localW = Window.partitionBy(col("bkt"))
+      .orderBy(col("total_spend"), col("o_custkey"))
+    bucketed
+      .withColumn("grn", offExpr + row_number().over(localW))
+      .select(col("o_custkey"), col("total_spend"),
+        when(lit(n) > 1, (col("grn") - lit(1L)) / lit((n - 1).toDouble))
+          .otherwise(lit(0.0)).as("spend_pct_rank"),
+        (col("grn") / lit(n.toDouble)).as("spend_cume_dist"))
       .orderBy("o_custkey")
   }
 

@@ -211,13 +211,20 @@ object Dedup {
     // shuffle carries one array per joined row instead of an exploded
     // row per shingle.
     val arr = shingleArrDf(s, dir)
-    // explicit broadcast hints: cand (and cand + one fetched array) is
-    // candidate-sized — without the hint a cold cache has no stats and
-    // the planner would sort-merge, shuffling the corpus-wide array
-    // table twice
-    broadcast(broadcast(cand)
-      .join(arr.select(col("doc_id").as("doc_a"), col("sharr").as("sh_a")),
-        "doc_a"))
+    // gated broadcast hints: cand (and cand + one fetched array) is
+    // candidate-sized, but candidate count GROWS with the corpus — an
+    // unconditional hint would force-OOM at 100 TB. The count is free
+    // here (it materializes the CachePool entry the query reads twice
+    // anyway); under the session threshold the hint avoids sort-merging
+    // the corpus-wide array table twice on a cold cache, above it the
+    // join plans shuffled and AQE re-plans from actual sizes.
+    val nCand = cand.count()
+    // ~48 B per (long, long) pair row; ~4 KB once sh_a is attached
+    graft.Broadcasts.gated(s,
+      graft.Broadcasts.gated(s, cand, nCand, 48)
+        .join(arr.select(col("doc_id").as("doc_a"), col("sharr").as("sh_a")),
+          "doc_a"),
+      nCand, 4096)
       .join(arr.select(col("doc_id").as("doc_b"), col("sharr").as("sh_b")),
         "doc_b")
       .withColumn("n_inter",

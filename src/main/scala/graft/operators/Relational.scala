@@ -10,10 +10,12 @@ import graft.functions.Scalars._
   * entry with a DuckDB oracle; all outputs are fully sorted with a
   * unique tie-break so the driver's hash compare is order-stable.
   *
-  * Scale notes (100 TB): ID sets for semi joins stay distributed and are
-  * broadcast — never collected to the driver and spliced into SQL text
-  * like the reference (`Gonukkad_Merchants.py:44,61`). All scans go
-  * through parquet relations so Catalyst pushes filters/projections.
+  * Scale notes (100 TB): ID sets for semi joins stay distributed —
+  * never collected to the driver and spliced into SQL text like the
+  * reference (`Gonukkad_Merchants.py:44,61`) — and are broadcast only
+  * while they fit the session threshold (planner-sized; no forced
+  * hints on data-proportional sides). All scans go through parquet
+  * relations so Catalyst pushes filters/projections.
   */
 object Relational {
 
@@ -24,11 +26,16 @@ object Relational {
     * deterministic, SURVEY §7.4).
     */
   def snapshot(s: SparkSession, dir: String): DataFrame = {
+    // the ID set is DATA-proportional (every active customer), so no
+    // forced broadcast hint: the side is a plain scan+filter the planner
+    // can size, auto-broadcast picks BHJ while it fits the threshold
+    // (plan-pinned at small sf in PlanQualitySpec) and the join degrades
+    // to a shuffled semi join — not a driver OOM — when it outgrows it
     val ids = Tables.customer(s, dir)
       .filter(col("c_acctbal") > 0 && col("c_name").isNotNull)
       .select(col("c_custkey"))
     Tables.orders(s, dir)
-      .join(broadcast(ids), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(ids, col("o_custkey") === col("c_custkey"), "left_semi")
       .withColumn("is_fulfilled", (col("o_orderstatus") === "F").cast("int"))
       .withColumn("geolocation", lit(null).cast("string"))
       .withColumn("snapshot_date", lit(java.sql.Date.valueOf("2024-01-01")))
@@ -105,18 +112,28 @@ object Relational {
   }
 
   /** 3-way inner join + grouped rollup — revenue by market segment and
-    * order year. Join order left to Catalyst/AQE; dims would broadcast.
+    * order year. The widest table (lineitem) is pre-aggregated to one
+    * row per l_orderkey BEFORE the orders/customer joins, so the
+    * shuffled fact shrinks by the per-order line multiplicity and the
+    * distinct-order count degrades to a plain count(*) — no Expand
+    * (row-duplicating countDistinct rewrite) anywhere in the plan.
+    * Same result at any scale; the order-grain aggregate partial-aggs
+    * map-side on the scan's natural clustering.
     */
-  def join3Revenue(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+  def join3Revenue(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("order_revenue"))
+    Tables.orders(s, dir)
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("order_year"))
       .agg(
-        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        moneySum(col("order_revenue")).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy("c_mktsegment", "order_year")
+  }
 
   /** TPC-H Q5 shape — the heaviest classic OLAP join tree: region →
     * nation → customer → orders → lineitem → supplier with the "local

@@ -40,6 +40,14 @@ object Similarity {
 
   /** Brute-force cosine top-k: probe rows (vec_id < 8) broadcast
     * against the full corpus; rank by rounded sim desc, id asc.
+    *
+    * Broadcast bound: the hint is safe because the probe set is
+    * BOUNDED BY THE CALLER (a fixed probe list, here 8 ids), not by
+    * the corpus — at any data scale the build side is |probes| × dim
+    * floats (8 × 64 × 4 B here; even 10k probes × 1k dims ≈ 40 MB).
+    * Callers probing with a data-proportional set should use the ANN
+    * paths (lshTopK / ivfTopK), which bucket-join instead; this op is
+    * their exactness baseline by design.
     */
   def bruteForceTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val c = corpus(s, dir)

@@ -116,6 +116,58 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
   }
 
+  test("data-proportional build sides degrade to shuffled joins when " +
+    "auto-broadcast is off — no forced hint can OOM the driver") {
+    // the 100 TB failure mode, simulated: with the threshold disabled
+    // (as if the ID/candidate sets had outgrown it) the plans must fall
+    // back to shuffled joins and still produce the same rows — proving
+    // no unconditional broadcast() hint remains on a side that grows
+    // with the data
+    val conf = spark.conf
+    val expected = Relational.snapshot(spark, sfDir).count()
+    val expectedMh = Dedup.minhashPairs(spark, sfDir).count()
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = plan(Relational.snapshot(spark, sfDir))
+      assert(!p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(1500))
+      assert(p.contains("LeftSemi"), p.take(1500))
+      assert(Relational.snapshot(spark, sfDir).count() == expected)
+      // the candidate-verify joins (corpus-proportional) must go
+      // shuffled; the bounded hot-key hint inside pairCounts may stay
+      val pm = plan(Dedup.minhashPairs(spark, sfDir))
+      assert(pm.contains("SortMergeJoin") || pm.contains("ShuffledHashJoin"),
+        pm.take(2000))
+      assert(Dedup.minhashPairs(spark, sfDir).count() == expectedMh)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("join3Revenue: no Expand — order grain pre-aggregated, so the " +
+    "distinct-order count never plans a row-duplicating rewrite") {
+    val p = plan(Relational.join3Revenue(spark, sfDir))
+    assert(!p.contains("Expand"), p.take(2000))
+    // lineitem partial-aggregates to order grain before any join
+    assert(p.contains("partial"), p.take(2000))
+  }
+
+  test("spendStanding: global percent_rank/cume_dist with NO " +
+    "single-partition exchange — ranks are bucket-local + offsets") {
+    val p = plan(Analytics.spendStanding(spark, sfDir))
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    // the one data shuffle is the bucket window's hash partitioning
+    assert(p.contains("Window"), p.take(1200))
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning(") &&
+      l.contains("bkt")), p.take(2500))
+  }
+
   test("incremental: candidate joins are equi-joins, never pair scans") {
     val p = plan(Dedup.incremental(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(800))
