@@ -56,6 +56,10 @@ object SparkEntry {
     // §2.8 streaming cadences (batch analogs)
     "st1_tumbling_daily" -> (Analytics.tumblingDaily _),
     "st2_sliding_7day" -> (Analytics.sliding7Day _),
+    // ST3 end-to-end STREAMING run: DSv2 MicroBatchStream drained with
+    // Trigger.AvailableNow through update-mode foreachBatch upsert,
+    // then the materialized table read back for the oracle compare
+    "stream_feed_daily" -> (graft.streaming.StreamingAnalogs.feedDaily _),
     // S4/S5 custom DataSource V2 (paginated REST shape)
     "s4_rest_source" -> ((s, _) => {
       import org.apache.spark.sql.functions._
@@ -209,7 +213,8 @@ object SparkEntry {
       "p_diverse_subset" + // composes sim_kmeans (Lloyd jobs)
       "dedup_semantic" +   // composes sim_kmeans (Lloyd jobs)
       "text_bpe_train" + // builder runs the merge-iteration jobs
-      "text_bpe_apply"   // builder trains (or reads the memo) first
+      "text_bpe_apply" + // builder trains (or reads the memo) first
+      "stream_feed_daily" // builder runs the AvailableNow stream drain
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
     * contribution sums, chained one CTE pair (c_i, r_i) per
@@ -845,6 +850,24 @@ object SparkEntry {
         | CAST(COUNT(*) AS BIGINT) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_feed_daily" ->
+      // DuckDB replay of the deterministic feed generator
+      // (FeedSource.tsOf/kindOf/amountOf) + the daily rollup the
+      // stream materializes
+      """WITH feed AS (
+        |  SELECT range AS id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + range * INTERVAL 1 MINUTE
+        |      AS ts,
+        |    CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END AS kind,
+        |    CAST((range * 2654435761) % 100000 AS DOUBLE) / 100.0 AS amount
+        |  FROM range(5000))
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_amount,
+        |  CAST(SUM(CASE WHEN kind = 'credit' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_credit
+        |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
     "st2_sliding_7day" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,

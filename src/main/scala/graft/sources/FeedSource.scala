@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -82,9 +82,19 @@ private case class FeedOffset(rows: Long) extends Offset {
 
 private class FeedStream(totalRows: Long, rowsPerTrigger: Long,
     partitionsPerBatch: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = FeedOffset(0L)
+
+  /** Trigger.AvailableNow contract: without this trait the engine
+    * passes ReadAllAvailable and the whole feed lands in ONE batch,
+    * bypassing the admission cap; with it, the engine pins the drain
+    * target here and then runs normal getDefaultReadLimit-capped
+    * microbatches until the target is reached. The feed's end is
+    * already a constant (totalRows), so there is nothing to snapshot.
+    */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   /** Admission control through the API built for it
     * (SupportsAdmissionControl): the engine passes each trigger's
@@ -101,12 +111,24 @@ private class FeedStream(totalRows: Long, rowsPerTrigger: Long,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FeedOffset].rows
-    limit match {
-      case m: ReadMaxRows =>
-        FeedOffset(math.min(from + m.maxRows(), totalRows))
-      case _: ReadAllAvailable => FeedOffset(totalRows)
-      case _ => FeedOffset(totalRows) // unknown limits: deliver rest
+    def admit(l: ReadLimit): Long = l match {
+      case m: ReadMaxRows => m.maxRows()
+      case _: ReadAllAvailable => totalRows
+      // composite limits (e.g. Trigger.ProcessingTime with both
+      // minRowsPerTrigger and maxRows set): the max-rows child is the
+      // admission CAP — honor the tightest one present
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        val caps = c.getReadLimits.toSeq
+          .collect { case m: ReadMaxRows => m.maxRows() }
+        if (caps.isEmpty) rowsPerTrigger else caps.min
+      // unknown/future limit kinds: advance conservatively by the
+      // configured trigger cap instead of silently delivering the
+      // whole remaining feed (min-rows-only limits also land here —
+      // the cap still satisfies any minimum the engine would enforce
+      // by skipping the batch)
+      case _ => rowsPerTrigger
     }
+    FeedOffset(math.min(from + admit(limit), totalRows))
   }
 
   /** Only the admission-control form is used once

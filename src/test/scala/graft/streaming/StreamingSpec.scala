@@ -191,6 +191,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("feedDaily: AvailableNow drain runs MULTIPLE admission-capped " +
+    "microbatches and materializes the full feed's daily rollup") {
+    val out = StreamingAnalogs.feedDaily(spark, sfDir).collect()
+    // 5000 minutes from 2024-01-01T00:00 span 4 UTC days
+    assert(out.length == 4, out.mkString("\n"))
+    assert(out.map(_.getLong(1)).sum == 5000L)
+    // first three days are full (1440 min), the fourth partial
+    assert(out.take(3).forall(_.getLong(1) == 1440L), out.mkString("\n"))
+    // the drain really went through admission control: 5000 rows at
+    // 500/trigger = 10 data microbatches in the checkpoint log (plus
+    // possibly one trailing empty batch advancing the watermark)
+    val base = s"/tmp/graft_streams/${new java.io.File(sfDir).getName}" +
+      "/feed_daily/ckpt/commits"
+    val commits = new java.io.File(base).listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 10 && commits <= 11, s"$commits commits")
+  }
+
   test("purchaseAttribution: stream-stream join matches the 10-min window") {
     val s = spark
     import s.implicits._
