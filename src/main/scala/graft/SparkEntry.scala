@@ -111,6 +111,7 @@ object SparkEntry {
     "sink_latest_snapshot" -> (Sinks.latestSnapshot _),
     "sink_ctas_promote" -> (Sinks.ctasPromote _),
     "sink_upsert_by_date" -> (Sinks.upsertByDate _),
+    "sink_time_travel" -> (Versioned.timeTravel _),
     "sink_compact" -> (Sinks.compact _),
     "sink_schema_evolution" -> (Sinks.schemaEvolution _),
     "sink_zorder" -> (Sinks.zorderCluster _),
@@ -1059,6 +1060,19 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
         |FROM orders""".stripMargin,
+    "sink_time_travel" ->
+      // each committed version is a pure filter of orders, so the
+      // as-of read replays as the same filter over the base table
+      """SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_price
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |UNION ALL
+        |SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_price
+        |FROM orders
+        |ORDER BY version""".stripMargin,
     "ss_gmb_roundtrip" ->
       """WITH m AS (
         |  SELECT user_id AS id,

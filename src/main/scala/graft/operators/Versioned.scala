@@ -1,0 +1,116 @@
+package graft.operators
+
+import java.io.File
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Scalars._
+
+/** Manifest-versioned parquet table with time-travel reads — the
+  * production form of the reference's blob housekeeping
+  * (`Azure_datalake_etl/Gonukkad_Merchants.py:144-155`, which "versions"
+  * snapshots by renaming every older blob so only the newest stays
+  * load-eligible). Instead of mutating history, every commit writes an
+  * immutable data directory and then PUBLISHES it with a one-file
+  * manifest; readers resolve the manifest log, never the data listing.
+  *
+  * Layout:
+  *   <table>/data/v=N/            immutable per-version parquet data
+  *   <table>/_manifest/N          commit marker (created atomically
+  *                                with create-no-overwrite; its
+  *                                EXISTENCE is the commit)
+  *
+  * Correctness/scale properties:
+  *  - The data write is a normal distributed parquet job; the publish
+  *    is one driver-side file create — the commit point is atomic and
+  *    O(1) regardless of data size.
+  *  - A failed/partial data write is invisible (no manifest); a retry
+  *    overwrites the same data dir then publishes.
+  *  - Readers pin a version at resolve time, so a concurrent commit
+  *    never changes a running query's input (snapshot isolation).
+  *  - Listing cost is O(versions) manifest files, independent of data
+  *    volume; `vacuum` bounds history (and is the ONLY deletion path).
+  */
+object Versioned {
+
+  private def hfs(s: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Committed versions, ascending (empty for a fresh/absent table). */
+  def versions(s: SparkSession, table: String): Seq[Int] = {
+    val dir = new Path(s"$table/_manifest")
+    val fs = hfs(s, table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.forall(_.isDigit))
+      .map(_.toInt)
+      .sorted
+  }
+
+  /** Write `df` as the table's next version and publish it. Returns
+    * the committed version number.
+    */
+  def commit(df: DataFrame, table: String): Int = {
+    val s = df.sparkSession
+    val v = versions(s, table).lastOption.getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(s"$table/data/v=$v")
+    val fs = hfs(s, table)
+    // create-no-overwrite: the marker's creation IS the commit; a
+    // racing writer of the same version fails here instead of
+    // silently double-publishing
+    val out = fs.create(new Path(s"$table/_manifest/$v"), false)
+    try out.writeBytes(s"""{"version":$v,"path":"data/v=$v"}""")
+    finally out.close()
+    v
+  }
+
+  /** Read the table at `asOf` (must be committed), or latest. */
+  def read(s: SparkSession, table: String, asOf: Option[Int] = None)
+      : DataFrame = {
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"no committed versions at $table")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not committed (have $vs)")
+    s.read.parquet(s"$table/data/v=$v")
+  }
+
+  /** Drop all but the newest `keep` versions: retract the manifest
+    * FIRST (readers stop resolving the version), then delete data.
+    * Returns the vacuumed version numbers.
+    */
+  def vacuum(s: SparkSession, table: String, keep: Int): Seq[Int] = {
+    val doomed = versions(s, table).dropRight(math.max(1, keep))
+    val fs = hfs(s, table)
+    doomed.foreach { v =>
+      fs.delete(new Path(s"$table/_manifest/$v"), false)
+      fs.delete(new Path(s"$table/data/v=$v"), true)
+    }
+    doomed
+  }
+
+  /** Driver-checked query: two commits of the orders snapshot (v1 =
+    * pre-1996 history, v2 = full), then one read AS-OF v1 and one of
+    * the latest — proving the older version stays byte-stable after a
+    * newer commit (the reference's rename pass destroys exactly this).
+    * Output: one aggregate row per version, oracle-replayable from
+    * the base table because each version is a pure filter of it.
+    */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_sinks/${new File(dir).getName}/versioned_orders"
+    hfs(s, table).delete(new Path(table), true) // fresh run, idempotent
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    commit(orders.filter(col("o_orderdate") < lit("1996-01-01")
+      .cast("timestamp")), table)
+    commit(orders, table)
+    def rollup(df: DataFrame, v: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        moneySum(col("o_totalprice")).as("total_price"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_price"))
+    rollup(read(s, table, asOf = Some(1)), 1)
+      .unionByName(rollup(read(s, table), 2))
+      .orderBy("version")
+  }
+}

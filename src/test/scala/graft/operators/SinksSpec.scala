@@ -21,6 +21,42 @@ class SinksSpec extends SparkSpec {
     assert(dirs.contains("day=2024-01-15"))
   }
 
+  test("versioned table: commits are immutable, as-of reads pin a " +
+    "version, vacuum retracts the manifest before the data") {
+    val s = spark
+    import s.implicits._
+    val t = s"/tmp/graft_sinks/spec_versioned_${System.nanoTime()}"
+    try {
+      assert(Versioned.versions(s, t).isEmpty)
+      Versioned.commit(Seq(1, 2).toDF("x"), t)
+      Versioned.commit(Seq(1, 2, 3).toDF("x"), t)
+      Versioned.commit(Seq(9).toDF("x"), t)
+      assert(Versioned.versions(s, t) == Seq(1, 2, 3))
+      // time travel: each as-of read returns that commit's content
+      assert(Versioned.read(s, t, Some(1)).count() == 2)
+      assert(Versioned.read(s, t, Some(2)).count() == 3)
+      assert(Versioned.read(s, t).as[Int].collect().toSeq == Seq(9))
+      // snapshot isolation: a reader resolved before a new commit
+      // keeps reading its pinned version
+      val pinned = Versioned.read(s, t)
+      Versioned.commit(Seq(7, 7).toDF("x"), t)
+      assert(pinned.count() == 1)
+      assert(Versioned.read(s, t).count() == 2)
+      // vacuum keeps the newest K and reports what it dropped
+      assert(Versioned.vacuum(s, t, keep = 2) == Seq(1, 2))
+      assert(Versioned.versions(s, t) == Seq(3, 4))
+      assert(Versioned.read(s, t, Some(3)).count() == 1)
+      intercept[IllegalArgumentException] {
+        Versioned.read(s, t, Some(1))
+      }
+      // vacuumed data directories are really gone
+      assert(!new java.io.File(s"$t/data/v=1").exists())
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(t)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("jsonArchive layout: a day filter prunes to ONE partition " +
     "directory (PartitionFilters, not a full scan)") {
     Sinks.jsonArchive(spark, sfDir).collect() // materialize the archive
