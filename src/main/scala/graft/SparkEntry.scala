@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_cosine" -> (Similarity.cosineNearDup _),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
+    "dedup_clusters_star" -> (Dedup.nearDupClustersStar _),
     "text_decontaminate" -> (Dedup.decontaminate _),
     "dedup_incremental" -> (Dedup.incremental _),
     // §2.10 north-star: similarity search
@@ -208,6 +209,7 @@ object SparkEntry {
       "adv_bucketed_join" +
       "s2_jdbc_source" + // builder seeds the embedded Derby db (a write job)
       "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
+      "dedup_clusters_star" + // same fixpoint via star alternation
       "p_entity_resolution" + // composes the CC fixpoint on fuzzy pairs
       "graph_pagerank" + // builder runs the rank-iteration jobs
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
@@ -341,6 +343,47 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by dedup_clusters and dedup_clusters_star: both CC
+    * variants must converge to the identical cluster labeling, so one
+    * recursive-CTE replay oracles both.
+    */
+  private val ccClustersOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+      |    unnest(generate_series(1,
+      |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+      |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM pr
+      |  JOIN sz na ON na.doc_id = doc_a
+      |  JOIN sz nb ON nb.doc_id = doc_b
+      |  WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+      |        FROM reach GROUP BY 1),
+      |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |       FROM lab GROUP BY 1)
+      |SELECT l.doc_id, l.cluster_id, cs.cluster_size,
+      |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
+      |FROM lab l JOIN cs ON l.cluster_id = cs.cluster_id
+      |ORDER BY l.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "text_bpe_train" -> bpeOracle(8),
     "text_bpe_apply" -> bpeApplyOracle(8),
@@ -1427,42 +1470,9 @@ object SparkEntry {
         |JOIN sz nb ON nb.doc_id = doc_b
         |WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
-        |    unnest(generate_series(1,
-        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
-        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pr AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM pr
-        |  JOIN sz na ON na.doc_id = doc_a
-        |  JOIN sz nb ON nb.doc_id = doc_b
-        |  WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
-        |        FROM reach GROUP BY 1),
-        |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-        |       FROM lab GROUP BY 1)
-        |SELECT l.doc_id, l.cluster_id, cs.cluster_size,
-        |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
-        |FROM lab l JOIN cs ON l.cluster_id = cs.cluster_id
-        |ORDER BY l.doc_id""".stripMargin,
+    "dedup_clusters" -> ccClustersOracle,
+    // the star-alternation variant computes the SAME clusters
+    "dedup_clusters_star" -> ccClustersOracle,
     "text_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -249,11 +249,13 @@ object Dedup {
     * join + groupBy per round, repeated until a round changes nothing.
     * The driver loop only reads the per-round CHANGE COUNT (a scalar);
     * rows never leave the cluster, and `localCheckpoint` truncates the
-    * per-round lineage so plans stay flat. Rounds = O(component
-    * diameter), and near-dup components are shallow by construction
-    * (they exist because members share content). At 100 TB swap the
-    * same loop body for large-star/small-star alternation — fewer
-    * rounds on adversarial chain graphs, identical fixpoint.
+    * per-round lineage so plans stay flat. The doubling step makes
+    * rounds O(log n) even on chain-shaped components (never
+    * O(diameter)); `connectedComponentsStar` offers the large-star/
+    * small-star alternation behind the same interface — same log-round
+    * convergence (CCStarSpec pins both), but its per-round cost
+    * SHRINKS as the edge set contracts toward stars, the better trade
+    * when edges vastly outnumber nodes.
     */
   def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
     // pooled: the fixpoint's job cascade re-runs on EVERY invocation
@@ -262,6 +264,21 @@ object Dedup {
     val labels = graft.CachePool.cached(s, s"dedup.ccLabels:$dir") {
       connectedComponents(jaccardPairs(s, dir).select("doc_a", "doc_b"))
     }
+    clusterRollup(labels)
+  }
+
+  /** nearDupClusters through the star alternation — identical output
+    * contract (and DuckDB oracle); the variant a caller picks when
+    * the pair graph's edges vastly outnumber its nodes.
+    */
+  def nearDupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.CachePool.cached(s, s"dedup.ccLabelsStar:$dir") {
+      connectedComponentsStar(jaccardPairs(s, dir).select("doc_a", "doc_b"))
+    }
+    clusterRollup(labels)
+  }
+
+  private def clusterRollup(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
@@ -284,7 +301,18 @@ object Dedup {
     * the component min, so the fixpoint is unchanged. See
     * nearDupClusters for the driver-loop scale notes.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    ccPropagation(pairs)._1
+
+  /** The propagation+doubling loop, also reporting how many rounds it
+    * ran (spec surface: CCStarSpec compares convergence against the
+    * star variant on adversarial graphs). `shortcut = false` disables
+    * the pointer-doubling step, leaving plain one-hop propagation —
+    * never used in production, kept as the spec baseline that makes
+    * the O(diameter) failure mode observable.
+    */
+  private[operators] def ccPropagation(pairs: DataFrame,
+      shortcut: Boolean = true): (DataFrame, Int) = {
     val p = pairs.toDF("doc_a", "doc_b")
     val edges = p
       .unionByName(p.select(col("doc_b").as("doc_a"),
@@ -295,7 +323,9 @@ object Dedup {
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))
@@ -310,7 +340,7 @@ object Dedup {
         .localCheckpoint()
       // shortcut: label := label-of-label (left join: a label that is
       // its own component's current root maps to itself)
-      val next = propagated
+      val next = if (!shortcut) propagated else propagated
         .join(propagated.select(col("doc_id").as("label"),
           col("label").as("label2")), Seq("label"), "left")
         .select(col("doc_id"),
@@ -324,8 +354,10 @@ object Dedup {
       // the superseded checkpoints' blocks are dead the moment
       // `changed` is computed — release them NOW rather than waiting
       // for GC + ContextCleaner (the deterministic version of the
-      // cache-lifecycle rule the rest of the engine follows)
-      propagated.unpersist(blocking = false)
+      // cache-lifecycle rule the rest of the engine follows).
+      // (With the shortcut disabled `next` IS `propagated` — don't
+      // release the blocks the next round reads.)
+      if (next ne propagated) propagated.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = next
     }
@@ -335,7 +367,88 @@ object Dedup {
     // ContextCleaner reclaims it when the DataFrame goes unreachable —
     // localCheckpoint blocks are GC-tracked, unlike CacheManager
     // entries
-    labels
+    (labels, rounds)
+  }
+
+  /** Large-star/small-star connected components (the alternation from
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same (doc_id, label=component min) fixpoint as
+    * `connectedComponents`, different iteration structure: instead of
+    * per-node label state, each round REWRITES THE EDGE SET.
+    *   large-star: every node u hooks its LARGER neighbors onto
+    *     m(u) = min(N(u) ∪ {u});
+    *   small-star: every node u hooks its smaller-or-self closure
+    *     onto its smallest neighbor.
+    * Both steps strictly shrink the potential Σ edge-path lengths and
+    * preserve connectivity, so the fixpoint is star graphs rooted at
+    * component minima. Worst-case rounds are O(log² n) but on
+    * adversarial long-chain graphs it converges in FEWER passes than
+    * label propagation + doubling (asserted in CCStarSpec) because an
+    * edge rewrite moves BOTH endpoints, not one label.
+    *
+    * Scale shape per round: two groupBy-min passes + equi joins on
+    * the CURRENT edge set (which only shrinks toward one edge per
+    * non-root node); no collect beyond the per-round convergence
+    * scalar; localCheckpoint keeps lineage flat. Hot hubs (a root
+    * with millions of members) stay ONE row per member edge — never
+    * a group-expand.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    ccStar(pairs)._1
+
+  private[operators] def ccStar(pairs: DataFrame): (DataFrame, Int) = {
+    val p = pairs.toDF("doc_a", "doc_b")
+    val nodes = p.select(col("doc_a").as("n"))
+      .unionByName(p.select(col("doc_b").as("n")))
+      .distinct()
+      .localCheckpoint()
+    // normalized invariant: every edge stored as (u, v) with u > v
+    var e = p.filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var eCount = e.count()
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      rounds += 1
+      // large-star over the symmetric neighborhood
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      // small-star over the strictly-smaller neighborhoods (input is
+      // already (u > v) normalized, so no symmetrization needed)
+      val sMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(sMins, "u")
+        .select(col("v").as("x"), col("m"))
+        .filter(col("x") =!= col("m"))
+        .unionByName(sMins.select(col("u").as("x"), col("m")))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      val nextCount = small.count()
+      stable = nextCount == eCount && small.except(e).isEmpty
+      large.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      e = small
+      eCount = nextCount
+    }
+    // fixpoint edges are (member, component-min); roots label themselves
+    val labels = e.select(col("u").as("doc_id"), col("v").as("label"))
+      .unionByName(nodes
+        .join(e.select(col("u")), nodes("n") === e("u"), "left_anti")
+        .select(col("n").as("doc_id"), col("n").as("label")))
+      .localCheckpoint()
+    nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    (labels, rounds)
   }
 
   /** Benchmark decontamination: find training documents that share

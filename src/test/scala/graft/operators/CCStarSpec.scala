@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Large-star/small-star vs label propagation connected components:
+  * identical fixpoints on every graph shape, and on the adversarial
+  * 100-node chain the star alternation converges in O(log n) rounds
+  * where PLAIN one-hop propagation needs O(diameter) — the failure
+  * mode both production variants (star, and propagation WITH pointer
+  * doubling) are built to avoid, pinned here as executable numbers.
+  */
+class CCStarSpec extends SparkSpec {
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("100-node chain: same fixpoint; star is log-round like " +
+    "doubling, and far below the plain-propagation diameter bound") {
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (plain, plainRounds) =
+      Dedup.ccPropagation(chain, shortcut = false)
+    val (prop, propRounds) = Dedup.ccPropagation(chain)
+    val (star, starRounds) = Dedup.ccStar(chain)
+    val want = (0L until 100L).map(_ -> 0L).toMap
+    assert(labelsOf(plain) == want)
+    assert(labelsOf(prop) == want)
+    assert(labelsOf(star) == want)
+    // one hop per round without doubling: the whole 99-edge diameter
+    assert(plainRounds >= 99, s"plain=$plainRounds")
+    // both production variants are exponentially faster; they track
+    // each other within a round on every measured chain length
+    assert(starRounds <= 8, s"star=$starRounds")
+    assert(propRounds <= 8, s"propagation=$propRounds")
+    assert(starRounds < plainRounds / 10,
+      s"star=$starRounds plain=$plainRounds")
+  }
+
+  test("mixed shapes (star hubs, triangles, isolated pairs): " +
+    "identical components from both variants") {
+    val s = spark
+    import s.implicits._
+    val edges = (
+      // hub 10 with spokes 11..30
+      (11L to 30L).map(v => (10L, v)) ++
+      // triangle with a redundant edge
+      Seq((50L, 51L), (51L, 52L), (50L, 52L), (52L, 50L)) ++
+      // isolated pair + a self-loop that must not create a component
+      Seq((70L, 71L), (80L, 80L)) ++
+      // chain fragment merging into the hub via one bridge
+      Seq((31L, 32L), (32L, 33L), (33L, 10L))
+    ).toDF("doc_a", "doc_b")
+    val prop = labelsOf(Dedup.connectedComponents(edges))
+    val star = labelsOf(Dedup.connectedComponentsStar(edges))
+    assert(prop == star, s"prop=$prop star=$star")
+    // spot semantics: the hub+chain component labels to 10
+    assert(star(33L) == 10L && star(11L) == 10L)
+    assert(star(70L) == 70L && star(71L) == 70L)
+  }
+}
