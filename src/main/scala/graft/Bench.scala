@@ -27,10 +27,16 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    var pooled = Set.empty[String] // queries whose runs read CachePool
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        CachePool.drainTouched()
         val a = timeOnce(fn, name)
         val b = if (a >= 0) timeOnce(fn, name) else a
+        // a query that touched pooled intermediates reports a timing
+        // that may exclude the pool's one-time build cost — tag it so
+        // the artifact can't be read as end-to-end compute cost
+        if (CachePool.drainTouched().nonEmpty) pooled += name
         name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
     def fmt(v: Double) = // Locale.ROOT: "." decimal point, valid JSON
@@ -46,8 +52,10 @@ object Bench {
     // SHORT parseable JSON with the total plus a fixed headline subset,
     // and the complete per-query map goes to BENCH_FULL.json (committed
     // with the repo, always recoverable).
+    val pooledJson = pooled.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"pooled":$pooledJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the artifact
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -79,8 +87,10 @@ object Bench {
     // capture) trims stdout to the headline subset
     val stdoutQs =
       if (args.isEmpty) sorted.filter(p => headline(p._1)) else sorted
+    // npooled only: the full pooled name list lives in BENCH_FULL.json
+    // (the driver's stdout capture is size-bounded)
     val shortLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"queries":${jsonOf(stdoutQs)},"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"npooled":${pooled.size},"queries":${jsonOf(stdoutQs)},"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(shortLine)
     spark.stop()
   }

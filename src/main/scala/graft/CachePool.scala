@@ -49,11 +49,24 @@ object CachePool {
       }
     }
 
+  // tags touched since the last drain — lets the bench harness mark
+  // which queries read pooled intermediates (their best-of-2 timing
+  // reflects a cache hit, not end-to-end compute)
+  private val touched = scala.collection.mutable.LinkedHashSet[String]()
+
+  /** Tags accessed through `cached` since the previous drain. */
+  def drainTouched(): Seq[String] = memo.synchronized {
+    val out = touched.toSeq
+    touched.clear()
+    out
+  }
+
   /** The cached DataFrame for (s, tag), building + `.cache()`-ing it on
     * first use. `build` must be a pure function of (s, tag).
     */
   def cached(s: SparkSession, tag: String)(build: => DataFrame): DataFrame =
     memo.synchronized {
+      touched += tag
       // entries keyed by a stopped session are dead weight (their
       // executor-side cache died with the context, but the entry still
       // pins session + plan objects on the driver until 32 newer tags

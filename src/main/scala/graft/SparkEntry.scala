@@ -884,11 +884,15 @@ object SparkEntry {
         |FROM x JOIN st USING (dim)
         |ORDER BY vec_id, dim""".stripMargin,
     "text_heavy_hitters" ->
-      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM (SELECT unnest(string_split_regex(trim(lower(text)),
-        |        '\s+')) AS token
-        |      FROM documents)
-        |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+        |SELECT token, n, CAST(n * 65 > n_total AS INT) AS guaranteed
+        |FROM cnt, tot ORDER BY n DESC, token LIMIT 10""".stripMargin,
     "st1_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         | CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
@@ -56,6 +57,22 @@ case class VectorProject(vec: Expression, dOutExpr: Expression)
   override def right: Expression = dOutExpr
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  /** Analysis-time guard: getFloat over an array<double>/array<int>
+    * column would silently reinterpret memory — reject anything but
+    * (array<float>, foldable int) BEFORE execution.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, dOutExpr.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) if dOutExpr.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "vector_project output dimension must be a literal")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vector_project expects (array<float>, int literal), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
   override def nullSafeEval(v: Any, d: Any): Any =
     VectorProject.eval(v.asInstanceOf[ArrayData], d.asInstanceOf[Int])
 
@@ -105,6 +122,18 @@ case class VectorArgminL2(vec: Expression, cents: Expression,
   override def second: Expression = cents
   override def third: Expression = ids
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  /** Same memory-reinterpretation guard as VectorProject: all three
+    * inputs must really be array<double>.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(vec, cents, ids).map(_.dataType) match {
+      case Seq(ArrayType(DoubleType, _), ArrayType(DoubleType, _),
+          ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case ts => TypeCheckResult.TypeCheckFailure(
+        s"vector_argmin_l2 expects 3x array<double>, got " +
+          ts.map(_.simpleString).mkString("(", ", ", ")"))
+    }
 
   override def nullSafeEval(v: Any, c: Any, i: Any): Any =
     VectorArgminL2.eval(v.asInstanceOf[ArrayData],
@@ -316,6 +345,16 @@ case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  /** Same memory-reinterpretation guard as VectorProject. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vector_dot expects (array<float>, array<float>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

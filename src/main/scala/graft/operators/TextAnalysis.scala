@@ -773,17 +773,31 @@ object TextAnalysis {
     * The same shape at 100 TB: sketch fan-in is m counters per task —
     * constant — while vocab's full groupBy shuffles every distinct
     * token.
+    *
+    * Each row carries its soundness verdict instead of leaving the
+    * guarantee in prose: `guaranteed = 1` iff the row's EXACT count
+    * clears the nomination bar (n > N/(m+1), N from the same sketch
+    * pass). If the k-th row shows 1 the whole top-k is provably the
+    * true top-k; a 0 marks a row that is only a candidate — callers
+    * gate on it rather than discovering the miss in downstream data.
     */
   def heavyHitters(s: SparkSession, dir: String, m: Int = 64,
       k: Int = 10): DataFrame = {
     val mg = udaf(new graft.functions.MisraGries(m), Encoders.STRING)
     val toks = Tables.fanOut(Tables.documents(s, dir))
       .select(explode(tokens(col("text"))).as("token"))
-    val cand = toks.agg(mg(col("token")).as("summary"))
-      .select(explode(map_keys(col("summary"))).as("token"))
+    // one corpus pass nominates candidates AND measures N; checkpointed
+    // because both the candidate join and the verdict read it (1 row)
+    val sk = toks.agg(mg(col("token")).as("summary"),
+      count(lit(1)).as("n_total"))
+      .localCheckpoint()
+    val cand = sk.select(explode(map_keys(col("summary"))).as("token"))
     toks.join(broadcast(cand), "token")
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sk.select(col("n_total"))))
+      .select(col("token"), col("n"),
+        (col("n") * (m + 1) > col("n_total")).cast("int").as("guaranteed"))
       .orderBy(desc("n"), asc("token"))
       .limit(k)
   }

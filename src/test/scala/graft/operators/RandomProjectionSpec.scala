@@ -41,6 +41,37 @@ class RandomProjectionSpec extends SparkSpec {
       "too many badly-distorted pairs")
   }
 
+  test("vector kernels reject wrong element types at ANALYSIS time " +
+    "(no silent memory reinterpretation)") {
+    val s = spark
+    import s.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    val doubles = Seq((1L, Array(1.0, 2.0))).toDF("id", "v")
+    // array<double> into the float kernels: analysis error, not garbage
+    for (bad <- Seq("vector_project(v, 4)", "vector_dot(v, v)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        doubles.selectExpr(bad).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("array<float>") ||
+        e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+    }
+    // non-literal output dim: rejected too
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, Array(1.0f))).toDF("id", "v")
+        .selectExpr("vector_project(v, cast(id as int))").collect()
+    }
+    assert(e2.getMessage.contains("literal") ||
+      e2.getMessage.contains("DATATYPE_MISMATCH"), e2.getMessage)
+    // and array<float> into the double kernel
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1.0f), Array(1.0), Array(0.0)))
+        .toDF("v", "c", "i")
+        .selectExpr("vector_argmin_l2(v, c, i)").collect()
+    }
+    assert(e3.getMessage.contains("array<double>") ||
+      e3.getMessage.contains("DATATYPE_MISMATCH"), e3.getMessage)
+  }
+
   test("randomProjection: implicit sign matrix is balanced per row") {
     // re-derive the sign bits the operator computes and check each
     // output dimension mixes roughly half +1 / half -1 over 64 inputs
