@@ -174,7 +174,7 @@ object StreamingAnalogs {
     hfs.delete(path, true)
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 500)
+      .option("rowsPerTrigger", 1000) // 5 capped microbatches per drain
       .option("partitionsPerBatch", 4)
       .load()
     val agg = feed.withWatermark("ts", "2 days")

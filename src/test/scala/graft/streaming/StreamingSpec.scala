@@ -200,13 +200,13 @@ class StreamingSpec extends SparkSpec {
     // first three days are full (1440 min), the fourth partial
     assert(out.take(3).forall(_.getLong(1) == 1440L), out.mkString("\n"))
     // the drain really went through admission control: 5000 rows at
-    // 500/trigger = 10 data microbatches in the checkpoint log (plus
+    // 1000/trigger = 5 data microbatches in the checkpoint log (plus
     // possibly one trailing empty batch advancing the watermark)
     val base = s"/tmp/graft_streams/${new java.io.File(sfDir).getName}" +
       "/feed_daily/ckpt/commits"
     val commits = new java.io.File(base).listFiles()
       .count(f => f.getName.forall(_.isDigit))
-    assert(commits >= 10 && commits <= 11, s"$commits commits")
+    assert(commits >= 5 && commits <= 6, s"$commits commits")
   }
 
   test("purchaseAttribution: stream-stream join matches the 10-min window") {
