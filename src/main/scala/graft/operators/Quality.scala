@@ -129,9 +129,17 @@ object Quality {
   private[operators] def auditEdges(edges: Seq[FkEdge]): DataFrame =
     edges.map { e =>
       val p = e.parent.select(col(e.pkey).as("k")).distinct()
-      e.child.select(col(e.key).as("k")).filter(col("k").isNotNull)
+      // pre-aggregate child keys BEFORE the anti join: the map-side
+      // combine collapses repeated FKs (lineitem carries ~4 rows per
+      // order), so the anti join shuffles one row per DISTINCT key and
+      // the orphan ROW count re-enters as a summed weight — same
+      // result, fact-table shuffle shrunk by the key multiplicity
+      val keyed = e.child.select(col(e.key).as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      keyed
         .join(if (e.smallParent) broadcast(p) else p, Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_orphans"))
         .select(lit(e.name).as("fk_edge"), col("n_orphans"))
     }.reduce(_ unionByName _)
       .orderBy("fk_edge")

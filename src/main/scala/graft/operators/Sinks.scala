@@ -156,9 +156,13 @@ object Sinks {
     */
   def upsertByDate(s: SparkSession, dir: String): DataFrame = {
     val out = s"${root(dir)}/daily_counts"
+    // checkpointed: the one-day upsert below re-reads the aggregate —
+    // without it the day filter re-runs the FULL events scan + shuffle
+    // (the aggregate is |days| rows; the scan it saves is the table)
     val daily = Tables.events(s, dir)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
     daily.write.mode("overwrite").partitionBy("day").parquet(out)
     // recompute + upsert just one day's partition (same values here,
     // so the result must stay identical to the full computation).

@@ -37,6 +37,40 @@ class CCStarSpec extends SparkSpec {
       s"star=$starRounds plain=$plainRounds")
   }
 
+  test("randomized graphs: both variants equal a sequential " +
+    "union-find ground truth (8 seeds)") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(40)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // sequential union-find with min-label resolution
+        val parent = Array.tabulate(n.toInt)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = touched.map { v =>
+          // min-label = min node id in the component restricted to
+          // pair-connected nodes; with union-by-min, find() IS the min
+          v -> find(v.toInt).toLong
+        }.toMap
+        val df = edges.toDF("doc_a", "doc_b")
+        val prop = labelsOf(Dedup.connectedComponents(df))
+        val star = labelsOf(Dedup.connectedComponentsStar(df))
+        assert(prop == want, s"seed=$seed propagation diverged")
+        assert(star == want, s"seed=$seed star diverged")
+      }
+    }
+  }
+
   test("mixed shapes (star hubs, triangles, isolated pairs): " +
     "identical components from both variants") {
     val s = spark
