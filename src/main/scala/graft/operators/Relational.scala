@@ -158,8 +158,10 @@ object Relational {
         col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       // local supplier: join key includes the nation, so non-local
-      // pairs never materialize
-      .join(broadcast(Tables.supplier(s, dir)),
+      // pairs never materialize. No forced hint — supplier GROWS with
+      // the data (SF x 10k rows); the planner sizes the scan and
+      // broadcasts while it fits, shuffles beyond
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
@@ -176,8 +178,10 @@ object Relational {
     */
   def promoRevenue(s: SparkSession, dir: String): DataFrame = {
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    // part grows with the data (SF x 200k rows) — planner-sized, no
+    // forced hint; auto-broadcast picks BHJ while the dim fits
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)),
+      .join(Tables.part(s, dir),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(

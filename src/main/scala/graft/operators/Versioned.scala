@@ -51,19 +51,41 @@ object Versioned {
 
   /** Write `df` as the table's next version and publish it. Returns
     * the committed version number.
+    *
+    * Race safety: each attempt writes to a UNIQUE data directory
+    * (version + attempt nonce) and the manifest records that path —
+    * two writers racing to the same version number can never clobber
+    * each other's files; exactly one manifest create succeeds, the
+    * loser's orphan directory is deleted on the failure path (and is
+    * invisible regardless, since readers resolve paths only through
+    * manifests).
     */
   def commit(df: DataFrame, table: String): Int = {
     val s = df.sparkSession
     val v = versions(s, table).lastOption.getOrElse(0) + 1
-    df.write.mode("overwrite").parquet(s"$table/data/v=$v")
+    val dataDir = s"data/v=$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$table/$dataDir")
     val fs = hfs(s, table)
-    // create-no-overwrite: the marker's creation IS the commit; a
-    // racing writer of the same version fails here instead of
-    // silently double-publishing
-    val out = fs.create(new Path(s"$table/_manifest/$v"), false)
-    try out.writeBytes(s"""{"version":$v,"path":"data/v=$v"}""")
-    finally out.close()
+    try {
+      // create-no-overwrite: the marker's creation IS the commit
+      val out = fs.create(new Path(s"$table/_manifest/$v"), false)
+      try out.writeBytes(s"""{"version":$v,"path":"$dataDir"}""")
+      finally out.close()
+    } catch { case e: Throwable =>
+      fs.delete(new Path(s"$table/$dataDir"), true)
+      throw e
+    }
     v
+  }
+
+  private def pathOf(s: SparkSession, table: String, v: Int): String = {
+    val in = hfs(s, table).open(new Path(s"$table/_manifest/$v"))
+    val body = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+    """"path":"([^"]+)"""".r.findFirstMatchIn(body)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"malformed manifest $v at $table: $body"))
   }
 
   /** Read the table at `asOf` (must be committed), or latest. */
@@ -73,19 +95,20 @@ object Versioned {
     require(vs.nonEmpty, s"no committed versions at $table")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not committed (have $vs)")
-    s.read.parquet(s"$table/data/v=$v")
+    s.read.parquet(s"$table/${pathOf(s, table, v)}")
   }
 
-  /** Drop all but the newest `keep` versions: retract the manifest
-    * FIRST (readers stop resolving the version), then delete data.
-    * Returns the vacuumed version numbers.
+  /** Drop all but the newest `keep` versions: resolve the data path,
+    * retract the manifest FIRST (readers stop resolving the version),
+    * then delete data. Returns the vacuumed version numbers.
     */
   def vacuum(s: SparkSession, table: String, keep: Int): Seq[Int] = {
     val doomed = versions(s, table).dropRight(math.max(1, keep))
     val fs = hfs(s, table)
     doomed.foreach { v =>
+      val p = pathOf(s, table, v)
       fs.delete(new Path(s"$table/_manifest/$v"), false)
-      fs.delete(new Path(s"$table/data/v=$v"), true)
+      fs.delete(new Path(s"$table/$p"), true)
     }
     doomed
   }

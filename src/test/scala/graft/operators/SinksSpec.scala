@@ -50,7 +50,20 @@ class SinksSpec extends SparkSpec {
         Versioned.read(s, t, Some(1))
       }
       // vacuumed data directories are really gone
-      assert(!new java.io.File(s"$t/data/v=1").exists())
+      val dataDirs = new java.io.File(s"$t/data").listFiles().map(_.getName)
+      assert(!dataDirs.exists(_.startsWith("v=1-")), dataDirs.mkString(","))
+      assert(!dataDirs.exists(_.startsWith("v=2-")), dataDirs.mkString(","))
+      // a failed publish leaves no orphan data: make the manifest
+      // create fail (manifest path occupied by a plain file) and watch
+      // commit throw AND delete its unique attempt directory
+      val t2 = s"${t}_failpub"
+      val mf = new org.apache.hadoop.fs.Path(s"$t2/_manifest")
+      val fs2 = mf.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val o = fs2.create(mf, false); o.writeBytes("not a dir"); o.close()
+      intercept[Throwable] { Versioned.commit(Seq(1).toDF("x"), t2) }
+      val orphan = new java.io.File(s"$t2/data")
+      assert(!orphan.exists() || orphan.listFiles().isEmpty)
+      fs2.delete(new org.apache.hadoop.fs.Path(t2), true)
     } finally {
       val p = new org.apache.hadoop.fs.Path(t)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
