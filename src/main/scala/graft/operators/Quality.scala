@@ -52,11 +52,13 @@ object Quality {
     val rowResults = rowAgg.select(col("n_checked"),
       expr(s"stack(${rowRules.size}, $stackArgs) AS (rule, n_violations)"))
       .select(col("rule"), col("n_checked"), col("n_violations"))
-    // referential rule: orphaned o_custkey — broadcast LEFT join so
-    // checked and violation counts come out of the same single pass
-    // (an anti join would lose the denominator)
+    // referential rule: orphaned o_custkey — LEFT join so checked and
+    // violation counts come out of the same single pass (an anti join
+    // would lose the denominator). No forced hint: the customer key
+    // set grows with the data; the planner broadcasts while the scan
+    // fits the threshold and shuffles beyond
     val fk = orders.select(col("o_custkey"))
-      .join(broadcast(customer.select(col("c_custkey"))),
+      .join(customer.select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left")
       .agg(count(lit(1)).as("n_checked"),
         count(when(col("c_custkey").isNull, 1)).as("n_violations"))
