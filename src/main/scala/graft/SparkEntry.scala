@@ -112,6 +112,7 @@ object SparkEntry {
     "sink_ctas_promote" -> (Sinks.ctasPromote _),
     "sink_upsert_by_date" -> (Sinks.upsertByDate _),
     "sink_time_travel" -> (Versioned.timeTravel _),
+    "sink_versioned_merge" -> (Versioned.versionedMerge _),
     "sink_compact" -> (Sinks.compact _),
     "sink_schema_evolution" -> (Sinks.schemaEvolution _),
     "sink_zorder" -> (Sinks.zorderCluster _),
@@ -383,6 +384,32 @@ object SparkEntry {
       |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
       |FROM lab l JOIN cs ON l.cluster_id = cs.cluster_id
       |ORDER BY l.doc_id""".stripMargin
+
+  /** Shared by p_merge_cdc and sink_versioned_merge: the versioned
+    * MERGE applies the identical I/U/D batch (Pipelines.cdcChanges),
+    * so one full-outer replay oracles both.
+    */
+  private val mergeCdcOracle: String =
+    """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey, 'U' AS op, 'R' AS c_status,
+      |      o_totalprice + CAST(1000.0 AS DOUBLE) AS c_total
+      |    FROM snap WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', CAST(NULL AS VARCHAR),
+      |      CAST(NULL AS DOUBLE)
+      |    FROM snap WHERE o_orderkey % 11 = 0
+      |  UNION ALL
+      |  SELECT -(o_orderkey + 1), 'I', 'N', CAST(50000.0 AS DOUBLE)
+      |    FROM snap WHERE o_orderkey % 13 = 0)
+      |SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |  COALESCE(c.c_status, s.o_orderstatus) AS o_orderstatus,
+      |  COALESCE(c.c_total, s.o_totalprice) AS o_totalprice
+      |FROM snap s FULL OUTER JOIN changes c
+      |  ON s.o_orderkey = c.o_orderkey
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "text_bpe_train" -> bpeOracle(8),
@@ -808,27 +835,10 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
-    "p_merge_cdc" ->
-      """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice
-        |  FROM orders),
-        |changes AS (
-        |  SELECT o_orderkey, 'U' AS op, 'R' AS c_status,
-        |      o_totalprice + CAST(1000.0 AS DOUBLE) AS c_total
-        |    FROM snap WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
-        |  UNION ALL
-        |  SELECT o_orderkey, 'D', CAST(NULL AS VARCHAR),
-        |      CAST(NULL AS DOUBLE)
-        |    FROM snap WHERE o_orderkey % 11 = 0
-        |  UNION ALL
-        |  SELECT -(o_orderkey + 1), 'I', 'N', CAST(50000.0 AS DOUBLE)
-        |    FROM snap WHERE o_orderkey % 13 = 0)
-        |SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
-        |  COALESCE(c.c_status, s.o_orderstatus) AS o_orderstatus,
-        |  COALESCE(c.c_total, s.o_totalprice) AS o_totalprice
-        |FROM snap s FULL OUTER JOIN changes c
-        |  ON s.o_orderkey = c.o_orderkey
-        |WHERE c.op IS NULL OR c.op <> 'D'
-        |ORDER BY o_orderkey""".stripMargin,
+    "p_merge_cdc" -> mergeCdcOracle,
+    // the versioned-table MERGE applies the same change batch, so the
+    // same oracle checks the write -> publish -> read round trip
+    "sink_versioned_merge" -> mergeCdcOracle,
     "st_gap_fill" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -214,6 +214,20 @@ object Pipelines {
   def mergeCdc(s: SparkSession, dir: String): DataFrame = {
     val snap = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val changes = cdcChanges(snap)
+    snap.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("o_orderkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("c_total"), col("o_totalprice")).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The deterministic keyed I/U/D change batch mergeCdc applies —
+    * shared with Versioned.versionedMerge so the MERGE-into-versioned
+    * query provably applies the SAME changes (and reuses the oracle).
+    */
+  private[operators] def cdcChanges(snap: DataFrame): DataFrame = {
     val updates = snap
       .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
       .select(col("o_orderkey"), lit("U").as("op"),
@@ -227,13 +241,7 @@ object Pipelines {
       .select((-(col("o_orderkey") + 1)).as("o_orderkey"),
         lit("I").as("op"), lit("N").as("c_status"),
         lit(50000.0).as("c_total"))
-    val changes = updates.unionByName(deletes).unionByName(inserts)
-    snap.join(changes, Seq("o_orderkey"), "full_outer")
-      .filter(col("op").isNull || col("op") =!= "D")
-      .select(col("o_orderkey"),
-        coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
-        coalesce(col("c_total"), col("o_totalprice")).as("o_totalprice"))
-      .orderBy("o_orderkey")
+    updates.unionByName(deletes).unionByName(inserts)
   }
 
   /** Entity-resolution composite: fuzzy-match pairs (blocked

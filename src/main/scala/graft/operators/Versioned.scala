@@ -113,6 +113,29 @@ object Versioned {
     doomed
   }
 
+  /** MERGE INTO the versioned table: read the LATEST snapshot, apply
+    * a keyed I/U/D change batch in one full-outer join (the MERGE
+    * execution shape after pruning — see Pipelines.mergeCdc), and
+    * commit the result as a NEW version. This is the ACID upsert
+    * story the reference's rewrite-in-place can't give: readers
+    * pinned to version N are untouched, N+1 appears atomically at
+    * manifest publish, a failed merge leaves nothing referenced.
+    *
+    * `changes` convention: the merge key column, an `op` column
+    * (I/U/D), and one `c_<col>` column per target data column
+    * (null = keep current value).
+    */
+  def mergeInto(s: SparkSession, table: String, changes: DataFrame,
+      key: String): Int = {
+    val cur = read(s, table)
+    val dataCols = cur.columns.filterNot(_ == key)
+    val merged = cur.join(changes, Seq(key), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col(key) +: dataCols.map(c =>
+        coalesce(col(s"c_$c"), col(c)).as(c)): _*)
+    commit(merged, table)
+  }
+
   /** Driver-checked query: two commits of the orders snapshot (v1 =
     * pre-1996 history, v2 = full), then one read AS-OF v1 and one of
     * the latest — proving the older version stays byte-stable after a
@@ -120,6 +143,27 @@ object Versioned {
     * Output: one aggregate row per version, oracle-replayable from
     * the base table because each version is a pure filter of it.
     */
+  /** Driver-checked MERGE query: commit the orders snapshot as v1,
+    * mergeInto the SAME I/U/D batch as p_merge_cdc (shared builder) →
+    * v2, read v2 back. Result must equal the plain full-outer merge —
+    * proving the versioned write→publish→read round trip preserves
+    * MERGE semantics — while v1 stays readable underneath (the spec
+    * layer covers isolation; the shared oracle covers values).
+    */
+  def versionedMerge(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_sinks/${new File(dir).getName}/versioned_merge"
+    hfs(s, table).delete(new Path(table), true) // fresh run, idempotent
+    val snap = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    commit(snap, table)
+    val changes = Pipelines.cdcChanges(snap)
+      .select(col("o_orderkey"), col("op"),
+        col("c_status").as("c_o_orderstatus"),
+        col("c_total").as("c_o_totalprice"))
+    mergeInto(s, table, changes, "o_orderkey")
+    read(s, table).orderBy("o_orderkey")
+  }
+
   def timeTravel(s: SparkSession, dir: String): DataFrame = {
     val table = s"/tmp/graft_sinks/${new File(dir).getName}/versioned_orders"
     hfs(s, table).delete(new Path(table), true) // fresh run, idempotent

@@ -70,6 +70,23 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("versionedMerge: MERGE lands as version 2, version 1 snapshot " +
+    "is untouched underneath") {
+    val merged = Versioned.versionedMerge(spark, sfDir)
+    val nMerged = merged.count()
+    val table = s"/tmp/graft_sinks/${new java.io.File(sfDir).getName}" +
+      "/versioned_merge"
+    assert(Versioned.versions(spark, table) == Seq(1, 2))
+    val base = graft.Tables.orders(spark, sfDir)
+    val nBase = base.count()
+    // v1 is byte-stable: same rows as the raw snapshot
+    assert(Versioned.read(spark, table, Some(1)).count() == nBase)
+    // v2 reflects the batch: deletes removed, inserts added
+    val nDel = base.filter(col("o_orderkey") % 11 === 0).count()
+    val nIns = base.filter(col("o_orderkey") % 13 === 0).count()
+    assert(nMerged == nBase - nDel + nIns, s"$nMerged vs $nBase-$nDel+$nIns")
+  }
+
   test("jsonArchive layout: a day filter prunes to ONE partition " +
     "directory (PartitionFilters, not a full scan)") {
     Sinks.jsonArchive(spark, sfDir).collect() // materialize the archive
