@@ -28,6 +28,7 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     var pooled = Set.empty[String] // queries whose runs read CachePool
+    var cold = Map.empty[String, Double] // first-run (cold-path) times
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         CachePool.drainTouched()
@@ -37,6 +38,7 @@ object Bench {
         // that may exclude the pool's one-time build cost — tag it so
         // the artifact can't be read as end-to-end compute cost
         if (CachePool.drainTouched().nonEmpty) pooled += name
+        cold += name -> a
         name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
     def fmt(v: Double) = // Locale.ROOT: "." decimal point, valid JSON
@@ -54,8 +56,11 @@ object Bench {
     // with the repo, always recoverable).
     val pooledJson = pooled.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // "queries" = best-of-2 (the headline); "cold" = each query's
+    // FIRST run in suite order — for pooled queries that's the number
+    // that includes shared-intermediate builds
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"pooled":$pooledJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"pooled":$pooledJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the artifact
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
+import graft.operators.Versioned
 import StreamingAnalogs.Event
 
 class StreamingSpec extends SparkSpec {
@@ -207,6 +208,48 @@ class StreamingSpec extends SparkSpec {
     val commits = new java.io.File(base).listFiles()
       .count(f => f.getName.forall(_.isDigit))
     assert(commits >= 5 && commits <= 6, s"$commits commits")
+  }
+
+  test("streaming CDC apply: each microbatch MERGEs into the " +
+    "versioned table; time travel reads any batch boundary") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val table = s"/tmp/graft_sinks/spec_stream_ver_${System.nanoTime()}"
+    try {
+      // bootstrap version 1: the empty snapshot
+      Versioned.commit(
+        Seq.empty[(Long, Long)].toDF("user_id", "n_events"), table)
+      val input = MemoryStream[Event]
+      val q = input.toDF()
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            // update-mode rows are upserts; the versioned MERGE makes
+            // each microbatch an atomic, time-travelable version
+            Versioned.mergeInto(s, table, b.select(col("user_id"),
+              lit("U").as("op"), col("n_events").as("c_n_events")),
+              "user_id"): Unit
+        }
+        .start()
+      try {
+        input.addData(batch1) // users 1, 2, 1
+        q.processAllAvailable()
+        input.addData(batch2) // users 3, 1
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(graft.operators.Versioned.versions(s, table) == Seq(1, 2, 3))
+      def at(v: Int) = Versioned.read(s, table, Some(v))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(at(1) == Map.empty)
+      assert(at(2) == Map(1L -> 2L, 2L -> 1L))
+      assert(at(3) == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   test("purchaseAttribution: stream-stream join matches the 10-min window") {
