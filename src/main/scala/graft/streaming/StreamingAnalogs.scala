@@ -184,19 +184,32 @@ object StreamingAnalogs {
         sum(when(col("kind") === "credit", 1L).otherwise(0L)).as("n_credit"))
       .select(col("w.start").as("day_start"), col("n_events"),
         col("total_amount"), col("n_credit"))
-    agg.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.withColumn("day", date_format(col("day_start"), "yyyy-MM-dd"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("day")
-          .parquet(s"$base/table")
-      }
-      .start()
-      .awaitTermination()
+    // the state-partition count is pinned into the checkpoint at first
+    // run, and per-batch overhead (state-store files + commit log) is
+    // proportional to it — a day-grain aggregate holds a handful of
+    // groups, so 32 partitions would be pure fixed cost per microbatch.
+    // Size state to the KEY CARDINALITY, not the core count (on a real
+    // cluster a high-cardinality streaming agg would set this high
+    // instead). Restored after start: conf is read at query planning.
+    // (restored only after the drain: start() is async and the first
+    // batch snapshots the conf into the checkpoint's offset metadata)
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.withColumn("day", date_format(col("day_start"), "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(s"$base/table")
+        }
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.read.parquet(s"$base/table")
       .select(col("day_start"), col("n_events"), col("total_amount"),
         col("n_credit"))
