@@ -154,6 +154,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_cosine" -> (Similarity.cosineNearDup _),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
+    "graph_triangles" -> (Graph.triangleCount _),
     "dedup_clusters_star" -> (Dedup.nearDupClustersStar _),
     "text_decontaminate" -> (Dedup.decontaminate _),
     "dedup_incremental" -> (Dedup.incremental _),
@@ -213,6 +214,7 @@ object SparkEntry {
       "dedup_clusters_star" + // same fixpoint via star alternation
       "p_entity_resolution" + // composes the CC fixpoint on fuzzy pairs
       "graph_pagerank" + // builder runs the rank-iteration jobs
+      "graph_triangles" + // builder checkpoints the oriented edge set
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
       "p_diverse_subset" + // composes sim_kmeans (Lloyd jobs)
       "dedup_semantic" +   // composes sim_kmeans (Lloyd jobs)
@@ -415,6 +417,24 @@ object SparkEntry {
     "text_bpe_train" -> bpeOracle(8),
     "text_bpe_apply" -> bpeApplyOracle(8),
     "graph_pagerank" -> pagerankOracle(3),
+    "graph_triangles" ->
+      // naive a<b<c replay; the engine's degree-ordered orientation
+      // must count the identical triangle set
+      """WITH pp AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |      COUNT(*) AS sup
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY 1, 2) WHERE sup >= 2),
+        |nodes AS (SELECT a AS v FROM pp UNION SELECT b FROM pp)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM pp e1
+        |        JOIN pp e2 ON e2.a = e1.b
+        |        JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+        |    AS n_triangles,
+        |  CAST((SELECT COUNT(*) FROM pp) AS BIGINT) AS n_edges,
+        |  CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes""".stripMargin,
     "p_snapshot" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | o_orderdate, o_orderpriority,

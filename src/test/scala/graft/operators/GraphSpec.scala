@@ -46,4 +46,33 @@ class GraphSpec extends SparkSpec {
       assert(v == rank(k), s"node $k: distributed $v vs sequential ${rank(k)}")
     }
   }
+
+  test("triangleCount: degree-ordered orientation equals the naive " +
+    "id-ordered 3-join, and a hand-built graph counts exactly") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // production path vs a naive recount on the DENSE (minSupport=1)
+    // graph — thousands of triangles at the spec sf, so orientation
+    // bugs can't hide in a sparse fixture
+    val e = Graph.coPurchaseEdges(s, sfDir, minSupport = 1).cache()
+    val row = Graph.triangleCountEdges(e).head
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") &&
+        col("e3.b") === col("e2.b"))
+      .count()
+    assert(naive > 0, "fixture too sparse to prove anything")
+    assert(row.getLong(0) == naive, s"${row.getLong(0)} vs $naive")
+    assert(row.getLong(1) == e.count())
+    e.unpersist()
+    // exact count on a known graph through the PRODUCTION path: K4
+    // holds C(4,3)=4 triangles; the pendant edge closes nothing
+    val k4 = (for {
+      i <- 0 to 3; j <- 0 to 3 if i < j
+    } yield (i.toLong, j.toLong)) :+ (3L, 9L)
+    val tiny = Graph.triangleCountEdges(k4.toDF("a", "b")).head
+    assert(tiny.getLong(0) == 4L, tiny.toString)
+    assert(tiny.getLong(1) == 7L && tiny.getLong(2) == 5L, tiny.toString)
+  }
 }
