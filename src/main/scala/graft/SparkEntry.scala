@@ -137,6 +137,7 @@ object SparkEntry {
     // semi-structured JSON layer (S4-S6, X3/X6)
     "ss_json_flatten" -> (SemiStructured.jsonFlatten _),
     "ss_props_extract" -> (SemiStructured.propsExtract _),
+    "ss_variant_path" -> (SemiStructured.variantPath _),
     "ss_struct_traversal" -> (SemiStructured.structTraversal _),
     "ss_gmb_roundtrip" -> (SemiStructured.gmbPerformanceRoundTrip _),
     "ss_gmb_media" -> (SemiStructured.gmbMediaRoundTrip _),
@@ -1475,6 +1476,16 @@ object SparkEntry {
       """SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
         | 'Not_Found' AS uri
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "ss_variant_path" ->
+      // the variant round trip is the thing under test, so the oracle
+      // replays straight from the flat columns; the absent path must
+      // contribute nothing (n_missing_present = 0)
+      """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_balance,
+        | CAST(0 AS BIGINT) AS n_missing_present,
+        | CAST(MIN(c_custkey) AS BIGINT) AS min_id
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper_doc_id,
         | CAST(COUNT(*) AS BIGINT) AS n_copies,

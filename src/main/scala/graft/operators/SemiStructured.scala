@@ -365,4 +365,42 @@ object SemiStructured {
         array_join(collect_list(col("item")), ", "), lit("]}")).as("doc"))
     GmbFlattener.flattenServices(bronze).orderBy("id")
   }
+
+  /** Semi-structured access through Spark 4's VARIANT type — the
+    * schema-LESS counterpart to `structTraversal`'s typed from_json:
+    * `parse_json` shreds the document once into the binary variant
+    * encoding, then each `try_variant_get` walks the path at read
+    * time with per-path target types; absent paths yield null instead
+    * of analysis errors (the guarded-dict-access semantics,
+    * `BP:511`, without a declared schema). At scale this is the
+    * ingest shape for heterogeneous JSON: parse once, store VARIANT,
+    * let every consumer extract its own paths — no
+    * lowest-common-denominator schema negotiation. The JSON here is
+    * built from `customer` so the oracle replays directly from the
+    * flat columns (the round trip is the thing under test).
+    */
+  def variantPath(s: SparkSession, dir: String): DataFrame = {
+    val doc = to_json(struct(
+      struct(col("c_name").as("name"),
+        struct(col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("balance")).as("meta")).as("profile"),
+      col("c_custkey").as("id")))
+    Tables.customer(s, dir)
+      .select(parse_json(doc).as("v"))
+      .select(
+        try_variant_get(col("v"), "$.id", "long").as("id"),
+        try_variant_get(col("v"), "$.profile.meta.segment", "string")
+          .as("segment"),
+        try_variant_get(col("v"), "$.profile.meta.balance", "double")
+          .as("balance"),
+        try_variant_get(col("v"), "$.profile.meta.absent", "string")
+          .as("missing"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Scalars.moneySum(col("balance"))
+          .as("total_balance"),
+        count(col("missing")).as("n_missing_present"),
+        min(col("id")).as("min_id"))
+      .orderBy("segment")
+  }
 }
