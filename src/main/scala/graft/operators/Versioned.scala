@@ -98,6 +98,16 @@ object Versioned {
     s.read.parquet(s"$table/${pathOf(s, table, v)}")
   }
 
+  /** Compact the LATEST version into `targetFiles` files, committed
+    * as a NEW version — table-format OPTIMIZE: readers never see a
+    * half-rewritten layout (the rewrite is just another snapshot),
+    * old small-file versions age out through `vacuum`. Returns the
+    * new version number. coalesce (not repartition): compaction must
+    * not pay a shuffle to merge files.
+    */
+  def optimize(s: SparkSession, table: String, targetFiles: Int): Int =
+    commit(read(s, table).coalesce(math.max(1, targetFiles)), table)
+
   /** Drop all but the newest `keep` versions: resolve the data path,
     * retract the manifest FIRST (readers stop resolving the version),
     * then delete data. Returns the vacuumed version numbers.

@@ -5,6 +5,26 @@ import graft.{SparkSpec, Tables}
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("spendStanding: bucketed distributed ranks are BIT-EQUAL to " +
+    "the single-window percent_rank/cume_dist formula") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Analytics.spendStanding(spark, sfDir).cache()
+    // the one-window form is fine IN A TEST at spec scale; production
+    // plans must not contain it (PlanQualitySpec pins that)
+    val w = Window.orderBy(col("total_spend"), col("o_custkey"))
+    val ref = df.select(col("o_custkey"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    df.unpersist()
+    assert(got.size == ref.size && got.nonEmpty)
+    got.foreach { case (k, v) =>
+      assert(v == ref(k), s"cust $k: $v vs ${ref(k)}")
+    }
+  }
+
   test("topCustomers: exactly 10, sorted desc by spend") {
     val rows = Analytics.topCustomers(spark, sfDir).collect()
     assert(rows.length == 10)

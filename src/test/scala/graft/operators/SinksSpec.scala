@@ -53,6 +53,20 @@ class SinksSpec extends SparkSpec {
       val dataDirs = new java.io.File(s"$t/data").listFiles().map(_.getName)
       assert(!dataDirs.exists(_.startsWith("v=1-")), dataDirs.mkString(","))
       assert(!dataDirs.exists(_.startsWith("v=2-")), dataDirs.mkString(","))
+      // OPTIMIZE: compaction is just another commit — same rows,
+      // fewer files, old layout still time-travel readable
+      val scattered = Seq.tabulate(64)(i => (i.toLong, i * 2.0))
+        .toDF("k", "x").repartition(16)
+      Versioned.commit(scattered, t)
+      val vOpt = Versioned.optimize(s, t, targetFiles = 2)
+      val optDir = new java.io.File(s"$t/data").listFiles()
+        .filter(_.getName.startsWith(s"v=$vOpt-")).head
+      val nFiles = optDir.listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nFiles <= 2, s"$nFiles files after optimize")
+      assert(Versioned.read(s, t).count() == 64)
+      assert(Versioned.read(s, t, Some(vOpt - 1)).count() == 64)
+
       // a failed publish leaves no orphan data: make the manifest
       // create fail (manifest path occupied by a plain file) and watch
       // commit throw AND delete its unique attempt directory
