@@ -166,6 +166,7 @@ object SparkEntry {
     "sim_quantize" -> (Similarity.quantize _),
     "sim_centroids" -> (Similarity.labelCentroids _),
     "sim_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
+    "sim_pq" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "p_diverse_subset" -> ((s, d) => Pipelines.diverseSubset(s, d)),
@@ -217,6 +218,7 @@ object SparkEntry {
       "graph_pagerank" + // builder runs the rank-iteration jobs
       "graph_triangles" + // builder checkpoints the oriented edge set
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
+      "sim_pq" +         // builder runs per-subspace Lloyd jobs
       "p_diverse_subset" + // composes sim_kmeans (Lloyd jobs)
       "dedup_semantic" +   // composes sim_kmeans (Lloyd jobs)
       "text_bpe_train" + // builder runs the merge-iteration jobs
@@ -284,6 +286,61 @@ object SparkEntry {
       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
       |      ORDER BY dist, ck) AS rn FROM d2) WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
+
+  /** DuckDB replay of Similarity.pqCodes — one kmeans chain per
+    * subspace (generated like the BPE chain; the SQL repeats per
+    * subspace): slice the vectors, seed codewords from the first k
+    * vectors in vec_id order (code id = seed rank), one scaled-BIGINT
+    * mean update, final argmin assignment with the (dist, code)
+    * tie-break, per-subspace error rounded to 6 then summed
+    * left-to-right — the identical arithmetic the Spark side runs.
+    */
+  private def pqOracle(m: Int, k: Int, subDim: Int): String = {
+    val subs = (0 until m).map { j =>
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      s"""e$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         |c${j}a AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+         |      AS INT) AS ck, v AS cv
+         |  FROM e$j ORDER BY vec_id LIMIT $k),
+         |d${j}a AS (SELECT s.vec_id, s.v, c.ck,
+         |    list_reduce(list_transform(list_zip(s.v, c.cv),
+         |      z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b) AS dist
+         |  FROM e$j s CROSS JOIN c${j}a c),
+         |a${j}a AS (SELECT vec_id, v, ck AS cluster FROM
+         |    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, ck) AS rn FROM d${j}a) WHERE rn = 1),
+         |x$j AS (SELECT cluster, CAST(unnest(range(len(v))) AS INT) AS dim,
+         |    unnest(v) AS x FROM a${j}a),
+         |c${j}b AS (SELECT cluster AS ck, list(mu ORDER BY dim) AS cv FROM
+         |    (SELECT cluster, dim,
+         |       SUM(CAST(round(x*1e6) AS BIGINT)) / (COUNT(*)*1e6) AS mu
+         |     FROM x$j GROUP BY cluster, dim) GROUP BY cluster),
+         |d${j}b AS (SELECT s.vec_id, c.ck,
+         |    list_reduce(list_transform(list_zip(s.v, c.cv),
+         |      z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b) AS dist
+         |  FROM e$j s CROSS JOIN c${j}b c),
+         |a${j}b AS (SELECT vec_id, ck AS code, round(dist, 6) AS err FROM
+         |    (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, ck) AS rn FROM d${j}b) WHERE rn = 1)"""
+        .stripMargin
+    }
+    val codeCols = (0 until m)
+      .map(j => s"a${j}b.code AS code_$j").mkString(", ")
+    val errSum = (0 until m).map(j => s"a${j}b.err")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val joins = (1 until m)
+      .map(j => s"JOIN a${j}b ON a${j}b.vec_id = a0b.vec_id")
+      .mkString("\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${subs.mkString(",\n")}
+       |SELECT a0b.vec_id, $codeCols, $errSum AS recon_err
+       |FROM a0b
+       |$joins
+       |ORDER BY a0b.vec_id""".stripMargin
+  }
 
   /** The shared CTE chain w0..wn / m1..mn of the DuckDB replay of
     * TextAnalysis.bpeTrain — generated because the SQL repeats per
@@ -1789,6 +1846,7 @@ object SparkEntry {
         |      FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "sim_kmeans" -> kmeansOracle,
+    "sim_pq" -> pqOracle(4, 16, 16),
     "p_diverse_subset" ->
       s"""WITH km AS ($kmeansOracle),
         |q AS (SELECT doc_id, source,

@@ -311,6 +311,74 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product quantization (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * vector splits into `m` subvectors and each subspace trains its
+    * OWN k-codeword codebook with the same scaled-integer Lloyd loop
+    * as `kmeans`, so a 64-dim float vector compresses to m small
+    * codes — k^m effective centroids from m·k stored ones. This is
+    * the MEMORY half of the ANN story (LSH/IVF prune candidates; a
+    * production index composes IVF lists with PQ codes): at 100 TB,
+    * m-byte codes keep the index executor-resident where raw floats
+    * spill, and asymmetric search scores a candidate with m table
+    * lookups instead of a dim-wide float loop.
+    *
+    * Determinism mirrors kmeans: per-subspace seeds are the first k
+    * vectors' subvectors (code id = seed order), mean updates go
+    * through the scaled-BIGINT sum, assignment is the codegen
+    * vector_argmin_l2 kernel on row-local slices, per-subspace
+    * reconstruction errors round to 6 before summing left-to-right —
+    * the DuckDB oracle (SparkEntry.pqOracle, generated per subspace
+    * like the BPE chain) replays every step bit-exactly.
+    */
+  def pqCodes(s: SparkSession, dir: String, m: Int = 4, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val emb = graft.CachePool.cached(s, s"sim.embDouble:$dir") {
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    }
+    VectorExpressions.ensureRegistered(s)
+    val seeds = emb.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Double](1))
+    require(seeds.length == k, s"pq: need $k seed vectors")
+    val dim = seeds.head.size
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    def sub(j: Int): Column = slice(col("v"), j * subDim + 1, subDim)
+    def best(j: Int, book: Seq[(Int, Seq[Double])]): Column =
+      call_function("vector_argmin_l2", sub(j),
+        typedlit(book.flatMap(_._2)), typedlit(book.map(_._1.toDouble)))
+    val books: Array[Seq[(Int, Seq[Double])]] = Array.tabulate(m) { j =>
+      seeds.toSeq.zipWithIndex.map { case (v, i) =>
+        i -> v.slice(j * subDim, (j + 1) * subDim) }
+    }
+    for (_ <- 1 until iters; j <- 0 until m) {
+      books(j) = emb
+        .select(element_at(best(j, books(j)), 2).cast("int").as("cluster"),
+          posexplode(sub(j)).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("ss"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          (col("ss") / (col("n") * lit(1e6))).as("mu"))
+        .collect()
+        .groupBy(_.getAs[Int]("cluster"))
+        .map { case (ck, rs) =>
+          ck -> rs.sortBy(_.getAs[Int]("dim"))
+            .map(_.getAs[Double]("mu")).toSeq
+        }
+        .toSeq.sortBy(_._1)
+    }
+    val assigned = (0 until m).map(j => best(j, books(j)))
+    emb.select(
+        col("vec_id") +:
+        assigned.zipWithIndex.map { case (b, j) =>
+          element_at(b, 2).cast("int").as(s"code_$j") } :+
+        assigned.map(b => round(element_at(b, 1), 6))
+          .reduceLeft(_ + _).as("recon_err"): _*)
+      .orderBy("vec_id")
+  }
+
   /** SemDedup (Abbas et al. 2023): semantic near-duplicate pruning
     * scoped to k-means clusters — embeddings are clustered first, and
     * only WITHIN-cluster pairs are ever compared, so the pair space is

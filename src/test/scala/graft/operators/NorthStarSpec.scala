@@ -79,6 +79,25 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("pqCodes: Lloyd update never increases distortion; codes " +
+    "stay in [0, k); compression is real (m codes per vector)") {
+    def meanErr(iters: Int): Double = {
+      val rows = Similarity.pqCodes(spark, sfDir, iters = iters).collect()
+      rows.foreach { r =>
+        (1 to 4).foreach { j =>
+          val c = r.getInt(j)
+          assert(c >= 0 && c < 16, s"code $c out of range")
+        }
+      }
+      rows.map(_.getDouble(5)).sum / rows.length
+    }
+    val e1 = meanErr(1) // seed codebooks only
+    val e2 = meanErr(2) // + one Lloyd update
+    // Lloyd monotonicity (assignment and mean steps each non-increase
+    // total squared error); 1e-6 slack for the scaled-integer means
+    assert(e2 <= e1 + 1e-6, s"distortion rose: $e1 -> $e2")
+  }
+
   test("langId: predictions drawn from the marker-language set") {
     val langs = TextAnalysis.langId(spark, sfDir)
       .select("predicted_lang").distinct()
