@@ -167,6 +167,7 @@ object SparkEntry {
     "sim_centroids" -> (Similarity.labelCentroids _),
     "sim_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "sim_pq" -> ((s, d) => Similarity.pqCodes(s, d)),
+    "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "p_diverse_subset" -> ((s, d) => Pipelines.diverseSubset(s, d)),
@@ -219,6 +220,7 @@ object SparkEntry {
       "graph_triangles" + // builder checkpoints the oriented edge set
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
       "sim_pq" +         // builder runs per-subspace Lloyd jobs
+      "sim_pq_topk" +    // builder trains the PQ books (Lloyd jobs)
       "p_diverse_subset" + // composes sim_kmeans (Lloyd jobs)
       "dedup_semantic" +   // composes sim_kmeans (Lloyd jobs)
       "text_bpe_train" + // builder runs the merge-iteration jobs

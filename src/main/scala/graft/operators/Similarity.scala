@@ -333,6 +333,30 @@ object Similarity {
     */
   def pqCodes(s: SparkSession, dir: String, m: Int = 4, k: Int = 16,
       iters: Int = 2): DataFrame = {
+    val (emb, books, subDim) = pqBooks(s, dir, m, k, iters)
+    def sub(j: Int): Column = slice(col("v"), j * subDim + 1, subDim)
+    val assigned = (0 until m).map { j =>
+      call_function("vector_argmin_l2", sub(j),
+        typedlit(books(j).flatMap(_._2)),
+        typedlit(books(j).map(_._1.toDouble)))
+    }
+    emb.select(
+        col("vec_id") +:
+        assigned.zipWithIndex.map { case (b, j) =>
+          element_at(b, 2).cast("int").as(s"code_$j") } :+
+        assigned.map(b => round(element_at(b, 1), 6))
+          .reduceLeft(_ + _).as("recon_err"): _*)
+      .orderBy("vec_id")
+  }
+
+  /** The trained per-subspace codebooks (+ the pooled double corpus
+    * and subspace width) — split out so pqTopK reuses the training.
+    * Driver holds m·k·subDim doubles: the legal iterative-algorithm
+    * collect shape (kmeans' centroids, BPE's merges).
+    */
+  private def pqBooks(s: SparkSession, dir: String, m: Int, k: Int,
+      iters: Int)
+      : (DataFrame, Array[Seq[(Int, Seq[Double])]], Int) = {
     val emb = graft.CachePool.cached(s, s"sim.embDouble:$dir") {
       Tables.embeddings(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -369,14 +393,88 @@ object Similarity {
         }
         .toSeq.sortBy(_._1)
     }
-    val assigned = (0 until m).map(j => best(j, books(j)))
-    emb.select(
-        col("vec_id") +:
-        assigned.zipWithIndex.map { case (b, j) =>
-          element_at(b, 2).cast("int").as(s"code_$j") } :+
-        assigned.map(b => round(element_at(b, 1), 6))
-          .reduceLeft(_ + _).as("recon_err"): _*)
-      .orderBy("vec_id")
+    (emb, books, subDim)
+  }
+
+  /** PQ asymmetric-distance top-k (the ADC search from the same
+    * paper): the query stays FULL precision, each (subspace, code)
+    * pair's query-to-codeword distance is precomputed into a lookup
+    * table of m·k scalars per probe, and a candidate's approximate
+    * distance is the sum of m lookups on its codes — no float loop
+    * over the original vectors at scoring time. Physical shape: the
+    * LUT (|probes|·m·k rows — bounded by the probe set, like every
+    * probe-side broadcast here) broadcast-joins the unpivoted code
+    * table on (subspace, code), partial-aggregates the m terms per
+    * (query, candidate), and WindowGroupLimit prunes to k per query.
+    * Approximate by construction → no SQL oracle; NorthStarSpec pins
+    * recall against the exact L2 ranking.
+    */
+  def pqTopK(s: SparkSession, dir: String, kNn: Int = 5,
+      nProbes: Int = 8): DataFrame = {
+    // finer grid than sim_pq's storage codec (8×32 vs 4×16): search
+    // wants recall, storage wants bytes — the paper's own split
+    val (emb, books, subDim) = pqBooks(s, dir, 8, 32, 2)
+    val m = books.length
+    def sub(j: Int): Column = slice(col("v"), j * subDim + 1, subDim)
+    val codesLong = emb.select(col("vec_id").as("cand_id"),
+        explode(array((0 until m).map { j =>
+          struct(lit(j).as("sub"),
+            element_at(call_function("vector_argmin_l2", sub(j),
+              typedlit(books(j).flatMap(_._2)),
+              typedlit(books(j).map(_._1.toDouble))), 2)
+              .cast("int").as("code"))
+        }: _*)).as("jc"))
+      .select(col("cand_id"), col("jc.sub"), col("jc.code"))
+    val probeRows = emb.filter(col("vec_id") < nProbes)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val lut = probeRows.toSeq.flatMap { case (qid, qv) =>
+      books.zipWithIndex.flatMap { case (book, j) =>
+        val q = qv.slice(j * subDim, (j + 1) * subDim)
+        book.map { case (code, cw) =>
+          val d = q.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+          (qid, j, code, d)
+        }
+      }
+    }
+    import s.implicits._
+    val lutDf = broadcast(lut.toDF("query_id", "sub", "code", "d"))
+    // scaled-integer sum: order-independent across partitionings (the
+    // engine-wide determinism discipline), so near-tie ranks can't
+    // flip between runs
+    val scored = codesLong
+      .join(lutDf, Seq("sub", "code"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg((sum(round(col("d") * 1e9).cast("long")) / 1e9).as("adc_dist"))
+    // ADC shortlist → EXACT rerank (the production refinement): the
+    // compressed scores only nominate shortFactor·k candidates per
+    // query; the final ranking recomputes TRUE L2 on just those rows
+    // (a bounded join back to the full vectors — per query the rerank
+    // touches shortFactor·k vectors, not the corpus)
+    val shortFactor = 4
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("cand_id"))
+    val shortlist = scored.withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= kNn * shortFactor)
+      .select(col("query_id"), col("cand_id"))
+    val probesDf = broadcast(
+      probeRows.toSeq.toDF("query_id", "qv"))
+    // exact distance through the argmin kernel with a 1-codeword
+    // "book" — element 1 of the result IS the squared L2 distance
+    val exact = shortlist
+      .join(emb.select(col("vec_id").as("cand_id"), col("v")), "cand_id")
+      .join(probesDf, "query_id")
+      .withColumn("dist", round(element_at(
+        call_function("vector_argmin_l2", col("v"), col("qv"),
+          typedlit(Seq(0.0))), 1), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cand_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("query_id"), col("cand_id"), col("dist"), col("rank"))
+      .orderBy("query_id", "rank")
   }
 
   /** SemDedup (Abbas et al. 2023): semantic near-duplicate pruning

@@ -98,6 +98,28 @@ class NorthStarSpec extends SparkSpec {
     assert(e2 <= e1 + 1e-6, s"distortion rose: $e1 -> $e2")
   }
 
+  test("pqTopK: ADC ranking recalls most exact-L2 neighbors") {
+    val s = spark
+    val got = Similarity.pqTopK(s, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // exact L2 ground truth, computed directly (spec scale)
+    val vecs = graft.Tables.embeddings(s, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val exact = vecs.filter(_._1 < 8).map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (c, cv) =>
+          c -> qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum }
+        .sortBy { case (c, d) => (d, c) }.take(5).map(_._1).toSet
+    }.toMap
+    assert(got.keySet == exact.keySet)
+    val recall = got.map { case (q, ns) =>
+      (ns & exact(q)).size.toDouble / 5 }.sum / got.size
+    info(f"PQ ADC recall@5 = $recall%.2f")
+    assert(recall >= 0.5, f"recall $recall%.2f below bound")
+  }
+
   test("langId: predictions drawn from the marker-language set") {
     val langs = TextAnalysis.langId(spark, sfDir)
       .select("predicted_lang").distinct()
