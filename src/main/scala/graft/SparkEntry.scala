@@ -156,6 +156,7 @@ object SparkEntry {
     "dedup_cosine" -> (Similarity.cosineNearDup _),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
     "graph_triangles" -> (Graph.triangleCount _),
+    "graph_clustering_coeff" -> (Graph.clusteringCoeff _),
     "dedup_clusters_star" -> (Dedup.nearDupClustersStar _),
     "text_decontaminate" -> (Dedup.decontaminate _),
     "dedup_incremental" -> (Dedup.incremental _),
@@ -218,6 +219,7 @@ object SparkEntry {
       "p_entity_resolution" + // composes the CC fixpoint on fuzzy pairs
       "graph_pagerank" + // builder runs the rank-iteration jobs
       "graph_triangles" + // builder checkpoints the oriented edge set
+      "graph_clustering_coeff" + // same checkpointed edge pipeline
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
       "sim_pq" +         // builder runs per-subspace Lloyd jobs
       "sim_pq_topk" +    // builder trains the PQ books (Lloyd jobs)
@@ -477,6 +479,25 @@ object SparkEntry {
     "text_bpe_train" -> bpeOracle(8),
     "text_bpe_apply" -> bpeApplyOracle(8),
     "graph_pagerank" -> pagerankOracle(3),
+    "graph_clustering_coeff" ->
+      """WITH pp AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |      COUNT(*) AS sup
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY 1, 2) WHERE sup >= 2),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM pp e1
+        |  JOIN pp e2 ON e2.a = e1.b
+        |  JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |wg AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        |  FROM (SELECT v, COUNT(*) AS d FROM
+        |          (SELECT a AS v FROM pp UNION ALL SELECT b FROM pp)
+        |        GROUP BY v))
+        |SELECT n_triangles, n_wedges,
+        |  n_triangles * 3.0 / n_wedges AS global_coeff
+        |FROM tri, wg""".stripMargin,
     "graph_triangles" ->
       // naive a<b<c replay; the engine's degree-ordered orientation
       // must count the identical triangle set
