@@ -57,8 +57,12 @@ object Bench {
     val pooledJson = pooled.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // "queries" = best-of-2 (the headline); "cold" = each query's
-    // FIRST run in suite order — for pooled queries that's the number
-    // that includes shared-intermediate builds
+    // FIRST run in suite order. Pool entries persist ACROSS queries
+    // within the sweep, so a pooled query's cold number includes a
+    // shared-intermediate build only when it is that intermediate's
+    // first consumer in suite order — later consumers' cold runs are
+    // cache hits. The end-to-end build cost of a shared intermediate
+    // is the cold time of its alphabetically-first consumer.
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"pooled":$pooledJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the artifact

@@ -227,7 +227,10 @@ object SparkEntry {
       "dedup_semantic" +   // composes sim_kmeans (Lloyd jobs)
       "text_bpe_train" + // builder runs the merge-iteration jobs
       "text_bpe_apply" + // builder trains (or reads the memo) first
-      "stream_feed_daily" // builder runs the AvailableNow stream drain
+      "stream_feed_daily" + // builder runs the AvailableNow stream drain
+      "text_heavy_hitters" + // builder checkpoints the sketch pass
+      "w_percent_rank" + // builder collects quantile bounds + bucket counts
+      "dedup_minhash"    // builder counts candidates to gate the broadcast
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
     * contribution sums, chained one CTE pair (c_i, r_i) per
@@ -480,11 +483,12 @@ object SparkEntry {
     "text_bpe_apply" -> bpeApplyOracle(8),
     "graph_pagerank" -> pagerankOracle(3),
     "graph_clustering_coeff" ->
-      """WITH pp AS (
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pp AS (
         |  SELECT a, b FROM (
         |    SELECT x.l_partkey AS a, y.l_partkey AS b,
         |      COUNT(*) AS sup
-        |    FROM lineitem x JOIN lineitem y
+        |    FROM li x JOIN li y
         |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |    GROUP BY 1, 2) WHERE sup >= 2),
         |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
@@ -501,11 +505,12 @@ object SparkEntry {
     "graph_triangles" ->
       // naive a<b<c replay; the engine's degree-ordered orientation
       // must count the identical triangle set
-      """WITH pp AS (
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pp AS (
         |  SELECT a, b FROM (
         |    SELECT x.l_partkey AS a, y.l_partkey AS b,
         |      COUNT(*) AS sup
-        |    FROM lineitem x JOIN lineitem y
+        |    FROM li x JOIN li y
         |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |    GROUP BY 1, 2) WHERE sup >= 2),
         |nodes AS (SELECT a AS v FROM pp UNION SELECT b FROM pp)

@@ -101,7 +101,17 @@ object Graph {
     * all shuffle-partitioned, nothing driver-side.
     */
   def triangleCount(s: SparkSession, dir: String): DataFrame =
-    triangleCountEdges(pooledEdges(s, dir))
+    pooledTriangles(s, dir)
+
+  /** The 1-row triangle/edge/node count is itself pooled: clustering
+    * coefficient consumes the identical counting pipeline, so a session
+    * running both queries pays the orientation + wedge + closing joins
+    * once, not twice.
+    */
+  private def pooledTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"graph.triangles:$dir") {
+      triangleCountEdges(pooledEdges(s, dir))
+    }
 
   /** The support-pruned co-purchase edge set is a shared intermediate
     * (triangle count + clustering coefficient) — pooled like the
@@ -122,7 +132,7 @@ object Graph {
     */
   def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
     val e = pooledEdges(s, dir)
-    val tri = triangleCountEdges(e).select(col("n_triangles"))
+    val tri = pooledTriangles(s, dir).select(col("n_triangles"))
     val wedges = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
       .agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
@@ -165,9 +175,16 @@ object Graph {
     // at first match
     val closed = wedges.join(er.select(col("src"), col("dst")),
       Seq("src", "dst"), "left_semi")
-    closed.agg(count(lit(1)).as("n_triangles"))
+    val out = closed.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(er.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      // eager 1-row checkpoint: the oriented edge blocks are dead the
+      // moment the counts exist — release them NOW (the engine's
+      // cache-lifecycle rule) instead of stranding a corpus-
+      // proportional checkpoint per invocation until GC
+      .localCheckpoint()
+    er.unpersist(blocking = false)
+    out
   }
 
   /** Distinct part-part co-occurrence edges (a < b) with SUPPORT
@@ -181,8 +198,13 @@ object Graph {
     */
   private[operators] def coPurchaseEdges(s: SparkSession, dir: String,
       minSupport: Int = 2): DataFrame = {
+    // distinct FIRST: support counts co-occurring ORDERS, so an order
+    // that carries the same part on two lines must contribute one —
+    // not two — to every pair it participates in (otherwise a single
+    // shared order defeats the minSupport coincidence filter)
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
     // direct self-join + pair groupBy — measured FASTER here than
     // Dedup.pairCounts' adaptive group-expand (3.6 s vs 4.7 s at
     // sf0.1): order groups are uniformly tiny (≤7 items), so the

@@ -26,11 +26,16 @@ import graft.functions.Scalars._
   *    is one driver-side file create — the commit point is atomic and
   *    O(1) regardless of data size.
   *  - A failed/partial data write is invisible (no manifest); a retry
-  *    overwrites the same data dir then publishes.
+  *    writes a fresh nonce directory and publishes that — it never
+  *    touches the failed attempt's files.
   *  - Readers pin a version at resolve time, so a concurrent commit
   *    never changes a running query's input (snapshot isolation).
   *  - Listing cost is O(versions) manifest files, independent of data
-  *    volume; `vacuum` bounds history (and is the ONLY deletion path).
+  *    volume; `vacuum` bounds history (and is the ONLY deletion path —
+  *    it also garbage-collects orphan data dirs left by commits that
+  *    died between the data write and the manifest create, gated on a
+  *    modification-time grace window so an in-flight commit's
+  *    not-yet-published directory is never mistaken for garbage).
   */
 object Versioned {
 
@@ -111,14 +116,38 @@ object Versioned {
   /** Drop all but the newest `keep` versions: resolve the data path,
     * retract the manifest FIRST (readers stop resolving the version),
     * then delete data. Returns the vacuumed version numbers.
+    *
+    * Also reclaims ORPHANS — data directories no surviving manifest
+    * references, left behind when a commit dies between its data
+    * write and its manifest create (the driver crashing there leaves
+    * the files with no in-process catch to clean them). Without this,
+    * repeated failed commits accumulate unbounded garbage that no
+    * reader can ever see but every storage bill pays for. A directory
+    * is only treated as an orphan once its modification time is older
+    * than `orphanGraceMs`, so a LIVE commit's data dir (written,
+    * manifest a moment away) is never collected — the same
+    * retention-window discipline table formats use for their vacuum.
     */
-  def vacuum(s: SparkSession, table: String, keep: Int): Seq[Int] = {
+  def vacuum(s: SparkSession, table: String, keep: Int,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Int] = {
     val doomed = versions(s, table).dropRight(math.max(1, keep))
     val fs = hfs(s, table)
     doomed.foreach { v =>
       val p = pathOf(s, table, v)
       fs.delete(new Path(s"$table/_manifest/$v"), false)
       fs.delete(new Path(s"$table/$p"), true)
+    }
+    // orphan GC: anything under data/ that the surviving manifests
+    // don't reference and that is older than the grace window
+    val live = versions(s, table).map(v => pathOf(s, table, v)).toSet
+    val dataRoot = new Path(s"$table/data")
+    if (fs.exists(dataRoot)) {
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      fs.listStatus(dataRoot).foreach { st =>
+        val rel = s"data/${st.getPath.getName}"
+        if (!live.contains(rel) && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
     }
     doomed
   }

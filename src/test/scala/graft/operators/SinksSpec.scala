@@ -78,6 +78,19 @@ class SinksSpec extends SparkSpec {
       val orphan = new java.io.File(s"$t2/data")
       assert(!orphan.exists() || orphan.listFiles().isEmpty)
       fs2.delete(new org.apache.hadoop.fs.Path(t2), true)
+
+      // orphan GC: a data dir with no manifest (a commit that died
+      // between write and publish) is reclaimed by vacuum once past
+      // the grace window — and PROTECTED while inside it
+      val orphanDir = new java.io.File(s"$t/data/v=99-deadbeef")
+      orphanDir.mkdirs()
+      val liveBefore = Versioned.versions(s, t)
+      Versioned.vacuum(s, t, keep = 10) // default 24h grace: stays
+      assert(orphanDir.exists(), "in-grace orphan must survive")
+      Versioned.vacuum(s, t, keep = 10, orphanGraceMs = 0)
+      assert(!orphanDir.exists(), "post-grace orphan must be reclaimed")
+      assert(Versioned.versions(s, t) == liveBefore)
+      liveBefore.foreach(v => Versioned.read(s, t, Some(v)).count())
     } finally {
       val p = new org.apache.hadoop.fs.Path(t)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
