@@ -33,6 +33,12 @@ object SparkEntry {
     "j_anti" -> (Relational.antiJoin _),
     "j4_promo_revenue" -> (Relational.promoRevenue _),
     "j5_local_supplier" -> (Relational.q5LocalSupplier _),
+    // decorrelated-subquery family (TPC-H Q15/Q17/Q18/Q21/Q22 shapes)
+    "j15_top_supplier" -> (Subqueries.q15TopSupplier _),
+    "j17_small_qty_revenue" -> (Subqueries.q17SmallQtyRevenue _),
+    "j18_large_orders" -> (Subqueries.q18LargeOrders _),
+    "j21_sole_failing_supplier" -> (Subqueries.q21SoleFailingSupplier _),
+    "j22_idle_customers" -> (Subqueries.q22IdleCustomers _),
     "s2_jdbc_source" -> (Relational.jdbcSnapshot _),
     // §2.5 aggregations
     "a1_pricing_summary" -> (Aggregates.pricingSummary _),
@@ -230,7 +236,8 @@ object SparkEntry {
       "stream_feed_daily" + // builder runs the AvailableNow stream drain
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
-      "dedup_minhash"    // builder counts candidates to gate the broadcast
+      "dedup_minhash" +  // builder counts candidates to gate the broadcast
+      "j15_top_supplier" // builder checkpoints the per-supplier revenue
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
     * contribution sums, chained one CTE pair (c_i, r_i) per
@@ -607,6 +614,81 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |  AND s_nationkey = c_nationkey
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "j15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "j17_small_qty_revenue" ->
+      // the threshold compare is the EXACT rearranged integer form
+      // (qty*5*n < sum_qty in decimal) on both sides — see
+      // Subqueries.q17SmallQtyRevenue
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part
+        |    ON l_partkey = p_partkey AND p_brand = 'Brand#23'),
+        |pp AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+        |    COUNT(*) AS n_lines
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |    AS DOUBLE) / 7.0 AS avg_yearly,
+        |  CAST(COUNT(*) AS BIGINT) AS n_small_lines
+        |FROM li JOIN pp USING (l_partkey)
+        |WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * n_lines
+        |  < sum_qty""".stripMargin,
+    "j18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+        |    AS DOUBLE) > 120)
+        |SELECT o_orderkey, o_orderdate, o_totalprice, sum_qty,
+        |  c_custkey, c_name
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "j21_sole_failing_supplier" ->
+      """WITH pos AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS failed
+        |  FROM lineitem GROUP BY 1, 2),
+        |po AS (
+        |  SELECT l_orderkey FROM pos GROUP BY 1
+        |  HAVING COUNT(*) > 1 AND SUM(failed) = 1)
+        |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM pos
+        |JOIN po USING (l_orderkey)
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE failed = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+    "j22_idle_customers" ->
+      """WITH st AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS sum_bal,
+        |    COUNT(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer, st
+        |WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n_pos > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s2_jdbc_source" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |WHERE s_acctbal > 0 AND s_nationkey IN

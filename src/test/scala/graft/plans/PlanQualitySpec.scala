@@ -358,4 +358,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial"), p.take(2500))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  // formatted plans put the file path on a per-scan Location line —
+  // counting those counts the table's scans
+  private def scansOf(p: String, table: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Location") && l.contains(s"$table.parquet"))
+
+  test("q17: decorrelated per-key avg is ONE lineitem scan via a " +
+    "key-partitioned window — no self-join double scan") {
+    val p = plan(Subqueries.q17SmallQtyRevenue(spark, sfDir))
+    val liScans = scansOf(p, "lineitem")
+    assert(liScans == 1, s"$liScans lineitem scans\n${p.take(2500)}")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q21: EXISTS/NOT-EXISTS decorrelate to window predicates — one " +
+    "lineitem scan, no correlated re-probe joins") {
+    val p = plan(Subqueries.q21SoleFailingSupplier(spark, sfDir))
+    val liScans = scansOf(p, "lineitem")
+    assert(liScans == 1, s"$liScans lineitem scans\n${p.take(2500)}")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q15: the scalar MAX re-enters via a 1-row broadcast cross " +
+    "join over the MATERIALIZED revenue table — zero re-scans") {
+    val p = plan(Subqueries.q15TopSupplier(spark, sfDir))
+    // the per-supplier revenue is checkpointed once at build time;
+    // both the max reduction and the winner filter read it, so the
+    // final plan touches the lineitem fact zero times (without the
+    // materialization Spark re-scans the quarter for the subquery)
+    assert(scansOf(p, "lineitem") == 0, p.take(2500))
+    assert(p.contains("BroadcastHashJoin Cross") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
 }
