@@ -106,6 +106,7 @@ object SparkEntry {
     "st_gap_fill" -> (Analytics.gapFill _),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
     "p_merge_cdc" -> (Pipelines.mergeCdc _),
+    "p_incremental_agg" -> (Pipelines.incrementalAggRefresh _),
     "agg_mode" -> (Analytics.modePriority _),
     "agg_correlation" -> (Analytics.correlation _),
     "w_percent_rank" -> (Analytics.spendStanding _),
@@ -1024,6 +1025,17 @@ object SparkEntry {
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "p_merge_cdc" -> mergeCdcOracle,
+    // direct aggregation over the SURVIVING rows — the incremental
+    // merge must equal it exactly (additive count + decimal sum)
+    "p_incremental_agg" ->
+      """SELECT o_custkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS spend
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |   OR o_orderkey % 10 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the versioned-table MERGE applies the same change batch, so the
     // same oracle checks the write -> publish -> read round trip
     "sink_versioned_merge" -> mergeCdcOracle,
