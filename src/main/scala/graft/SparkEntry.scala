@@ -141,6 +141,7 @@ object SparkEntry {
     "x8_status_case" -> (ScalarSuite.statusCase _),
     "x4_address" -> (ScalarSuite.addressConcat _),
     "x7_map_construct" -> (ScalarSuite.mapConstruct _),
+    "x_hof_suite" -> (ScalarSuite.hofSuite _),
     // semi-structured JSON layer (S4-S6, X3/X6)
     "ss_json_flatten" -> (SemiStructured.jsonFlatten _),
     "ss_props_extract" -> (SemiStructured.propsExtract _),
@@ -1639,6 +1640,22 @@ object SparkEntry {
         | string_agg(event_type || '=' || CAST(cnt AS VARCHAR), ','
         |   ORDER BY event_type) AS type_counts
         |FROM pc GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x_hof_suite" ->
+      """WITH per AS (
+        |  SELECT l_orderkey,
+        |    array_agg(l_quantity ORDER BY l_linenumber, l_quantity)
+        |      AS qtys
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(len(qtys) AS BIGINT) AS n_lines,
+        |  list_sum(list_transform(qtys, x -> x * 2)) AS doubled_sum,
+        |  CAST(len(list_filter(qtys, x -> x >= 25)) AS BIGINT)
+        |    AS n_heavy,
+        |  CAST(list_contains(qtys, 50.0) AS INT) AS has_max,
+        |  list_sum(list_transform(
+        |      range(1, CAST(len(qtys) AS BIGINT) + 1),
+        |      i -> qtys[i] * i)) AS pos_weighted
+        |FROM per ORDER BY l_orderkey""".stripMargin,
     "ss_json_flatten" ->
       """SELECT l_returnflag AS flag,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

@@ -125,4 +125,38 @@ object ScalarSuite {
               e.getField("value").cast("string"))),
           ",").as("type_counts"))
       .orderBy("user_id")
+
+  /** Higher-order array functions (the lambda surface: transform /
+    * filter / exists / aggregate / zip_with / sequence) exercised
+    * end-to-end over per-order quantity arrays. Everything here is
+    * row-local codegen'd expression work — the ONLY shuffle is the
+    * groupBy that builds the arrays (sort_array on the linenumber-led
+    * struct makes collect_list's nondeterministic order canonical —
+    * the struct sort compares (linenumber, quantity), so the key is
+    * unique even where linenumbers repeat, and the lambdas fold in a
+    * fixed sequence on every engine). The
+    * folded values are integer-valued, so the sums are exact in
+    * double regardless of fold order — the oracle's list_sum needs no
+    * float-ordering caveat.
+    */
+  def hofSuite(s: SparkSession, dir: String): DataFrame = {
+    val qtys = col("qtys")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("l_linenumber"),
+          col("l_quantity")))),
+        e => e.getField("l_quantity")).as("qtys"))
+      .select(col("l_orderkey"),
+        size(qtys).cast("long").as("n_lines"),
+        aggregate(transform(qtys, x => x * 2), lit(0.0),
+          (acc, x) => acc + x).as("doubled_sum"),
+        size(filter(qtys, x => x >= 25)).cast("long").as("n_heavy"),
+        exists(qtys, x => x === 50.0).cast("int").as("has_max"),
+        aggregate(
+          zip_with(qtys, sequence(lit(1), size(qtys)),
+            (q, i) => q * i),
+          lit(0.0), (acc, x) => acc + x).as("pos_weighted"))
+      .orderBy("l_orderkey")
+  }
 }
