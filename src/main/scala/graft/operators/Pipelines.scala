@@ -253,12 +253,15 @@ object Pipelines {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
         sum(money(col("o_totalprice"))).as("spend"))
-    val retract = orders
-      .filter(col("o_orderdate") < cutoff && col("o_orderkey") % 10 === 0)
-      .select(col("o_custkey"), lit(-1L).as("w"), col("o_totalprice"))
-    val insert = orders.filter(col("o_orderdate") >= cutoff)
-      .select(col("o_custkey"), lit(1L).as("w"), col("o_totalprice"))
-    val delta = retract.unionByName(insert)
+    // ONE scan builds the whole signed batch: the row's sign is a
+    // CASE on which side of the cutoff it falls (insert +1 /
+    // retraction -1), instead of a union of two scans of the fact
+    val delta = orders
+      .filter(col("o_orderdate") >= cutoff ||
+        col("o_orderkey") % 10 === 0)
+      .select(col("o_custkey"),
+        when(col("o_orderdate") >= cutoff, 1L).otherwise(-1L).as("w"),
+        col("o_totalprice"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("w")).as("d_n"),
         sum(money(col("o_totalprice")) * col("w")).as("d_spend"))
