@@ -68,6 +68,22 @@ object StreamingAnalogs {
     events.withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STATIC enrichment join — the streaming form of J2: each
+    * event enriched with its user's dimension row. The static side is
+    * a plain batch DataFrame; Spark re-plans it per microbatch and
+    * (dimension-sized → planner-sized) broadcasts it, so the stream
+    * side never shuffles and no join state accumulates — unlike a
+    * stream-stream join, a static side needs no watermark at all.
+    * Missing dimension rows surface as the X3 sentinel, exactly like
+    * the batch enrichment. At 100 TB-of-stream this is the shape for
+    * dimension lookups; only a second STREAM requires the
+    * watermarked-state join above.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, Seq("user_id"), "left")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+        graft.functions.Scalars.notFound(col("segment")).as("segment"))
+
   /** Stream-stream interval join — the streaming form of
     * Advanced.intervalJoin: each purchase joined to same-user click
     * events in the 10 minutes before it. Both sides carry watermarks

@@ -363,4 +363,35 @@ class StreamingSpec extends SparkSpec {
         (2L, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0", 1L)))
     } finally q.stop()
   }
+
+  test("enrichStream: stream-static dimension join — no state, missing " +
+    "dims sentinel, per-batch broadcast") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "segment")
+    val input = MemoryStream[Event]
+    val q = StreamingAnalogs.enrichStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1) // users 1, 2, 1
+      q.processAllAvailable()
+      input.addData(batch2) // users 3 (no dim row), 1
+      q.processAllAvailable()
+      val rows = s.table("enrich_out")
+        .select("user_id", "segment").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(rows.length == 5)
+      val byUser = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      assert(byUser(1L) == Set("GOLD"))
+      assert(byUser(2L) == Set("SILVER"))
+      // the unmatched dimension row gets the X3 sentinel, like batch J2
+      assert(byUser(3L) == Set("Not_Found"))
+      // stream-static join keeps NO join state (nothing to watermark):
+      // the progress metrics report zero state rows
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
