@@ -127,6 +127,8 @@ object SparkEntry {
     "dq_expectations" -> (Quality.expectations _),
     "dq_volume_anomaly" -> (Quality.volumeAnomaly _),
     "dq_referential" -> (Quality.referentialAudit _),
+    "dq_snapshot_diff" -> (Quality.snapshotDiff _),
+    "set_unpivot" -> (Analytics.unpivotMetrics _),
     "sink_infer_csv" -> (Sinks.inferredCsv _),
     "sink_orc_roundtrip" -> (Sinks.orcRoundTrip _),
     // §3.2 pipeline B gold table
@@ -1026,6 +1028,35 @@ object SparkEntry {
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "p_merge_cdc" -> mergeCdcOracle,
+    // value-compare classification (the Spark side fingerprints rows;
+    // identical classes unless xxhash64 collides)
+    "dq_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), o_orderstatus, o_totalprice
+        |  FROM o WHERE o_orderkey % 17 = 0),
+        |c AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_orderstatus <> n.o_orderstatus
+        |           OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "set_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric,
+        |  CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
     // direct aggregation over the SURVIVING rows — the incremental
     // merge must equal it exactly (additive count + decimal sum)
     "p_incremental_agg" ->

@@ -65,6 +65,21 @@ object Analytics {
         .select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** UNPIVOT (melt): wide per-part metric columns reshaped to
+    * (part, metric, value) rows — the inverse of the A2 pivot and the
+    * standard prep step before per-metric aggregation/plotting. Pure
+    * row-local reshaping (each input row emits one row per measure
+    * column, no shuffle until the output sort); measures cast to one
+    * common type, as UNPIVOT requires.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "value")
+      .orderBy("p_partkey", "metric")
+
   /** ROLLUP grouping sets over the region→nation→customer hierarchy.
     * NULLS FIRST on both engines so the subtotal rows sort identically.
     */

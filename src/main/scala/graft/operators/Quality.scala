@@ -123,6 +123,53 @@ object Quality {
   case class FkEdge(name: String, child: DataFrame, key: String,
       parent: DataFrame, pkey: String, smallParent: Boolean)
 
+  /** Snapshot reconciliation: classify every key as added / removed /
+    * changed / unchanged between two versions of a table — the diff
+    * primitive behind replication audits, CDC backfill validation,
+    * and "what did yesterday's load actually change". ONE full-outer
+    * join on the key; values compare via a 64-bit row fingerprint
+    * (xxhash64 over the value columns) so the shuffle carries one
+    * long per side no matter how wide the row, and both sides
+    * co-partition on the key — no driver work at any scale. (The
+    * oracle compares the raw values instead; a fingerprint collision
+    * — 2^-64 per changed row — would surface as a hash mismatch.)
+    *
+    * The "new" version is synthesized from orders deterministically:
+    * key%13=0 rows dropped (removed), key%7=0 prices bumped
+    * (changed), fresh negative keys for key%17=0 (added).
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val valueCols = Seq("o_orderstatus", "o_totalprice")
+    val old = Tables.orders(s, dir)
+      .select(col("o_orderkey") +: valueCols.map(col): _*)
+    val neu = old
+      .filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(old.filter(col("o_orderkey") % 17 === 0)
+        .select((-(col("o_orderkey") + 1)).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+    diffOn(old, neu, "o_orderkey", valueCols)
+  }
+
+  /** The diff over explicit inputs — the reusable core. */
+  private[operators] def diffOn(old: DataFrame, neu: DataFrame,
+      key: String, valueCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame, hname: String) =
+      df.select(col(key), xxhash64(valueCols.map(col): _*).as(hname))
+    fp(old, "h_old").join(fp(neu, "h_new"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("change"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col(key)).as("min_key"), max(col(key)).as("max_key"))
+      .orderBy("change")
+  }
+
   /** The audit over an explicit edge list — the testable core:
     * QualitySpec feeds it an edge whose child carries an injected
     * orphan and asserts the count surfaces THROUGH this path (the

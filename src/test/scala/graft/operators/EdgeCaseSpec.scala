@@ -62,4 +62,21 @@ class EdgeCaseSpec extends SparkSpec {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("diffOn: empty sides classify wholesale; identical sides are " +
+    "all unchanged") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val none = Seq.empty[(Long, String)].toDF("k", "v")
+    def classes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(classes(Quality.diffOn(none, a, "k", Seq("v"))) ==
+      Map("added" -> 2L))
+    assert(classes(Quality.diffOn(a, none, "k", Seq("v"))) ==
+      Map("removed" -> 2L))
+    assert(classes(Quality.diffOn(a, a, "k", Seq("v"))) ==
+      Map("unchanged" -> 2L))
+    assert(Quality.diffOn(none, none, "k", Seq("v")).count() == 0)
+  }
 }
