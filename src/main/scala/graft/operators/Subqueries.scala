@@ -125,7 +125,16 @@ object Subqueries {
     * plain column predicates on pre-aggregated rows.
     */
   def q21SoleFailingSupplier(s: SparkSession, dir: String): DataFrame = {
+    // ONE exchange serves both the (order, supplier) grain aggregate
+    // and the order window: hash-partitioning on l_orderkey alone
+    // satisfies the grain groupBy's clustering (ok ⊆ (ok, sk) — equal
+    // pairs share an order) AND the window's, so EnsureRequirements
+    // inserts no second shuffle. The grain barely compresses lineitem
+    // (few orders repeat a supplier), so shuffling raw rows here
+    // costs the same bytes the post-agg exchange would
     val perOrderSupp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max((col("l_returnflag") === "R").cast("int")).as("failed"))
     // the order-level EXISTS counts come from a PARTITION window over

@@ -381,6 +381,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(liScans == 1, s"$liScans lineitem scans\n${p.take(2500)}")
     assert(p.contains("Window"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(800))
+    // ONE l_orderkey exchange feeds grain aggregate AND window (the
+    // explicit ok-repartition satisfies both clusterings)
+    val okExchanges = p.linesIterator.count(l =>
+      l.contains("hashpartitioning(l_orderkey"))
+    assert(okExchanges == 1, s"$okExchanges l_orderkey exchanges")
   }
 
   test("q15: the scalar MAX re-enters via a 1-row broadcast cross " +
