@@ -1,11 +1,18 @@
 package graft
 
 /** Plan-audit tool: prints the formatted physical plan for the given
-  * queries (default: every query) without executing them. Used to
-  * check that plans have the shape we want at scale — broadcast joins
-  * on dim sides, PushedFilters/ReadSchema pruning at parquet scans,
-  * wide WholeStageCodegen spans — not just that they return correct
-  * rows.
+  * queries (default: every LAZY query) without executing them. Used
+  * to check that plans have the shape we want at scale — broadcast
+  * joins on dim sides, PushedFilters/ReadSchema pruning at parquet
+  * scans, wide WholeStageCodegen spans — not just that they return
+  * correct rows.
+  *
+  * The no-args sweep skips `SparkEntry.eagerWriters` (their builders
+  * RUN jobs — sink writes, stream drains, training loops — so
+  * "print the plan" would execute minutes of side-effecting work;
+  * the same contract PlanQualitySpec's sweep follows). Naming one
+  * explicitly still works — that's an informed request. Unknown
+  * names abort loudly instead of silently matching nothing.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.Explain [queryName ...]
   */
@@ -13,11 +20,16 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = Sessions.local(cpus, "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
+    val skipped = SparkEntry.queries.keySet
+      .filter(n => only.isEmpty && SparkEntry.eagerWriters(n))
     SparkEntry.queries
-      .filter { case (n, _) => only.isEmpty || only(n) }
+      .filter { case (n, _) =>
+        if (only.isEmpty) !SparkEntry.eagerWriters(n) else only(n) }
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         println(s"\n===== $name =====")
@@ -26,6 +38,9 @@ object Explain {
           println(s"[explain] $name failed: ${e.getMessage}")
         }
       }
+    if (skipped.nonEmpty)
+      println(s"\n[explain] skipped eager-writer builders (name " +
+        s"explicitly to include): ${skipped.toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }

@@ -241,7 +241,8 @@ object SparkEntry {
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
       "dedup_minhash" +  // builder counts candidates to gate the broadcast
-      "j15_top_supplier" // builder checkpoints the per-supplier revenue
+      "j15_top_supplier" + // builder checkpoints the per-supplier revenue
+      "dq_snapshot_diff" // builder checkpoints the base projection
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
     * contribution sums, chained one CTE pair (c_i, r_i) per

@@ -6,9 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // args(2+) = optional query-name filter for fast local iteration;
-    // the driver's 2-arg invocation dumps everything, unchanged
+    // the driver's 2-arg invocation dumps everything, unchanged. A
+    // typo'd name must fail HERE — a silent no-match dump would feed
+    // check.py an empty dir that reads as a vacuous green
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // NOTE: keep the default INT96 parquet timestamp output — pyarrow
     // reads INT96 as tz-naive, matching DuckDB's naive TIMESTAMP in

@@ -140,8 +140,13 @@ object Quality {
     */
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val valueCols = Seq("o_orderstatus", "o_totalprice")
+    // materialize the 3-column projection ONCE: the old fingerprint
+    // and both branches of the synthesized new version read it, which
+    // would otherwise be three scans of the fact (the j15 pattern —
+    // and why this query registers in eagerWriters)
     val old = Tables.orders(s, dir)
       .select(col("o_orderkey") +: valueCols.map(col): _*)
+      .localCheckpoint()
     val neu = old
       .filter(col("o_orderkey") % 13 =!= 0)
       .withColumn("o_totalprice",
