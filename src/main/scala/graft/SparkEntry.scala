@@ -129,6 +129,7 @@ object SparkEntry {
     "dq_referential" -> (Quality.referentialAudit _),
     "dq_snapshot_diff" -> (Quality.snapshotDiff _),
     "set_unpivot" -> (Analytics.unpivotMetrics _),
+    "w_range_frame" -> (Analytics.rangeFrameTrailing _),
     "sink_infer_csv" -> (Sinks.inferredCsv _),
     "sink_orc_roundtrip" -> (Sinks.orcRoundTrip _),
     // §3.2 pipeline B gold table
@@ -1058,6 +1059,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
         |ORDER BY p_partkey, metric""".stripMargin,
+    "w_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST(epoch(ts) AS BIGINT)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS trailing_7d_value
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     // direct aggregation over the SURVIVING rows — the incremental
     // merge must equal it exactly (additive count + decimal sum)
     "p_incremental_agg" ->

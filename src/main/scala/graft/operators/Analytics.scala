@@ -37,6 +37,28 @@ object Analytics {
       .orderBy("o_custkey", "order_seq")
   }
 
+  /** RANGE-frame window: per-user trailing-7-day value sum at every
+    * event — the time-interval frame (vs windowRunning's ROWS frame
+    * and st2's hopping windows): each row's frame is defined by the
+    * ORDER-key VALUE (epoch seconds within 604800), not a row count,
+    * so ties share one frame and the result is deterministic without
+    * a unique tie-break in the frame key. Same shuffle shape as any
+    * keyed window — one user_id exchange, frames evaluated in a
+    * per-partition sorted pass.
+    */
+  def rangeFrameTrailing(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-7L * 86400, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ts").cast("long").as("epoch_s"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        sum(money(col("value"))).over(w).cast("double")
+          .as("trailing_7d_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** UNION (distinct) of two branches. */
   def unionNations(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))

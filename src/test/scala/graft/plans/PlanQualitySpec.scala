@@ -388,6 +388,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(okExchanges == 1, s"$okExchanges l_orderkey exchanges")
   }
 
+  test("snapshotDiff: both sides fingerprint from the one materialized " +
+    "base projection — zero fact re-scans") {
+    val p = plan(Quality.snapshotDiff(spark, sfDir))
+    assert(scansOf(p, "orders") == 0, p.take(2500))
+    assert(p.contains("FullOuter"), p.take(2000))
+  }
+
   test("q15: the scalar MAX re-enters via a 1-row broadcast cross " +
     "join over the MATERIALIZED revenue table — zero re-scans") {
     val p = plan(Subqueries.q15TopSupplier(spark, sfDir))
