@@ -130,6 +130,7 @@ object SparkEntry {
     "dq_snapshot_diff" -> (Quality.snapshotDiff _),
     "set_unpivot" -> (Analytics.unpivotMetrics _),
     "w_range_frame" -> (Analytics.rangeFrameTrailing _),
+    "set_union_evolve" -> (Analytics.unionEvolve _),
     "sink_infer_csv" -> (Sinks.inferredCsv _),
     "sink_orc_roundtrip" -> (Sinks.orcRoundTrip _),
     // §3.2 pipeline B gold table
@@ -1059,6 +1060,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
         |ORDER BY p_partkey, metric""".stripMargin,
+    "set_union_evolve" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
     "w_range_frame" ->
       """SELECT event_id, user_id, ts,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (

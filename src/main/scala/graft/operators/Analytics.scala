@@ -59,6 +59,24 @@ object Analytics {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Schema-evolution union: an old snapshot (2 columns) unioned with
+    * a new snapshot that gained a column — `unionByName` with
+    * missing-column tolerance null-pads the old rows, the way a
+    * multi-generation bronze layer reads after a schema change. By
+    * NAME, never position: positional union silently misaligns the
+    * moment one side reorders.
+    */
+  def unionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val orders = Tables.orders(s, dir)
+    val oldGen = orders.filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newGen = orders.filter(col("o_orderdate") >= cutoff)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    oldGen.unionByName(newGen, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   /** UNION (distinct) of two branches. */
   def unionNations(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
