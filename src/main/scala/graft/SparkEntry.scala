@@ -131,6 +131,7 @@ object SparkEntry {
     "set_unpivot" -> (Analytics.unpivotMetrics _),
     "w_range_frame" -> (Analytics.rangeFrameTrailing _),
     "set_union_evolve" -> (Analytics.unionEvolve _),
+    "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sink_infer_csv" -> (Sinks.inferredCsv _),
     "sink_orc_roundtrip" -> (Sinks.orcRoundTrip _),
     // §3.2 pipeline B gold table
@@ -244,7 +245,8 @@ object SparkEntry {
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
       "dedup_minhash" +  // builder counts candidates to gate the broadcast
       "j15_top_supplier" + // builder checkpoints the per-supplier revenue
-      "dq_snapshot_diff" // builder checkpoints the base projection
+      "dq_snapshot_diff" + // builder checkpoints the base projection
+      "sim_ivfpq_topk"   // builder trains the PQ books (Lloyd jobs)
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
     * contribution sums, chained one CTE pair (c_i, r_i) per

