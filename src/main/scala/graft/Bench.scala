@@ -9,6 +9,16 @@ object Bench {
     // Warm up the JVM/codegen/parquet-footer paths so the first measured
     // query doesn't absorb ~4s of one-time session cost.
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
+    // Ambient-load calibration: a fixed CPU-bound probe (no IO, no
+    // shuffle) timed before and after the sweep. Same-code totals have
+    // varied ±10% run-to-run on shared machines; the probe pair lets a
+    // reader separate "the engine got slower" from "the machine was
+    // busy" when diffing artifacts across rounds.
+    def calibrate(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L).selectExpr("sum(id * 3 % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // Per query: best of 2 runs (standard practice — transient machine
     // load otherwise dominates sub-second queries). A failed query is
     // reported as -1 and excluded from the total, so crashes can't
@@ -29,6 +39,7 @@ object Bench {
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     var pooled = Set.empty[String] // queries whose runs read CachePool
     var cold = Map.empty[String, Double] // first-run (cold-path) times
+    val calibPre = calibrate()
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         CachePool.drainTouched()
@@ -54,6 +65,9 @@ object Bench {
     // SHORT parseable JSON with the total plus a fixed headline subset,
     // and the complete per-query map goes to BENCH_FULL.json (committed
     // with the repo, always recoverable).
+    val calibPost = calibrate()
+    val calibJson =
+      s"""{"pre":${fmt(calibPre)},"post":${fmt(calibPost)}}"""
     val pooledJson = pooled.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // "queries" = best-of-2 (the headline); "cold" = each query's
@@ -64,7 +78,7 @@ object Bench {
     // cache hits. The end-to-end build cost of a shared intermediate
     // is the cold time of its alphabetically-first consumer.
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"pooled":$pooledJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"pooled":$pooledJson,"calib":$calibJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the artifact
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -99,7 +113,7 @@ object Bench {
     // npooled only: the full pooled name list lives in BENCH_FULL.json
     // (the driver's stdout capture is size-bounded)
     val shortLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"npooled":${pooled.size},"queries":${jsonOf(stdoutQs)},"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"npooled":${pooled.size},"calib":$calibJson,"queries":${jsonOf(stdoutQs)},"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(shortLine)
     spark.stop()
   }
