@@ -33,6 +33,13 @@ object SparkEntry {
     "j_anti" -> (Relational.antiJoin _),
     "j4_promo_revenue" -> (Relational.promoRevenue _),
     "j5_local_supplier" -> (Relational.q5LocalSupplier _),
+    // classic OLAP join shapes (TPC-H Q3/Q7/Q8/Q10/Q13/Q19)
+    "j03_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "j7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "j8_market_share" -> (Relational.q8MarketShare _),
+    "j10_returned_items" -> (Relational.q10ReturnedItems _),
+    "j13_order_histogram" -> (Relational.q13OrderHistogram _),
+    "j19_disjunctive_revenue" -> (Relational.q19DisjunctiveRevenue _),
     // decorrelated-subquery family (TPC-H Q15/Q17/Q18/Q21/Q22 shapes)
     "j15_top_supplier" -> (Subqueries.q15TopSupplier _),
     "j17_small_qty_revenue" -> (Subqueries.q17SmallQtyRevenue _),
@@ -206,6 +213,8 @@ object SparkEntry {
     "text_token_mixture" -> (TextAnalysis.tokenMixture _),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_resample" -> (TextAnalysis.resample _),
+    "text_token_budget" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.tokenBudgetFill(s, dir)),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
@@ -623,6 +632,95 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |  AND s_nationkey = c_nationkey
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "j03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "j7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INT) AS l_year,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM supplier
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "j8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+        | CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |   AS DECIMAL(18,6))) AS DOUBLE) /
+        |   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |     AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM nation cn JOIN region
+        |    ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  WHERE c_nationkey = cn.n_nationkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "j13_order_histogram" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey,
+        |        CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "j19_disjunctive_revenue" ->
+      """SELECT p_brand,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
@@ -1951,6 +2049,25 @@ object SparkEntry {
         |        unnest(generate_series(1, n_copies)) AS epoch
         |      FROM c WHERE n_copies > 0)
         |ORDER BY doc_id, epoch""".stripMargin,
+    "text_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)
+        |      AS n_tokens,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)),
+        |      '\s+'))) AS INT) AS n_distinct_words
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, n_tokens,
+        |    round(0.5 * (n_distinct_words / n_tokens) +
+        |      0.5 * least(n_tokens / 100.0, 1.0), 4) AS quality_score
+        |  FROM t),
+        |c AS (SELECT doc_id, source, n_tokens, quality_score,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality_score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+        |FROM c WHERE cum_tokens <= 600
+        |ORDER BY doc_id""".stripMargin,
     "text_span_dedup" ->
       """WITH d AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS ws

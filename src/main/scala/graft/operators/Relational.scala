@@ -193,6 +193,180 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** TPC-H Q3 shape — shipping-priority top-k: segment-filtered
+    * customers ⋈ date-filtered orders ⋈ shipdate-filtered lineitem,
+    * revenue per order, global top 10. Physical shape at any scale:
+    * all three filters push to their scans (segment/date/shipdate —
+    * `PushedFilters` on each parquet relation), the per-order rollup
+    * partial-aggs map-side, and the top-10 is TakeOrderedAndProject
+    * (per-partition top-k + a 10-row driver merge), never a global
+    * sort. Tie-break on l_orderkey keeps the limit deterministic.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-06-01"
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > cutoff),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q10 shape — returned-item reporting: revenue lost to
+    * returns per customer over one quarter, top 20. The nation dim
+    * (fixed 25 rows) is the one legitimately-hinted broadcast; the
+    * quarter filter pushes to orders, the returnflag filter to
+    * lineitem, and the top-20 is TakeOrderedAndProject. Customer rides
+    * as a join after the orders⋈lineitem rollup is still
+    * order-grained, so the widest shuffle carries one row per
+    * qualifying order line, keyed on o_custkey only for the final
+    * per-customer rollup.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1996-04-01"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q7 shape — volume shipping between two nations: revenue by
+    * (supplier nation, customer nation, ship year) for the two
+    * directed pairs of a nation pair. Physical shape: the nation dim
+    * is filtered to the TWO named nations before joining, so supplier
+    * and customer shrink to 2/25ths of their rows ahead of the fact
+    * joins (inner join to the filtered dim doubles as the filter);
+    * the cross-pair disjunction (n1≠n2) is the only post-join
+    * predicate and runs over dim columns already in the row. Shipdate
+    * range pushes to the lineitem scan.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.supplier(s, dir)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1998-01-01"),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape — national market share: of all ECONOMY-part
+    * revenue sold to ASIA-region customers per order year, the share
+    * supplied by NATION_3. The share is a conditional sum over the
+    * same joined fact — one pass, no self-join. Region/nation dims
+    * broadcast by hint (constant-size); part and supplier are
+    * planner-sized (they grow with SF). The p_type filter reaches the
+    * part scan, the date range the orders scan.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1998-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        moneySum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0.0))).as("nation_volume"),
+        moneySum(vol).as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    * customer⟕orders with the priority predicate in the ON clause
+    * (filtering the orders side pre-join — NOT a post-join WHERE,
+    * which would turn the outer join inner), count of matched orders
+    * per customer (zero for order-less customers via count(col)'s
+    * null-skip), then the histogram of those counts. Two aggregations:
+    * the first shuffles on c_custkey (partial-agg friendly), the
+    * second is over at most max-order-count distinct keys — tiny at
+    * any scale.
+    */
+  def q13OrderHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q19 shape — disjunctive predicate pushdown: lineitem ⋈
+    * part under an OR of brand/size/quantity conjunct bundles. The
+    * plan property this query exists to pin: Catalyst extracts the
+    * per-side residue of the disjunction and pushes it THROUGH the
+    * join — the part scan receives the brand/size disjunction, the
+    * lineitem scan the quantity disjunction (PushExtraPredicate-
+    * ThroughJoin) — so each side prunes before the join instead of
+    * filtering the full product after it.
+    */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val bundle =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .filter(bundle)
+      .groupBy(col("p_brand"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
   /** Anti join (NOT EXISTS): customers with no orders in 2001. */
   def antiJoin(s: SparkSession, dir: String): DataFrame = {
     val recent = Tables.orders(s, dir)

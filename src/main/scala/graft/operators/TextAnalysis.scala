@@ -555,6 +555,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-budget fill: select the best-quality documents per source
+    * until a per-source token budget is exhausted — the data-recipe
+    * step that caps each domain's contribution to a training mix by
+    * TOKENS (what the loss actually sees), not document count.
+    * Quality-descending cumulative token sum per source; a document is
+    * kept while the running total through it stays within budget.
+    *
+    * Scale shape: one shuffle on source, running sum inside each
+    * source partition (ROWS UNBOUNDED PRECEDING — streaming, no
+    * buffering of the frame). A giant source still sorts all its rows
+    * to rank them; at 100 TB compose with the per-source quantile
+    * gate above (`qualityFilter`) to pre-prune candidates to a few ×
+    * budget before the window, which bounds the sorted partition to
+    * O(budget) rather than O(source).
+    */
+  def tokenBudgetFill(s: SparkSession, dir: String,
+      budget: Long = 600L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct_words"))
+      .withColumn("quality_score",
+        qualityExpr(col("n_tokens"), col("n_distinct_words")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted epoch resampling: repeat (or drop) each document
     * according to its source's mixture weight — the data-recipe step
     * that upsamples scarce high-value domains to >1 epoch and

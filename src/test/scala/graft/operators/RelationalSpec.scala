@@ -67,4 +67,49 @@ class RelationalSpec extends SparkSpec {
       org.apache.spark.sql.types.StringType)
     assert(out.select("flag").collect().map(_.getInt(0)).toSeq == Seq(1, 0))
   }
+
+  test("q13: outer-join histogram buckets count EVERY customer — " +
+    "order-less ones land in c_count=0, totals reconcile") {
+    val out = Relational.q13OrderHistogram(spark, sfDir).cache()
+    val nCustomers = Tables.customer(spark, sfDir).count()
+    val histTotal = out.agg(sum(col("custdist"))).collect()(0).getLong(0)
+    assert(histTotal == nCustomers)
+    // customers with zero (non-urgent) orders exist at this sf and
+    // survive the outer join into the zero bucket
+    val zeroBucket = out.filter(col("c_count") === 0)
+      .select("custdist").collect()
+    val orderless = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert((if (zeroBucket.isEmpty) 0L else zeroBucket(0).getLong(0))
+      == orderless)
+  }
+
+  test("tokenBudgetFill: per-source selection is quality-greedy and " +
+    "never exceeds the budget") {
+    val out = TextAnalysis.tokenBudgetFill(spark, sfDir, budget = 600L)
+      .cache()
+    // running total through every kept doc stays within budget
+    assert(out.filter(col("cum_tokens") > 600).count() == 0)
+    // greedy: a kept doc's quality is >= every dropped doc of the same
+    // source unless the dropped doc appeared after budget exhaustion —
+    // equivalently, per source the kept set is a prefix of the
+    // quality-descending order. Check prefix property via min kept
+    // quality vs max dropped quality among docs that would still fit
+    // alone (strictly weaker docs only).
+    val perSrc = out.groupBy("source")
+      .agg(min("quality_score").as("min_kept"),
+        sum("n_tokens").as("kept_tokens"))
+    val all = TextAnalysis.tokenBudgetFill(spark, sfDir,
+      budget = Long.MaxValue)
+    val dropped = all.join(out.select(col("doc_id").as("kept_id")),
+      col("doc_id") === col("kept_id"), "left_anti")
+      .groupBy("source").agg(max("quality_score").as("max_dropped"))
+    val violations = perSrc.join(dropped, "source")
+      // ties broken by doc_id can interleave equal scores — strict
+      .filter(col("max_dropped") > col("min_kept")).count()
+    assert(violations == 0)
+  }
 }

@@ -395,6 +395,51 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("FullOuter"), p.take(2000))
   }
 
+  test("q3/q10 top-k: TakeOrderedAndProject (per-partition heap + k-row " +
+    "driver merge), never a global sort; all three filters pushed") {
+    for (df <- Seq(Relational.q3ShippingPriority(spark, sfDir),
+        Relational.q10ReturnedItems(spark, sfDir))) {
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+      assert(!p.contains("rangepartitioning"), p.take(2000))
+    }
+    // the three selective predicates reach their scans
+    val p3 = plan(Relational.q3ShippingPriority(spark, sfDir))
+    assert(p3.contains("EqualTo(c_mktsegment,BUILDING)"), p3.take(3000))
+    assert(p3.contains("LessThan(o_orderdate"), p3.take(3000))
+    assert(p3.contains("GreaterThan(l_shipdate"), p3.take(3000))
+  }
+
+  test("q19: the OR-of-conjuncts splits per side and pushes THROUGH the " +
+    "join — both scans carry their disjunction, pruning pre-join") {
+    val p = plan(Relational.q19DisjunctiveRevenue(spark, sfDir))
+    val pushedLines = p.linesIterator
+      .filter(_.contains("PushedFilters")).toSeq
+    // lineitem scan: quantity-range disjunction; part scan: brand/size
+    assert(pushedLines.exists(l => l.contains("Or(") &&
+      l.contains("l_quantity")), p.take(3000))
+    assert(pushedLines.exists(l => l.contains("Or(") &&
+      l.contains("p_brand")), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q13: ON-clause predicate keeps the join LeftOuter (a WHERE " +
+    "would drop order-less customers) and pushes to the orders scan") {
+    val p = plan(Relational.q13OrderHistogram(spark, sfDir))
+    assert(p.contains("LeftOuter"), p.take(2000))
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), p.take(3000))
+  }
+
+  test("tokenBudgetFill: one source-keyed exchange, running-sum frame, " +
+    "no join") {
+    val p = plan(TextAnalysis.tokenBudgetFill(spark, sfDir))
+    assert(!p.contains("Join"), p.take(1200))
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashExchanges.size == 1, p.take(2000))
+    assert(hashExchanges.head.contains("source"), hashExchanges.head)
+  }
+
   test("q15: the scalar MAX re-enters via a 1-row broadcast cross " +
     "join over the MATERIALIZED revenue table — zero re-scans") {
     val p = plan(Subqueries.q15TopSupplier(spark, sfDir))
