@@ -40,6 +40,7 @@ object SparkEntry {
     "j10_returned_items" -> (Relational.q10ReturnedItems _),
     "j13_order_histogram" -> (Relational.q13OrderHistogram _),
     "j19_disjunctive_revenue" -> (Relational.q19DisjunctiveRevenue _),
+    "mv_summary_rewrite" -> (MaterializedView.rollupRewrite _),
     // decorrelated-subquery family (TPC-H Q15/Q17/Q18/Q21/Q22 shapes)
     "j15_top_supplier" -> (Subqueries.q15TopSupplier _),
     "j17_small_qty_revenue" -> (Subqueries.q17SmallQtyRevenue _),
@@ -90,6 +91,8 @@ object SparkEntry {
     "adv_interval_join" -> (Advanced.intervalJoin _),
     "adv_session_window" -> (Advanced.sessionWindows _),
     "adv_salted_agg" -> (Advanced.saltedAgg _),
+    "adv_dpp_prune" -> ((s: SparkSession, dir: String) =>
+      Advanced.dppPrune(s, dir)),
     "adv_bucketed_join" -> ((s, d) => Advanced.bucketedJoin(s, d)),
     "s_hash_sample" -> (Relational.hashSample _),
     "s_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
@@ -255,7 +258,9 @@ object SparkEntry {
       "dedup_minhash" +  // builder counts candidates to gate the broadcast
       "j15_top_supplier" + // builder checkpoints the per-supplier revenue
       "dq_snapshot_diff" + // builder checkpoints the base projection
-      "sim_ivfpq_topk"   // builder trains the PQ books (Lloyd jobs)
+      "sim_ivfpq_topk" + // builder trains the PQ books (Lloyd jobs)
+      "mv_summary_rewrite" + // builder materializes the rollup summary
+      "adv_dpp_prune"    // builder writes the partitioned fact copy
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
     * contribution sums, chained one CTE pair (c_i, r_i) per
@@ -721,6 +726,17 @@ object SparkEntry {
         |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
         |    AND l_quantity BETWEEN 20 AND 30)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mv_summary_rewrite" ->
+      // computed from the RAW fact: a green row proves the optimizer's
+      // summary rewrite returns exactly what the fact scan would
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS sum_base_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |   AS avg_qty,
+        | CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "j15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
@@ -1333,6 +1349,15 @@ object SparkEntry {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
         |   AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "adv_dpp_prune" ->
+      // the dim join is semantically the quarter predicate — computed
+      // directly here, so a green row proves the DPP'd join exact
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "adv_salted_agg" ->
       """SELECT event_type,

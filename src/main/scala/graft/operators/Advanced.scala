@@ -194,4 +194,52 @@ object Advanced {
       .select("name_a", "name_b", "dist")
       .orderBy("name_a", "name_b")
   }
+
+  // write-once memo, same global-keying rationale as bucketsBuilt:
+  // the partitioned fact directory is JVM-shared state
+  private val dppBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dynamic partition pruning: the fact is written PARTITIONED BY a
+    * month key; the query joins it to a month dimension filtered at
+    * RUNTIME (quarter + year attributes the fact scan can't see
+    * statically), and Spark injects a dynamic-pruning subquery into
+    * the fact scan's PartitionFilters — only the 3 matching month
+    * directories are ever read. This is the 100 TB scan-killer for
+    * date-partitioned warehouses: static pushdown can't prune through
+    * a join, DPP prunes using the dim filter's runtime result
+    * (broadcast-reused, so the subquery costs nothing extra).
+    * PlanQualitySpec pins `dynamicpruningexpression` in the scan.
+    */
+  def dppPrune(s: SparkSession, dir: String,
+      root: String = "/tmp/graft_dpp"): DataFrame = {
+    val factPath = s"$root/${new java.io.File(dir).getName}/orders_by_month"
+    val fresh = dppBuilt.get(root) == dir && {
+      val p = new org.apache.hadoop.fs.Path(s"$factPath/_SUCCESS")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!fresh) {
+      Tables.orders(s, dir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(factPath)
+      dppBuilt.put(root, dir)
+    }
+    val fact = s.read.parquet(factPath)
+    // the month dim: derived here from the fact's own domain (a real
+    // deploy reads a calendar table); tiny → broadcast, whose built
+    // keys DPP reuses as the pruning set
+    val dim = Tables.orders(s, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
+      .withColumn("yr", substring(col("m"), 1, 4).cast("int"))
+      // Spark's `/` is fractional even on ints — floor to the quarter
+      .withColumn("qtr",
+        floor((substring(col("m"), 6, 2).cast("int") - 1) / 3).cast("int") + 1)
+    fact
+      .join(broadcast(dim.filter(col("yr") === 1996 && col("qtr") === 1)),
+        col("o_month") === col("m"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_month")
+  }
 }

@@ -89,5 +89,6 @@ object VectorDotRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => VectorDotRewrite)
+    e.injectOptimizerRule(_ => SummaryRewrite)
   }
 }

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.SparkSpec
+import graft.operators.{Aggregates, MaterializedView}
+
+/** The aggregate-navigator rewrite, pinned from both sides: the
+  * covered rollup must swap onto the summary (zero fact scans), the
+  * rewrite must be row-for-row exact vs the raw plan, and anything the
+  * summary cannot answer must be left alone.
+  */
+class MaterializedViewSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def scansOf(p: String, table: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Location") && l.contains(s"$table.parquet"))
+
+  test("covered rollup rewrites onto the summary: zero fact scans, " +
+    "coarser grain re-aggregated from the month-grain pre-sums") {
+    val df = MaterializedView.rollupRewrite(spark, sfDir)
+    val p = plan(df)
+    assert(scansOf(p, "lineitem") == 0, p.take(2500))
+    assert(p.contains("pricing_rollup_mv"), p.take(2500))
+  }
+
+  test("rewrite is exact: identical rows to the raw fact scan with " +
+    "the rule disabled") {
+    val rewritten = MaterializedView.rollupRewrite(spark, sfDir).collect()
+    val conf = spark.conf
+    val key = "spark.graft.summaryRewrite.enabled"
+    try {
+      conf.set(key, "false")
+      val raw = MaterializedView.rollupRewrite(spark, sfDir)
+      // disabled → the plan scans the fact again
+      assert(scansOf(plan(raw), "lineitem") == 1, plan(raw).take(2500))
+      assert(raw.collect().toSeq == rewritten.toSeq)
+    } finally conf.unset(key)
+  }
+
+  test("a filtered aggregate below the summary grain is NOT rewritten") {
+    MaterializedView.install(spark, sfDir)
+    // pricingSummary filters on l_shipdate — the summary cannot answer
+    // it, so the plan must keep the fact scan
+    val p = plan(Aggregates.pricingSummary(spark, sfDir))
+    assert(scansOf(p, "lineitem") == 1, p.take(2500))
+    assert(!p.contains("pricing_rollup_mv"), p.take(2500))
+  }
+}

@@ -440,6 +440,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashExchanges.head.contains("source"), hashExchanges.head)
   }
 
+  test("dppPrune: the fact scan carries a dynamic-pruning subquery — " +
+    "only dim-matching partition directories are read") {
+    val p = plan(Advanced.dppPrune(spark, sfDir))
+    val factScan = p.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(factScan.contains("dynamicpruningexpression"), p.take(3000))
+    // the join's month-derivation also pushed back as STATIC partition
+    // filters (year/quarter recomputed from the dir name) — both
+    // pruning layers on one scan
+    assert(factScan.contains("substring(o_month"), factScan)
+  }
+
   test("q15: the scalar MAX re-enters via a 1-row broadcast cross " +
     "join over the MATERIALIZED revenue table — zero re-scans") {
     val p = plan(Subqueries.q15TopSupplier(spark, sfDir))
