@@ -48,6 +48,7 @@ object SparkEntry {
     "j21_sole_failing_supplier" -> (Subqueries.q21SoleFailingSupplier _),
     "j22_idle_customers" -> (Subqueries.q22IdleCustomers _),
     "s2_jdbc_source" -> (Relational.jdbcSnapshot _),
+    "s2_jdbc_agg_pushdown" -> (sources.JdbcSource.nationRollupPushdown _),
     // §2.5 aggregations
     "a1_pricing_summary" -> (Aggregates.pricingSummary _),
     "a1_explode_sum" -> (Aggregates.explodeSum _),
@@ -239,6 +240,7 @@ object SparkEntry {
     queries.keySet.filter(_.startsWith("sink_")) +
       "adv_bucketed_join" +
       "s2_jdbc_source" + // builder seeds the embedded Derby db (a write job)
+      "s2_jdbc_agg_pushdown" + // same Derby seed job
       "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
       "dedup_clusters_star" + // same fixpoint via star alternation
       "p_entity_resolution" + // composes the CC fixpoint on fuzzy pairs
@@ -817,6 +819,15 @@ object SparkEntry {
         |WHERE s_acctbal > 0 AND s_nationkey IN
         |  (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
         |ORDER BY s_suppkey""".stripMargin,
+    "s2_jdbc_agg_pushdown" ->
+      // the rollup the DATABASE computes under aggregate pushdown,
+      // restated over the parquet seed
+      """SELECT s_nationkey,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | MIN(s_acctbal) AS lo,
+        | MAX(s_acctbal) AS hi
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
     "sink_infer_csv" ->
       """SELECT c_custkey, c_name,
         | CAST(c_acctbal > 0 AS INT) AS is_positive,

@@ -89,4 +89,37 @@ object JdbcSource {
       .option("numPartitions", "4")
       .load()
   }
+
+  /** The supplier table through the DSv2 JDBC *catalog* with aggregate
+    * pushdown: the per-nation rollup executes INSIDE the database —
+    * the scan's `External engine query` is
+    * `SELECT s_nationkey, SUM(CAST(..)), COUNT(*), MIN(..), MAX(..)
+    *  GROUP BY s_nationkey` — and Spark reads back one row per group
+    * instead of the whole table. At 100 TB-warehouse scale this is the
+    * difference between shipping a table and shipping its answer; the
+    * decimal cast rides INTO the pushed SQL, so the database's sum is
+    * exact and engine-order-independent (the DuckDB oracle states the
+    * same rollup over the parquet seed). Catalog name embeds the dir
+    * digest: Spark caches catalog instances by name, so two sfDirs
+    * must never share one.
+    */
+  def nationRollupPushdown(s: SparkSession, dir: String): DataFrame = {
+    val (u, _, _) = seedSupplier(s, dir)
+    val cat = "graftdb_" + u.split("/").last.split(";").head
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.url", u)
+    s.conf.set(s"spark.sql.catalog.$cat.driver", Driver)
+    s.conf.set(s"spark.sql.catalog.$cat.pushDownAggregate", "true")
+    // v1-written, unquoted → Derby stores APP.SUPPLIER upper-case
+    s.sql(s"""SELECT s_nationkey,
+             | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal,
+             | COUNT(*) AS n,
+             | MIN(s_acctbal) AS lo,
+             | MAX(s_acctbal) AS hi
+             |FROM $cat.APP.SUPPLIER
+             |GROUP BY s_nationkey
+             |ORDER BY s_nationkey""".stripMargin)
+  }
 }

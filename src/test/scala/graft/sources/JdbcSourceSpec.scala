@@ -66,4 +66,23 @@ class JdbcSourceSpec extends SparkSpec {
       .count()
     assert(df.count() == viaParquet)
   }
+
+  test("v2 catalog pushes the WHOLE aggregation into the database — " +
+    "the external engine query carries GROUP BY + SUM/COUNT/MIN/MAX") {
+    val df = JdbcSource.nationRollupPushdown(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedAggregates"), p.take(2500))
+    assert(p.contains("SUM(CAST(s_acctbal AS decimal(18,6)))"), p.take(2500))
+    assert(p.contains("PushedGroupByExpressions: [s_nationkey]"),
+      p.take(2500))
+    // and the rollup equals the same aggregation over the parquet seed
+    val viaParquet = graft.Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey"))
+      .agg(graft.functions.Scalars.moneySum(col("s_acctbal")).as("bal"),
+        count(lit(1)).as("n"),
+        min(col("s_acctbal")).as("lo"), max(col("s_acctbal")).as("hi"))
+      .orderBy("s_nationkey").collect().toSeq
+    assert(df.collect().toSeq == viaParquet)
+  }
 }
