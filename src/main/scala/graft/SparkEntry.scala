@@ -145,6 +145,7 @@ object SparkEntry {
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sink_infer_csv" -> (Sinks.inferredCsv _),
     "sink_orc_roundtrip" -> (Sinks.orcRoundTrip _),
+    "sink_xml_roundtrip" -> (Sinks.xmlRoundTrip _),
     // §3.2 pipeline B gold table
     "p_insight_gold" -> (Pipelines.insightGold _),
     "p_scd2" -> (Pipelines.scd2 _),
@@ -837,6 +838,10 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier WHERE s_acctbal > 0
         |ORDER BY s_suppkey""".stripMargin,
+    "sink_xml_roundtrip" ->
+      """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+        | MAX(n_name) AS max_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

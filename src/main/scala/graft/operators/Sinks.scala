@@ -85,6 +85,27 @@ object Sinks {
       .orderBy("s_suppkey")
   }
 
+  /** XML round trip (Spark 4's built-in XML source): nation written as
+    * row-tagged XML, read back with the DECLARED schema (inference
+    * would widen n_nationkey to long and flip column case rules), then
+    * rolled up per region. XML is the one interchange format the
+    * JSON/CSV sinks don't cover — B2B feeds and legacy endpoints speak
+    * it; at scale each file is one task (multiLine parse), so the
+    * writer controls parallelism via files, not a splittable codec.
+    */
+  def xmlRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${root(dir)}/nation_xml"
+    val src = Tables.nation(s, dir)
+    src.write.mode("overwrite")
+      .option("rowTag", "nation").format("xml").save(out)
+    s.read.schema(src.schema)
+      .option("rowTag", "nation").format("xml").load(out)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        max(col("n_name")).as("max_name"))
+      .orderBy("n_regionkey")
+  }
+
   /** Schema evolution across snapshot generations: an early snapshot
     * written WITHOUT a column, a later one with it, read back as one
     * table via parquet mergeSchema — the schema-on-read posture of

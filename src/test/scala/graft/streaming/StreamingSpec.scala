@@ -145,6 +145,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: the same stateful query runs on the " +
+    "disk-backed provider — the 100 TB state backend, not a conf relic") {
+    // default HDFSBackedStateStoreProvider keeps every key's state on
+    // the executor HEAP — a running aggregate over billions of keys
+    // OOMs. RocksDB spills to local disk with changelog checkpointing;
+    // this pins that the library's stateful shapes actually run on it
+    // (rocksdbjni loads, state survives across microbatches) so a
+    // deploy can flip the provider without surprises.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_rocksdb_ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val q = StreamingAnalogs.runningUserCounts(input.toDS())
+      .toDF("user_id", "running_count")
+      .writeStream.format("memory").queryName("rocksdb_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val finalCounts = s.table("rocksdb_out")
+        .groupBy("user_id").agg(max("running_count").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalCounts == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+      // the provider actually engaged: the HDFS-backed provider writes
+      // version.delta per commit, RocksDB snapshots/changelogs — the
+      // checkpoint's state dir must hold state files and no .delta
+      val stateFiles = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(ckpt, "state"))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      val names = new scala.collection.mutable.ArrayBuffer[String]
+      while (stateFiles.hasNext) names += stateFiles.next().toString
+      assert(names.nonEmpty)
+      assert(!names.exists(_.endsWith(".delta")), names.take(20).toString)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("dedupStream: replayed event_id across microbatches is dropped") {
     val s = spark
     import s.implicits._
