@@ -59,6 +59,7 @@ object SparkEntry {
     "a6_daily_counts" -> (Aggregates.dailyCounts _),
     "a7_exists_flag" -> (Aggregates.existsFlag _),
     "a8_round_avg" -> (Aggregates.roundAvg _),
+    "agg_median_scale" -> (Aggregates.exactMedianScale _),
     // §2.7 sorts / limits / windows / set ops
     "w_topk" -> (Analytics.topCustomers _),
     "w_running" -> (Analytics.windowRunning _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "sink_zorder" -> (Sinks.zorderCluster _),
     // data-quality gates
     "dq_expectations" -> (Quality.expectations _),
+    "dq_observed_audit" -> (Quality.observedAudit _),
     "dq_volume_anomaly" -> (Quality.volumeAnomaly _),
     "dq_referential" -> (Quality.referentialAudit _),
     "dq_snapshot_diff" -> (Quality.snapshotDiff _),
@@ -263,7 +265,9 @@ object SparkEntry {
       "dq_snapshot_diff" + // builder checkpoints the base projection
       "sim_ivfpq_topk" + // builder trains the PQ books (Lloyd jobs)
       "mv_summary_rewrite" + // builder materializes the rollup summary
-      "adv_dpp_prune"    // builder writes the partitioned fact copy
+      "adv_dpp_prune" +  // builder writes the partitioned fact copy
+      "agg_median_scale" + // builder runs the stats + histogram jobs
+      "dq_observed_audit"  // builder runs the observed pass
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
     * contribution sums, chained one CTE pair (c_i, r_i) per
@@ -921,6 +925,14 @@ object SparkEntry {
         |   / COUNT(*), 1) AS avg_acctbal,
         | CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_median_scale" ->
+      // rank-based lower median: the value at rank ceil(n/2)
+      """SELECT v AS median_price, n AS n_rows FROM (
+        |  SELECT o_totalprice AS v,
+        |    row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM orders)
+        |WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)""".stripMargin,
     "w_topk" ->
       """SELECT o_custkey,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
@@ -969,6 +981,15 @@ object SparkEntry {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "dq_observed_audit" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+        | CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+        |   AS n_nonpos_price,
+        | CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+        |   AS BIGINT) AS n_bad_status,
+        | CAST(COUNT(CASE WHEN o_totalprice > 0 THEN 1 END) AS BIGINT)
+        |   AS n_output
+        |FROM orders""".stripMargin,
     "dq_expectations" ->
       """WITH r AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,

@@ -133,6 +133,63 @@ object Aggregates {
         col("total_event_count"))
       .orderBy("user_id")
 
+  /** EXACT global median at scale — histogram select, not a one-task
+    * buffer. Spark's `percentile` is exact but buffers every value of
+    * a group in one aggregation buffer; with a single global group
+    * that is THE scale-killer (one task holds the column). This is
+    * the two-phase selection algorithm instead:
+    *   1. one scan → (min, max, count) in a single partial-agg pass;
+    *   2. one scan → fixed-width bucket histogram (4096 buckets,
+    *      partial-agg map-side; the driver receives <=4096 counts and
+    *      locates the bucket containing the target rank);
+    *   3. one scan, pruned to that bucket's value range (parquet
+    *      min/max skipping applies) → the (rank - offset)-th smallest
+    *      value inside the bucket via per-partition top-k.
+    * Every executor holds O(buckets) state, the driver O(buckets)
+    * longs — nothing proportional to the data. O(log_width) extra
+    * rounds would shrink the final bucket further if one bucket were
+    * still huge (skewed value domains); one level suffices here.
+    * Target rank = ceil(n/2) — the lower median, so the answer is an
+    * actual data value at any parity and the oracle is rank-stable
+    * under ties.
+    */
+  def exactMedianScale(s: SparkSession, dir: String): DataFrame =
+    exactMedianOf(Tables.orders(s, dir).select(col("o_totalprice").as("v")))
+
+  /** The selection over an explicit value relation (column `v`) —
+    * separable so specs can drive degenerate domains through the same
+    * bucket logic.
+    */
+  private[operators] def exactMedianOf(vals: DataFrame): DataFrame = {
+    val stats = vals.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    require(stats.getLong(2) > 0, "empty relation — no median")
+    val (lo, hi, n) = (stats.getDouble(0), stats.getDouble(1),
+      stats.getLong(2))
+    val k = (n + 1) / 2 // ceil(n/2): lower median
+    val nBuckets = 4096
+    val width = (hi - lo) / nBuckets
+    val bucketOf =
+      if (width == 0) lit(0)
+      else least(floor((col("v") - lo) / width).cast("int"),
+        lit(nBuckets - 1))
+    val hist = vals.groupBy(bucketOf.as("b")).agg(count(lit(1)).as("c"))
+      .orderBy("b").collect().map(r => r.getInt(0) -> r.getLong(1))
+    var cum = 0L
+    val (bucket, offset) = hist.collectFirst {
+      case (b, c) if { val hit = cum + c >= k; if (!hit) cum += c; hit } =>
+        (b, cum)
+    }.get
+    val rankInBucket = (k - offset).toInt
+    val inBucket =
+      if (width == 0) vals
+      else vals.filter(col("v") >= lo + bucket * width &&
+        (if (bucket == nBuckets - 1) lit(true)
+         else col("v") < lo + (bucket + 1) * width))
+    inBucket.orderBy(col("v")).limit(rankInBucket)
+      .orderBy(col("v").desc).limit(1)
+      .select(col("v").as("median_price"), lit(n).as("n_rows"))
+  }
+
   /** A8 + X9: rating-style rollup with round(x, 1) (`BP:618-629`). */
   def roundAvg(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)

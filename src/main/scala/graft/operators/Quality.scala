@@ -69,6 +69,33 @@ object Quality {
       .orderBy("rule")
   }
 
+  /** Audit metrics via `observe()` — quality counters collected from
+    * the SAME pass that produces the gated output, zero extra scans.
+    * `expectations` above is the standalone audit (one dedicated
+    * pass); this is the production inline form: the pipeline writes
+    * its output anyway, and the observation rides the job for free as
+    * accumulator-style metrics (exact, not sampled, regardless of
+    * partitioning). The query returns the metric row itself so the
+    * driver oracle can state the counts independently.
+    */
+  def observedAudit(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation("graft_audit")
+    val gated = Tables.orders(s, dir)
+      .observe(obs,
+        count(lit(1)).as("n_input"),
+        count(when(col("o_totalprice") <= 0, 1)).as("n_nonpos_price"),
+        count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+          .as("n_bad_status"))
+      .filter(col("o_totalprice") > 0)
+    val nOut = gated.count() // the output action the metrics ride on
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_input").asInstanceOf[Long],
+      m("n_nonpos_price").asInstanceOf[Long],
+      m("n_bad_status").asInstanceOf[Long], nOut))
+      .toDF("n_input", "n_nonpos_price", "n_bad_status", "n_output")
+  }
+
   /** Day-volume anomaly detection over events: flag days whose event
     * count deviates from the corpus mean by more than 2 standard
     * deviations. The variance test is expressed SQUARED

@@ -70,4 +70,34 @@ class AggregatesSpec extends SparkSpec {
       assert((v * 10).round / 10.0 == v)
     }
   }
+
+  test("exactMedianScale equals the single-buffer percentile answer " +
+    "without ever buffering the column on one task") {
+    val row = Aggregates.exactMedianScale(spark, sfDir).head()
+    val n = row.getAs[Long]("n_rows")
+    // ground truth: the value at rank ceil(n/2) by a global sort
+    val expected = graft.Tables.orders(spark, sfDir)
+      .select(col("o_totalprice")).orderBy("o_totalprice")
+      .limit(((n + 1) / 2).toInt).orderBy(col("o_totalprice").desc)
+      .head().getDouble(0)
+    assert(row.getAs[Double]("median_price") == expected)
+  }
+
+  test("exactMedianScale: degenerate domains through the real bucket " +
+    "logic — constant column (zero width), even count, single row") {
+    val s = spark
+    import s.implicits._
+    // all-equal values force width == 0 — the guard path must still
+    // select the value rather than divide by zero
+    val const = Aggregates.exactMedianOf(Seq.fill(7)(42.5).toDF("v")).head()
+    assert(const.getAs[Double]("median_price") == 42.5)
+    assert(const.getAs[Long]("n_rows") == 7L)
+    // even count: lower median (rank ceil(n/2) = 2 of 1,2,3,4 → 2)
+    val even = Aggregates.exactMedianOf(
+      Seq(4.0, 1.0, 3.0, 2.0).toDF("v")).head()
+    assert(even.getAs[Double]("median_price") == 2.0)
+    // single row
+    val one = Aggregates.exactMedianOf(Seq(9.9).toDF("v")).head()
+    assert(one.getAs[Double]("median_price") == 9.9)
+  }
 }
