@@ -222,6 +222,7 @@ object SparkEntry {
     "text_resample" -> (TextAnalysis.resample _),
     "text_token_budget" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.tokenBudgetFill(s, dir)),
+    "text_unicode_norm" -> (TextAnalysis.unicodeNormalize _),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
@@ -2111,6 +2112,19 @@ object SparkEntry {
         |        unnest(generate_series(1, n_copies)) AS epoch
         |      FROM c WHERE n_copies > 0)
         |ORDER BY doc_id, epoch""".stripMargin,
+    "text_unicode_norm" ->
+      // identical decomposed bytes built in DuckDB (chr(769)/chr(771)
+      // are the combining acute/tilde), replayed through its own NFC
+      """SELECT doc_id,
+        | CAST(length(d_txt) AS INT) AS n_before,
+        | CAST(length(nfc_normalize(d_txt)) AS INT) AS n_after,
+        | md5(nfc_normalize(d_txt)) AS fp,
+        | CAST(length(nfc_normalize(d_txt)) < length(d_txt) AS INT)
+        |   AS composed
+        |FROM (SELECT doc_id,
+        |  substring(text, 1, 20) || 'e' || chr(769) || 'n' || chr(771)
+        |    AS d_txt FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "text_token_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)

@@ -555,6 +555,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unicode NFC normalization (graft.functions.NfcNormalize — native
+    * codegen expression): canonical composition so visually identical
+    * strings fingerprint identically. The fixture corpus is ASCII, so
+    * the query grafts a deterministic decomposed suffix ("e"+U+0301,
+    * "n"+U+0303) onto each doc and proves the kernel composes it (the
+    * DuckDB oracle builds the identical bytes and replays through its
+    * own nfc_normalize). Row-local, zero shuffle; the already-NFC fast
+    * path skips allocation, which on a real corpus is ~every row.
+    */
+  def unicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 20),
+          // explicit decomposed escapes: an editor renormalizing the
+          // source to NFC would silently leave the kernel nothing to do
+          lit("e\u0301n\u0303"))
+          .as("d_txt"))
+      .select(col("doc_id"), length(col("d_txt")).as("n_before"),
+        expr("nfc_normalize(d_txt)").as("norm"))
+      .select(col("doc_id"), col("n_before"),
+        length(col("norm")).as("n_after"),
+        md5(col("norm").cast("binary")).as("fp"))
+      .withColumn("composed", (col("n_after") < col("n_before")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget fill: select the best-quality documents per source
     * until a per-source token budget is exhausted — the data-recipe
     * step that caps each domain's contribution to a training mix by
