@@ -223,6 +223,7 @@ object SparkEntry {
     "text_token_budget" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.tokenBudgetFill(s, dir)),
     "text_unicode_norm" -> (TextAnalysis.unicodeNormalize _),
+    "text_compression_ratio" -> (TextAnalysis.compressionRatio _),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),

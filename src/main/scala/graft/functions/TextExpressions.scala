@@ -21,6 +21,8 @@ object TextExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("nfc_normalize",
       es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("deflate_ratio",
+      es => DeflateRatio(es.head), "built-in")
   }
 }
 
@@ -61,5 +63,55 @@ object NfcNormalize {
     // skips the allocation entirely
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
+/** DEFLATE compression ratio of the UTF-8 bytes (compressed/raw) —
+  * the repetition/quality proxy several published pretraining
+  * pipelines gate on: highly repetitive or templated text compresses
+  * far below prose, near-random text approaches (or exceeds) 1.
+  * Row-local and codegen'd; one Deflater per call (Deflater instances
+  * are not thread-safe, and rows of one task are sequential anyway —
+  * the allocation is dwarfed by the compression work itself).
+  * Fixed level 6 and the raw-bytes denominator make the score a pure
+  * function of the text. No SQL-engine oracle can restate DEFLATE, so
+  * the driver records rows-only and TextExpressionsSpec pins the
+  * cross-consistency properties (bounds, repetitive < prose < random
+  * ordering, partitioning invariance).
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"deflate_ratio expects string, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(s: Any): Any =
+    DeflateRatio.eval(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.DeflateRatio$$.MODULE$$.eval($s);")
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+object DeflateRatio {
+  def eval(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](1024)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / raw.length
+    } finally d.end()
   }
 }

@@ -582,6 +582,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Compression-ratio quality signal (graft.functions.DeflateRatio):
+    * DEFLATE(text)/|text| per document — repetitive/templated text
+    * compresses far below prose, so a low ratio is the cheap
+    * repetition gate that needs no tokenization. Row-local, zero
+    * shuffle; no SQL-engine oracle can restate DEFLATE, so this is a
+    * rows-only driver check with the ordering/bounds/partitioning
+    * properties pinned in TextExpressionsSpec.
+    */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars_calc"),
+        expr("deflate_ratio(text)").as("compression_ratio"))
+      .withColumn("repetitive_flag",
+        (col("compression_ratio") < 0.35).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget fill: select the best-quality documents per source
     * until a per-source token budget is exhausted — the data-recipe
     * step that caps each domain's contribution to a training mix by

@@ -23,8 +23,16 @@ class CboSpec extends SparkSpec {
   test("ANALYZE + CBO reorder: the selective customer dim joins orders " +
     "BEFORE the lineitem fact, although the query is written fact-first") {
     val s = spark
-    Seq("cbo_orders", "cbo_lineitem", "cbo_customer")
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("cbo_orders", "cbo_lineitem", "cbo_customer").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // a fresh JVM's catalog does not know tables a previous run
+      // materialized, so DROP alone leaves the managed location on
+      // disk and CREATE then refuses it — clear the location too
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     Tables.orders(s, sfDir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .write.saveAsTable("cbo_orders")
