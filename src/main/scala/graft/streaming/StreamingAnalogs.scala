@@ -136,6 +136,35 @@ object StreamingAnalogs {
         col("c_ts"), col("click_value"))
   }
 
+  /** FULL OUTER stream-stream join — the remaining cell of the join
+    * matrix: unmatched PURCHASES null-pad once the click watermark
+    * seals their window (as in the left form) AND unmatched CLICKS
+    * null-pad once the PURCHASE watermark proves no purchase within
+    * 10 minutes after them can still arrive. Both directions need the
+    * time bound both ways (c_ts ∈ [p_ts−10m, p_ts) bounds each side
+    * by the other), or state on the unbounded side could never be
+    * evicted. Click rows carry their ids so the unmatched-click
+    * output is identifiable.
+    */
+  def purchaseAttributionFull(purchases: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") < col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"),
+      "full_outer")
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("c_ts"), col("click_value"))
+  }
+
   /** foreachBatch upsert sink: bridge a streaming aggregation into a
     * batch writer — each microbatch's updated day-rows dynamically
     * overwrite ONLY their partitions in the target table. This is the

@@ -370,6 +370,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("purchaseAttributionFull: BOTH sides' unmatched rows null-pad " +
+      "after the opposite watermark seals them") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingAnalogs.IdEvent
+    val purchases = MemoryStream[IdEvent]
+    val clicks = MemoryStream[IdEvent]
+    val q = StreamingAnalogs
+      .purchaseAttributionFull(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attr_full_out")
+      .outputMode("append").start()
+    try {
+      // user 1: matched pair; user 2: purchase w/o click; user 3:
+      // click w/o purchase
+      clicks.addData(Seq(
+        IdEvent(10L, ts("2024-01-01 09:55:00"), 1L, "click", 5.0),
+        IdEvent(11L, ts("2024-01-01 09:50:00"), 3L, "click", 7.0)))
+      purchases.addData(Seq(
+        IdEvent(1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0),
+        IdEvent(2L, ts("2024-01-01 10:00:00"), 2L, "purchase", 2.0)))
+      q.processAllAvailable()
+      def rows() = s.table("attr_full_out")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      // neither unmatched row may emit before its sealing watermark
+      assert(!rows().contains((Some(2L), None)))
+      assert(!rows().contains((None, Some(11L))))
+      // advance both watermarks far past every join window
+      clicks.addData(Seq(
+        IdEvent(99L, ts("2024-01-02 12:00:00"), 9L, "click", 0.0)))
+      purchases.addData(Seq(
+        IdEvent(98L, ts("2024-01-02 12:00:00"), 9L, "purchase", 0.0)))
+      q.processAllAvailable()
+      assert(rows().contains((Some(1L), Some(10L)))) // matched
+      assert(rows().contains((Some(2L), None)),
+        "sealed unmatched purchase must emit")
+      assert(rows().contains((None, Some(11L))),
+        "sealed unmatched click must emit")
+    } finally q.stop()
+  }
+
   test("sessionizeCustom: late events extend sealed-looking sessions; " +
       "only the watermark emits") {
     val s = spark
