@@ -230,6 +230,7 @@ object SparkEntry {
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_payload_neardup" -> (Multimodal.payloadNearDup _),
     "mm_resize" -> (Multimodal.resize _),
     "mm_features" -> (Multimodal.featureExtract _),
   )
@@ -2445,6 +2446,54 @@ object SparkEntry {
         | CAST((octet_length(encode(text)) + 3) // 4 AS INT)
         |   AS n_sample_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_payload_neardup" ->
+      // candidates: the quantized byte-histogram rank hash replayed
+      // bit-for-bit (same LCG index pairs, 1-based lists, BIGINT bit
+      // sums); verify: 3-gram Jaccard restricted to the candidates
+      """WITH cc AS (
+        |  SELECT doc_id,
+        |    list_transform(range(26), i -> (length(text) -
+        |      length(replace(text, chr(CAST(97 + i AS INT)), ''))) // 8)
+        |      AS cs
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(60), k ->
+        |      CASE WHEN cs[CAST(1 + ((k+1) * 2654435761) % 26 AS INT)] >
+        |                cs[CAST(1 + (((k+1) * 2654435761) // 26 + k) % 26
+        |                  AS INT)]
+        |      THEN 1::BIGINT << CAST(k AS INT) ELSE 0 END))
+        |      AS BIGINT) AS fingerprint
+        |  FROM cc),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fingerprint
+        |  FROM h a JOIN h b
+        |    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |iv AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand JOIN sh a ON a.doc_id = doc_a
+        |  JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, c.fingerprint,
+        |  iv.n_inter / (na.n + nb.n - iv.n_inter) AS jaccard
+        |FROM cand c
+        |JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+        |JOIN sz na ON na.doc_id = c.doc_a
+        |JOIN sz nb ON nb.doc_id = c.doc_b
+        |WHERE iv.n_inter / (na.n + nb.n - iv.n_inter) >= 0.5
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_no,
         | CAST(f * 16 AS INT) AS byte_offset,

@@ -32,7 +32,7 @@ object Dedup {
     * `size(sharr)`; the exploded (doc_id, sh) view is derived per
     * consumer.
     */
-  private def shingleArrDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+  private[operators] def shingleArrDf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     graft.CachePool.cached(s, s"dedup.shingles:$dir:$k") {
       graft.functions.VectorExpressions.ensureRegistered(s)
       Tables.fanOut(Tables.documents(s, dir))

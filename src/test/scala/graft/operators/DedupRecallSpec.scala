@@ -37,6 +37,15 @@ class DedupRecallSpec extends SparkSpec {
     assert(precision >= 0.05, s"simhash precision $precision")
   }
 
+  test("payload fingerprint at sf0.01: precision 1.0 (Jaccard-verified " +
+    "output), candidate recall >= 0.9") {
+    val ph = pairs(Multimodal.payloadNearDup(spark, sf01))
+    // output is verified — every pair is a true near-dup
+    assert(ph.subsetOf(truth), "payload pairs are Jaccard-verified")
+    val recall = ph.size.toDouble / truth.size
+    assert(recall >= 0.9, s"payload-fingerprint recall $recall")
+  }
+
   test("decontaminate at sf0.01: near-dup partners of benchmark docs flagged") {
     val flagged = Dedup.decontaminate(spark, sf01).collect()
       .map(r => r.getLong(0)).toSet
