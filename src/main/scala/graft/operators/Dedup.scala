@@ -21,7 +21,7 @@ object Dedup {
     * `word_shingles` expression (graft.functions.WordShingles): one
     * JVM call per doc vs an interpreted lambda per shingle.
     */
-  private def shingleArr(text: Column, k: Int): Column =
+  private[operators] def shingleArr(text: Column, k: Int): Column =
     call_function("word_shingles", text, lit(k))
 
   /** One (doc_id, shingle-array) row per doc, memoized through

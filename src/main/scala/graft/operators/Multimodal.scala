@@ -159,14 +159,30 @@ object Multimodal {
         |       element_at(cs, CAST(1 + (((k+1) * 2654435761L) div 26 + k) % 26
         |         AS INT)),
         |       shiftleft(1L, k), 0L))), 1)""".stripMargin
-    val fp = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(ph).as("fingerprint"))
+    // pooled: (doc_id, 64-bit fingerprint) — 16 bytes/doc. The
+    // fingerprint scan (26 single-char count passes per doc) feeds
+    // the self-join twice plus the candidate-doc pruning; uncached,
+    // Spark evaluates the identical subtree once per consumer
+    val fp = graft.CachePool.cached(s, s"mm.payloadFp:$dir") {
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), expr(ph).as("fingerprint"))
+    }
     val cand = fp.select(col("doc_id").as("doc_a"), col("fingerprint"))
       .join(fp.select(col("doc_id").as("doc_b"),
         col("fingerprint").as("fp_b")),
         col("fingerprint") === col("fp_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("fingerprint"))
-    val sh = Dedup.shingleArrDf(s, dir)
+    // verify cost must scale with |candidates|, not the corpus: build
+    // shingles only for docs that appear in a candidate pair (a
+    // semi join prunes the corpus BEFORE the shingle computation —
+    // the pooled all-docs shingle table would pay the full fan-out)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    val sh = Tables.documents(s, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Dedup.shingleArr(col("text"), 3).as("sharr"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sharr").as("sh_a")),
         "doc_a")
