@@ -35,6 +35,8 @@ object SparkEntry {
     "j5_local_supplier" -> (Relational.q5LocalSupplier _),
     // classic OLAP join shapes (TPC-H Q3/Q7/Q8/Q10/Q13/Q19)
     "j03_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "j04_priority_check" -> (Relational.q4PriorityCheck _),
+    "j06_forecast_revenue" -> (Relational.q6ForecastRevenue _),
     "j7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "j8_market_share" -> (Relational.q8MarketShare _),
     "j10_returned_items" -> (Relational.q10ReturnedItems _),
@@ -659,6 +661,25 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "j04_priority_check" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate >= TIMESTAMP '1996-04-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j06_forecast_revenue" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        |   AS DOUBLE) AS revenue_delta,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "j7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | CAST(year(l_shipdate) AS INT) AS l_year,

@@ -318,6 +318,43 @@ object Relational {
       .orderBy("o_year")
   }
 
+  /** TPC-H Q6 shape — forecast revenue change: the pure
+    * scan-filter-aggregate. All three range predicates reach the
+    * parquet scan as PushedFilters; with min/max row-group stats the
+    * shipdate year prunes most of a date-sorted fact without reading
+    * it. No join, no shuffle except the 1-row final aggregate — the
+    * query every columnar engine should execute at I/O speed.
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01" &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue_delta"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q4 shape — order-priority checking: orders with at least
+    * one late line item (shipped after the order quarter ended — the
+    * commitdate analog this schema supports), counted per priority.
+    * The EXISTS is a LEFT SEMI join on the order key: lineitem never
+    * multiplies the orders side, and the semi join's build input is
+    * pre-filtered by the pushed shipdate predicate.
+    */
+  def q4PriorityCheck(s: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1996-04-01")
+      .select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1996-04-01")
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   /** TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
     * customer⟕orders with the priority predicate in the ON clause
     * (filtering the orders side pre-join — NOT a post-join WHERE,
