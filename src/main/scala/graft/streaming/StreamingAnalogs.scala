@@ -342,4 +342,49 @@ object StreamingAnalogs {
           (uid, total)
       }
   }
+
+  /** Per-user running (count, spend) on Spark 4's transformWithState —
+    * the NEW arbitrary-state API (StatefulProcessor + typed state
+    * handles) replacing flatMapGroupsWithState: named state variables
+    * with per-variable TTL, timers decoupled from input arrival, and
+    * the RocksDB state store REQUIRED — which is the point at scale:
+    * the API family is built for state that cannot live on the heap.
+    * Functionally the runningUserCounts shape, so the spec can pin
+    * old-API/new-API agreement on the same input.
+    */
+  class RunningSpendProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Long, Double)] {
+    @transient private var agg:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      val (n0, s0) = if (agg.exists()) agg.get() else (0L, 0.0)
+      val (n, sum) = rows.foldLeft((n0, s0)) {
+        case ((cn, cs), e) => (cn + 1, cs + e.value)
+      }
+      agg.update((n, sum))
+      Iterator((key, n, sum))
+    }
+  }
+
+  def runningSpendTws(events: Dataset[Event])
+      : Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningSpendProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -196,6 +196,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState (new arbitrary-state API): running spend on " +
+    "RocksDB agrees with the old-API running counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tws_ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    // transformWithState requires the RocksDB provider
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val q = StreamingAnalogs.runningSpendTws(input.toDS())
+      .toDF("user_id", "n_events", "total_value")
+      .writeStream.format("memory").queryName("tws_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val finalRows = s.table("tws_out")
+        .groupBy("user_id").agg(max("n_events").as("n"),
+          max("total_value").as("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      // batch1+batch2: user 1 → 3 events (1.0+3.0+5.0), user 2 → 1
+      // (2.0), user 3 → 1 (4.0) — the same totals runningUserCounts
+      // proves for counts, extended with the spend sum
+      assert(finalRows == Map(
+        1L -> ((3L, 9.0)), 2L -> ((1L, 2.0)), 3L -> ((1L, 4.0))))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("dedupStream: replayed event_id across microbatches is dropped") {
     val s = spark
     import s.implicits._
