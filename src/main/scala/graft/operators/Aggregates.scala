@@ -180,11 +180,16 @@ object Aggregates {
         (b, cum)
     }.get
     val rankInBucket = (k - offset).toInt
+    // membership MUST be decided by the identical bucket expression the
+    // histogram used: re-deriving the range as [lo+b*w, lo+(b+1)*w) can
+    // disagree with floor((v-lo)/w) at boundaries under fp rounding,
+    // making rankInBucket inconsistent with the filtered set. The
+    // widened value range rides along only for parquet min/max skipping.
     val inBucket =
       if (width == 0) vals
-      else vals.filter(col("v") >= lo + bucket * width &&
-        (if (bucket == nBuckets - 1) lit(true)
-         else col("v") < lo + (bucket + 1) * width))
+      else vals.filter(bucketOf === lit(bucket) &&
+        col("v") >= lo + (bucket - 1) * width &&
+        col("v") <= lo + (bucket + 2) * width)
     inBucket.orderBy(col("v")).limit(rankInBucket)
       .orderBy(col("v").desc).limit(1)
       .select(col("v").as("median_price"), lit(n).as("n_rows"))

@@ -48,11 +48,16 @@ object MaterializedView {
     }
   }
 
-  /** Register the summary for `dir`'s lineitem (building it if needed). */
+  /** Register the summary for `dir`'s lineitem (building it if needed).
+    * Keyed by the fact's RESOLVED root path, not the bare file name:
+    * Verify and Bench run multiple sfDirs in one JVM, and a
+    * suffix-keyed registry would rewrite every dir's lineitem rollup
+    * onto the first dir's summary — wrong rows, no error.
+    */
   def install(s: SparkSession, dir: String): Unit = {
     ensureSummary(s, dir)
     SummaryRewrite.register(SummaryDef(
-      factFile = "lineitem.parquet",
+      factPath = SummaryRewrite.resolvedPath(Tables.lineitem(s, dir)),
       summaryPath = summaryPath(dir),
       keys = Set("l_returnflag", "l_linestatus"),
       sums = Map("l_quantity" -> "s_qty", "l_extendedprice" -> "s_price"),

@@ -60,27 +60,61 @@ object Versioned {
     * Race safety: each attempt writes to a UNIQUE data directory
     * (version + attempt nonce) and the manifest records that path —
     * two writers racing to the same version number can never clobber
-    * each other's files; exactly one manifest create succeeds, the
+    * each other's files; exactly one manifest publish succeeds, the
     * loser's orphan directory is deleted on the failure path (and is
     * invisible regardless, since readers resolve paths only through
     * manifests).
+    *
+    * The publish primitive matters: `fs.create(path, overwrite=false)`
+    * is atomic on HDFS but check-then-create on RawLocalFileSystem and
+    * most object-store connectors — two racers could both "succeed".
+    * So the manifest is written to a nonce temp file and PROMOTED with
+    * an atomic no-replace primitive: hard-link creation for `file://`
+    * (link(2) is atomic and fails EEXIST on conflict) and
+    * rename-no-replace elsewhere (atomic on HDFS, where rename to an
+    * existing destination returns false). Connectors with non-atomic
+    * rename (older S3A) need an external lock — documented limit.
     */
   def commit(df: DataFrame, table: String): Int = {
     val s = df.sparkSession
     val v = versions(s, table).lastOption.getOrElse(0) + 1
-    val dataDir = s"data/v=$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"data/v=$v-$nonce"
     df.write.parquet(s"$table/$dataDir")
     val fs = hfs(s, table)
-    try {
-      // create-no-overwrite: the marker's creation IS the commit
-      val out = fs.create(new Path(s"$table/_manifest/$v"), false)
-      try out.writeBytes(s"""{"version":$v,"path":"$dataDir"}""")
-      finally out.close()
-    } catch { case e: Throwable =>
+    try publish(fs, table, v, nonce, s"""{"version":$v,"path":"$dataDir"}""")
+    catch { case e: Throwable =>
       fs.delete(new Path(s"$table/$dataDir"), true)
       throw e
     }
     v
+  }
+
+  /** Atomically publish manifest `v`; throws (leaving no temp debris)
+    * if `v` is already committed — exactly one racer returns.
+    */
+  private[operators] def publish(fs: FileSystem, table: String, v: Int,
+      nonce: String, body: String): Unit = {
+    val tmp = new Path(s"$table/_manifest/.tmp-$v-$nonce")
+    val dst = new Path(s"$table/_manifest/$v")
+    try {
+      val out = fs.create(tmp, true)
+      try out.writeBytes(body)
+      finally out.close()
+      if (fs.getScheme == "file") {
+        // atomic no-replace on POSIX: link(2); EEXIST = lost the race
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        fs.delete(tmp, false)
+      } else if (!fs.rename(tmp, dst)) {
+        throw new java.nio.file.FileAlreadyExistsException(
+          s"version $v already committed at $table")
+      }
+    } catch { case e: Throwable =>
+      fs.delete(tmp, false)
+      throw e
+    }
   }
 
   private def pathOf(s: SparkSession, table: String, v: Int): String = {

@@ -15,9 +15,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * The summary columns must be built with the EXACT aggregation input
   * expressions the rewrite matches (`sum(cast(col as decimal))` for the
   * money measures) so sum-of-sum re-aggregation is algebraically exact.
+  *
+  * `factPath` is the fact's FULLY-RESOLVED root path (as Spark's file
+  * index reports it — use [[SummaryRewrite.resolvedPath]] to capture
+  * it), matched by equality at rewrite time. Suffix matching would make
+  * one dir's summary silently answer for ANY same-named fact file in
+  * the JVM (multi-dir suites run Verify and Bench in one process).
   */
 final case class SummaryDef(
-    factFile: String,
+    factPath: String,
     summaryPath: String,
     keys: Set[String],
     sums: Map[String, String],
@@ -61,8 +67,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   private val registry = TrieMap.empty[String, SummaryDef]
 
-  def register(d: SummaryDef): Unit = registry.put(d.factFile, d)
+  def register(d: SummaryDef): Unit = registry.put(d.factPath, d)
   def clear(): Unit = registry.clear()
+
+  /** The fully-resolved root path of a single-relation DataFrame — the
+    * exact string `factOf` will see at rewrite time. Register summaries
+    * against THIS, never a hand-written path: resolution (scheme
+    * qualification, symlinks, trailing slashes) must match on both
+    * sides or the rewrite silently never fires.
+    */
+  def resolvedPath(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.head.toString
+      }
+    }.getOrElse(throw new IllegalArgumentException(
+      "not a single file-relation plan"))
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.summaryRewrite.enabled", "true").toBoolean
@@ -83,8 +103,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       factOf(child)
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
+        // equality on the dir-qualified resolved path — a suffix match
+        // ("lineitem.parquet") would let one sfDir's summary answer
+        // for every other dir's same-named fact in this JVM
         fs.location.rootPaths.headOption.map(_.toString)
-          .flatMap(p => registry.values.find(d => p.endsWith(d.factFile)))
+          .flatMap(registry.get)
       case _ => None
     }
     case _ => None
@@ -105,7 +128,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   private def rewritableAgg(ae: AggregateExpression, d: SummaryDef): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
       case Sum(inner, _) => sumInput(inner).exists(a => d.sums.contains(a.name))
-      case Count(Seq(Literal(_, _))) => true
+      // count(1)/count(*) only — count(NULL) is 0 per group, not the
+      // group row count the summary's countCol carries
+      case Count(Seq(Literal(v, _))) => v != null
       case _ => false
     })
 
@@ -154,8 +179,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         val sAttr = sOut(d.sums(sumInput(inner).get.name))
         Cast(ae.copy(aggregateFunction = s.copy(child = sAttr)),
           ae.dataType, None)
-      case ae @ AggregateExpression(Count(Seq(Literal(_, _))), _, false,
-          None, _) =>
+      case ae @ AggregateExpression(Count(Seq(Literal(v, _))), _, false,
+          None, _) if v != null =>
         // a group present in the summary has >= 1 row, so the sum is
         // never null; Coalesce keeps the non-null contract of COUNT
         Coalesce(Seq(ae.copy(aggregateFunction = Sum(sOut(d.countCol))),

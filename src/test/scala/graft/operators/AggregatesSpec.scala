@@ -100,4 +100,25 @@ class AggregatesSpec extends SparkSpec {
     val one = Aggregates.exactMedianOf(Seq(9.9).toDF("v")).head()
     assert(one.getAs[Double]("median_price") == 9.9)
   }
+
+  test("exactMedianOf: phase-3 membership uses the HISTOGRAM's bucket " +
+    "expression, so boundary-sitting values cannot change bucket " +
+    "between passes") {
+    val s = spark
+    import s.implicits._
+    // every value lands exactly on a bucket edge (width divides values),
+    // plus fp-hostile domains: thirds, and a near-degenerate width where
+    // lo + b*width arithmetic loses precision
+    val domains: Seq[Seq[Double]] = Seq(
+      (0 to 4096).flatMap(i => Seq(i.toDouble, i.toDouble)),
+      (0 to 9999).map(i => 0.1 + i * (1.0 / 3.0)),
+      Seq.fill(5000)(1e-9) ++ Seq.fill(5001)(1e-9 + 1e-17))
+    domains.foreach { xs =>
+      val want = xs.sorted.apply((xs.size + 1) / 2 - 1) // lower median
+      val got = Aggregates.exactMedianOf(xs.toDF("v")).head()
+      assert(got.getAs[Double]("median_price") == want,
+        s"n=${xs.size} want=$want got=$got")
+      assert(got.getAs[Long]("n_rows") == xs.size.toLong)
+    }
+  }
 }

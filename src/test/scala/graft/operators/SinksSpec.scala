@@ -97,6 +97,29 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("versioned publish is atomic no-replace: a second racer to the " +
+    "same version throws, the winner's manifest survives, no temp debris") {
+    val s = spark
+    import s.implicits._
+    val t = s"/tmp/graft_sinks/spec_vpublish_${System.nanoTime()}"
+    try {
+      Versioned.commit(Seq(1).toDF("x"), t) // the winner commits v1
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      intercept[java.nio.file.FileAlreadyExistsException] {
+        Versioned.publish(fs, t, 1, "loser123",
+          """{"version":1,"path":"data/bogus"}""")
+      }
+      // winner's manifest still resolves its own data dir
+      assert(Versioned.read(s, t, Some(1)).as[Int].collect().toSeq == Seq(1))
+      val mf = new java.io.File(s"$t/_manifest").listFiles().map(_.getName)
+      assert(mf.toSeq == Seq("1"), mf.mkString(","))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(t)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("versionedMerge: MERGE lands as version 2, version 1 snapshot " +
     "is untouched underneath") {
     val merged = Versioned.versionedMerge(spark, sfDir)

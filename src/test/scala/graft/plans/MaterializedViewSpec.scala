@@ -41,6 +41,36 @@ class MaterializedViewSpec extends SparkSpec {
     } finally conf.unset(key)
   }
 
+  test("a summary registered for one dir never answers another dir's " +
+    "same-named fact (dir-qualified path equality, not suffix match)") {
+    MaterializedView.install(spark, sfDir)
+    val other = "/root/testdata/sf0.01" // same file name, different dir
+    import org.apache.spark.sql.functions._
+    val p = plan(graft.Tables.lineitem(spark, other)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(graft.functions.Scalars.moneySum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("count_order")))
+    assert(scansOf(p, "lineitem") == 1, p.take(2500))
+    assert(!p.contains("pricing_rollup_mv"), p.take(2500))
+  }
+
+  test("count(NULL literal) is never rewritten to the group row count: " +
+    "0 per group survives the summary rewrite") {
+    // Catalyst folds count(NULL) to literal 0 before our rule runs, so
+    // the remaining keys-only aggregate MAY legally swap onto the
+    // summary (distinct keys over it ≡ distinct over the fact); the
+    // guarded rewritableAgg is defense for any unfolded Count(null)
+    // form. Either way the VALUES must be 0, never the row count.
+    MaterializedView.install(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(null)).as("n_null"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(2) == 0L),
+      rows.mkString(","))
+  }
+
   test("a filtered aggregate below the summary grain is NOT rewritten") {
     MaterializedView.install(spark, sfDir)
     // pricingSummary filters on l_shipdate — the summary cannot answer
