@@ -98,6 +98,7 @@ object SparkEntry {
     "adv_dpp_prune" -> ((s: SparkSession, dir: String) =>
       Advanced.dppPrune(s, dir)),
     "adv_bucketed_join" -> ((s, d) => Advanced.bucketedJoin(s, d)),
+    "adv_recursive_cte" -> (Advanced.recursiveChain _),
     "s_hash_sample" -> (Relational.hashSample _),
     "s_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "f4_housekeeping" -> (Relational.fileHousekeeping _),
@@ -1420,6 +1421,19 @@ object SparkEntry {
         |FROM orders
         |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "adv_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey, c_custkey AS root, 1 AS depth
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, ch.root, ch.depth + 1
+        |  FROM customer c
+        |  JOIN chain ch
+        |    ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = ch.c_custkey
+        |  WHERE c.c_custkey >= 10
+        |)
+        |SELECT c_custkey, root, depth FROM chain
+        |ORDER BY c_custkey""".stripMargin,
     "adv_salted_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,

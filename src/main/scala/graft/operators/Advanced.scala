@@ -242,4 +242,39 @@ object Advanced {
         moneySum(col("o_totalprice")).as("revenue"))
       .orderBy("o_month")
   }
+
+  /** Recursive CTE — hierarchy traversal through Spark 4's native
+    * `WITH RECURSIVE` (SPARK-24497, physical `UnionLoopExec`): the
+    * anchor seeds the loop, each step is an ordinary DISTRIBUTED join
+    * of the fact against the previous iteration's rows, and the loop
+    * ends when a step produces no rows. This is the engine-native form
+    * of the label-propagation loops hand-built elsewhere
+    * (`Dedup.connectedComponents` drives its own fixpoint because it
+    * needs per-round checkpointing + change counts; a plain hierarchy
+    * walk belongs in the planner's loop operator).
+    *
+    * The hierarchy is synthesized deterministically from the customer
+    * table: parent(c) = floor(c/10), rooting every key at its < 10
+    * ancestor — depth is O(log10 |customers|), so the iteration count
+    * grows with the LOG of the data, and each iteration's join is
+    * hash-partitioned on the parent key (no driver-side state beyond
+    * loop control). DuckDB replays the identical recursive SQL as the
+    * oracle.
+    */
+  def recursiveChain(s: SparkSession, dir: String): DataFrame = {
+    val customer = s"parquet.`$dir/customer.parquet`"
+    s.sql(
+      s"""WITH RECURSIVE chain AS (
+         |  SELECT c_custkey, c_custkey AS root, 1 AS depth
+         |  FROM $customer WHERE c_custkey < 10
+         |  UNION ALL
+         |  SELECT c.c_custkey, ch.root, ch.depth + 1
+         |  FROM $customer c
+         |  JOIN chain ch
+         |    ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = ch.c_custkey
+         |  WHERE c.c_custkey >= 10
+         |)
+         |SELECT c_custkey, root, depth FROM chain
+         |ORDER BY c_custkey""".stripMargin)
+  }
 }

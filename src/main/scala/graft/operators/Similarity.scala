@@ -361,7 +361,16 @@ object Similarity {
     * and subspace width) — split out so pqTopK reuses the training.
     * Driver holds m·k·subDim doubles: the legal iterative-algorithm
     * collect shape (kmeans' centroids, BPE's merges).
+    *
+    * The TRAINING (seed collect + iters×m refit jobs) is memoized per
+    * (session, dir, grid): pqTopK and ivfPqTopK train the identical
+    * 8×32 grid, and an index is trained once then queried many times —
+    * re-running Lloyd per query would bill every search for the build.
+    * Entries die with their session (same discipline as CachePool).
     */
+  private val booksMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Array[Seq[(Int, Seq[Double])]], Int)]
+
   private def pqBooks(s: SparkSession, dir: String, m: Int, k: Int,
       iters: Int)
       : (DataFrame, Array[Seq[(Int, Seq[Double])]], Int) = {
@@ -370,6 +379,14 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("v"))
     }
     VectorExpressions.ensureRegistered(s)
+    booksMemo.filterInPlace((key, _) => !key._1.sparkContext.isStopped)
+    val (books, subDim) = booksMemo.getOrElseUpdate(
+      (s, s"$dir:$m:$k:$iters"), trainBooks(emb, m, k, iters))
+    (emb, books, subDim)
+  }
+
+  private def trainBooks(emb: DataFrame, m: Int, k: Int, iters: Int)
+      : (Array[Seq[(Int, Seq[Double])]], Int) = {
     val seeds = emb.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Double](1))
     require(seeds.length == k, s"pq: need $k seed vectors")
@@ -401,8 +418,33 @@ object Similarity {
         }
         .toSeq.sortBy(_._1)
     }
-    (emb, books, subDim)
+    (books, subDim)
   }
+
+  /** The PQ code table (one (candidate, subspace, code) row per
+    * corpus vector per subspace) — THE index payload, pooled because
+    * pqTopK and ivfPqTopK score over the identical table and a
+    * production index is encoded once, searched many times. At scale
+    * this is the m-bytes-per-vector compressed representation a PQ
+    * system exists to keep resident (the original floats stay on
+    * disk); the pool's LRU bounds executor storage like every other
+    * working-set cache here.
+    */
+  private def pqCodeTable(s: SparkSession, dir: String, m: Int, k: Int,
+      iters: Int): DataFrame =
+    graft.CachePool.cached(s, s"sim.pqCodes:$dir:$m:$k:$iters") {
+      val (emb, books, subDim) = pqBooks(s, dir, m, k, iters)
+      def sub(j: Int): Column = slice(col("v"), j * subDim + 1, subDim)
+      emb.select(col("vec_id").as("cand_id"),
+          explode(array((0 until m).map { j =>
+            struct(lit(j).as("sub"),
+              element_at(call_function("vector_argmin_l2", sub(j),
+                typedlit(books(j).flatMap(_._2)),
+                typedlit(books(j).map(_._1.toDouble))), 2)
+                .cast("int").as("code"))
+          }: _*)).as("jc"))
+        .select(col("cand_id"), col("jc.sub"), col("jc.code"))
+    }
 
   /** PQ asymmetric-distance top-k (the ADC search from the same
     * paper): the query stays FULL precision, each (subspace, code)
@@ -422,17 +464,7 @@ object Similarity {
     // finer grid than sim_pq's storage codec (8×32 vs 4×16): search
     // wants recall, storage wants bytes — the paper's own split
     val (emb, books, subDim) = pqBooks(s, dir, 8, 32, 2)
-    val m = books.length
-    def sub(j: Int): Column = slice(col("v"), j * subDim + 1, subDim)
-    val codesLong = emb.select(col("vec_id").as("cand_id"),
-        explode(array((0 until m).map { j =>
-          struct(lit(j).as("sub"),
-            element_at(call_function("vector_argmin_l2", sub(j),
-              typedlit(books(j).flatMap(_._2)),
-              typedlit(books(j).map(_._1.toDouble))), 2)
-              .cast("int").as("code"))
-        }: _*)).as("jc"))
-      .select(col("cand_id"), col("jc.sub"), col("jc.code"))
+    val codesLong = pqCodeTable(s, dir, 8, 32, 2)
     val probeRows = emb.filter(col("vec_id") < nProbes)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     val lut = probeRows.toSeq.flatMap { case (qid, qv) =>
@@ -511,19 +543,9 @@ object Similarity {
   def ivfPqTopK(s: SparkSession, dir: String, kNn: Int = 5,
       nProbes: Int = 8): DataFrame = {
     val (emb, books, subDim) = pqBooks(s, dir, 8, 32, 2)
-    val m = books.length
     val cells = ivfAssignment(s, dir)
       .select(col("vec_id"), col("cent_id"))
-    def sub(j: Int): Column = slice(col("v"), j * subDim + 1, subDim)
-    val codesLong = emb.select(col("vec_id").as("cand_id"),
-        explode(array((0 until m).map { j =>
-          struct(lit(j).as("sub"),
-            element_at(call_function("vector_argmin_l2", sub(j),
-              typedlit(books(j).flatMap(_._2)),
-              typedlit(books(j).map(_._1.toDouble))), 2)
-              .cast("int").as("code"))
-        }: _*)).as("jc"))
-      .select(col("cand_id"), col("jc.sub"), col("jc.code"))
+    val codesLong = pqCodeTable(s, dir, 8, 32, 2)
     val probeRows = emb.filter(col("vec_id") < nProbes)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     // MULTI-PROBE cell restriction (standard IVF practice): each query

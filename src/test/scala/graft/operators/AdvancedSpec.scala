@@ -239,4 +239,19 @@ class AdvancedSpec extends SparkSpec {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+  test("recursiveChain: WITH RECURSIVE runs the planner's loop operator, " +
+    "terminates at digit depth, and derives every root correctly") {
+    val df = Advanced.recursiveChain(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == Tables.customer(spark, sfDir).count())
+    rows.foreach { r =>
+      val (k, root, depth) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      var x = k; var d = 1
+      while (x >= 10) { x /= 10; d += 1 }
+      assert(d == depth, s"key $k depth $depth want $d")
+      assert(x == root, s"key $k root $root want $x")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("unionloop"), p.take(600))
+  }
 }
