@@ -100,6 +100,8 @@ object SparkEntry {
     "adv_bucketed_join" -> ((s, d) => Advanced.bucketedJoin(s, d)),
     "adv_recursive_cte" -> (Advanced.recursiveChain _),
     "s_hash_sample" -> (Relational.hashSample _),
+    "s_file_skipping" -> ((s, d) =>
+      graft.sources.SkippingIndex.userSliceAgg(s, d)),
     "s_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "f4_housekeeping" -> (Relational.fileHousekeeping _),
     // window/aggregate extensions
@@ -1449,6 +1451,13 @@ object SparkEntry {
         |  AND e.ts >= p.ts - INTERVAL 10 MINUTE
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    "s_file_skipping" ->
+      // the manifest prune is a pure file-planning optimization — the
+      // result must equal the raw slice, which is what DuckDB computes
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events WHERE user_id BETWEEN 3 AND 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s_hash_sample" ->
       """SELECT l_returnflag,
         | CAST(count(*) AS BIGINT) AS n_sampled,
