@@ -223,6 +223,8 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_gopher_quality" -> (TextAnalysis.gopherQuality _),
     "text_token_mixture" -> (TextAnalysis.tokenMixture _),
+    "text_train_classifier" -> ((s, d) =>
+      Learn.trainQualityClassifier(s, d)),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_resample" -> (TextAnalysis.resample _),
     "text_token_budget" -> ((s: SparkSession, dir: String) =>
@@ -428,6 +430,50 @@ object SparkEntry {
     (w0 +: rounds).mkString(",\n")
   }
 
+  /** DuckDB replay of Learn.trainQualityClassifier — the identical
+    * chained batch-GD arithmetic (6-decimal-rounded sigmoid, scaled
+    * BIGINT gradient sums), so the learned weights hash-match
+    * bit-for-bit.
+    */
+  private def logregOracle(iters: Int): String = {
+    val base =
+      """WITH f AS (SELECT CAST(1 AS DOUBLE) AS x0,
+        |    CAST(n_chars AS DOUBLE) / CAST(1000 AS DOUBLE) AS x1,
+        |    CASE WHEN source = 'web' THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS x2,
+        |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS y
+        |  FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM f),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+        |  CAST(0 AS DOUBLE) AS w2)""".stripMargin
+    def contrib(x: String) =
+      s"""SUM(CAST(round((round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) +
+         |      exp(-(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2))), 6)
+         |      - f.y) * f.$x * 1e9) AS BIGINT))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""g$i AS (SELECT ${contrib("x0")} AS g0,
+         |    ${contrib("x1")} AS g1,
+         |    ${contrib("x2")} AS g2
+         |  FROM f, w${i - 1} w),
+         |w$i AS (SELECT
+         |    w.w0 - CAST(0.5 AS DOUBLE) * (g.g0 / 1e9) / nn.c AS w0,
+         |    w.w1 - CAST(0.5 AS DOUBLE) * (g.g1 / 1e9) / nn.c AS w1,
+         |    w.w2 - CAST(0.5 AS DOUBLE) * (g.g2 / 1e9) / nn.c AS w2
+         |  FROM w${i - 1} w, g$i g, nn)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"""
+         |SELECT feature, weight_micro FROM (
+         |  SELECT 'bias' AS feature,
+         |    CAST(round(w0 * 1e6) AS BIGINT) AS weight_micro FROM w$iters
+         |  UNION ALL SELECT 'x_chars_k', CAST(round(w1 * 1e6) AS BIGINT)
+         |    FROM w$iters
+         |  UNION ALL SELECT 'x_web', CAST(round(w2 * 1e6) AS BIGINT)
+         |    FROM w$iters)
+         |ORDER BY feature""".stripMargin
+  }
+
   /** The text_bpe_train oracle: the chain's n learned merges, ranked. */
   private def bpeOracle(n: Int): String = {
     val sel = (1 to n).map { r =>
@@ -525,6 +571,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "text_bpe_train" -> bpeOracle(8),
+    "text_train_classifier" -> logregOracle(3),
     "text_bpe_apply" -> bpeApplyOracle(8),
     "graph_pagerank" -> pagerankOracle(3),
     "graph_clustering_coeff" ->

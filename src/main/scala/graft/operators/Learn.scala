@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** In-engine model training primitives. Alongside kmeans (clustering)
+  * and the PQ codebooks (quantization), this adds the supervised
+  * member of the family: a distributed batch-gradient logistic
+  * regression — the shape behind every "train a small quality / lang /
+  * toxicity classifier over the corpus" step in an LLM data pipeline
+  * (fastText-style linear scorers).
+  *
+  * Scale design mirrors kmeans:
+  *  - each iteration is ONE full codegen pass over the feature
+  *    relation producing a d+1-element gradient via partial
+  *    aggregation — executors hold O(d) state, nothing per-row;
+  *  - the driver holds and updates the d-element weight vector (the
+  *    legal iterative-collect shape) and re-broadcasts it as literals
+  *    in the next pass's expression;
+  *  - iteration count is fixed and small; work per iteration is
+  *    embarrassingly parallel over rows.
+  *
+  * Cross-engine exactness (the kmeans discipline): the sigmoid is
+  * rounded to 6 decimals before it enters the gradient (kills
+  * last-ulp exp() differences between libm implementations), and
+  * per-row gradient contributions are summed as scaled BIGINTs so the
+  * total is independent of partitioning/order. The DuckDB oracle
+  * replays the identical chained arithmetic (SparkEntry.logregOracle),
+  * so the learned weights hash-match bit-for-bit.
+  */
+object Learn {
+
+  /** Train y = P(lang = 'en') from [bias, n_chars/1000, source = web]
+    * over the documents table; returns the learned weights, one row
+    * per feature. Deliberately tiny feature space — the point is the
+    * distributed-training machinery, exact at any corpus size.
+    */
+  def trainQualityClassifier(s: SparkSession, dir: String,
+      iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val feats = Tables.documents(s, dir).select(
+      lit(1.0).as("x0"),
+      (col("n_chars") / 1000.0).as("x1"),
+      when(col("source") === "web", 1.0).otherwise(0.0).as("x2"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    var w = Array(0.0, 0.0, 0.0)
+    for (_ <- 1 to iters) {
+      val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2")
+      val err = round(lit(1.0) / (lit(1.0) + exp(-z)), 6) - col("y")
+      def g(x: Column) = sum(round(err * x * 1e9).cast("long"))
+      val r = feats.agg(g(col("x0")).as("g0"), g(col("x1")).as("g1"),
+        g(col("x2")).as("g2"), count(lit(1)).as("n")).head()
+      val n = r.getLong(3).toDouble
+      w = Array.tabulate(3)(i => w(i) - lr * (r.getLong(i) / 1e9) / n)
+    }
+    import s.implicits._
+    // weights surface as micro-scaled BIGINTs THROUGH Spark's round
+    // (half-away-from-zero, same as DuckDB's) — double-formatting
+    // differences can't leak into the hash compare
+    Seq("bias" -> w(0), "x_chars_k" -> w(1), "x_web" -> w(2))
+      .toDF("feature", "w")
+      .select(col("feature"),
+        round(col("w") * 1e6).cast("long").as("weight_micro"))
+      .orderBy("feature")
+  }
+
+  /** Mean log-loss of the w-scored model over the same features —
+    * spec support for "training actually descended".
+    */
+  private[operators] def logLoss(s: SparkSession, dir: String,
+      w: Seq[Double]): Double = {
+    val feats = Tables.documents(s, dir).select(
+      lit(1.0).as("x0"), (col("n_chars") / 1000.0).as("x1"),
+      when(col("source") === "web", 1.0).otherwise(0.0).as("x2"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    feats.agg(avg(-(col("y") * log(p) +
+      (lit(1.0) - col("y")) * log(lit(1.0) - p)))).head().getDouble(0)
+  }
+}
