@@ -225,6 +225,8 @@ object SparkEntry {
     "text_token_mixture" -> (TextAnalysis.tokenMixture _),
     "text_train_classifier" -> ((s, d) =>
       Learn.trainQualityClassifier(s, d)),
+    "text_classifier_score" -> ((s, d) =>
+      Learn.scoreQualityClassifier(s, d)),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_resample" -> (TextAnalysis.resample _),
     "text_token_budget" -> ((s: SparkSession, dir: String) =>
@@ -435,11 +437,45 @@ object SparkEntry {
     * BIGINT gradient sums), so the learned weights hash-match
     * bit-for-bit.
     */
-  private def logregOracle(iters: Int): String = {
+  private def logregOracle(iters: Int): String =
+    logregChain(iters) +
+      s"""
+         |SELECT feature, weight_micro FROM (
+         |  SELECT 'bias' AS feature,
+         |    CAST(round(w0 * 1e6) AS BIGINT) AS weight_micro FROM w$iters
+         |  UNION ALL SELECT 'x_chars_h', CAST(round(w1 * 1e6) AS BIGINT)
+         |    FROM w$iters
+         |  UNION ALL SELECT 'x_src0', CAST(round(w2 * 1e6) AS BIGINT)
+         |    FROM w$iters)
+         |ORDER BY feature""".stripMargin
+
+  /** Learn.scoreQualityClassifier replay: the same trained chain, the
+    * same MICRO-ROUNDED weights re-entering scoring (the trainer's
+    * surfaced precision, not the raw doubles), bucketed histogram.
+    */
+  private def logregScoreOracle(iters: Int): String =
+    logregChain(iters) +
+      s""",
+         |wm AS (SELECT CAST(round(w0 * 1e6) AS BIGINT) / 1e6 AS b,
+         |    CAST(round(w1 * 1e6) AS BIGINT) / 1e6 AS c,
+         |    CAST(round(w2 * 1e6) AS BIGINT) / 1e6 AS ww FROM w$iters),
+         |scored AS (SELECT round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) +
+         |    exp(-(wm.b * CAST(1 AS DOUBLE) +
+         |      wm.c * (CAST(n_chars AS DOUBLE) / CAST(100 AS DOUBLE)) +
+         |      wm.ww * (CASE WHEN source = 'src0' THEN CAST(1 AS DOUBLE)
+         |        ELSE CAST(0 AS DOUBLE) END)))), 6) AS p
+         |  FROM documents, wm)
+         |SELECT CAST(floor(p * 100) AS INT) AS p_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(round(p * 1e6) AS BIGINT)) AS BIGINT)
+         |    AS p_mass_micro
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def logregChain(iters: Int): String = {
     val base =
       """WITH f AS (SELECT CAST(1 AS DOUBLE) AS x0,
-        |    CAST(n_chars AS DOUBLE) / CAST(1000 AS DOUBLE) AS x1,
-        |    CASE WHEN source = 'web' THEN CAST(1 AS DOUBLE)
+        |    CAST(n_chars AS DOUBLE) / CAST(100 AS DOUBLE) AS x1,
+        |    CASE WHEN source = 'src0' THEN CAST(1 AS DOUBLE)
         |      ELSE CAST(0 AS DOUBLE) END AS x2,
         |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
         |      ELSE CAST(0 AS DOUBLE) END AS y
@@ -462,16 +498,7 @@ object SparkEntry {
          |    w.w2 - CAST(0.5 AS DOUBLE) * (g.g2 / 1e9) / nn.c AS w2
          |  FROM w${i - 1} w, g$i g, nn)""".stripMargin
     }
-    (base +: rounds).mkString(",\n") +
-      s"""
-         |SELECT feature, weight_micro FROM (
-         |  SELECT 'bias' AS feature,
-         |    CAST(round(w0 * 1e6) AS BIGINT) AS weight_micro FROM w$iters
-         |  UNION ALL SELECT 'x_chars_k', CAST(round(w1 * 1e6) AS BIGINT)
-         |    FROM w$iters
-         |  UNION ALL SELECT 'x_web', CAST(round(w2 * 1e6) AS BIGINT)
-         |    FROM w$iters)
-         |ORDER BY feature""".stripMargin
+    (base +: rounds).mkString(",\n")
   }
 
   /** The text_bpe_train oracle: the chain's n learned merges, ranked. */
@@ -572,6 +599,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "text_bpe_train" -> bpeOracle(8),
     "text_train_classifier" -> logregOracle(3),
+    "text_classifier_score" -> logregScoreOracle(3),
     "text_bpe_apply" -> bpeApplyOracle(8),
     "graph_pagerank" -> pagerankOracle(3),
     "graph_clustering_coeff" ->

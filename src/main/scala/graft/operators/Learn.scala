@@ -31,7 +31,7 @@ import graft.Tables
   */
 object Learn {
 
-  /** Train y = P(lang = 'en') from [bias, n_chars/1000, source = web]
+  /** Train y = P(lang = 'en') from [bias, n_chars/100, source = src0]
     * over the documents table; returns the learned weights, one row
     * per feature. Deliberately tiny feature space — the point is the
     * distributed-training machinery, exact at any corpus size.
@@ -40,8 +40,8 @@ object Learn {
       iters: Int = 3, lr: Double = 0.5): DataFrame = {
     val feats = Tables.documents(s, dir).select(
       lit(1.0).as("x0"),
-      (col("n_chars") / 1000.0).as("x1"),
-      when(col("source") === "web", 1.0).otherwise(0.0).as("x2"),
+      (col("n_chars") / 100.0).as("x1"),
+      when(col("source") === "src0", 1.0).otherwise(0.0).as("x2"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
     var w = Array(0.0, 0.0, 0.0)
     for (_ <- 1 to iters) {
@@ -58,11 +58,35 @@ object Learn {
     // weights surface as micro-scaled BIGINTs THROUGH Spark's round
     // (half-away-from-zero, same as DuckDB's) — double-formatting
     // differences can't leak into the hash compare
-    Seq("bias" -> w(0), "x_chars_k" -> w(1), "x_web" -> w(2))
+    Seq("bias" -> w(0), "x_chars_h" -> w(1), "x_src0" -> w(2))
       .toDF("feature", "w")
       .select(col("feature"),
         round(col("w") * 1e6).cast("long").as("weight_micro"))
       .orderBy("feature")
+  }
+
+  /** Inference over the trained model — the batch-scoring half of the
+    * train→score pipeline. Weights come back from the trainer as
+    * micro-scaled longs, re-enter the plan as literals (a model is
+    * O(d) — broadcast-as-constants, never a join), and every row gets
+    * a 6-decimal-rounded probability in the same single codegen pass
+    * that buckets it. Output is the per-bucket histogram + exact
+    * probability mass, so the driver check pins the whole score
+    * distribution, not a sample.
+    */
+  def scoreQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val w = trainQualityClassifier(s, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+    val z = lit(w("bias")) * lit(1.0) +
+      lit(w("x_chars_h")) * (col("n_chars") / 100.0) +
+      lit(w("x_src0")) * when(col("source") === "src0", 1.0).otherwise(0.0)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    Tables.documents(s, dir)
+      .select(floor(p * 100).cast("int").as("p_bucket"), p.as("p"))
+      .groupBy("p_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col("p") * 1e6).cast("long")).as("p_mass_micro"))
+      .orderBy("p_bucket")
   }
 
   /** Mean log-loss of the w-scored model over the same features —
@@ -71,8 +95,8 @@ object Learn {
   private[operators] def logLoss(s: SparkSession, dir: String,
       w: Seq[Double]): Double = {
     val feats = Tables.documents(s, dir).select(
-      lit(1.0).as("x0"), (col("n_chars") / 1000.0).as("x1"),
-      when(col("source") === "web", 1.0).otherwise(0.0).as("x2"),
+      lit(1.0).as("x0"), (col("n_chars") / 100.0).as("x1"),
+      when(col("source") === "src0", 1.0).otherwise(0.0).as("x2"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
     val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
       lit(w(2)) * col("x2")

@@ -13,7 +13,7 @@ class LearnSpec extends SparkSpec {
     "w=0 start, and the surfaced micro-weights reproduce that loss") {
     val out = Learn.trainQualityClassifier(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSeq ==
-      Seq("bias", "x_chars_k", "x_web"))
+      Seq("bias", "x_chars_h", "x_src0"))
     val w = out.map(_.getLong(1) / 1e6).toSeq
     assert(w.exists(_ != 0.0), s"degenerate all-zero weights: $w")
     val l0 = Learn.logLoss(spark, sfDir, Seq(0.0, 0.0, 0.0))
