@@ -90,6 +90,40 @@ object Versioned {
     v
   }
 
+  /** Optimistic-concurrency commit — the table-format multi-writer
+    * loop (Delta/Iceberg commit retry). The data write happens ONCE
+    * into a version-free nonce directory; on a lost race (another
+    * writer published our target version between our head read and
+    * our publish) only the O(1) manifest publish re-resolves the head
+    * and retries — the distributed write is never repeated, and every
+    * retry publishes the same immutable data path. `maxRetries`
+    * bounds livelock under pathological contention; data is cleaned
+    * up only when the commit is abandoned for good.
+    */
+  def commitRetry(df: DataFrame, table: String, maxRetries: Int = 10): Int = {
+    val s = df.sparkSession
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"data/c-$nonce"
+    df.write.parquet(s"$table/$dataDir")
+    val fs = hfs(s, table)
+    var attempt = 0
+    while (true) {
+      val v = versions(s, table).lastOption.getOrElse(0) + 1
+      try {
+        publish(fs, table, v, s"$nonce-$attempt",
+          s"""{"version":$v,"path":"$dataDir"}""")
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            if attempt < maxRetries => attempt += 1
+        case e: Throwable =>
+          fs.delete(new Path(s"$table/$dataDir"), true)
+          throw e
+      }
+    }
+    -1 // unreachable: the loop returns or throws
+  }
+
   /** Atomically publish manifest `v`; throws (leaving no temp debris)
     * if `v` is already committed — exactly one racer returns.
     */
@@ -173,14 +207,24 @@ object Versioned {
     }
     // orphan GC: anything under data/ that the surviving manifests
     // don't reference and that is older than the grace window
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     val live = versions(s, table).map(v => pathOf(s, table, v)).toSet
     val dataRoot = new Path(s"$table/data")
     if (fs.exists(dataRoot)) {
-      val cutoff = System.currentTimeMillis() - orphanGraceMs
       fs.listStatus(dataRoot).foreach { st =>
         val rel = s"data/${st.getPath.getName}"
         if (!live.contains(rel) && st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
+      }
+    }
+    // stale publish temps (a writer that died between its temp write
+    // and the promote) age out under the same grace window
+    val manRoot = new Path(s"$table/_manifest")
+    if (fs.exists(manRoot)) {
+      fs.listStatus(manRoot).foreach { st =>
+        if (st.getPath.getName.startsWith(".tmp-") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false)
       }
     }
     doomed

@@ -120,6 +120,43 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("commitRetry: concurrent writers all land on distinct versions " +
+    "with every data set readable; stale publish temps vacuum away") {
+    val s = spark
+    import s.implicits._
+    val t = s"/tmp/graft_sinks/spec_vocc_${System.nanoTime()}"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    try {
+      Versioned.commit(Seq(0).toDF("x"), t) // v1 seeds the table
+      // four writers race the head concurrently — OCC must serialize
+      // them onto distinct versions without losing any payload
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(
+        Future.sequence((1 to 4).toList.map(i =>
+          Future(i -> Versioned.commitRetry(Seq(i).toDF("x"), t)))),
+        2.minutes)
+      val vs = results.map(_._2)
+      assert(vs.toSet.size == 4 && vs.forall(v => v >= 2 && v <= 5),
+        s"versions: $results")
+      results.foreach { case (payload, v) =>
+        assert(Versioned.read(s, t, Some(v)).as[Int].collect().toSeq ==
+          Seq(payload), s"v$v lost payload $payload")
+      }
+      // a dead writer's temp manifest is vacuumed once past grace
+      val stale = new org.apache.hadoop.fs.Path(s"$t/_manifest/.tmp-9-dead")
+      val o = fs.create(stale, true); o.writeBytes("{}"); o.close()
+      Versioned.vacuum(s, t, keep = 10)
+      assert(fs.exists(stale), "in-grace temp must survive")
+      Versioned.vacuum(s, t, keep = 10, orphanGraceMs = 0)
+      assert(!fs.exists(stale), "post-grace temp must be reclaimed")
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(t), true)
+    }
+  }
+
   test("versionedMerge: MERGE lands as version 2, version 1 snapshot " +
     "is untouched underneath") {
     val merged = Versioned.versionedMerge(spark, sfDir)
