@@ -44,6 +44,10 @@ object SparkEntry {
     "j19_disjunctive_revenue" -> (Relational.q19DisjunctiveRevenue _),
     "mv_summary_rewrite" -> (MaterializedView.rollupRewrite _),
     // decorrelated-subquery family (TPC-H Q15/Q17/Q18/Q21/Q22 shapes)
+    "j02_min_cost_supplier" -> (Subqueries.q2MinCostSupplier _),
+    "j11_important_parts" -> (Subqueries.q11ImportantParts _),
+    "j16_supplier_count" -> (Subqueries.q16SupplierCount _),
+    "j20_dominant_supplier" -> (Subqueries.q20DominantSupplier _),
     "j15_top_supplier" -> (Subqueries.q15TopSupplier _),
     "j17_small_qty_revenue" -> (Subqueries.q17SmallQtyRevenue _),
     "j18_large_orders" -> (Subqueries.q18LargeOrders _),
@@ -274,6 +278,7 @@ object SparkEntry {
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
       "dedup_minhash" +  // builder counts candidates to gate the broadcast
       "j15_top_supplier" + // builder checkpoints the per-supplier revenue
+      "j11_important_parts" + // builder checkpoints the per-part values
       "dq_snapshot_diff" + // builder checkpoints the base projection
       "sim_ivfpq_topk" + // builder trains the PQ books (Lloyd jobs)
       "mv_summary_rewrite" + // builder materializes the rollup summary
@@ -846,6 +851,81 @@ object SparkEntry {
         |   AS avg_qty,
         | CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j02_min_cost_supplier" ->
+      // textbook CORRELATED form — the min re-runs per outer row in
+      // the SQL; Spark's decorrelated window plan must match it
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, p_type,
+        |    CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS supply_cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |    AND p_type = 'ECONOMY' AND p_size < 10
+        |  GROUP BY 1, 2, 3),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+        |  p_type, supply_cost
+        |FROM ps JOIN eu ON l_suppkey = s_suppkey
+        |WHERE supply_cost = (
+        |  SELECT MIN(ps2.supply_cost)
+        |  FROM ps ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+        |  WHERE ps2.l_partkey = ps.l_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "j11_important_parts" ->
+      // decimal threshold (part*10000 > total) on both sides; the
+      // HAVING subquery re-aggregates the fact — Spark's plan reads
+      // the materialized per-part table instead (same values)
+      """SELECT l_partkey AS p_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS part_value
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_7'
+        |GROUP BY 1
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 10000 > (
+        |  SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(18,6)))
+        |  FROM lineitem l2
+        |  JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    AND n2.n_name = 'NATION_7')
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "j16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        | COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_size IN (1, 7, 14, 23, 30, 36, 42, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 1500)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "j20_dominant_supplier" ->
+      // correlated scalar inside HAVING (this part's 1998 total);
+      // the part prune inside the IN chain is implied by the
+      // correlation equality, so the inner query needs no p_name test
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'cold%')
+        |    AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) * 2 > (
+        |    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey = lineitem.l_partkey
+        |      AND l2.l_shipdate >= TIMESTAMP '1998-01-01'
+        |      AND l2.l_shipdate < TIMESTAMP '1999-01-01'))
+        |ORDER BY s_suppkey""".stripMargin,
     "j15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

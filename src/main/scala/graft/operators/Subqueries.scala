@@ -14,10 +14,13 @@ import graft.functions.Scalars._
   * here re-evaluates per outer row — that is the difference between a
   * plan that finishes at 100 TB and one that cannot.
   *
-  * (Q2/Q11/Q20 need the partsupp table, which the test fixture does not
-  * ship; the remaining five cover every decorrelation pattern those
-  * use: scalar-agg re-entry, per-key agg re-entry, HAVING semi join,
-  * EXISTS/NOT-EXISTS counting, and anti join + global scalar.)
+  * The fixture ships no partsupp table; the Q2/Q11/Q16/Q20 shapes run
+  * over the DERIVED part-supplier grain instead — lineitem grouped by
+  * (l_partkey, l_suppkey) — which preserves every property the shapes
+  * exist to exercise (correlated-MIN re-entry, global scalar in
+  * HAVING, NOT-IN null-aware anti join, nested IN + correlated
+  * scalar) while the oracle replays the textbook CORRELATED SQL form,
+  * proving the decorrelated plan equivalent to the correlated query.
   */
 object Subqueries {
 
@@ -157,6 +160,138 @@ object Subqueries {
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  /** Q2 shape — correlated-MIN subquery: for each targeted part, the
+    * EUROPE supplier(s) offering its minimum cost (cost = cheapest
+    * observed line price on the derived part-supplier grain). The
+    * textbook form re-runs a MIN over the region's suppliers per
+    * outer row; decorrelated, the region prune happens BEFORE the
+    * per-part min so both the min and the winner filter read the same
+    * region-restricted grain, and the min re-enters as a key-
+    * partitioned window over it — one exchange on the correlation
+    * key, no self-join, no second fact scan. The part and
+    * region/nation dims are constant/SF-proportional and ride
+    * planner-sized broadcasts; the oracle replays the CORRELATED SQL.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val euroSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val targetParts = Tables.part(s, dir)
+      .filter(col("p_type") === "ECONOMY" && col("p_size") < 10)
+      .select(col("p_partkey"), col("p_type"))
+    // derived part-supplier grain, fact pruned by the part dim join
+    // (planner broadcasts the filtered dim); p_type rides the grain
+    // groupBy as a functionally-dependent key, not a re-join
+    val ps = Tables.lineitem(s, dir)
+      .join(targetParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("p_type"))
+      .agg(min(money(col("l_extendedprice"))).cast("double")
+        .as("supply_cost"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    ps.join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("supply_cost")).over(w))
+      .filter(col("supply_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_type"),
+        col("supply_cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  /** Q11 shape — global scalar in HAVING: one nation's parts whose
+    * inventory value exceeds a fixed fraction of that nation's total.
+    * The per-part value table is MATERIALIZED (localCheckpoint —
+    * part-proportional, distributed) so the global total derives from
+    * it instead of re-scanning the fact (same single-scan discipline
+    * as q15TopSupplier); the total re-enters as a 1-row broadcast.
+    * The threshold compares in DECIMAL (part·10000 > total — the
+    * fraction rearranged to integer arithmetic) so a knife-edge part
+    * can't flip between engines; the output casts to double after
+    * the comparison.
+    */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(s, dir)
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(money(col("l_extendedprice"))).as("part_value_dec"))
+      .localCheckpoint()
+    val total = perPart.agg(sum(col("part_value_dec")).as("total_value"))
+    perPart.crossJoin(broadcast(total)) // 1 row
+      .filter(col("part_value_dec") * 10000 > col("total_value"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("part_value_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** Q16 shape — NOT IN null-aware anti join: distinct supplier
+    * counts per part attribute, excluding under-capitalized
+    * suppliers. Written as SQL because NOT IN is the point: Spark
+    * must plan the exclusion as a NULL-AWARE anti join (a plain anti
+    * join is wrong SQL when the subquery can yield NULL — one NULL
+    * means NOT IN is never true). The exclusion set is
+    * supplier-proportional but heavily filtered; Spark's null-aware
+    * anti join requires a broadcastable build side and the single
+    * COUNT(DISTINCT) plans as a two-level aggregate — no Expand.
+    */
+  def q16SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_tmp_li16")
+    Tables.part(s, dir).createOrReplaceTempView("graft_tmp_part16")
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_tmp_supp16")
+    s.sql(
+      """SELECT p_brand, p_type, p_size,
+        | COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey
+        |      FROM graft_tmp_li16) ps
+        |JOIN graft_tmp_part16 ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_size IN (1, 7, 14, 23, 30, 36, 42, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_tmp_supp16
+        |                        WHERE s_acctbal < 1500)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** Q20 shape — nested IN + correlated scalar: suppliers who shipped
+    * MORE THAN HALF of some targeted part's 1998 volume. The
+    * correlated "half of this part's total" decorrelates into a
+    * key-partitioned window over the (part, supplier)-grain
+    * aggregate — the grain groupBy and the window share one
+    * l_partkey-compatible exchange, and the dominance test is exact
+    * decimal (qty·2 > Σqty). The nested IN chains collapse to a dim
+    * prune (targeted parts, planner-broadcast) plus one semi join
+    * into supplier. Oracle replays the correlated HAVING form.
+    */
+  def q20DominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    val coldParts = Tables.part(s, dir)
+      .filter(col("p_name").like("cold%"))
+      .select(col("p_partkey"))
+    val grain = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(coldParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(money(col("l_quantity"))).as("supp_qty"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val dominant = grain
+      .withColumn("part_qty", sum(col("supp_qty")).over(w))
+      .filter(col("supp_qty") * 2 > col("part_qty"))
+      .select(col("l_suppkey"))
+      .distinct()
+    Tables.supplier(s, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("s_suppkey")
   }
 
   /** Q22 shape — anti join + global-scalar subquery: well-funded

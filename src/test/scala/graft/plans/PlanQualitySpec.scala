@@ -388,6 +388,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(okExchanges == 1, s"$okExchanges l_orderkey exchanges")
   }
 
+  test("q2: correlated MIN decorrelates to a key-partitioned window — " +
+    "one lineitem scan, dims broadcast, no pair scan") {
+    val p = plan(Subqueries.q2MinCostSupplier(spark, sfDir))
+    assert(scansOf(p, "lineitem") == 1, p.take(2500))
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q11: global HAVING scalar reads the materialized per-part " +
+    "table — zero lineitem re-scans in the final plan") {
+    val p = plan(Subqueries.q11ImportantParts(spark, sfDir))
+    assert(scansOf(p, "lineitem") == 0, p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(800)) // 1-row cross
+    // join plans as BroadcastNestedLoopJoin over a single-row build —
+    // constant-size, the blessed scalar re-entry shape
+  }
+
+  test("q16: NOT IN plans as a NULL-AWARE anti join (not a plain " +
+    "LeftAnti), single COUNT(DISTINCT) plans without Expand") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val qe = Subqueries.q16SupplierCount(spark, sfDir).queryExecution
+    val anti = qe.sparkPlan.collect {
+      case b: BroadcastHashJoinExec
+        if b.joinType.sql.contains("ANTI") => b
+    }
+    assert(anti.nonEmpty, qe.sparkPlan.toString.take(2000))
+    assert(anti.exists(_.isNullAwareAntiJoin),
+      s"anti join is not null-aware: ${anti.map(_.verboseString(3))}")
+    val p = plan(Subqueries.q16SupplierCount(spark, sfDir))
+    assert(!p.contains("Expand"), p.take(2500))
+  }
+
+  test("q20: nested IN + correlated scalar — one lineitem scan (grain " +
+    "groupBy and dominance window share the exchange), semi join out") {
+    val p = plan(Subqueries.q20DominantSupplier(spark, sfDir))
+    assert(scansOf(p, "lineitem") == 1, p.take(2500))
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("snapshotDiff: both sides fingerprint from the one materialized " +
     "base projection — zero fact re-scans") {
     val p = plan(Quality.snapshotDiff(spark, sfDir))
