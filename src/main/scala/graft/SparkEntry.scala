@@ -82,6 +82,7 @@ object SparkEntry {
     // Trigger.AvailableNow through update-mode foreachBatch upsert,
     // then the materialized table read back for the oracle compare
     "stream_feed_daily" -> (graft.streaming.StreamingAnalogs.feedDaily _),
+    "stream_sessionize" -> (graft.streaming.StreamingAnalogs.feedSessions _),
     // S4/S5 custom DataSource V2 (paginated REST shape)
     "s4_rest_source" -> ((s, _) => {
       import org.apache.spark.sql.functions._
@@ -141,6 +142,7 @@ object SparkEntry {
     "sink_upsert_by_date" -> (Sinks.upsertByDate _),
     "sink_time_travel" -> (Versioned.timeTravel _),
     "sink_versioned_merge" -> (Versioned.versionedMerge _),
+    "sink_versioned_delete" -> (Versioned.versionedDelete _),
     "sink_compact" -> (Sinks.compact _),
     "sink_schema_evolution" -> (Sinks.schemaEvolution _),
     "sink_zorder" -> (Sinks.zorderCluster _),
@@ -274,6 +276,7 @@ object SparkEntry {
       "text_bpe_train" + // builder runs the merge-iteration jobs
       "text_bpe_apply" + // builder trains (or reads the memo) first
       "stream_feed_daily" + // builder runs the AvailableNow stream drain
+      "stream_sessionize" + // same drain, append-mode session windows
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
       "dedup_minhash" +  // builder counts candidates to gate the broadcast
@@ -1426,6 +1429,12 @@ object SparkEntry {
     // the versioned-table MERGE applies the same change batch, so the
     // same oracle checks the write -> publish -> read round trip
     "sink_versioned_merge" -> mergeCdcOracle,
+    "sink_versioned_delete" ->
+      // the erasure batch removes keys ≡ 3 (mod 10); the post-delete
+      // version must equal the surviving predicate over the raw table
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT (c_custkey % 10 = 3)
+        |ORDER BY c_custkey""".stripMargin,
     "st_gap_fill" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1513,6 +1522,42 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN kind = 'credit' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_credit
         |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_sessionize" ->
+      // generator replay + gaps-and-islands sessionization + the
+      // final-watermark cutoff append mode imposes: the feed's max ts
+      // is 2024-01-04 11:19 (id 4999), the watermark delay 1 hour, so
+      // sessions ending after 2024-01-04 10:19 are still open when
+      // the drain terminates and must NOT appear. A new session
+      // starts when the gap is >= 2 hours (Spark's session window is
+      // [start, last + gap) — an event AT the boundary starts anew);
+      // session_end = last event + gap, as in adv_session_window.
+      """WITH feed AS (
+        |  SELECT range AS id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + range * INTERVAL 1 MINUTE
+        |      AS ts,
+        |    (range * 2654435761) % 100000 % 101 AS user_id,
+        |    CAST((range * 2654435761) % 100000 AS DOUBLE) / 100.0
+        |      AS amount
+        |  FROM range(5000)),
+        |marked AS (
+        |  SELECT *, CASE WHEN
+        |      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        >= INTERVAL 2 HOUR
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM feed),
+        |sessions AS (
+        |  SELECT *, SUM(new_sess)
+        |    OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 2 HOUR AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS session_amount
+        |FROM sessions GROUP BY user_id, sid
+        |HAVING MAX(ts) + INTERVAL 2 HOUR <= TIMESTAMP '2024-01-04 10:19:00'
+        |ORDER BY user_id, session_start""".stripMargin,
     "st2_sliding_7day" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.io.File
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars._
@@ -122,6 +122,40 @@ object Versioned {
       }
     }
     -1 // unreachable: the loop returns or throws
+  }
+
+  /** DELETE as a new version — the tombstone/right-to-erasure path a
+    * versioned table needs: rows matching `pred` are rewritten away
+    * into version N+1 (copy-on-write, one distributed scan+filter);
+    * version N still serves time-travel reads until `vacuum` retires
+    * it, which is when the erasure becomes physical. SQL DELETE
+    * semantics on the predicate: a row is removed only when `pred` is
+    * TRUE — FALSE and NULL rows survive. At 100 TB the rewrite is one
+    * pass over the table; a file-skipping manifest (sources/
+    * SkippingIndex) would confine it to files whose min/max overlap
+    * the predicate, and a deletion-vector design would avoid the
+    * rewrite entirely — both compose with this commit protocol since
+    * a version is just a manifest pointing at immutable data.
+    */
+  def delete(s: SparkSession, table: String, pred: Column): Int = {
+    val kept = read(s, table).filter(!coalesce(pred, lit(false)))
+    commit(kept, table)
+  }
+
+  /** The driver-checked DELETE query: snapshot customers as v1,
+    * apply an erasure-request batch (every key ≡ 3 mod 10) as v2,
+    * return the post-delete table. The oracle replays the surviving
+    * predicate over the raw table; VersionedSpec proves v1 still
+    * contains the erased rows (time-travel) until vacuum.
+    */
+  def versionedDelete(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_sinks/${new File(dir).getName}/versioned_delete"
+    hfs(s, table).delete(new Path(table), true) // fresh run, idempotent
+    val snap = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    commit(snap, table)
+    delete(s, table, col("c_custkey") % 10 === 3)
+    read(s, table).orderBy("c_custkey")
   }
 
   /** Atomically publish manifest `v`; throws (leaving no temp debris)

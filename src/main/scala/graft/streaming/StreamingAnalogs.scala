@@ -261,6 +261,76 @@ object StreamingAnalogs {
       .orderBy("day_start")
   }
 
+  /** Driver-checked stateful streaming query #2 — session windows in
+    * APPEND mode (feedDaily covers update mode): per-user sessions
+    * with a 2-hour gap over the deterministic feed, drained with
+    * AvailableNow and materialized as a plain batch table.
+    *
+    * Append mode emits a session exactly once — when the watermark
+    * passes its end, proving no late event can extend it — so the
+    * sink is a pure parquet APPEND, no overwrite or upsert machinery.
+    * The cost of that simplicity is the tail: sessions still open at
+    * the final watermark (each user's last session) are never
+    * finalized and do not emit. The oracle replays the generator,
+    * sessionizes with gaps-and-islands SQL, and applies the SAME
+    * final-watermark cutoff, so the driver checks exactly the
+    * emitted-once contract.
+    *
+    * The user key derives from the feed's multiplicative hash
+    * ((id·2654435761) mod 100000 mod 101): per-user inter-event gaps
+    * are pseudo-random with ~101-minute mean, so ~30% of gaps exceed
+    * the 2-hour session gap and every user accumulates a real session
+    * history — a stride-mod derivation would give every user a
+    * constant sub-gap cadence and one unsplit session.
+    *
+    * Scale shape: session state is O(open sessions), bounded by the
+    * watermark; the merge of adjacent windows happens inside the
+    * session-window state store, never as a re-shuffle of history.
+    */
+  def feedSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_sessions"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+    val sess = feed
+      .withColumn("user_id",
+        (col("id") * lit(2654435761L)) % lit(100000L) % lit(101L))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "2 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Scalars.moneySum(col("amount"))
+          .as("session_amount"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("session_amount"))
+    // state sized to key cardinality (~101 open sessions), not core
+    // count — see feedDaily's note; restored after the drain
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      sess.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(s"$base/table")
+        }
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    s.read.parquet(s"$base/table")
+      .orderBy("user_id", "session_start")
+  }
+
   /** Open (not yet emitted) sessions in flight for one user, kept as
     * gap-merged disjoint intervals sorted by start.
     */

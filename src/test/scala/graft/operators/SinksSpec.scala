@@ -157,6 +157,35 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("versionedDelete: erased rows gone at latest, still readable at " +
+    "v1 (time-travel), physically gone only after vacuum; NULL " +
+    "predicate rows survive (SQL DELETE semantics)") {
+    val s = spark
+    import s.implicits._
+    val t = s"/tmp/graft_sinks/spec_vdel_${System.nanoTime()}"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    try {
+      Versioned.commit(Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+        .toDF("k", "tag"), t)
+      // delete WHERE tag = 'a': row 1 TRUE (erased), row 2 NULL
+      // (survives — SQL DELETE only removes TRUE), row 3 FALSE
+      val v2 = Versioned.delete(s, t, org.apache.spark.sql.functions
+        .col("tag") === "a")
+      assert(v2 == 2)
+      assert(Versioned.read(s, t).select("k").as[Long].collect().sorted
+        .toSeq == Seq(2L, 3L))
+      // time-travel: the erased row is still served at v1
+      assert(Versioned.read(s, t, Some(1)).select("k").as[Long].collect()
+        .sorted.toSeq == Seq(1L, 2L, 3L))
+      // vacuum retires v1 → the erasure becomes physical
+      Versioned.vacuum(s, t, keep = 1, orphanGraceMs = 0)
+      intercept[IllegalArgumentException] {
+        Versioned.read(s, t, Some(1))
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(t), true)
+  }
+
   test("versionedMerge: MERGE lands as version 2, version 1 snapshot " +
     "is untouched underneath") {
     val merged = Versioned.versionedMerge(spark, sfDir)
