@@ -123,6 +123,7 @@ object SparkEntry {
     "agg_quantile_rollup" -> (Analytics.quantileRollup _),
     "j_fuzzy_match" -> (Advanced.fuzzyMatch _),
     "sim_random_proj" -> ((s, d) => Similarity.randomProjection(s, d)),
+    "sim_pca" -> ((s, d) => Similarity.pca(s, d)),
     "sim_standardize" -> (Similarity.standardize _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "st_gap_fill" -> (Analytics.gapFill _),
@@ -284,6 +285,7 @@ object SparkEntry {
       "j11_important_parts" + // builder checkpoints the per-part values
       "dq_snapshot_diff" + // builder checkpoints the base projection
       "sim_ivfpq_topk" + // builder trains the PQ books (Lloyd jobs)
+      "sim_pca" +        // builder runs the covariance pass + eigensolve
       "mv_summary_rewrite" + // builder materializes the rollup summary
       "adv_dpp_prune" +  // builder writes the partitioned fact copy
       "agg_median_scale" + // builder runs the stats + histogram jobs

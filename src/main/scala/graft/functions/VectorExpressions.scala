@@ -38,6 +38,68 @@ object VectorExpressions {
       es => VectorArgminL2(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("vector_project",
       es => VectorProject(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_matmul",
+      es => VectorMatmul(es(0), es(1)), "built-in")
+  }
+}
+
+/** Dense matrix-vector product of an array<float> vector against a
+  * row-major FLATTENED k×dim matrix (array<double>): out[r] =
+  * Σ_j mat[r·dim+j]·v[j], each row accumulating ascending-j from 0.0.
+  * Similarity.pca's projection kernel: the component matrix enters
+  * the plan as a broadcast literal (k·dim doubles), so the projection
+  * is row-local inside whole-stage codegen — no join, no shuffle, no
+  * k·dim interpreted HOF lambda dispatches per row. k derives from
+  * the matrix length, which must divide evenly by the vector's dim.
+  */
+case class VectorMatmul(vec: Expression, mat: Expression)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = mat
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  /** Same memory-reinterpretation guard as VectorProject. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, mat.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vector_matmul expects (array<float>, array<double>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(v: Any, m: Any): Any =
+    VectorMatmul.eval(v.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) =>
+      s"${ev.value} = graft.functions.VectorMatmul$$.MODULE$$.eval($v, $m);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, mat = newRight)
+}
+
+object VectorMatmul {
+  def eval(v: ArrayData, m: ArrayData): ArrayData = {
+    val dim = v.numElements()
+    val k = m.numElements() / dim
+    require(m.numElements() == k * dim,
+      s"flat matrix ${m.numElements()} not a multiple of dim $dim")
+    val out = new Array[Double](k)
+    var r = 0
+    while (r < k) {
+      var acc = 0.0
+      var j = 0
+      val off = r * dim
+      while (j < dim) {
+        acc += m.getDouble(off + j) * v.getFloat(j).toDouble
+        j += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.VectorExpressions
 
@@ -707,6 +708,156 @@ object Similarity {
       .select(col("vec_id"),
         posexplode(call_function("vector_project",
           col("embedding"), lit(dOut))).as(Seq("dim", "val")))
+      .orderBy("vec_id", "dim")
+  }
+
+  /** PCA model memo per (session, dir, k) — an index build: trained
+    * once, projected many times (same discipline as booksMemo).
+    * Holds (top-k eigenvalues, row-major flattened k×d components,
+    * per-component centering offsets μ·Cᵣ) — O(k·d) driver doubles.
+    */
+  private val pcaMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (Array[Double], Array[Double], Array[Double])]
+
+  private[graft] def pcaModel(s: SparkSession, dir: String, k: Int)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    pcaMemo.filterInPlace((key, _) => !key._1.sparkContext.isStopped)
+    pcaMemo.getOrElseUpdate((s, s"$dir:$k"), pcaTrain(s, dir, k))
+  }
+
+  /** The training pass: EXACT scaled-integer covariance in one
+    * distributed sweep, then a Jacobi eigensolve of the d×d matrix on
+    * the driver (d=64 → 4096 doubles, the legal O(d²) collect).
+    *
+    * Covariance: each row expands to its d² pair products of
+    * μ-unsubtracted scaled ints (xs = round(x·1e6), products exact in
+    * long, upper triangle kept), map-side partial aggregation
+    * collapses every task to ≤ d(d+1)/2 decimal partial sums, so the
+    * shuffle is O(d²) REGARDLESS of row count — the fundamental shape
+    * of exact covariance at 100 TB. Means come from a second O(d)
+    * aggregate over the same pooled table. E[xy]−μxμy then assembles
+    * the covariance in doubles on the driver.
+    */
+  private def pcaTrain(s: SparkSession, dir: String, k: Int)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val scaled = graft.CachePool.cached(s, s"sim.embScaled:$dir") {
+      Tables.embeddings(s, dir).select(
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xs"))
+    }
+    val pairRows = scaled
+      .select(explode(flatten(transform(col("xs"), (xj, j) =>
+        transform(col("xs"), (xk, kk) =>
+          struct(j.as("j"), kk.as("k"), (xj * xk).as("p")))))).as("c"))
+      .select(col("c.j"), col("c.k"), col("c.p"))
+      .filter(col("j") <= col("k"))
+      .groupBy("j", "k")
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("spp"))
+      .collect()
+    val meanRows = scaled
+      .select(posexplode(col("xs")).as(Seq("j", "xj")))
+      .groupBy("j")
+      .agg(sum(col("xj").cast(DecimalType(38, 0))).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+    val d = meanRows.length
+    val n = meanRows.head.getLong(2).toDouble
+    val mu = new Array[Double](d) // in xs units
+    meanRows.foreach(r =>
+      mu(r.getInt(0)) = r.getDecimal(1).doubleValue() / n)
+    val cov = Array.ofDim[Double](d, d) // back in input units
+    pairRows.foreach { r =>
+      val (j, kk) = (r.getInt(0), r.getInt(1))
+      val c = (r.getDecimal(2).doubleValue() / n - mu(j) * mu(kk)) / 1e12
+      cov(j)(kk) = c
+      cov(kk)(j) = c
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    // order by eigenvalue descending; deterministic sign: the
+    // largest-|coordinate| entry of each component is positive
+    val order = evals.indices.sortBy(i => -evals(i)).take(k)
+    val comps = order.map { i =>
+      val v = Array.tabulate(d)(r => evecs(r)(i))
+      val m = v.indices.maxBy(j => math.abs(v(j)))
+      if (v(m) < 0) v.map(-_) else v
+    }
+    val flat = comps.flatten.toArray
+    // centering folded into per-component offsets: (x−μ)·C = x·C − μ·C
+    val offsets = comps.map(c =>
+      c.indices.map(j => c(j) * mu(j) / 1e6).sum).toArray
+    (order.map(evals).toArray, flat, offsets)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * rotations zero each off-diagonal pair until convergence;
+    * O(d³) per sweep on O(d²) driver data. Returns (eigenvalues,
+    * eigenvector COLUMNS).
+    */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) s += a(p)(q) * a(p)(q)
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-20) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1)) match {
+            case 0.0 => 1.0 // theta == 0 → 45° rotation
+            case x => x
+          }
+        val c = 1 / math.sqrt(t * t + 1)
+        val sn = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - sn * aiq
+          a(i)(q) = sn * aip + c * aiq
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - sn * aqi
+          a(q)(i) = sn * api + c * aqi
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - sn * viq
+          v(i)(q) = sn * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** PCA projection of every embedding onto the top-k principal
+    * components. The component matrix re-enters the plan as a
+    * BROADCAST LITERAL driving the fused `vector_matmul` codegen
+    * kernel, and the centering is folded into k driver-computed
+    * offsets ((x−μ)·C = x·C − μ·C) — so the projection is one
+    * row-local expression: no join, no shuffle, no per-element
+    * interpreted lambda, embarrassingly parallel at any scale.
+    * Long-form output (vec_id, dim, val) like randomProjection.
+    * PcaSpec proves orthonormal components, descending non-negative
+    * eigenvalues, per-component projected variance = eigenvalue, and
+    * top-k explained variance beating the uniform share.
+    */
+  def pca(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    VectorExpressions.ensureRegistered(s)
+    val (_, flat, offsets) = pcaModel(s, dir, k)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(call_function("vector_matmul",
+          col("embedding"), typedLit(flat.toSeq))).as(Seq("dim", "raw")))
+      .select(col("vec_id"), col("dim"),
+        (col("raw") - element_at(typedLit(offsets.toSeq), col("dim") + 1))
+          .as("val"))
       .orderBy("vec_id", "dim")
   }
 }
