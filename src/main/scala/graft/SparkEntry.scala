@@ -243,6 +243,7 @@ object SparkEntry {
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    "text_wordpiece_apply" -> ((s, d) => TextAnalysis.wordpieceApply(s, d)),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -276,6 +277,7 @@ object SparkEntry {
       "dedup_semantic" +   // composes sim_kmeans (Lloyd jobs)
       "text_bpe_train" + // builder runs the merge-iteration jobs
       "text_bpe_apply" + // builder trains (or reads the memo) first
+      "text_wordpiece_apply" + // builder collects the vocab first
       "stream_feed_daily" + // builder runs the AvailableNow stream drain
       "stream_sessionize" + // same drain, append-mode session windows
       "text_heavy_hitters" + // builder checkpoints the sketch pass
@@ -511,6 +513,42 @@ object SparkEntry {
     (base +: rounds).mkString(",\n")
   }
 
+  /** DuckDB replay of TextAnalysis.wordpieceApply: rebuild the vocab
+    * from the merge chain's final encodings (w_n symbols ∪ single
+    * chars), compute the LONGEST match per (word, position) with a
+    * window argmax (non-recursive — SQL's recursive term cannot
+    * aggregate), then walk each word with a recursive CTE that hops
+    * `len(best piece)` forward; the visited positions' pieces,
+    * weighted by word frequency, are the token counts.
+    */
+  private def wordpieceOracle(n: Int): String =
+    s"""WITH RECURSIVE ${bpeChain(n)},
+       |vocab AS (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT unnest(string_split(trim(w, '()'), ')(')) AS piece
+       |    FROM w$n
+       |    UNION ALL
+       |    SELECT unnest(string_split(word, '')) FROM w0)
+       |  WHERE piece != ''),
+       |pos AS (SELECT word, n,
+       |    unnest(generate_series(1, len(word))) AS p FROM w0),
+       |best AS (
+       |  SELECT word, n, p, piece FROM (
+       |    SELECT pos.word, pos.n, pos.p, v.piece,
+       |      ROW_NUMBER() OVER (PARTITION BY pos.word, pos.p
+       |        ORDER BY len(v.piece) DESC) AS rk
+       |    FROM pos JOIN vocab v
+       |      ON substr(pos.word, pos.p, len(v.piece)) = v.piece)
+       |  WHERE rk = 1),
+       |walk AS (
+       |  SELECT word, n, CAST(1 AS BIGINT) AS p FROM w0
+       |  UNION ALL
+       |  SELECT b.word, b.n, wk.p + len(b.piece)
+       |  FROM walk wk JOIN best b ON b.word = wk.word AND b.p = wk.p)
+       |SELECT b.piece, CAST(SUM(b.n) AS BIGINT) AS n_tokens
+       |FROM walk wk JOIN best b ON b.word = wk.word AND b.p = wk.p
+       |GROUP BY 1 ORDER BY n_tokens DESC, piece""".stripMargin
+
   /** The text_bpe_train oracle: the chain's n learned merges, ranked. */
   private def bpeOracle(n: Int): String = {
     val sel = (1 to n).map { r =>
@@ -611,6 +649,7 @@ object SparkEntry {
     "text_train_classifier" -> logregOracle(3),
     "text_classifier_score" -> logregScoreOracle(3),
     "text_bpe_apply" -> bpeApplyOracle(8),
+    "text_wordpiece_apply" -> wordpieceOracle(8),
     "graph_pagerank" -> pagerankOracle(3),
     "graph_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -807,6 +807,65 @@ object TextAnalysis {
     * table, never the corpus, so tokenizing 100 TB costs a broadcast
     * hash join plus a doc-key aggregation.
     */
+  /** WordPiece-style tokenization: the BPE-trained symbol inventory
+    * (plus every single character of the corpus, guaranteeing
+    * coverage) applied by GREEDY LONGEST-MATCH-FIRST — the standard
+    * "train a vocab once, tokenize with the cheap matcher" production
+    * path (WordPiece's model; vocabularies are routinely trained by
+    * BPE and applied this way). Output: corpus-weighted piece
+    * frequencies, fully oracle-replayed — the DuckDB side rebuilds
+    * the same vocab from the merge chain and replays the greedy walk
+    * with a window argmax + recursive position chain.
+    *
+    * Scale shape: every post-scan step runs on the COMPRESSED
+    * distinct-word table (corpus-size-independent, the same trick as
+    * bpeTrain); the vocab broadcasts once as a SparkContext broadcast
+    * and segmentation is mapPartitions with per-partition state (a
+    * HashSet probed longest-first — init once per partition, the
+    * stateful-codec pattern), so tokenizing a 100 TB corpus costs the
+    * one wordFreq scan it already paid. Greedy longest-match is
+    * deterministic: ties are impossible (same position + same length
+    * → same substring).
+    */
+  def wordpieceApply(s: SparkSession, dir: String,
+      nMerges: Int = 8): DataFrame = {
+    import s.implicits._
+    val merges = bpeMerges(s, dir, nMerges)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val encoded = merges.foldLeft(
+      wordFreq(s, dir).select(col("word"), col("n"),
+        encodeSymbols(col("word")).as("w"))) {
+      case (df, (a, b)) => df.withColumn("w", applyMerge(col("w"), a, b))
+    }
+    val pieces = encoded
+      .select(explode(symbolsOf(col("w"))).as("piece"))
+      .union(encoded.select(explode(split(col("word"), "")).as("piece")))
+      .filter(col("piece") =!= "")
+      .distinct().as[String].collect().toSet
+    val maxLen = pieces.map(_.length).max
+    val vocabB = s.sparkContext.broadcast((pieces, maxLen))
+    wordFreq(s, dir).select(col("word"), col("n")).as[(String, Long)]
+      .mapPartitions { it =>
+        val (vocab, ml) = vocabB.value
+        it.flatMap { case (word, n) =>
+          val out = Seq.newBuilder[(String, Long)]
+          var pos = 0
+          while (pos < word.length) {
+            var len = math.min(ml, word.length - pos)
+            while (len > 1 && !vocab.contains(word.substring(pos, pos + len)))
+              len -= 1
+            out += ((word.substring(pos, pos + len), n)) // len 1 ∈ vocab
+            pos += len
+          }
+          out.result()
+        }
+      }
+      .toDF("piece", "n")
+      .groupBy("piece").agg(sum(col("n")).as("n_tokens"))
+      .orderBy(desc("n_tokens"), asc("piece"))
+  }
+
   def bpeApply(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
     val merges = bpeMerges(s, dir, nMerges)
       .orderBy("merge_rank").collect()
