@@ -124,6 +124,7 @@ object SparkEntry {
     "j_fuzzy_match" -> (Advanced.fuzzyMatch _),
     "sim_random_proj" -> ((s, d) => Similarity.randomProjection(s, d)),
     "sim_pca" -> ((s, d) => Similarity.pca(s, d)),
+    "sim_corr_matrix" -> (Similarity.corrMatrix _),
     "sim_standardize" -> (Similarity.standardize _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "st_gap_fill" -> (Analytics.gapFill _),
@@ -1513,6 +1514,29 @@ object SparkEntry {
         |SELECT r.name, r.canonical_name, cs.cluster_size
         |FROM resolved r JOIN cs USING (canonical_name)
         |ORDER BY r.name""".stripMargin,
+    "sim_corr_matrix" ->
+      // exact BIGINT moments (the sf-bounded form of Spark's
+      // DECIMAL(38,0)); the float tail (cast, sqrt, divide) mirrors
+      // the Spark expression operation-for-operation
+      """WITH x AS (SELECT vec_id,
+        |    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS xs
+        |  FROM embeddings),
+        |p AS (SELECT a.dim AS j, b.dim AS k,
+        |    CAST(SUM(a.xs * b.xs) AS BIGINT) AS spp
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |  GROUP BY 1, 2),
+        |st AS (SELECT dim, CAST(SUM(xs) AS BIGINT) AS sx,
+        |    CAST(SUM(xs * xs) AS BIGINT) AS sqq,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM x GROUP BY dim)
+        |SELECT p.j AS dim_a, p.k AS dim_b,
+        |  CAST(sa.n * p.spp - sa.sx * sb.sx AS DOUBLE) /
+        |    (sqrt(CAST(sa.n * sa.sqq - sa.sx * sa.sx AS DOUBLE)) *
+        |     sqrt(CAST(sb.n * sb.sqq - sb.sx * sb.sx AS DOUBLE))) AS corr
+        |FROM p JOIN st sa ON sa.dim = p.j JOIN st sb ON sb.dim = p.k
+        |ORDER BY dim_a, dim_b""".stripMargin,
     "sim_standardize" ->
       """WITH x AS (SELECT vec_id,
         |    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,

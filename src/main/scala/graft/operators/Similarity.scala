@@ -711,6 +711,54 @@ object Similarity {
       .orderBy("vec_id", "dim")
   }
 
+  /** All-pairs Pearson correlation matrix over the embedding
+    * dimensions — the feature-redundancy audit run before dimension
+    * reduction (and the driver-CHECKED sibling of pca's covariance
+    * pass: the same exact scaled-integer pair-product sweep, here
+    * surfaced as a query and hash-matched against DuckDB). Every
+    * moment is exact integer arithmetic (xs = round(x·1e6); products
+    * and sums in DECIMAL(38,0), overflow-safe past 10¹² rows); the
+    * only floats are the final cast-divide-sqrt, mirrored
+    * operation-for-operation by the oracle so even the last bits
+    * agree. Shuffle is O(d²) partial sums regardless of row count;
+    * the d-row stats table re-enters via broadcast.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val scaled = graft.CachePool.cached(s, s"sim.embScaled:$dir") {
+      Tables.embeddings(s, dir).select(
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xs"))
+    }
+    val pairSums = scaled
+      .select(explode(flatten(transform(col("xs"), (xj, j) =>
+        transform(col("xs"), (xk, kk) =>
+          struct(j.as("j"), kk.as("k"), (xj * xk).as("p")))))).as("c"))
+      .select(col("c.j"), col("c.k"), col("c.p"))
+      .filter(col("j") <= col("k"))
+      .groupBy("j", "k")
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("spp"))
+    val stats = scaled
+      .select(posexplode(col("xs")).as(Seq("d", "xj")))
+      .groupBy("d")
+      .agg(sum(col("xj").cast(DecimalType(38, 0))).as("sx"),
+        sum((col("xj") * col("xj")).cast(DecimalType(38, 0))).as("sqq"),
+        count(lit(1)).as("n"))
+    val sa = stats.select(col("d").as("j"), col("sx").as("sxa"),
+      col("sqq").as("sqa"), col("n"))
+    val sb = stats.select(col("d").as("k"), col("sx").as("sxb"),
+      col("sqq").as("sqb"))
+    pairSums
+      .join(broadcast(sa), "j")
+      .join(broadcast(sb), "k")
+      .select(col("j").as("dim_a"), col("k").as("dim_b"),
+        ((col("n") * col("spp") - col("sxa") * col("sxb")).cast("double") /
+          (sqrt((col("n") * col("sqa") - col("sxa") * col("sxa"))
+            .cast("double")) *
+           sqrt((col("n") * col("sqb") - col("sxb") * col("sxb"))
+            .cast("double")))).as("corr"))
+      .orderBy("dim_a", "dim_b")
+  }
+
   /** PCA model memo per (session, dir, k) — an index build: trained
     * once, projected many times (same discipline as booksMemo).
     * Holds (top-k eigenvalues, row-major flattened k×d components,
