@@ -283,6 +283,7 @@ object SparkEntry {
       "stream_sessionize" + // same drain, append-mode session windows
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
+      "w_ntile" +        // same bucket-rank machinery (ntile from rank)
       "dedup_minhash" +  // builder counts candidates to gate the broadcast
       "j15_top_supplier" + // builder checkpoints the per-supplier revenue
       "j11_important_parts" + // builder checkpoints the per-part values

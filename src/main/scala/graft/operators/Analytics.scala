@@ -144,18 +144,30 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** ntile quartiles over per-customer spend (global window over the
-    * pre-aggregated table — small after the groupBy, so the single
-    * ordering partition is not a scale hazard).
+  /** ntile quartiles over per-customer spend — distributed exactly
+    * like spendStanding: the per-customer table is data-proportional
+    * (billions of rows at 100 TB), so a global `Window.orderBy` would
+    * funnel it through ONE task. Instead the shared bucket-rank
+    * machinery assigns a global row number with no single-partition
+    * exchange, and ntile derives arithmetically from (rank, n): the
+    * first n mod t tiles hold ceil(n/t) rows, the rest floor(n/t) —
+    * the exact built-in semantics, which the DuckDB ntile(4) oracle
+    * verifies row-for-row.
     */
   def spendQuartiles(s: SparkSession, dir: String): DataFrame = {
-    val spend = Tables.orders(s, dir)
-      .groupBy("o_custkey")
-      .agg(moneySum(col("o_totalprice")).as("total_spend"))
-    val w = Window.orderBy(col("total_spend").desc, col("o_custkey"))
-    spend
+    val spend = custSpend(s, dir)
+    val (ranked, n) = withGlobalSpendRank(s, spend, descending = true)
+    val t = 4L
+    val base = n / t
+    val rem = n % t
+    val cut = rem * (base + 1)
+    ranked
       .select(col("o_custkey"), col("total_spend"),
-        ntile(4).over(w).as("quartile"))
+        when(col("grn") <= cut,
+          floor((col("grn") - 1) / lit(base + 1)) + 1)
+          .otherwise(lit(rem) +
+            floor((col("grn") - 1 - cut) / lit(math.max(base, 1L))) + 1)
+          .cast("int").as("quartile"))
       .orderBy("o_custkey")
   }
 
@@ -378,18 +390,36 @@ object Analytics {
     * bucket BALANCE, never results (equal values never split across
     * buckets). Driver traffic is O(buckets), like kmeans' centroids.
     */
-  def spendStanding(s: SparkSession, dir: String): DataFrame = {
-    val spend = graft.CachePool.cached(s, s"analytics.custSpend:$dir") {
+  /** Per-customer spend, pooled — the shared input of the three
+    * global-ranking queries (percent_rank/cume_dist, ntile, top-k).
+    */
+  private def custSpend(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"analytics.custSpend:$dir") {
       Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(moneySum(col("o_totalprice")).cast("double").as("total_spend"))
     }
+
+  /** Global row numbering over (total_spend, o_custkey) with NO
+    * single-partition window — shared by spendStanding and
+    * spendQuartiles: approx-quantile bucket bounds (driver holds
+    * nBuckets−1 doubles), rows bucketed row-locally, per-bucket
+    * row_number under a PARTITIONED window, bucket-count prefix-sum
+    * offsets re-entering as a literal map. Returns the ranked frame
+    * (column `grn`, 1-based, dense total order) and the row count.
+    * `descending` ranks highest spend first (ties break ascending on
+    * the customer key either way).
+    */
+  private def withGlobalSpendRank(s: SparkSession, spend: DataFrame,
+      descending: Boolean): (DataFrame, Long) = {
     val nBuckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val bounds = spend.stat.approxQuantile("total_spend",
+    val bounds0 = spend.stat.approxQuantile("total_spend",
       (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
       .distinct.sorted
+    val bounds = if (descending) bounds0.reverse else bounds0
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("total_spend") > lit(b), 1).otherwise(0)
+      acc + (if (descending) when(col("total_spend") < lit(b), 1)
+             else when(col("total_spend") > lit(b), 1)).otherwise(0)
     }
     val bucketed = spend.withColumn("bkt", bucket)
     val counts = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
@@ -402,9 +432,15 @@ object Analytics {
       else element_at(map(offsets.flatMap {
         case (b, o) => Seq(lit(b), lit(o)) }: _*), col("bkt"))
     val localW = Window.partitionBy(col("bkt"))
-      .orderBy(col("total_spend"), col("o_custkey"))
-    bucketed
-      .withColumn("grn", offExpr + row_number().over(localW))
+      .orderBy(if (descending) col("total_spend").desc else col("total_spend"),
+        col("o_custkey"))
+    (bucketed.withColumn("grn", offExpr + row_number().over(localW)), n)
+  }
+
+  def spendStanding(s: SparkSession, dir: String): DataFrame = {
+    val spend = custSpend(s, dir)
+    val (ranked, n) = withGlobalSpendRank(s, spend, descending = false)
+    ranked
       .select(col("o_custkey"), col("total_spend"),
         when(lit(n) > 1, (col("grn") - lit(1L)) / lit((n - 1).toDouble))
           .otherwise(lit(0.0)).as("spend_pct_rank"),

@@ -168,6 +168,14 @@ class PlanQualitySpec extends SparkSpec {
       l.contains("bkt")), p.take(2500))
   }
 
+  test("spendQuartiles: ntile via the same bucket-rank machinery — " +
+    "no single-partition exchange, no built-in global ntile window") {
+    val p = plan(Analytics.spendQuartiles(spark, sfDir))
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning(") &&
+      l.contains("bkt")), p.take(2500))
+  }
+
   test("incremental: candidate joins are equi-joins, never pair scans") {
     val p = plan(Dedup.incremental(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(800))
