@@ -39,7 +39,9 @@ object SparkEntry {
     "j06_forecast_revenue" -> (Relational.q6ForecastRevenue _),
     "j7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "j8_market_share" -> (Relational.q8MarketShare _),
+    "j09_product_profit" -> (Relational.q9ProductProfit _),
     "j10_returned_items" -> (Relational.q10ReturnedItems _),
+    "j12_shipmode_priority" -> (Relational.q12ShipmodePriority _),
     "j13_order_histogram" -> (Relational.q13OrderHistogram _),
     "j19_disjunctive_revenue" -> (Relational.q19DisjunctiveRevenue _),
     "mv_summary_rewrite" -> (MaterializedView.rollupRewrite _),
@@ -897,6 +899,28 @@ object SparkEntry {
         |   AS avg_qty,
         | CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j09_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    "j12_shipmode_priority" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j02_min_cost_supplier" ->
       // textbook CORRELATED form — the min re-runs per outer row in
       // the SQL; Spark's decorrelated window plan must match it

@@ -365,6 +365,61 @@ object Relational {
     * second is over at most max-order-count distinct keys — tiny at
     * any scale.
     */
+  /** TPC-H Q9 shape — product-type profit rollup: the widest dim
+    * fan-in of the suite (part + supplier + nation + orders around
+    * the fact). The name-pattern part prune and the two constant/
+    * SF-proportional dims ride planner-sized broadcasts INTO the
+    * fact scan side; orders joins on the order key only to supply the
+    * year, after the fact has already been part-pruned — so the big
+    * join's probe side is ~1/9 of lineitem, not all of it. Profit =
+    * extended price net of discount (the fixture ships no
+    * ps_supplycost); decimal-exact, grouped by nation × year.
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val boltParts = Tables.part(s, dir)
+      .filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .join(boltParts, col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12 shape — two-way conditional counts by a fact dim: per
+    * ship class (the returnflag stands in for the fixture's missing
+    * l_shipmode), how many HIGH-priority vs other orders shipped in
+    * one year. One fact scan with the date filter pushed, the orders
+    * side supplying only the priority column, CASE-counts folding
+    * map-side — the canonical "pivot a priority flag over a join"
+    * report.
+    */
+  def q12ShipmodePriority(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+
   def q13OrderHistogram(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .join(Tables.orders(s, dir)
