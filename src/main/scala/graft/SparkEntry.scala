@@ -85,6 +85,7 @@ object SparkEntry {
     // then the materialized table read back for the oracle compare
     "stream_feed_daily" -> (graft.streaming.StreamingAnalogs.feedDaily _),
     "stream_sessionize" -> (graft.streaming.StreamingAnalogs.feedSessions _),
+    "stream_versioned_ingest" -> (Versioned.streamVersionedIngest _),
     // S4/S5 custom DataSource V2 (paginated REST shape)
     "s4_rest_source" -> ((s, _) => {
       import org.apache.spark.sql.functions._
@@ -283,6 +284,7 @@ object SparkEntry {
       "text_wordpiece_apply" + // builder collects the vocab first
       "stream_feed_daily" + // builder runs the AvailableNow stream drain
       "stream_sessionize" + // same drain, append-mode session windows
+      "stream_versioned_ingest" + // drain committing versions per batch
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
       "w_ntile" +        // same bucket-rank machinery (ntile from rank)
@@ -1611,6 +1613,20 @@ object SparkEntry {
         |    AS total_amount,
         |  CAST(SUM(CASE WHEN kind = 'credit' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_credit
+        |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_versioned_ingest" ->
+      // exactly-once proof: every generated row lands in exactly one
+      // committed version, so the all-versions rollup equals the
+      // plain generator replay
+      """WITH feed AS (
+        |  SELECT CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END
+        |      AS kind,
+        |    CAST((range * 2654435761) % 100000 AS DOUBLE) / 100.0
+        |      AS amount
+        |  FROM range(3000))
+        |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_amount
         |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_sessionize" ->
       // generator replay + gaps-and-islands sessionization + the

@@ -124,6 +124,74 @@ object Versioned {
     -1 // unreachable: the loop returns or throws
   }
 
+  /** Idempotent per-batch commit — the exactly-once contract a
+    * streaming `foreachBatch` sink needs on top of the versioned
+    * table: version = batchId + 1, so a REPLAYED batch (restart from
+    * checkpoint, speculative re-run) finds its version already
+    * committed and does nothing — not even the data write (checked
+    * BEFORE writing, so replays cost one manifest listing, not a
+    * distributed job; a publish race after the check still loses
+    * cleanly on the atomic no-replace and removes its orphan).
+    * Deterministic source + this sink = exactly-once end to end.
+    * Returns true when this call committed the version.
+    */
+  def commitBatch(df: DataFrame, table: String, batchId: Long): Boolean = {
+    val s = df.sparkSession
+    val v = batchId.toInt + 1
+    if (versions(s, table).contains(v)) return false // replay — done
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"data/b$batchId-$nonce"
+    df.write.parquet(s"$table/$dataDir")
+    val fs = hfs(s, table)
+    try {
+      publish(fs, table, v, nonce, s"""{"version":$v,"path":"$dataDir"}""")
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(new Path(s"$table/$dataDir"), true) // lost the race
+        false
+    }
+  }
+
+  /** The driver-checked exactly-once streaming ingest: the feed
+    * drained by AvailableNow, each microbatch committed as version
+    * batchId+1 via commitBatch, the result read back as the union of
+    * ALL committed versions — every feed row lands in exactly one
+    * version, so the rollup matches the generator replay even under
+    * batch replays (VersionedStreamSpec re-fires a batch and proves
+    * no duplicate version and no double-counted rows).
+    */
+  def streamVersionedIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val base =
+      s"/tmp/graft_streams/${new File(dir).getName}/versioned_ingest"
+    val fs = hfs(s, base)
+    fs.delete(new Path(base), true)
+    val table = s"$base/table"
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 3000)
+      .option("rowsPerTrigger", 1000) // 3 committed versions
+      .option("partitionsPerBatch", 4)
+      .load()
+    feed.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row],
+          id: Long) =>
+        commitBatch(batch, table, id): Unit
+      }
+      .start()
+      .awaitTermination()
+    val all = versions(s, table)
+      .map(v => read(s, table, Some(v)))
+      .reduce(_ unionByName _)
+    all.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("amount")).as("total_amount"))
+      .orderBy("kind")
+  }
+
   /** DELETE as a new version — the tombstone/right-to-erasure path a
     * versioned table needs: rows matching `pred` are rewritten away
     * into version N+1 (copy-on-write, one distributed scan+filter);

@@ -157,6 +157,27 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("commitBatch: a replayed batch commits nothing — no duplicate " +
+    "version, no second data dir, rollup unchanged (exactly-once)") {
+    val s = spark
+    import s.implicits._
+    val t = s"/tmp/graft_sinks/spec_vbatch_${System.nanoTime()}"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    try {
+      assert(Versioned.commitBatch(Seq(1, 2).toDF("x"), t, 0L))
+      assert(Versioned.commitBatch(Seq(3).toDF("x"), t, 1L))
+      // the replay: same batchId, possibly different object identity
+      assert(!Versioned.commitBatch(Seq(1, 2).toDF("x"), t, 0L))
+      assert(Versioned.versions(s, t) == Seq(1, 2))
+      val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+      assert(dataDirs.length == 2, dataDirs.map(_.getPath.getName).toSeq)
+      val all = Versioned.read(s, t, Some(1))
+        .unionByName(Versioned.read(s, t, Some(2)))
+      assert(all.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(t), true)
+  }
+
   test("versionedDelete: erased rows gone at latest, still readable at " +
     "v1 (time-travel), physically gone only after vacuum; NULL " +
     "predicate rows survive (SQL DELETE semantics)") {
