@@ -34,10 +34,46 @@ object Bench {
     // 6-10x slower while the suite's median ratio was 1.12. With the
     // trials minutes apart, a burst lands on different queries in
     // each pass and min() discards it.
+    // Per-query shuffle volume from the executed plan's SQL metrics —
+    // the number that PREDICTS 100 TB behavior where local seconds
+    // can't: a query whose shuffle grows linearly with input is bound
+    // by it at scale regardless of how fast sf0.1 runs. Summed across
+    // the final adaptive plan + subqueries; builder-side jobs of
+    // eager queries (training loops, stream drains) happen before the
+    // returned frame and are not attributed.
+    var shuffleBytes = Map.empty[String, Long]
+    def planShuffleBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      // AdaptiveSparkPlanExec and the QueryStageExec wrappers are LEAF
+      // nodes — a plain collect() stops at them and reads zero; walk
+      // through to the materialized stages' plans explicitly
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan): Long = {
+        val own = p.metrics.collect {
+          case ("shuffleBytesWritten", m) => m.value
+        }.sum
+        val below = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case other => other.children.map(walk).sum
+        }
+        own + below
+      }
+      walk(df.queryExecution.executedPlan)
+    }
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame, name: String): Double = {
+        org.apache.spark.sql.DataFrame, name: String,
+        recordShuffle: Boolean = false): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (recordShuffle)
+          try shuffleBytes += name -> planShuffleBytes(df)
+          catch { case _: Throwable => () }
+        dt
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         -1.0
@@ -61,10 +97,11 @@ object Bench {
       cold += name -> timeOnce(fn, name)
       if (CachePool.drainTouched().nonEmpty) pooled += name
     }
-    // pass 2: warm sweep, minutes after pass 1
+    // pass 2: warm sweep, minutes after pass 1; shuffle volume is
+    // plan-determined (same both passes), recorded here
     val results = order.map { case (name, fn) =>
       val a = cold(name)
-      val b = if (a >= 0) timeOnce(fn, name) else a
+      val b = if (a >= 0) timeOnce(fn, name, recordShuffle = true) else a
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
     def fmt(v: Double) = // Locale.ROOT: "." decimal point, valid JSON
@@ -92,8 +129,11 @@ object Bench {
     // first consumer in suite order — later consumers' cold runs are
     // cache hits. The end-to-end build cost of a shared intermediate
     // is the cold time of its alphabetically-first consumer.
+    val shuffleJson = shuffleBytes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + (v >> 20) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"pooled":$pooledJson,"calib":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"pooled":$pooledJson,"shuffle_mb":$shuffleJson,"calib":$calibJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the artifact
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

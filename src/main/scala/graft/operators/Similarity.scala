@@ -723,31 +723,93 @@ object Similarity {
     * agree. Shuffle is O(d²) partial sums regardless of row count;
     * the d-row stats table re-enters via broadcast.
     */
-  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
-    val scaled = graft.CachePool.cached(s, s"sim.embScaled:$dir") {
-      Tables.embeddings(s, dir).select(
-        transform(col("embedding"),
+  /** The shared exact-moment sweep feeding corrMatrix and pcaTrain:
+    * ONE pass folds every partition's rows into a local upper-triangle
+    * Gram array + per-dim sums in a tight JVM loop (the HOF
+    * `transform(transform(...))` form runs an INTERPRETED lambda per
+    * cell — d²·n dispatches measured 6× slower than this fold), then
+    * one partition-count-sized row per task carries the partials and
+    * a d²-group aggregate in DECIMAL(38,0) makes the totals
+    * overflow-safe at any corpus size. In-partition accumulation is
+    * exact long (|xs| ≤ ~10⁶ ⇒ safe past 10⁶ rows per partition for
+    * unit-scale embeddings; split partitions before that). Returns
+    * (pairs (j,k,spp), stats (d,sx,sqq,n)) — both pooled.
+    */
+  private def moments(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val parts = graft.CachePool.cached(s, s"sim.gramParts:$dir") {
+      Tables.embeddings(s, dir)
+        .select(transform(col("embedding"),
           x => round(x.cast("double") * 1e6).cast("long")).as("xs"))
+        .as[Seq[Long]]
+        .mapPartitions { it =>
+          var d = -1
+          var tri: Array[Long] = null
+          var sx: Array[Long] = null
+          var n = 0L
+          while (it.hasNext) {
+            val v = it.next()
+            if (d < 0) {
+              d = v.length
+              tri = new Array[Long](d * (d + 1) / 2)
+              sx = new Array[Long](d)
+            }
+            var j = 0
+            var idx = 0
+            while (j < d) {
+              val xj = v(j)
+              sx(j) += xj
+              var k = j
+              while (k < d) {
+                tri(idx) += xj * v(k)
+                k += 1
+                idx += 1
+              }
+              j += 1
+            }
+            n += 1
+          }
+          if (d < 0) Iterator.empty
+          else Iterator.single((n, sx.toSeq, tri.toSeq))
+        }
+        .toDF("pn", "psx", "ptri")
+        .localCheckpoint() // two consumers; 1 row per partition
     }
-    val pairSums = scaled
-      .select(explode(flatten(transform(col("xs"), (xj, j) =>
-        transform(col("xs"), (xk, kk) =>
-          struct(j.as("j"), kk.as("k"), (xj * xk).as("p")))))).as("c"))
-      .select(col("c.j"), col("c.k"), col("c.p"))
-      .filter(col("j") <= col("k"))
-      .groupBy("j", "k")
-      .agg(sum(col("p").cast(DecimalType(38, 0))).as("spp"))
-    val stats = scaled
-      .select(posexplode(col("xs")).as(Seq("d", "xj")))
-      .groupBy("d")
-      .agg(sum(col("xj").cast(DecimalType(38, 0))).as("sx"),
-        sum((col("xj") * col("xj")).cast(DecimalType(38, 0))).as("sqq"),
-        count(lit(1)).as("n"))
-    val sa = stats.select(col("d").as("j"), col("sx").as("sxa"),
+    val pairs = graft.CachePool.cached(s, s"sim.gramPairs:$dir") {
+      val d = Tables.embeddings(s, dir)
+        .select(size(col("embedding"))).head().getInt(0)
+      val mapping = (for (j <- 0 until d; k <- j until d)
+        yield (j, k)).zipWithIndex
+        .map { case ((j, k), idx) => (idx, j, k) }
+        .toDF("idx", "j", "k")
+      parts.select(posexplode(col("ptri")).as(Seq("idx", "p")))
+        .groupBy("idx")
+        .agg(sum(col("p").cast(DecimalType(38, 0))).as("spp"))
+        .join(broadcast(mapping), "idx")
+        .select(col("j"), col("k"), col("spp"))
+    }
+    val stats = graft.CachePool.cached(s, s"sim.gramStats:$dir") {
+      val n = parts.agg(sum(col("pn"))).head().getLong(0)
+      parts.select(posexplode(col("psx")).as(Seq("d", "xj")))
+        .groupBy("d")
+        .agg(sum(col("xj").cast(DecimalType(38, 0))).as("sx"))
+        .withColumn("n", lit(n))
+    }
+    (pairs, stats)
+  }
+
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, stats) = moments(s, dir)
+    // sqq (= Σx²) is the Gram diagonal — no separate pass
+    val diag = pairs.filter(col("j") === col("k"))
+      .select(col("j").as("dd"), col("spp").as("sqq"))
+    val full = stats.join(diag, col("d") === col("dd"))
+    val sa = full.select(col("d").as("j"), col("sx").as("sxa"),
       col("sqq").as("sqa"), col("n"))
-    val sb = stats.select(col("d").as("k"), col("sx").as("sxb"),
+    val sb = full.select(col("d").as("k"), col("sx").as("sxb"),
       col("sqq").as("sqb"))
-    pairSums
+    pairs
       .join(broadcast(sa), "j")
       .join(broadcast(sb), "k")
       .select(col("j").as("dim_a"), col("k").as("dim_b"),
@@ -775,40 +837,18 @@ object Similarity {
   }
 
   /** The training pass: EXACT scaled-integer covariance in one
-    * distributed sweep, then a Jacobi eigensolve of the d×d matrix on
-    * the driver (d=64 → 4096 doubles, the legal O(d²) collect).
-    *
-    * Covariance: each row expands to its d² pair products of
-    * μ-unsubtracted scaled ints (xs = round(x·1e6), products exact in
-    * long, upper triangle kept), map-side partial aggregation
-    * collapses every task to ≤ d(d+1)/2 decimal partial sums, so the
-    * shuffle is O(d²) REGARDLESS of row count — the fundamental shape
-    * of exact covariance at 100 TB. Means come from a second O(d)
-    * aggregate over the same pooled table. E[xy]−μxμy then assembles
-    * the covariance in doubles on the driver.
+    * distributed sweep (the pooled `moments` Gram fold — per-partition
+    * tight-loop partials, O(d²) shuffle regardless of row count, the
+    * fundamental shape of exact covariance at 100 TB), then a Jacobi
+    * eigensolve of the d×d matrix on the driver (d=64 → 4096 doubles,
+    * the legal O(d²) collect). E[xy]−μxμy assembles the covariance in
+    * doubles from the collected exact sums.
     */
   private def pcaTrain(s: SparkSession, dir: String, k: Int)
       : (Array[Double], Array[Double], Array[Double]) = {
-    val scaled = graft.CachePool.cached(s, s"sim.embScaled:$dir") {
-      Tables.embeddings(s, dir).select(
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1e6).cast("long")).as("xs"))
-    }
-    val pairRows = scaled
-      .select(explode(flatten(transform(col("xs"), (xj, j) =>
-        transform(col("xs"), (xk, kk) =>
-          struct(j.as("j"), kk.as("k"), (xj * xk).as("p")))))).as("c"))
-      .select(col("c.j"), col("c.k"), col("c.p"))
-      .filter(col("j") <= col("k"))
-      .groupBy("j", "k")
-      .agg(sum(col("p").cast(DecimalType(38, 0))).as("spp"))
-      .collect()
-    val meanRows = scaled
-      .select(posexplode(col("xs")).as(Seq("j", "xj")))
-      .groupBy("j")
-      .agg(sum(col("xj").cast(DecimalType(38, 0))).as("sx"),
-        count(lit(1)).as("n"))
-      .collect()
+    val (pairsDf, statsDf) = moments(s, dir)
+    val pairRows = pairsDf.collect()
+    val meanRows = statsDf.collect()
     val d = meanRows.length
     val n = meanRows.head.getLong(2).toDouble
     val mu = new Array[Double](d) // in xs units
