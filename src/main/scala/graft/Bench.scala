@@ -67,7 +67,17 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
-        df.count()
+        // Execute the df's OWN plan, fully. Two earlier materializers
+        // were both wrong: df.count() runs a SEPARATE QueryExecution
+        // (so reading SQLMetrics off df's never-executed plan reported
+        // 0 shuffle for every query — round-6 verdict), and any
+        // count-shaped plan lets the optimizer PRUNE cardinality-
+        // preserving work (Window nodes, final sorts, all column
+        // evaluation) — window queries measured as bare scans.
+        // toRdd runs the plan that produces the query's actual output,
+        // distributed (rows counted per-partition, never collected),
+        // and populates the very accumulators planShuffleBytes walks.
+        df.queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         if (recordShuffle)
           try shuffleBytes += name -> planShuffleBytes(df)
@@ -130,7 +140,9 @@ object Bench {
     // cache hits. The end-to-end build cost of a shared intermediate
     // is the cold time of its alphabetically-first consumer.
     val shuffleJson = shuffleBytes.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + (v >> 20) }
+      .map { case (k, v) => // fractional MB: integer-MB floor read
+        // sub-MB (but real) shuffles as "no shuffle" — misleading
+        "\"" + k + "\":" + fmt(v / 1048576.0) }
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"pooled":$pooledJson,"shuffle_mb":$shuffleJson,"calib":$calibJson,"sf":"$sfDir"}"""
@@ -167,8 +179,13 @@ object Bench {
       if (args.isEmpty) sorted.filter(p => headline(p._1)) else sorted
     // npooled only: the full pooled name list lives in BENCH_FULL.json
     // (the driver's stdout capture is size-bounded)
+    // filtered profiling runs also print their shuffle volumes (the
+    // full sweep's map lives in BENCH_FULL.json only — stdout is
+    // size-bounded)
+    val shortShuffle =
+      if (args.isEmpty) "" else s""","shuffle_mb":$shuffleJson"""
     val shortLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"npooled":${pooled.size},"calib":$calibJson,"queries":${jsonOf(stdoutQs)},"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"npooled":${pooled.size},"calib":$calibJson,"queries":${jsonOf(stdoutQs)}$shortShuffle,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(shortLine)
     spark.stop()
   }

@@ -9,9 +9,6 @@ import org.apache.spark.sql.SparkSession
   *  - `spark.sql.session.timeZone=UTC`: the reference parses ISO-8601
   *    timestamps with a literal `Z` (`buisness_profile_etl/main.py:661`);
   *    all date/timestamp semantics here assume UTC.
-  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the test corpus'
-  *    `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 otherwise
-  *    refuses; `Tables.events` converts the raw ns longs.
   *  - `graft.plans.GraftExtensions`: registers the optimizer rule that
   *    rewrites the HOF dot-product pattern onto the codegen VectorDot
   *    kernel.
@@ -37,7 +34,6 @@ object Sessions {
       extraConfs: Map[String, String] = Map.empty): SparkSession.Builder =
     extraConfs.foldLeft(
       b.config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.extensions", "graft.plans.GraftExtensions")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")) {

@@ -110,6 +110,8 @@ object SparkEntry {
     "s_hash_sample" -> (Relational.hashSample _),
     "s_file_skipping" -> ((s, d) =>
       graft.sources.SkippingIndex.userSliceAgg(s, d)),
+    "s_partition_prune" -> ((s, d) =>
+      graft.sources.SkippingIndex.daySliceAgg(s, d)),
     "s_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "f4_housekeeping" -> (Relational.fileHousekeeping _),
     // window/aggregate extensions
@@ -166,6 +168,12 @@ object SparkEntry {
     "sink_xml_roundtrip" -> (Sinks.xmlRoundTrip _),
     // §3.2 pipeline B gold table
     "p_insight_gold" -> (Pipelines.insightGold _),
+    // column-level lineage of the gold pipeline, extracted from the
+    // ANALYZED plan (graft.plans.Lineage — never touches data); the
+    // oracle is the hand-derived edge set, so a refactor that silently
+    // changes which physical columns feed an output column fails here
+    "plan_lineage" -> ((s, d) =>
+      graft.plans.Lineage.edgesDf(Pipelines.insightGold(s, d))),
     "p_scd2" -> (Pipelines.scd2 _),
     "p_corpus_clean" -> (Pipelines.corpusClean _),
     // §2.6 scalar function families
@@ -1763,6 +1771,43 @@ object SparkEntry {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events WHERE user_id BETWEEN 3 AND 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "plan_lineage" ->
+      // hand-derived from Pipelines.insightGold: every output column's
+      // physical sources (count(*)-derived columns and literals have
+      // none → empty src); a plan refactor that changes the wiring
+      // fails the value compare
+      """SELECT * FROM (VALUES
+        | ('avg_order_value', 'orders.o_totalprice'),
+        | ('c_custkey', 'customer.c_custkey'),
+        | ('c_mktsegment', 'customer.c_mktsegment'),
+        | ('c_name', 'customer.c_name'),
+        | ('data_date', ''),
+        | ('has_purchase', 'events.event_type'),
+        | ('last_orderdate', 'orders.o_orderdate'),
+        | ('last_orderdate', 'orders.o_orderkey'),
+        | ('last_orderkey', 'orders.o_orderdate'),
+        | ('last_orderkey', 'orders.o_orderkey'),
+        | ('last_status', 'orders.o_orderstatus'),
+        | ('n_events', ''),
+        | ('n_lineitems', ''),
+        | ('n_orders', ''),
+        | ('n_purchases', 'events.event_type'),
+        | ('nation', 'nation.n_name'),
+        | ('profile_status', 'customer.c_acctbal'),
+        | ('profile_status', 'events.event_type'),
+        | ('region', 'region.r_name'),
+        | ('total_qty', 'lineitem.l_quantity'),
+        | ('total_spend', 'orders.o_totalprice')
+        |) AS t(out_col, src_col) ORDER BY out_col, src_col""".stripMargin,
+    "s_partition_prune" ->
+      // partition pruning is a planning optimization — the pruned
+      // partitioned read must equal the raw daily slice
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s_hash_sample" ->
       """SELECT l_returnflag,

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet loaders for the driver-generated testdata tables
   * (/root/repo/TESTDATA.md). Every operator entry point takes
@@ -34,15 +34,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-    * as raw long (spark.sql.legacy.parquet.nanosAsLong, set in
-    * Verify/Bench/test sessions) — convert ns→µs here so downstream
-    * operators see a plain TimestampType.
+  /** `events.ts` arrives in whatever parquet timestamp encoding the
+    * corpus generator used — normalize every variant to a plain
+    * TimestampType so downstream operators see one type:
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark 4 reads
+    *    TIMESTAMP_NTZ; the session TZ is pinned to UTC (Sessions), so
+    *    casting reinterprets the wall-clock as the same UTC instant.
+    *  - TIMESTAMP(NANOS) → raw long if the caller set the legacy
+    *    `spark.sql.legacy.parquet.nanosAsLong` read; convert ns→µs
+    *    (older corpus generations).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
       case _        => df
     }
   }

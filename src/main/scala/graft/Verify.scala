@@ -21,6 +21,12 @@ object Verify {
     val spark = Sessions.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws (plan OR execution time) must still leave a
+    // footprint: an output dir with no parquet inside, which the
+    // compare reads as FAIL. Without this a broken query silently
+    // shrinks the artifact's row count and a regression can look like
+    // a smaller suite (round 6 hid exactly that).
+    var errors = Map.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -28,6 +34,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> s"${e.getClass.getSimpleName}: ${
+          Option(e.getMessage).getOrElse("").linesIterator.take(1)
+            .mkString.take(300)}"
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs() // empty dir (no parquet) = explicit FAIL marker
+        d.listFiles().foreach(f => if (f.isFile) f.delete())
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +57,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // diagnostic trail for the FAIL markers above (name → first line)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -52,7 +52,7 @@ object Analytics {
       .rangeBetween(-7L * 86400, Window.currentRow)
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"),
-        col("ts").cast("long").as("epoch_s"), col("value"))
+        unix_timestamp(col("ts")).as("epoch_s"), col("value"))
       .select(col("event_id"), col("user_id"), col("ts"),
         sum(money(col("value"))).over(w).cast("double")
           .as("trailing_7d_value"))

@@ -114,7 +114,18 @@ object TextAnalysis {
     // can span hundreds of docs), and the group-then-expand shape
     // pays O(B²) interpreted array slicing per bucket — the codegen'd
     // join handles big buckets far better
-    val fp = arr.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val fpAll = arr.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // Hot-fingerprint bound (the SimHash chunk trick, Dedup.simhashPairs):
+    // a fingerprint shared by >64 docs is boilerplate (a viral phrase,
+    // a license header) — it contributes O(B²) join rows on ONE key yet
+    // carries no near-dup signal, because a 0.5-overlap pair shares
+    // dozens of RARE fingerprints that still block it. Dropping hot
+    // keys caps per-key fan-out, which is what survives a 100× corpus;
+    // DedupRecallSpec pins that recall on the sf0.01 truth set holds.
+    val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 64).select(col("fp").as("h_fp"))
+    val fp = fpAll.join(broadcast(hot), col("fp") === col("h_fp"),
+      "left_anti")
     fp.as("a")
       .join(fp.as("b"), col("a.fp") === col("b.fp") &&
         col("a.doc_id") < col("b.doc_id"))

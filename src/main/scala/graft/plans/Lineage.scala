@@ -93,4 +93,16 @@ object Lineage {
       if (srcs.isEmpty) Seq(out -> "")
       else srcs.toSeq.sorted.map(out -> _)
     }.sortBy(identity)
+
+  /** The edge list as a one-row-per-edge DataFrame — lets the driver's
+    * correctness gate pin lineage against a hand-derived oracle. The
+    * "query" reads only the PLAN (columnLineage never touches data);
+    * the localized edge seq is O(output cols × source cols), driver-side
+    * by construction.
+    */
+  def edgesDf(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    edges(df).toDF("out_col", "src_col").orderBy("out_col", "src_col")
+  }
 }

@@ -71,6 +71,44 @@ object SkippingIndex {
     (keep, total)
   }
 
+  /** Hive-partitioned daily layout — the multi-file partitioned-INPUT
+    * shape the single-file testdata otherwise never exercises (the
+    * sinks cover the partitioned-write side). Written once per dir: 30
+    * `day=YYYY-MM-DD/` directories, one file each (the repartition on
+    * the partition column sends each day to one task).
+    */
+  private[graft] def ensurePartitioned(s: SparkSession, dir: String): String = {
+    val out = s"${root(dir)}/events_by_day"
+    if (!new File(out, "_SUCCESS").exists()) {
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    }
+    out
+  }
+
+  /** Partition-pruned aggregate over the daily layout: the day
+    * predicate is a PARTITION filter, so Catalyst drops the 23
+    * non-matching directories at planning time and the scan never
+    * opens them — SkippingIndexSpec pins files-read < files-total off
+    * the executed scan's numFiles metric. This is static pruning on
+    * the query's own literal (vs `adv_dpp_prune`'s runtime dynamic
+    * pruning from a joined dimension).
+    */
+  def daySliceAgg(s: SparkSession, dir: String,
+      from: String = "2024-01-05", to: String = "2024-01-11"): DataFrame = {
+    val out = ensurePartitioned(s, dir)
+    // partition inference reads day=YYYY-MM-DD as DateType; filter the
+    // raw partition column (casting IT would block partition pruning)
+    s.read.parquet(out)
+      .filter(col("day").between(lit(from).cast("date"), lit(to).cast("date")))
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy("day")
+  }
+
   /** Driver-checked query: a narrow user slice aggregated from ONLY
     * the manifest-surviving files. The residual predicate stays on the
     * scan (a file can cover more than the slice), so the result is
