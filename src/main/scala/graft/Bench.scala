@@ -144,8 +144,14 @@ object Bench {
         // sub-MB (but real) shuffles as "no shuffle" — misleading
         "\"" + k + "\":" + fmt(v / 1048576.0) }
       .mkString("{", ",", "}")
+    // streaming queries drain a real microbatch engine — their wall
+    // time carries a fixed per-batch scheduling overhead (~1-3 s at
+    // ANY sf) that is not plan cost; tagged so a reader doesn't rank
+    // them against pure batch plans
+    val streamingJson = sorted.map(_._1).filter(_.startsWith("stream_"))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"pooled":$pooledJson,"shuffle_mb":$shuffleJson,"calib":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"pooled":$pooledJson,"shuffle_mb":$shuffleJson,"streaming":$streamingJson,"calib":$calibJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the artifact
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -19,10 +19,14 @@ object TextExpressions {
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("nfc_normalize",
-      es => NfcNormalize(es.head), "built-in")
-    reg.createOrReplaceTempFunction("deflate_ratio",
-      es => DeflateRatio(es.head), "built-in")
+    // register-if-absent: createOrReplace on every query entry logs a
+    // spurious "replaced a previously registered function" WARN per run
+    def once(name: String, b: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+    once("nfc_normalize", es => NfcNormalize(es.head))
+    once("deflate_ratio", es => DeflateRatio(es.head))
   }
 }
 

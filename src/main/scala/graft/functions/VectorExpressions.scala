@@ -24,22 +24,20 @@ object VectorExpressions {
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vector_dot",
-      es => VectorDot(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSig(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("word_shingles",
-      es => WordShingles(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("winnow64",
-      es => Winnow64(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("vector_argmin_l2",
-      es => VectorArgminL2(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("vector_project",
-      es => VectorProject(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("vector_matmul",
-      es => VectorMatmul(es(0), es(1)), "built-in")
+    // register-if-absent: createOrReplace on every query entry logs a
+    // spurious "replaced a previously registered function" WARN per run
+    def once(name: String, b: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+    once("vector_dot", es => VectorDot(es(0), es(1)))
+    once("simhash64", es => SimHash64(es.head))
+    once("minhash_sig", es => MinHashSig(es(0), es(1)))
+    once("word_shingles", es => WordShingles(es(0), es(1)))
+    once("winnow64", es => Winnow64(es(0), es(1), es(2)))
+    once("vector_argmin_l2", es => VectorArgminL2(es(0), es(1), es(2)))
+    once("vector_project", es => VectorProject(es(0), es(1)))
+    once("vector_matmul", es => VectorMatmul(es(0), es(1)))
   }
 }
 
