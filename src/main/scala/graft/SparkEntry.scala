@@ -45,6 +45,11 @@ object SparkEntry {
     "j13_order_histogram" -> (Relational.q13OrderHistogram _),
     "j19_disjunctive_revenue" -> (Relational.q19DisjunctiveRevenue _),
     "mv_summary_rewrite" -> (MaterializedView.rollupRewrite _),
+    // partition-level incremental MV maintenance: month-partitioned
+    // summary, late-arriving delta merged into ONLY its months
+    // (partition-pruned base read + dynamic partition overwrite);
+    // oracle recomputes the rollup from the raw fact
+    "mv_incremental_refresh" -> (MaterializedView.incrementalRollup _),
     // decorrelated-subquery family (TPC-H Q15/Q17/Q18/Q21/Q22 shapes)
     "j02_min_cost_supplier" -> (Subqueries.q2MinCostSupplier _),
     "j11_important_parts" -> (Subqueries.q11ImportantParts _),
@@ -174,6 +179,11 @@ object SparkEntry {
     // changes which physical columns feed an output column fails here
     "plan_lineage" -> ((s, d) =>
       graft.plans.Lineage.edgesDf(Pipelines.insightGold(s, d))),
+    // physical-plan linter over a deliberately pathological query
+    // (graft.plans.PlanAudit — plan-only, never touches data); the
+    // oracle is the hand-derived finding set, so a rule regression or
+    // a planner change that flips a trigger shape fails the compare
+    "plan_audit" -> (graft.plans.PlanAudit.lintDemo _),
     "p_scd2" -> (Pipelines.scd2 _),
     "p_corpus_clean" -> (Pipelines.corpusClean _),
     // §2.6 scalar function families
@@ -211,6 +221,8 @@ object SparkEntry {
     "dedup_clusters_star" -> (Dedup.nearDupClustersStar _),
     "text_decontaminate" -> (Dedup.decontaminate _),
     "dedup_incremental" -> (Dedup.incremental _),
+    // bloom-prefiltered semi join: candidates-only exact verify
+    "j_bloom_semi" -> (Dedup.bloomSemiJoin _),
     // §2.10 north-star: similarity search
     "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -305,7 +317,9 @@ object SparkEntry {
       "mv_summary_rewrite" + // builder materializes the rollup summary
       "adv_dpp_prune" +  // builder writes the partitioned fact copy
       "agg_median_scale" + // builder runs the stats + histogram jobs
-      "dq_observed_audit"  // builder runs the observed pass
+      "dq_observed_audit" + // builder runs the observed pass
+      "mv_incremental_refresh" + // builder writes base + merges the delta
+      "j_bloom_semi" // builder runs the count + bloom-build jobs
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
     * contribution sums, chained one CTE pair (c_i, r_i) per
@@ -909,6 +923,17 @@ object SparkEntry {
         |   AS avg_qty,
         | CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mv_incremental_refresh" ->
+      // full month-grain recompute from the raw fact: a green row
+      // proves initial-load + merged-delta partials equal the direct
+      // aggregate, including the month straddling the 1998-06-15
+      // cutoff (merged, not appended)
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS sum_base_price,
+        | CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "j09_product_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
@@ -1800,6 +1825,23 @@ object SparkEntry {
         | ('total_qty', 'lineitem.l_quantity'),
         | ('total_spend', 'orders.o_totalprice')
         |) AS t(out_col, src_col) ORDER BY out_col, src_col""".stripMargin,
+    "plan_audit" ->
+      // hand-derived from PlanAudit.lintDemo's plan: the UDF filter
+      // fires scala-udf AND unconvertible-predicate on its Filter,
+      // the rand filter (never offered to the scan) unpushed-filter,
+      // the bare-ORDER-BY window one global-window, the crossJoin one
+      // cross-product (region is 5 rows at every sf, so the planner's
+      // broadcast-nested-loop choice never flips), the final orderBy
+      // one global-sort, plus the per-plan exchange-count summary row
+      """SELECT * FROM (VALUES
+        | ('warn', 'cross-product', 'BroadcastNestedLoopJoin'),
+        | ('info', 'exchange-count', 'plan'),
+        | ('info', 'global-sort', 'Sort'),
+        | ('warn', 'global-window', 'Window'),
+        | ('warn', 'scala-udf', 'Filter'),
+        | ('info', 'unconvertible-predicate', 'Filter'),
+        | ('warn', 'unpushed-filter', 'Filter')
+        |) AS t(severity, rule, node) ORDER BY rule, node, severity""".stripMargin,
     "s_partition_prune" ->
       // partition pruning is a planning optimization — the pruned
       // partitioned read must equal the raw daily slice
@@ -2460,6 +2502,16 @@ object SparkEntry {
         |  CASE WHEN ex.e_id IS NULL THEN nr.near_j END AS jaccard
         |FROM delta LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
         |ORDER BY delta.doc_id""".stripMargin,
+    "j_bloom_semi" ->
+      // the bloom prefilter is exact end-to-end (false positives die
+      // in the verify semi join, false negatives can't exist), so the
+      // oracle is simply the plain EXISTS semi join
+      """SELECT o_orderkey, o_custkey FROM orders d
+        |WHERE o_orderdate >= DATE '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM orders h
+        |    WHERE h.o_orderdate < DATE '1997-01-01'
+        |      AND h.o_custkey = d.o_custkey)
+        |ORDER BY 1""".stripMargin,
     "text_token_mixture" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT)

@@ -38,6 +38,14 @@ object VectorExpressions {
     once("vector_argmin_l2", es => VectorArgminL2(es(0), es(1), es(2)))
     once("vector_project", es => VectorProject(es(0), es(1)))
     once("vector_matmul", es => VectorMatmul(es(0), es(1)))
+    // Spark's own codegen'd bloom-membership predicate (the one its
+    // runtime row-level filters inject), surfaced for explicit use:
+    // (serialized-filter binary, long) => boolean. The filter bytes
+    // are the org.apache.spark.util.sketch.BloomFilter wire format,
+    // which both stat.bloomFilter and BloomFilterAggregate produce.
+    once("bloom_might_contain", es =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1)))
   }
 }
 

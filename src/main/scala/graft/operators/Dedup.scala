@@ -594,4 +594,40 @@ object Dedup {
         when(col("e_id").isNull, col("near_j")).as("jaccard"))
       .orderBy("doc_id")
   }
+
+  /** Bloom-prefiltered semi join — the "is this key already known?"
+    * membership check at ingest scale (here: which late-arriving
+    * orders belong to customers seen before the cutoff). The plain
+    * semi join shuffles EVERY delta row; at 100 TB of history and a
+    * novelty-heavy delta that shuffle is wasted on rows with no
+    * match. Here history keys fold once into a bloom filter
+    * (distributed treeAggregate of per-partition filters; ~1.2 MB per
+    * million keys at 1% fpp — at billions, shard by key range or
+    * raise the fpp), the delta probes it ROW-LOCALLY through Spark's
+    * own codegen'd `bloom_might_contain` predicate (the expression
+    * its runtime row-level filters inject — no UDF, and unlike the
+    * automatic runtime filter, built ONCE and reusable across many
+    * delta batches), and only surviving candidates (true members +
+    * fpp false positives) enter the exact verify semi join. False
+    * positives die there; false negatives cannot exist (bloom
+    * guarantee) — the result is EXACTLY the full semi join's, with
+    * the shuffle shrunk to the candidate set.
+    */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(s)
+    val cutoff = lit("1997-01-01").cast("date")
+    val orders = Tables.orders(s, dir)
+    val hist = orders.filter(col("o_orderdate") < cutoff)
+      .select(col("o_custkey").cast("long").as("ck"))
+    val bf = hist.stat.bloomFilter("ck", math.max(hist.count(), 64L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    orders.filter(col("o_orderdate") >= cutoff)
+      .filter(call_function("bloom_might_contain",
+        lit(bos.toByteArray), col("o_custkey").cast("long")))
+      .join(hist, col("o_custkey").cast("long") === col("ck"),
+        "left_semi") // exact verify kills the fpp false positives
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -79,4 +79,43 @@ class MaterializedViewSpec extends SparkSpec {
     assert(scansOf(p, "lineitem") == 1, p.take(2500))
     assert(!p.contains("pricing_rollup_mv"), p.take(2500))
   }
+
+  test("incremental refresh rewrites ONLY the delta's months and " +
+    "serves exactly the full recompute") {
+    import java.io.File
+    import org.apache.spark.sql.functions._
+    MaterializedView.buildIncBase(spark, sfDir)
+    val root = new File(MaterializedView.incPath(sfDir))
+    def listing(month: String): Seq[(String, Long, Long)] = {
+      val d = new File(root, s"m=$month")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    }
+    // pick a real pre-cutoff month so the pin survives any testdata
+    // date-range change; 1998-06 straddles the 1998-06-15 cutoff
+    val untouchedMonth = root.listFiles().map(_.getName)
+      .filter(_.startsWith("m=")).sorted.head.stripPrefix("m=")
+    val untouchedBefore = listing(untouchedMonth)
+    val junBefore = listing("1998-06-01")
+    assert(untouchedBefore.nonEmpty && junBefore.nonEmpty)
+
+    MaterializedView.applyIncDelta(spark, sfDir)
+
+    // O(delta) refresh: months outside the delta keep their exact
+    // files; the straddling month was dynamic-partition-overwritten
+    assert(listing(untouchedMonth) == untouchedBefore)
+    assert(listing("1998-06-01") != junBefore)
+
+    val served = MaterializedView.incrementalRollup(spark, sfDir)
+      .collect().toSeq
+    val direct = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(graft.functions.Scalars.moneySum(col("l_quantity")).as("sum_qty"),
+        graft.functions.Scalars.moneySum(col("l_extendedprice"))
+          .as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("ship_month").collect().toSeq
+    assert(served == direct)
+  }
 }
