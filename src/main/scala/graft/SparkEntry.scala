@@ -72,6 +72,8 @@ object SparkEntry {
     "a6_daily_counts" -> (Aggregates.dailyCounts _),
     "a7_exists_flag" -> (Aggregates.existsFlag _),
     "a8_round_avg" -> (Aggregates.roundAvg _),
+    // KMV distinct sketch set algebra: exact sub-k regime at test sf
+    "agg_kmv_overlap" -> (Aggregates.kmvOverlap _),
     "agg_median_scale" -> (Aggregates.exactMedianScale _),
     // §2.7 sorts / limits / windows / set ops
     "w_topk" -> (Analytics.topCustomers _),
@@ -319,7 +321,8 @@ object SparkEntry {
       "agg_median_scale" + // builder runs the stats + histogram jobs
       "dq_observed_audit" + // builder runs the observed pass
       "mv_incremental_refresh" + // builder writes base + merges the delta
-      "j_bloom_semi" // builder runs the count + bloom-build jobs
+      "j_bloom_semi" + // builder runs the count + bloom-build jobs
+      "agg_kmv_overlap" // builder collects the per-group sketches
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
     * contribution sums, chained one CTE pair (c_i, r_i) per
@@ -1212,6 +1215,24 @@ object SparkEntry {
         |   / COUNT(*), 1) AS avg_acctbal,
         | CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_kmv_overlap" ->
+      // k=16384 exceeds every test sf's distinct-customer count, so
+      // the sketch is in its exact regime and the oracle demands the
+      // true distinct counts and the true intersection
+      """SELECT
+        | CAST(count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+        |   THEN o_custkey END) AS BIGINT) AS n_urgent,
+        | CAST(count(DISTINCT CASE WHEN o_orderpriority = '2-HIGH'
+        |   THEN o_custkey END) AS BIGINT) AS n_high,
+        | CAST(count(DISTINCT CASE WHEN o_orderpriority IN
+        |   ('1-URGENT', '2-HIGH') THEN o_custkey END) AS BIGINT)
+        |   AS n_union,
+        | (SELECT CAST(count(*) AS BIGINT) FROM
+        |   (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))
+        |   AS n_both
+        |FROM orders""".stripMargin,
     "agg_median_scale" ->
       // rank-based lower median: the value at rank ceil(n/2)
       """SELECT v AS median_price, n AS n_rows FROM (

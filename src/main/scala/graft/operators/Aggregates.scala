@@ -202,4 +202,39 @@ object Aggregates {
       .agg(round(moneyAvg(col("c_acctbal")), 1).as("avg_acctbal"),
         count(lit(1)).as("n_customers"))
       .orderBy("c_nationkey")
+
+  /** Distinct-count SET ALGEBRA via KMV sketches
+    * (graft.functions.KmvSketch): distinct customers per order
+    * priority, their union, and their OVERLAP — the
+    * audience-intersection question approx_count_distinct (HLL)
+    * cannot answer, because HLL registers don't support
+    * intersection. One shuffle of ≤ k-double sketches per group; the
+    * driver-side set algebra touches kilobytes (the sketch plane,
+    * never the data). k = 16384 > every test sf's customer count, so
+    * the sketch operates in its EXACT sub-k regime here and the
+    * DuckDB oracle can demand equality; at 100 TB the same plan
+    * degrades gracefully to ~1/√k relative error (the saturation
+    * regime KmvSketchSpec bounds synthetically).
+    */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Kmv, KmvSketch}
+    val k = 16384
+    val sketch = udaf(new KmvSketch(k))
+    // uniform [0,1) hash: xxhash64's signed long mapped affinely
+    val u = (xxhash64(col("o_custkey")).cast("double") /
+      lit(math.pow(2, 64))) + lit(0.5)
+    val sk = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderpriority").as("p"), u.as("u"))
+      .groupBy("p").agg(sketch(col("u")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val (a, b) = (sk("1-URGENT"), sk("2-HIGH"))
+    Seq((
+      math.round(Kmv.estimate(k, a)),
+      math.round(Kmv.estimate(k, b)),
+      math.round(Kmv.estimate(k, Kmv.union(k, a, b))),
+      math.round(Kmv.intersection(k, a, b))))
+      .toDF("n_urgent", "n_high", "n_union", "n_both")
+  }
 }
