@@ -33,8 +33,15 @@ object Explain {
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         println(s"\n===== $name =====")
-        try fn(spark, sfDir).explain("formatted")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          df.explain("formatted")
+          // the mechanical review (plans.PlanAudit) under the plan it
+          // reviewed — warns first; exchange-count summarizes
+          graft.plans.PlanAudit.audit(df).foreach(f =>
+            println(s"[lint:${f.severity}] ${f.rule} @ ${f.node}: " +
+              f.detail))
+        } catch { case e: Throwable =>
           println(s"[explain] $name failed: ${e.getMessage}")
         }
       }

@@ -74,6 +74,9 @@ object SparkEntry {
     "a8_round_avg" -> (Aggregates.roundAvg _),
     // KMV distinct sketch set algebra: exact sub-k regime at test sf
     "agg_kmv_overlap" -> (Aggregates.kmvOverlap _),
+    // pairwise co-occurrence; the self-joined distinct's exchange is
+    // computed once and reused (ReusedExchange pinned in spec)
+    "agg_cooccurrence" -> (Aggregates.typeCooccurrence _),
     "agg_median_scale" -> (Aggregates.exactMedianScale _),
     // §2.7 sorts / limits / windows / set ops
     "w_topk" -> (Analytics.topCustomers _),
@@ -1233,6 +1236,13 @@ object SparkEntry {
         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))
         |   AS n_both
         |FROM orders""".stripMargin,
+    "agg_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_median_scale" ->
       // rank-based lower median: the value at rank ceil(n/2)
       """SELECT v AS median_price, n AS n_rows FROM (

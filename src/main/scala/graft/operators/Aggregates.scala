@@ -216,6 +216,28 @@ object Aggregates {
     * degrades gracefully to ~1/√k relative error (the saturation
     * regime KmvSketchSpec bounds synthetically).
     */
+  /** Pairwise co-occurrence (market-basket / tag-affinity): for every
+    * pair of event types, how many users produced both. The classic
+    * formulation self-joins the (user, type) distinct projection —
+    * and because both join branches are the SAME subplan, Spark's
+    * ReuseExchange rule materializes the distinct's shuffle ONCE and
+    * wires the second branch to it (`ReusedExchange` — pinned in
+    * PlanQualitySpec). At 100 TB that reuse halves the heaviest
+    * exchange in the query; the `<` on the pair keys keeps the pair
+    * space triangular. Output is |types|² rows — tiny at any scale.
+    */
+  def typeCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("type_a", "type_b")
+  }
+
   def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{Kmv, KmvSketch}

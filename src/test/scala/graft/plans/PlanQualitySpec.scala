@@ -241,6 +241,26 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("typeCooccurrence: the self-joined distinct's exchange is " +
+    "computed once and reused") {
+    // ReuseExchange matches canonicalized subplans at physical
+    // planning; with AQE the reuse happens at stage materialization
+    // instead, so pin it on the non-adaptive plan where it is a
+    // static, assertable property
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val p = graft.operators.Aggregates
+        .typeCooccurrence(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), p.take(2500))
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
+      case None => conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("AQE re-plans at runtime: small shuffle partitions coalesce") {
     // the conf is asserted ON elsewhere; this asserts it DOES something:
     // after execution the adaptive plan's shuffle reads must have
