@@ -176,6 +176,8 @@ object SparkEntry {
     "sink_infer_csv" -> (Sinks.inferredCsv _),
     "sink_orc_roundtrip" -> (Sinks.orcRoundTrip _),
     "sink_xml_roundtrip" -> (Sinks.xmlRoundTrip _),
+    // federated-format union: parquet + csv + json + orc, one contract
+    "sink_multi_format" -> (Sinks.multiFormatUnion _),
     // §3.2 pipeline B gold table
     "p_insight_gold" -> (Pipelines.insightGold _),
     // column-level lineage of the gold pipeline, extracted from the
@@ -1138,6 +1140,12 @@ object SparkEntry {
     "sink_xml_roundtrip" ->
       """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
         | MAX(n_name) AS max_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_multi_format" ->
+      // four format arms of the same table: 4x the rows per region,
+      // the same distinct nation keys
+      """SELECT n_regionkey, CAST(4 * COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS n_nations
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -85,6 +85,37 @@ object Sinks {
       .orderBy("s_suppkey")
   }
 
+  /** Federated-format ingest: the same logical table arriving through
+    * four different pipelines (parquet original + CSV, JSON, ORC
+    * copies) read back into ONE union and aggregated. The cross-format
+    * reads use the DECLARED schema — inference would widen the int
+    * keys to long in JSON and guess strings in CSV, and a federated
+    * union is only sound when every arm is coerced to the same
+    * contract up front. Each arm keeps its own pushdown/pruning
+    * behavior (columnar for parquet/ORC, row parse for CSV/JSON);
+    * at 100 TB the union is just concatenated scan tasks — no
+    * exchange until the aggregate.
+    */
+  def multiFormatUnion(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val csvOut = s"${root(dir)}/nation_multi_csv"
+    val jsonOut = s"${root(dir)}/nation_multi_json"
+    val orcOut = s"${root(dir)}/nation_multi_orc"
+    base.write.mode("overwrite").option("header", "true").csv(csvOut)
+    base.write.mode("overwrite").json(jsonOut)
+    base.write.mode("overwrite").orc(orcOut)
+    val schema = base.schema
+    base
+      .unionByName(s.read.schema(schema).option("header", "true").csv(csvOut))
+      .unionByName(s.read.schema(schema).json(jsonOut))
+      .unionByName(s.read.orc(orcOut))
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("n_nationkey")).as("n_nations"))
+      .orderBy("n_regionkey")
+  }
+
   /** XML round trip (Spark 4's built-in XML source): nation written as
     * row-tagged XML, read back with the DECLARED schema (inference
     * would widen n_nationkey to long and flip column case rules), then

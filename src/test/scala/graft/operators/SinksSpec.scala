@@ -311,4 +311,17 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(s_acctbal), " +
       "GreaterThan(s_acctbal,0.0)]"), "filter not pushed to ORC scan")
   }
+
+  test("multiFormatUnion: four format arms agree — 4x rows per " +
+    "region, same distinct nations") {
+    val got = Sinks.multiFormatUnion(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = graft.Tables.nation(spark, sfDir)
+      .groupBy("n_regionkey")
+      .agg((count(lit(1)) * 4).as("n_rows"),
+        countDistinct(col("n_nationkey")).as("n_nations"))
+      .orderBy("n_regionkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
