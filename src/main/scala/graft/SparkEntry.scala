@@ -80,6 +80,8 @@ object SparkEntry {
     "agg_median_scale" -> (Aggregates.exactMedianScale _),
     // §2.7 sorts / limits / windows / set ops
     "w_topk" -> (Analytics.topCustomers _),
+    // per-group top-k via mergeable aggregate, not a window
+    "w_topk_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "w_running" -> (Analytics.windowRunning _),
     "set_union" -> (Analytics.unionNations _),
     "set_distinct" -> (Analytics.distinctPriorities _),
@@ -1266,6 +1268,16 @@ object SparkEntry {
         | CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1
         |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin,
+    "w_topk_group" ->
+      // the window formulation the aggregator replaces — identical
+      // rows, including the o_orderkey tie-break
+      """SELECT o_orderpriority, rk,
+        | CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderkey
+        |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |   row_number() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders)
+        |WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
     "w_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,

@@ -13,6 +13,30 @@ import graft.functions.Scalars._
   */
 object Analytics {
 
+  /** Per-GROUP top-k via the mergeable TopKAgg aggregator
+    * (graft.functions.TopKAgg) instead of `row_number() OVER
+    * (PARTITION BY ...) <= k`: the window shuffles and sorts EVERY
+    * row of every group, while the aggregate's map-side partial caps
+    * each task at k rows per group — the shuffle carries O(k × tasks)
+    * rows per group at any group size. Same trade
+    * TakeOrderedAndProject makes globally, now at group granularity;
+    * TopKAggSpec pins the plan Window-free and partial-phased.
+    */
+  def topkPerGroup(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_totalprice").cast("double"),
+        col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("t._1").as("o_totalprice"),
+        col("t._2").as("o_orderkey"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** Top-k by aggregate with deterministic tie-break. */
   def topCustomers(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
