@@ -4,14 +4,17 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Per-group top-k as a MERGEABLE aggregate — the scale-safe
-  * replacement for the `row_number() OVER (PARTITION BY g ORDER BY v)
-  * <= k` pattern. The window formulation shuffles EVERY row of every
-  * group and sorts each group in full; this aggregator's partial
-  * (map-side) phase caps each task's contribution at k rows per
-  * group, so the exchange carries at most k × tasks rows per group
-  * regardless of group size — the same partial-vs-window trade
-  * TakeOrderedAndProject makes for the global top-k.
+/** Per-group top-k as a MERGEABLE aggregate. The partial (map-side)
+  * phase caps each task's contribution at k rows per group, so the
+  * exchange carries at most k × tasks rows per group regardless of
+  * group size. Spark 4's `WindowGroupLimit` gives the bare
+  * `row_number() <= k` window the same map-side prune (pinned
+  * elsewhere in PlanQualitySpec) — what the AGGREGATE form adds is
+  * composability: top-k is a value in an ordinary groupBy, so it
+  * rides in the same pass as other aggregates (sums, counts,
+  * sketches), lands as an array for downstream per-group logic, and
+  * works where the window rewrite never fires (streaming aggregation
+  * state, rollup/cube grids).
   *
   * Ordering: (value DESC, id ASC) — the id tiebreak makes the result
   * deterministic and oracle-replayable. Buffer is a sorted

@@ -14,13 +14,14 @@ import graft.functions.Scalars._
 object Analytics {
 
   /** Per-GROUP top-k via the mergeable TopKAgg aggregator
-    * (graft.functions.TopKAgg) instead of `row_number() OVER
-    * (PARTITION BY ...) <= k`: the window shuffles and sorts EVERY
-    * row of every group, while the aggregate's map-side partial caps
-    * each task at k rows per group — the shuffle carries O(k × tasks)
-    * rows per group at any group size. Same trade
-    * TakeOrderedAndProject makes globally, now at group granularity;
-    * TopKAggSpec pins the plan Window-free and partial-phased.
+    * (graft.functions.TopKAgg): map-side partials cap each task at k
+    * rows per group, so the shuffle carries O(k × tasks) rows per
+    * group at any group size. Spark's WindowGroupLimit gives the
+    * window formulation the same prune; the aggregate form is the
+    * COMPOSABLE one — top-k as a groupBy value next to any other
+    * aggregate, available to streaming state and rollup grids where
+    * the window rewrite never fires. TopKAggSpec pins the plan
+    * Window-free and partial-phased.
     */
   def topkPerGroup(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val topk = udaf(new graft.functions.TopKAgg(k))
