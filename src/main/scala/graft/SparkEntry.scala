@@ -97,6 +97,9 @@ object SparkEntry {
     // then the materialized table read back for the oracle compare
     "stream_feed_daily" -> (graft.streaming.StreamingAnalogs.feedDaily _),
     "stream_sessionize" -> (graft.streaming.StreamingAnalogs.feedSessions _),
+    // running distinct per key: KMV sketch as transformWithState state
+    "stream_distinct_running" ->
+      (graft.streaming.StreamingAnalogs.feedDistinct _),
     "stream_versioned_ingest" -> (Versioned.streamVersionedIngest _),
     // S4/S5 custom DataSource V2 (paginated REST shape)
     "s4_rest_source" -> ((s, _) => {
@@ -313,6 +316,7 @@ object SparkEntry {
       "text_wordpiece_apply" + // builder collects the vocab first
       "stream_feed_daily" + // builder runs the AvailableNow stream drain
       "stream_sessionize" + // same drain, append-mode session windows
+      "stream_distinct_running" + // same drain, TWS KMV state
       "stream_versioned_ingest" + // drain committing versions per batch
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
@@ -1697,6 +1701,16 @@ object SparkEntry {
         |    AS total_amount,
         |  CAST(SUM(CASE WHEN kind = 'credit' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_credit
+        |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_distinct_running" ->
+      // generator replay + plain COUNT(DISTINCT): the streaming KMV
+      // runs in its exact sub-k regime (101-user domain, k=1024)
+      """WITH feed AS (
+        |  SELECT range AS id,
+        |    CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END AS kind,
+        |    (range * 2654435761) % 100000 % 101 AS user_id
+        |  FROM range(5000))
+        |SELECT kind, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_versioned_ingest" ->
       // exactly-once proof: every generated row lands in exactly one

@@ -457,4 +457,115 @@ object StreamingAnalogs {
       .transformWithState(new RunningSpendProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Running DISTINCT count per key with a KMV sketch as the state
+    * value — the streaming composition of graft.functions.KmvSketch:
+    * state is the sketch's bounded array (≤ k doubles per key), never
+    * the id set, so per-key state is O(k) at ANY stream length — the
+    * reason sketches exist in streaming. Exact while a key's ndv ≤ k
+    * (the driver oracle's regime), ~1/√k beyond. The hash is the SAME
+    * xxhash64(seed 42)→[0,1) map the batch sketch uses, so streaming
+    * state and batch sketches are value-compatible (mergeable across
+    * the lambda boundary).
+    */
+  class RunningDistinctProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long)] {
+    @transient private var sk:
+      org.apache.spark.sql.streaming.ValueState[Seq[Double]] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sk = getHandle.getValueState[Seq[Double]]("kmv",
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[Double]](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def uOf(id: Long): Double =
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(id, 42L).toDouble / math.pow(2, 64) + 0.5
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long)] = {
+      val agg = new graft.functions.KmvSketch(k)
+      val cur = if (sk.exists()) sk.get() else agg.zero
+      val next = agg.finish(
+        rows.foldLeft(cur)((b, r) => agg.reduce(b, uOf(r._2))))
+      sk.update(next)
+      Iterator((key, math.round(graft.functions.Kmv.estimate(k, next))))
+    }
+  }
+
+  def runningDistinctTws(pairs: Dataset[(String, Long)], k: Int = 1024)
+      : Dataset[(String, Long)] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    pairs.groupByKey(_._1)
+      .transformWithState(new RunningDistinctProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Driver-checked drain: running distinct users per feed kind
+    * through transformWithState on the REQUIRED RocksDB store. Each
+    * microbatch update-emits the key's cumulative estimate; the sink
+    * dynamic-overwrites per kind, so after the AvailableNow drain the
+    * table holds each kind's FULL-stream distinct count — which the
+    * oracle replays as a plain COUNT(DISTINCT) over the generator
+    * (k=1024 > the 101-user domain: exact regime).
+    */
+  def feedDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_distinct"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    import s.implicits._
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      // same derived user domain as feedSessions (~101 users)
+      .select(col("kind"),
+        ((col("id") * lit(2654435761L)) % lit(100000L) % lit(101L))
+          .as("user_id"))
+      .as[(String, Long)]
+    val out = runningDistinctTws(feed)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = s.conf.getOption(providerKey)
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // transformWithState requires the RocksDB provider; state is
+      // 2 keys — size partitions to key cardinality (see feedDaily)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      out.toDF("kind", "n_users").writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind")
+            .parquet(s"$base/table")
+        }
+        .start()
+        .awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    s.read.parquet(s"$base/table")
+      .select(col("kind"), col("n_users")).orderBy("kind")
+  }
 }

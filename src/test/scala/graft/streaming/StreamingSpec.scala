@@ -530,4 +530,42 @@ class StreamingSpec extends SparkSpec {
         q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
   }
+
+  test("runningDistinctTws: KMV-as-state matches exact distinct in the " +
+    "sub-k regime and monotonically accumulates across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_kmvtws_ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val q = StreamingAnalogs.runningDistinctTws(input.toDS(), k = 64)
+      .toDF("k", "n")
+      .writeStream.format("memory").queryName("kmv_tws_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      input.addData((1 to 30).map(i => ("a", i.toLong)) ++
+        Seq(("b", 1L), ("b", 1L)))
+      q.processAllAvailable()
+      // overlapping second batch: 10 repeats + 10 new per key
+      input.addData((21 to 40).map(i => ("a", i.toLong)) ++
+        Seq(("b", 2L)))
+      q.processAllAvailable()
+      val last = s.table("kmv_tws_out")
+        .groupBy("k").agg(max("n").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(last == Map("a" -> 40L, "b" -> 2L), last)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
 }
