@@ -332,8 +332,8 @@ object SparkEntry {
       "agg_median_scale" + // builder runs the stats + histogram jobs
       "dq_observed_audit" + // builder runs the observed pass
       "mv_incremental_refresh" + // builder writes base + merges the delta
-      "j_bloom_semi" + // builder runs the count + bloom-build jobs
-      "agg_kmv_overlap" // builder collects the per-group sketches
+      "agg_kmv_overlap" + // builder collects the per-group sketches
+      "s_partition_prune" // builder writes the events_by_day layout (once)
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
     * contribution sums, chained one CTE pair (c_i, r_i) per

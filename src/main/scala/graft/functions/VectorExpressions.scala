@@ -46,6 +46,16 @@ object VectorExpressions {
     once("bloom_might_contain", es =>
       org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(es(0), es(1)))
+    // the matching BUILD side — Spark's own distributed bloom-build
+    // aggregate (the one InjectRuntimeFilter plants in its runtime
+    // filter subqueries): (xxhash64 bigint, capacity) => binary.
+    // Surfacing it in the registry lets a query carry the sketch as a
+    // scalar subquery instead of a plan literal (Dedup.bloomSemiJoin);
+    // the analyzer wraps the raw AggregateFunction in an
+    // AggregateExpression like any registered aggregate.
+    once("bloom_filter_agg", es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1)))
   }
 }
 

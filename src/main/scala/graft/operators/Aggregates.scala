@@ -203,19 +203,6 @@ object Aggregates {
         count(lit(1)).as("n_customers"))
       .orderBy("c_nationkey")
 
-  /** Distinct-count SET ALGEBRA via KMV sketches
-    * (graft.functions.KmvSketch): distinct customers per order
-    * priority, their union, and their OVERLAP — the
-    * audience-intersection question approx_count_distinct (HLL)
-    * cannot answer, because HLL registers don't support
-    * intersection. One shuffle of ≤ k-double sketches per group; the
-    * driver-side set algebra touches kilobytes (the sketch plane,
-    * never the data). k = 16384 > every test sf's customer count, so
-    * the sketch operates in its EXACT sub-k regime here and the
-    * DuckDB oracle can demand equality; at 100 TB the same plan
-    * degrades gracefully to ~1/√k relative error (the saturation
-    * regime KmvSketchSpec bounds synthetically).
-    */
   /** Pairwise co-occurrence (market-basket / tag-affinity): for every
     * pair of event types, how many users produced both. The classic
     * formulation self-joins the (user, type) distinct projection —
@@ -238,6 +225,19 @@ object Aggregates {
       .orderBy("type_a", "type_b")
   }
 
+  /** Distinct-count SET ALGEBRA via KMV sketches
+    * (graft.functions.KmvSketch): distinct customers per order
+    * priority, their union, and their OVERLAP — the
+    * audience-intersection question approx_count_distinct (HLL)
+    * cannot answer, because HLL registers don't support
+    * intersection. One shuffle of ≤ k-double sketches per group; the
+    * driver-side set algebra touches kilobytes (the sketch plane,
+    * never the data). k = 16384 > every test sf's customer count, so
+    * the sketch operates in its EXACT sub-k regime here and the
+    * DuckDB oracle can demand equality; at 100 TB the same plan
+    * degrades gracefully to ~1/√k relative error (the saturation
+    * regime KmvSketchSpec bounds synthetically).
+    */
   def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{Kmv, KmvSketch}

@@ -600,18 +600,25 @@ object Dedup {
     * orders belong to customers seen before the cutoff). The plain
     * semi join shuffles EVERY delta row; at 100 TB of history and a
     * novelty-heavy delta that shuffle is wasted on rows with no
-    * match. Here history keys fold once into a bloom filter
-    * (distributed treeAggregate of per-partition filters; ~1.2 MB per
-    * million keys at 1% fpp — at billions, shard by key range or
-    * raise the fpp), the delta probes it ROW-LOCALLY through Spark's
-    * own codegen'd `bloom_might_contain` predicate (the expression
-    * its runtime row-level filters inject — no UDF, and unlike the
-    * automatic runtime filter, built ONCE and reusable across many
-    * delta batches), and only surviving candidates (true members +
-    * fpp false positives) enter the exact verify semi join. False
-    * positives die there; false negatives cannot exist (bloom
-    * guarantee) — the result is EXACTLY the full semi join's, with
-    * the shuffle shrunk to the candidate set.
+    * match. The sketch is delivered the way Spark's own
+    * InjectRuntimeFilter delivers its row-level runtime filters: a
+    * `BloomFilterAggregate` over the history keys wrapped in a
+    * `ScalarSubquery`, probed by the codegen'd
+    * `BloomFilterMightContain` predicate on the delta side. That
+    * shape matters at scale for two reasons: (a) the filter bytes
+    * NEVER enter the serialized logical plan — the subquery executes
+    * as its own distributed aggregate job and hands the finished
+    * sketch to the predicate at execution time (a plan-literal bloom
+    * of a billion-key history is a GB-scale task binary, which is how
+    * the naive version dies); (b) sizing needs NO separate counting
+    * pass over history — the aggregate is given a capacity hint and
+    * Spark caps the bits at the runtime-filter maximum regardless
+    * (at billions of keys the fpp degrades gracefully and the exact
+    * verify join still holds correctness). Only surviving candidates
+    * (true members + fpp false positives) enter the exact verify semi
+    * join. False positives die there; false negatives cannot exist
+    * (bloom guarantee) — the result is EXACTLY the full semi join's,
+    * with the shuffle shrunk to the candidate set.
     */
   def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(s)
@@ -619,12 +626,20 @@ object Dedup {
     val orders = Tables.orders(s, dir)
     val hist = orders.filter(col("o_orderdate") < cutoff)
       .select(col("o_custkey").cast("long").as("ck"))
-    val bf = hist.stat.bloomFilter("ck", math.max(hist.count(), 64L), 0.01)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
+    hist.createOrReplaceTempView("graft_bloom_hist")
     orders.filter(col("o_orderdate") >= cutoff)
-      .filter(call_function("bloom_might_contain",
-        lit(bos.toByteArray), col("o_custkey").cast("long")))
+      .createOrReplaceTempView("graft_bloom_delta")
+    // capacity hint 2^17: a fixed over-estimate, NOT a count() pass —
+    // at production scale plug ndv from catalog stats or a prior
+    // approx_count_distinct; over-sizing costs bits, never answers,
+    // and fpp drift is absorbed by the exact verify join below
+    val candidates = s.sql(
+      """SELECT o_orderkey, o_custkey FROM graft_bloom_delta
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(ck), 131072L)
+        |   FROM graft_bloom_hist),
+        |  xxhash64(CAST(o_custkey AS BIGINT)))""".stripMargin)
+    candidates
       .join(hist, col("o_custkey").cast("long") === col("ck"),
         "left_semi") // exact verify kills the fpp false positives
       .select(col("o_orderkey"), col("o_custkey"))

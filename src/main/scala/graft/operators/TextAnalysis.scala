@@ -108,7 +108,6 @@ object TextAnalysis {
     */
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     val arr = winnowArr(s, dir)
-    val sizes = arr.select(col("doc_id"), size(col("fps")).as("n_fp"))
     // classic self-equi-join here, NOT Dedup.pairCounts: winnow
     // fingerprints form LARGE buckets (one shared phrase fingerprint
     // can span hundreds of docs), and the group-then-expand shape
@@ -126,6 +125,12 @@ object TextAnalysis {
       .filter(col("bn") > 64).select(col("fp").as("h_fp"))
     val fp = fpAll.join(broadcast(hot), col("fp") === col("h_fp"),
       "left_anti")
+    // n_a counts the doc's HOT-FILTERED fingerprints — the same
+    // universe the shared-count numerator lives in. Counting the raw
+    // array here would bias overlap DOWN for boilerplate-heavy docs
+    // (numerator loses the hot fps, denominator keeps them) and drop
+    // true pairs below the 0.5 threshold.
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     fp.as("a")
       .join(fp.as("b"), col("a.fp") === col("b.fp") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -43,4 +43,32 @@ class BloomDedupSpec extends SparkSpec {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  test("bloomSemiJoin carries the sketch as a scalar subquery, not a " +
+    "plan literal sized O(|history|)") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, PlanExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val qe = Dedup.bloomSemiJoin(spark, sfDir).queryExecution
+    val plan = qe.optimizedPlan
+    // no binary literal anywhere in the plan tree (the r7 shape
+    // embedded the serialized filter — O(|history keys|) bytes that
+    // break task-binary limits at scale)
+    val binLits = plan.flatMap(_.expressions.flatMap(_.collect {
+      case l @ Literal(_, BinaryType) => l
+    }))
+    assert(binLits.isEmpty, s"plan-literal bloom survived: $binLits")
+    // the sketch rides a subquery whose plan aggregates with
+    // BloomFilterAggregate — Spark's own runtime-filter delivery shape
+    val subAggs = plan.flatMap(_.expressions.flatMap(_.collect {
+      case p: PlanExpression[_] => p.plan match {
+        case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+          lp.flatMap(_.expressions.flatMap(_.collect {
+            case b: BloomFilterAggregate => b
+          }))
+        case _ => Nil
+      }
+    }).flatten)
+    assert(subAggs.nonEmpty, "no BloomFilterAggregate subquery in plan")
+  }
 }
