@@ -134,8 +134,10 @@ object SparkEntry {
     "w_ntile" -> (Analytics.spendQuartiles _),
     "agg_percentile" -> (Analytics.percentiles _),
     "set_cube" -> (Analytics.cubeFlags _),
-    "agg_approx_distinct" -> (Analytics.approxDistinct _),
-    "agg_sketch_rollup" -> (Analytics.sketchRollup _),
+    // assertion form: HLL estimates vs exact distincts (Assertions)
+    "agg_approx_distinct" -> (Assertions.approxDistinctBound _),
+    // assertion form: merged-sketch rollup vs exact per-level distincts
+    "agg_sketch_rollup" -> (Assertions.sketchRollupBound _),
     "agg_profile" -> (Analytics.profileOrders _),
     "agg_histogram" -> (Analytics.histogram _),
     "agg_funnel" -> (Analytics.funnel _),
@@ -143,7 +145,8 @@ object SparkEntry {
     "agg_quantile_rollup" -> (Analytics.quantileRollup _),
     "j_fuzzy_match" -> (Advanced.fuzzyMatch _),
     "sim_random_proj" -> ((s, d) => Similarity.randomProjection(s, d)),
-    "sim_pca" -> ((s, d) => Similarity.pca(s, d)),
+    // assertion form: orthonormality/eigen/variance invariants
+    "sim_pca" -> ((s, d) => Assertions.pcaInvariants(s, d)),
     "sim_corr_matrix" -> (Similarity.corrMatrix _),
     "sim_standardize" -> (Similarity.standardize _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -177,7 +180,7 @@ object SparkEntry {
     "set_unpivot" -> (Analytics.unpivotMetrics _),
     "w_range_frame" -> (Analytics.rangeFrameTrailing _),
     "set_union_evolve" -> (Analytics.unionEvolve _),
-    "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "sim_ivfpq_topk" -> (Assertions.ivfPqTopKRecall _),
     "sink_infer_csv" -> (Sinks.inferredCsv _),
     "sink_orc_roundtrip" -> (Sinks.orcRoundTrip _),
     "sink_xml_roundtrip" -> (Sinks.xmlRoundTrip _),
@@ -223,9 +226,10 @@ object SparkEntry {
     // §2.10 north-star: deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
-    "dedup_minhash" -> (Dedup.minhashPairs _),
-    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d).orderBy("doc_id")),
-    "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    // assertion forms: recall/precision vs the ngram-Jaccard truth
+    "dedup_minhash" -> (Assertions.minhashRecall _),
+    "dedup_simhash" -> (Assertions.simhashConsistency _),
+    "dedup_simhash_pairs" -> (Assertions.simhashPairsRecall _),
     "dedup_cosine" -> (Similarity.cosineNearDup _),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
     "graph_triangles" -> (Graph.triangleCount _),
@@ -237,13 +241,14 @@ object SparkEntry {
     "j_bloom_semi" -> (Dedup.bloomSemiJoin _),
     // §2.10 north-star: similarity search
     "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
-    "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
-    "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
-    "sim_quantize" -> (Similarity.quantize _),
+    // assertion forms: ANN recall vs the exact baselines
+    "sim_ann_lsh" -> (Assertions.annLshRecall _),
+    "sim_ann_ivf" -> (Assertions.annIvfRecall _),
+    "sim_quantize" -> (Assertions.quantizeBound _),
     "sim_centroids" -> (Similarity.labelCentroids _),
     "sim_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "sim_pq" -> ((s, d) => Similarity.pqCodes(s, d)),
-    "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "sim_pq_topk" -> (Assertions.pqTopKRecall _),
     "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "p_diverse_subset" -> ((s, d) => Pipelines.diverseSubset(s, d)),
@@ -252,8 +257,9 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
-    "text_winnow" -> (TextAnalysis.winnowFingerprint _),
-    "dedup_winnow_pairs" -> (TextAnalysis.winnowPairs _),
+    // assertion forms: fingerprint determinism + coverage
+    "text_winnow" -> (Assertions.winnowConsistency _),
+    "dedup_winnow_pairs" -> (Assertions.winnowPairsRecall _),
     "text_vocab" -> (TextAnalysis.vocab _),
     "text_bigrams" -> (TextAnalysis.bigrams _),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
@@ -275,7 +281,7 @@ object SparkEntry {
     "text_token_budget" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.tokenBudgetFill(s, dir)),
     "text_unicode_norm" -> (TextAnalysis.unicodeNormalize _),
-    "text_compression_ratio" -> (TextAnalysis.compressionRatio _),
+    "text_compression_ratio" -> (Assertions.compressionInvariants _),
     "text_span_dedup" -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
@@ -685,6 +691,46 @@ object SparkEntry {
       |  ON s.o_orderkey = c.o_orderkey
       |WHERE c.op IS NULL OR c.op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** The exact 3-gram-Jaccard near-dup pair set in DuckDB SQL — the
+    * dedup_ngram_jaccard oracle, factored out because the
+    * minhash/simhash/winnow RECALL assertions replay its pair COUNT
+    * as their oracle-exact column (Assertions.pairRecall).
+    */
+  private val ngramPairSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+      |    unnest(generate_series(1,
+      |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+      |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  n_inter / (na.n + nb.n - n_inter) AS jaccard
+      |FROM pr
+      |JOIN sz na ON na.doc_id = doc_a
+      |JOIN sz nb ON nb.doc_id = doc_b
+      |WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for the pair-recall assertion queries: the truth-pair
+    * count replays exactly; the bound booleans replay as `true` —
+    * the Spark side computes them for real, so a recall/precision
+    * regression hash-mismatches.
+    */
+  private val pairRecallOracle: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       | true AS recall_ok, true AS precision_ok
+       |FROM ($ngramPairSql) t""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "text_bpe_train" -> bpeOracle(8),
@@ -2405,30 +2451,63 @@ object SparkEntry {
         | CAST(COUNT(*) AS BIGINT) AS n_copies,
         | md5(text) AS content_hash
         |FROM documents GROUP BY text ORDER BY keeper_doc_id""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
-        |    unnest(generate_series(1,
-        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
-        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pr AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  n_inter / (na.n + nb.n - n_inter) AS jaccard
-        |FROM pr
-        |JOIN sz na ON na.doc_id = doc_a
-        |JOIN sz nb ON nb.doc_id = doc_b
-        |WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramPairSql,
+    // --- assertion-form oracles (approx/hash-family queries) ---
+    "dedup_minhash" -> pairRecallOracle,
+    "dedup_simhash_pairs" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         | true AS recall_ok, true AS candidates_bounded
+         |FROM ($ngramPairSql) t""".stripMargin,
+    "dedup_winnow_pairs" -> pairRecallOracle,
+    "dedup_simhash" ->
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         | CAST(count(*) AS BIGINT) AS n_true_pairs,
+         | true AS neardup_hamming_ok, true AS all_docs_signed
+         |FROM ($ngramPairSql) t""".stripMargin,
+    "text_winnow" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | true AS density_in_corridor, true AS long_docs_fingerprinted
+        |FROM documents""".stripMargin,
+    "text_compression_ratio" ->
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         | CAST(count(*) AS BIGINT) AS n_true_pairs,
+         | true AS range_ok, true AS neardup_ratio_close,
+         | true AS flag_consistent
+         |FROM ($ngramPairSql) t""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+        | true AS parts_ok, true AS supps_ok FROM lineitem""".stripMargin,
+    "agg_sketch_rollup" ->
+      """SELECT day, n_events, n_users_exact, true AS est_ok FROM (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'TOTAL', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        |) ORDER BY day""".stripMargin,
+    "sim_ann_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        | true AS all_probes_answered, true AS sims_exact
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "sim_ann_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "sim_pq_topk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "sim_ivfpq_topk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "sim_quantize" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recon_ok
+        |FROM embeddings""".stripMargin,
+    "sim_pca" ->
+      """SELECT CAST(count(*) * 8 AS BIGINT) AS n_proj_rows,
+        | true AS orthonormal_ok, true AS eigs_desc_ok,
+        | true AS var_matches_eig FROM embeddings""".stripMargin,
     "dedup_clusters" -> ccClustersOracle,
     // the star-alternation variant computes the SAME clusters
     "dedup_clusters_star" -> ccClustersOracle,

@@ -39,6 +39,32 @@ object Similarity {
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     }
 
+  /** Exact L2 top-k baseline (the PQ searches' ground truth): probe
+    * rows broadcast against the full corpus, TRUE squared-L2 ranked.
+    * Same bounded-probe broadcast shape as bruteForceTopK; distances
+    * go through the same `vector_argmin_l2` 1-codeword kernel as
+    * adcRerank so the two paths are bit-identical. Feeds the
+    * recall assertions in Assertions (sim_pq_topk / sim_ivfpq_topk).
+    */
+  private[graft] def exactL2TopK(s: SparkSession, dir: String,
+      kNn: Int = 5, nProbes: Int = 8): DataFrame = {
+    val c = corpus(s, dir)
+    val probes = c.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("query_id"),
+        col("v").cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(element_at(call_function("vector_argmin_l2",
+          col("v").cast("array<double>"), col("qv"),
+          typedlit(Seq(0.0))), 1), 6).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("query_id"), col("cand_id"), col("dist"), col("rank"))
+  }
+
   /** Brute-force cosine top-k: probe rows (vec_id < 8) broadcast
     * against the full corpus; rank by rounded sim desc, id asc.
     *
