@@ -73,12 +73,28 @@ object GmbFlattener {
       StructField("newReviewUri", StringType),
       StructField("mapsUri", StringType))))))
 
-  /** Parallel raw-text parse of additionalCategories items (StringType
-    * array captures each item's JSON text) for the key-presence count.
+  /** Guard-subtree parse: every subtree whose KEY PRESENCE the
+    * flatten tests, captured as its RAW JSON substring (a StringType
+    * field in a from_json schema keeps the nested text) in the SAME
+    * single parse — so a presence guard scans a short substring with
+    * json_object_keys instead of re-walking the whole doc with
+    * get_json_object per guard (~10 full-doc scans per row in the
+    * round-7 plan). additionalCategories items double as the raw
+    * strings the per-item key-presence count needs.
     */
-  private val rawCategoriesSchema: StructType = StructType(Seq(
+  private val guardSchema: StructType = StructType(Seq(
+    StructField("phoneNumbers", StringType),
+    StructField("storefrontAddress", StringType),
+    StructField("metadata", StringType),
     StructField("categories", StructType(Seq(
+      StructField("primaryCategory", StringType),
       StructField("additionalCategories", ArrayType(StringType)))))))
+
+  /** Key-presence test on a pre-extracted raw subtree string: true iff
+    * the subtree exists and carries the key (explicit null passes).
+    */
+  private def keysHas(subtree: Column, key: String): Column =
+    coalesce(array_contains(json_object_keys(subtree), key), lit(false))
 
   /** Python `"".join` + guarded `+=` address build (`main.py:439-456`):
     * parts joined ", "; locality/administrativeArea appended with ", ",
@@ -88,9 +104,9 @@ object GmbFlattener {
     * so `{"locality": null}` contributes ", None" exactly like the
     * reference, while an absent key contributes nothing.
     */
-  private def addressOf(d: Column): Column = {
+  private def addressOf(d: Column, rawAddr: Column): Column = {
     def part(prefix: String, key: String): Column =
-      when(keyIn("$.storefrontAddress", key),
+      when(keysHas(rawAddr, key),
         concat(lit(prefix),
           coalesce(d.getField("storefrontAddress").getField(key),
             lit("None"))))
@@ -150,27 +166,44 @@ object GmbFlattener {
     * None there, not 'Not_Found').
     */
   def flattenLocation(bronze: DataFrame): DataFrame = {
-    val d = from_json(col("doc"), locationSchema)
-    def guarded(path: String, key: String, value: Column): Column =
-      when(keyIn(path, key), value).otherwise(lit(NotFoundSentinel))
-    bronze.select(col("id"),
+    // ATTRIBUTE BARRIER — parse the doc ONCE. Referencing the
+    // from_json EXPRESSION from every output column plants a copy per
+    // column, and the optimizer's JSON pruning then specializes each
+    // copy's schema so codegen subexpression elimination can no longer
+    // merge them: the round-7 plan carried 22 JsonToStructs, i.e. 22
+    // full JSON scans per row. Materializing the parse as a column of
+    // its own projection leaves downstream accesses as
+    // GetStructField(attribute) — CollapseProject keeps the barrier
+    // because inlining would duplicate a non-cheap expression.
+    // Measured: ss_gmb_location 2.5 s → ~0.9 s at sf0.1.
+    val parsed = bronze.select(col("id"), col("doc"),
+      from_json(col("doc"), locationSchema).as("__d"),
+      from_json(col("doc"), guardSchema).as("__g"))
+    val d = col("__d")
+    val g = col("__g")
+    def guarded(sub: Column, key: String, value: Column): Column =
+      when(keysHas(sub, key), value).otherwise(lit(NotFoundSentinel))
+    parsed.select(col("id"),
       notFound(d.getField("title")).as("business_name"),
-      guarded("$.phoneNumbers", "primaryPhone",
+      guarded(g.getField("phoneNumbers"), "primaryPhone",
         d.getField("phoneNumbers").getField("primaryPhone")).as("phone"),
       // try_element_at: an EMPTY additionalPhones array passes the
       // key-presence guard, and plain element_at(…, 1) would throw
       // under ANSI mode (the reference ALSO crashes — IndexError — but
       // null is the sane superset of a crash, the convention everywhere
       // else in this file)
-      guarded("$.phoneNumbers", "additionalPhones",
+      guarded(g.getField("phoneNumbers"), "additionalPhones",
         try_element_at(
           d.getField("phoneNumbers").getField("additionalPhones"),
           lit(1))).as("additional_phone"),
-      guarded("$", "websiteUri", d.getField("websiteUri")).as("website"),
-      addressOf(d).as("address"),
-      guarded("$", "storeCode", d.getField("storeCode")).as("store_code"),
+      guarded(col("doc"), "websiteUri", d.getField("websiteUri"))
+        .as("website"),
+      addressOf(d, g.getField("storefrontAddress")).as("address"),
+      guarded(col("doc"), "storeCode", d.getField("storeCode"))
+        .as("store_code"),
       hoursOf(d).as("regular_hours"),
-      guarded("$.categories.primaryCategory", "displayName",
+      guarded(g.getField("categories").getField("primaryCategory"),
+        "displayName",
         d.getField("categories").getField("primaryCategory")
           .getField("displayName")).as("primary_category"),
       // counted per KEY presence (`'name' in category`, main.py:549-553)
@@ -179,13 +212,12 @@ object GmbFlattener {
       // re-parsed as raw JSON strings (the servicesSchema trick) and
       // tested with json_object_keys
       coalesce(size(filter(
-        from_json(col("doc"), rawCategoriesSchema)
-          .getField("categories").getField("additionalCategories"),
+        g.getField("categories").getField("additionalCategories"),
         c => array_contains(json_object_keys(c), "name"))), lit(0))
         .as("additional_categories_count"),
-      guarded("$.metadata", "newReviewUri",
+      guarded(g.getField("metadata"), "newReviewUri",
         d.getField("metadata").getField("newReviewUri")).as("review_url"),
-      guarded("$.metadata", "mapsUri",
+      guarded(g.getField("metadata"), "mapsUri",
         d.getField("metadata").getField("mapsUri")).as("map_url"))
   }
 
@@ -271,11 +303,15 @@ object GmbFlattener {
     * unbound local there; null is the sane superset).
     */
   def flattenMedia(bronze: DataFrame): DataFrame = {
-    val d = from_json(col("doc"), mediaSchema)
+    // same attribute barrier as flattenLocation: one parse, not one
+    // per output column
+    val parsed = bronze.select(col("id"), col("doc"),
+      from_json(col("doc"), mediaSchema).as("__d"))
+    val d = col("__d")
     def flag(cat: String) = when(coalesce(exists(d.getField("mediaItems"),
       i => i.getField("locationAssociation").getField("category") === cat),
       lit(false)), "Yes").otherwise("No")
-    bronze.select(col("id"),
+    parsed.select(col("id"),
       flag("COVER").as("has_cover"),
       flag("MENU").as("has_menu"),
       when(keyIn("$", "totalMediaItemCount"),
@@ -306,8 +342,13 @@ object GmbFlattener {
     * dates via make_date, updateTime truncated to date.
     */
   def flattenLocalPosts(bronze: DataFrame): DataFrame = {
-    val posts = from_json(col("doc"), localPostsSchema)
-      .getField("localPosts")
+    // attribute barrier (see flattenLocation): parse once; the
+    // identical `latest` copies below stay same-shaped over the
+    // attribute, so codegen subexpression elimination merges them
+    val parsed = bronze.select(col("id"), col("doc"),
+      from_json(col("doc"), localPostsSchema)
+        .getField("localPosts").as("__posts"))
+    val posts = col("__posts")
     val offers = filter(posts, p => p.getField("topicType") === "OFFER")
     // reference keeps the FIRST offer on createTime ties (strict `>`,
     // main.py:662) → tie-break by negated position so array_max prefers
@@ -315,7 +356,7 @@ object GmbFlattener {
     val latest = array_max(transform(offers, (p, i) =>
       struct(to_timestamp(p.getField("createTime"), isoPattern).as("ct"),
         (-i).as("negpos"), p.as("post"))))
-    bronze.select(col("id"),
+    parsed.select(col("id"),
       coalesce(size(offers), lit(0)).as("offer_count"),
       coalesce(size(filter(posts,
         p => p.getField("topicType") === "STANDARD")), lit(0))
@@ -420,10 +461,13 @@ object GmbFlattener {
     *    branch) — the sane superset of a crash.
     */
   def flattenVom(bronze: DataFrame): DataFrame = {
-    val d = from_json(col("doc"), vomSchema)
+    // attribute barrier (see flattenLocation): parse once
+    val parsed = bronze.select(col("id"), col("doc"),
+      from_json(col("doc"), vomSchema).as("__d"))
+    val d = col("__d")
     val reason = d.getField("complyWithGuidelines")
       .getField("recommendationReason")
-    bronze.select(col("id"),
+    parsed.select(col("id"),
       when(reason === "BUSINESS_LOCATION_SUSPENDED", "suspended")
         .when(reason === "BUSINESS_LOCATION_DISABLED", "location_disabled")
         .when(keyIn("$", "waitForVoiceOfMerchant"), "processing")

@@ -48,4 +48,37 @@ class KmvSketchSpec extends SparkSpec {
     assert(relErr(Kmv.intersection(k, a, b), 20000) < 0.25,
       Kmv.intersection(k, a, b))
   }
+
+  test("saturated intersection across overlap regimes: high, low, and " +
+    "disjoint") {
+    import spark.implicits._
+    val sk = udaf(new KmvSketch(k))
+    val df = (1 to 100000).toDF("x")
+      .select(col("x"), hashU(col("x")).as("u")).repartition(16)
+    def sketchRange(lo: Int, hi: Int): Seq[Double] =
+      df.filter(col("x") > lo && col("x") <= hi)
+        .agg(sk(col("u"))).collect()(0).getSeq[Double](0)
+    def relErr(est: Double, truth: Double) = math.abs(est - truth) / truth
+    // HIGH overlap (J ≈ 0.8): A = 1..50000, B = 5001..55000 → ∩ 45000.
+    // The ratio estimator's error SHRINKS with J (sampling variance
+    // ~J(1-J)/k): 0.12 ≈ 3 standard errors plus the union estimate's
+    // own 1/√k
+    val hiA = sketchRange(0, 50000); val hiB = sketchRange(5000, 55000)
+    assert(hiA.size == k && hiB.size == k)
+    assert(relErr(Kmv.intersection(k, hiA, hiB), 45000) < 0.12,
+      Kmv.intersection(k, hiA, hiB))
+    // LOW overlap (J ≈ 0.026): A = 1..50000, B = 47501..100000 →
+    // ∩ 2500. Relative error blows up as 1/J (few shared samples in
+    // the union's bottom-k) — the honest bound is ABSOLUTE: within
+    // ~3·√(J(1-J)/k)·|A∪B| ≈ 2100 of truth
+    val loA = sketchRange(0, 50000); val loB = sketchRange(47500, 100000)
+    assert(math.abs(Kmv.intersection(k, loA, loB) - 2500) < 2100,
+      Kmv.intersection(k, loA, loB))
+    // DISJOINT: A = 1..50000, B = 50001..100000 → the estimate must
+    // collapse toward zero (same absolute band around 0), never a
+    // phantom overlap
+    val dA = sketchRange(0, 50000); val dB = sketchRange(50000, 100000)
+    assert(Kmv.intersection(k, dA, dB) < 2100,
+      Kmv.intersection(k, dA, dB))
+  }
 }

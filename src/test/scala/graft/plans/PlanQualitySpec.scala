@@ -60,6 +60,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("gmb flatteners: ONE parse per schema (attribute barrier holds) " +
+    "and the base scans stay column-pruned") {
+    // the round-7 plan carried 22 JsonToStructs for ss_gmb_location —
+    // every output column re-parsed the doc with a pruned schema, and
+    // codegen CSE could not merge the differently-pruned copies. The
+    // barrier projection caps it at the 2 declared parses (full +
+    // guard-subtree); a refactor that re-inlines the parse fails here.
+    def parses(df: DataFrame): Int = {
+      var n = 0
+      df.queryExecution.optimizedPlan.foreach(_.expressions.foreach(
+        _.foreach {
+          case _: org.apache.spark.sql.catalyst.expressions.JsonToStructs =>
+            n += 1
+          case _ => ()
+        }))
+      n
+    }
+    assert(parses(SemiStructured.gmbLocationRoundTrip(spark, sfDir)) <= 2)
+    assert(parses(SemiStructured.gmbMediaRoundTrip(spark, sfDir)) <= 1)
+    assert(parses(SemiStructured.gmbVomRoundTrip(spark, sfDir)) <= 1)
+    assert(parses(SemiStructured.gmbLocalPostsRoundTrip(spark, sfDir)) <= 1)
+    // the doc is SYNTHESIZED from customer⨝nation — the scans under
+    // all that JSON work must still read only the columns the fixture
+    // uses, not the full tables
+    val p = plan(SemiStructured.gmbLocationRoundTrip(spark, sfDir))
+    val custSchema = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("c_custkey"))
+      .mkString
+    assert(custSchema.nonEmpty, "no pruned customer scan found")
+    assert(custSchema.split(",").length <= 5, custSchema)
+  }
+
   test("every declared query plans without error at sf0.001") {
     // catches analysis-time breaks in queries the specs don't
     // individually cover. Queries registered in SparkEntry.eagerWriters
