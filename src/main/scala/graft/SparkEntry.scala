@@ -78,6 +78,11 @@ object SparkEntry {
     // computed once and reused (ReusedExchange pinned in spec)
     "agg_cooccurrence" -> (Aggregates.typeCooccurrence _),
     "agg_median_scale" -> (Aggregates.exactMedianScale _),
+    // weighted sampling w/o replacement (A-ES keys + TopKAgg);
+    // deterministic arithmetic hash → the oracle replays it exactly
+    "agg_weighted_sample" -> ((s, d) => Aggregates.weightedSample(s, d)),
+    // count-min frequency point queries, daily sketches driver-merged
+    "agg_cms_pointq" -> (Aggregates.cmsPointQueries _),
     // §2.7 sorts / limits / windows / set ops
     "w_topk" -> (Analytics.topCustomers _),
     // per-group top-k via mergeable aggregate, not a window
@@ -339,6 +344,7 @@ object SparkEntry {
       "dq_observed_audit" + // builder runs the observed pass
       "mv_incremental_refresh" + // builder writes base + merges the delta
       "agg_kmv_overlap" + // builder collects the per-group sketches
+      "agg_cms_pointq" + // builder collects day sketches + probe counts
       "s_partition_prune" // builder writes the events_by_day layout (once)
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
@@ -1296,6 +1302,32 @@ object SparkEntry {
         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))
         |   AS n_both
         |FROM orders""".stripMargin,
+    "agg_weighted_sample" ->
+      // replays the Efraimidis–Spirakis keys verbatim: u is a Knuth
+      // multiplicative hash in plain integer arithmetic, so both
+      // engines derive the IDENTICAL sample; rank-over-key window =
+      // the aggregate's top-k (ties impossible: u is injective per id)
+      """WITH keyed AS (
+        |  SELECT event_type, event_id,
+        |    ln((CAST((event_id * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
+        |        / 4294967297.0) / greatest("value", 1e-6) AS es_key
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY es_key DESC, event_id) AS rk
+        |  FROM keyed)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id
+        |FROM ranked WHERE rk <= 20
+        |ORDER BY event_type, rk""".stripMargin,
+    "agg_cms_pointq" ->
+      // exact probe counts replayed; est_ok is the CMS guarantee
+      // (est ≥ true, est ≤ true + ceil(ε·N)) — deterministic under
+      // the fixed seed, so the oracle side is the literal true
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS est_ok
+        |FROM events WHERE user_id % 13 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_cooccurrence" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -259,4 +259,84 @@ object Aggregates {
       math.round(Kmv.intersection(k, a, b))))
       .toDF("n_urgent", "n_high", "n_union", "n_both")
   }
+
+  /** Weighted sampling WITHOUT replacement, per group, as one
+    * aggregate pass — the training-data subsampling primitive
+    * (quality-weighted corpus selection draws documents ∝ weight; here
+    * events ∝ `value` per event_type). Efraimidis–Spirakis A-ES: rank
+    * every row by key = ln(u)/w (a monotone transform of u^(1/w)) and
+    * keep the per-group top-k — provably a weighted sample without
+    * replacement. The top-k rides `graft.functions.TopKAgg`, so the
+    * map side caps each task at k rows per group and the exchange
+    * carries O(k × tasks) per group — a weighted sample of a 100 TB
+    * corpus moves kilobytes per group, never the group.
+    *
+    * u is DETERMINISTIC: a multiplicative Knuth hash of the row id in
+    * plain integer arithmetic ((id·2654435761) mod 2³², odd multiplier
+    * → bijective, so u is collision-free per id), replayable verbatim
+    * in ANSI SQL — the DuckDB oracle re-derives the identical sample
+    * with a rank-over-key window, making a RANDOMIZED operator
+    * hash-exact under the gate. Keys are continuous with gaps ≫ 1 ulp,
+    * so engine-level ln rounding cannot reorder ranks (WeightedSampleSpec
+    * pins the ordering margin).
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    val u = (pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
+      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        // weight clamp: w=0 rows get key ln(u)/1e-6 ≈ -∞ — never
+        // sampled, the correct zero-probability semantics (and no
+        // ANSI divide-by-zero); the oracle replays the same clamp
+        (log(u) / greatest(col("value"), lit(1e-6))).as("es_key"))
+      .groupBy("event_type")
+      .agg(topk(col("es_key"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+        col("t._2").as("event_id"))
+      .orderBy("event_type", "rk")
+  }
+
+  /** Frequency POINT QUERIES via Count-Min sketch — the frequency
+    * complement of the distinct-count sketches (HLL `sketchRollup`,
+    * KMV `kmvOverlap`): "how often did THIS key occur" without a
+    * full-vocabulary groupBy, with a deterministic one-sided error
+    * guarantee (est ≥ true always; est ≤ true + ε·N w.h.p.). Built on
+    * Spark's own `count_min_sketch` aggregate (codegen'd, fixed seed
+    * → deterministic), sketched PER DAY then merged on the driver —
+    * the mergeability is the point: at 100 TB the daily sketches are
+    * kilobytes each, the month rollup is `mergeInPlace` over 30 of
+    * them on the sketch plane, and answering a new audit list touches
+    * no data at all. The probe set here (user_id ≡ 0 mod 13) stands
+    * in for a bounded audit list; its exact counts ride a pushed-down
+    * predicate scan, so the verification side scans |probes|' rows,
+    * not the corpus. Emitted per probe: the exact count (oracle
+    * recomputes it) and the CMS bound verdict (oracle: literal true).
+    */
+  def cmsPointQueries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = 0.005
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count_min_sketch(col("user_id"), lit(eps), lit(0.99),
+        lit(42)).as("sk"), count(lit(1)).as("n"))
+      .collect()
+    val merged = daily.map(r => CountMinSketch.readFrom(
+      r.getAs[Array[Byte]]("sk"))).reduce(_.mergeInPlace(_))
+    val nTotal = daily.map(_.getAs[Long]("n")).sum
+    val bound = math.ceil(eps * nTotal).toLong
+    Tables.events(s, dir)
+      .filter(col("user_id") % 13 === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .collect()
+      .map { r =>
+        val uid = r.getLong(0)
+        val est = merged.estimateCount(uid)
+        (uid, r.getLong(1), est >= r.getLong(1) && est <= r.getLong(1) + bound)
+      }
+      .sortBy(_._1).toSeq
+      .toDF("user_id", "n_exact", "est_ok")
+  }
 }
