@@ -32,26 +32,40 @@ def load(path):
         return json.loads(f.readline())
 
 
-def probe_for(art, name, order):
-    """Ambient-load probe value applicable to query `name`: the
-    nearest calib_series probe at-or-after it in sweep order, else the
-    pre/post median."""
+def local_burst(art, name, order):
+    """WITHIN-artifact load factor near query `name`: the nearest
+    calib_series probe at-or-after it in sweep order, divided by that
+    artifact's own series median. 1.0 = no local burst. Probes are only
+    ever compared to probes of the SAME artifact — the interleaved
+    probes (min-of-2, run amid sweep residue) and the pre/post
+    calibrate() pair (min-of-3, quiet JVM) measure the same workload
+    under different conditions, so their absolute values are not
+    comparable across kinds or artifacts."""
     series = art.get("calib_series") or []
-    if series:
-        # probes are tagged with the query they ran AFTER; take the
-        # first probe at-or-after this query's sweep position, per pass,
-        # and use the min across passes (matching best-of-2 timing)
-        pos = order.get(name)
-        if pos is not None:
-            by_pass = {}
-            for p, after, sec in series:
-                apos = order.get(after, -1)
-                if apos >= pos and (p not in by_pass or
-                                    order.get(by_pass[p][0], -1) > apos):
-                    by_pass[p] = (after, sec)
-            if by_pass:
-                return min(sec for _, sec in by_pass.values())
-        return statistics.median(s for _, _, s in series)
+    if not series:
+        return 1.0
+    med = statistics.median(s for _, _, s in series)
+    pos = order.get(name)
+    if pos is None or not med:
+        return 1.0
+    # probes are tagged with the query they ran AFTER; take the first
+    # probe at-or-after this query's sweep position, per pass, and use
+    # the min across passes (matching best-of-2 query timing)
+    by_pass = {}
+    for p, after, sec in series:
+        apos = order.get(after, -1)
+        if apos >= pos and (p not in by_pass or
+                            order.get(by_pass[p][0], -1) > apos):
+            by_pass[p] = (after, sec)
+    if not by_pass:
+        return 1.0
+    return min(sec for _, sec in by_pass.values()) / med
+
+
+def machine_speed(art):
+    """Cross-artifact machine-speed proxy: the pre/post calibrate()
+    median (same workload and same min-of-3 discipline in every
+    artifact generation, so these ARE comparable across artifacts)."""
     calib = art.get("calib") or {}
     vals = [v for v in (calib.get("pre"), calib.get("post"))
             if v is not None]
@@ -69,22 +83,22 @@ def main(old_path, new_path, threshold=1.3):
     oorder = {k: i for i, k in enumerate(sorted(oq))}
     norder = {k: i for i, k in enumerate(sorted(nq))}
 
+    mo, mn = machine_speed(old), machine_speed(new)
+    speed = (mn / mo) if (mo and mn) else 1.0
     rows = []
     for name in shared:
         raw = nq[name] / oq[name]
-        po, pn = probe_for(old, name, oorder), probe_for(new, name, norder)
-        load_factor = (pn / po) if (po and pn) else 1.0
+        # expected ratio of an unchanged query = cross-artifact machine
+        # speed x the ratio of local bursts near it in each sweep
+        load_factor = speed * (local_burst(new, name, norder) /
+                               local_burst(old, name, oorder))
         rows.append((name, oq[name], nq[name], raw, raw / load_factor))
 
     norm_ratios = [r[4] for r in rows]
     med = statistics.median(norm_ratios)
     print(f"{len(shared)} shared queries; "
           f"median probe-normalized ratio {med:.2f}")
-    po_all = probe_for(old, shared[0], oorder)
-    pn_all = probe_for(new, shared[0], norder)
-    if po_all and pn_all:
-        print(f"ambient-load factor (new probe / old probe) "
-              f"~{pn_all / po_all:.2f}")
+    print(f"ambient-load factor (new calib / old calib) ~{speed:.2f}")
     flagged = [r for r in rows if r[4] > threshold or r[4] < 1 / threshold]
     if not flagged:
         print(f"no query beyond {threshold}x after normalization")
