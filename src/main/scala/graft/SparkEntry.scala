@@ -105,6 +105,11 @@ object SparkEntry {
     // running distinct per key: KMV sketch as transformWithState state
     "stream_distinct_running" ->
       (graft.streaming.StreamingAnalogs.feedDistinct _),
+    // streaming weighted reservoir: TopKAgg buffer as TWS state,
+    // deterministic A-ES keys → the drain is hash-exact vs the
+    // generator replay
+    "stream_weighted_sample" ->
+      (graft.streaming.StreamingAnalogs.feedWeightedSample _),
     "stream_versioned_ingest" -> (Versioned.streamVersionedIngest _),
     // S4/S5 custom DataSource V2 (paginated REST shape)
     "s4_rest_source" -> ((s, _) => {
@@ -328,6 +333,7 @@ object SparkEntry {
       "stream_feed_daily" + // builder runs the AvailableNow stream drain
       "stream_sessionize" + // same drain, append-mode session windows
       "stream_distinct_running" + // same drain, TWS KMV state
+      "stream_weighted_sample" + // same drain, TWS A-ES reservoir state
       "stream_versioned_ingest" + // drain committing versions per batch
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
@@ -1790,6 +1796,28 @@ object SparkEntry {
         |  FROM range(5000))
         |SELECT kind, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_weighted_sample" ->
+      // generator replay + the same A-ES keys re-derived + a rank
+      // window: the streaming reservoir's full-stream drain must
+      // equal the batch weighted sample exactly (see
+      // agg_weighted_sample for the hash-exactness argument)
+      """WITH feed AS (
+        |  SELECT range AS id,
+        |    CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END AS kind,
+        |    greatest(CAST((range * 2654435761) % 100000 AS DOUBLE) / 100.0,
+        |      1e-6) AS w
+        |  FROM range(5000)),
+        |keyed AS (
+        |  SELECT kind, id,
+        |    ln((CAST((id * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
+        |        / 4294967297.0) / w AS es_key
+        |  FROM feed),
+        |ranked AS (
+        |  SELECT kind, id, row_number() OVER (PARTITION BY kind
+        |    ORDER BY es_key DESC, id) AS rk
+        |  FROM keyed)
+        |SELECT kind, CAST(rk AS BIGINT) AS rk, id
+        |FROM ranked WHERE rk <= 20 ORDER BY kind, rk""".stripMargin,
     "stream_versioned_ingest" ->
       // exactly-once proof: every generated row lands in exactly one
       // committed version, so the all-versions rollup equals the

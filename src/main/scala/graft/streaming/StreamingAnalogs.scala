@@ -568,4 +568,117 @@ object StreamingAnalogs {
     s.read.parquet(s"$base/table")
       .select(col("kind"), col("n_users")).orderBy("kind")
   }
+
+  /** Streaming weighted reservoir: the TopKAgg buffer as
+    * transformWithState state — a weighted sample WITHOUT replacement
+    * of the FULL stream so far, per key, with state bounded at ≤ k
+    * (key, id) pairs at ANY stream length. This is the property that
+    * makes the AGGREGATE form of top-k matter (TopKAgg's scaladoc):
+    * the A-ES reservoir is mergeable, so folding each microbatch into
+    * the retained buffer IS the batch aggregate incrementalized —
+    * no retained raw rows, no re-ranking of history. The es_key is
+    * the SAME deterministic formula as Aggregates.weightedSample, so
+    * the full-stream drain equals the batch A-ES sample over the
+    * replayed generator — which is exactly what the DuckDB oracle
+    * demands (a randomized STREAMING operator, hash-exact).
+    */
+  class WeightedReservoirProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Double), (String, Long, Long)] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ValueState[Seq[(Double, Long)]] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getValueState[Seq[(Double, Long)]]("topk",
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[(Double, Long)]](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long)] = {
+      val agg = new graft.functions.TopKAgg(k)
+      val cur = if (buf.exists()) buf.get() else agg.zero
+      // rows are (kind, id, es_key); reduce takes (value=es_key, id)
+      val next = agg.finish(
+        rows.foldLeft(cur)((b, r) => agg.reduce(b, (r._3, r._2))))
+      buf.update(next)
+      next.iterator.zipWithIndex.map { case ((_, id), i) =>
+        (key, (i + 1).toLong, id)
+      }
+    }
+  }
+
+  def weightedReservoirTws(rows: Dataset[(String, Long, Double)],
+      k: Int = 20): Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_._1)
+      .transformWithState(new WeightedReservoirProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Driver-checked drain: the running weighted sample per feed kind,
+    * weights from the generator's deterministic amount. Each
+    * microbatch update-emits the key's CURRENT full-stream top-k;
+    * dynamic partition overwrite keeps only the latest emission per
+    * kind, so the drained table is the weighted sample of the whole
+    * stream — replayed by the oracle as a rank-over-key window on the
+    * generator (same arithmetic-hash keys as agg_weighted_sample).
+    */
+  def feedWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_wsample"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    import s.implicits._
+    val u = (pmod(col("id") * lit(2654435761L), lit(4294967296L))
+      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    // the versioned-ingest generator's amount as the sampling weight
+    val w = greatest(((col("id") * lit(2654435761L)) % lit(100000L))
+      .cast("double") / lit(100.0), lit(1e-6))
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      .select(col("kind"), col("id"), (log(u) / w).as("es_key"))
+      .as[(String, Long, Double)]
+    val out = weightedReservoirTws(feed)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = s.conf.getOption(providerKey)
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      out.toDF("kind", "rk", "id").writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind")
+            .parquet(s"$base/table")
+        }
+        .start()
+        .awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    s.read.parquet(s"$base/table")
+      .select(col("kind"), col("rk"), col("id")).orderBy("kind", "rk")
+  }
 }

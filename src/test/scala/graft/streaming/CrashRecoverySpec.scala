@@ -132,4 +132,73 @@ class CrashRecoverySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expect, s"got $got expected $expect")
   }
+
+  test("weighted reservoir (transformWithState/RocksDB): crash after " +
+    "batch-0's sink write; checkpoint restart resumes the A-ES buffer " +
+    "and drains to the exact full-stream sample") {
+    val base = cleanBase("wsample")
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val u = (pmod(col("id") * lit(2654435761L), lit(4294967296L))
+      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    val w = greatest(((col("id") * lit(2654435761L)) % lit(100000L))
+      .cast("double") / lit(100.0), lit(1e-6))
+    def keyed = feed(5000, 1000)
+      .select(col("kind"), col("id"), (log(u) / w).as("es_key"))
+      .as[(String, Long, Double)]
+    def drain(injectCrash: Boolean): Unit = {
+      val q = StreamingAnalogs.weightedReservoirTws(keyed)
+        .toDF("kind", "rk", "id").writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind")
+            .parquet(s"$base/table")
+          if (injectCrash && id == 0)
+            throw new RuntimeException("injected crash")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      intercept[StreamingQueryException](drain(injectCrash = true))
+      drain(injectCrash = false) // resume: buffer restored, batch 0 replays
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val got = spark.read.parquet(s"$base/table")
+      .select(col("kind"), col("rk"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // ground truth: the batch A-ES sample over the replayed generator.
+    // A restart that lost the buffer (sampling only batches 1-4) or
+    // double-applied batch 0 (ids can't duplicate — the buffer would
+    // hold batch-0 ids twice, displacing true members) cannot match.
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("kind")
+      .orderBy(col("es_key").desc, col("id"))
+    val expect = spark.range(0, 5000)
+      .select(when(col("id") % 3 === 0, lit("credit"))
+        .otherwise(lit("debit")).as("kind"), col("id"),
+        (log(u) / w).as("es_key"))
+      .select(col("kind"), row_number().over(win).cast("long").as("rk"),
+        col("id"))
+      .filter(col("rk") <= 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expect)
+  }
 }
