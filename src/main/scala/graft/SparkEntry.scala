@@ -169,6 +169,9 @@ object SparkEntry {
     "w_percent_rank" -> (Analytics.spendStanding _),
     "agg_weighted_avg" -> (Analytics.weightedAvg _),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    // synchronous label propagation, exact-integer scores + min-label
+    // tie-break → the oracle replays every round deterministically
+    "graph_label_prop" -> ((s, d) => Graph.labelPropagation(s, d)),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -320,6 +323,7 @@ object SparkEntry {
       "dedup_clusters_star" + // same fixpoint via star alternation
       "p_entity_resolution" + // composes the CC fixpoint on fuzzy pairs
       "graph_pagerank" + // builder runs the rank-iteration jobs
+      "graph_label_prop" + // builder runs the propagation-round jobs
       "graph_triangles" + // builder checkpoints the oriented edge set
       "graph_clustering_coeff" + // same checkpointed edge pipeline
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
@@ -381,6 +385,34 @@ object SparkEntry {
     }
     (base +: rounds).mkString(",\n") +
       s"\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
+
+  /** DuckDB replay of Graph.labelPropagation: the same edge set, one
+    * (score-sum, argmax) CTE pair per synchronous round — exact
+    * BIGINT scores + smallest-label tie-break make every round
+    * deterministic, so the replay matches label for label.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val base =
+      """WITH pair AS (SELECT -(l_suppkey + 1) AS supp_node,
+        |    o_custkey AS cust_node, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT supp_node AS src, cust_node AS dst, w FROM pair
+        |  UNION ALL SELECT cust_node, supp_node, w FROM pair),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS node, l.lbl AS lbl,
+         |    CAST(SUM(e.w) AS BIGINT) AS score
+         |  FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |    ORDER BY score DESC, lbl ASC) AS rn FROM s$i) WHERE rn = 1)"""
+        .stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"\nSELECT node, lbl AS community FROM l$iters ORDER BY node"
   }
 
   /** DuckDB replay of Similarity.kmeans (two Lloyd iterations with the
@@ -751,6 +783,7 @@ object SparkEntry {
     "text_bpe_apply" -> bpeApplyOracle(8),
     "text_wordpiece_apply" -> wordpieceOracle(8),
     "graph_pagerank" -> pagerankOracle(3),
+    "graph_label_prop" -> lpaOracle(3),
     "graph_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pp AS (

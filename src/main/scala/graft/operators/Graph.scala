@@ -48,20 +48,29 @@ object Graph {
       pagerankBuild(s, dir, iterations)
     }
 
+  /** The signed-id bipartite edge set (see pagerank's doc) is shared
+    * by PageRank and label propagation — pooled so a session running
+    * both pays the lineitem⋈orders build once.
+    */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"graph.bipartiteEdges:$dir") {
+      val pair = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(
+          (-(col("l_suppkey") + 1)).as("supp_node"),
+          col("o_custkey").as("cust_node"))
+        .agg(count(lit(1)).as("w"))
+      pair
+        .select(col("supp_node").as("src"), col("cust_node").as("dst"),
+          col("w"))
+        .unionByName(pair.select(col("cust_node").as("src"),
+          col("supp_node").as("dst"), col("w")))
+        .localCheckpoint()
+    }
+
   private def pagerankBuild(s: SparkSession, dir: String,
       iterations: Int): DataFrame = {
-    val pair = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(
-        (-(col("l_suppkey") + 1)).as("supp_node"),
-        col("o_custkey").as("cust_node"))
-      .agg(count(lit(1)).as("w"))
-    val edges = pair
-      .select(col("supp_node").as("src"), col("cust_node").as("dst"),
-        col("w"))
-      .unionByName(pair.select(col("cust_node").as("src"),
-        col("supp_node").as("dst"), col("w")))
-      .localCheckpoint()
+    val edges = bipartiteEdges(s, dir)
     val outdeg = edges.groupBy("src").agg(sum(col("w")).as("outdeg"))
     // loop-invariant: each edge annotated with its source's degree
     // ONCE — re-joining degrees inside the loop would repeat a full
@@ -82,6 +91,49 @@ object Graph {
         .localCheckpoint()
     }
     ranks.orderBy("node")
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007), 3 rounds, over the same signed-id bipartite graph
+    * as pagerank — the community primitive training-data curation
+    * uses to find template farms and spam rings in document link
+    * graphs. Each round every node adopts the label with the highest
+    * total incident edge weight among its neighbors, tie-broken by
+    * SMALLEST label — weights are exact BIGINT co-occurrence counts
+    * and the tie-break totally orders candidates, so the fixed-round
+    * sync schedule is fully deterministic and the DuckDB oracle
+    * replays it round by round (chained CTEs, like pagerank's).
+    *
+    * Scale shape per round: one shuffle keyed (dst, lbl) for the
+    * score sums + one keyed dst for the argmax — both partial-
+    * aggregated map-side; labels join edges by src, the same key the
+    * next round shuffles (co-partitioned at scale). The argmax rides
+    * max(struct(score, -lbl)) — an ordinary aggregate, no window, no
+    * single-partition choke. localCheckpoint per round keeps plan
+    * depth flat (the CC/BPE/pagerank loop discipline).
+    */
+  def labelPropagation(s: SparkSession, dir: String,
+      iterations: Int = 3): DataFrame =
+    graft.CachePool.cached(s, s"graph.lpa:$dir:$iterations") {
+      lpaBuild(s, dir, iterations)
+    }
+
+  private def lpaBuild(s: SparkSession, dir: String,
+      iterations: Int): DataFrame = {
+    val edges = bipartiteEdges(s, dir)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(sum(col("w")).as("score"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("score"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+      .orderBy("node")
   }
 
   /** Triangle counting over the part co-purchase graph (parts that

@@ -75,4 +75,21 @@ class GraphSpec extends SparkSpec {
     assert(tiny.getLong(0) == 4L, tiny.toString)
     assert(tiny.getLong(1) == 7L && tiny.getLong(2) == 5L, tiny.toString)
   }
+
+  test("labelPropagation: a total labeling that coarsens, labels are " +
+    "node ids, and rounds actually propagate") {
+    val lpa = Graph.labelPropagation(spark, sfDir)
+    val nodes = Graph.pagerank(spark, sfDir).select("node")
+    // every node labeled exactly once, with an existing node's id
+    assert(lpa.count() == nodes.count())
+    assert(lpa.select("node").except(nodes).count() == 0)
+    assert(lpa.select(col("community").as("node"))
+      .except(nodes).count() == 0)
+    // propagation coarsens: strictly fewer communities than nodes
+    // (l0 = identity labeling; any shared neighborhood merges labels)
+    val nComm = lpa.select("community").distinct().count()
+    assert(nComm < nodes.count() && nComm > 1, s"n_communities=$nComm")
+    // round-for-round determinism vs an independent engine is the
+    // driver gate's job (lpaOracle replays each round in DuckDB)
+  }
 }
