@@ -239,6 +239,9 @@ object SparkEntry {
     // §2.10 north-star: deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    // prefix-filtered EXACT Jaccard join — same output as the full
+    // index, candidate set provably complete and far smaller
+    "dedup_prefix_jaccard" -> ((s, d) => Dedup.prefixJaccard(s, d)),
     // assertion forms: recall/precision vs the ngram-Jaccard truth
     "dedup_minhash" -> (Assertions.minhashRecall _),
     "dedup_simhash" -> (Assertions.simhashConsistency _),
@@ -2545,6 +2548,8 @@ object SparkEntry {
         | md5(text) AS content_hash
         |FROM documents GROUP BY text ORDER BY keeper_doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramPairSql,
+    // prefix filtering is exact: same oracle as the full-index join
+    "dedup_prefix_jaccard" -> ngramPairSql,
     // --- assertion-form oracles (approx/hash-family queries) ---
     "dedup_minhash" -> pairRecallOracle,
     "dedup_simhash_pairs" ->

@@ -162,6 +162,67 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
 
+  /** Exact Jaccard ≥ t pair join via PREFIX FILTERING (Chaudhuri
+    * SSJoin / Bayardo All-Pairs / Xiao PPJoin) — the third point in
+    * the near-dup design space: ngramJaccard indexes EVERY shingle
+    * (exact, biggest candidate set), minhashPairs indexes LSH bands
+    * (probabilistic recall), this indexes only each doc's RAREST
+    * p = n − ⌈t·n⌉ + 1 shingles and stays EXACT: if J(a,b) ≥ t then
+    * |a∩b| ≥ ⌈t·max(n_a,n_b)⌉ = α, and the prefix lemma (sets sorted
+    * by one global order; prefixes of length n − α + 1 must share an
+    * element when |a∩b| ≥ α) guarantees the rarest-first prefixes
+    * collide — ⌈t·n_x⌉ ≤ α makes our per-doc prefixes at least that
+    * long. Zero recall loss, provably; the spec pins output equality
+    * with the full-index join and measures the candidate reduction.
+    *
+    * Why this is the 100 TB exact path: the inverted index carries
+    * ~(1−t/(1+t))·|tokens| entries instead of all of them, and the
+    * rarest-first order puts the SMALLEST buckets in the index — the
+    * boilerplate shingles that explode the full join's candidate set
+    * are exactly the ones prefix filtering never indexes. A length
+    * filter (t·n_a ≤ n_b ≤ n_a/t) prunes cross-size candidates in
+    * the join condition, before the verify. Verification is row-local
+    * array_intersect over the two sorted arrays — candidates only.
+    */
+  def prefixJaccard(s: SparkSession, dir: String,
+      t: Double = 0.5): DataFrame = {
+    val ordered = graft.CachePool.cached(s, s"dedup.prefixOrdered:$dir:$t") {
+      val toks = shingleDf(s, dir)
+      val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+      // canonical rarest-first total order: (df asc, shingle asc) —
+      // (df, sh) pairs are distinct within a doc, so the sort is a
+      // total order and both self-join branches see identical arrays
+      toks.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("sh"))))
+          .as("o"))
+        .select(col("doc_id"),
+          expr("transform(o, x -> x.sh)").as("osh"),
+          size(col("o")).as("n"))
+    }
+    val prefix = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("osh"), lit(1),
+        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= col("a.n") * lit(t) &&
+          col("a.n") >= col("b.n") * lit(t))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ordered.select(col("doc_id").as("doc_a"),
+        col("osh").as("sha"), col("n").as("n_a")), "doc_a")
+      .join(ordered.select(col("doc_id").as("doc_b"),
+        col("osh").as("shb"), col("n").as("n_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("n_inter") /
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash signatures: H seeded-XXH64 mins over the shingle set in
     * one pass — the custom `minhash_sig` expression
     * (graft.functions.MinHashSig), one call per document instead of
