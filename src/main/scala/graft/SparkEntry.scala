@@ -162,6 +162,11 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "st_gap_fill" -> (Analytics.gapFill _),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
+    // RLHF/DPO prep: per-source (chosen, rejected) quality pairs via
+    // one groupBy argmax/argmin — no window, no per-source sort
+    "p_preference_pairs" -> (Pipelines.preferencePairs _),
+    // contrastive batch packing: source-disjoint by construction
+    "p_contrastive_batches" -> (Pipelines.contrastiveBatches _),
     "p_merge_cdc" -> (Pipelines.mergeCdc _),
     "p_incremental_agg" -> (Pipelines.incrementalAggRefresh _),
     "agg_mode" -> (Analytics.modePriority _),
@@ -189,6 +194,8 @@ object SparkEntry {
     "dq_observed_audit" -> (Quality.observedAudit _),
     "dq_volume_anomaly" -> (Quality.volumeAnomaly _),
     "dq_referential" -> (Quality.referentialAudit _),
+    // robust |x-med| > 3*MAD gate, discrete medians, integer cents
+    "dq_outlier_mad" -> (Quality.madOutliers _),
     "dq_snapshot_diff" -> (Quality.snapshotDiff _),
     "set_unpivot" -> (Analytics.unpivotMetrics _),
     "w_range_frame" -> (Analytics.rangeFrameTrailing _),
@@ -1645,6 +1652,30 @@ object SparkEntry {
         |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "dq_outlier_mad" ->
+      // pure integer replay: cents, discrete lower medians via
+      // rn = (n+1)//2 (integer div on BOTH sides — a double cast
+      // truncates in Spark but rounds in DuckDB), integer flag compare
+      """WITH e AS (SELECT event_type,
+        |    CAST(round("value" * 100) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT event_type, vc AS medc FROM (
+        |  SELECT event_type, vc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (SELECT e.event_type, abs(vc - medc) AS devc
+        |  FROM e JOIN m USING (event_type)),
+        |mm AS (SELECT event_type, devc AS madc FROM (
+        |  SELECT event_type, devc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY devc) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(medc) AS med_cents, min(madc) AS mad_cents,
+        |  CAST(count(CASE WHEN devc > madc * 3 THEN 1 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN mm USING (event_type) JOIN m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "p_merge_cdc" -> mergeCdcOracle,
     // value-compare classification (the Spark side fingerprints rows;
     // identical classes unless xxhash64 collides)
@@ -1725,6 +1756,35 @@ object SparkEntry {
         |  COALESCE(daily.sum_value, 0.0) AS sum_value
         |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
         |ORDER BY day""".stripMargin,
+    "p_preference_pairs" ->
+      // text_quality's exact score formula, argmax/argmin replayed as
+      // rank windows with the same (score, doc_id) tie-breaks
+      """WITH scored AS (SELECT doc_id, source,
+        |    round(0.5 * (nd / nw) + 0.5 * least(nw / 100.0, 1.0), 4)
+        |      AS score
+        |  FROM (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS DOUBLE) AS nw,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)),
+        |      '\s+'))) AS DOUBLE) AS nd
+        |   FROM documents)),
+        |hi AS (SELECT source, doc_id AS chosen_doc, score AS s_hi FROM (
+        |  SELECT source, doc_id, score, row_number() OVER (
+        |    PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |lo AS (SELECT source, doc_id AS rejected_doc, score AS s_lo FROM (
+        |  SELECT source, doc_id, score, row_number() OVER (
+        |    PARTITION BY source ORDER BY score ASC, doc_id ASC) AS rn
+        |  FROM scored) WHERE rn = 1)
+        |SELECT hi.source, chosen_doc, rejected_doc,
+        |  round(s_hi - s_lo, 4) AS score_gap
+        |FROM hi JOIN lo ON hi.source = lo.source
+        |WHERE s_hi > s_lo ORDER BY hi.source""".stripMargin,
+    "p_contrastive_batches" ->
+      """SELECT CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY doc_id) - 1 AS BIGINT) AS batch_id,
+        |  doc_id, source
+        |FROM documents ORDER BY batch_id, source""".stripMargin,
     "p_entity_resolution" ->
       """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
         |b AS (SELECT name, list_extract(string_split(name, ' '),

@@ -328,4 +328,54 @@ object Pipelines {
       .select(col("name"), col("canonical_name"), col("cluster_size"))
       .orderBy("name")
   }
+
+  /** Preference-pair construction — the RLHF/DPO data-prep shape:
+    * within each source, pair the highest-quality document (chosen)
+    * with the lowest (rejected), keeping only pairs with a strict
+    * quality gap. Argmax/argmin ride max/min(struct(score, ±doc_id))
+    * — ordinary aggregates in ONE groupBy pass (no window, no
+    * per-source sort), with the smallest-doc_id tie-break making the
+    * pair deterministic. The quality score is text_quality's exact
+    * formula, so the oracle replays it to the same 4 decimals.
+    */
+  def preferencePairs(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n_words"),
+        size(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("n_distinct_words"))
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityExpr(col("n_words"), col("n_distinct_words"))
+          .as("score"))
+    scored.groupBy("source")
+      .agg(
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("hi"),
+        min(struct(col("score"), col("doc_id").as("id"))).as("lo"))
+      .select(col("source"),
+        (-col("hi.nid")).as("chosen_doc"), col("hi.score").as("s_hi"),
+        col("lo.id").as("rejected_doc"), col("lo.score").as("s_lo"))
+      .filter(col("s_hi") > col("s_lo"))
+      .select(col("source"), col("chosen_doc"), col("rejected_doc"),
+        round(col("s_hi") - col("s_lo"), 4).as("score_gap"))
+      .orderBy("source")
+  }
+
+  /** Contrastive batch packing with SOURCE-DISJOINT batches — in-batch
+    * negatives are only valid if no two batch members share a source
+    * (near-dups from one crawl seed poison the contrastive loss).
+    * Round-robin by source: each doc's batch is its rank WITHIN its
+    * source, so a batch holds at most one doc per source by
+    * construction (spec-pinned). One partitioned window (never
+    * global); at 100 TB the rank is per-source and the assignment
+    * embarrassingly parallel after one source-keyed shuffle.
+    */
+  def contrastiveBatches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("batch_id", (row_number().over(w) - 1).cast("long"))
+      .select(col("batch_id"), col("doc_id"), col("source"))
+      .orderBy("batch_id", "source")
+  }
 }

@@ -224,4 +224,43 @@ object Quality {
         .select(lit(e.name).as("fk_edge"), col("n_orphans"))
     }.reduce(_ unionByName _)
       .orderBy("fk_edge")
+
+  /** Robust per-group outlier gate: |x − median| > 3·MAD, the
+    * median-absolute-deviation rule that (unlike z-scores) a few
+    * extreme rows cannot drag. ALL arithmetic is integer: values
+    * become exact cents, the median is the DISCRETE lower median
+    * (row_number = (n+1) div 2 — no interpolation, so no
+    * cross-engine float drift; `div`/`//` on both sides, never a
+    * double cast that truncates in Spark but rounds in DuckDB), and
+    * the flag compares integer deviations to 3·(integer MAD). Both
+    * median passes are per-group windows (never global); at 100 TB
+    * swap the exact medians for the mergeable HistSketch quantiles
+    * (agg_quantile_rollup) — the gate's comparison shape is unchanged.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val counts = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+    def lowerMedian(df: DataFrame, valueCol: String,
+        out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(valueCol)
+      df.withColumn("rn", row_number().over(w))
+        .join(broadcast(counts), "event_type")
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(e, "vc", "medc")
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("devc", abs(col("vc") - col("medc")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("devc")),
+      "devc", "madc")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("medc")).as("med_cents"), // constant per group
+        min(col("madc")).as("mad_cents"),
+        count(when(col("devc") > col("madc") * 3, 1)).as("n_outliers"))
+      .orderBy("event_type")
+  }
 }

@@ -87,4 +87,25 @@ class QualitySpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("mean_events") - mean) < 1e-6)
     }
   }
+
+  test("madOutliers: medians and flags match a driver-side recompute " +
+    "on sorted cents") {
+    val got = Quality.madOutliers(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byType = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    assert(got.keySet == byType.keySet)
+    def lowerMed(xs: Seq[Long]): Long = xs((xs.size + 1) / 2 - 1)
+    byType.foreach { case (t, xs) =>
+      val med = lowerMed(xs)
+      val devs = xs.map(x => math.abs(x - med)).sorted
+      val mad = lowerMed(devs)
+      val flags = devs.count(_ > 3 * mad).toLong
+      assert(got(t) == ((xs.size.toLong, med, mad, flags)),
+        s"$t: got ${got(t)} expected (${xs.size}, $med, $mad, $flags)")
+    }
+  }
 }
