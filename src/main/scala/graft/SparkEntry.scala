@@ -161,6 +161,8 @@ object SparkEntry {
     "sim_standardize" -> (Similarity.standardize _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "st_gap_fill" -> (Analytics.gapFill _),
+    // LOCF forward fill per series over a calendar spine
+    "st_locf" -> (Analytics.locfFill _),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
     // RLHF/DPO prep: per-source (chosen, rejected) quality pairs via
     // one groupBy argmax/argmin — no window, no per-source sort
@@ -1756,6 +1758,28 @@ object SparkEntry {
         |  COALESCE(daily.sum_value, 0.0) AS sum_value
         |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
         |ORDER BY day""".stripMargin,
+    "st_locf" ->
+      // LOCF replay: same spine, last_value IGNORE NULLS over the
+      // same running frame; integer cents → hash-exact fill
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM events WHERE "value" >= 250.0 GROUP BY 1, 2),
+        |spine AS (SELECT t.event_type, CAST(d.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    (SELECT min(CAST(ts AS DATE)) FROM events),
+        |    (SELECT max(CAST(ts AS DATE)) FROM events),
+        |    INTERVAL 1 DAY)) AS day) d)
+        |SELECT s.event_type, s.day,
+        |  daily.sum_cents IS NOT NULL AS observed,
+        |  last_value(daily.sum_cents IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sum_cents_filled
+        |FROM spine s LEFT JOIN daily
+        |  ON s.event_type = daily.event_type AND s.day = daily.day
+        |ORDER BY s.event_type, s.day""".stripMargin,
     "p_preference_pairs" ->
       // text_quality's exact score formula, argmax/argmin replayed as
       // rank windows with the same (score, doc_id) tie-breaks

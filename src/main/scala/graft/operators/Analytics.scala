@@ -562,6 +562,38 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Forward fill (LOCF — last observation carried forward) per
+    * series: the time-series gap treatment gapFill's zero-fill can't
+    * express (a missing reading means "unchanged", not "zero" — the
+    * feature-store default for slowly-moving signals). Per event
+    * type: a calendar spine left-joins the observed daily totals, and
+    * `last(_, ignoreNulls)` over a per-type running frame carries the
+    * latest observation across the gaps; days before a type's first
+    * observation stay NULL (no value to carry — fabricating one is
+    * leakage). Totals ride exact integer cents so the fill is
+    * hash-exact. The window partitions by series key — never global;
+    * at 100 TB the frame is bounded by days-per-partition, not rows.
+    */
+  def locfFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("value") >= 250.0) // sparse signal → real gaps
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+    val spine = Tables.events(s, dir)
+      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .crossJoin(Tables.events(s, dir).select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        col("sum_cents").isNotNull.as("observed"),
+        last(col("sum_cents"), ignoreNulls = true).over(w)
+          .as("sum_cents_filled"))
+      .orderBy("event_type", "day")
+  }
+
   /** Mergeable quantile sketches (the percentile analog of
     * sketchRollup's HLL): per-day fixed-bin histogram sketches of
     * order totals built by a custom typed `Aggregator` (the engine's

@@ -187,4 +187,27 @@ class AnalyticsSpec extends SparkSpec {
       .select("o_custkey").distinct().count()
     assert(sizes == custs)
   }
+
+  test("locfFill: filled value = most recent observation at-or-before " +
+    "the day; null only before a series' first observation") {
+    val rows = Analytics.locfFill(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, series) =>
+      val ordered = series.sortBy(_._2)
+      var carried: Option[Long] = None
+      ordered.foreach { case (t, day, observed, filled) =>
+        if (observed) {
+          assert(filled.isDefined, s"$t $day observed but null fill")
+          carried = filled
+        } else {
+          assert(filled == carried, s"$t $day: fill $filled != last " +
+            s"observation $carried")
+        }
+      }
+    }
+  }
 }
