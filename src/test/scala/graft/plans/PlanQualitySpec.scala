@@ -565,4 +565,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin Cross") ||
       p.contains("BroadcastNestedLoopJoin"), p.take(2500))
   }
+
+  test("weightedSample: Window-free two-phase aggregate — the A-ES " +
+    "top-k rides TopKAgg partials, not a per-group sort") {
+    val p = plan(graft.operators.Aggregates.weightedSample(spark, sfDir))
+    assert(!p.contains("Window"), p.take(2000))
+    // partial + final ObjectHashAggregate = the mergeable buffer shape
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("prefixJaccard: no cartesian product; candidate verify is a " +
+    "row-local array_intersect projection, not a third join") {
+    val p = plan(graft.operators.Dedup.prefixJaccard(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("array_intersect"), p.take(2000))
+  }
+
+  test("preferencePairs: one hash aggregate, no window, no self-join " +
+    "— argmax and argmin share a single groupBy pass") {
+    val p = plan(graft.operators.Pipelines.preferencePairs(spark, sfDir))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.toLowerCase.contains("join"), p.take(2000))
+  }
 }
