@@ -50,35 +50,8 @@ object Bench {
     // executor memory from).
     var spillBytes = Map.empty[String, Long]
     var peakMemBytes = Map.empty[String, Long]
-    def walkMetrics(df: org.apache.spark.sql.DataFrame,
-        name: String): (Long, Long, Long) = {
-      // AdaptiveSparkPlanExec and the QueryStageExec wrappers are LEAF
-      // nodes — a plain collect() stops at them and reads zero; walk
-      // through to the materialized stages' plans explicitly
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def walk(p: SparkPlan): (Long, Long, Long) = {
-        val shuffle = p.metrics.collect {
-          case ("shuffleBytesWritten", m) => m.value
-        }.sum
-        val spill = p.metrics.collect {
-          case ("spillSize", m) if m.value > 0 => m.value
-        }.sum
-        val peak = p.metrics.collect {
-          case ("peakMemory", m) => m.value
-        }.foldLeft(0L)(math.max)
-        val below = p match {
-          case a: AdaptiveSparkPlanExec => Seq(walk(a.executedPlan))
-          case q: QueryStageExec => Seq(walk(q.plan))
-          case other => other.children.map(walk)
-        }
-        below.foldLeft((shuffle, spill, peak)) {
-          case ((s1, s2, s3), (b1, b2, b3)) =>
-            (s1 + b1, s2 + b2, math.max(s3, b3))
-        }
-      }
-      walk(df.queryExecution.executedPlan)
-    }
+    // the AQE-aware metric rollup lives in plans.ExecMetrics so the
+    // PlanAudit spec can pin the same plumbing the artifact reports
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame, name: String,
         recordShuffle: Boolean = false): Double = {
@@ -99,7 +72,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (recordShuffle)
           try {
-            val (sh, sp, pk) = walkMetrics(df, name)
+            val (sh, sp, pk) = graft.plans.ExecMetrics.walk(df)
             shuffleBytes += name -> sh
             if (sp > 0) spillBytes += name -> sp
             peakMemBytes += name -> pk

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.operators.{Analytics, Relational}
 
@@ -87,5 +88,42 @@ class PlanAuditSpec extends SparkSpec {
           .map(w => s"$name: ${w.rule} @ ${w.node}")
       }
     assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("ExecMetrics: shuffle/peak populate on a heavy query, and a " +
+    "forced window spill is visible in spillSize (the artifact's " +
+    "memory-bound predictor actually fires)") {
+    import graft.operators.Analytics
+    // known-heavy: per-customer running windows — one exchange, sorts
+    val df = Analytics.windowRunning(spark, sfDir)
+    df.queryExecution.toRdd.count() // metrics populate from the OWN plan
+    val (sh, sp, pk) = ExecMetrics.walk(df)
+    assert(sh > 0, s"no shuffle recorded (sh=$sh)")
+    assert(pk > 0, s"no peak memory recorded (pk=$pk)")
+    assert(sp == 0, s"unexpected spill at test sf (sp=$sp)")
+    // force WindowExec's group buffer past its spill thresholds
+    // (dynamic SQLConfs) on one 10k-row group and demand the rollup
+    // reports it — a query that spills at sf0.1 is memory-bound at
+    // 100x, so the artifact's spill column must be LIVE, not
+    // vacuously zero because the plumbing reads the wrong plan
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "1000",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "2000")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val w = Window.partitionBy(lit(1)).orderBy("id")
+      val spilled = spark.range(0, 10000)
+        .select(col("id"), sum(col("id")).over(w).as("s"))
+      spilled.queryExecution.toRdd.count()
+      val (_, sp2, _) = ExecMetrics.walk(spilled)
+      assert(sp2 > 0, "forced window spill not visible in spillSize")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
   }
 }
