@@ -128,6 +128,8 @@ object SparkEntry {
     "adv_interval_join" -> (Advanced.intervalJoin _),
     "adv_session_window" -> (Advanced.sessionWindows _),
     "adv_salted_agg" -> (Advanced.saltedAgg _),
+    // AQE runtime skew-join split (manual salt's runtime complement)
+    "adv_skew_join" -> (Advanced.skewJoin _),
     "adv_dpp_prune" -> ((s: SparkSession, dir: String) =>
       Advanced.dppPrune(s, dir)),
     "adv_bucketed_join" -> ((s, d) => Advanced.bucketedJoin(s, d)),
@@ -362,6 +364,7 @@ object SparkEntry {
       "sim_pca" +        // builder runs the covariance pass + eigensolve
       "mv_summary_rewrite" + // builder materializes the rollup summary
       "adv_dpp_prune" +  // builder writes the partitioned fact copy
+      "adv_skew_join" +  // builder executes the join under tuned AQE confs
       "agg_median_scale" + // builder runs the stats + histogram jobs
       "dq_observed_audit" + // builder runs the observed pass
       "mv_incremental_refresh" + // builder writes base + merges the delta
@@ -2071,6 +2074,17 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
         | CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "adv_skew_join" ->
+      // the runtime split must not change the answer: plain replay of
+      // the skewed-key join + rollup (integer cents)
+      """WITH f AS (SELECT CASE WHEN user_id % 2 = 0 THEN 0
+        |      ELSE user_id END AS k,
+        |    CAST(round("value" * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT DISTINCT k, k % 7 AS bucket FROM f)
+        |SELECT d.bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM f JOIN d ON f.k = d.k
+        |GROUP BY d.bucket ORDER BY d.bucket""".stripMargin,
     "adv_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         | CAST(count(e.ts) AS BIGINT) AS n_prior_events,

@@ -171,6 +171,88 @@ object Advanced {
         sum(col("partial_n")).as("n_events"))
       .orderBy("event_type")
 
+  /** AQE skew-join: the runtime complement of saltedAgg's manual
+    * two-phase salt. A deliberately skewed fact (HALF the rows on one
+    * hot key) sort-merge-joins a per-key dimension; with the skew
+    * thresholds tuned to test-scale sizes, AQE's OptimizeSkewedJoin
+    * SPLITS the hot partition into parallel sub-joins at RUNTIME —
+    * the 100 TB posture for join skew the planner cannot see
+    * statically (a hot crawl domain, a null-ish default key). The
+    * builder executes the join under the tuned confs (eager, like the
+    * stream drains) and restores them; result rows are key-grain so
+    * correctness replays as a plain join+agg in DuckDB. SkewJoinSpec
+    * pins that the executed plan actually split the hot partition
+    * (skew=true on the SMJ / AQEShuffleRead skewed-partition metrics)
+    * AND that broadcast was disabled for the demo — without the pin,
+    * this query silently degrades into an ordinary join.
+    */
+  def skewJoin(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"adv.skewJoin:$dir") {
+      // EXECUTE (localCheckpoint is eager) inside the conf scope —
+      // AQE reads the thresholds when the query actually runs
+      withSkewConfs(s) { skewJoinFrame(s, dir).localCheckpoint() }
+    }
+
+  /** Tuned AQE confs active for `body` only — spec hook too. */
+  private[operators] def withSkewConfs[T](s: SparkSession)(body: => T): T = {
+    val tuned = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // a coalesced AQEShuffleRead between Sort and stage breaks the
+      // skew rule's Sort(stage) pattern match - disable for the demo
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // the split adds a (cheap) extra shuffle for the downstream
+      // bucket rollup - override the cost veto for the demo
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      // sized to the SMALLEST test sf: the hot partition is ~8 KB at
+      // sf0.001, so the demo thresholds sit well under it
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        "800",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "800",
+      // force the shuffled join: a broadcast would hide the skew
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+    tuned.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The skewed join, un-executed. */
+  private[operators] def skewJoinFrame(s: SparkSession,
+      dir: String): DataFrame = {
+    // hot key 0 carries every even user's events (~half the fact).
+    // The 8-way union matters at TEST scale: AQE splits a skewed
+    // reduce partition at MAP-OUTPUT granularity, and a single-file
+    // scan is ONE map task — an unsplittable hot partition no matter
+    // the thresholds. A repartition would add a shuffle stage and
+    // trip OptimizeSkewedJoin's exactly-two-stages guard; a union of
+    // disjoint scan slices gives 8 map tasks in the SAME stage. Real
+    // 100 TB inputs have thousands of mappers; these stand in.
+    val base = Tables.events(s, dir)
+    val fact = (0 until 8)
+      .map(i => base.filter(pmod(col("event_id"), lit(8)) === i))
+      .reduce(_ unionByName _)
+      .select(when(col("user_id") % 2 === 0, lit(0L))
+        .otherwise(col("user_id")).as("k"),
+        round(col("value") * 100).cast("long").as("cents"))
+    // the dim materializes first (localCheckpoint): a distinct's
+    // post-shuffle HashAggregate between the join's Sort and its
+    // stage breaks the skew rule's Sort(stage) pattern — checkpointed,
+    // the dim is a plain relation and the join sees bare stages
+    val dim = Tables.events(s, dir)
+      .select(when(col("user_id") % 2 === 0, lit(0L))
+        .otherwise(col("user_id")).as("k")).distinct()
+      .withColumn("bucket", pmod(col("k"), lit(7)))
+      .localCheckpoint()
+    fact.join(dim, "k")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy("bucket")
+  }
+
   /** Fuzzy entity matching with blocking: near-identical part names
     * (edit distance ≤ 2) found WITHOUT a cross join. Names are deduped
     * first, then paired only within a blocking key (the name's last
