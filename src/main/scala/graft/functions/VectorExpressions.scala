@@ -56,6 +56,9 @@ object VectorExpressions {
     once("bloom_filter_agg", es =>
       new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(es(0), es(1)))
+    // count-min point lookup over a plan-carried sketch (see
+    // CmsEstimateCount): (serialized CMS binary, bigint key) => bigint
+    once("cms_estimate", es => CmsEstimateCount(es(0), es(1)))
   }
 }
 
@@ -571,4 +574,62 @@ object MinHashSig {
   /** Codegen entry point (static call from generated Java). */
   def sig(arr: ArrayData, h: Int): ArrayData =
     MinHashSig(null, null).nullSafeEval(arr, h).asInstanceOf[ArrayData]
+}
+
+/** Count-min point lookup over a FOLDABLE serialized sketch: the
+  * probe-evaluation complement of `bloom_might_contain`, and built the
+  * same way — the sketch rides the plan as a literal / scalar-subquery
+  * value (kilobytes: width ⌈e/ε⌉ × depth ⌈ln(1/δ)⌉ longs), is
+  * deserialized ONCE per expression instance on first eval, and the
+  * per-row lookup is a depth-row counter min executed inside
+  * whole-stage codegen on the executors. This is what keeps a CMS
+  * verify pass distributed: N probe rows each evaluate locally against
+  * the broadcast sketch bytes instead of being collected to a
+  * driver-side loop (the round-8 weak flag on `agg_cms_pointq`).
+  *
+  * The foldable requirement is load-bearing: a per-row sketch column
+  * would deserialize per ROW — reject it at analysis, like Spark's own
+  * BloomFilterMightContain does for its filter side.
+  */
+case class CmsEstimateCount(sketchBytes: Expression, key: Expression)
+    extends BinaryExpression {
+  override def left: Expression = sketchBytes
+  override def right: Expression = key
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (sketchBytes.dataType, key.dataType) match {
+      case (BinaryType, LongType) if sketchBytes.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckFailure(
+        "cms_estimate expects a FOLDABLE sketch (literal or scalar " +
+          "subquery) — a per-row sketch would deserialize per row")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate expects (binary, bigint), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  // one deserialization per expression instance (per task after
+  // serialization to executors), never per row
+  @transient private lazy val sketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      sketchBytes.eval().asInstanceOf[Array[Byte]])
+
+  /** Shared eval/codegen entry point. */
+  def estimate(k: Long): Long = sketch.estimateCount(k)
+
+  override def nullSafeEval(s: Any, k: Any): Any =
+    estimate(k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference THIS instance so generated code shares the lazily
+    // deserialized sketch with the interpreted path
+    val ref = ctx.addReferenceObj("cmsExpr", this,
+      classOf[CmsEstimateCount].getName)
+    nullSafeCodeGen(ctx, ev, (_, k) => s"${ev.value} = $ref.estimate($k);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(sketchBytes = newLeft, key = newRight)
 }

@@ -272,17 +272,25 @@ object Aggregates {
     * corpus moves kilobytes per group, never the group.
     *
     * u is DETERMINISTIC: a multiplicative Knuth hash of the row id in
-    * plain integer arithmetic ((id·2654435761) mod 2³², odd multiplier
-    * → bijective, so u is collision-free per id), replayable verbatim
-    * in ANSI SQL — the DuckDB oracle re-derives the identical sample
-    * with a rank-over-key window, making a RANDOMIZED operator
-    * hash-exact under the gate. Keys are continuous with gaps ≫ 1 ulp,
-    * so engine-level ln rounding cannot reorder ranks (WeightedSampleSpec
-    * pins the ordering margin).
+    * plain integer arithmetic (((id mod 2³¹)·2654435761) mod 2³², odd
+    * multiplier → injective over distinct residues, so u is
+    * collision-free for id < 2³¹; larger ids wrap to a shared residue
+    * class — still deterministic on both engines, just not unique),
+    * replayable verbatim in ANSI SQL — the DuckDB oracle re-derives
+    * the identical sample with a rank-over-key window, making a
+    * RANDOMIZED operator hash-exact under the gate. The 2³¹ pre-mask
+    * is the overflow guard: without it, id·2654435761 exceeds
+    * Long.MaxValue past id ≈ 3.47e9, where Spark (non-ANSI) wraps
+    * silently but DuckDB BIGINT multiplication raises — a latent
+    * engine/oracle divergence; masked, the product tops out at
+    * (2³¹−1)·2654435761 ≈ 5.7e18 < 2⁶³−1 in both engines. Keys are
+    * continuous with gaps ≫ 1 ulp, so engine-level ln rounding cannot
+    * reorder ranks (WeightedSampleSpec pins the ordering margin).
     */
   def weightedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val topk = udaf(new graft.functions.TopKAgg(k))
-    val u = (pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
+    val u = (pmod(pmod(col("event_id"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
       .cast("double") + lit(1.0)) / lit(4294967297.0)
     Tables.events(s, dir)
       .select(col("event_type"), col("event_id"),
@@ -312,11 +320,21 @@ object Aggregates {
     * in for a bounded audit list; its exact counts ride a pushed-down
     * predicate scan, so the verification side scans |probes|' rows,
     * not the corpus. Emitted per probe: the exact count (oracle
-    * recomputes it) and the CMS bound verdict (oracle: literal true).
+    * recomputes it) and the CMS bound verdict (oracle: literal true —
+    * w.h.p.-legitimate under the fixed seed, see the oracle note).
+    *
+    * The verify plane is DISTRIBUTED (round-8 weak flag fixed): the
+    * probe rows stay a DataFrame end to end — exact counts aggregate
+    * under the pushed-down predicate, and each probe's estimate is the
+    * codegen `cms_estimate` expression evaluated executor-side against
+    * the merged sketch riding the plan as a ~22 KB literal (the
+    * `bloom_might_contain` delivery shape). Driver traffic is
+    * O(days): the per-day kilobyte sketches it merges — never a row
+    * set that grows with distinct-key count.
     */
   def cmsPointQueries(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     import org.apache.spark.util.sketch.CountMinSketch
+    graft.functions.VectorExpressions.ensureRegistered(s)
     val eps = 0.005
     val daily = Tables.events(s, dir)
       .groupBy(col("ts").cast("date").as("day"))
@@ -327,16 +345,14 @@ object Aggregates {
       r.getAs[Array[Byte]]("sk"))).reduce(_.mergeInPlace(_))
     val nTotal = daily.map(_.getAs[Long]("n")).sum
     val bound = math.ceil(eps * nTotal).toLong
+    val est = call_function("cms_estimate",
+      lit(merged.toByteArray), col("user_id"))
     Tables.events(s, dir)
       .filter(col("user_id") % 13 === 0)
       .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-      .collect()
-      .map { r =>
-        val uid = r.getLong(0)
-        val est = merged.estimateCount(uid)
-        (uid, r.getLong(1), est >= r.getLong(1) && est <= r.getLong(1) + bound)
-      }
-      .sortBy(_._1).toSeq
-      .toDF("user_id", "n_exact", "est_ok")
+      .select(col("user_id"), col("n_exact"),
+        (est >= col("n_exact") &&
+          est <= col("n_exact") + lit(bound)).as("est_ok"))
+      .orderBy("user_id")
   }
 }

@@ -30,6 +30,54 @@ class CmsPointQuerySpec extends SparkSpec {
     assert(out.forall(_.getBoolean(2)), "CMS bound verdict false")
   }
 
+  test("verify plane is distributed: probe rows stay a DataFrame over " +
+    "the events scan (no driver-side LocalRelation), estimates via the " +
+    "cms_estimate expression") {
+    val df = Aggregates.cmsPointQueries(spark, sfDir)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty &&
+      leaves.forall(_.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.LogicalRelation]),
+      s"probe plan leaves are not file scans:\n${leaves.mkString("\n")}")
+    assert(df.queryExecution.optimizedPlan.toString.contains("cmsestimatecount"),
+      "cms_estimate expression missing from the probe plan")
+  }
+
+  test("distributed cms_estimate equals driver-side estimateCount on " +
+    "every probe (codegen path vs reference impl)") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val sk = sketchOf(Tables.events(spark, sfDir))
+    val distributed = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .select(col("user_id"), call_function("cms_estimate",
+        lit(sk.toByteArray), col("user_id")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed.nonEmpty)
+    distributed.foreach { case (u, est) =>
+      assert(est == sk.estimateCount(u),
+        s"codegen estimate $est != reference ${sk.estimateCount(u)} for $u")
+    }
+  }
+
+  test("upper bound est <= true + ceil(eps*N) holds on every probe " +
+    "(a 0.99-CONFIDENCE bound, not a law: it holds under the fixed " +
+    "seed 42 on this fixture, which is what legitimizes the oracle's " +
+    "literal TRUE — if this fails after an eps/seed/fixture change, " +
+    "the bound was legitimately exceeded, not computed wrongly)") {
+    val eps = 0.005
+    val sk = sketchOf(Tables.events(spark, sfDir))
+    val n = Tables.events(spark, sfDir).count()
+    val bound = math.ceil(eps * n).toLong
+    val over = Tables.events(spark, sfDir)
+      .filter(col("user_id") % 13 === 0)
+      .groupBy("user_id").count().collect()
+      .filter(r => sk.estimateCount(r.getLong(0)) > r.getLong(1) + bound)
+    assert(over.isEmpty,
+      s"${over.length} probes exceed true+ceil(eps*N)=+$bound — the " +
+        "w.h.p. bound flipped (legitimate under a changed seed/eps/" +
+        "fixture), not a computation bug")
+  }
+
   test("one-sided guarantee holds for EVERY key: est >= exact count") {
     val sk = sketchOf(Tables.events(spark, sfDir))
     val exact = Tables.events(spark, sfDir)

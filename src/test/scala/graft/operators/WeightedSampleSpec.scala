@@ -18,7 +18,8 @@ class WeightedSampleSpec extends SparkSpec {
   private val k = 20
 
   private def esKeyed = {
-    val u = (pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
+    val u = (pmod(pmod(col("event_id"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
       .cast("double") + lit(1.0)) / lit(4294967297.0)
     Tables.events(spark, sfDir).select(col("event_type"), col("event_id"),
       greatest(col("value"), lit(1e-6)).as("w"),
@@ -74,9 +75,17 @@ class WeightedSampleSpec extends SparkSpec {
       .select(col("event_type"), col("es_key"), row_number().over(w).as("rn"))
       .filter(col("rn").isin(k, k + 1))
       .groupBy("event_type")
-      .agg((max("es_key") - min("es_key")).as("gap"))
-      .agg(min("gap")).head.getDouble(0)
-    // |es_key| < 40 here, so 1 ulp < 1e-14; demand 5 orders of margin
-    assert(boundary > 1e-9, s"boundary key gap $boundary too small")
+      // only groups that actually HAVE a rank-(k+1) row carry a
+      // boundary: a group with exactly k rows yields one filtered row
+      // (gap 0 — spuriously failing), and a group with < k rows none
+      .agg(count(lit(1)).as("nb"), (max("es_key") - min("es_key")).as("gap"))
+      .filter(col("nb") === 2)
+      .agg(min("gap")).head
+    // tiny fixtures may have no group exceeding k rows — vacuously ok
+    if (!boundary.isNullAt(0)) {
+      val gap = boundary.getDouble(0)
+      // |es_key| < 40 here, so 1 ulp < 1e-14; demand 5 orders of margin
+      assert(gap > 1e-9, s"boundary key gap $gap too small")
+    }
   }
 }
