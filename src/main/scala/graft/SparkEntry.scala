@@ -200,6 +200,9 @@ object SparkEntry {
     "dq_referential" -> (Quality.referentialAudit _),
     // robust |x-med| > 3*MAD gate, discrete medians, integer cents
     "dq_outlier_mad" -> (Quality.madOutliers _),
+    // the same gate with mergeable HistSketch medians — the 100 TB
+    // form, with within-bin agreement columns vs the exact medians
+    "dq_outlier_mad_sketch" -> (Quality.madOutliersSketch _),
     "dq_snapshot_diff" -> (Quality.snapshotDiff _),
     "set_unpivot" -> (Analytics.unpivotMetrics _),
     "w_range_frame" -> (Analytics.rangeFrameTrailing _),
@@ -369,7 +372,7 @@ object SparkEntry {
       "dq_observed_audit" + // builder runs the observed pass
       "mv_incremental_refresh" + // builder writes base + merges the delta
       "agg_kmv_overlap" + // builder collects the per-group sketches
-      "agg_cms_pointq" + // builder collects day sketches + probe counts
+      "agg_cms_pointq" + // builder merges day sketches (O(days) rows)
       "s_partition_prune" // builder writes the events_by_day layout (once)
 
   /** DuckDB replay of Graph.pagerank: the same scaled-integer
@@ -1360,10 +1363,13 @@ object SparkEntry {
       // replays the Efraimidis–Spirakis keys verbatim: u is a Knuth
       // multiplicative hash in plain integer arithmetic, so both
       // engines derive the IDENTICAL sample; rank-over-key window =
-      // the aggregate's top-k (ties impossible: u is injective per id)
+      // the aggregate's top-k (ties impossible: u is injective for
+      // id < 2^31 — the 2^31 pre-mask mirrors the Spark side's
+      // overflow guard so both engines multiply in BIGINT range)
       """WITH keyed AS (
         |  SELECT event_type, event_id,
-        |    ln((CAST((event_id * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
+        |    ln((CAST(((event_id % 2147483648) * 2654435761)
+        |          % 4294967296 AS DOUBLE) + 1.0)
         |        / 4294967297.0) / greatest("value", 1e-6) AS es_key
         |  FROM events),
         |ranked AS (
@@ -1376,8 +1382,14 @@ object SparkEntry {
         |ORDER BY event_type, rk""".stripMargin,
     "agg_cms_pointq" ->
       // exact probe counts replayed; est_ok is the CMS guarantee
-      // (est ≥ true, est ≤ true + ceil(ε·N)) — deterministic under
-      // the fixed seed, so the oracle side is the literal true
+      // (est ≥ true always; est ≤ true + ceil(ε·N) only with
+      // confidence 0.99 — it HAPPENS to hold for every probe under
+      // the fixed seed 42 on this data, which is what makes the
+      // literal-true oracle legitimate; changing eps/seed/fixtures
+      // can legitimately flip a probe, and CmsPointQuerySpec asserts
+      // the same inequality per probe with a failure message that
+      // explains the w.h.p. caveat rather than reading as a wrong
+      // answer)
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact,
         |  TRUE AS est_ok
         |FROM events WHERE user_id % 13 = 0
@@ -1680,6 +1692,47 @@ object SparkEntry {
         |  CAST(count(CASE WHEN devc > madc * 3 THEN 1 END) AS BIGINT)
         |    AS n_outliers
         |FROM d JOIN mm USING (event_type) JOIN m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "dq_outlier_mad_sketch" ->
+      // FULL sketch-path replay: the fixed-bin estimate is
+      // deterministic SQL — the upper edge of the exact lower
+      // median's bin ((LEAST(v // 250, 255) + 1) * 250, by the
+      // cumulative-count identity) — so the oracle re-derives the
+      // estimates, the sketch-world deviations, the outlier count
+      // AND the within-bin agreement booleans; nothing is a literal
+      """WITH e AS (SELECT event_type,
+        |    CAST(round("value" * 100) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT event_type, vc AS medc FROM (
+        |  SELECT event_type, vc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        |  WHERE rn = (n + 1) // 2),
+        |mest AS (SELECT event_type,
+        |    (LEAST(medc // 250, 255) + 1) * 250 AS med_est FROM m),
+        |d AS (SELECT e.event_type, vc, abs(vc - med_est) AS devc
+        |  FROM e JOIN mest USING (event_type)),
+        |dm AS (SELECT event_type, devc AS dmed FROM (
+        |  SELECT event_type, devc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY devc) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d)
+        |  WHERE rn = (n + 1) // 2),
+        |mmest AS (SELECT event_type,
+        |    (LEAST(dmed // 250, 255) + 1) * 250 AS mad_est FROM dm),
+        |dx AS (SELECT e.event_type, abs(vc - medc) AS devx
+        |  FROM e JOIN m USING (event_type)),
+        |mx AS (SELECT event_type, devx AS madc FROM (
+        |  SELECT event_type, devx,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY devx) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM dx)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(med_est) AS med_est_cents, min(mad_est) AS mad_est_cents,
+        |  CAST(count(CASE WHEN devc > mad_est * 3 THEN 1 END) AS BIGINT)
+        |    AS n_outliers_sketch,
+        |  (min(med_est) - min(medc) BETWEEN 1 AND 250) AS med_within_bin,
+        |  (abs(min(mad_est) - min(madc)) <= 500) AS mad_within_2bins
+        |FROM d JOIN mmest USING (event_type) JOIN m USING (event_type)
+        |  JOIN mx USING (event_type) JOIN mest USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "p_merge_cdc" -> mergeCdcOracle,
     // value-compare classification (the Spark side fingerprints rows;

@@ -7,33 +7,40 @@ import org.apache.spark.sql.expressions.Aggregator
   * engine's custom-UDAF surface (typed `Aggregator`, registered with
   * `functions.udaf`). The buffer is a plain `Array[Long]` of bin
   * counts, so partial aggregation is map-side (each task emits one
-  * 64-long array, not its rows) and `merge` is element-wise addition —
-  * the same mergeability contract as a DataSketches HLL: sketches of
-  * disjoint slices combine into the sketch of the union without
-  * revisiting the data.
+  * bins-long array, not its rows) and `merge` is element-wise
+  * addition — the same mergeability contract as a DataSketches HLL:
+  * sketches of disjoint slices combine into the sketch of the union
+  * without revisiting the data.
   *
-  * Bin bounds are data-independent (`min(floor(x / Width), Bins-1)`)
+  * Bin bounds are data-independent (`min(floor(x / width), bins-1)`)
   * so building needs no global min/max pre-pass and two sketches built
   * anywhere always share a bin layout. Quantile read-off (upper bin
   * edge at the target rank) is deliberately conservative: the estimate
   * is exact to one bin width, which `QuantileSketchSpec` asserts
   * against the exact percentile.
+  *
+  * Parameterized by (bins, width) so each caller sizes the layout to
+  * its value domain: `Analytics.quantileRollup` uses the default
+  * 64 × 25 000 geometry over order totals (`HistSketch`), and
+  * `Quality.madOutliersSketch` a 256 × 250-cent geometry over event
+  * values. Both instantiate the same class — one kernel, one merge
+  * law, one spec surface.
   */
-object HistSketch extends Aggregator[Double, Array[Long], Array[Long]] {
-  val Bins = 64
-  val Width = 25000.0
+class HistSketchAgg(val bins: Int, val width: Double)
+    extends Aggregator[Double, Array[Long], Array[Long]]
+    with Serializable {
 
-  def zero: Array[Long] = new Array[Long](Bins)
+  def zero: Array[Long] = new Array[Long](bins)
 
   def reduce(b: Array[Long], x: Double): Array[Long] = {
-    val i = math.min(math.max((x / Width).toInt, 0), Bins - 1)
+    val i = math.min(math.max((x / width).toInt, 0), bins - 1)
     b(i) += 1L
     b
   }
 
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < Bins) { a(i) += b(i); i += 1 }
+    while (i < bins) { a(i) += b(i); i += 1 }
     a
   }
 
@@ -46,4 +53,10 @@ object HistSketch extends Aggregator[Double, Array[Long], Array[Long]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   def bufferEncoder: Encoder[Array[Long]] = enc
   def outputEncoder: Encoder[Array[Long]] = enc
+}
+
+/** The original 64-bin × 25 000-width instance (order-total domain). */
+object HistSketch extends HistSketchAgg(64, 25000.0) {
+  val Bins = 64
+  val Width = 25000.0
 }

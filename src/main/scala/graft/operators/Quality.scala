@@ -238,22 +238,11 @@ object Quality {
     * (agg_quantile_rollup) — the gate's comparison shape is unchanged.
     */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(s, dir).select(col("event_type"),
-      round(col("value") * 100).cast("long").as("vc"))
-    val counts = e.groupBy("event_type").agg(count(lit(1)).as("n"))
-    def lowerMedian(df: DataFrame, valueCol: String,
-        out: String): DataFrame = {
-      val w = Window.partitionBy("event_type").orderBy(valueCol)
-      df.withColumn("rn", row_number().over(w))
-        .join(broadcast(counts), "event_type")
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("event_type"), col(valueCol).as(out))
-    }
-    val med = lowerMedian(e, "vc", "medc")
+    val e = eventCents(s, dir)
+    val med = groupLowerMedian(e, "vc", "medc")
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("devc", abs(col("vc") - col("medc")))
-    val mad = lowerMedian(dev.select(col("event_type"), col("devc")),
+    val mad = groupLowerMedian(dev.select(col("event_type"), col("devc")),
       "devc", "madc")
     dev.join(broadcast(mad), "event_type")
       .groupBy("event_type")
@@ -262,5 +251,107 @@ object Quality {
         min(col("madc")).as("mad_cents"),
         count(when(col("devc") > col("madc") * 3, 1)).as("n_outliers"))
       .orderBy("event_type")
+  }
+
+  /** Event values as exact integer cents — the shared input of both
+    * MAD gates. */
+  private def eventCents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("vc"))
+
+  /** Per-group DISCRETE lower median (rank (n+1) div 2) of `valueCol`
+    * via a per-group window — exact, test-scale form. n derives from
+    * the input itself; both MAD passes feed one row per event so the
+    * counts agree across passes.
+    */
+  private def groupLowerMedian(df: DataFrame, valueCol: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(valueCol)
+    val counts = df.groupBy("event_type").agg(count(lit(1)).as("n"))
+    df.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "event_type")
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col(valueCol).as(out))
+  }
+
+  /** The MAD gate's 100 TB form: both medians estimated from the
+    * mergeable `HistSketchAgg` fixed-bin histogram (256 bins ×
+    * 250 cents — covers the event-value domain with ~15% headroom)
+    * instead of exact per-group sort windows. Same |x − med| > 3·MAD
+    * comparison shape as `madOutliers`; what changes is the median
+    * plumbing — a per-group sketch is one map-side-combined aggregate
+    * row of 256 longs, so a group of ANY size costs one array on the
+    * wire where the exact form sorts the whole group in one task.
+    *
+    * Every number stays integer and the sketch read-off is
+    * deterministic (upper bin edge at rank (n+1) div 2 = the bin of
+    * the exact lower median, by cumulative-count identity), so the
+    * DuckDB oracle replays the ENTIRE sketch path — estimates, the
+    * sketch-world deviations, outlier counts — exactly, plus the
+    * agreement-with-exact assertion columns:
+    *   - `med_within_bin`: med_est − med_exact ∈ [1, width] — the
+    *     read-off lands in the exact median's bin, so its upper edge
+    *     overshoots by at most one width (a LAW of the layout, not a
+    *     tolerance);
+    *   - `mad_within_2bins`: |mad_est − mad_exact| ≤ 2·width — the
+    *     sketch-world deviations are each within one width of the
+    *     exact ones (medians are 1-Lipschitz under per-row ≤ width
+    *     shifts), and the read-off adds at most one more.
+    */
+  def madOutliersSketch(s: SparkSession, dir: String): DataFrame = {
+    val bins = 256
+    val widthC = 250L // cents
+    val e = eventCents(s, dir)
+    val medEst = sketchLowerMedian(e, "vc", "med_est_cents", bins, widthC)
+    val dev = e.join(broadcast(medEst), "event_type")
+      .withColumn("devc", abs(col("vc") - col("med_est_cents")))
+    val madEst = sketchLowerMedian(dev.select(col("event_type"), col("devc")),
+      "devc", "mad_est_cents", bins, widthC)
+    // exact chain alongside, for the agreement columns only
+    val medX = groupLowerMedian(e, "vc", "medc")
+    val devX = e.join(broadcast(medX), "event_type")
+      .withColumn("devx", abs(col("vc") - col("medc")))
+    val madX = groupLowerMedian(devX.select(col("event_type"), col("devx")),
+      "devx", "madc")
+    dev.join(broadcast(madEst), "event_type")
+      .join(broadcast(medX), "event_type")
+      .join(broadcast(madX), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("med_est_cents")).as("med_est_cents"), // constant per group
+        min(col("mad_est_cents")).as("mad_est_cents"),
+        count(when(col("devc") > col("mad_est_cents") * 3, 1))
+          .as("n_outliers_sketch"),
+        (min(col("med_est_cents")) - min(col("medc")) >= 1 &&
+          min(col("med_est_cents")) - min(col("medc")) <= widthC)
+          .as("med_within_bin"),
+        (abs(min(col("mad_est_cents")) - min(col("madc"))) <= 2 * widthC)
+          .as("mad_within_2bins"))
+      .orderBy("event_type")
+  }
+
+  /** Per-group lower-median ESTIMATE from the histogram sketch: one
+    * aggregate pass builds the per-group bin counts, then the upper
+    * edge of the first bin whose cumulative count reaches rank
+    * (n+1) div 2 — O(bins) rows per group after the aggregate, never
+    * a per-group sort.
+    */
+  private def sketchLowerMedian(df: DataFrame, valueCol: String,
+      out: String, bins: Int, widthC: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = udaf(new graft.functions.HistSketchAgg(bins, widthC.toDouble))
+    val g = df.groupBy("event_type")
+      .agg(sk(col(valueCol).cast("double")).as("sk"),
+        count(lit(1)).as("n"))
+    val wc = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.select(col("event_type"), col("n"),
+        posexplode(col("sk")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type")
+      .agg(((min(col("bin")) + 1) * lit(widthC)).as(out))
   }
 }

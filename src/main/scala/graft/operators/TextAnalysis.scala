@@ -740,14 +740,20 @@ object TextAnalysis {
   }
 
   /** Distinct-word frequency table, pooled (bpeTrain reads it every
-    * merge round; bpeApply re-encodes it).
+    * merge round; bpeApply re-encodes it). Derived from the pooled
+    * postings table rather than a second corpus explode: termFreq
+    * already holds (doc, token, tf), so the word table is one more
+    * map-side-combined groupBy over rows the session has cached —
+    * the tokenizer family and the corpus-statistics family (tfidf /
+    * bm25 / vocab) now share ONE tokenize-and-count scan of the
+    * corpus instead of paying it twice.
     */
   private def wordFreq(s: SparkSession, dir: String): DataFrame =
     graft.CachePool.cached(s, s"text.wordFreq:$dir") {
-      Tables.fanOut(Tables.documents(s, dir))
-        .select(explode(tokens(col("text"))).as("word"))
-        .filter(col("word") =!= "") // a blank doc would crash the slice
-        .groupBy("word").agg(count(lit(1)).as("n"))
+      termFreq(s, dir)
+        .filter(col("token") =!= "") // a blank doc would crash the slice
+        .groupBy(col("token").as("word"))
+        .agg(sum(col("tf")).as("n"))
     }
 
   /** `(a)(b)(c)` symbol encoding of a word column, and one merge step:
@@ -821,15 +827,6 @@ object TextAnalysis {
   def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
     bpeMerges(s, dir, nMerges).orderBy("merge_rank")
 
-  /** BPE tokenization of the corpus with the merges `bpeTrain`
-    * learned: per-document whitespace-token and BPE-token counts plus
-    * the fertility ratio (tokens per word — the metric tokenizer
-    * quality is judged by). The corpus-scale work is ONE equi-join:
-    * the token stream joins the re-encoded distinct-word VOCAB (tiny,
-    * broadcast) — the merge replay itself runs only over the vocab
-    * table, never the corpus, so tokenizing 100 TB costs a broadcast
-    * hash join plus a doc-key aggregation.
-    */
   /** WordPiece-style tokenization: the BPE-trained symbol inventory
     * (plus every single character of the corpus, guaranteeing
     * coverage) applied by GREEDY LONGEST-MATCH-FIRST — the standard
@@ -850,17 +847,29 @@ object TextAnalysis {
     * deterministic: ties are impossible (same position + same length
     * → same substring).
     */
+  /** Merge-chain-encoded distinct-word table (word, n, w) — the
+    * trained-tokenizer state both APPLY paths replay: wordpieceApply
+    * derives its piece inventory from it and bpeApply its per-word
+    * token lengths. Pooled so the 8-step regexp replay over the vocab
+    * runs once per session, not once per consumer.
+    */
+  private def bpeEncodedWords(s: SparkSession, dir: String,
+      nMerges: Int): DataFrame =
+    graft.CachePool.cached(s, s"text.bpeEncoded:$dir:$nMerges") {
+      val merges = bpeMerges(s, dir, nMerges)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      merges.foldLeft(
+        wordFreq(s, dir).select(col("word"), col("n"),
+          encodeSymbols(col("word")).as("w"))) {
+        case (df, (a, b)) => df.withColumn("w", applyMerge(col("w"), a, b))
+      }
+    }
+
   def wordpieceApply(s: SparkSession, dir: String,
       nMerges: Int = 8): DataFrame = {
     import s.implicits._
-    val merges = bpeMerges(s, dir, nMerges)
-      .orderBy("merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    val encoded = merges.foldLeft(
-      wordFreq(s, dir).select(col("word"), col("n"),
-        encodeSymbols(col("word")).as("w"))) {
-      case (df, (a, b)) => df.withColumn("w", applyMerge(col("w"), a, b))
-    }
+    val encoded = bpeEncodedWords(s, dir, nMerges)
     val pieces = encoded
       .select(explode(symbolsOf(col("w"))).as("piece"))
       .union(encoded.select(explode(split(col("word"), "")).as("piece")))
@@ -889,22 +898,30 @@ object TextAnalysis {
       .orderBy(desc("n_tokens"), asc("piece"))
   }
 
+  /** BPE tokenization of the corpus with the merges `bpeTrain`
+    * learned: per-document whitespace-token and BPE-token counts plus
+    * the fertility ratio (tokens per word — the metric tokenizer
+    * quality is judged by). The corpus-scale work is ONE equi-join:
+    * the pooled postings table joins the re-encoded distinct-word
+    * VOCAB (tiny, broadcast) — the merge replay itself runs only over
+    * the vocab table, never the corpus, so tokenizing 100 TB costs a
+    * broadcast hash join plus a doc-key aggregation over rows the
+    * session already counted.
+    */
   def bpeApply(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
-    val merges = bpeMerges(s, dir, nMerges)
-      .orderBy("merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    val encoded = merges.foldLeft(
-      wordFreq(s, dir).select(col("word"),
-        encodeSymbols(col("word")).as("w"))) {
-      case (df, (a, b)) => df.withColumn("w", applyMerge(col("w"), a, b))
-    }
-    val vocab = encoded.select(col("word"),
+    val vocab = bpeEncodedWords(s, dir, nMerges).select(col("word"),
       size(symbolsOf(col("w"))).as("bpe_len"))
-    Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .join(broadcast(vocab), "word")
+    // tokenize via the POOLED postings table instead of a second
+    // corpus explode: (doc, token, tf) already counts each word's
+    // occurrences per doc, so ws_tokens = Σ tf and the BPE token
+    // count weights each word's symbol length by its multiplicity —
+    // identical totals, one shared corpus scan across the whole
+    // text-analysis family
+    termFreq(s, dir)
+      .join(broadcast(vocab), col("token") === col("word"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("ws_tokens"), sum(col("bpe_len")).as("bpe_tokens"))
+      .agg(sum(col("tf")).as("ws_tokens"),
+        sum(col("bpe_len") * col("tf")).as("bpe_tokens"))
       .withColumn("tokens_per_word", col("bpe_tokens") / col("ws_tokens"))
       .orderBy("doc_id")
   }

@@ -108,4 +108,40 @@ class QualitySpec extends SparkSpec {
         s"$t: got ${got(t)} expected (${xs.size}, $med, $mad, $flags)")
     }
   }
+
+  test("madOutliersSketch: driver recompute of the sketch path matches, " +
+    "agreement-with-exact bounds hold, and the bin layout covers the " +
+    "value domain (no clamping)") {
+    val W = 250L
+    val rows = Quality.madOutliersSketch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    // layout coverage: every value strictly inside the 256-bin span,
+    // so the clamp never fires and the one-bin-overshoot LAW applies
+    val maxVc = byType.values.map(_.max).max
+    assert(maxVc < 256 * W, s"value domain $maxVc exceeds bin span")
+    def lowerMed(xs: Seq[Long]): Long = xs((xs.size + 1) / 2 - 1)
+    def binEdge(v: Long): Long = (math.min(v / W, 255) + 1) * W
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = byType(t)
+      val medX = lowerMed(xs)
+      val medEst = binEdge(medX)
+      val devEst = xs.map(x => math.abs(x - medEst)).sorted
+      val madEst = binEdge(lowerMed(devEst))
+      val nOut = devEst.count(_ > 3 * madEst).toLong
+      val madX = lowerMed(xs.map(x => math.abs(x - medX)).sorted)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((xs.size.toLong, medEst, madEst, nOut)),
+        s"$t: sketch path diverged from driver replay")
+      // the agreement columns are laws of the layout, not tolerances:
+      // med overshoots by (0, W]; mad by at most 2W (1-Lipschitz
+      // medians under per-row <= W shifts + one read-off overshoot)
+      assert(r.getBoolean(5) && medEst - medX >= 1 && medEst - medX <= W)
+      assert(r.getBoolean(6) && math.abs(madEst - madX) <= 2 * W)
+    }
+  }
 }
