@@ -256,6 +256,9 @@ object SparkEntry {
     // prefix-filtered EXACT Jaccard join — same output as the full
     // index, candidate set provably complete and far smaller
     "dedup_prefix_jaccard" -> ((s, d) => Dedup.prefixJaccard(s, d)),
+    // the prefix filter's pruning ratio through the gate: candidate
+    // counts (prefix vs full index) re-derived independently in SQL
+    "dedup_prefix_stats" -> ((s, d) => Dedup.prefixFilterStats(s, d)),
     // assertion forms: recall/precision vs the ngram-Jaccard truth
     "dedup_minhash" -> (Assertions.minhashRecall _),
     "dedup_simhash" -> (Assertions.simhashConsistency _),
@@ -783,6 +786,53 @@ object SparkEntry {
       |JOIN sz nb ON nb.doc_id = doc_b
       |WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dedup_prefix_stats oracle: the prefix index REBUILT in plain SQL
+    * (document frequencies, a rarest-first rank window, prefix length
+    * n − ⌈t·n⌉ + 1, the length-filtered self-join) so candidate
+    * counts and both comparison booleans replay independently —
+    * nothing is a literal-true bound.
+    */
+  private val prefixStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+      |    unnest(generate_series(1,
+      |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+      |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs
+      |  FROM pr JOIN sz na ON na.doc_id = doc_a
+      |  JOIN sz nb ON nb.doc_id = doc_b
+      |  WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5),
+      |fullc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_full
+      |  FROM (SELECT DISTINCT a.doc_id, b.doc_id
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id)),
+      |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |ord AS (SELECT sh.doc_id, sh.s,
+      |    row_number() OVER (PARTITION BY sh.doc_id
+      |      ORDER BY dfreq.df, sh.s) AS r,
+      |    count(*) OVER (PARTITION BY sh.doc_id) AS n
+      |  FROM sh JOIN dfreq USING (s)),
+      |pref AS (SELECT doc_id, s, n FROM ord
+      |  WHERE r <= n - CAST(ceil(n * 0.5) AS BIGINT) + 1),
+      |prefc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_prefix
+      |  FROM (SELECT DISTINCT a.doc_id, b.doc_id
+      |    FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      AND b.n >= a.n * 0.5 AND a.n >= b.n * 0.5))
+      |SELECT n_true_pairs, n_cand_prefix, n_cand_full,
+      |  (n_cand_prefix < n_cand_full) AS prefix_prunes,
+      |  (n_cand_prefix >= n_true_pairs) AS covers_truth
+      |FROM truth, prefc, fullc""".stripMargin
 
   /** Oracle for the pair-recall assertion queries: the truth-pair
     * count replays exactly; the bound booleans replay as `true` —
@@ -2701,6 +2751,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramPairSql,
     // prefix filtering is exact: same oracle as the full-index join
     "dedup_prefix_jaccard" -> ngramPairSql,
+    "dedup_prefix_stats" -> prefixStatsSql,
     // --- assertion-form oracles (approx/hash-family queries) ---
     "dedup_minhash" -> pairRecallOracle,
     "dedup_simhash_pairs" ->

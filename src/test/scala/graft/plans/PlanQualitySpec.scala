@@ -581,6 +581,53 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("array_intersect"), p.take(2000))
   }
 
+  test("prefixJaccard: candidate join broadcasts only while the " +
+    "exploded prefix index fits the AQE threshold; beyond it the SAME " +
+    "query degrades to a shuffled join with identical rows (the 100 TB " +
+    "shape, pinned — round-8 verdict ask #5)") {
+    // LIVE node names of the executed plan: recurse through AQE
+    // wrappers and materialized query stages, STOP at
+    // InMemoryTableScan — a pooled index's InMemoryRelation embeds
+    // (and prints) the physical plan it was compiled with under
+    // whatever confs were live at cache time, which a string assert
+    // would misread as this query's join strategy
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def liveNodes(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => a.nodeName +: liveNodes(a.executedPlan)
+      case q: QueryStageExec => q.nodeName +: liveNodes(q.plan)
+      case other => other.nodeName +: other.children.flatMap(liveNodes)
+    }
+    // at test sf AQE sizes the exploded prefix index under the
+    // threshold and broadcasts the candidate self-join — planner-sized,
+    // never a forced hint
+    val df = graft.operators.Dedup.prefixJaccard(spark, sfDir)
+    val expected = df.queryExecution.toRdd.count()
+    val small = liveNodes(df.queryExecution.executedPlan)
+    assert(small.contains("BroadcastHashJoin"), small.mkString("\n"))
+    // the scale regime, simulated: with both thresholds off (as if the
+    // index outgrew them) every live join must fall back to sort-merge
+    // / shuffled-hash — no lurking broadcast() hint on a side that
+    // grows with the corpus — and the output must not change
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df2 = graft.operators.Dedup.prefixJaccard(spark, sfDir)
+      assert(df2.queryExecution.toRdd.count() == expected)
+      val big = liveNodes(df2.queryExecution.executedPlan)
+      assert(!big.contains("BroadcastHashJoin"), big.mkString("\n"))
+      assert(big.contains("SortMergeJoin") ||
+        big.contains("ShuffledHashJoin"), big.mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("preferencePairs: one hash aggregate, no window, no self-join " +
     "— argmax and argmin share a single groupBy pass") {
     val p = plan(graft.operators.Pipelines.preferencePairs(spark, sfDir))
