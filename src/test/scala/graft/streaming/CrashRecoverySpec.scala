@@ -71,6 +71,65 @@ class CrashRecoverySpec extends SparkSpec {
     assert(all.select(countDistinct(col("id"))).head.getLong(0) == 3000)
   }
 
+  test("append-mode session windows: crash after a batch's sink write; " +
+    "checkpoint restart replays it idempotently and the emitted session " +
+    "set equals an uninterrupted run's — emit-exactly-once for the one " +
+    "streaming contract the first three drills didn't cover") {
+    val base = cleanBase("sessions")
+    import org.apache.spark.sql.functions.session_window
+    // the feedSessions shape: multiplicative-hash user key (real
+    // pseudo-random per-user gaps), 2-hour session windows, append
+    // mode so a session emits exactly once — when the watermark
+    // proves it closed
+    def sessions = feed(5000, 1000)
+      .withColumn("user_id",
+        (col("id") * lit(2654435761L)) % lit(100000L) % lit(101L))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+    def drain(tag: String, injectCrash: Boolean): Unit = {
+      val q = sessions.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/$tag/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          // IDEMPOTENT append sink: one directory per batch id,
+          // overwritten on replay — the plain mode("append") of the
+          // production query would double the replayed batch's rows,
+          // which is exactly what this drill exists to catch
+          batch.write.mode("overwrite").parquet(s"$base/$tag/table/batch=$id")
+          // sink effect has LANDED; the engine has not yet marked the
+          // batch complete — the restart must re-fire this batch
+          if (injectCrash && id == 1)
+            throw new RuntimeException("injected crash")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      intercept[StreamingQueryException](drain("crashed", injectCrash = true))
+      drain("crashed", injectCrash = false) // resume from the SAME ckpt
+      drain("clean", injectCrash = false) // uninterrupted reference run
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    def emitted(tag: String) = spark.read.parquet(s"$base/$tag/table")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3)))
+    val crashed = emitted("crashed")
+    val clean = emitted("clean")
+    // no silent vacuity: the drill must cover real emissions, and the
+    // crash-restart run must emit each closed session EXACTLY once
+    assert(clean.nonEmpty, "reference run emitted no sessions")
+    assert(crashed.length == clean.length,
+      s"${crashed.length} emitted vs ${clean.length} uninterrupted")
+    assert(crashed.toSet == clean.toSet)
+  }
+
   test("running distinct (transformWithState/RocksDB): crash after " +
     "batch-0's sink write; checkpoint restart resumes the KMV state " +
     "and converges to the exact distinct counts") {
