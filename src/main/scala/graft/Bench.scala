@@ -132,12 +132,46 @@ object Bench {
     }
     // pass 2: warm sweep, minutes after pass 1; shuffle volume is
     // plan-determined (same both passes), recorded here
-    val results = order.zipWithIndex.map { case ((name, fn), i) =>
+    val best2 = order.zipWithIndex.map { case ((name, fn), i) =>
       val a = cold(name)
       val b = if (a >= 0) timeOnce(fn, name, recordShuffle = true) else a
       if ((i + 1) % PROBE_EVERY == 0) probeOnce(2, name)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }.toMap
+    // pass 3 (round-8 verdict ask #1): an ambient-load burst that
+    // spans BOTH sweeps defeats best-of-2 — r8's dedup_prefix_jaccard
+    // recorded 17.3 s (real: 2.1 s) and needed a judge rerun to
+    // clear. So: against the PREVIOUS committed artifact (read before
+    // this run overwrites it), re-time any query whose
+    // machine-speed-normalized ratio exceeds the benchdiff threshold,
+    // at sweep end when the burst has likely passed. All timings are
+    // recorded ("retry" map), so a flagged number carries its own
+    // adjudication; a genuinely regressed query stays slow in all
+    // three and still surfaces.
+    val RETRY_THRESHOLD = 1.3
+    val MAX_RETRIES = 24 // a machine slow ALL round retries everything
+    // — cap the pass so the artifact still lands
+    val prevAny = PrevArtifact.load("BENCH_FULL.json")
+    // an artifact from a different scale factor is no baseline —
+    // cross-sf ratios would flag every query
+    val prev = if (prevAny.sf.forall(_ == sfDir)) prevAny
+      else PrevArtifact.Prev(Map.empty, None, None)
+    val speedFactor = // expected ratio of an UNCHANGED query
+      prev.calibMedian.map(c => calibPre / c).getOrElse(1.0)
+    val flagged = order.collect {
+      case (name, fn) if best2(name) > 0 && prev.queries.get(name)
+        .exists(p => p > 0 && best2(name) / p / speedFactor > RETRY_THRESHOLD) =>
+        (name, fn)
+    }.take(MAX_RETRIES)
+    var retry = Map.empty[String, Double]
+    flagged.foreach { case (name, fn) =>
+      retry += name -> timeOnce(fn, name)
+      probeOnce(3, name) // localize ambient load during the retry pass
+    }
+    val results = best2.map { case (name, v) =>
+      name -> (retry.get(name).filter(_ >= 0)
+        .map(math.min(v, _)).getOrElse(v))
+    }
     def fmt(v: Double) = // Locale.ROOT: "." decimal point, valid JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonOf(rs: Seq[(String, Double)]) = rs
@@ -156,8 +190,9 @@ object Bench {
       s"""{"pre":${fmt(calibPre)},"post":${fmt(calibPost)}}"""
     val pooledJson = pooled.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // "queries" = best-of-2 (the headline); "cold" = each query's
-    // FIRST run in suite order. Pool entries persist ACROSS queries
+    // "queries" = best of all recorded runs (two sweeps + the retry
+    // pass where flagged); "cold" = each query's FIRST run in suite
+    // order. Pool entries persist ACROSS queries
     // within the sweep, so a pooled query's cold number includes a
     // shared-intermediate build only when it is that intermediate's
     // first consumer in suite order — later consumers' cold runs are
@@ -185,8 +220,12 @@ object Bench {
     val probeJson = probeSeries.reverse
       .map { case (p, q, v) => s"""[$p,"$q",${fmt(v)}]""" }
       .mkString("[", ",", "]")
+    // third-timing record for every retried query: with best-of-2 "a"
+    // in "cold" and the final min in "queries", the three timings the
+    // verdict asked for are all recoverable from the artifact
+    val retryJson = jsonOf(retry.toSeq.sortBy(_._1))
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"pooled":$pooledJson,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"peak_mem_mb":$peakJson,"calib_series":$probeJson,"streaming":$streamingJson,"calib":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"retry":$retryJson,"pooled":$pooledJson,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"peak_mem_mb":$peakJson,"calib_series":$probeJson,"streaming":$streamingJson,"calib":$calibJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the artifact
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -226,8 +265,49 @@ object Bench {
     val shortShuffle =
       if (args.isEmpty) "" else s""","shuffle_mb":$shuffleJson"""
     val shortLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"npooled":${pooled.size},"calib":$calibJson,"queries":${jsonOf(stdoutQs)}$shortShuffle,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"npooled":${pooled.size},"nretried":${retry.size},"calib":$calibJson,"queries":${jsonOf(stdoutQs)}$shortShuffle,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(shortLine)
     spark.stop()
   }
+}
+
+/** Reader for the PREVIOUS committed BENCH_FULL.json — the retry
+  * pass's comparison baseline. json4s rides Spark's own classpath.
+  * Any parse problem degrades to "no baseline" (no retries), never an
+  * aborted bench.
+  */
+private[graft] object PrevArtifact {
+  final case class Prev(queries: Map[String, Double],
+      calibMedian: Option[Double], sf: Option[String] = None)
+
+  def load(path: String): Prev = try {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val j = JsonMethods.parse(txt)
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case _ => None
+    }
+    val qs = j \ "queries" match {
+      case JObject(fs) => fs.flatMap { case (k, v) => num(v).map(k -> _) }
+        .toMap
+      case _ => Map.empty[String, Double]
+    }
+    val cal = j \ "calib" match {
+      case JObject(fs) =>
+        val vs = fs.flatMap { case (_, v) => num(v) }
+        if (vs.isEmpty) None else Some(vs.sum / vs.size)
+      case _ => None
+    }
+    val sf = j \ "sf" match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    Prev(qs, cal, sf)
+  } catch { case _: Throwable => Prev(Map.empty, None, None) }
 }
