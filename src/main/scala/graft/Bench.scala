@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Fixed headline subset: the queries the driver's size-bounded
+    * stdout capture carries every round (cross-round comparable), and
+    * the subset graft.Scale measures slopes for.
+    */
+  val headline: Set[String] = Set(
+    "p_snapshot", "p_insight_gold", "p_corpus_clean", "j3_join_revenue",
+    "j2_left_enrich", "a1_pricing_summary", "a2_pivot_daily", "w_topk",
+    "set_rollup", "agg_percentile", "dedup_exact", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_clusters",
+    "sim_topk", "sim_ann_lsh", "text_tfidf", "text_quality", "text_pack",
+    "ss_gmb_roundtrip", "ss_json_flatten", "sink_upsert_by_date",
+    "sink_compact", "s2_jdbc_source", "s4_rest_source",
+    "adv_bucketed_join", "st2_sliding_7day",
+    "j5_local_supplier", "dq_expectations", "dq_volume_anomaly",
+    "sink_zorder", "dedup_incremental", "text_token_mixture",
+    "sim_centroids", "sim_hard_negatives", "text_repetition",
+    "text_gopher_quality",
+    "agg_sketch_rollup", "text_span_dedup", "sim_kmeans",
+    "text_quality_filter", "text_resample", "sink_orc_roundtrip",
+    "text_bpe_train", "text_bpe_apply", "p_diverse_subset",
+    "dedup_semantic", "text_bm25", "text_lm_score",
+    "agg_funnel", "agg_cohort", "agg_quantile_rollup",
+    "j_fuzzy_match", "sim_random_proj", "sim_standardize",
+    "text_heavy_hitters", "st_gap_fill", "p_entity_resolution",
+    "p_merge_cdc", "agg_mode", "dq_referential", "graph_pagerank",
+    "agg_correlation", "w_percent_rank", "agg_weighted_avg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -231,27 +258,7 @@ object Bench {
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // best-effort artifact
-    val headline = Set(
-      "p_snapshot", "p_insight_gold", "p_corpus_clean", "j3_join_revenue",
-      "j2_left_enrich", "a1_pricing_summary", "a2_pivot_daily", "w_topk",
-      "set_rollup", "agg_percentile", "dedup_exact", "dedup_minhash",
-      "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_clusters",
-      "sim_topk", "sim_ann_lsh", "text_tfidf", "text_quality", "text_pack",
-      "ss_gmb_roundtrip", "ss_json_flatten", "sink_upsert_by_date",
-      "sink_compact", "s2_jdbc_source", "s4_rest_source",
-      "adv_bucketed_join", "st2_sliding_7day",
-      "j5_local_supplier", "dq_expectations", "dq_volume_anomaly",
-      "sink_zorder", "dedup_incremental", "text_token_mixture",
-      "sim_centroids", "sim_hard_negatives", "text_repetition", "text_gopher_quality",
-      "agg_sketch_rollup", "text_span_dedup", "sim_kmeans",
-      "text_quality_filter", "text_resample", "sink_orc_roundtrip",
-      "text_bpe_train", "text_bpe_apply", "p_diverse_subset",
-      "dedup_semantic", "text_bm25", "text_lm_score",
-      "agg_funnel", "agg_cohort", "agg_quantile_rollup",
-      "j_fuzzy_match", "sim_random_proj", "sim_standardize",
-      "text_heavy_hitters", "st_gap_fill", "p_entity_resolution",
-      "p_merge_cdc", "agg_mode", "dq_referential", "graph_pagerank",
-      "agg_correlation", "w_percent_rank", "agg_weighted_avg")
+    val headline = Bench.headline
     // a filtered profiling run exists to print ITS queries' numbers —
     // only the unfiltered sweep (whose 100+-entry map overflows the
     // capture) trims stdout to the headline subset

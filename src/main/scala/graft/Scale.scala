@@ -1,0 +1,104 @@
+package graft
+
+/** Scale-curve measurement (round-8 verdict ask #2): the cheapest real
+  * 100×-scale predictor this sandbox allows. Every bench number is one
+  * point (one sf); the suite's scaling claims (prefix-lemma candidate
+  * growth, LPA shuffle linearity, simhash collisions ~n²/2¹⁶) were
+  * argued in prose. This main MEASURES them: each headline query runs
+  * at sf0.01 AND sf0.1 — a 10× data jump — and the artifact records
+  * the per-query log₁₀ slope of wall time and of shuffle volume.
+  *
+  * Reading the slopes:
+  *  - shuffle_slope is the load-bearing number: it is plan-determined
+  *    (noise-free) and a slope meaningfully above 1 means the
+  *    operator's exchanged bytes grow FASTER than its input — the
+  *    thing that breaks at 100 TB no matter how fast sf0.1 ran.
+  *    `tools/scalecheck.py` flags shuffle_slope > 1.3 (with a 1 MB
+  *    absolute floor — 0.01 MB → 0.2 MB is broadcast-threshold
+  *    noise, not growth).
+  *  - time_slope on local[32] underestimates true scaling below full
+  *    utilization (fixed per-query overheads dominate small sfs), so
+  *    it is recorded for trend but flagged only above the same 1.3.
+  *
+  * Load robustness: the two sfs run BACK-TO-BACK per query (not as
+  * two separate sweeps), so an ambient-load burst inflates both ends
+  * of a ratio and the slope survives — the same adjacency reasoning
+  * behind Bench's interleaved probes, applied structurally.
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = Sessions.local(cpus, "graft-scale")
+    spark.sparkContext.setLogLevel("WARN")
+    sfs.foreach(d => Tables.names.foreach(t =>
+      Tables.load(spark, d, t).count())) // warm footers + codegen
+    // the headline subset plus the heaviest ops the verdict named and
+    // the round-9 additions — the queries whose scale story matters
+    val subset = (Bench.headline ++ Set(
+      "dedup_prefix_jaccard", "dedup_prefix_stats", "sim_ivfpq_topk",
+      "graph_label_prop", "dq_outlier_mad", "dq_outlier_mad_sketch",
+      "agg_cms_pointq", "agg_weighted_sample", "text_wordpiece_apply",
+      "adv_interval_join", "adv_asof_join", "w_running"))
+      .filter(SparkEntry.queries.contains)
+    def timeAndShuffle(name: String, dir: String): (Double, Long) = {
+      val fn = SparkEntry.queries(name)
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        df.queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val sh = try plans.ExecMetrics.walk(df)._1 catch {
+          case _: Throwable => 0L
+        }
+        (dt, sh)
+      }
+      val (t1, s1) = once(); val (t2, s2) = once()
+      (math.min(t1, t2), math.max(s1, s2))
+    }
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val rows = subset.toSeq.sorted.map { name =>
+      try {
+        // back-to-back per query: a load burst hits both sfs' runs
+        val bySf = sfs.map(d => timeAndShuffle(name, d))
+        val Seq((tSmall, sSmall), (tBig, sBig)) = bySf
+        val timeSlope = math.log10(tBig / tSmall)
+        val shuffleSlope =
+          if (sSmall > 1024 && sBig > 1024)
+            Some(math.log10(sBig.toDouble / sSmall))
+          else None // sub-KB at either sf: broadcast/constant plane
+        (name, Some((tSmall, tBig, sSmall, sBig, timeSlope, shuffleSlope)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+        (name, None)
+      }
+    }
+    val qJson = rows.collect {
+      case (name, Some((ts, tb, ss, sb, tsl, shsl))) =>
+        val shuffleJson = shsl.map(v => fmt(v)).getOrElse("null")
+        s""""$name":{"sec":[${fmt(ts)},${fmt(tb)}],""" +
+          s""""shuffle_mb":[${fmt(ss / 1048576.0)},${fmt(sb / 1048576.0)}],""" +
+          s""""time_slope":${fmt(tsl)},"shuffle_slope":$shuffleJson}"""
+    }.mkString("{", ",", "}")
+    // flag superlinear growth here too (scalecheck.py re-derives it):
+    // shuffle above the 1 MB floor at the larger sf growing steeper
+    // than the 10x data jump allows
+    val flagged = rows.collect {
+      case (name, Some((_, _, _, sb, tsl, Some(shsl))))
+        if (shsl > 1.3 && sb > 1048576) || tsl > 1.3 => name
+    }.sorted
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failed = rows.collect { case (n, None) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"scale_slopes","sfs":["sf0.01","sf0.1"],""" +
+      s""""data_ratio":10.0,"nqueries":${rows.count(_._2.isDefined)},""" +
+      s""""flagged":$flaggedJson,"failed":$failed,"queries":$qJson}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"scale_slopes","nqueries":${
+      rows.count(_._2.isDefined)},"flagged":$flaggedJson,"full":"SCALE.json"}""")
+    spark.stop()
+  }
+}

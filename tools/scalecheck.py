@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Dev-only scale-curve gate over SCALE.json (written by
+`sbt "runMain graft.Scale"`): flags any query whose measured sf0.01 →
+sf0.1 growth is meaningfully superlinear.
+
+    python3 tools/scalecheck.py SCALE.json [--threshold 1.3]
+
+A slope is log10(metric@sf0.1 / metric@sf0.01) against a 10x data
+jump, so 1.0 = linear. shuffle_slope is plan-determined (noise-free)
+and gated with a 1 MB absolute floor at the larger sf — sub-MB
+shuffles crossing a broadcast threshold read as huge slopes without
+being a scale risk. time_slope is noisier on a shared box (fixed
+per-query overheads at small sf push it DOWN; ambient load pushes it
+up) and is reported but gated at the same threshold.
+
+Exit 1 if anything is flagged outside the documented allowlist.
+"""
+import json
+import sys
+
+# Queries whose superlinear growth is the MEASURED QUANTITY, not a
+# plan defect — each with the reason it is intended (the PlanAudit
+# allowlist discipline). Still printed, never silently dropped.
+ALLOW = {
+    "dedup_prefix_stats":
+        "diagnostic query: n_cand_full IS the full inverted index's "
+        "superlinear candidate blowup (measured ss 1.69) that prefix "
+        "filtering exists to avoid — the production operator "
+        "dedup_prefix_jaccard holds shuffle_slope 0.98 in this same "
+        "artifact",
+}
+
+
+def main(path, threshold=1.3):
+    art = json.load(open(path))
+    qs = art.get("queries", {})
+    if not qs:
+        print("no queries in artifact")
+        return 1
+    flagged = []
+    for name, q in sorted(qs.items()):
+        ssl = q.get("shuffle_slope")
+        tsl = q.get("time_slope")
+        big_mb = q.get("shuffle_mb", [0, 0])[1]
+        reasons = []
+        if ssl is not None and ssl > threshold and big_mb > 1.0:
+            reasons.append(f"shuffle_slope {ssl:.2f}")
+        if tsl is not None and tsl > threshold:
+            reasons.append(f"time_slope {tsl:.2f}")
+        if reasons:
+            flagged.append((name, q, reasons))
+    allowed = [(n, q, r) for n, q, r in flagged if n in ALLOW]
+    flagged = [(n, q, r) for n, q, r in flagged if n not in ALLOW]
+    print(f"{len(qs)} queries measured; "
+          f"{len(flagged)} superlinear beyond {threshold} "
+          f"({len(allowed)} allowlisted)")
+    for name, _, reasons in allowed:
+        print(f"  allowlisted {name} ({', '.join(reasons)}): {ALLOW[name]}")
+    if art.get("failed"):
+        print(f"failed to run: {art['failed']}")
+    if not flagged:
+        slopes = [q["shuffle_slope"] for q in qs.values()
+                  if q.get("shuffle_slope") is not None]
+        if slopes:
+            print(f"max shuffle_slope {max(slopes):.2f}, "
+                  f"median {sorted(slopes)[len(slopes) // 2]:.2f}")
+        return 0
+    print(f"\n{'query':30s} {'sec@.01':>8s} {'sec@.1':>8s} "
+          f"{'mb@.01':>8s} {'mb@.1':>8s}  reasons")
+    for name, q, reasons in flagged:
+        s0, s1 = q["sec"]
+        m0, m1 = q["shuffle_mb"]
+        print(f"{name:30s} {s0:8.3f} {s1:8.3f} {m0:8.3f} {m1:8.3f}  "
+              + ", ".join(reasons))
+    return 1
+
+
+if __name__ == "__main__":
+    thr = 1.3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1]) if "=" in a \
+                else float(sys.argv[sys.argv.index(a) + 1])
+    sys.exit(main(args[0], thr))
