@@ -110,6 +110,12 @@ object SparkEntry {
     // generator replay
     "stream_weighted_sample" ->
       (graft.streaming.StreamingAnalogs.feedWeightedSample _),
+    // streaming Misra-Gries heavy hitters: MG counter map as TWS
+    // state (<= m counters at any stream length), id-ordered fold for
+    // determinism; assertion form verifies MG completeness + the
+    // undercount law against an in-plan exact generator replay
+    "stream_heavy_hitters" ->
+      (graft.streaming.StreamingAnalogs.feedHeavyHitters _),
     "stream_versioned_ingest" -> (Versioned.streamVersionedIngest _),
     // S4/S5 custom DataSource V2 (paginated REST shape)
     "s4_rest_source" -> ((s, _) => {
@@ -358,6 +364,7 @@ object SparkEntry {
       "stream_sessionize" + // same drain, append-mode session windows
       "stream_distinct_running" + // same drain, TWS KMV state
       "stream_weighted_sample" + // same drain, TWS A-ES reservoir state
+      "stream_heavy_hitters" + // same drain, TWS Misra-Gries state
       "stream_versioned_ingest" + // drain committing versions per batch
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
@@ -2044,6 +2051,31 @@ object SparkEntry {
         |  FROM keyed)
         |SELECT kind, CAST(rk AS BIGINT) AS rk, id
         |FROM ranked WHERE rk <= 20 ORDER BY kind, rk""".stripMargin,
+    "stream_heavy_hitters" ->
+      // generator replay of the skewed token law; n_heavy_found
+      // deliberately re-derives the SAME exact expression as
+      // n_heavy_true — MG completeness (every token above the
+      // N/(m+1) bar is nominated) makes them equal, so a recall
+      // regression hash-mismatches on a replayed number, not a
+      // literal. The two bound booleans are deterministic MG laws
+      // under the id-ordered fold (oracle: literal true).
+      """WITH t AS (
+        |  SELECT CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END
+        |      AS kind,
+        |    CASE WHEN ((range * 2654435761) % 100000) % 4 <> 0
+        |      THEN ((range * 2654435761) % 100000) % 16
+        |      ELSE 16 + ((range * 2654435761) % 100000) % 499 END AS tokno
+        |  FROM range(5000)),
+        |c AS (SELECT kind, tokno, count(*) AS n FROM t GROUP BY 1, 2),
+        |tot AS (SELECT kind, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM t GROUP BY 1),
+        |heavy AS (SELECT c.kind, CAST(count(*) AS BIGINT) AS nh
+        |  FROM c JOIN tot USING (kind) WHERE n * 33 > n_total GROUP BY 1)
+        |SELECT kind, n_total,
+        |  COALESCE(nh, 0) AS n_heavy_true,
+        |  COALESCE(nh, 0) AS n_heavy_found,
+        |  TRUE AS est_bounds_ok, TRUE AS candidates_bounded
+        |FROM tot LEFT JOIN heavy USING (kind) ORDER BY kind""".stripMargin,
     "stream_versioned_ingest" ->
       // exactly-once proof: every generated row lands in exactly one
       // committed version, so the all-versions rollup equals the

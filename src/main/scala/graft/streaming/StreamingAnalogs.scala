@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
 
@@ -567,6 +567,168 @@ object StreamingAnalogs {
     }
     s.read.parquet(s"$base/table")
       .select(col("kind"), col("n_users")).orderBy("kind")
+  }
+
+  /** Streaming Misra–Gries heavy hitters: the MG counter map as
+    * transformWithState state — the running candidate set of each
+    * kind's most frequent tokens with state bounded at ≤ m counters
+    * at ANY stream length (the same mergeable summary
+    * `TextAnalysis.heavyHitters` fans in map-side, here folded batch
+    * by batch instead). The MG law survives incrementalization
+    * verbatim: after N stream items, every token with true frequency
+    * > N/(m+1) is present in the state, and each kept counter
+    * undercounts by at most N/(m+1) — so the DRAIN of the stream
+    * carries the same guarantee the batch pass proves, without ever
+    * retaining a token count table.
+    *
+    * Determinism (what lets the driver hash-check a stream sketch):
+    * MG's result depends on arrival ORDER, and rows shuffled into the
+    * state partition arrive in nondeterministic partition order — so
+    * each batch's rows are buffered and folded in id order. The
+    * buffer is bounded by the source's admission cap (rowsPerTrigger),
+    * not the stream: bounded memory, deterministic fold, replayable
+    * result.
+    */
+  class HeavyHittersProcessor(m: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String, Long), (String, String, Long)] {
+    @transient private var sk:
+      org.apache.spark.sql.streaming.ValueState[Map[String, Long]] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sk = getHandle.getValueState[Map[String, Long]]("mg",
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Map[String, Long]](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, String, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, String, Long)] = {
+      val agg = new graft.functions.MisraGries(m)
+      val cur = if (sk.exists()) sk.get() else agg.zero
+      // id-ordered fold (see scaladoc); rows per batch per key are
+      // bounded by the source's admission cap
+      val next = rows.toSeq.sortBy(_._3)
+        .foldLeft(cur)((b, r) => agg.reduce(b, r._2))
+      sk.update(next)
+      next.iterator.map { case (tok, est) => (key, tok, est) }
+    }
+  }
+
+  def heavyHittersTws(rows: Dataset[(String, String, Long)],
+      m: Int = 32): Dataset[(String, String, Long)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_._1)
+      .transformWithState(new HeavyHittersProcessor(m),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The deterministic skewed token law shared by the stream side,
+    * the in-plan exact replay, and the DuckDB oracle: 75% of rows
+    * land on 16 heavy tokens, 25% spread over a 499-token tail —
+    * heavy tokens each carry ~4.7% of their kind's rows, clearing the
+    * MG nomination bar N/(m+1) ≈ 3% at m=32 with margin, while tail
+    * tokens (~0.05%) stay far below it.
+    */
+  private def tokenOf(h: Column): Column =
+    concat(lit("t"), when(h % 4 =!= 0, h % 16)
+      .otherwise(lit(16) + h % 499).cast("string"))
+
+  /** Driver-checked drain + assertion form: per-kind MG candidates
+    * from the full stream, verified against an in-plan exact replay
+    * of the generator. Emitted per kind:
+    *  - n_total, n_heavy_true — exact, oracle-replayed;
+    *  - n_heavy_found — candidates that are true heavy hitters; by MG
+    *    completeness this EQUALS n_heavy_true, so the oracle emits
+    *    the same exact expression (a replayable equality, not a
+    *    literal);
+    *  - est_bounds_ok — every candidate's counter within
+    *    [exact − ⌊N/(m+1)⌋, exact] (the MG undercount law);
+    *  - candidates_bounded — state size ≤ m.
+    */
+  def feedHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val m = 32
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_hh"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    import s.implicits._
+    val h = (col("id") * lit(2654435761L)) % lit(100000L)
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      .select(col("kind"), tokenOf(h).as("token"), col("id"))
+      .as[(String, String, Long)]
+    val out = heavyHittersTws(feed, m)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = s.conf.getOption(providerKey)
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      out.toDF("kind", "token", "est").writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind")
+            .parquet(s"$base/table")
+        }
+        .start()
+        .awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    val cand = s.read.parquet(s"$base/table")
+      .select(col("kind"), col("token"), col("est"))
+    // exact replay of the generator, batch-side — the same row law
+    // the DuckDB oracle re-derives independently
+    val hh = (col("id") * lit(2654435761L)) % lit(100000L)
+    val exact = s.range(0, 5000)
+      .select(when(col("id") % 3 === 0, lit("credit"))
+        .otherwise(lit("debit")).as("kind"), tokenOf(hh).as("token"))
+      .groupBy("kind", "token").agg(count(lit(1)).as("n_exact"))
+    val totals = exact.groupBy("kind").agg(sum(col("n_exact")).as("n_total"))
+    val joined = cand
+      .join(exact, Seq("kind", "token"), "left")
+      .join(broadcast(totals), "kind")
+      .withColumn("is_heavy", col("n_exact") * (m + 1) > col("n_total"))
+      .withColumn("bound_ok",
+        col("est") <= col("n_exact") &&
+          col("est") + floor(col("n_total") / (m + 1)) >= col("n_exact"))
+    val perKindCand = joined.groupBy("kind")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("is_heavy"), 1)).as("n_heavy_found"),
+        min(col("bound_ok")).as("est_bounds_ok"))
+    val perKindTrue = exact.join(broadcast(totals), "kind")
+      .filter(col("n_exact") * (m + 1) > col("n_total"))
+      .groupBy("kind").agg(count(lit(1)).as("n_heavy_true"))
+    totals.join(perKindTrue, Seq("kind"), "left")
+      .join(perKindCand, Seq("kind"), "left")
+      .select(col("kind"), col("n_total"),
+        coalesce(col("n_heavy_true"), lit(0L)).as("n_heavy_true"),
+        coalesce(col("n_heavy_found"), lit(0L)).as("n_heavy_found"),
+        coalesce(col("est_bounds_ok"), lit(true)).as("est_bounds_ok"),
+        (coalesce(col("n_candidates"), lit(0L)) <= m)
+          .as("candidates_bounded"))
+      .orderBy("kind")
   }
 
   /** Streaming weighted reservoir: the TopKAgg buffer as
