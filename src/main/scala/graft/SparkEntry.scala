@@ -276,6 +276,10 @@ object SparkEntry {
     "dedup_clusters_star" -> (Dedup.nearDupClustersStar _),
     "text_decontaminate" -> (Dedup.decontaminate _),
     "dedup_incremental" -> (Dedup.incremental _),
+    // the index-probe form: history band buckets pooled, delta
+    // signatures probe them, candidates exact-verified (assertion
+    // form — precision-1 law + recall bound vs the exact cross pairs)
+    "dedup_incremental_lsh" -> (Dedup.incrementalLsh _),
     // bloom-prefiltered semi join: candidates-only exact verify
     "j_bloom_semi" -> (Dedup.bloomSemiJoin _),
     // §2.10 north-star: similarity search
@@ -2978,6 +2982,37 @@ object SparkEntry {
         |  CASE WHEN ex.e_id IS NULL THEN nr.near_j END AS jaccard
         |FROM delta LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
         |ORDER BY delta.doc_id""".stripMargin,
+    "dedup_incremental_lsh" ->
+      // exact cross (delta->history) near-pair count + delta size
+      // replayed; precision-1 (exact-verified candidates) and the
+      // banded recall bound are deterministic under the fixed seeds —
+      // oracle: literal true (same discipline as the recall
+      // assertion queries)
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |jc AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS hist_id
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  JOIN sz na ON na.doc_id = a.doc_id
+        |  JOIN sz nb ON nb.doc_id = b.doc_id
+        |  GROUP BY 1, 2, na.n, nb.n
+        |  HAVING count(*) / (na.n + nb.n - count(*)) >= 0.5)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM jc) AS n_true_cross_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 5 = 0) AS n_delta,
+        |  TRUE AS recall_ok, TRUE AS all_matches_true""".stripMargin,
     "j_bloom_semi" ->
       // the bloom prefilter is exact end-to-end (false positives die
       // in the verify semi join, false negatives can't exist), so the

@@ -344,6 +344,74 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental near-dup admission at INDEX scale — the LSH form of
+    * `incremental`'s near path. `incremental` finds a delta doc's
+    * near-matches through the full exact pair join; at 100 TB the
+    * production shape is an INDEX PROBE: the history corpus's
+    * band-bucket table is precomputed and pooled (the persisted index
+    * a pipeline maintains between runs), each delta doc probes only
+    * the `bands` buckets its own signature hashes to, and only
+    * colliding (delta, history) candidates pay the exact-Jaccard
+    * verify — per-delta cost is bands bucket lookups plus its
+    * candidates' row-local array intersections, independent of
+    * history size given bounded buckets.
+    *
+    * Assertion form (LSH recall is probabilistic, so the output can't
+    * be bit-equal to the exact variant): the true delta→history
+    * near-pair count and delta size replay exactly in the oracle;
+    * `all_matches_true` pins that every emitted match IS a true match
+    * (candidates are exact-verified — precision 1 by construction),
+    * `recall_ok` bounds recall at 0.8 of the true cross pairs
+    * (measured 1.0 across sfs — the same 8×4 banded geometry
+    * minhashRecall pins at ≥ 0.8 on the full pair set).
+    */
+  def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = 8; val rows = 4
+    val isDelta = col("doc_id") % 5 === 0
+    val bandTbl = graft.CachePool.cached(s, s"dedup.bandIndex:$dir") {
+      minhashSignatures(s, dir, bands * rows)
+        .select(col("doc_id"), explode(array((0 until bands).map {
+          b => struct(lit(b).as("band"),
+            xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bkey"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"),
+          concat_ws(":", col("bb.band"), col("bb.bkey")).as("bandkey"))
+    }
+    val hist = bandTbl.filter(!isDelta)
+      .select(col("bandkey"), col("doc_id").as("hist_id"))
+    val cand = bandTbl.filter(isDelta)
+      .join(hist, "bandkey") // the probe: bucket-equi, never all-pairs
+      .select(col("doc_id"), col("hist_id")).distinct()
+    val arr = shingleArrDf(s, dir)
+    val matches = cand
+      .join(arr.select(col("doc_id"), col("sharr").as("sh_a")), "doc_id")
+      .join(arr.select(col("doc_id").as("hist_id"),
+        col("sharr").as("sh_b")), "hist_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("n_inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")) >= 0.5)
+      .select(col("doc_id"), col("hist_id"))
+    // exact truth: the pooled full pair set, cross direction only
+    val truth = jaccardPairs(s, dir)
+      .select(when(col("doc_a") % 5 === 0, col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"),
+        when(col("doc_a") % 5 === 0, col("doc_b"))
+          .otherwise(col("doc_a")).as("hist_id"))
+      .filter(col("doc_id") % 5 === 0 && col("hist_id") % 5 =!= 0)
+    val nTrue = truth.agg(count(lit(1)).as("n_true_cross_pairs"))
+    val nDelta = Tables.documents(s, dir).filter(isDelta)
+      .agg(count(lit(1)).as("n_delta"))
+    val nEmit = matches.agg(count(lit(1)).as("n_emitted"))
+    val nHit = matches.join(truth, Seq("doc_id", "hist_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(nDelta).crossJoin(nEmit).crossJoin(nHit)
+      .select(col("n_true_cross_pairs"), col("n_delta"),
+        (col("n_true_cross_pairs") === 0 ||
+          col("n_hit") >= col("n_true_cross_pairs") * lit(0.8))
+          .as("recall_ok"),
+        (col("n_emitted") === col("n_hit")).as("all_matches_true"))
+  }
+
   /** Duplicate-cluster resolution: connected components over the
     * near-dup pair graph, labeling every pair-connected doc with its
     * component's MIN doc_id — the "keep one representative per

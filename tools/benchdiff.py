@@ -62,24 +62,27 @@ def local_burst(art, name, order):
     under different conditions, so their absolute values are not
     comparable across kinds or artifacts."""
     series = art.get("calib_series") or []
-    if not series:
-        return 1.0
-    med = statistics.median(s for _, _, s in series)
     pos = order.get(name)
-    if pos is None or not med:
+    if not series or pos is None:
         return 1.0
-    # probes are tagged with the query they ran AFTER; take the first
-    # probe at-or-after this query's sweep position, per pass, and use
-    # the min across passes (matching best-of-2 query timing)
-    by_pass = {}
-    for p, after, sec in series:
-        apos = order.get(after, -1)
-        if apos >= pos and (p not in by_pass or
-                            order.get(by_pass[p][0], -1) > apos):
-            by_pass[p] = (after, sec)
-    if not by_pass:
+    # probes are tagged with the query they ran AFTER; collapse to a
+    # per-position MIN across passes FIRST (matching best-of-2 query
+    # timing), and take the baseline median over that SAME min series —
+    # comparing a min against the median of raw per-pass probes put
+    # every burst factor systematically below 1, which inflated
+    # normalized ratios whenever only one artifact carried a series
+    by_pos = {}
+    for _, after, sec in series:
+        apos = order.get(after)
+        if apos is not None:
+            by_pos[apos] = min(by_pos.get(apos, sec), sec)
+    if not by_pos:
         return 1.0
-    return min(sec for _, sec in by_pass.values()) / med
+    med = statistics.median(by_pos.values())
+    ats = [a for a in by_pos if a >= pos]
+    if not ats or not med:
+        return 1.0
+    return by_pos[min(ats)] / med
 
 
 def machine_speed(art):
