@@ -329,6 +329,11 @@ object SparkEntry {
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_wordpiece_apply" -> ((s, d) => TextAnalysis.wordpieceApply(s, d)),
+    // unigram-LM tokenizer (SentencePiece family): hard-EM training
+    // over the compressed word table, Viterbi apply; assertion form
+    // (reconstruction partition law, fertility range, vocab target,
+    // EM-objective monotonicity) with replayable corpus totals
+    "text_unigram_lm" -> ((s, d) => Unigram.unigramLm(s, d)),
     // §2.10 north-star: multimodal plumbing
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -364,6 +369,7 @@ object SparkEntry {
       "text_bpe_train" + // builder runs the merge-iteration jobs
       "text_bpe_apply" + // builder trains (or reads the memo) first
       "text_wordpiece_apply" + // builder collects the vocab first
+      "text_unigram_lm" + // builder runs the EM-round jobs
       "stream_feed_daily" + // builder runs the AvailableNow stream drain
       "stream_sessionize" + // same drain, append-mode session windows
       "stream_distinct_running" + // same drain, TWS KMV state
@@ -861,6 +867,21 @@ object SparkEntry {
     "text_classifier_score" -> logregScoreOracle(3),
     "text_bpe_apply" -> bpeApplyOracle(8),
     "text_wordpiece_apply" -> wordpieceOracle(8),
+    "text_unigram_lm" ->
+      // corpus totals replay from the same tokenization; the booleans
+      // are deterministic model laws (segmentation-is-a-partition,
+      // fertility within [words, chars], vocab bound + char coverage,
+      // hard-EM objective monotone) — oracle: literal true
+      """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS word FROM documents),
+        |f AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w
+        |  WHERE word <> '' GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_words,
+        |  CAST(sum(len(word) * n) AS BIGINT) AS n_chars,
+        |  TRUE AS all_words_reconstruct, TRUE AS fertility_in_range,
+        |  TRUE AS vocab_at_target, TRUE AS em_ll_monotone
+        |FROM f""".stripMargin,
     "graph_pagerank" -> pagerankOracle(3),
     "graph_label_prop" -> lpaOracle(3),
     "graph_clustering_coeff" ->

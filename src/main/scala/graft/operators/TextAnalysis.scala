@@ -748,7 +748,7 @@ object TextAnalysis {
     * bm25 / vocab) now share ONE tokenize-and-count scan of the
     * corpus instead of paying it twice.
     */
-  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+  private[operators] def wordFreq(s: SparkSession, dir: String): DataFrame =
     graft.CachePool.cached(s, s"text.wordFreq:$dir") {
       termFreq(s, dir)
         .filter(col("token") =!= "") // a blank doc would crash the slice
