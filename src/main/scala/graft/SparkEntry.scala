@@ -116,6 +116,11 @@ object SparkEntry {
     // undercount law against an in-plan exact generator replay
     "stream_heavy_hitters" ->
       (graft.streaming.StreamingAnalogs.feedHeavyHitters _),
+    // streaming mergeable quantiles: HistSketch bins as TWS state;
+    // HASH-EXACT (no bound booleans) — integer bin counts + the
+    // deterministic bin-edge read-off replay fully in the oracle
+    "stream_quantiles" ->
+      (graft.streaming.StreamingAnalogs.feedQuantiles _),
     "stream_versioned_ingest" -> (Versioned.streamVersionedIngest _),
     // S4/S5 custom DataSource V2 (paginated REST shape)
     "s4_rest_source" -> ((s, _) => {
@@ -375,6 +380,7 @@ object SparkEntry {
       "stream_distinct_running" + // same drain, TWS KMV state
       "stream_weighted_sample" + // same drain, TWS A-ES reservoir state
       "stream_heavy_hitters" + // same drain, TWS Misra-Gries state
+      "stream_quantiles" + // same drain, TWS histogram-sketch state
       "stream_versioned_ingest" + // drain committing versions per batch
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
@@ -2101,6 +2107,30 @@ object SparkEntry {
         |  COALESCE(nh, 0) AS n_heavy_found,
         |  TRUE AS est_bounds_ok, TRUE AS candidates_bounded
         |FROM tot LEFT JOIN heavy USING (kind) ORDER BY kind""".stripMargin,
+    "stream_quantiles" ->
+      // the ESTIMATES replay, not just bounds: the sketch read-off is
+      // the upper edge of the exact rank element's 400-cent bin (the
+      // bin-edge identity), with the same rank law as the batch
+      // quantile rollup — floor(n*frac + (1-frac))
+      """WITH f AS (
+        |  SELECT CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END
+        |      AS kind,
+        |    (range * 2654435761) % 100000 AS v
+        |  FROM range(5000)),
+        |r AS (SELECT kind, v,
+        |    row_number() OVER (PARTITION BY kind ORDER BY v) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY kind) AS BIGINT) AS n
+        |  FROM f),
+        |sel AS (SELECT kind, n,
+        |    MAX(CASE WHEN rn = CAST(floor(n * 0.5 + 0.5) AS BIGINT)
+        |      THEN v END) AS v50,
+        |    MAX(CASE WHEN rn = CAST(floor(n * 0.95 + 0.05) AS BIGINT)
+        |      THEN v END) AS v95
+        |  FROM r GROUP BY kind, n)
+        |SELECT kind, n AS n_events,
+        |  (LEAST(v50 // 400, 255) + 1) * 400 AS p50_est_cents,
+        |  (LEAST(v95 // 400, 255) + 1) * 400 AS p95_est_cents
+        |FROM sel ORDER BY kind""".stripMargin,
     "stream_versioned_ingest" ->
       // exactly-once proof: every generated row lands in exactly one
       // committed version, so the all-versions rollup equals the

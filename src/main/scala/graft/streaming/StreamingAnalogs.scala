@@ -731,6 +731,129 @@ object StreamingAnalogs {
       .orderBy("kind")
   }
 
+  /** Streaming mergeable quantiles: the fixed-bin histogram sketch
+    * (`HistSketchAgg`, the engine behind `agg_quantile_rollup` and
+    * the sketch MAD gate) as transformWithState state — per key one
+    * `bins`-long count array at ANY stream length, folded batch by
+    * batch exactly as the batch aggregate's `reduce` (mergeability
+    * incrementalized, the same argument as the weighted reservoir).
+    * Each microbatch update-emits the key's CURRENT p50/p95
+    * estimates read off the state.
+    *
+    * Unlike most streaming sketches this one is HASH-EXACT under the
+    * gate with no bound booleans: bin counts are integers (fold order
+    * irrelevant), and the read-off is the deterministic bin-edge
+    * identity — the upper edge of the exact rank element's bin — so
+    * the DuckDB oracle replays the estimates themselves from the
+    * generator (rank window + integer bin arithmetic).
+    */
+  class QuantileSketchProcessor(bins: Int, widthC: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long, Long, Long)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Array[Long]]("hist",
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Array[Long]](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long, Long)] = {
+      val agg = new graft.functions.HistSketchAgg(bins, widthC.toDouble)
+      val cur = if (st.exists()) st.get() else agg.zero
+      val next = rows.foldLeft(cur)((b, r) => agg.reduce(b, r._2.toDouble))
+      st.update(next)
+      val n = next.sum
+      // same rank law as Analytics.quantileRollup:
+      // rank(frac) = floor(n·frac + (1 − frac)); estimate = upper
+      // edge of the first bin whose cumulative count reaches it
+      def est(frac: Double): Long = {
+        val rank = math.floor(n * frac + (1 - frac)).toLong
+        var cum = 0L; var b = 0
+        while (b < bins && cum + next(b) < rank) { cum += next(b); b += 1 }
+        (b + 1) * widthC
+      }
+      Iterator((key, n, est(0.5), est(0.95)))
+    }
+  }
+
+  def quantileSketchTws(rows: Dataset[(String, Long)], bins: Int = 256,
+      widthC: Long = 400L): Dataset[(String, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_._1)
+      .transformWithState(new QuantileSketchProcessor(bins, widthC),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Driver-checked drain: running per-kind p50/p95 of the feed's
+    * amount (in exact integer cents, derived straight from the
+    * generator law so no float round-trip can shift a bin). Dynamic
+    * overwrite keeps each kind's latest emission; after the
+    * AvailableNow drain the table holds the FULL stream's estimates,
+    * which the oracle replays exactly.
+    */
+  def feedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_quant"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    import s.implicits._
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      // amount cents straight from the generator law (amount itself
+      // is cents/100.0 — re-multiplying the double could land a ±1ulp
+      // value in the neighboring bin)
+      .select(col("kind"),
+        ((col("id") * lit(2654435761L)) % lit(100000L)).as("cents"))
+      .as[(String, Long)]
+    val out = quantileSketchTws(feed)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = s.conf.getOption(providerKey)
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      out.toDF("kind", "n_events", "p50_est_cents", "p95_est_cents")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind")
+            .parquet(s"$base/table")
+        }
+        .start()
+        .awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+    s.read.parquet(s"$base/table")
+      .select(col("kind"), col("n_events"), col("p50_est_cents"),
+        col("p95_est_cents"))
+      .orderBy("kind")
+  }
+
   /** Streaming weighted reservoir: the TopKAgg buffer as
     * transformWithState state — a weighted sample WITHOUT replacement
     * of the FULL stream so far, per key, with state bounded at ≤ k

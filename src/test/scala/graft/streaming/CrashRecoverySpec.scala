@@ -252,6 +252,74 @@ class CrashRecoverySpec extends SparkSpec {
       s"diverged: only-crashed=${crashed -- clean} only-clean=${clean -- crashed}")
   }
 
+  test("quantile sketch (transformWithState/RocksDB): crash after " +
+    "batch-0's sink write; checkpoint restart resumes the histogram " +
+    "bins and drains to the exact full-stream estimates") {
+    val base = cleanBase("quant")
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def cents = feed(5000, 1000)
+      .select(col("kind"),
+        ((col("id") * lit(2654435761L)) % lit(100000L)).as("cents"))
+      .as[(String, Long)]
+    def drain(injectCrash: Boolean): Unit = {
+      val q = StreamingAnalogs.quantileSketchTws(cents)
+        .toDF("kind", "n_events", "p50", "p95").writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind")
+            .parquet(s"$base/table")
+          if (injectCrash && id == 0)
+            throw new RuntimeException("injected crash")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      intercept[StreamingQueryException](drain(injectCrash = true))
+      drain(injectCrash = false) // resume: bins restored, batch 0 replays
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val got = spark.read.parquet(s"$base/table")
+      .select(col("kind"), col("n_events"), col("p50"), col("p95"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // ground truth: exact generator replay through the same bin-edge
+    // read-off — a lost batch shifts n_events, a double-applied one
+    // shifts bin counts (and with them possibly the rank bin)
+    val expect = spark.range(0, 5000)
+      .select(when(col("id") % 3 === 0, lit("credit"))
+        .otherwise(lit("debit")).as("kind"),
+        ((col("id") * lit(2654435761L)) % lit(100000L)).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, xs) =>
+        val vs = xs.map(_._2).sorted
+        val n = vs.length.toLong
+        def est(frac: Double) = {
+          val rank = math.floor(n * frac + (1 - frac)).toInt
+          (math.min(vs(rank - 1) / 400, 255) + 1) * 400
+        }
+        k -> ((n, est(0.5), est(0.95)))
+      }
+    assert(got == expect, s"got $got expected $expect")
+  }
+
   test("weighted reservoir (transformWithState/RocksDB): crash after " +
     "batch-0's sink write; checkpoint restart resumes the A-ES buffer " +
     "and drains to the exact full-stream sample") {
