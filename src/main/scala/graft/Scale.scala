@@ -39,7 +39,8 @@ object Scale {
       "dedup_prefix_jaccard", "dedup_prefix_stats", "sim_ivfpq_topk",
       "graph_label_prop", "dq_outlier_mad", "dq_outlier_mad_sketch",
       "agg_cms_pointq", "agg_weighted_sample", "text_wordpiece_apply",
-      "adv_interval_join", "adv_asof_join", "w_running"))
+      "adv_interval_join", "adv_asof_join", "w_running",
+      "text_unigram_lm", "dedup_incremental_lsh"))
       .filter(SparkEntry.queries.contains)
     def timeAndShuffle(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
@@ -85,8 +86,8 @@ object Scale {
     // shuffle above the 1 MB floor at the larger sf growing steeper
     // than the 10x data jump allows
     val flagged = rows.collect {
-      case (name, Some((_, _, _, sb, tsl, Some(shsl))))
-        if (shsl > 1.3 && sb > 1048576) || tsl > 1.3 => name
+      case (name, Some((_, _, _, sb, tsl, shsl)))
+        if shsl.exists(v => v > 1.3 && sb > 1048576) || tsl > 1.3 => name
     }.sorted
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = rows.collect { case (n, None) => "\"" + n + "\"" }

@@ -253,8 +253,14 @@ object Dedup {
     */
   def prefixFilterStats(s: SparkSession, dir: String,
       t: Double = 0.5): DataFrame = {
+    // the pooled exact pair set below is built at threshold 0.5
+    require(t == 0.5, s"prefixFilterStats audits the t=0.5 pair set, got $t")
     val toks = shingleDf(s, dir)
-    val nTrue = prefixJaccard(s, dir, t)
+    // truth from the POOLED exact pair set (bit-identical to
+    // prefixJaccard's output by the prefix lemma — the equality the
+    // spec and the shared oracle pin), so the expensive candidate
+    // self-join below runs ONCE per execution, not twice
+    val nTrue = jaccardPairs(s, dir)
       .agg(count(lit(1)).as("n_true_pairs"))
     val nPref = prefixCandidates(s, dir, t)
       .agg(count(lit(1)).as("n_cand_prefix"))

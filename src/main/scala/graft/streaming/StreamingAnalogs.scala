@@ -535,18 +535,33 @@ object StreamingAnalogs {
         ((col("id") * lit(2654435761L)) % lit(100000L) % lit(101L))
           .as("user_id"))
       .as[(String, Long)]
-    val out = runningDistinctTws(feed)
+    drainTwsToTable(s, base, runningDistinctTws(feed)
+      .toDF("kind", "n_users"))
+    s.read.parquet(s"$base/table")
+      .select(col("kind"), col("n_users")).orderBy("kind")
+  }
+
+  /** Shared transformWithState drain harness: RocksDB state-store
+    * provider (TWS requires it) and key-cardinality-sized shuffle
+    * partitions set for the drain and restored after; update-mode
+    * AvailableNow drain into `$base/table`, dynamic-partition-
+    * overwritten by `kind` so the table keeps each key's LATEST
+    * emission — the four TWS feed drains differ only in their query
+    * and output schema.
+    */
+  private def drainTwsToTable(s: SparkSession, base: String,
+      out: DataFrame): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val savedProvider = s.conf.getOption(providerKey)
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      // transformWithState requires the RocksDB provider; state is
-      // 2 keys — size partitions to key cardinality (see feedDaily)
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
       s.conf.set("spark.sql.shuffle.partitions", "2")
-      out.toDF("kind", "n_users").writeStream
+      out.writeStream
         .outputMode("update")
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())
@@ -565,8 +580,6 @@ object StreamingAnalogs {
         case None => s.conf.unset(providerKey)
       }
     }
-    s.read.parquet(s"$base/table")
-      .select(col("kind"), col("n_users")).orderBy("kind")
   }
 
   /** Streaming Misra–Gries heavy hitters: the MG counter map as
@@ -629,10 +642,12 @@ object StreamingAnalogs {
 
   /** The deterministic skewed token law shared by the stream side,
     * the in-plan exact replay, and the DuckDB oracle: 75% of rows
-    * land on 16 heavy tokens, 25% spread over a 499-token tail —
-    * heavy tokens each carry ~4.7% of their kind's rows, clearing the
-    * MG nomination bar N/(m+1) ≈ 3% at m=32 with margin, while tail
-    * tokens (~0.05%) stay far below it.
+    * land on the heavy branch h%16 — and since that branch requires
+    * h%4 ≠ 0 while h%16 ≡ h (mod 4), residues {0,4,8,12} are
+    * unreachable, leaving 12 heavy tokens of ~6.25% each (75%/12) —
+    * clearing the MG nomination bar N/(m+1) ≈ 3% at m=32 with ~2×
+    * margin; the remaining 25% spreads over a 499-token tail
+    * (~0.05% each), far below it.
     */
   private def tokenOf(h: Column): Column =
     concat(lit("t"), when(h % 4 =!= 0, h % 16)
@@ -668,34 +683,8 @@ object StreamingAnalogs {
       .load()
       .select(col("kind"), tokenOf(h).as("token"), col("id"))
       .as[(String, String, Long)]
-    val out = heavyHittersTws(feed, m)
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val savedProvider = s.conf.getOption(providerKey)
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      out.toDF("kind", "token", "est").writeStream
-        .outputMode("update")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
-          batch.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("kind")
-            .parquet(s"$base/table")
-        }
-        .start()
-        .awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      savedProvider match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
-    }
+    drainTwsToTable(s, base,
+      heavyHittersTws(feed, m).toDF("kind", "token", "est"))
     val cand = s.read.parquet(s"$base/table")
       .select(col("kind"), col("token"), col("est"))
     // exact replay of the generator, batch-side — the same row law
@@ -819,35 +808,8 @@ object StreamingAnalogs {
       .select(col("kind"),
         ((col("id") * lit(2654435761L)) % lit(100000L)).as("cents"))
       .as[(String, Long)]
-    val out = quantileSketchTws(feed)
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val savedProvider = s.conf.getOption(providerKey)
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      out.toDF("kind", "n_events", "p50_est_cents", "p95_est_cents")
-        .writeStream
-        .outputMode("update")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
-          batch.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("kind")
-            .parquet(s"$base/table")
-        }
-        .start()
-        .awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      savedProvider match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
-    }
+    drainTwsToTable(s, base, quantileSketchTws(feed)
+      .toDF("kind", "n_events", "p50_est_cents", "p95_est_cents"))
     s.read.parquet(s"$base/table")
       .select(col("kind"), col("n_events"), col("p50_est_cents"),
         col("p95_est_cents"))
@@ -935,34 +897,8 @@ object StreamingAnalogs {
       .load()
       .select(col("kind"), col("id"), (log(u) / w).as("es_key"))
       .as[(String, Long, Double)]
-    val out = weightedReservoirTws(feed)
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val savedProvider = s.conf.getOption(providerKey)
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      out.toDF("kind", "rk", "id").writeStream
-        .outputMode("update")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
-          batch.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("kind")
-            .parquet(s"$base/table")
-        }
-        .start()
-        .awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      savedProvider match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
-    }
+    drainTwsToTable(s, base, weightedReservoirTws(feed)
+      .toDF("kind", "rk", "id"))
     s.read.parquet(s"$base/table")
       .select(col("kind"), col("rk"), col("id")).orderBy("kind", "rk")
   }

@@ -77,9 +77,18 @@ def main(path, threshold=1.3):
 
 if __name__ == "__main__":
     thr = 1.3
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a \
-                else float(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:  # consume the space-separated value too
+                thr = float(argv[i + 1])
+                i += 1
+        else:
+            args.append(a)
+        i += 1
     sys.exit(main(args[0], thr))
