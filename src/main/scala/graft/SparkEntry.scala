@@ -285,6 +285,9 @@ object SparkEntry {
     // signatures probe them, candidates exact-verified (assertion
     // form — precision-1 law + recall bound vs the exact cross pairs)
     "dedup_incremental_lsh" -> (Dedup.incrementalLsh _),
+    // quality-aware representative per near-dup cluster (argmax
+    // quality, min-id tie-break) — the keep-best policy layer
+    "dedup_keep_best" -> (Dedup.keepBestPerCluster _),
     // bloom-prefiltered semi join: candidates-only exact verify
     "j_bloom_semi" -> (Dedup.bloomSemiJoin _),
     // §2.10 north-star: similarity search
@@ -361,6 +364,7 @@ object SparkEntry {
       "s2_jdbc_agg_pushdown" + // same Derby seed job
       "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
       "dedup_clusters_star" + // same fixpoint via star alternation
+      "dedup_keep_best" + // reads the same CC fixpoint labels
       "p_entity_resolution" + // composes the CC fixpoint on fuzzy pairs
       "graph_pagerank" + // builder runs the rank-iteration jobs
       "graph_label_prop" + // builder runs the propagation-round jobs
@@ -752,6 +756,63 @@ object SparkEntry {
       |SELECT l.doc_id, l.cluster_id, cs.cluster_size,
       |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
       |FROM lab l JOIN cs ON l.cluster_id = cs.cluster_id
+      |ORDER BY l.doc_id""".stripMargin
+
+  /** dedup_keep_best oracle: the recursive-CTE transitive closure
+    * (ccClustersOracle's CTE chain) extended with the text_quality
+    * score and a per-cluster (quality desc, doc_id) argmax window —
+    * the keep-best policy replayed end to end.
+    */
+  private val keepBestOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+      |    unnest(generate_series(1,
+      |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+      |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM pr
+      |  JOIN sz na ON na.doc_id = doc_a
+      |  JOIN sz nb ON nb.doc_id = doc_b
+      |  WHERE n_inter / (na.n + nb.n - n_inter) >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+      |        FROM reach GROUP BY 1),
+      |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |       FROM lab GROUP BY 1),
+      |q AS (SELECT doc_id,
+      |    round(0.5 * (CAST(len(list_distinct(string_split_regex(
+      |        trim(lower(text)), '\s+'))) AS INT)
+      |      / CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+      |        AS INT))
+      |      + 0.5 * least(CAST(len(string_split_regex(trim(lower(text)),
+      |        '\s+')) AS INT) / 100.0, 1.0), 4) AS quality_score
+      |  FROM documents),
+      |keep AS (SELECT cluster_id, doc_id AS keeper_doc_id FROM (
+      |    SELECT l.cluster_id, l.doc_id,
+      |      row_number() OVER (PARTITION BY l.cluster_id
+      |        ORDER BY q.quality_score DESC, l.doc_id) AS rn
+      |    FROM lab l JOIN q USING (doc_id)) WHERE rn = 1)
+      |SELECT l.doc_id, l.cluster_id, cs.cluster_size, q.quality_score,
+      |  k.keeper_doc_id,
+      |  CAST(l.doc_id = k.keeper_doc_id AS INT) AS kept
+      |FROM lab l JOIN cs USING (cluster_id) JOIN q USING (doc_id)
+      |  JOIN keep k USING (cluster_id)
       |ORDER BY l.doc_id""".stripMargin
 
   /** Shared by p_merge_cdc and sink_versioned_merge: the versioned
@@ -2896,6 +2957,7 @@ object SparkEntry {
         | true AS orthonormal_ok, true AS eigs_desc_ok,
         | true AS var_matches_eig FROM embeddings""".stripMargin,
     "dedup_clusters" -> ccClustersOracle,
+    "dedup_keep_best" -> keepBestOracle,
     // the star-alternation variant computes the SAME clusters
     "dedup_clusters_star" -> ccClustersOracle,
     "text_decontaminate" ->

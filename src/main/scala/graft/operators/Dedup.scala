@@ -438,14 +438,47 @@ object Dedup {
     * SHRINKS as the edge set contracts toward stars, the better trade
     * when edges vastly outnumber nodes.
     */
-  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
-    // pooled: the fixpoint's job cascade re-runs on EVERY invocation
-    // otherwise (bench best-of-2, cross-query reuse) — the label table
-    // is tiny, the rounds that built it are not
-    val labels = graft.CachePool.cached(s, s"dedup.ccLabels:$dir") {
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterRollup(ccLabels(s, dir))
+
+  /** Pooled (doc_id, label) component table: the fixpoint's job
+    * cascade re-runs on EVERY invocation otherwise (bench best-of-2,
+    * cross-query reuse, the keep-best policy below) — the label table
+    * is tiny, the rounds that built it are not.
+    */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"dedup.ccLabels:$dir") {
       connectedComponents(jaccardPairs(s, dir).select("doc_a", "doc_b"))
     }
-    clusterRollup(labels)
+
+  /** Quality-aware cluster representative selection — the POLICY
+    * layer after pair generation and clustering: within each near-dup
+    * cluster keep the BEST document (highest quality score, min
+    * doc_id tie-break), not the arbitrary min-id — the choice that
+    * matters when near-dups differ in quality (a clean original vs a
+    * boilerplate-wrapped scrape). One broadcast-joined argmax over
+    * the pooled label table; the corpus-scale work (pairs, clusters,
+    * scores) is all shared pooled intermediates.
+    */
+  def keepBestPerCluster(s: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabels(s, dir)
+    val quality = TextAnalysis.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val scored = labels.join(quality, "doc_id")
+    // argmax via max(struct): quality desc, then MIN doc_id (negated
+    // id makes the struct max prefer the smaller id on score ties)
+    val keepers = scored.groupBy(col("label"))
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("nid")))
+        .as("best"), count(lit(1)).as("cluster_size"))
+      .select(col("label"), col("cluster_size"),
+        (-col("best.nid")).as("keeper_doc_id"),
+        col("best.quality_score").as("keeper_quality"))
+    scored.join(broadcast(keepers), "label")
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), col("quality_score"),
+        col("keeper_doc_id"),
+        (col("doc_id") === col("keeper_doc_id")).cast("int").as("kept"))
+      .orderBy("doc_id")
   }
 
   /** nearDupClusters through the star alternation — identical output
