@@ -23,16 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contract pins the entry forever.)
   */
 object CachePool {
-  // comfortably above the ~35 distinct tags a single-dir session
-  // creates: the bound exists to stop UNBOUNDED accumulation across
-  // many (session, dir) combinations, not to evict the live working
-  // set — a Max at-or-under the tag count makes any full sweep thrash
+  // comfortably above the ~40 distinct tags a single-dir session
+  // creates (round 9 added prefixCand / bandIndex / bpeEncoded): the
+  // bound exists to stop UNBOUNDED accumulation across many
+  // (session, dir) combinations, not to evict the live working set —
+  // a Max at-or-under the tag count makes any full sweep thrash
   // evict/recompute (sequential access is LRU's worst case: round 8's
   // 33rd tag evicted the sweep's oldest entries right before their
   // pass-2 reuse, and the pooled graph/cluster queries silently went
   // cold — 0.03 s → 2.5 s each). Two-dir sessions (tests run
-  // sf0.001 + sf0.01) hold two working sets at once, hence ≥ 2×35.
-  private val Max = 96
+  // sf0.001 + sf0.01) hold two working sets at once, hence ≥ 2×40
+  // with headroom.
+  private val Max = 128
   private val memo =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
       16, 0.75f, /* accessOrder = */ true) {

@@ -29,7 +29,7 @@ class CachePoolSpec extends SparkSpec {
     assert(first.storageLevel != StorageLevel.NONE)
     // flood the pool past capacity with fresh tags; the oldest entry
     // (spec.evict.0, never re-accessed) must be evicted + unpersisted
-    (1 to 120).foreach { i =>
+    (1 to 150).foreach { i =>
       CachePool.cached(spark, s"spec.evict.$i") {
         spark.range(i.toLong).toDF("n")
       }
