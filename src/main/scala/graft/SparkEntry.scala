@@ -288,6 +288,9 @@ object SparkEntry {
     // quality-aware representative per near-dup cluster (argmax
     // quality, min-id tie-break) — the keep-best policy layer
     "dedup_keep_best" -> (Dedup.keepBestPerCluster _),
+    // the persisted-index form: history bands as a bucketed table, so
+    // the probe join has NO exchange on the (big) history side
+    "dedup_lsh_index" -> ((s, d) => Dedup.incrementalLshBucketed(s, d)),
     // bloom-prefiltered semi join: candidates-only exact verify
     "j_bloom_semi" -> (Dedup.bloomSemiJoin _),
     // §2.10 north-star: similarity search
@@ -365,6 +368,7 @@ object SparkEntry {
       "dedup_clusters" + // builder runs the iterative CC fixpoint jobs
       "dedup_clusters_star" + // same fixpoint via star alternation
       "dedup_keep_best" + // reads the same CC fixpoint labels
+      "dedup_lsh_index" + // builder writes the bucketed index table
       "p_entity_resolution" + // composes the CC fixpoint on fuzzy pairs
       "graph_pagerank" + // builder runs the rank-iteration jobs
       "graph_label_prop" + // builder runs the propagation-round jobs
@@ -757,6 +761,36 @@ object SparkEntry {
       |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
       |FROM lab l JOIN cs ON l.cluster_id = cs.cluster_id
       |ORDER BY l.doc_id""".stripMargin
+
+  /** Shared oracle of both incremental-LSH audit forms: the exact
+    * delta→history near-pair truth from the ngram CTEs.
+    */
+  private val lshAuditOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+      |    unnest(generate_series(1,
+      |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+      |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |jc AS (
+      |  SELECT a.doc_id AS doc_id, b.doc_id AS hist_id
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |  JOIN sz na ON na.doc_id = a.doc_id
+      |  JOIN sz nb ON nb.doc_id = b.doc_id
+      |  GROUP BY 1, 2, na.n, nb.n
+      |  HAVING count(*) / (na.n + nb.n - count(*)) >= 0.5)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM jc) AS n_true_cross_pairs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |    WHERE doc_id % 5 = 0) AS n_delta,
+      |  TRUE AS recall_ok, TRUE AS all_matches_true""".stripMargin
 
   /** dedup_keep_best oracle: the recursive-CTE transitive closure
     * (ccClustersOracle's CTE chain) extended with the text_quality
@@ -3095,37 +3129,14 @@ object SparkEntry {
         |  CASE WHEN ex.e_id IS NULL THEN nr.near_j END AS jaccard
         |FROM delta LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
         |ORDER BY delta.doc_id""".stripMargin,
-    "dedup_incremental_lsh" ->
-      // exact cross (delta->history) near-pair count + delta size
-      // replayed; precision-1 (exact-verified candidates) and the
-      // banded recall bound are deterministic under the fixed seeds —
-      // oracle: literal true (same discipline as the recall
-      // assertion queries)
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
-        |    unnest(generate_series(1,
-        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
-        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |jc AS (
-        |  SELECT a.doc_id AS doc_id, b.doc_id AS hist_id
-        |  FROM sh a JOIN sh b ON a.s = b.s
-        |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-        |  JOIN sz na ON na.doc_id = a.doc_id
-        |  JOIN sz nb ON nb.doc_id = b.doc_id
-        |  GROUP BY 1, 2, na.n, nb.n
-        |  HAVING count(*) / (na.n + nb.n - count(*)) >= 0.5)
-        |SELECT
-        |  (SELECT CAST(count(*) AS BIGINT) FROM jc) AS n_true_cross_pairs,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
-        |    WHERE doc_id % 5 = 0) AS n_delta,
-        |  TRUE AS recall_ok, TRUE AS all_matches_true""".stripMargin,
+    // exact cross (delta->history) near-pair count + delta size
+    // replayed; precision-1 (exact-verified candidates) and the
+    // banded recall bound are deterministic under the fixed seeds —
+    // oracle: literal true (same discipline as the recall assertion
+    // queries). Shared by both LSH forms — the persisted bucketed
+    // index changes the plan, never the result.
+    "dedup_incremental_lsh" -> lshAuditOracle,
+    "dedup_lsh_index" -> lshAuditOracle,
     "j_bloom_semi" ->
       // the bloom prefilter is exact end-to-end (false positives die
       // in the verify semi join, false negatives can't exist), so the

@@ -375,9 +375,19 @@ object Dedup {
     * minhashRecall pins at ≥ 0.8 on the full pair set).
     */
   def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
-    val bands = 8; val rows = 4
-    val isDelta = col("doc_id") % 5 === 0
-    val bandTbl = graft.CachePool.cached(s, s"dedup.bandIndex:$dir") {
+    val bandTbl = bandIndex(s, dir)
+    val hist = bandTbl.filter(!(col("doc_id") % 5 === 0))
+      .select(col("bandkey"), col("doc_id").as("hist_id"))
+    lshProbeAudit(s, dir, hist)
+  }
+
+  /** The per-doc (doc_id, bandkey) table of the WHOLE corpus — 8×4
+    * banded MinHash signatures, pooled (delta and history sides both
+    * read it; the bucketed variant persists its history slice).
+    */
+  private def bandIndex(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"dedup.bandIndex:$dir") {
+      val bands = 8; val rows = 4
       minhashSignatures(s, dir, bands * rows)
         .select(col("doc_id"), explode(array((0 until bands).map {
           b => struct(lit(b).as("band"),
@@ -386,9 +396,17 @@ object Dedup {
         .select(col("doc_id"),
           concat_ws(":", col("bb.band"), col("bb.bkey")).as("bandkey"))
     }
-    val hist = bandTbl.filter(!isDelta)
-      .select(col("bandkey"), col("doc_id").as("hist_id"))
-    val cand = bandTbl.filter(isDelta)
+
+  /** Shared probe + verify + audit tail of both incremental-LSH
+    * forms: delta bands probe the supplied history index (bucket-equi
+    * join, never all-pairs), candidates verify with row-local exact
+    * Jaccard, and the audit row compares against the pooled exact
+    * cross-pair truth.
+    */
+  private def lshProbeAudit(s: SparkSession, dir: String,
+      hist: DataFrame): DataFrame = {
+    val isDelta = col("doc_id") % 5 === 0
+    val cand = bandIndex(s, dir).filter(isDelta)
       .join(hist, "bandkey") // the probe: bucket-equi, never all-pairs
       .select(col("doc_id"), col("hist_id")).distinct()
     val arr = shingleArrDf(s, dir)
@@ -419,6 +437,48 @@ object Dedup {
           col("n_hit") >= col("n_true_cross_pairs") * lit(0.8))
           .as("recall_ok"),
         (col("n_emitted") === col("n_hit")).as("all_matches_true"))
+  }
+
+  // (warehouse → dir) the persisted LSH index was built from — the
+  // build-once memo pattern of Advanced.bucketedJoin
+  private val lshIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The incremental-LSH story completed at the STORAGE layer: the
+    * history band index PERSISTED as a bucketed table (CLUSTERED BY
+    * bandkey), so a delta probe sort-merge-joins with NO exchange on
+    * the history side — at 100 TB the index is the big side by
+    * orders of magnitude, and bucketing moves its shuffle cost into
+    * the one-off index write, amortized across every later delta
+    * batch (exactly how a production pipeline maintains a persisted
+    * near-dup index between runs). Only the small delta band stream
+    * shuffles to the bucket layout. Same audit row and oracle as
+    * `dedup_incremental_lsh`; BucketingSpec pins the exchange-free
+    * history side.
+    */
+  def incrementalLshBucketed(s: SparkSession, dir: String,
+      warehouse: String = "/tmp/graft_lsh_index"): DataFrame = {
+    val fresh = lshIndexBuilt.get(warehouse) == dir &&
+      s.catalog.tableExists("graft_lsh_hist_b") && {
+        val p = new org.apache.hadoop.fs.Path(warehouse)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+      }
+    if (!fresh) {
+      val p = new org.apache.hadoop.fs.Path(warehouse)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      bandIndex(s, dir).filter(!(col("doc_id") % 5 === 0))
+        .select(col("bandkey"), col("doc_id").as("hist_id"))
+        .createOrReplaceTempView("graft_tmp_lsh_hist")
+      s.sql("DROP TABLE IF EXISTS graft_lsh_hist_b")
+      s.sql(s"""CREATE TABLE graft_lsh_hist_b USING PARQUET
+               |CLUSTERED BY (bandkey) INTO 8 BUCKETS
+               |LOCATION '$warehouse/lsh_hist_b'
+               |AS SELECT bandkey, hist_id FROM graft_tmp_lsh_hist"""
+        .stripMargin)
+      lshIndexBuilt.put(warehouse, dir)
+    }
+    lshProbeAudit(s, dir, s.table("graft_lsh_hist_b"))
   }
 
   /** Duplicate-cluster resolution: connected components over the

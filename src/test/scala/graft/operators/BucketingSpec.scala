@@ -35,4 +35,39 @@ class BucketingSpec extends SparkSpec {
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("persisted LSH index: the bucketed history side joins with NO " +
+    "exchange — only the small delta band stream shuffles to the " +
+    "bucket layout — and the audit row equals the pooled-index form") {
+    val s = spark
+    val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      // build the index + audit (result parity with the pooled form)
+      val bucketed = Dedup.incrementalLshBucketed(s, sfDir).collect()
+      val pooled = Dedup.incrementalLsh(s, sfDir).collect()
+      assert(bucketed.toSeq == pooled.toSeq)
+      // the probe join in isolation: the history (bucketed) side must
+      // carry its bucket layout into the join — any Exchange directly
+      // above the graft_lsh_hist_b scan means bucketing bought nothing
+      val probe = s.table("graft_lsh_hist_b")
+        .join(spark.range(0, 10)
+          .selectExpr("concat('0:', id) AS bandkey", "id AS doc_id"),
+          "bandkey")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      // exactly ONE exchange: the probe side's; zero would need the
+      // probe bucketed too, two would mean the index shuffled anyway
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"$exchanges exchanges in bucketed probe plan:\n${plan.take(2000)}")
+      // and the scan itself reports its bucket layout
+      assert(plan.contains("Bucketed: true"), plan.take(2500))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
