@@ -40,7 +40,8 @@ object Scale {
       "graph_label_prop", "dq_outlier_mad", "dq_outlier_mad_sketch",
       "agg_cms_pointq", "agg_weighted_sample", "text_wordpiece_apply",
       "adv_interval_join", "adv_asof_join", "w_running",
-      "text_unigram_lm", "dedup_incremental_lsh"))
+      "text_unigram_lm", "dedup_incremental_lsh", "dedup_keep_best",
+      "dedup_lsh_index", "sim_hybrid_rrf"))
       .filter(SparkEntry.queries.contains)
     def timeAndShuffle(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)

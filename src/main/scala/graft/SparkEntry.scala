@@ -304,6 +304,7 @@ object SparkEntry {
     "sim_pq" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_pq_topk" -> (Assertions.pqTopKRecall _),
     "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "sim_hybrid_rrf" -> ((s, d) => TextAnalysis.hybridRrf(s, d)),
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "p_diverse_subset" -> ((s, d) => Pipelines.diverseSubset(s, d)),
     // §2.10 north-star: text analysis
@@ -3399,6 +3400,66 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY 1),
+        |ti AS (SELECT tf.doc_id, tf.token,
+        |    CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |q AS (SELECT doc_id AS query_id, token FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, token) AS r
+        |    FROM ti WHERE doc_id < 4) WHERE r <= 3),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |              CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |        WHERE token IN (SELECT token FROM q) GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(round(((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+        |          / (CAST(st.total_len AS DOUBLE) / st.n_docs)))
+        |      * 1e6) AS BIGINT) AS s
+        |  FROM tf JOIN q USING (token) JOIN dfq USING (token)
+        |    JOIN dl USING (doc_id) CROSS JOIN st
+        |  WHERE tf.doc_id <> q.query_id),
+        |lexagg AS (SELECT query_id, doc_id AS cand_id, SUM(s) AS ssum
+        |           FROM sc GROUP BY 1, 2),
+        |lex AS (SELECT query_id, cand_id, CAST(r AS INT) AS lex_rank
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY ssum DESC, cand_id) AS r FROM lexagg)
+        |  WHERE r <= 20),
+        |simsc AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+        |      AS DOUBLE), 3) AS sim
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 4),
+        |sem AS (SELECT query_id, cand_id, CAST(r AS INT) AS sem_rank
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, cand_id) AS r FROM simsc)
+        |  WHERE r <= 20),
+        |fused AS (SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+        |    COALESCE(lex.cand_id, sem.cand_id) AS cand_id,
+        |    lex_rank, sem_rank,
+        |    COALESCE(CAST(round(1e6 / (60 + lex_rank)) AS BIGINT), 0)
+        |      + COALESCE(CAST(round(1e6 / (60 + sem_rank)) AS BIGINT), 0)
+        |      AS fused
+        |  FROM lex FULL JOIN sem
+        |    ON lex.query_id = sem.query_id AND lex.cand_id = sem.cand_id)
+        |SELECT query_id, CAST(r AS INT) AS rank, cand_id, fused,
+        |  lex_rank, sem_rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY fused DESC, cand_id) AS r FROM fused)
+        |WHERE r <= 5 ORDER BY query_id, rank""".stripMargin,
     "sim_hard_negatives" ->
       """WITH s AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS negative_id,

@@ -31,7 +31,7 @@ object Similarity {
     * round-2 slowdown). At 100 TB this is the deliberate working-set
     * choice — the normed corpus is the table every ANN probe touches.
     */
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private[operators] def corpus(s: SparkSession, dir: String): DataFrame =
     graft.CachePool.cached(s, s"sim.corpus:$dir") {
       VectorExpressions.ensureRegistered(s)
       Tables.embeddings(s, dir)

@@ -228,6 +228,24 @@ object TextAnalysis {
         .agg(count(lit(1)).as("tf"))
     }
 
+  /** Pooled per-document length (sum of term frequencies) — shared by
+    * bm25 and hybridRrf, each of which otherwise re-aggregates the
+    * whole postings table for the same |docs|-row result.
+    */
+  private def docLen(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"text.docLen:$dir") {
+      termFreq(s, dir).groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    }
+
+  /** Pooled per-token document frequency — shared by tfidf, bm25 and
+    * hybridRrf (a vocabulary-sized table; consumers that only need a
+    * few terms filter it rather than re-counting the postings).
+    */
+  private def docFreq(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"text.docFreq:$dir") {
+      termFreq(s, dir).groupBy("token").agg(count(lit(1)).as("df"))
+    }
+
   /** Bigram counts (adjacent token pairs, NON-distinct — unlike the
     * dedup shingles, language-model counts keep multiplicity), top 50
     * with a unique tie-break.
@@ -258,9 +276,17 @@ object TextAnalysis {
     * score is two IEEE ops — bit-identical across engines — where
     * ln() is a libm call with no cross-engine rounding guarantee.
     */
-  def tfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def tfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfidfRanked(s, dir, k).orderBy("doc_id", "rank")
+
+  /** tfidf without the presentation sort — internal consumers
+    * (hybridRrf's probe-term derivation) filter it by doc_id, which
+    * pushes below the window; the global orderBy would add an
+    * exchange+sort they immediately discard.
+    */
+  private def tfidfRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
     val tf = termFreq(s, dir) // pooled — see termFreq
-    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val df_ = docFreq(s, dir) // pooled — see docFreq
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df_, "token")
       .crossJoin(broadcast(nDocs))
@@ -273,7 +299,6 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("token"), col("tf"),
         col("df"), col("tfidf"))
-      .orderBy("doc_id", "rank")
   }
 
   /** BM25 keyword search (Robertson/Spärck Jones; k1=1.2, b=0.75) —
@@ -301,14 +326,14 @@ object TextAnalysis {
       "q2" -> "vector", "q2" -> "scan", "q2" -> "filter",
       "q3" -> "spark", "q3" -> "stream").toDF("query_id", "token")
     val tf = termFreq(s, dir) // pooled postings (doc_id, token, tf)
-    // per-doc length + corpus stats from the postings themselves
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // per-doc length + corpus stats, both off the pooled length table
+    val dl = docLen(s, dir) // pooled — see docLen
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len"))
     // prune the index to query terms BEFORE any aggregation
     val post = tf.join(broadcast(queries), "token")
-    val df_ = tf.join(broadcast(queries.select("token").distinct()), "token")
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    val df_ = docFreq(s, dir) // pooled; vocabulary-sized
+      .join(broadcast(queries.select("token").distinct()), "token")
     val avgdl = col("total_len").cast("double") / col("n_docs")
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val termScore = idf * (col("tf") * lit(2.2)) /
@@ -326,6 +351,93 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         (col("ssum") / lit(1e6)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, the standard
+    * 1/(60+rank) fusion): each probe document (doc_id < 4) retrieves a
+    * lexical candidate pool (BM25 more-like-this, query terms = the
+    * probe's own top-3 TF-IDF tokens) and a semantic pool (cosine over
+    * its embedding, vec_id = doc_id), and the two rank lists fuse into
+    * one ranking. Candidates found by only one leg still score — the
+    * other leg's contribution is 0, the point of RRF.
+    *
+    * Scale shape: the lexical leg broadcasts the (|probes| × 3)-term
+    * query set and PRUNES the pooled postings to those terms before
+    * any aggregation (the bm25 shape — at 100 TB a token-bucketed
+    * index reads only the query terms' buckets); the semantic leg is
+    * the bounded-probe broadcast over the pooled normed corpus (the
+    * bruteForceTopK contract: probe count fixed by the caller, never
+    * data-proportional — swap in the ANN legs for large probe sets).
+    * The fusion itself joins two rank lists of ≤ pool rows per probe —
+    * O(|probes| · pool) rows regardless of corpus size.
+    *
+    * Cross-engine determinism: both legs already rank on exact
+    * integers (BM25 term scores scaled to BIGINT before the per-doc
+    * sum) or 3-decimal-rounded similarity with id tie-breaks; the RRF
+    * contribution round(1e6/(60+rank)) is integral in both engines,
+    * and no pool rank can hit a .5 rounding tie (2·10⁶ = 2⁷·5⁶ has no
+    * odd quotient for any divisor 61..60+pool, so 1e6/(60+r) is never
+    * exactly half-way).
+    */
+  def hybridRrf(s: SparkSession, dir: String, k: Int = 5,
+      pool: Int = 20): DataFrame = {
+    val nProbes = 4
+    // lexical leg: probe's top-3 TF-IDF tokens as its query terms.
+    // Pooled because the plan consumes it TWICE (postings prune + df
+    // prune) and each use would re-run the ranked-tfidf subplan; the
+    // cached form is |probes|·3 rows.
+    val qterms = graft.CachePool.cached(s, s"text.rrfQterms:$dir") {
+      tfidfRanked(s, dir, 3).filter(col("doc_id") < nProbes)
+        .select(col("doc_id").as("query_id"), col("token"))
+    }
+    val tf = termFreq(s, dir)
+    val dl = docLen(s, dir) // pooled — see docLen
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val post = tf.join(broadcast(qterms), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+    val df_ = docFreq(s, dir) // pooled; vocabulary-sized
+      .join(broadcast(qterms.select("token").distinct()), "token")
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val termScore = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ssum").desc, col("cand_id"))
+    val lex = post.join(broadcast(df_), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id").as("cand_id"))
+      .agg(sum(round(termScore * lit(1e6)).cast("long")).as("ssum"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= pool)
+      .select(col("query_id"), col("cand_id"), col("lex_rank"))
+    // semantic leg: probe embeddings vs the pooled normed corpus
+    val c = Similarity.corpus(s, dir)
+    val probes = c.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
+    val sem = c.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(call_function("vector_dot", col("qv"), col("v")) /
+          (col("qn") * col("nrm")), 3).as("sim"))
+      .withColumn("sem_rank", row_number().over(ws))
+      .filter(col("sem_rank") <= pool)
+      .select(col("query_id"), col("cand_id"), col("sem_rank"))
+    // RRF fusion: absent leg contributes 0
+    val contrib = (r: Column) =>
+      coalesce(round(lit(1e6) / (lit(60) + r)).cast("long"), lit(0L))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("fused").desc, col("cand_id"))
+    lex.join(sem, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("fused", contrib(col("lex_rank")) + contrib(col("sem_rank")))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("fused"),
+        col("lex_rank"), col("sem_rank"))
       .orderBy("query_id", "rank")
   }
 

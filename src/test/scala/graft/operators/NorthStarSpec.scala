@@ -670,6 +670,43 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("hybridRrf: ranks 1..5 per probe, fused = recomputed RRF " +
+      "contributions, sem leg agrees rank-for-rank with bruteForceTopK") {
+    val out = TextAnalysis.hybridRrf(spark, sfDir).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    def contrib(r: org.apache.spark.sql.Row, c: String): Long =
+      if (r.isNullAt(r.fieldIndex(c))) 0L
+      else math.round(1e6 / (60 + r.getAs[Int](c)))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val fused = sorted.map(_.getAs[Long]("fused"))
+      assert(fused.zip(fused.tail).forall { case (a, b) => a >= b })
+      sorted.foreach { r =>
+        val want = contrib(r, "lex_rank") + contrib(r, "sem_rank")
+        assert(r.getAs[Long]("fused") == want,
+          s"query $q cand ${r.getAs[Long]("cand_id")}: fused " +
+            s"${r.getAs[Long]("fused")} != $want")
+        assert(!r.isNullAt(r.fieldIndex("lex_rank")) ||
+          !r.isNullAt(r.fieldIndex("sem_rank")))
+      }
+    }
+    // the semantic leg is the bruteForceTopK ranking (same rounded
+    // cosine, same tie-break): any emitted sem_rank <= 5 must appear
+    // in the exact top-k at exactly that rank
+    val topk = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Int]("rank")).toMap
+    out.filter(r => !r.isNullAt(r.fieldIndex("sem_rank")) &&
+        r.getAs[Int]("sem_rank") <= 5)
+      .foreach { r =>
+        val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+        assert(topk.get(key).contains(r.getAs[Int]("sem_rank")),
+          s"$key: sem_rank ${r.getAs[Int]("sem_rank")} not in topk")
+      }
+  }
+
   test("lmScore: one row per multi-token doc; n_bigrams = tokens - 1; " +
       "mean probability in (0, 1]") {
     val nTok = Tables.documents(spark, sfDir)
