@@ -4,7 +4,7 @@ package graft
   * 100×-scale predictor this sandbox allows. Every bench number is one
   * point (one sf); the suite's scaling claims (prefix-lemma candidate
   * growth, LPA shuffle linearity, simhash collisions ~n²/2¹⁶) were
-  * argued in prose. This main MEASURES them: each headline query runs
+  * argued in prose. This main MEASURES them: every declared query runs
   * at sf0.01 AND sf0.1 — a 10× data jump — and the artifact records
   * the per-query log₁₀ slope of wall time and of shuffle volume.
   *
@@ -33,16 +33,18 @@ object Scale {
     spark.sparkContext.setLogLevel("WARN")
     sfs.foreach(d => Tables.names.foreach(t =>
       Tables.load(spark, d, t).count())) // warm footers + codegen
-    // the headline subset plus the heaviest ops the verdict named and
-    // the round-9 additions — the queries whose scale story matters
-    val subset = (Bench.headline ++ Set(
-      "dedup_prefix_jaccard", "dedup_prefix_stats", "sim_ivfpq_topk",
-      "graph_label_prop", "dq_outlier_mad", "dq_outlier_mad_sketch",
-      "agg_cms_pointq", "agg_weighted_sample", "text_wordpiece_apply",
-      "adv_interval_join", "adv_asof_join", "w_running",
-      "text_unigram_lm", "dedup_incremental_lsh", "dedup_keep_best",
-      "dedup_lsh_index", "sim_hybrid_rrf"))
-      .filter(SparkEntry.queries.contains)
+    // the FULL declared surface (round-9 extension — originally the
+    // headline subset plus verdict-named heavy ops): every query
+    // carries a measured slope, so no scaling claim anywhere in the
+    // suite rests on prose. Optional args = name filter for fast
+    // local iteration; a typo'd name must fail, not silently no-op.
+    val subset =
+      if (args.isEmpty) SparkEntry.queries.keySet
+      else {
+        val unknown = args.toSet -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        args.toSet
+      }
     def timeAndShuffle(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -305,6 +305,7 @@ object SparkEntry {
     "sim_pq_topk" -> (Assertions.pqTopKRecall _),
     "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "sim_hybrid_rrf" -> ((s, d) => TextAnalysis.hybridRrf(s, d)),
+    "sim_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "p_diverse_subset" -> ((s, d) => Pipelines.diverseSubset(s, d)),
     // §2.10 north-star: text analysis
@@ -3460,6 +3461,100 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY fused DESC, cand_id) AS r FROM fused)
         |WHERE r <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_mmr_rerank" ->
+      """WITH pool0 AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    CAST(round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+        |      AS DOUBLE) * 1000) AS BIGINT) AS rel_m
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 4),
+        |pool AS (SELECT query_id, cand_id, rel_m FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rel_m DESC, cand_id) AS r FROM pool0)
+        |  WHERE r <= 20),
+        |ps AS (SELECT p.query_id, p.cand_id AS a_cand, q.cand_id AS b_cand,
+        |    CAST(round(CAST(list_cosine_similarity(ea.embedding, eb.embedding)
+        |      AS DOUBLE) * 1000) AS BIGINT) AS sim_m
+        |  FROM pool p JOIN pool q
+        |    ON p.query_id = q.query_id AND p.cand_id <> q.cand_id
+        |  JOIN embeddings ea ON ea.vec_id = p.cand_id
+        |  JOIN embeddings eb ON eb.vec_id = q.cand_id),
+        |s1 AS (SELECT query_id, cand_id, rel_m,
+        |    CAST(0 AS BIGINT) AS maxsim_m, 700 * rel_m AS score_m
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY 700 * rel_m DESC, cand_id) AS r FROM pool)
+        |  WHERE r = 1),
+        |m2 AS (SELECT ps.query_id, ps.a_cand AS cand_id,
+        |    MAX(ps.sim_m) AS maxsim_m
+        |  FROM ps JOIN s1 ON ps.query_id = s1.query_id
+        |    AND ps.b_cand = s1.cand_id GROUP BY 1, 2),
+        |s2 AS (SELECT query_id, cand_id, rel_m, maxsim_m, score_m FROM (
+        |    SELECT p.query_id, p.cand_id, p.rel_m, m.maxsim_m,
+        |      700 * p.rel_m - 300 * m.maxsim_m AS score_m,
+        |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |        ORDER BY 700 * p.rel_m - 300 * m.maxsim_m DESC, p.cand_id)
+        |        AS r
+        |    FROM pool p JOIN m2 m USING (query_id, cand_id)
+        |    WHERE NOT EXISTS (SELECT 1 FROM s1
+        |      WHERE s1.query_id = p.query_id AND s1.cand_id = p.cand_id))
+        |  WHERE r = 1),
+        |sel2 AS (SELECT query_id, cand_id FROM s1
+        |  UNION ALL SELECT query_id, cand_id FROM s2),
+        |m3 AS (SELECT ps.query_id, ps.a_cand AS cand_id,
+        |    MAX(ps.sim_m) AS maxsim_m
+        |  FROM ps JOIN sel2 ON ps.query_id = sel2.query_id
+        |    AND ps.b_cand = sel2.cand_id GROUP BY 1, 2),
+        |s3 AS (SELECT query_id, cand_id, rel_m, maxsim_m, score_m FROM (
+        |    SELECT p.query_id, p.cand_id, p.rel_m, m.maxsim_m,
+        |      700 * p.rel_m - 300 * m.maxsim_m AS score_m,
+        |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |        ORDER BY 700 * p.rel_m - 300 * m.maxsim_m DESC, p.cand_id)
+        |        AS r
+        |    FROM pool p JOIN m3 m USING (query_id, cand_id)
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel2
+        |      WHERE sel2.query_id = p.query_id AND sel2.cand_id = p.cand_id))
+        |  WHERE r = 1),
+        |sel3 AS (SELECT query_id, cand_id FROM sel2
+        |  UNION ALL SELECT query_id, cand_id FROM s3),
+        |m4 AS (SELECT ps.query_id, ps.a_cand AS cand_id,
+        |    MAX(ps.sim_m) AS maxsim_m
+        |  FROM ps JOIN sel3 ON ps.query_id = sel3.query_id
+        |    AND ps.b_cand = sel3.cand_id GROUP BY 1, 2),
+        |s4 AS (SELECT query_id, cand_id, rel_m, maxsim_m, score_m FROM (
+        |    SELECT p.query_id, p.cand_id, p.rel_m, m.maxsim_m,
+        |      700 * p.rel_m - 300 * m.maxsim_m AS score_m,
+        |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |        ORDER BY 700 * p.rel_m - 300 * m.maxsim_m DESC, p.cand_id)
+        |        AS r
+        |    FROM pool p JOIN m4 m USING (query_id, cand_id)
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel3
+        |      WHERE sel3.query_id = p.query_id AND sel3.cand_id = p.cand_id))
+        |  WHERE r = 1),
+        |sel4 AS (SELECT query_id, cand_id FROM sel3
+        |  UNION ALL SELECT query_id, cand_id FROM s4),
+        |m5 AS (SELECT ps.query_id, ps.a_cand AS cand_id,
+        |    MAX(ps.sim_m) AS maxsim_m
+        |  FROM ps JOIN sel4 ON ps.query_id = sel4.query_id
+        |    AND ps.b_cand = sel4.cand_id GROUP BY 1, 2),
+        |s5 AS (SELECT query_id, cand_id, rel_m, maxsim_m, score_m FROM (
+        |    SELECT p.query_id, p.cand_id, p.rel_m, m.maxsim_m,
+        |      700 * p.rel_m - 300 * m.maxsim_m AS score_m,
+        |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        |        ORDER BY 700 * p.rel_m - 300 * m.maxsim_m DESC, p.cand_id)
+        |        AS r
+        |    FROM pool p JOIN m5 m USING (query_id, cand_id)
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel4
+        |      WHERE sel4.query_id = p.query_id AND sel4.cand_id = p.cand_id))
+        |  WHERE r = 1)
+        |SELECT query_id, CAST(step AS INT) AS step, cand_id, rel_m,
+        |  maxsim_m, score_m
+        |FROM (
+        |  SELECT *, 1 AS step FROM s1
+        |  UNION ALL SELECT *, 2 AS step FROM s2
+        |  UNION ALL SELECT *, 3 AS step FROM s3
+        |  UNION ALL SELECT *, 4 AS step FROM s4
+        |  UNION ALL SELECT *, 5 AS step FROM s5)
+        |ORDER BY query_id, step""".stripMargin,
     "sim_hard_negatives" ->
       """WITH s AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS negative_id,

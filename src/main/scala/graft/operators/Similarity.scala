@@ -275,6 +275,103 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** MMR diversified re-ranking (maximal marginal relevance,
+    * Carbonell/Goldstein '98): greedily select k of a pool of
+    * candidates so each pick trades query relevance against redundancy
+    * with what is already picked — score(c) = λ·rel(c) −
+    * (1−λ)·max_{s∈selected} sim(c, s). The selection step behind
+    * diversified retrieval results and diverse training-batch
+    * construction (diverseSubset is the cluster-quota cousin; MMR is
+    * the order-sensitive greedy).
+    *
+    * Spark-first shape: the greedy is UNROLLED at plan time — k is a
+    * small fixed constant, so each step is one argmax aggregation
+    * (`max_by` with an id tie-break) over the pooled candidate table
+    * anti-joined against the picks so far, with redundancy read from
+    * the pooled pairwise-sim table. No driver loop touches data: per
+    * step the driver adds plan nodes, not rows, and every intermediate
+    * is ≤ |probes| rows. At 100 TB the pool per query is ANN-bounded
+    * (pool=20 here), so post-pool work is O(probes·pool²) regardless
+    * of corpus size — the pool construction is the only corpus-scale
+    * pass (broadcast probes × streamed corpus, or the annLsh bucket
+    * path for data-proportional probe sets).
+    *
+    * Cross-engine determinism: every score is integer arithmetic —
+    * similarities become round(cos·1000) BIGINTs, λ=0.7 becomes the
+    * 700/300 split, so score_m = 700·rel_m − 300·maxsim_m is exact in
+    * both engines and the DuckDB oracle replays the greedy
+    * stepwise-identically (fixed k unrolls to k CTEs).
+    */
+  def mmrRerank(s: SparkSession, dir: String, k: Int = 5,
+      pool: Int = 20, nProbes: Int = 4): DataFrame = {
+    val c = corpus(s, dir)
+    val probes = c.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rel_m").desc, col("cand_id"))
+    // candidate pool: top `pool` by integer-scaled cosine; pooled
+    // because every greedy step re-reads it (k anti-joins + scoring)
+    val poolDf = graft.CachePool.cached(s, s"sim.mmrPool:$dir") {
+      c.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+            * lit(1000)).cast("long").as("rel_m"),
+          col("v"), col("nrm"))
+        .withColumn("prank", row_number().over(wp))
+        .filter(col("prank") <= pool)
+        .select(col("query_id"), col("cand_id"), col("rel_m"),
+          col("v"), col("nrm"))
+    }
+    // pairwise sims within each pool (pool² per query, pool-bounded)
+    val simMat = graft.CachePool.cached(s, s"sim.mmrSimMat:$dir") {
+      val a = poolDf.select(col("query_id"), col("cand_id").as("a_cand"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = poolDf.select(col("query_id"), col("cand_id").as("b_cand"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("query_id")).filter(col("a_cand") =!= col("b_cand"))
+        .select(col("query_id"), col("a_cand"), col("b_cand"),
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+            * lit(1000)).cast("long").as("sim_m"))
+    }
+    val cands = poolDf.select("query_id", "cand_id", "rel_m")
+    // argmax with min-cand_id tie-break: lexicographic max_by over
+    // (score, -cand)
+    def pick(scored: DataFrame, step: Int): DataFrame =
+      scored.groupBy("query_id").agg(max_by(
+          struct(col("cand_id"), col("rel_m"), col("maxsim_m"),
+            col("score_m")),
+          struct(col("score_m"), (-col("cand_id")).as("nc"))).as("w"))
+        .select(col("query_id"), lit(step).as("step"), col("w.cand_id"),
+          col("w.rel_m"), col("w.maxsim_m"), col("w.score_m"))
+    val first = pick(cands
+      .withColumn("maxsim_m", lit(0L))
+      .withColumn("score_m", lit(700L) * col("rel_m")), 1)
+    val steps = (2 to k).foldLeft(List(first)) { case (acc, t) =>
+      val sel = acc.map(_.select("query_id", "cand_id")).reduce(_ union _)
+      val selR = sel.select(col("query_id").as("sq"),
+        col("cand_id").as("sel_id"))
+      // every remaining candidate has a sim row to every selected one
+      // (the pool pair table is complete minus self-pairs), so the
+      // redundancy join is inner and drops nothing
+      val maxsim = simMat
+        .join(selR, col("query_id") === col("sq") &&
+          col("b_cand") === col("sel_id"))
+        .groupBy(col("query_id"), col("a_cand"))
+        .agg(max(col("sim_m")).as("maxsim_m"))
+        .select(col("query_id"), col("a_cand").as("cand_id"),
+          col("maxsim_m"))
+      val scored = cands
+        .join(sel, Seq("query_id", "cand_id"), "left_anti")
+        .join(maxsim, Seq("query_id", "cand_id"))
+        .withColumn("score_m",
+          lit(700L) * col("rel_m") - lit(300L) * col("maxsim_m"))
+      pick(scored, t) :: acc
+    }
+    steps.reverse.reduce(_ union _).orderBy("query_id", "step")
+  }
+
   /** Distributed k-means (Lloyd) over the embedding corpus — the
     * "train the IVF coarse quantizer" step that annIvf presupposes.
     * A fixed iteration count (default 2) with deterministic seeding

@@ -707,6 +707,56 @@ class NorthStarSpec extends SparkSpec {
       }
   }
 
+  test("mmrRerank: 5 distinct picks per probe, greedy scores " +
+      "non-increasing, components consistent, step 1 = relevance top-1") {
+    val out = Similarity.mmrRerank(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def relM(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb))
+        * 1000).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    }
+    val topk = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .filter(r => r.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("step"))
+      assert(sorted.map(_.getAs[Int]("step")).toSeq == (1 to 5))
+      val cands = sorted.map(_.getAs[Long]("cand_id"))
+      assert(cands.distinct.length == 5)
+      // greedy property: each candidate's score only decays as the
+      // selected set grows, so the chosen scores are non-increasing
+      val scores = sorted.map(_.getAs[Long]("score_m"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("score_m") == 700L * r.getAs[Long]("rel_m")
+          - 300L * r.getAs[Long]("maxsim_m"))
+      }
+      assert(sorted.head.getAs[Long]("maxsim_m") == 0L)
+      assert(cands.head == topk(q), s"probe $q: step 1 not the rel top-1")
+      // maxsim_m really is the max pairwise sim to the prior picks
+      // (recomputed from the raw vectors; ±1 milli absorbs any
+      // accumulation-order ulp vs the codegen kernel)
+      sorted.zipWithIndex.drop(1).foreach { case (r, i) =>
+        val prev = cands.take(i)
+        val want = prev.map(p => relM(emb(r.getAs[Long]("cand_id")),
+          emb(p))).max
+        assert(math.abs(r.getAs[Long]("maxsim_m") - want) <= 1,
+          s"probe $q step ${i + 1}: maxsim ${r.getAs[Long]("maxsim_m")}" +
+            s" != recomputed $want")
+      }
+    }
+  }
+
   test("lmScore: one row per multi-token doc; n_bigrams = tokens - 1; " +
       "mean probability in (0, 1]") {
     val nTok = Tables.documents(spark, sfDir)
