@@ -122,6 +122,9 @@ object SparkEntry {
     "stream_quantiles" ->
       (graft.streaming.StreamingAnalogs.feedQuantiles _),
     "stream_versioned_ingest" -> (Versioned.streamVersionedIngest _),
+    // streaming exact dedup: a doubled at-least-once feed through
+    // dropDuplicatesWithinWatermark — output = the generator, exactly
+    "stream_dedup_feed" -> (graft.streaming.StreamingAnalogs.feedDedup _),
     // S4/S5 custom DataSource V2 (paginated REST shape)
     "s4_rest_source" -> ((s, _) => {
       import org.apache.spark.sql.functions._
@@ -2147,6 +2150,14 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN kind = 'credit' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_credit
         |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_dedup_feed" ->
+      // the doubled feed deduplicates back to the generator itself
+      """SELECT range AS id,
+        |  TIMESTAMP '2024-01-01 00:00:00' + range * INTERVAL 1 MINUTE
+        |    AS ts,
+        |  CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END AS kind,
+        |  CAST((range * 2654435761) % 100000 AS DOUBLE) / 100.0 AS amount
+        |FROM range(5000) ORDER BY id""".stripMargin,
     "stream_distinct_running" ->
       // generator replay + plain COUNT(DISTINCT): the streaming KMV
       // runs in its exact sub-k regime (101-user domain, k=1024)

@@ -367,11 +367,13 @@ object Relational {
     */
   /** TPC-H Q9 shape — product-type profit rollup: the widest dim
     * fan-in of the suite (part + supplier + nation + orders around
-    * the fact). The name-pattern part prune and the two constant/
-    * SF-proportional dims ride planner-sized broadcasts INTO the
-    * fact scan side; orders joins on the order key only to supply the
-    * year, after the fact has already been part-pruned — so the big
-    * join's probe side is ~1/9 of lineitem, not all of it. Profit =
+    * the fact). The name-pattern part prune rides a planner-sized
+    * broadcast; supplier×nation is broadcast EXPLICITLY (see the
+    * in-body note — the planner's join-size estimate misjudges the
+    * dimension product past sf0.01); orders joins on the order key
+    * only to supply the year, after the fact has already been
+    * part-pruned — so the big join's probe side is ~1/9 of lineitem,
+    * not all of it. Profit =
     * extended price net of discount (the fixture ships no
     * ps_supplycost); decimal-exact, grouped by nation × year.
     */
@@ -384,9 +386,16 @@ object Relational {
           .select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
+    // suppNation is explicitly broadcast: supplier×nation is a
+    // dimension product (|suppliers| rows of (key, name)) at ANY sf,
+    // but the planner's join-size estimate crosses the auto-broadcast
+    // threshold at sf0.1 and compiles SMJ — AQE converts it back to
+    // BHJ at runtime, yet both map-side hash exchanges still execute
+    // (the measured 0.01→1.3 MB shuffle jump in SCALE.json). The hint
+    // removes the exchanges at plan time at every sf.
     Tables.lineitem(s, dir)
       .join(boltParts, col("l_partkey") === col("p_partkey"))
-      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, dir)
           .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
         col("l_orderkey") === col("o_orderkey"))

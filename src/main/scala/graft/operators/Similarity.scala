@@ -337,7 +337,10 @@ object Similarity {
     }
     val cands = poolDf.select("query_id", "cand_id", "rel_m")
     // argmax with min-cand_id tie-break: lexicographic max_by over
-    // (score, -cand)
+    // (score, -cand). Each step's |probes|-row result is
+    // localCheckpoint'ed (the labelPropagation lineage cut): step t's
+    // plan references EVERY prior step, so without the cut the greedy
+    // re-executes O(k²) subplans — measured 10.9 s vs 2.4 s at sf0.1
     def pick(scored: DataFrame, step: Int): DataFrame =
       scored.groupBy("query_id").agg(max_by(
           struct(col("cand_id"), col("rel_m"), col("maxsim_m"),
@@ -345,6 +348,7 @@ object Similarity {
           struct(col("score_m"), (-col("cand_id")).as("nc"))).as("w"))
         .select(col("query_id"), lit(step).as("step"), col("w.cand_id"),
           col("w.rel_m"), col("w.maxsim_m"), col("w.score_m"))
+        .localCheckpoint()
     val first = pick(cands
       .withColumn("maxsim_m", lit(0L))
       .withColumn("score_m", lit(700L) * col("rel_m")), 1)

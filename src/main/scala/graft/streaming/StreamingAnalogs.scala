@@ -331,6 +331,57 @@ object StreamingAnalogs {
       .orderBy("user_id", "session_start")
   }
 
+  /** Driver-checked streaming exact dedup through the gate: TWO
+    * independent instances of the deterministic feed union into one
+    * at-least-once stream — every event arrives twice, the Kafka-replay
+    * / API-retry delivery model — and `dropDuplicatesWithinWatermark`
+    * keeps exactly the first arrival. The sources advance in lockstep
+    * (same admission cap), so each id's duplicate lands inside the
+    * watermark and the drained output is EXACTLY the generator's 5 000
+    * rows — the oracle replays the generator and nothing else.
+    *
+    * Scale shape: dedup state is one entry per id seen within the
+    * watermark window (here 2 days ≈ 2 880 ids), evicted as the
+    * watermark passes — O(arrival rate × lateness bound) at ANY stream
+    * length, the only state bound that survives an unbounded stream.
+    * The sink is the idempotent per-batch-directory overwrite (a
+    * replayed batch rewrites its own directory byte-identically).
+    */
+  def feedDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_dedup"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    def src(): DataFrame = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+    val dedup = src().union(src())
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("id")
+    // state sized to key cardinality — see feedDaily's note
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      dedup.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          batch.write.mode("overwrite").parquet(s"$base/table/batch=$bid")
+        }
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    s.read.parquet(s"$base/table")
+      .select(col("id"), col("ts"), col("kind"), col("amount"))
+      .orderBy("id")
+  }
+
   /** Open (not yet emitted) sessions in flight for one user, kept as
     * gap-merged disjoint intervals sorted by start.
     */

@@ -388,4 +388,50 @@ class CrashRecoverySpec extends SparkSpec {
       .toSet
     assert(got == expect)
   }
+
+  test("watermark dedup: crash after batch-1's sink write; checkpoint " +
+    "restart restores the seen-id state, so a slower source's LATER " +
+    "duplicates of pre-crash ids are still dropped") {
+    val base = cleanBase("dedup")
+    // two copies of the generator at DIFFERENT pacing: the fast
+    // source's id arrives batches before the slow source's duplicate,
+    // so dedup depends on state SURVIVING across batches — and across
+    // the crash. A restart that lost the state would pass the slow
+    // copies through as fresh rows. 2000 rows = 33 h of event time,
+    // inside the 2-day watermark: no row ever ages out of state, so
+    // the only correct output is each id exactly once.
+    def doubled = feed(2000, 1000).union(
+      spark.readStream.format("graft.sources.FeedSource")
+        .option("totalRows", 2000)
+        .option("rowsPerTrigger", 400)
+        .option("partitionsPerBatch", 4)
+        .load())
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("id")
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def drain(injectCrash: Boolean): Unit = {
+      val q = doubled.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$base/table/batch=$id")
+          if (injectCrash && id == 1)
+            throw new RuntimeException("injected crash")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      intercept[StreamingQueryException](drain(injectCrash = true))
+      drain(injectCrash = false) // resume: seen-ids restored, batch 1 replays
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    val ids = spark.read.parquet(s"$base/table")
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(ids.length == 2000,
+      s"${ids.length} rows emitted — lost state re-admits duplicates " +
+        "or a replayed batch double-emitted")
+    assert(ids.toSet == (0L until 2000L).toSet)
+  }
 }
