@@ -337,6 +337,9 @@ object SparkEntry {
       Learn.scoreQualityClassifier(s, d)),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_resample" -> (TextAnalysis.resample _),
+    // DSIR importance resampling: target/proposal bigram-LM ratio as
+    // the weight, deterministic A-ES draw — fully oracle-replayed
+    "text_dsir_resample" -> ((s, d) => TextAnalysis.dsirResample(s, d)),
     "text_token_budget" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.tokenBudgetFill(s, dir)),
     "text_unicode_norm" -> (TextAnalysis.unicodeNormalize _),
@@ -3192,6 +3195,56 @@ object SparkEntry {
         |        COUNT(*) OVER (PARTITION BY source) AS n_src FROM sc)
         |WHERE q_rank >= 0.5 OR n_src = 1
         |ORDER BY doc_id""".stripMargin,
+    "text_dsir_resample" ->
+      // full replay: bigram models from the tokenized stream, scaled-
+      // integer mean-probability sums (n cancels in the ratio), the
+      // Knuth-hash A-ES keys, and the identical top-32 draw
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |bgr AS (SELECT doc_id, w AS w1,
+        |         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |       FROM toks),
+        |b AS (SELECT doc_id, w1, w2 FROM bgr WHERE w2 IS NOT NULL),
+        |tb AS (SELECT b.doc_id, b.w1, b.w2 FROM b
+        |       JOIN documents d ON b.doc_id = d.doc_id
+        |       WHERE d.lang = 'en'),
+        |p2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2p
+        |       FROM b GROUP BY 1, 2),
+        |p1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1p
+        |       FROM b GROUP BY 1),
+        |t2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2t
+        |       FROM tb GROUP BY 1, 2),
+        |t1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1t
+        |       FROM tb GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v_sz FROM b),
+        |sums AS (SELECT b.doc_id,
+        |    CAST(SUM(CAST(round(CAST(p2.c2p + 1 AS DOUBLE)
+        |      / (p1.c1p + v.v_sz) * 1e6) AS BIGINT)) AS BIGINT) AS s_p,
+        |    CAST(SUM(CAST(round(CAST(COALESCE(t2.c2t, 0) + 1 AS DOUBLE)
+        |      / (COALESCE(t1.c1t, 0) + v.v_sz) * 1e6) AS BIGINT))
+        |      AS BIGINT) AS s_t
+        |  FROM b JOIN p2 USING (w1, w2) JOIN p1 USING (w1)
+        |    LEFT JOIN t2 USING (w1, w2) LEFT JOIN t1 USING (w1)
+        |    CROSS JOIN v
+        |  GROUP BY 1),
+        |w0 AS (SELECT doc_id, s_t, s_p,
+        |    CAST(s_t AS DOUBLE) / s_p AS weight FROM sums),
+        |w2 AS (SELECT *, weight * weight AS ww2 FROM w0),
+        |w4 AS (SELECT *, ww2 * ww2 AS ww4 FROM w2),
+        |w8 AS (SELECT *, ww4 * ww4 AS ww8 FROM w4),
+        |keyed AS (SELECT doc_id, s_t, s_p, weight,
+        |    ln((CAST(((doc_id % 2147483648) * 2654435761) % 4294967296
+        |          AS DOUBLE) + 1.0) / 4294967297.0)
+        |      / greatest(ww8 * ww8, 1e-6) AS es_key
+        |  FROM w8),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY es_key DESC,
+        |    doc_id) AS rk FROM keyed)
+        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, s_t, s_p, weight
+        |FROM ranked WHERE rk <= 32 ORDER BY rk""".stripMargin,
     "text_resample" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(CASE WHEN source = 'src0' THEN 2.5

@@ -354,6 +354,100 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** DSIR-style importance resampling (Xie et al.'s Data Selection
+    * via Importance Resampling, in the suite's deterministic idiom):
+    * score every document under a TARGET-domain language model and
+    * under the PROPOSAL (full-corpus) model, take the likelihood
+    * ratio as the importance weight, and draw a weighted sample —
+    * the "make web data look like the target domain" selection pass.
+    *
+    * Determinism recipe (all pieces proven elsewhere in the suite):
+    * both models are ADD-ONE-SMOOTHED bigram tables — p = (c2+1)/
+    * (c1+V) over a shared vocabulary V — scored by SCALED-INTEGER
+    * mean probability (the lmScore trick: each p becomes round(p·1e6)
+    * and sums are exact BIGINTs; the shared bigram count cancels in
+    * the ratio, so weight = s_t/s_p directly). Smoothing is
+    * load-bearing, not cosmetic: unsmoothed, a bigram seen once in a
+    * tiny target slice scores p_t = 1/1 against a diluted proposal
+    * probability and a single shared token can catapult an
+    * OUT-of-domain document past every in-domain one (measured: the
+    * en-targeted sample came back 12.5% en against a 38.6% base
+    * rate); smoothed, rare-evidence ratios shrink toward 1/V and the
+    * sample tilts INTO the target domain (NorthStarSpec pins the
+    * enrichment). The draw is Efraimidis–Spirakis with the
+    * weightedSample Knuth-hash u. The oracle replays models, weights,
+    * and the identical sample.
+    *
+    * Scale shape: both models are vocabulary-sized broadcasts; the
+    * scoring pass is one map-side join chain + one per-doc
+    * aggregation over the pooled bigram stream, and the global top-k
+    * is the mergeable TopKAgg (O(k·tasks) on the wire, never a
+    * corpus sort). The target-membership join is an equi-join on
+    * doc_id — at 100 TB the target set is a table, not a broadcast.
+    */
+  def dsirResample(s: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    val bg = docBigrams(s, dir) // pooled — see docBigrams
+    val lang = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val tbg = bg.join(lang.filter(col("lang") === "en"), Seq("doc_id"))
+    val p2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2p"))
+    val p1 = bg.groupBy("w1").agg(count(lit(1)).as("c1p"))
+    val t2 = tbg.groupBy("w1", "w2").agg(count(lit(1)).as("c2t"))
+    val t1 = tbg.groupBy("w1").agg(count(lit(1)).as("c1t"))
+    // shared smoothing vocabulary: distinct continuations in the
+    // proposal stream, a broadcast 1-row aggregate (the tfidf n_docs
+    // shape) — V never touches the driver
+    val vocab = bg.select(col("w2")).distinct()
+      .agg(count(lit(1)).as("v_sz"))
+    // pooled: the sampled-rows join re-reads it to attach weights
+    val sums = graft.CachePool.cached(s, s"text.dsirSums:$dir") {
+      bg.join(broadcast(p2), Seq("w1", "w2"))
+        .join(broadcast(p1), Seq("w1"))
+        .join(broadcast(t2), Seq("w1", "w2"), "left")
+        .join(broadcast(t1), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round((col("c2p") + lit(1)).cast("double")
+            / (col("c1p") + col("v_sz")) * lit(1e6))
+            .cast("long").as("sp_i"),
+          round((coalesce(col("c2t"), lit(0L)) + lit(1)).cast("double")
+            / (coalesce(col("c1t"), lit(0L)) + col("v_sz")) * lit(1e6))
+            .cast("long").as("st_i"))
+        .groupBy("doc_id")
+        .agg(sum(col("sp_i")).as("s_p"), sum(col("st_i")).as("s_t"))
+    }
+    val u = (pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L)).cast("double") + lit(1.0)) / lit(4294967297.0)
+    // True DSIR weights are PRODUCTS of per-token ratios — a doc-length
+    // exponent — but a product (or its ln-sum) is a per-bigram libm
+    // call with no cross-engine rounding guarantee. The deterministic
+    // stand-in: the exact mean-probability ratio sharpened by a fixed
+    // power, computed as FOUR SQUARINGS (w² → w⁴ → w⁸ → w¹⁶) — each an
+    // IEEE multiply on identical operands in both engines, so the key
+    // is bit-reproducible where pow() is not. Unsharpened the ratios
+    // sit in [0.87, 1.13] and the draw degenerates to near-uniform
+    // (measured: en came back at/below its base rate); at ^16 the
+    // en/non-en weight gap is ~3.5× and the tilt is decisive.
+    val keyed = sums
+      .withColumn("weight", col("s_t").cast("double") / col("s_p"))
+      .withColumn("w2", col("weight") * col("weight"))
+      .withColumn("w4", col("w2") * col("w2"))
+      .withColumn("w8", col("w4") * col("w4"))
+      .withColumn("w16", col("w8") * col("w8"))
+      .withColumn("es_key", log(u) / greatest(col("w16"), lit(1e-6)))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    val sampled = keyed
+      .agg(topk(col("es_key"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("t._2").as("doc_id"))
+    // re-attach the weight components for the k sampled docs only
+    sampled.join(keyed.select(col("doc_id"), col("s_t"), col("s_p"),
+        col("weight")), Seq("doc_id"))
+      .select(col("rk"), col("doc_id"), col("s_t"), col("s_p"),
+        col("weight"))
+      .orderBy("rk")
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (RRF, the standard
     * 1/(60+rank) fusion): each probe document (doc_id < 4) retrieves a
     * lexical candidate pool (BM25 more-like-this, query terms = the

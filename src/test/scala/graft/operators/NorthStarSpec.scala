@@ -757,6 +757,32 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("dsirResample: 32 distinct docs, weight = s_t/s_p, sample " +
+      "enriched in the target domain vs the corpus base rate") {
+    val out = TextAnalysis.dsirResample(spark, sfDir).collect()
+    assert(out.length == 32)
+    assert(out.map(_.getAs[Long]("rk")).toSeq == (1L to 32L))
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == 32)
+    out.foreach { r =>
+      val (st, sp) = (r.getAs[Long]("s_t"), r.getAs[Long]("s_p"))
+      assert(sp > 0)
+      assert(r.getAs[Double]("weight") == st.toDouble / sp)
+      // add-one smoothing floors every bigram at p >= 1/(c1+V) > 0
+      assert(st > 0, s"doc ${r.getAs[Long]("doc_id")} sampled with s_t=0")
+    }
+    // the selection pressure is the operator's purpose: weighting by
+    // the target/proposal likelihood ratio must tilt the sample
+    // toward the target domain relative to the corpus base rate
+    val langOf = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sampleEn = ids.count(langOf(_) == "en").toDouble / ids.length
+    val baseEn = langOf.values.count(_ == "en").toDouble / langOf.size
+    assert(sampleEn > baseEn,
+      s"sample en-fraction $sampleEn not above base rate $baseEn")
+  }
+
   test("lmScore: one row per multi-token doc; n_bigrams = tokens - 1; " +
       "mean probability in (0, 1]") {
     val nTok = Tables.documents(spark, sfDir)
