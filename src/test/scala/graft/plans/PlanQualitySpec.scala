@@ -634,4 +634,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
     assert(!p.toLowerCase.contains("join"), p.take(2000))
   }
+
+  test("q9ProductProfit: supplier-nation dim product broadcast at the sf " +
+    "where the planner's estimate once compiled SMJ — no fact-side hash " +
+    "exchange survives") {
+    // the regression only shows past sf0.01 (the size estimate crosses
+    // the auto-broadcast threshold), so the pin runs against sf0.1
+    val p = plan(Relational.q9ProductProfit(spark, "/root/testdata/sf0.1"))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the only hash exchange left is the (n_name, o_year) aggregate's
+    // (formatted mode prints partitioning under Arguments:)
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashEx == 1, s"$hashEx hash exchanges (want 1: the rollup)\n" +
+      p.take(3000))
+  }
+
+  test("hybridRrf: both retrieval legs prune via broadcast before any " +
+    "aggregation; the fusion join is never a pair scan") {
+    val p = plan(TextAnalysis.hybridRrf(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      // the bounded-probe corpus joins are non-equi (vec_id <> probe)
+      // and legitimately BNLJ over a broadcast probe set; a pair scan
+      // would be a cartesian with no broadcast side
+      p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("dsirResample: model scoring is a map-side broadcast-join chain " +
+    "and the draw is the two-phase TopKAgg — no global sort of the " +
+    "corpus, no window") {
+    val p = plan(TextAnalysis.dsirResample(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window "), p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p.take(3000))
+  }
 }
