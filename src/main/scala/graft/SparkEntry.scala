@@ -179,6 +179,9 @@ object SparkEntry {
     "st_gap_fill" -> (Analytics.gapFill _),
     // LOCF forward fill per series over a calendar spine
     "st_locf" -> (Analytics.locfFill _),
+    // exact EWMA: power-of-two decay folds bit-identically in both
+    // engines (exponent decrements + in-mantissa integer adds)
+    "st_ewma" -> ((s, d) => Analytics.ewmaDaily(s, d)),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
     // RLHF/DPO prep: per-source (chosen, rejected) quality pairs via
     // one groupBy argmax/argmin — no window, no per-source sort
@@ -241,6 +244,9 @@ object SparkEntry {
     // a planner change that flips a trigger shape fails the compare
     "plan_audit" -> (graft.plans.PlanAudit.lintDemo _),
     "p_scd2" -> (Pipelines.scd2 _),
+    // point-in-time SCD2 lookup: facts enriched with the attribute in
+    // effect at their OWN event time (training-serving skew guard)
+    "p_pit_lookup" -> (Pipelines.pitLookup _),
     "p_corpus_clean" -> (Pipelines.corpusClean _),
     // §2.6 scalar function families
     "x_string_suite" -> (ScalarSuite.stringSuite _),
@@ -2005,6 +2011,24 @@ object SparkEntry {
         |  COALESCE(daily.sum_value, 0.0) AS sum_value
         |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
         |ORDER BY day""".stripMargin,
+    "st_ewma" ->
+      // same left fold over the same 10-day frame list: acc/2 + x is
+      // an exponent decrement plus an in-mantissa add, so the doubles
+      // are bit-identical across engines (see ewmaDaily's scaladoc);
+      // list_prepend(0.0) mirrors Spark aggregate's zero seed
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM events GROUP BY 1, 2),
+        |fr AS (SELECT event_type, day, total_cents,
+        |    list(CAST(total_cents AS DOUBLE)) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS frame
+        |  FROM daily)
+        |SELECT event_type, day, total_cents,
+        |  list_reduce(list_prepend(0.0, frame),
+        |    (acc, x) -> acc / 2 + x) AS ewma
+        |FROM fr ORDER BY event_type, day""".stripMargin,
     "st_locf" ->
       // LOCF replay: same spine, last_value IGNORE NULLS over the
       // same running frame; integer cents → hash-exact fill
@@ -2472,6 +2496,23 @@ object SparkEntry {
         |    ORDER BY (doc_id * 2654435761) % 97, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY source, lang, rk""".stripMargin,
+    "p_pit_lookup" ->
+      // the scd2 interval table rebuilt, then a key-equi + interval-
+      // residual left join: at most one version covers each ship date
+      """WITH scd AS (SELECT o_custkey AS cust_id,
+        |    o_orderpriority AS attr, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders),
+        |pr AS (SELECT l.l_orderkey, l.l_linenumber,
+        |    o.o_custkey AS cust_id, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT pr.l_orderkey, pr.l_linenumber, pr.cust_id, pr.l_shipdate,
+        |  COALESCE(scd.attr, 'Not_Found') AS attr_at_ship
+        |FROM pr LEFT JOIN scd ON pr.cust_id = scd.cust_id
+        |  AND scd.valid_from <= pr.l_shipdate
+        |  AND (scd.valid_to IS NULL OR pr.l_shipdate < scd.valid_to)
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
     "p_scd2" ->
       """SELECT cust_id, version_key, attr, valid_from, valid_to,
         | CAST(valid_to IS NULL AS INT) AS is_current

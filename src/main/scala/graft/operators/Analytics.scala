@@ -594,6 +594,43 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** Exponentially-weighted moving average over the daily series —
+    * the classic smoothing pass for monitoring/forecast features.
+    * α = 1/2 with a bounded 10-day memory: ewma_d = Σ_{k=0..9}
+    * x_{d−k}·2⁻ᵏ (unnormalized EWM; the normalizing constant is a
+    * per-row scalar consumers can divide out).
+    *
+    * Cross-engine exactness, the reason α is a power of two: the
+    * frame folds LEFT over the window's collect_list — acc/2 + x —
+    * so every operation is an exponent decrement (exact in binary
+    * fp) or an add of integer-cent-valued doubles; with ≤ 2⁶ cents
+    * of daily total and 9 fractional bits the full fold stays inside
+    * the 53-bit mantissa, so Spark's `aggregate` HOF and DuckDB's
+    * `list_reduce` produce bit-identical doubles — no rounding, no
+    * tolerance, plain hash equality. (A general α would need pow()
+    * and per-step inexact multiplies with no cross-engine
+    * guarantee.)
+    *
+    * Scale shape: one day-grain aggregation (map-side combined),
+    * then a per-series window whose frame is 10 scalars — state
+    * O(days·series), never event-grain.
+    */
+  def ewmaDaily(s: SparkSession, dir: String, days: Int = 10): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("total_cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-(days - 1), Window.currentRow)
+    daily
+      .withColumn("frame",
+        collect_list(col("total_cents").cast("double")).over(w))
+      .withColumn("ewma",
+        expr("aggregate(frame, cast(0.0 as double), (acc, x) -> acc / 2 + x)"))
+      .select(col("event_type"), col("day"), col("total_cents"),
+        col("ewma"))
+      .orderBy("event_type", "day")
+  }
+
   /** Mergeable quantile sketches (the percentile analog of
     * sketchRollup's HLL): per-day fixed-bin histogram sketches of
     * order totals built by a custom typed `Aggregator` (the engine's

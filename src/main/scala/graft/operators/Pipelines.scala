@@ -111,6 +111,50 @@ object Pipelines {
       .orderBy("cust_id", "valid_from", "version_key")
   }
 
+  /** Point-in-time SCD2 lookup — the feature-store workhorse: enrich
+    * each fact row with the dimension attribute that was IN EFFECT at
+    * the fact's own event time, not the current one (training-serving
+    * skew prevention: a model trained with current attributes on
+    * historical facts leaks the future). Probes are lineitems at
+    * their ship date; the dimension is the scd2 version table, whose
+    * [valid_from, valid_to) intervals partition each key's timeline —
+    * so the range join matches AT MOST one version per probe and the
+    * left join preserves fact cardinality, with the X3 sentinel for
+    * ship dates before the key's first version.
+    *
+    * Scale shape: an equi-join on the dimension key with the interval
+    * predicate as a residual (the adv_interval_join shape) — never a
+    * pair scan; version chains are short (per-key order counts), so
+    * the per-key match work is O(|versions|), and the probe side
+    * carries only (keys, timestamps). Determinism: interval bounds
+    * come from the same lead-window as scd2 (version_key tie-break);
+    * same-date versions yield an empty first interval, so uniqueness
+    * of the match survives ties.
+    */
+  def pitLookup(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2(s, dir)
+      .select(col("cust_id"), col("attr"), col("valid_from"),
+        col("valid_to"))
+    val probes = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("o_custkey").as("cust_id"), col("l_shipdate"))
+    probes.join(dim,
+        probes("cust_id") === dim("cust_id") &&
+          col("valid_from") <= col("l_shipdate") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")),
+        "left")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        probes("cust_id"), col("l_shipdate"),
+        graft.functions.Scalars.notFound(col("attr")).as("attr_at_ship"))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic
+      // lineitem — shipdate completes a total order for the compare
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
+  }
+
   /** Diversity-balanced subset selection: the best documents from
     * EVERY region of embedding space, not just the globally
     * highest-scoring ones (which cluster together topically). Composes

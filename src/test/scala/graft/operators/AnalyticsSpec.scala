@@ -188,6 +188,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(sizes == custs)
   }
 
+  test("ewmaDaily: bit-exact vs a Scala replay of the bounded fold; " +
+    "recursion ewma_d = ewma_{d-1}/2 + x_d holds inside the window") {
+    val rows = Analytics.ewmaDaily(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, series) =>
+      val ordered = series.sortBy(_._2)
+      val totals = ordered.map(_._3.toDouble)
+      ordered.zipWithIndex.foreach { case ((_, day, _, ewma), i) =>
+        // the exact same left fold over the same 10-value frame —
+        // equality is BITWISE, the power-of-two-decay guarantee
+        val want = totals.slice(math.max(0, i - 9), i + 1)
+          .foldLeft(0.0)((acc, x) => acc / 2 + x)
+        assert(ewma == want, s"$t $day: $ewma != $want")
+        // and the textbook recursion while the frame isn't truncated
+        if (i > 0 && i <= 9) {
+          val prev = ordered(i - 1)._4
+          assert(ewma == prev / 2 + totals(i))
+        }
+      }
+    }
+  }
+
   test("locfFill: filled value = most recent observation at-or-before " +
     "the day; null only before a series' first observation") {
     val rows = Analytics.locfFill(spark, sfDir)
