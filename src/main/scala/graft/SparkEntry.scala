@@ -198,6 +198,8 @@ object SparkEntry {
     // synchronous label propagation, exact-integer scores + min-label
     // tie-break → the oracle replays every round deterministically
     "graph_label_prop" -> ((s, d) => Graph.labelPropagation(s, d)),
+    // bounded-round k-core peel; the oracle unrolls the same rounds
+    "graph_kcore" -> ((s, d) => Graph.kcore(s, d)),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -999,6 +1001,38 @@ object SparkEntry {
         |FROM f""".stripMargin,
     "graph_pagerank" -> pagerankOracle(3),
     "graph_label_prop" -> lpaOracle(3),
+    "graph_kcore" ->
+      // the same three peel rounds unrolled, k = lower-median degree
+      // + 1 re-derived in SQL; counts only, no floats
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ed AS (SELECT x.pk AS a, y.pk AS b FROM li x
+        |  JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT a AS src, b AS dst FROM ed
+        |  UNION ALL SELECT b, a FROM ed),
+        |d0 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+        |dc AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d0 GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d0),
+        |cum AS (SELECT l.deg, CAST(SUM(r.cnt) AS BIGINT) AS cum
+        |  FROM dc l JOIN dc r ON r.deg <= l.deg GROUP BY 1),
+        |kk AS (SELECT MIN(deg) + 1 AS k FROM cum, nn
+        |  WHERE cum >= (n + 1) // 2),
+        |d1 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+        |k1 AS (SELECT src FROM d1, kk WHERE deg >= k),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |  JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+        |d2 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY 1),
+        |k2 AS (SELECT src FROM d2, kk WHERE deg >= k),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |  JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+        |d3 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1),
+        |k3 AS (SELECT src FROM d3, kk WHERE deg >= k),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |  JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+        |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM e3 GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pp AS (

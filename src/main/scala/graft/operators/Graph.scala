@@ -48,6 +48,76 @@ object Graph {
       pagerankBuild(s, dir, iterations)
     }
 
+  /** Bounded-round k-core peel over the co-purchase graph: repeatedly
+    * remove nodes with degree < k and the edges they carry — the
+    * density filter that isolates a graph's stable core (spam/bot
+    * subgraph mining, community seeding, the preprocessing cut before
+    * expensive per-node graph features). Removing a weak node lowers
+    * its neighbors' degrees, so the peel CASCADES across rounds
+    * (measured at sf0.01: 865 → 505 → 245 surviving nodes).
+    *
+    * The threshold is DATA-RELATIVE, derived in-plan: k = lower-median
+    * initial degree + 1 (an absolute k cannot transfer across
+    * densities — this same graph's median degree is 23 at sf0.001 and
+    * 3 at sf0.01). The median comes from the bounded degree-VALUE
+    * histogram: cumulative counts via a ≤ self-join on that
+    * (distinct-degrees)-row table — never a global window (the
+    * single-partition shape this engine bans) — then min deg with
+    * cum ≥ (n+1) div 2, all integers (the MAD gate's lower-median
+    * discipline).
+    *
+    * Rounds are FIXED (the lpa/pagerank bounded-round form): a
+    * production fixpoint loops the same two jobs until no node falls.
+    * The emitted table is the state after `rounds` rounds and the
+    * oracle replays the SAME bounded unrolling, so the gate checks
+    * the iteration exactly, not just its limit. Per round: one
+    * map-side-combined degree count + two equi-joins keyed by the
+    * endpoints; localCheckpoint truncates per-round lineage. No
+    * floats anywhere.
+    */
+  def kcore(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val und = pooledEdges(s, dir)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    kcoreEdges(sym, rounds)
+  }
+
+  /** The peel core over any symmetric edge set (both directions
+    * present) — split out so specs can drive it with hand-built
+    * graphs, like triangleCountEdges.
+    */
+  private[operators] def kcoreEdges(sym: DataFrame,
+      rounds: Int): DataFrame = {
+    val d0 = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degCounts = d0.groupBy("deg").agg(count(lit(1)).as("cnt"))
+    val n1 = d0.agg(count(lit(1)).as("n"))
+    val cum = degCounts.select(col("deg"))
+      .join(broadcast(degCounts.select(col("deg").as("d2"),
+        col("cnt"))), col("d2") <= col("deg"))
+      .groupBy("deg").agg(sum(col("cnt")).as("cum"))
+    val kk = cum.crossJoin(broadcast(n1))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min(col("deg")).as("med"))
+      .select((col("med") + 1).as("k"))
+      .localCheckpoint() // 1 row, read every round
+    var edges = sym
+    (1 to rounds).foreach { _ =>
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(kk))
+        .filter(col("deg") >= col("k"))
+        .select(col("src").as("kn"))
+        .localCheckpoint() // read twice below; node-count-bounded
+      edges = edges
+        .join(keep, col("src") === col("kn")).drop("kn")
+        .join(keep.select(col("kn").as("kn2")), col("dst") === col("kn2"))
+        .drop("kn2")
+        .localCheckpoint()
+    }
+    edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .orderBy("node")
+  }
+
   /** The signed-id bipartite edge set (see pagerank's doc) is shared
     * by PageRank and label propagation — pooled so a session running
     * both pays the lineitem⋈orders build once.

@@ -92,4 +92,34 @@ class GraphSpec extends SparkSpec {
     // round-for-round determinism vs an independent engine is the
     // driver gate's job (lpaOracle replays each round in DuckDB)
   }
+
+  test("kcoreEdges: pendants peel in round 1, the exposed chain node " +
+    "in round 2, the clique survives with its exact degrees") {
+    val s = spark
+    import s.implicits._
+    // K6 on 1..6; two pendants per clique node (101..112); a 2-chain
+    // 6-201-202. Degrees: clique 7 (node 6: 8), pendants/202: 1,
+    // 201: 2 → n=20, lower median 1, k=2. Round 1 peels the 13
+    // degree-1 nodes, EXPOSING 201 (now degree 1); round 2 peels it;
+    // round 3 is stable — the cascade is the thing under test.
+    val clique = for {
+      a <- 1L to 6L; b <- 1L to 6L if a != b
+    } yield (a, b)
+    val pendants = (0 until 12).flatMap { i =>
+      val owner = (i / 2) + 1L; val p = 101L + i
+      Seq((owner, p), (p, owner))
+    }
+    val chain = Seq((6L, 201L), (201L, 6L), (201L, 202L), (202L, 201L))
+    val sym = (clique ++ pendants ++ chain).toDF("src", "dst")
+    val out = Graph.kcoreEdges(sym, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (1L to 6L).map(_ -> 5L).toMap, out.toString)
+    // one round is NOT enough: 201 survives it (degree 2 at entry)
+    // and only round 1's peel exposes it at degree 1 — the
+    // bounded-round form must really iterate to remove it
+    val after1 = Graph.kcoreEdges(sym, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after1.keySet == (1L to 6L).toSet + 201L, after1.toString)
+    assert(after1(201L) == 1L && after1(6L) == 6L, after1.toString)
+  }
 }
