@@ -275,6 +275,9 @@ object SparkEntry {
     // §2.10 north-star: deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    // asymmetric containment |A∩B|/min — catches short-doc-inside-
+    // long-doc duplication symmetric Jaccard structurally misses
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     // prefix-filtered EXACT Jaccard join — same output as the full
     // index, candidate set provably complete and far smaller
     "dedup_prefix_jaccard" -> ((s, d) => Dedup.prefixJaccard(s, d)),
@@ -3022,6 +3025,35 @@ object SparkEntry {
         | md5(text) AS content_hash
         |FROM documents GROUP BY text ORDER BY keeper_doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramPairSql,
+    "dedup_containment" ->
+      // same shingle/pair CTEs, containment score + direction
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |  n_inter / least(na.n, nb.n) AS containment,
+        |  CASE WHEN na.n < nb.n THEN 'a_in_b'
+        |       WHEN nb.n < na.n THEN 'b_in_a'
+        |       ELSE 'mutual' END AS direction
+        |FROM pr
+        |JOIN sz na ON na.doc_id = doc_a
+        |JOIN sz nb ON nb.doc_id = doc_b
+        |WHERE n_inter / least(na.n, nb.n) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // prefix filtering is exact: same oracle as the full-index join
     "dedup_prefix_jaccard" -> ngramPairSql,
     "dedup_prefix_stats" -> prefixStatsSql,

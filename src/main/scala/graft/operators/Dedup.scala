@@ -149,6 +149,21 @@ object Dedup {
   private[operators] def jaccardPairs(s: SparkSession,
       dir: String): DataFrame =
     graft.CachePool.cached(s, s"dedup.jaccardPairs:$dir") {
+      pairSizeCounts(s, dir)
+        .withColumn("jaccard",
+          col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+
+  /** The raw (doc_a, doc_b, n_inter, n_a, n_b) table for every
+    * shingle-sharing pair — the shared base under BOTH similarity
+    * semantics (symmetric Jaccard and asymmetric containment), pooled
+    * so a session running both pays the pair-count shuffle once.
+    */
+  private[operators] def pairSizeCounts(s: SparkSession,
+      dir: String): DataFrame =
+    graft.CachePool.cached(s, s"dedup.pairSizeCounts:$dir") {
       val sizes = shingleArrDf(s, dir)
         .select(col("doc_id"), size(col("sharr")).as("n_sh"))
       pairCounts(shingleDf(s, dir), "sh", "doc_id")
@@ -156,11 +171,33 @@ object Dedup {
           .withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b")
           .withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard",
-          col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
+
+  /** Asymmetric near-dup: CONTAINMENT |A∩B|/min(|A|,|B|) ≥ t — the
+    * "short doc embedded in a long one" detector symmetric Jaccard
+    * structurally misses (a 50-shingle doc inside a 1000-shingle doc
+    * has J ≈ 0.05 but containment 1.0): quote-block extraction,
+    * boilerplate wrappers, truncated re-crawls. Emits the direction
+    * (which side is the contained one, by set size; equal sizes →
+    * "mutual"). Same pooled pair base as Jaccard — candidates come
+    * from the shingle equi-join, never a cross join, and the
+    * containment score is one more projection over it.
+    */
+  def containmentPairs(s: SparkSession, dir: String,
+      t: Double = 0.9): DataFrame =
+    pairSizeCounts(s, dir)
+      .withColumn("containment",
+        col("n_inter") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= t)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("containment"),
+        when(col("n_a") < col("n_b"), "a_in_b")
+          .when(col("n_b") < col("n_a"), "b_in_a")
+          .otherwise("mutual").as("direction"))
+      .orderBy("doc_a", "doc_b")
 
   /** Exact Jaccard ≥ t pair join via PREFIX FILTERING (Chaudhuri
     * SSJoin / Bayardo All-Pairs / Xiao PPJoin) — the third point in

@@ -757,6 +757,31 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: score = inter/min(sizes) and >= Jaccard; " +
+      "direction matches the size relation; every J >= 0.9 pair appears") {
+    val cont = Dedup.containmentPairs(spark, sfDir).collect()
+    assert(cont.nonEmpty)
+    cont.foreach { r =>
+      val (ni, na, nb) = (r.getAs[Long]("n_inter"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      val c = r.getAs[Double]("containment")
+      assert(c == ni.toDouble / math.min(na, nb))
+      assert(c >= 0.9 && c <= 1.0 + 1e-12)
+      val jac = ni.toDouble / (na + nb - ni)
+      assert(c >= jac)
+      val dir = r.getAs[String]("direction")
+      assert(if (na < nb) dir == "a_in_b"
+        else if (nb < na) dir == "b_in_a" else dir == "mutual")
+    }
+    // J >= 0.9 forces containment >= 0.9, so those pairs must appear
+    val contKeys = cont.map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"))).toSet
+    val highJ = Dedup.ngramJaccard(spark, sfDir).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(highJ.forall(contKeys.contains))
+  }
+
   test("dsirResample: 32 distinct docs, weight = s_t/s_p, sample " +
       "enriched in the target domain vs the corpus base rate") {
     val out = TextAnalysis.dsirResample(spark, sfDir).collect()
