@@ -125,6 +125,9 @@ object SparkEntry {
     // streaming exact dedup: a doubled at-least-once feed through
     // dropDuplicatesWithinWatermark — output = the generator, exactly
     "stream_dedup_feed" -> (graft.streaming.StreamingAnalogs.feedDedup _),
+    // streaming per-event EWMA: one double of TWS state per key,
+    // power-of-two decay → the drained level replays bit-for-bit
+    "stream_ewma" -> (graft.streaming.StreamingAnalogs.feedEwma _),
     // S4/S5 custom DataSource V2 (paginated REST shape)
     "s4_rest_source" -> ((s, _) => {
       import org.apache.spark.sql.functions._
@@ -2222,6 +2225,20 @@ object SparkEntry {
         |  CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END AS kind,
         |  CAST((range * 2654435761) % 100000 AS DOUBLE) / 100.0 AS amount
         |FROM range(5000) ORDER BY id""".stripMargin,
+    "stream_ewma" ->
+      // the identical id-ordered acc/2 + x fold over the generator:
+      // every step is an exponent decrement plus an add, so the level
+      // is bit-identical (see RunningEwmaProcessor / ewmaDaily)
+      """WITH feed AS (
+        |  SELECT range AS id,
+        |    CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END AS kind,
+        |    CAST((range * 2654435761) % 100000 AS DOUBLE) AS cents
+        |  FROM range(5000)),
+        |fr AS (SELECT kind, list(cents ORDER BY id) AS xs
+        |       FROM feed GROUP BY 1)
+        |SELECT kind, list_reduce(list_prepend(0.0, xs),
+        |  (acc, x) -> acc / 2 + x) AS ewma
+        |FROM fr ORDER BY kind""".stripMargin,
     "stream_distinct_running" ->
       // generator replay + plain COUNT(DISTINCT): the streaming KMV
       // runs in its exact sub-k regime (101-user domain, k=1024)

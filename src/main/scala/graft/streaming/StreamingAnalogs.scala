@@ -559,6 +559,80 @@ object StreamingAnalogs {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Running per-event EWMA (α = 1/2) as transformWithState state —
+    * the SIMPLEST state shape in the TWS family (one double per key)
+    * and the streaming twin of Analytics.ewmaDaily: level' = level/2
+    * + x folded per event. The batch Analytics form smooths a daily
+    * series; this smooths the raw event stream as it arrives — the
+    * live-metric decay any monitoring pipeline keeps per key.
+    *
+    * Determinism: each batch's rows fold in id order (the Misra-Gries
+    * trick — the buffer is bounded by the source's admission cap),
+    * batches arrive in id order, so the drained level IS the full
+    * per-key id-ordered fold — and because every step is acc/2 + x
+    * (exponent decrement + add, identical op sequence in DuckDB's
+    * list_reduce), the oracle replays the level bit-for-bit from the
+    * generator. No bound booleans, plain hash equality on doubles.
+    */
+  class RunningEwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Double), (String, Double)] {
+    @transient private var lvl:
+      org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lvl = getHandle.getValueState[Double]("lvl",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Double)] = {
+      val buf = rows.toArray.sortBy(_._2) // id order; admission-capped
+      val cur = if (lvl.exists()) lvl.get() else 0.0
+      val next = buf.foldLeft(cur)((acc, r) => acc / 2 + r._3)
+      lvl.update(next)
+      Iterator((key, next))
+    }
+  }
+
+  def runningEwmaTws(rows: Dataset[(String, Long, Double)])
+      : Dataset[(String, Double)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_._1)
+      .transformWithState(new RunningEwmaProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Driver-checked gate query for the streaming EWMA: the decayed
+    * level per kind after the full drain, hash-exact vs the
+    * generator-replay fold (see RunningEwmaProcessor).
+    */
+  def feedEwma(s: SparkSession, dir: String): DataFrame = {
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_ewma"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    import s.implicits._
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      .select(col("kind"), col("id"),
+        ((col("id") * lit(2654435761L)) % lit(100000L)).cast("double")
+          .as("cents"))
+      .as[(String, Long, Double)]
+    drainTwsToTable(s, base, runningEwmaTws(feed).toDF("kind", "ewma"))
+    s.read.parquet(s"$base/table")
+      .select(col("kind"), col("ewma")).orderBy("kind")
+  }
+
   /** Driver-checked drain: running distinct users per feed kind
     * through transformWithState on the REQUIRED RocksDB store. Each
     * microbatch update-emits the key's cumulative estimate; the sink

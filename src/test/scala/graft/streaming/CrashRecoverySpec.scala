@@ -389,6 +389,66 @@ class CrashRecoverySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("running EWMA (transformWithState/RocksDB): crash after " +
+    "batch-0's sink write; checkpoint restart resumes the level and " +
+    "the drained double is BIT-IDENTICAL to the full id-ordered fold") {
+    val base = cleanBase("ewma")
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def keyed = feed(5000, 1000)
+      .select(col("kind"), col("id"),
+        ((col("id") * lit(2654435761L)) % lit(100000L)).cast("double")
+          .as("cents"))
+      .as[(String, Long, Double)]
+    def drain(injectCrash: Boolean): Unit = {
+      val q = StreamingAnalogs.runningEwmaTws(keyed)
+        .toDF("kind", "ewma").writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind")
+            .parquet(s"$base/table")
+          if (injectCrash && id == 0)
+            throw new RuntimeException("injected crash")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      intercept[StreamingQueryException](drain(injectCrash = true))
+      drain(injectCrash = false) // resume: level restored, batch 0 replays
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val got = spark.read.parquet(s"$base/table")
+      .select(col("kind"), col("ewma"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // ground truth: the full per-kind id-ordered fold. A restart that
+    // lost the level OR double-applied batch 0 shifts the double —
+    // equality is BITWISE, the sharpest recovery assertion available
+    val expect = (0L until 5000L)
+      .map(id => (if (id % 3 == 0) "credit" else "debit",
+        ((id * 2654435761L) % 100000L).toDouble))
+      .groupBy(_._1)
+      .map { case (k, xs) =>
+        k -> xs.map(_._2).foldLeft(0.0)((acc, x) => acc / 2 + x)
+      }
+    assert(got == expect, s"$got != $expect")
+  }
+
   test("watermark dedup: crash after batch-1's sink write; checkpoint " +
     "restart restores the seen-id state, so a slower source's LATER " +
     "duplicates of pre-crash ids are still dropped") {
