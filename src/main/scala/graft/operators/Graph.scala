@@ -75,12 +75,16 @@ object Graph {
     * endpoints; localCheckpoint truncates per-round lineage. No
     * floats anywhere.
     */
-  def kcore(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val und = pooledEdges(s, dir)
-    val sym = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-    kcoreEdges(sym, rounds)
-  }
+  def kcore(s: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    // pooled like pagerank/lpa: the peel's job cascade (threshold
+    // derivation + one checkpointed prune per round) is the cost, the
+    // result is |core| rows — one build per (session, dir, rounds)
+    graft.CachePool.cached(s, s"graph.kcore:$dir:$rounds") {
+      val und = pooledEdges(s, dir)
+      val sym = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      kcoreEdges(sym, rounds)
+    }
 
   /** The peel core over any symmetric edge set (both directions
     * present) — split out so specs can drive it with hand-built
@@ -102,11 +106,15 @@ object Graph {
       .localCheckpoint() // 1 row, read every round
     var edges = sym
     (1 to rounds).foreach { _ =>
+      // keep is read twice below but BOTH reads live in the next
+      // round's single job over the checkpointed prior edge set — a
+      // cheap re-aggregation, not worth its own eager checkpoint job
+      // (measured: the per-round keep checkpoints were most of the
+      // query's wall time at sf0.1)
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .crossJoin(broadcast(kk))
         .filter(col("deg") >= col("k"))
         .select(col("src").as("kn"))
-        .localCheckpoint() // read twice below; node-count-bounded
       edges = edges
         .join(keep, col("src") === col("kn")).drop("kn")
         .join(keep.select(col("kn").as("kn2")), col("dst") === col("kn2"))
