@@ -148,13 +148,14 @@ object Dedup {
     */
   private[operators] def jaccardPairs(s: SparkSession,
       dir: String): DataFrame =
-    graft.CachePool.cached(s, s"dedup.jaccardPairs:$dir") {
-      pairSizeCounts(s, dir)
-        .withColumn("jaccard",
-          col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    }
+    // NOT separately pooled: a cheap filter+projection over the
+    // pooled pair base — a second cache entry would persist strictly
+    // redundant bytes and burn an LRU slot (review finding)
+    pairSizeCounts(s, dir)
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** The raw (doc_a, doc_b, n_inter, n_a, n_b) table for every
     * shingle-sharing pair — the shared base under BOTH similarity

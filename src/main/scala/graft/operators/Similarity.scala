@@ -77,20 +77,36 @@ object Similarity {
     * their exactness baseline by design.
     */
   def bruteForceTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val c = corpus(s, dir)
-    val probes = c.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val sims = c.join(broadcast(probes), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 3)
-          .as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
+    probeCosines(s, dir, nProbes = 8)
+      .withColumnRenamed("cand_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** The shared broadcast-probe cosine kernel: probes (vec_id <
+    * nProbes) against the pooled normed corpus, 3-decimal-rounded
+    * similarity, self-pairs excluded. bruteForceTopK ranks it for the
+    * exact-baseline query; hybridRrf's semantic leg ranks it for the
+    * fusion pool — ONE implementation, so the rounding/tie-break
+    * convention cannot drift between the two (their agreement is
+    * spec-pinned). mmrRerank's pool deliberately differs (BIGINT
+    * round(cos·1000) scaling for the integer greedy) and stays
+    * separate.
+    */
+  private[operators] def probeCosines(s: SparkSession, dir: String,
+      nProbes: Int): DataFrame = {
+    val c = corpus(s, dir)
+    val probes = c.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    c.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 3)
+          .as("sim"))
   }
 
   /** Random-hyperplane LSH bucket id: 6 sign bits of dot products with
@@ -312,8 +328,10 @@ object Similarity {
       .partitionBy(col("query_id"))
       .orderBy(col("rel_m").desc, col("cand_id"))
     // candidate pool: top `pool` by integer-scaled cosine; pooled
-    // because every greedy step re-reads it (k anti-joins + scoring)
-    val poolDf = graft.CachePool.cached(s, s"sim.mmrPool:$dir") {
+    // because every greedy step re-reads it (k anti-joins + scoring).
+    // Tags embed pool+nProbes — every parameter that shapes the plan
+    val poolDf = graft.CachePool.cached(s,
+      s"sim.mmrPool:$dir:$pool:$nProbes") {
       c.join(broadcast(probes), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("cand_id"),
           round(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
@@ -325,7 +343,8 @@ object Similarity {
           col("v"), col("nrm"))
     }
     // pairwise sims within each pool (pool² per query, pool-bounded)
-    val simMat = graft.CachePool.cached(s, s"sim.mmrSimMat:$dir") {
+    val simMat = graft.CachePool.cached(s,
+      s"sim.mmrSimMat:$dir:$pool:$nProbes") {
       val a = poolDf.select(col("query_id"), col("cand_id").as("a_cand"),
         col("v").as("va"), col("nrm").as("na"))
       val b = poolDf.select(col("query_id"), col("cand_id").as("b_cand"),

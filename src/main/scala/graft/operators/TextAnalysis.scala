@@ -507,17 +507,12 @@ object TextAnalysis {
       .withColumn("lex_rank", row_number().over(wl))
       .filter(col("lex_rank") <= pool)
       .select(col("query_id"), col("cand_id"), col("lex_rank"))
-    // semantic leg: probe embeddings vs the pooled normed corpus
-    val c = Similarity.corpus(s, dir)
-    val probes = c.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
+    // semantic leg: the shared broadcast-probe cosine kernel ranked —
+    // the SAME implementation bruteForceTopK ranks, so the rounding/
+    // tie-break convention cannot drift between the two
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
-    val sem = c.join(broadcast(probes), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"),
-        round(call_function("vector_dot", col("qv"), col("v")) /
-          (col("qn") * col("nrm")), 3).as("sim"))
+    val sem = Similarity.probeCosines(s, dir, nProbes)
       .withColumn("sem_rank", row_number().over(ws))
       .filter(col("sem_rank") <= pool)
       .select(col("query_id"), col("cand_id"), col("sem_rank"))
