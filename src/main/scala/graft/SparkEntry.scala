@@ -128,6 +128,10 @@ object SparkEntry {
     // streaming per-event EWMA: one double of TWS state per key,
     // power-of-two decay → the drained level replays bit-for-bit
     "stream_ewma" -> (graft.streaming.StreamingAnalogs.feedEwma _),
+    // streaming point-in-time enrichment: stream-static temporal join
+    // against a versioned dim — the serving twin of p_pit_lookup
+    "stream_pit_enrich" ->
+      (graft.streaming.StreamingAnalogs.feedPitEnrich _),
     // S4/S5 custom DataSource V2 (paginated REST shape)
     "s4_rest_source" -> ((s, _) => {
       import org.apache.spark.sql.functions._
@@ -2225,6 +2229,19 @@ object SparkEntry {
         |  CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END AS kind,
         |  CAST((range * 2654435761) % 100000 AS DOUBLE) / 100.0 AS amount
         |FROM range(5000) ORDER BY id""".stripMargin,
+    "stream_pit_enrich" ->
+      // ts(id) = base + id minutes ⇒ the interval match reduces to
+      // id div 1000; rate and revenue re-derived in exact BIGINTs
+      """WITH feed AS (SELECT range AS id,
+        |    CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END AS kind,
+        |    (range * 2654435761) % 100000 AS cents,
+        |    range // 1000 AS rate_version
+        |  FROM range(5000))
+        |SELECT kind, CAST(rate_version AS BIGINT) AS rate_version,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents * (100 + 7 * rate_version)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_ewma" ->
       // the identical id-ordered acc/2 + x fold over the generator:
       // every step is an exponent decrement plus an add, so the level

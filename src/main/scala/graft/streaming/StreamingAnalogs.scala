@@ -608,6 +608,78 @@ object StreamingAnalogs {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming point-in-time dimension enrichment — the SERVING-side
+    * twin of Pipelines.pitLookup: each event joins the dimension
+    * version in effect AT ITS OWN event time (valid_from ≤ ts <
+    * valid_to), so live features match what a batch PIT backfill
+    * would have produced — the feature-store consistency contract.
+    *
+    * The dimension is a 5-version rate table over the feed's time
+    * domain (1000-minute epochs). Stream-STATIC join: Spark re-plans
+    * the static side per micro-batch and broadcasts it (version
+    * tables are dimension-sized), the interval predicate rides the
+    * broadcast join as a residual, and NO join state accumulates —
+    * unlike a stream-stream join, the static side needs no watermark.
+    * Downstream: an update-mode (kind, version) revenue rollup in
+    * exact integer cents, hash-checked against the generator replay
+    * (ts(id) = base + id minutes ⇒ version(id) = id div 1000, so the
+    * oracle re-derives the interval match arithmetically).
+    */
+  def feedPitEnrich(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_pit"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val dim = s.range(0, 5).select(
+      col("id").as("rate_version"),
+      (t0 + expr("make_interval(0, 0, 0, 0, 0, cast(id * 1000 as int), 0)"))
+        .as("valid_from"),
+      (t0 + expr(
+        "make_interval(0, 0, 0, 0, 0, cast((id + 1) * 1000 as int), 0)"))
+        .as("valid_to"),
+      (lit(100L) + lit(7L) * col("id")).as("rate"))
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      .select(col("kind"), col("ts"),
+        ((col("id") * lit(2654435761L)) % lit(100000L)).as("cents"))
+    val enriched = feed.join(dim,
+      col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+    val agg = enriched.groupBy(col("kind"), col("rate_version"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents") * col("rate")).as("revenue_cents"))
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          // partition by the FULL group key: update mode emits only
+          // the batch's changed groups, so a coarser partition (kind
+          // alone) would be wiped down to whichever versions the last
+          // batch touched
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind", "rate_version")
+            .parquet(s"$base/table")
+        }
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    s.read.parquet(s"$base/table")
+      .select(col("kind"), col("rate_version").cast("long")
+        .as("rate_version"), col("n_events"), col("revenue_cents"))
+      .orderBy("kind", "rate_version")
+  }
+
   /** Driver-checked gate query for the streaming EWMA: the decayed
     * level per kind after the full drain, hash-exact vs the
     * generator-replay fold (see RunningEwmaProcessor).

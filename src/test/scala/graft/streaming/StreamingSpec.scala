@@ -568,4 +568,31 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("feedPitEnrich: the streamed point-in-time enrichment equals " +
+    "the batch backfill computation — the feature-store serving " +
+    "consistency contract") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingAnalogs.feedPitEnrich(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // batch backfill over the replayed generator: version(id) =
+    // id div 1000 because ts(id) = base + id minutes and versions
+    // are 1000-minute epochs
+    val batch = spark.range(0, 5000)
+      .select(
+        when(col("id") % 3 === 0, lit("credit")).otherwise(lit("debit"))
+          .as("kind"),
+        ((col("id") * lit(2654435761L)) % lit(100000L)).as("cents"),
+        (col("id") / lit(1000)).cast("long").as("rate_version"))
+      .groupBy("kind", "rate_version")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents") * (lit(100L) + lit(7L) * col("rate_version")))
+          .as("revenue_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch)
+  }
 }
