@@ -155,6 +155,10 @@ object SparkEntry {
       Advanced.dppPrune(s, dir)),
     "adv_bucketed_join" -> ((s, d) => Advanced.bucketedJoin(s, d)),
     "adv_recursive_cte" -> (Advanced.recursiveChain _),
+    // two Pareto frontiers over (price, size) via the bucketed
+    // distributed min-min core — never a quadratic self-join or a
+    // single-partition running min
+    "adv_skyline" -> (Advanced.skyline _),
     "s_hash_sample" -> (Relational.hashSample _),
     "s_file_skipping" -> ((s, d) =>
       graft.sources.SkippingIndex.userSliceAgg(s, d)),
@@ -184,6 +188,9 @@ object SparkEntry {
     "sim_standardize" -> (Similarity.standardize _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "st_gap_fill" -> (Analytics.gapFill _),
+    // gaps-and-islands consecutive-day streaks (day − rank run id,
+    // one window shuffle, no re-exchange after it)
+    "w_streaks" -> (Analytics.streaks _),
     // LOCF forward fill per series over a calendar spine
     "st_locf" -> (Analytics.locfFill _),
     // exact EWMA: power-of-two decay folds bit-identically in both
@@ -299,6 +306,10 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.nearDupClusters _),
     "graph_triangles" -> (Graph.triangleCount _),
     "graph_clustering_coeff" -> (Graph.clusteringCoeff _),
+    // resource-allocation link prediction: integer 1e6 div deg(w)
+    // contributions over the wedge space, anti-joined vs existing
+    // edges, deterministic top-100
+    "graph_linkpred" -> ((s, d) => Graph.linkPrediction(s, d)),
     "dedup_clusters_star" -> (Dedup.nearDupClustersStar _),
     "text_decontaminate" -> (Dedup.decontaminate _),
     "dedup_incremental" -> (Dedup.incremental _),
@@ -1063,6 +1074,32 @@ object SparkEntry {
         |SELECT n_triangles, n_wedges,
         |  n_triangles * 3.0 / n_wedges AS global_coeff
         |FROM tri, wg""".stripMargin,
+    "graph_linkpred" ->
+      // full RA-index replay: same support-pruned edge CTE, integer
+      // // contributions, NOT EXISTS anti join, same total order
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pp AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |      COUNT(*) AS sup
+        |    FROM li x JOIN li y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY 1, 2) WHERE sup >= 2),
+        |sym AS (SELECT a AS w, b AS v FROM pp
+        |        UNION ALL SELECT b, a FROM pp),
+        |deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM sym GROUP BY 1),
+        |adj AS (SELECT s.w, s.v, 1000000 // d.d AS contrib
+        |        FROM sym s JOIN deg d ON s.w = d.w),
+        |wed AS (SELECT x.v AS a, y.v AS b, x.contrib
+        |        FROM adj x JOIN adj y ON x.w = y.w AND x.v < y.v),
+        |sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |         CAST(SUM(contrib) AS BIGINT) AS ra_score
+        |       FROM wed GROUP BY 1, 2)
+        |SELECT a, b, n_common, ra_score FROM sc
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM pp WHERE pp.a = sc.a AND pp.b = sc.b)
+        |ORDER BY ra_score DESC, a, b LIMIT 100""".stripMargin,
     "graph_triangles" ->
       // naive a<b<c replay; the engine's degree-ordered orientation
       // must count the identical triangle set
@@ -2470,6 +2507,24 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
         | CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "adv_skyline" ->
+      // independent formulation: the quadratic NOT EXISTS dominance
+      // test the engine's bucketed core must agree with exactly
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc, p_size
+        |  FROM part)
+        |SELECT 'cheap_small' AS frontier, p_partkey,
+        |  pc AS price_cents, p_size
+        |FROM p x WHERE NOT EXISTS (SELECT 1 FROM p y
+        |  WHERE y.pc <= x.pc AND y.p_size <= x.p_size
+        |    AND (y.pc < x.pc OR y.p_size < x.p_size))
+        |UNION ALL
+        |SELECT 'cheap_large' AS frontier, p_partkey,
+        |  pc AS price_cents, p_size
+        |FROM p x WHERE NOT EXISTS (SELECT 1 FROM p y
+        |  WHERE y.pc <= x.pc AND y.p_size >= x.p_size
+        |    AND (y.pc < x.pc OR y.p_size > x.p_size))
+        |ORDER BY frontier, p_partkey""".stripMargin,
     "adv_skew_join" ->
       // the runtime split must not change the answer: plain replay of
       // the skewed-key join + rollup (integer cents)
@@ -2648,6 +2703,20 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w_streaks" ->
+      // the same day − ROW_NUMBER run id; all-integer output
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |isl AS (SELECT user_id, d,
+        |    d - CAST(ROW_NUMBER() OVER
+        |          (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+        |  FROM days),
+        |runs AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  MAX(len) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
     "w_ntile" ->
       """SELECT o_custkey, total_spend,
         | CAST(NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey) AS INT)

@@ -359,4 +359,91 @@ object Advanced {
          |SELECT c_custkey, root, depth FROM chain
          |ORDER BY c_custkey""".stripMargin)
   }
+
+  /** Skyline (Pareto frontier) query (Börzsönyi, Kossmann & Stocker,
+    * ICDE 2001): the parts no other part beats on BOTH dimensions at
+    * once — here two frontiers over (retail price, size): cheap-and-
+    * small (both minimized) and cheap-and-large (size maximized via
+    * negation through the same min-min core). The multi-objective
+    * "best tradeoffs" cut an ORDER BY one-dimension ranking cannot
+    * express.
+    *
+    * DISTRIBUTED SHAPE — the naive form is a quadratic NOT EXISTS
+    * self-join, and the textbook sorted scan is a GLOBAL running min
+    * (a single-partition window, the shape this engine bans). Shape
+    * here (the spendStanding bucket machinery applied to dominance):
+    * (1) approx-quantile bounds on the primary key define ORDERED
+    * buckets — assignment row-local; (2) per-bucket min of the
+    * secondary key (≤ buckets rows to the driver) re-enters as a
+    * literal strictly-earlier-bucket prefix-min map; (3) ONE shuffle
+    * keyed by bucket computes two frames over the same window spec —
+    * RANGE(strictly-cheaper-in-bucket) min and RANGE(≤, incl. equal
+    * price) min — and dominance is row-local arithmetic over exact
+    * integers:
+    *   dominated ⇔ premin(bkt) ≤ sz ∨ minStrictPrev ≤ sz ∨ minLe < sz
+    * (earlier bucket ⇒ strictly cheaper so a ≤-size row dominates;
+    * equal-price rows dominate only on strictly smaller size; equal
+    * (price, size) duplicates dominate nothing — both survive, the
+    * standard skyline semantics). Bound quality affects only bucket
+    * BALANCE, never the result; driver traffic is O(buckets).
+    */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      col("p_size"))
+    val cheapSmall = skylineMinMin(s,
+        p.select(col("p_partkey").as("id"),
+          col("price_cents").as("k1"), col("p_size").cast("long").as("k2")))
+      .select(lit("cheap_small").as("frontier"), col("id"), col("k1"),
+        col("k2"))
+    val cheapLarge = skylineMinMin(s,
+        p.select(col("p_partkey").as("id"), col("price_cents").as("k1"),
+          (-col("p_size")).cast("long").as("k2")))
+      .select(lit("cheap_large").as("frontier"), col("id"), col("k1"),
+        (-col("k2")).as("k2"))
+    cheapSmall.unionByName(cheapLarge)
+      .select(col("frontier"), col("id").as("p_partkey"),
+        col("k1").as("price_cents"), col("k2").cast("int").as("p_size"))
+      .orderBy("frontier", "p_partkey")
+  }
+
+  /** The min-min 2-D skyline core over (id, k1, k2) LONG columns —
+    * split out so specs can drive it with hand-built and generated
+    * (anti-correlated, large-frontier) inputs. Returns the
+    * non-dominated rows.
+    */
+  private[operators] def skylineMinMin(s: SparkSession, in: DataFrame)
+      : DataFrame = {
+    val nBuckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val bounds = in.stat.approxQuantile("k1",
+      (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+      .distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("k1") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = in.withColumn("bkt", bucket)
+    // per-bucket secondary-key min → strictly-earlier-bucket prefix
+    // min, re-entering as a literal map (O(buckets) driver traffic)
+    val mins = bucketed.groupBy("bkt").agg(min(col("k2")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val premins = mins.zip(mins.scanLeft(Long.MaxValue) {
+      case (acc, (_, m)) => math.min(acc, m) })
+      .map { case ((b, _), pre) => (b, pre) }
+    val preminExpr =
+      if (premins.isEmpty) lit(Long.MaxValue)
+      else element_at(map(premins.flatMap {
+        case (b, m) => Seq(lit(b), lit(m)) }: _*), col("bkt"))
+    val spec = Window.partitionBy(col("bkt")).orderBy(col("k1"))
+    val strictPrev = min(col("k2"))
+      .over(spec.rangeBetween(Window.unboundedPreceding, -1))
+    val le = min(col("k2"))
+      .over(spec.rangeBetween(Window.unboundedPreceding, 0))
+    bucketed
+      .withColumn("dominated",
+        preminExpr <= col("k2") ||
+          coalesce(strictPrev <= col("k2"), lit(false)) ||
+          le < col("k2"))
+      .filter(!col("dominated"))
+      .select(col("id"), col("k1"), col("k2"))
+  }
 }

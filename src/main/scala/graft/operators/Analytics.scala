@@ -678,4 +678,34 @@ object Analytics {
           HistSketch.Width).as("p95_est"))
       .orderBy("scope")
   }
+
+  /** Gaps-and-islands: per-user consecutive-active-day streaks (the
+    * engagement/retention statistic habit products live on). The
+    * classic trick — day minus the per-user day rank is CONSTANT
+    * within a consecutive run, so the run id is row-local arithmetic
+    * after one per-user window, never a self-join over the calendar.
+    * Shuffle story: the distinct projects to (user, day) BEFORE its
+    * exchange (map-side combine on the tiny distinct key space), and
+    * every later step — the rank window, the (user, grp) run rollup,
+    * the per-user summary — needs only user_id-clustering, which the
+    * window's HashPartitioning(user_id) already satisfies
+    * (ClusteredDistribution accepts a subset-keyed partitioning): one
+    * pass, no re-exchange after the window. All-integer output →
+    * hash-exact under the gate.
+    */
+  def streaks(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days
+      .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy("user_id")
+  }
 }

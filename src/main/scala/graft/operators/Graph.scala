@@ -348,4 +348,54 @@ object Graph {
       .filter(col("sup") >= minSupport)
       .select(col("a"), col("b"))
   }
+
+  /** Link prediction by the resource-allocation index (Zhou, Lü &
+    * Zhang 2009): for each NON-adjacent pair (u,v), score =
+    * Σ_{w ∈ N(u)∩N(v)} 1/deg(w) — common neighbors, each discounted
+    * by how promiscuous it is (a shared hub says little; a shared
+    * rare neighbor says a lot). The recommendation primitive over the
+    * co-purchase graph ("parts bought together with the same third
+    * parts"), and of the classic local indices the one that
+    * benchmarks best (beats common-neighbors and Adamic-Adar on most
+    * graphs) while staying EXACT here: contributions are
+    * 1000000 div deg(w) BIGINTs, so the per-pair sum is
+    * order-independent and the DuckDB oracle replays it to the digit
+    * (Adamic-Adar's 1/ln(deg) would drag libm across engines).
+    *
+    * Shape: wedge generation through each center w — the SAME
+    * Σ d(w)² pair space the clustering coefficient walks, generated
+    * from the symmetric adjacency self-joined on the center with
+    * u < v — then one (u,v) groupBy, an anti join dropping pairs
+    * already adjacent, and a TakeOrderedAndProject top-N under the
+    * total order (score desc, a, b) so the cut is deterministic.
+    * Support pruning bounds degrees (max 13 at sf0.01), which bounds
+    * the wedge fan-out; on a heavy-tailed graph cap or sample
+    * hub centers first — the standard RA/AA approximation — before
+    * this exact form.
+    */
+  def linkPrediction(s: SparkSession, dir: String, topN: Int = 100)
+      : DataFrame =
+    linkPredictionEdges(pooledEdges(s, dir), topN)
+
+  /** The scoring core over any distinct undirected edge set (a < b) —
+    * split out so specs can drive it with hand-built graphs.
+    */
+  private[operators] def linkPredictionEdges(e: DataFrame, topN: Int)
+      : DataFrame = {
+    val sym = e.select(col("a").as("w"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("w"), col("a").as("v")))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("d"))
+    // contrib depends only on the CENTER's degree — attach it before
+    // the wedge join so the self-join carries no ambiguous column
+    val adj = sym.join(deg, "w")
+      .select(col("w"), col("v"), expr("1000000L div d").as("contrib"))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.w") === col("y.w") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"), col("x.contrib"))
+    wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum(col("contrib")).as("ra_score"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_score").desc, col("a"), col("b"))
+      .limit(topN)
+  }
 }

@@ -296,4 +296,62 @@ class AdvancedSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.toLowerCase.contains("unionloop"), p.take(600))
   }
+
+  test("skylineMinMin: hand-built dominance cases — equal-price, " +
+    "equal-size, exact duplicates — resolve to the textbook skyline") {
+    val s = spark
+    import s.implicits._
+    // (id, k1, k2): 1 dominates 2 (both strict) and 3 (equal k1,
+    // smaller k2); 4 survives (cheaper k1 than 1, bigger k2);
+    // 5 == 4 exactly (duplicates both survive); 6 dominated by 4
+    // (equal k2, bigger k1); 7 the global min-k2 corner
+    val in = Seq(
+      (1L, 10L, 5L), (2L, 11L, 6L), (3L, 10L, 7L),
+      (4L, 8L, 9L), (5L, 8L, 9L), (6L, 9L, 9L), (7L, 20L, 1L)
+    ).toDF("id", "k1", "k2")
+    val got = Advanced.skylineMinMin(s, in).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 5L, 7L), got.toString)
+  }
+
+  test("skylineMinMin: a large anti-correlated frontier equals the " +
+    "brute-force NOT-EXISTS dominance test") {
+    val s = spark
+    import s.implicits._
+    // k2 = 4000 − k1 + deterministic jitter: heavy anti-correlation
+    // puts hundreds of points on the frontier — the regime where the
+    // bucketed core's cross-bucket prefix-min logic actually works
+    val in = (1L to 2000L).map { i =>
+      (i, i, 4000L - i + (i * 2654435761L) % 97)
+    }.toDF("id", "k1", "k2").cache()
+    val sky = Advanced.skylineMinMin(s, in).collect().map(_.getLong(0)).toSet
+    val brute = in.as("x").join(in.as("y"),
+        col("y.k1") <= col("x.k1") && col("y.k2") <= col("x.k2") &&
+          (col("y.k1") < col("x.k1") || col("y.k2") < col("x.k2")),
+        "left_anti")
+      .select(col("x.id")).collect().map(_.getLong(0)).toSet
+    in.unpersist()
+    assert(brute.size > 100, s"fixture frontier too small: ${brute.size}")
+    assert(sky == brute,
+      s"missing ${(brute -- sky).take(5)}, extra ${(sky -- brute).take(5)}")
+  }
+
+  test("skyline: production frontiers are nonempty and mutually " +
+    "non-dominated") {
+    val rows = Advanced.skyline(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
+    val (small, large) = (rows.filter(_._1 == "cheap_small"),
+      rows.filter(_._1 == "cheap_large"))
+    assert(small.nonEmpty && large.nonEmpty)
+    def nonDominated(f: Array[(String, Long, Int)], flip: Int) =
+      f.foreach { case (_, pc, sz) =>
+        f.foreach { case (_, pc2, sz2) =>
+          assert(!(pc2 <= pc && sz2 * flip <= sz * flip &&
+            (pc2 < pc || sz2 * flip < sz * flip)),
+            s"($pc2,$sz2) dominates ($pc,$sz)")
+        }
+      }
+    nonDominated(small, 1)
+    nonDominated(large, -1)
+  }
 }

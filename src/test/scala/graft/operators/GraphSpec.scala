@@ -122,4 +122,39 @@ class GraphSpec extends SparkSpec {
     assert(after1.keySet == (1L to 6L).toSet + 201L, after1.toString)
     assert(after1(201L) == 1L && after1(6L) == 6L, after1.toString)
   }
+
+  test("linkPredictionEdges: path/star/triangle fixtures score exactly, " +
+    "and no predicted pair is an existing edge") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // path 1-2-3: one non-adjacent pair (1,3) through center 2
+    // (deg 2 → 500000); star 10-{11,12,13}: C(3,2) leaf pairs through
+    // the deg-3 hub (333333); triangle 20-21-22: fully adjacent, no
+    // predictions. Disjoint components keep the cases independent.
+    val e = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("a", "b")
+    val got = Graph.linkPredictionEdges(e, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val expect = Map(
+      (1L, 3L) -> (1L, 500000L),
+      (11L, 12L) -> (1L, 333333L),
+      (11L, 13L) -> (1L, 333333L),
+      (12L, 13L) -> (1L, 333333L))
+    assert(got == expect, s"$got")
+    // production path: predictions disjoint from the edge set, scores
+    // positive, output respects the declared total order
+    val rows = Graph.linkPrediction(s, sfDir).collect()
+    assert(rows.nonEmpty)
+    val edges = Graph.coPurchaseEdges(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(!edges.contains((r.getLong(0), r.getLong(1))))
+      assert(r.getLong(3) > 0 && r.getLong(2) >= 1)
+    }
+    val keys = rows.map(r => (-r.getLong(3), r.getLong(0), r.getLong(1)))
+    assert(keys.sameElements(keys.sorted), "output not in declared order")
+  }
 }
