@@ -200,6 +200,10 @@ object SparkEntry {
     // RLHF/DPO prep: per-source (chosen, rejected) quality pairs via
     // one groupBy argmax/argmin — no window, no per-source sort
     "p_preference_pairs" -> (Pipelines.preferencePairs _),
+    // cluster-aware train/val/test split: near-dup components are the
+    // split unit, so no near-dup pair straddles train/test; the
+    // straddle count is proven in-plan and re-derived by the oracle
+    "p_split_leakage_safe" -> (Dedup.leakageSafeSplit _),
     // contrastive batch packing: source-disjoint by construction
     "p_contrastive_batches" -> (Pipelines.contrastiveBatches _),
     "p_merge_cdc" -> (Pipelines.mergeCdc _),
@@ -762,8 +766,12 @@ object SparkEntry {
     * variants must converge to the identical cluster labeling, so one
     * recursive-CTE replay oracles both.
     */
-  private val ccClustersOracle: String =
-    """WITH RECURSIVE toks AS (
+  /** The shared pair-graph + transitive-closure CTE chain (3-gram
+    * shingles, Jaccard ≥ 0.5, min-id labels) — prefix of every oracle
+    * that replays the near-dup clusters.
+    */
+  private val ccPairsLabCte: String =
+    """toks AS (
       |  SELECT doc_id,
       |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
       |    unnest(generate_series(1,
@@ -791,13 +799,40 @@ object SparkEntry {
       |  UNION
       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
       |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
-      |        FROM reach GROUP BY 1),
-      |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-      |       FROM lab GROUP BY 1)
-      |SELECT l.doc_id, l.cluster_id, cs.cluster_size,
-      |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
-      |FROM lab l JOIN cs ON l.cluster_id = cs.cluster_id
-      |ORDER BY l.doc_id""".stripMargin
+      |        FROM reach GROUP BY 1)""".stripMargin
+
+  private val ccClustersOracle: String =
+    s"""WITH RECURSIVE $ccPairsLabCte,
+       |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM lab GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, cs.cluster_size,
+       |  CAST(l.doc_id = l.cluster_id AS INT) AS is_keeper
+       |FROM lab l JOIN cs ON l.cluster_id = cs.cluster_id
+       |ORDER BY l.doc_id""".stripMargin
+
+  /** p_split_leakage_safe oracle: clusters re-derived by the closure
+    * CTE, the same masked Knuth bucket on the cluster unit, and the
+    * straddle count RECOUNTED from the pair set (must come out 0).
+    */
+  private val leakageSplitOracle: String =
+    s"""WITH RECURSIVE $ccPairsLabCte,
+       |units AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS unit
+       |          FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id),
+       |asg AS (SELECT doc_id, unit,
+       |    CASE WHEN ((unit % 2147483648) * 2654435761) % 100 < 80
+       |           THEN 'train'
+       |         WHEN ((unit % 2147483648) * 2654435761) % 100 < 90
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM units),
+       |strad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_straddle
+       |  FROM pairs p JOIN asg x ON x.doc_id = p.doc_a
+       |  JOIN asg y ON y.doc_id = p.doc_b WHERE x.split <> y.split)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_units,
+       |  MIN(doc_id) AS min_doc_id, n_straddle
+       |FROM asg CROSS JOIN strad
+       |GROUP BY split, n_straddle ORDER BY split""".stripMargin
 
   /** Shared oracle of both incremental-LSH audit forms: the exact
     * delta→history near-pair truth from the ngram CTEs.
@@ -3217,6 +3252,7 @@ object SparkEntry {
         | true AS orthonormal_ok, true AS eigs_desc_ok,
         | true AS var_matches_eig FROM embeddings""".stripMargin,
     "dedup_clusters" -> ccClustersOracle,
+    "p_split_leakage_safe" -> leakageSplitOracle,
     "dedup_keep_best" -> keepBestOracle,
     // the star-alternation variant computes the SAME clusters
     "dedup_clusters_star" -> ccClustersOracle,

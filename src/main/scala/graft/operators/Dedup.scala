@@ -582,6 +582,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/val/test split: assignment by near-dup
+    * CLUSTER, not by document — the guard holdoutSplit's plain hash
+    * split lacks. A hash on doc_id puts two near-duplicates on
+    * opposite sides of the split with probability ~2·0.8·0.2 per
+    * pair, and then the eval set scores memorization, not
+    * generalization (the dedup literature's train/test contamination
+    * failure). Here the split unit is the connected component of the
+    * near-dup pair graph (singleton docs are their own unit), so a
+    * near-dup pair CAN NOT straddle the split — and the operator
+    * PROVES it in-plan: n_straddle joins every pair against its two
+    * endpoints' assignments and counts disagreements (0 by
+    * construction; the oracle re-derives clusters via its recursive-
+    * CTE closure and recounts). Same 2³¹-masked Knuth bucket as the
+    * other deterministic draws — content- and partition-independent,
+    * so appends keep every existing doc's side stable as long as its
+    * cluster's min id survives. Cost: the pooled CC labels (shared
+    * with dedup_clusters / dedup_keep_best) + one broadcast-sized
+    * left join; the corpus never re-pairs.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabels(s, dir).withColumnRenamed("label", "unit_lbl")
+    // planner-sized join (never forced): the label side is tiny at
+    // test sf but docs-in-pairs-proportional at corpus scale
+    val units = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("unit_lbl"), col("doc_id")).as("unit"))
+    val bucket = pmod(
+      pmod(col("unit"), lit(2147483648L)) * lit(2654435761L), lit(100L))
+    val asg = units.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test"))
+    val pairs = jaccardPairs(s, dir).select("doc_a", "doc_b")
+    val strad = pairs
+      .join(asg.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(asg.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("n_straddle"))
+    asg.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("unit")).as("n_units"),
+        min(col("doc_id")).as("min_doc_id"))
+      .crossJoin(broadcast(strad))
+      .orderBy("split")
+  }
+
   /** nearDupClusters through the star alternation — identical output
     * contract (and DuckDB oracle); the variant a caller picks when
     * the pair graph's edges vastly outnumber its nodes.

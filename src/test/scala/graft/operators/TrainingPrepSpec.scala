@@ -40,4 +40,35 @@ class TrainingPrepSpec extends SparkSpec {
     assert(b.count() == Tables.documents(spark, sfDir).count())
     assert(b.select("doc_id").distinct().count() == b.count())
   }
+
+  test("leakageSafeSplit: splits partition the corpus, the in-plan " +
+    "straddle count is 0, and an independent pair-walk agrees") {
+    val rows = Dedup.leakageSafeSplit(spark, sfDir).collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getLong(4) == 0L,
+        s"near-dup pair straddles the split: ${r.getLong(4)}")
+      assert(r.getLong(2) <= r.getLong(1), "more units than docs")
+    }
+    // independent recount: derive each doc's split the same way the
+    // operator does, then walk the RAW near-dup pairs — no pair may
+    // cross sides (this re-proves the construction from the outside)
+    val labels = Dedup.nearDupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def side(doc: Long): Long = {
+      val unit = labels.getOrElse(doc, doc)
+      ((unit % 2147483648L) * 2654435761L) % 100L
+    }
+    def name(b: Long) = if (b < 80) "train" else if (b < 90) "val"
+      else "test"
+    val pairs = Dedup.jaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs to protect")
+    pairs.foreach { case (a, b) =>
+      assert(name(side(a)) == name(side(b)), s"pair ($a,$b) straddles")
+    }
+  }
 }
