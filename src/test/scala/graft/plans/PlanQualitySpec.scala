@@ -669,4 +669,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window "), p.take(2000))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p.take(3000))
   }
+
+  test("skyline: every window is bucket-partitioned (one hash " +
+    "exchange per frontier), no quadratic self-join") {
+    val p = plan(Advanced.skyline(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the dominance test is WINDOW arithmetic, not a join: the plan
+    // may contain no join at all
+    assert(!p.contains("Join"), p.take(2000))
+    // one bkt-keyed exchange per frontier branch; the repo-wide audit
+    // separately proves neither window is single-partition
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx == 2, s"$hashEx hash exchanges\n${p.take(2000)}")
+  }
+
+  test("streaks: the whole cascade rides ONE user-clustered exchange " +
+    "after the distinct — run rollup and summary add none") {
+    val p = plan(Analytics.streaks(spark, sfDir))
+    // distinct (user,day) + window(user): 2 hash exchanges; the
+    // (user, grp) and (user) aggregates reuse the window's
+    // partitioning (ClusteredDistribution subset rule)
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx == 2, s"$hashEx hash exchanges\n${p.take(3000)}")
+    assert(p.contains("Window"), p.take(1000))
+  }
+
+  test("linkPrediction: deterministic top-N is a TakeOrderedAndProject " +
+    "and existing edges leave via a real anti join") {
+    val p = plan(Graph.linkPrediction(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("leakageSafeSplit: label/pair inputs come from the shared pool " +
+    "and the straddle proof enters as a 1-row broadcast") {
+    val p = plan(Dedup.leakageSafeSplit(spark, sfDir))
+    // pooled ccLabels/jaccardPairs: the corpus shingle pipeline must
+    // NOT be re-planned inside this query
+    assert(p.contains("InMemoryTableScan") ||
+      p.contains("TableCacheQueryStage"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+  }
 }
