@@ -197,6 +197,11 @@ object SparkEntry {
     // engines (exponent decrements + in-mantissa integer adds)
     "st_ewma" -> ((s, d) => Analytics.ewmaDaily(s, d)),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
+    // survivorship merge after ER: one master row per entity cluster,
+    // each attribute by its own deterministic rule (mode/max/min)
+    "p_golden_record" -> (Pipelines.goldenRecord _),
+    // first-order Markov transition matrix over per-user sequences
+    "agg_transitions" -> (Analytics.transitions _),
     // RLHF/DPO prep: per-source (chosen, rejected) quality pairs via
     // one groupBy argmax/argmin — no window, no per-source sort
     "p_preference_pairs" -> (Pipelines.preferencePairs _),
@@ -2196,6 +2201,58 @@ object SparkEntry {
         |    ORDER BY doc_id) - 1 AS BIGINT) AS batch_id,
         |  doc_id, source
         |FROM documents ORDER BY batch_id, source""".stripMargin,
+    "agg_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |adj AS (SELECT event_type AS prev_type, next_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_trans
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        |  FROM adj GROUP BY 1)
+        |SELECT a.prev_type, a.next_type, a.n_trans, t.n_from,
+        |  CAST(a.n_trans AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p_trans
+        |FROM adj a JOIN tot t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
+    "p_golden_record" ->
+      // same fuzzy-name closure as p_entity_resolution, then every
+      // survivorship rule replayed: mode brand (count desc, brand asc),
+      // max price, min size
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+        |b AS (SELECT name, list_extract(string_split(name, ' '),
+        |    len(string_split(name, ' '))) AS block FROM names),
+        |pairs AS (SELECT a.name AS na, bb.name AS nb
+        |  FROM b a JOIN b bb ON a.block = bb.block AND a.name < bb.name
+        |  WHERE levenshtein(a.name, bb.name) <= 2),
+        |edges AS (SELECT na AS src, nb AS dst FROM pairs
+        |  UNION ALL SELECT nb, na FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (SELECT src AS name, MIN(dst) AS canonical_name
+        |  FROM reach GROUP BY 1),
+        |mem AS (SELECT COALESCE(l.canonical_name, p.p_name)
+        |      AS canonical_name,
+        |    p.p_brand, p.p_size,
+        |    CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents
+        |  FROM part p LEFT JOIN lab l ON p.p_name = l.name),
+        |bm AS (SELECT canonical_name, p_brand,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM mem GROUP BY 1, 2),
+        |bmx AS (SELECT canonical_name, p_brand AS mode_brand,
+        |    cnt AS brand_n FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_name
+        |        ORDER BY cnt DESC, p_brand) AS rk FROM bm)
+        |  WHERE rk = 1),
+        |g AS (SELECT canonical_name, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |    MAX(price_cents) AS max_price_cents, MIN(p_size) AS min_size
+        |  FROM mem GROUP BY 1)
+        |SELECT g.canonical_name, g.n_members, g.max_price_cents,
+        |  g.min_size, x.mode_brand, x.brand_n
+        |FROM g JOIN bmx x USING (canonical_name)
+        |ORDER BY g.canonical_name""".stripMargin,
     "p_entity_resolution" ->
       """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
         |b AS (SELECT name, list_extract(string_split(name, ' '),

@@ -693,6 +693,38 @@ object Analytics {
     * pass, no re-exchange after the window. All-integer output →
     * hash-exact under the gate.
     */
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current) — the behavioral model
+    * behind session prediction, anomaly scoring ("this transition is
+    * rare"), and funnel drop-off analysis generalized beyond one
+    * hand-picked path. One per-user window (ordered by ts with the
+    * unique event_id tie-break, so simultaneous events order
+    * deterministically) emits (prev, next) adjacencies; one groupBy
+    * counts them; the row-normalized probability divides two exact
+    * BIGINTs once per output row — identical operand structure in
+    * DuckDB, so a float probability is hash-exact. Output is
+    * O(types²) rows at any corpus size.
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val adj = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = adj.groupBy("prev_type")
+      .agg(sum(col("n_trans")).as("n_from"))
+    adj.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        col("n_from"),
+        (col("n_trans").cast("double") / col("n_from").cast("double"))
+          .as("p_trans"))
+      .orderBy("prev_type", "next_type")
+  }
+
   def streaks(s: SparkSession, dir: String): DataFrame = {
     val days = Tables.events(s, dir)
       .select(col("user_id"), col("ts").cast("date").as("d"))

@@ -353,14 +353,18 @@ object Pipelines {
     * size/canonical joins key on the (small) post-distinct name
     * universe.
     */
-  def entityResolution(s: SparkSession, dir: String): DataFrame = {
-    // pooled like dedup's CC labels: the fixpoint job cascade is the
-    // cost here (the name graph itself is tiny) — one build per
-    // (session, dir), every later invocation reads the label table
-    val labels = graft.CachePool.cached(s, s"er.ccLabels:$dir") {
+  /** Pooled fuzzy-name component labels — shared by entityResolution
+    * and goldenRecord (the fixpoint job cascade is the cost; the name
+    * graph itself is tiny).
+    */
+  private def erLabels(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"er.ccLabels:$dir") {
       Dedup.connectedComponents(
         Advanced.fuzzyMatch(s, dir).select("name_a", "name_b"))
     }.select(col("doc_id").as("name"), col("label"))
+
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val labels = erLabels(s, dir)
     val names = Tables.part(s, dir)
       .select(col("p_name").as("name")).distinct()
     val resolved = names.join(labels, Seq("name"), "left")
@@ -371,6 +375,42 @@ object Pipelines {
     resolved.join(sizes, "canonical_name")
       .select(col("name"), col("canonical_name"), col("cluster_size"))
       .orderBy("name")
+  }
+
+  /** Golden-record construction — the SURVIVORSHIP layer after entity
+    * resolution (the MDM "merge the duplicates into one master row"
+    * step): per fuzzy-name entity cluster, each attribute survives by
+    * its own declared deterministic rule — brand by MODE (most
+    * frequent value; smallest string on ties — the
+    * min(struct(−cnt, value)) argmax trick, one extra groupBy, no
+    * window), price by max, size by min, member count for audit. All
+    * rules are exact integer/string aggregates, so the DuckDB oracle
+    * replays the merged master rows value-for-value through the same
+    * closure CTE as p_entity_resolution. Scale shape: two
+    * canonical-keyed hash aggregates over the member rows plus the
+    * pooled label join — no per-cluster sort, no window.
+    */
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.part(s, dir)
+      .select(col("p_name").as("name"), col("p_brand"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      .join(erLabels(s, dir), Seq("name"), "left")
+      .select(coalesce(col("label"), col("name")).as("canonical_name"),
+        col("p_brand"), col("p_size"), col("price_cents"))
+    val brandMode = members
+      .groupBy("canonical_name", "p_brand")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("canonical_name")
+      .agg(min(struct((-col("cnt")).as("nc"), col("p_brand").as("b")))
+        .as("m"))
+      .select(col("canonical_name"), col("m.b").as("mode_brand"),
+        (-col("m.nc")).as("brand_n"))
+    members.groupBy("canonical_name")
+      .agg(count(lit(1)).as("n_members"),
+        max(col("price_cents")).as("max_price_cents"),
+        min(col("p_size")).as("min_size"))
+      .join(brandMode, "canonical_name")
+      .orderBy("canonical_name")
   }
 
   /** Preference-pair construction — the RLHF/DPO data-prep shape:

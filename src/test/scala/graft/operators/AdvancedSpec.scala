@@ -297,6 +297,49 @@ class AdvancedSpec extends SparkSpec {
     assert(p.toLowerCase.contains("unionloop"), p.take(600))
   }
 
+  test("goldenRecord: one master row per entity, members conserved, " +
+    "and the mode brand really is the most frequent (min-string ties)") {
+    val rows = Pipelines.goldenRecord(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    val nParts = Tables.part(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nParts, "members not conserved")
+    // brute recount of the survivorship rules per cluster
+    val resolved = Pipelines.entityResolution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val members = Tables.part(spark, sfDir)
+      .select(col("p_name"), col("p_brand"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long")).collect()
+      .map(r => (resolved(r.getString(0)), r.getString(1), r.getInt(2),
+        r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val m = members(r.getString(0))
+      assert(r.getLong(2) == m.map(_._4).max, "max price rule broken")
+      assert(r.getInt(3) == m.map(_._3).min, "min size rule broken")
+      val freq = m.groupBy(_._2).view.mapValues(_.size).toMap
+      val mode = freq.toSeq.minBy { case (b, c) => (-c, b) }
+      assert((r.getString(4), r.getLong(5)) == (mode._1, mode._2.toLong),
+        s"${r.getString(0)}: mode ${r.getString(4)} vs $mode")
+    }
+  }
+
+  test("transitions: rows sum to each prev type's total, probabilities " +
+    "row-normalize to 1, and adjacency count = events − users") {
+    val rows = Analytics.transitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byPrev = rows.groupBy(_.getString(0))
+    byPrev.foreach { case (p, rs) =>
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(3),
+        s"$p: counts don't sum to n_from")
+      val psum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"$p: probs sum to $psum")
+    }
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected,
+      "each user must contribute exactly (n_events − 1) transitions")
+  }
+
   test("skylineMinMin: hand-built dominance cases — equal-price, " +
     "equal-size, exact duplicates — resolve to the textbook skyline") {
     val s = spark
