@@ -196,6 +196,9 @@ object SparkEntry {
     // exact EWMA: power-of-two decay folds bit-identically in both
     // engines (exponent decrements + in-mantissa integer adds)
     "st_ewma" -> ((s, d) => Analytics.ewmaDaily(s, d)),
+    // CUSUM change point: n·prefix − t·total keeps the mean-deviation
+    // sum in BIGINTs — argmax day + peak are hash-exact
+    "st_cusum" -> (Analytics.cusumChangePoint _),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
     // survivorship merge after ER: one master row per entity cluster,
     // each attribute by its own deterministic rule (mode/max/min)
@@ -2132,6 +2135,31 @@ object SparkEntry {
         |  COALESCE(daily.sum_value, 0.0) AS sum_value
         |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
         |ORDER BY day""".stripMargin,
+    "st_cusum" ->
+      // same scaled deviation sum n·prefix − t·total in BIGINTs; the
+      // argmax replayed by a rank window (abs desc, day asc)
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+        |    CAST(SUM(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS prefix,
+        |    CAST(COUNT(*) OVER p AS BIGINT) AS n_days,
+        |    CAST(SUM(x) OVER p AS BIGINT) AS total_cents
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+        |         p AS (PARTITION BY event_type)),
+        |s AS (SELECT event_type, day,
+        |    abs(n_days * prefix - t * total_cents) AS a,
+        |    n_days, total_cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n_days * prefix - t * total_cents) DESC, day)
+        |      AS rk
+        |  FROM c)
+        |SELECT event_type, day AS change_day, CAST(a AS BIGINT)
+        |    AS cusum_peak, n_days, total_cents
+        |FROM s WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "st_ewma" ->
       // same left fold over the same 10-day frame list: acc/2 + x is
       // an exponent decrement plus an in-mantissa add, so the doubles

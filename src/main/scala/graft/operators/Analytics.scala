@@ -631,6 +631,54 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** CUSUM change-point detection per series (Page 1954 via Taylor's
+    * cumulative-sum chart): the day where the cumulative deviation
+    * from the series mean peaks is the most likely level-shift point
+    * — the drift detector behind "did this source's volume/revenue
+    * regime change, and when". INTEGER-EXACT throughout: the mean
+    * never materializes as a float — C'_t = n·prefix_t − t·total is
+    * the deviation sum scaled by n, all BIGINT (events cents bound
+    * the product far under 2⁶³), so argmax and peak are
+    * hash-checkable and the DuckDB oracle replays them exactly.
+    * Shape: one day-grain aggregate, two window specs over the SAME
+    * series partitioning (running prefix + whole-series totals — one
+    * exchange), then a per-series max(struct) argmax with the
+    * earliest-day tie-break. Series length (days) bounds the frame,
+    * never corpus size.
+    */
+  def cusumChangePoint(s: SparkSession, dir: String): DataFrame =
+    cusumCore(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x")))
+
+  /** The scoring core over any (event_type, day, x) day-grain series —
+    * split out so specs can drive it with hand-built level shifts.
+    */
+  private[operators] def cusumCore(daily: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("t", row_number().over(ord))
+      .withColumn("prefix", sum(col("x")).over(run))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("total", sum(col("x")).over(whole))
+      .withColumn("cs",
+        col("n_days") * col("prefix") - col("t") * col("total"))
+    scored.groupBy("event_type")
+      .agg(
+        max(struct(abs(col("cs")).as("a"),
+          (-datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("long")).as("nd"))).as("pk"),
+        max(col("n_days")).as("n_days"),
+        max(col("total")).as("total_cents"))
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"),
+          (-col("pk.nd")).cast("int")).as("change_day"),
+        col("pk.a").as("cusum_peak"), col("n_days"), col("total_cents"))
+      .orderBy("event_type")
+  }
+
   /** Mergeable quantile sketches (the percentile analog of
     * sketchRollup's HLL): per-day fixed-bin histogram sketches of
     * order totals built by a custom typed `Aggregator` (the engine's

@@ -259,6 +259,50 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cusumCore: a hand-built level shift peaks exactly at the last " +
+    "pre-shift day with the closed-form scaled deviation") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Date
+    // 10 days at 100 cents then 10 at 200: C'_t = n·prefix_t − t·total
+    // peaks (in |·|) at t=10 with |20·1000 − 10·3000| = 10000
+    val series = (1 to 20).map { t =>
+      ("shift", Date.valueOf(f"2024-01-$t%02d"), if (t <= 10) 100L else 200L)
+    } ++ (1 to 5).map { t => // flat series: every C'_t = 0, argmax=first day
+      ("flat", Date.valueOf(f"2024-02-$t%02d"), 50L)
+    }
+    val out = Analytics.cusumCore(series.toDF("event_type", "day", "x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("shift") == ("2024-01-10", 10000L, 20L, 3000L), out.toString)
+    assert(out("flat") == ("2024-02-01", 0L, 5L, 250L), out.toString)
+  }
+
+  test("cusum: production peaks match a driver-side brute replay") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2))).groupBy(_._1)
+    val got = Analytics.cusumChangePoint(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDate(1).toString, r.getLong(2)))
+      .toMap
+    assert(got.size == daily.size && got.nonEmpty)
+    daily.foreach { case (et, rows) =>
+      val xs = rows.sortBy(_._2).map(x => (x._2, x._3))
+      val n = xs.length.toLong
+      val total = xs.map(_._2).sum
+      var prefix = 0L
+      val cs = xs.zipWithIndex.map { case ((d, x), i) =>
+        prefix += x
+        (d, math.abs(n * prefix - (i + 1) * total))
+      }
+      val best = cs.minBy { case (d, a) => (-a, d) }
+      assert(got(et) == best, s"$et: ${got(et)} vs $best")
+    }
+  }
+
   test("streaks: a run is maximal — extending any longest streak by " +
     "one day on either side leaves the day set") {
     // structural sanity on the operator's own output: total active
