@@ -205,6 +205,9 @@ object SparkEntry {
     "p_golden_record" -> (Pipelines.goldenRecord _),
     // first-order Markov transition matrix over per-user sequences
     "agg_transitions" -> (Analytics.transitions _),
+    // trailing-7-day distinct users per day from merged day sketches
+    // (sub-k regime → the oracle demands exact equality)
+    "agg_sliding_distinct" -> ((s, d) => Aggregates.slidingDistinct(s, d)),
     // RLHF/DPO prep: per-source (chosen, rejected) quality pairs via
     // one groupBy argmax/argmin — no window, no per-source sort
     "p_preference_pairs" -> (Pipelines.preferencePairs _),
@@ -2229,6 +2232,16 @@ object SparkEntry {
         |    ORDER BY doc_id) - 1 AS BIGINT) AS batch_id,
         |  doc_id, source
         |FROM documents ORDER BY batch_id, source""".stripMargin,
+    "agg_sliding_distinct" ->
+      // the exact windowed distinct the sketch plane must match in
+      // its sub-k regime
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day,
+        |  CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+        |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
         |    lead(event_type, 1) OVER

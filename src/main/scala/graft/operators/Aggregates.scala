@@ -260,6 +260,48 @@ object Aggregates {
       .toDF("n_urgent", "n_high", "n_union", "n_both")
   }
 
+  /** Sliding-window distinct counts from MERGED day sketches:
+    * "distinct users in the trailing 7 days, per day" — the rolling
+    * engagement metric an exact windowed COUNT(DISTINCT) cannot
+    * compute incrementally (distinct is not subtractable, so every
+    * day would re-scan its whole window). Sketch plane instead: one
+    * KMV sketch per day (ONE corpus shuffle of ≤k-double arrays),
+    * then each day's sketch fans out to the ≤7 window ends it serves
+    * (day-grain rows — kilobytes), is re-sketched per window (KMV
+    * merge = k smallest of the union = re-sketching the retained
+    * values, lossless by construction), and the estimate reads off
+    * row-locally: exact |sketch| in the sub-k regime (every test sf,
+    * so the DuckDB oracle demands equality with the true windowed
+    * distinct), (k−1)/max at saturation (~1/√k error,
+    * KmvSketchSpec-bounded). A year of dashboard windows at 100 TB
+    * reprocesses day sketches, never events.
+    */
+  def slidingDistinct(s: SparkSession, dir: String, days: Int = 7)
+      : DataFrame = {
+    import graft.functions.KmvSketch
+    val k = 16384
+    val sketch = udaf(new KmvSketch(k))
+    val u = (xxhash64(col("user_id")).cast("double") /
+      lit(math.pow(2, 64))) + lit(0.5)
+    val daily = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), u.as("u"))
+      .groupBy("day").agg(sketch(col("u")).as("sk"))
+    daily
+      .select(col("day"),
+        explode(sequence(lit(0), lit(days - 1))).as("off"), col("sk"))
+      .select(date_add(col("day"), col("off")).as("wday"), col("sk"))
+      // only windows ending on an OBSERVED day (the trailing frame's
+      // natural domain; tiny day-grain semi join)
+      .join(daily.select(col("day").as("wday")), Seq("wday"), "left_semi")
+      .select(col("wday"), explode(col("sk")).as("u"))
+      .groupBy("wday").agg(sketch(col("u")).as("sk7"))
+      .select(col("wday").as("day"),
+        when(size(col("sk7")) < k, size(col("sk7")).cast("long"))
+          .otherwise(round(lit(k - 1) /
+            element_at(col("sk7"), k)).cast("long")).as("n_users_7d"))
+      .orderBy("day")
+  }
+
   /** Weighted sampling WITHOUT replacement, per group, as one
     * aggregate pass — the training-data subsampling primitive
     * (quality-weighted corpus selection draws documents ∝ weight; here

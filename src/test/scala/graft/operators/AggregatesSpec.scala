@@ -121,4 +121,28 @@ class AggregatesSpec extends SparkSpec {
       assert(got.getAs[Long]("n_rows") == xs.size.toLong)
     }
   }
+
+  test("slidingDistinct: sub-k window estimates equal an exact " +
+    "trailing-7-day recount, one row per observed day") {
+    val got = Aggregates.slidingDistinct(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // brute exact: per (day, user) distinct pairs, window recount
+    val du = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = du.map(_._1).distinct
+    assert(got.size == days.length && got.nonEmpty)
+    days.foreach { d =>
+      val exact = du.filter { case (dd, _) =>
+        !dd.isAfter(d) && !dd.isBefore(d.minusDays(6))
+      }.map(_._2).distinct.length.toLong
+      assert(got(d.toString) == exact, s"$d: ${got(d.toString)} vs $exact")
+    }
+    // the trailing window can only see MORE than any single day
+    val dailyExact = du.groupBy(_._1).view.mapValues(_.length.toLong)
+    days.foreach { d =>
+      assert(got(d.toString) >= dailyExact(d))
+    }
+  }
 }

@@ -703,6 +703,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("slidingDistinct: the day spine prunes the sketch away — one " +
+    "heavy sketch aggregate, not two") {
+    val raw = Aggregates.slidingDistinct(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // exactly 2 kmv aggs (partial+final) per REAL sketch pass: the
+    // corpus day-sketch and the window merge — the semi join's spine
+    // branch must compile to a plain distinct (functions=[])
+    val objAggs = "ObjectHashAggregate".r.findAllIn(raw).size
+    assert(objAggs == 4, s"$objAggs object aggs\n${raw.take(2000)}")
+    assert(raw.contains("functions=[], output"), raw.take(3000))
+  }
+
   test("leakageSafeSplit: label/pair inputs come from the shared pool " +
     "and the straddle proof enters as a 1-row broadcast") {
     val p = plan(Dedup.leakageSafeSplit(spark, sfDir))
