@@ -105,6 +105,10 @@ object SparkEntry {
     // running distinct per key: KMV sketch as transformWithState state
     "stream_distinct_running" ->
       (graft.streaming.StreamingAnalogs.feedDistinct _),
+    // streaming trailing-7-day distinct: day→sketch MAPSTATE ledger
+    // with horizon eviction — bounded state at any stream length
+    "stream_sliding_distinct" ->
+      (graft.streaming.StreamingAnalogs.feedSlidingDistinct _),
     // streaming weighted reservoir: TopKAgg buffer as TWS state,
     // deterministic A-ES keys → the drain is hash-exact vs the
     // generator replay
@@ -365,6 +369,8 @@ object SparkEntry {
     "dedup_winnow_pairs" -> (Assertions.winnowPairsRecall _),
     "text_vocab" -> (TextAnalysis.vocab _),
     "text_bigrams" -> (TextAnalysis.bigrams _),
+    // PMI collocations ranked by the exact integer ratio (log-free)
+    "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -438,6 +444,7 @@ object SparkEntry {
       "stream_feed_daily" + // builder runs the AvailableNow stream drain
       "stream_sessionize" + // same drain, append-mode session windows
       "stream_distinct_running" + // same drain, TWS KMV state
+      "stream_sliding_distinct" + // same drain, TWS day→sketch MapState
       "stream_weighted_sample" + // same drain, TWS A-ES reservoir state
       "stream_heavy_hitters" + // same drain, TWS Misra-Gries state
       "stream_quantiles" + // same drain, TWS histogram-sketch state
@@ -2426,6 +2433,23 @@ object SparkEntry {
         |SELECT kind, list_reduce(list_prepend(0.0, xs),
         |  (acc, x) -> acc / 2 + x) AS ewma
         |FROM fr ORDER BY kind""".stripMargin,
+    "stream_sliding_distinct" ->
+      // generator replay: the retained window set (day > max − 7 per
+      // kind) and each day's trailing-7 exact windowed distinct
+      """WITH feed AS (
+        |  SELECT range AS id,
+        |    CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END AS kind,
+        |    CAST(range // 500 AS INT) AS day,
+        |    (range * 2654435761) % 100000 % 101 AS user_id
+        |  FROM range(5000)),
+        |mx AS (SELECT kind, MAX(day) AS maxd FROM feed GROUP BY 1),
+        |keep AS (SELECT DISTINCT f.kind, f.day FROM feed f
+        |  JOIN mx USING (kind) WHERE f.day > maxd - 7)
+        |SELECT k.kind, k.day,
+        |  CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users_7d
+        |FROM keep k JOIN feed f ON f.kind = k.kind
+        |  AND f.day > k.day - 7 AND f.day <= k.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_distinct_running" ->
       // generator replay + plain COUNT(DISTINCT): the streaming KMV
       // runs in its exact sub-k regime (101-user domain, k=1024)
@@ -4026,6 +4050,31 @@ object SparkEntry {
         |        '\s+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_collocations" ->
+      // same staged integer ratio ((n_ab·1e6 div n_a)·N div n_b) and
+      // the same (ratio desc, w1, w2) total order
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |bgr AS (SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |  FROM toks),
+        |b AS (SELECT w1, w2 FROM bgr WHERE w2 IS NOT NULL),
+        |ab AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM b GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |la AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_a
+        |  FROM b GROUP BY 1),
+        |rb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_b
+        |  FROM b GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b)
+        |SELECT ab.w1, ab.w2, ab.n_ab, la.n_a, rb.n_b,
+        |  CAST(((ab.n_ab * 1000000 // la.n_a) * nt.n_total) // rb.n_b
+        |    AS BIGINT) AS pmi_ratio_ppm
+        |FROM ab JOIN la USING (w1) JOIN rb USING (w2) CROSS JOIN nt
+        |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
     "text_bigrams" ->
       """WITH toks AS (
         |  SELECT doc_id,

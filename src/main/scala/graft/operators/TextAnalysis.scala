@@ -530,6 +530,41 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** Collocation extraction by pointwise mutual information (Church &
+    * Hanks 1990): bigrams whose parts co-occur far more than their
+    * unigram rates predict — the multi-word-expression detector
+    * (tokenizer-vocabulary candidates, "new york"-style units) run
+    * over the same pooled bigram stream the LM family shares. RANKED
+    * BY THE PMI RATIO, not the log: PMI = log of
+    * P(ab)/(P(a)·P(b)) and log is monotone, so ordering by the ratio
+    * is ordering by PMI with no libm in either engine. The ratio is
+    * staged integer division — (n_ab·10⁶ div n_a)·N div n_b — exact
+    * BIGINTs with intermediates capped at 10⁶·N (overflow headroom to
+    * N ≈ 9·10¹²; beyond that drop the ppm scale a decade). The
+    * min-count floor kills the hapax spike (a pair seen once between
+    * two hapax words scores the maximal ratio — the classic PMI
+    * failure mode), and the (ratio, w1, w2) total order makes the
+    * top-N cut deterministic. Shape: three map-side-combined counts
+    * off the pooled stream, vocab-sized joins, 1-row N broadcast,
+    * TakeOrderedAndProject.
+    */
+  def collocations(s: SparkSession, dir: String, minCount: Int = 5,
+      topN: Int = 50): DataFrame = {
+    val bg = docBigrams(s, dir)
+    val nTotal = bg.agg(count(lit(1)).as("n_total"))
+    val ab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val la = bg.groupBy("w1").agg(count(lit(1)).as("n_a"))
+    val rb = bg.groupBy("w2").agg(count(lit(1)).as("n_b"))
+    ab.join(la, "w1").join(rb, "w2")
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(n_ab * 1000000L div n_a) * n_total div n_b")
+          .as("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Doc bigram stream (doc_id, w1, w2) in document order, pooled —
     * lmScore trains on it and scores with it in one session.
     */

@@ -1099,4 +1099,107 @@ object StreamingAnalogs {
     s.read.parquet(s"$base/table")
       .select(col("kind"), col("rk"), col("id")).orderBy("kind", "rk")
   }
+
+  /** Streaming trailing-7-day distinct users — the streaming twin of
+    * Aggregates.slidingDistinct and the TWS family's MAPSTATE member
+    * (value/list shapes are covered by the other processors; a keyed
+    * sub-map is the shape a per-day sketch ledger actually needs):
+    * state per kind is day → KMV sketch, each batch folds its rows
+    * into their days' sketches, EVICTS days at or below
+    * maxDay − retain (the bound running distinct cannot have: state
+    * is ≤ retain+1 day sketches per key at ANY stream length), and
+    * re-emits the full retained trailing-window estimates so the
+    * sink's dynamic overwrite always holds the complete live window.
+    * Sub-k regime + the same XXH64 hash as the batch sketches → the
+    * drained estimates are EXACT and the oracle replays them as
+    * plain windowed COUNT(DISTINCT) over the generator.
+    */
+  class SlidingDistinctProcessor(k: Int, window: Int, retain: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Int), (String, Int, Long)] {
+    @transient private var days:
+      org.apache.spark.sql.streaming.MapState[Int, Seq[Double]] = _
+    @transient private var maxDay:
+      org.apache.spark.sql.streaming.ValueState[Int] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      days = getHandle.getMapState[Int, Seq[Double]]("days",
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[Double]](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      maxDay = getHandle.getValueState[Int]("maxDay",
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def uOf(id: Long): Double =
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(id, 42L).toDouble / math.pow(2, 64) + 0.5
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Int)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Int, Long)] = {
+      val agg = new graft.functions.KmvSketch(k)
+      // fold the batch into its days' sketches
+      rows.toArray.groupBy(_._3).foreach { case (d, rs) =>
+        val cur = if (days.containsKey(d)) days.getValue(d) else agg.zero
+        days.updateValue(d, agg.finish(
+          rs.foldLeft(cur)((b, r) => agg.reduce(b, uOf(r._2)))))
+      }
+      // advance the horizon and evict expired day sketches
+      val retained = days.keys().toArray.sorted
+      val mx = math.max(if (maxDay.exists()) maxDay.get() else Int.MinValue,
+        if (retained.nonEmpty) retained.max else Int.MinValue)
+      maxDay.update(mx)
+      retained.filter(_ <= mx - retain).foreach(days.removeKey)
+      // re-emit the full retained window set (state-bounded rows):
+      // trailing estimate per kept day from the per-day sketch merge
+      val live = days.keys().toArray.sorted
+      live.iterator.map { d =>
+        val merged = live.filter(x => x > d - window && x <= d)
+          .map(days.getValue)
+          .reduce((a, b) => graft.functions.Kmv.union(k, a, b))
+        (key, d, math.round(graft.functions.Kmv.estimate(k, merged)))
+      }
+    }
+  }
+
+  def slidingDistinctTws(rows: Dataset[(String, Long, Int)],
+      k: Int = 1024, window: Int = 7, retain: Int = 7)
+      : Dataset[(String, Int, Long)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_._1)
+      .transformWithState(new SlidingDistinctProcessor(k, window, retain),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  def feedSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_sliding"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    import s.implicits._
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      // 10 synthetic days of 500 ids each; same 101-user domain
+      .select(col("kind"),
+        ((col("id") * lit(2654435761L)) % lit(100000L) % lit(101L))
+          .as("user_id"),
+        (col("id") / lit(500L)).cast("int").as("day"))
+      .as[(String, Long, Int)]
+    drainTwsToTable(s, base, slidingDistinctTws(feed)
+      .toDF("kind", "day", "n_users_7d"))
+    s.read.parquet(s"$base/table")
+      .select(col("kind"), col("day"), col("n_users_7d"))
+      .orderBy("kind", "day")
+  }
 }

@@ -843,4 +843,32 @@ class NorthStarSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("collocations: min-count floor holds, the staged integer ratio " +
+    "recomputes from the emitted counts, and top bigrams outscore " +
+    "their unigram-rate prediction") {
+    val rows = TextAnalysis.collocations(spark, sfDir).collect()
+    assert(rows.length > 0 && rows.length <= 50)
+    val nTotal = {
+      // recompute N the way the operator defines it (all bigrams)
+      import spark.implicits._
+      Tables.documents(spark, sfDir)
+        .select(TextAnalysis.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) > 1)
+        .agg(sum(size(col("ts")) - 1)).head.getLong(0)
+    }
+    rows.foreach { r =>
+      val (ab, a, b, ppm) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ab >= 5, "min-count floor violated")
+      assert(ppm == (ab * 1000000L / a) * nTotal / b,
+        s"${r.getString(0)} ${r.getString(1)}: ratio mismatch")
+      // PMI > 0 for every surfaced collocation: observed co-occurrence
+      // beats the independence prediction
+      assert(ppm > 1000000L, s"ratio $ppm not above independence")
+    }
+    val ppms = rows.map(_.getLong(5))
+    assert(ppms.zip(ppms.tail).forall { case (x, y) => x >= y },
+      "not sorted by ratio")
+  }
 }

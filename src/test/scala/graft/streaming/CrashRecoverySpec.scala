@@ -494,4 +494,78 @@ class CrashRecoverySpec extends SparkSpec {
         "or a replayed batch double-emitted")
     assert(ids.toSet == (0L until 2000L).toSet)
   }
+
+  test("sliding distinct (transformWithState/RocksDB MapState): crash " +
+    "after batch-0's sink write; restart restores the day→sketch " +
+    "ledger and the final window matches the exact recount") {
+    val base = cleanBase("sliding")
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def rows = feed(5000, 1000)
+      .select(col("kind"),
+        ((col("id") * lit(2654435761L)) % lit(100000L) % lit(101L))
+          .as("user_id"),
+        (col("id") / lit(500L)).cast("int").as("day"))
+      .as[(String, Long, Int)]
+    def drain(injectCrash: Boolean): Unit = {
+      val q = StreamingAnalogs.slidingDistinctTws(rows)
+        .toDF("kind", "day", "n_users_7d").writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind")
+            .parquet(s"$base/table")
+          if (injectCrash && id == 0)
+            throw new RuntimeException("injected crash")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      intercept[StreamingQueryException](drain(injectCrash = true))
+      drain(injectCrash = false) // resume: the day ledger is restored
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val got = spark.read.parquet(s"$base/table")
+      .select(col("kind"), col("day"), col("n_users_7d"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // exact recount from the generator law: retained window set per
+    // kind (day > max − 7) with trailing-7 windowed distinct; a
+    // restart that lost a day sketch or re-applied batch 0's rows
+    // into the wrong day cannot reproduce these sub-k-exact counts
+    val f = spark.range(0, 5000)
+      .select(when(col("id") % 3 === 0, lit("credit"))
+        .otherwise(lit("debit")).as("kind"),
+        ((col("id") * lit(2654435761L)) % lit(100000L) % lit(101L))
+          .as("user_id"),
+        (col("id") / lit(500L)).cast("int").as("day"))
+    val expect = f.as("k").select(col("kind"), col("day")).distinct()
+      .join(f.groupBy("kind").agg(max(col("day")).as("mx")), "kind")
+      .filter(col("day") > col("mx") - 7)
+      .join(f.select(col("kind"), col("day").as("fd"), col("user_id")),
+        Seq("kind"))
+      .filter(col("fd") > col("day") - 7 && col("fd") <= col("day"))
+      .groupBy("kind", "day")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(got == expect,
+      s"missing ${(expect.keySet -- got.keySet).take(4)}, " +
+        s"diff ${got.filter { case (k, v) => expect.get(k) != Some(v) }.take(4)}")
+  }
 }
