@@ -203,6 +203,11 @@ object SparkEntry {
     // CUSUM change point: n·prefix − t·total keeps the mean-deviation
     // sum in BIGINTs — argmax day + peak are hash-exact
     "st_cusum" -> (Analytics.cusumChangePoint _),
+    // Mann–Kendall S over calendar-bounded day pairs, all integers
+    "st_trend" -> (Analytics.trendTest _),
+    // linear multi-touch attribution: exact 1e6 div/mod credit split,
+    // conservation-law checkable
+    "agg_attribution" -> (Analytics.attribution _),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
     // survivorship merge after ER: one master row per entity cluster,
     // each attribute by its own deterministic rule (mode/max/min)
@@ -2144,6 +2149,54 @@ object SparkEntry {
         |  COALESCE(daily.n_events, 0) AS n_events,
         |  COALESCE(daily.sum_value, 0.0) AS sum_value
         |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
+        |ORDER BY day""".stripMargin,
+    "st_trend" ->
+      // triangular day-pair self-join per series, integer sign sum
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+        |      ELSE 0 END AS sgn
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |agg AS (SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM p GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT agg.event_type, agg.s_stat, agg.n_pairs, nd.n_days,
+        |  CASE WHEN s_stat > 0 THEN 'increasing'
+        |       WHEN s_stat < 0 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM agg JOIN nd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "agg_attribution" ->
+      // same interval residual, window credit split, and audit columns
+      """WITH cl AS (SELECT user_id, ts AS cts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |pu AS (SELECT user_id, ts AS pts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT pu.purchase_id, cl.click_id, cl.cts
+        |  FROM pu JOIN cl USING (user_id)
+        |  WHERE cl.cts < pu.pts AND cl.cts >= pu.pts - INTERVAL 7 DAY),
+        |cr AS (SELECT purchase_id, cts,
+        |    COUNT(*) OVER (PARTITION BY purchase_id) AS n_touch,
+        |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+        |      ORDER BY cts, click_id) AS rk
+        |  FROM t),
+        |cc AS (SELECT CAST(cts AS DATE) AS day,
+        |    1000000 // n_touch +
+        |      CASE WHEN rk = 1 THEN 1000000 % n_touch ELSE 0 END AS credit
+        |  FROM cr),
+        |na AS (SELECT CAST(COUNT(DISTINCT purchase_id) AS BIGINT)
+        |    AS n_attributed FROM t),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM pu)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(credit) AS BIGINT) AS credit_ppm,
+        |  na.n_attributed, np.n_purchases
+        |FROM cc CROSS JOIN na CROSS JOIN np
+        |GROUP BY day, na.n_attributed, np.n_purchases
         |ORDER BY day""".stripMargin,
     "st_cusum" ->
       // same scaled deviation sum n·prefix − t·total in BIGINTs; the

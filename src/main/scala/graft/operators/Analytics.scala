@@ -679,6 +679,87 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Linear multi-touch attribution: every purchase splits 1 000 000
+    * credit units EVENLY across the user's clicks in the prior 7 days
+    * — the marketing-analytics generalization of last-touch (which is
+    * argmax — already expressible); "linear" is the shape that needs
+    * care because an even split of an integer budget must stay exact:
+    * credit = 10⁶ div n plus the remainder 10⁶ mod n awarded to the
+    * EARLIEST touch (deterministic: ts + event_id order), so per-
+    * purchase credit sums to exactly 10⁶ and the per-day rollup is
+    * conservation-law checkable (Σ credit = 10⁶ · attributed
+    * purchases — spec-pinned). Shape: user-keyed equi join with the
+    * 7-day interval as residual (the intervalJoin discipline — never
+    * a time cross join), two frames over one purchase-keyed window
+    * partitioning, day rollup; attribution coverage (n_attributed vs
+    * n_purchases) rides every row as a 1-row broadcast audit column.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"))
+    val touches = purchases.join(clicks, Seq("user_id"))
+      .filter(col("cts") < col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val w = Window.partitionBy("purchase_id")
+    val wr = Window.partitionBy("purchase_id")
+      .orderBy(col("cts"), col("click_id"))
+    val credited = touches
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("credit", expr("1000000L div n_touch") +
+        when(col("rk") === 1, expr("1000000L % n_touch")).otherwise(0L))
+    val coverage = touches
+      .agg(countDistinct(col("purchase_id")).as("n_attributed"))
+      .crossJoin(purchases.agg(count(lit(1)).as("n_purchases")))
+    credited.groupBy(to_date(col("cts")).as("day"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credit_ppm"))
+      .crossJoin(broadcast(coverage))
+      .orderBy("day")
+  }
+
+  /** Mann–Kendall trend test per series (Mann 1945, Kendall 1975):
+    * S = Σ_{i<j} sign(x_j − x_i) over the day-ordered daily totals —
+    * the NONPARAMETRIC monotone-trend detector (no normality or
+    * linearity assumption; the standard for hydrology/telemetry
+    * drift) complementing st_cusum's single-level-shift model. All
+    * integers: x is exact cents, sign is a CASE (signum returns
+    * DOUBLE — the one cast that would smuggle floats in), S/n/pairs
+    * are BIGINTs, direction = sign(S) — hash-exact and replayed by
+    * the oracle's triangular self-join. Pair space is days², bounded
+    * by the CALENDAR, never corpus size (the same argument as the
+    * EWMA/LOCF frames); the self-join is equi-keyed on the series so
+    * each series' pairs stay in one task's hash bucket.
+    */
+  def trendTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val pairs = daily.as("a").join(daily.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("a.day") < col("b.day"))
+    pairs
+      .select(col("a.event_type").as("event_type"),
+        when(col("b.x") > col("a.x"), 1L)
+          .when(col("b.x") < col("a.x"), -1L).otherwise(0L).as("sgn"))
+      .groupBy("event_type")
+      .agg(sum(col("sgn")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+      .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+        "event_type")
+      .select(col("event_type"), col("s_stat"), col("n_pairs"),
+        col("n_days"),
+        when(col("s_stat") > 0, "increasing")
+          .when(col("s_stat") < 0, "decreasing")
+          .otherwise("none").as("trend"))
+      .orderBy("event_type")
+  }
+
   /** Mergeable quantile sketches (the percentile analog of
     * sketchRollup's HLL): per-day fixed-bin histogram sketches of
     * order totals built by a custom typed `Aggregator` (the engine's

@@ -259,6 +259,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("trendTest: S matches a brute pairwise recount and respects " +
+    "the algebraic bounds |S| <= n_pairs = n(n-1)/2") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2))).groupBy(_._1)
+    val got = Analytics.trendTest(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got.size == daily.size && got.nonEmpty)
+    daily.foreach { case (et, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val n = xs.length
+      var s = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        s += java.lang.Long.signum(xs(j) - xs(i))
+      val pairs = n.toLong * (n - 1) / 2
+      val dir = if (s > 0) "increasing" else if (s < 0) "decreasing"
+        else "none"
+      assert(got(et) == (s, pairs, n.toLong, dir),
+        s"$et: ${got(et)} vs ($s, $pairs, $n, $dir)")
+      assert(math.abs(s) <= pairs)
+    }
+  }
+
+  test("attribution: credit conserves exactly — sum over days equals " +
+    "1e6 x attributed purchases — and coverage columns are consistent") {
+    val rows = Analytics.attribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nAttr = rows.head.getLong(3)
+    val nPurch = rows.head.getLong(4)
+    assert(nAttr <= nPurch && nAttr > 0)
+    assert(rows.map(_.getLong(2)).sum == 1000000L * nAttr,
+      "credit not conserved: the div/mod split leaked units")
+    // every purchase credits at most its own 1e6; touches positive
+    rows.foreach { r => assert(r.getLong(1) > 0 && r.getLong(2) > 0) }
+  }
+
   test("cusumCore: a hand-built level shift peaks exactly at the last " +
     "pre-shift day with the closed-form scaled deviation") {
     val s = spark
