@@ -205,6 +205,8 @@ object SparkEntry {
     "st_cusum" -> (Analytics.cusumChangePoint _),
     // Mann–Kendall S over calendar-bounded day pairs, all integers
     "st_trend" -> (Analytics.trendTest _),
+    // gap-sessionized top event-type flows (funnel discovery)
+    "agg_session_paths" -> ((s, d) => Analytics.sessionPaths(s, d)),
     // linear multi-touch attribution: exact 1e6 div/mod credit split,
     // conservation-law checkable
     "agg_attribution" -> (Analytics.attribution _),
@@ -2150,6 +2152,30 @@ object SparkEntry {
         |  COALESCE(daily.sum_value, 0.0) AS sum_value
         |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
         |ORDER BY day""".stripMargin,
+    "agg_session_paths" ->
+      // same micros gap law, session cumsum, 8-event cap, total order
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL
+        |      OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |se AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f),
+        |ranked AS (SELECT user_id, sess, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, sess
+        |      ORDER BY us, event_id) AS rn
+        |  FROM se),
+        |pa AS (SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM ranked WHERE rn <= 8 GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM pa GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "st_trend" ->
       // triangular day-pair self-join per series, integer sign sum
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -679,6 +679,51 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Session-path discovery: the top event-type FLOWS users actually
+    * take — gap-based sessionization (a new session after 30 idle
+    * minutes: the batch twin of the streaming session windows)
+    * followed by the path string per session and a deterministic
+    * top-20. This is funnel DISCOVERY (agg_funnel checks one
+    * hand-picked path; this surfaces which paths exist and how
+    * often). Exactness choices: gaps compare unix_micros — exact
+    * integers in both engines (a seconds cast would truncate
+    * differently than DuckDB's epoch); the session id is a running
+    * sum of new-session flags over the same (ts, event_id)-ordered
+    * user window the lag rides (one exchange); the path
+    * concatenates the session's events through
+    * array_sort(collect_list(struct)) — collect_list is
+    * partition-order-dependent, the sort by the unique (micros,
+    * event_id) prefix makes it deterministic. Paths are truncated to
+    * the first 8 events (production paths are heavy-tailed; the cap
+    * keeps the group key bounded) — the oracle applies the same cap.
+    */
+  def sessionPaths(s: SparkSession, dir: String, gapMinutes: Int = 30,
+      topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sessions = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_s")).over(run))
+    sessions
+      .groupBy("user_id", "sess")
+      .agg(expr(
+        "array_join(transform(slice(array_sort(collect_list(" +
+          "struct(us, event_id, event_type))), 1, 8), " +
+          "x -> x.event_type), '>')").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Linear multi-touch attribution: every purchase splits 1 000 000
     * credit units EVENLY across the user's clicks in the prior 7 days
     * — the marketing-analytics generalization of last-touch (which is

@@ -259,6 +259,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sessionPaths: session count conserves against a driver-side " +
+    "gap walk, and every path draws from the event-type alphabet") {
+    // un-truncated surface: all paths, so n_sessions must conserve
+    val all = Analytics.sessionPaths(spark, sfDir, topN = 1000000)
+      .collect()
+    val types = Tables.events(spark, sfDir)
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    all.foreach { r =>
+      val steps = r.getString(0).split(">")
+      assert(steps.length <= 8, "path cap violated")
+      assert(steps.forall(types), s"unknown step in ${r.getString(0)}")
+      assert(r.getLong(2) <= r.getLong(1), "more users than sessions")
+    }
+    // independent session count: walk each user's (us, id) sequence
+    val seqs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val totalSessions = seqs.values.map { rows =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      1 + ordered.zip(ordered.tail)
+        .count { case (a, b) => b - a > 30L * 60 * 1000000 }
+    }.sum
+    assert(all.map(_.getLong(1)).sum == totalSessions.toLong,
+      "session conservation broken")
+  }
+
   test("trendTest: S matches a brute pairwise recount and respects " +
     "the algebraic bounds |S| <= n_pairs = n(n-1)/2") {
     val daily = Tables.events(spark, sfDir)
