@@ -207,6 +207,11 @@ object SparkEntry {
     "st_trend" -> (Analytics.trendTest _),
     // gap-sessionized top event-type flows (funnel discovery)
     "agg_session_paths" -> ((s, d) => Analytics.sessionPaths(s, d)),
+    // week-over-week retention off one reused (user, week) distinct
+    "agg_wow_retention" -> (Analytics.wowRetention _),
+    // RFM customer-value grid: three bucketed global rankings, zero
+    // single-partition windows, integer quintile-of-rank scores
+    "agg_rfm" -> (Analytics.rfmSegments _),
     // linear multi-touch attribution: exact 1e6 div/mod credit split,
     // conservation-law checkable
     "agg_attribution" -> (Analytics.attribution _),
@@ -2152,6 +2157,48 @@ object SparkEntry {
         |  COALESCE(daily.sum_value, 0.0) AS sum_value
         |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
         |ORDER BY day""".stripMargin,
+    "agg_rfm" ->
+      // rank-window replay of all three rankings + the same integer
+      // quintile-of-rank formula
+      """WITH base AS (SELECT o_custkey,
+        |    CAST((SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+        |      - MAX(CAST(o_orderdate AS DATE)) AS BIGINT) AS recency,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100
+        |      AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |r AS (SELECT o_custkey,
+        |    ROW_NUMBER() OVER (ORDER BY recency, o_custkey) AS rr,
+        |    ROW_NUMBER() OVER (ORDER BY frequency DESC, o_custkey) AS fr,
+        |    ROW_NUMBER() OVER (ORDER BY monetary_cents DESC, o_custkey)
+        |      AS mr
+        |  FROM base),
+        |sc AS (SELECT o_custkey,
+        |    CAST(5 - (rr - 1) * 5 // nn.n AS INT) AS r_score,
+        |    CAST(5 - (fr - 1) * 5 // nn.n AS INT) AS f_score,
+        |    CAST(5 - (mr - 1) * 5 // nn.n AS INT) AS m_score
+        |  FROM r CROSS JOIN nn)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  MIN(o_custkey) AS min_custkey
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "agg_wow_retention" ->
+      // same Monday-truncated weeks, self-join on week−7, ppm rate
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |act AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM uw GROUP BY 1),
+        |ret AS (SELECT c.week, CAST(COUNT(*) AS BIGINT) AS n_retained
+        |  FROM uw c JOIN uw p ON p.user_id = c.user_id
+        |    AND p.week = c.week - 7
+        |  GROUP BY 1)
+        |SELECT a.week, a.n_active,
+        |  COALESCE(r.n_retained, 0) AS n_retained,
+        |  COALESCE(r.n_retained, 0) * 1000000 // a.n_active
+        |    AS retention_ppm
+        |FROM act a LEFT JOIN ret r USING (week)
+        |ORDER BY a.week""".stripMargin,
     "agg_session_paths" ->
       // same micros gap law, session cumsum, 8-event cap, total order
       """WITH e AS (SELECT user_id, event_id, event_type,

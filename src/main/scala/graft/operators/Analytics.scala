@@ -436,17 +436,30 @@ object Analytics {
     * the customer key either way).
     */
   private def withGlobalSpendRank(s: SparkSession, spend: DataFrame,
-      descending: Boolean): (DataFrame, Long) = {
+      descending: Boolean): (DataFrame, Long) =
+    withGlobalRank(s, spend, "total_spend", "o_custkey", descending)
+
+  /** The generic bucketed global-rank core (see spendStanding's
+    * scaladoc for the full distributed argument): dense 1-based rank
+    * over (valueCol, keyCol) with NO single-partition window —
+    * approx-quantile bounds define ordered buckets (quality affects
+    * only balance, never ranks), per-bucket counts re-enter as a
+    * literal prefix-sum offset map, one bucket-keyed window ranks
+    * locally. Returns (frame + `grn` column, total rows).
+    */
+  private def withGlobalRank(s: SparkSession, in: DataFrame,
+      valueCol: String, keyCol: String, descending: Boolean)
+      : (DataFrame, Long) = {
     val nBuckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val bounds0 = spend.stat.approxQuantile("total_spend",
+    val bounds0 = in.stat.approxQuantile(valueCol,
       (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
       .distinct.sorted
     val bounds = if (descending) bounds0.reverse else bounds0
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + (if (descending) when(col("total_spend") < lit(b), 1)
-             else when(col("total_spend") > lit(b), 1)).otherwise(0)
+      acc + (if (descending) when(col(valueCol) < lit(b), 1)
+             else when(col(valueCol) > lit(b), 1)).otherwise(0)
     }
-    val bucketed = spend.withColumn("bkt", bucket)
+    val bucketed = in.withColumn("bkt", bucket)
     val counts = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum
@@ -457,9 +470,10 @@ object Analytics {
       else element_at(map(offsets.flatMap {
         case (b, o) => Seq(lit(b), lit(o)) }: _*), col("bkt"))
     val localW = Window.partitionBy(col("bkt"))
-      .orderBy(if (descending) col("total_spend").desc else col("total_spend"),
-        col("o_custkey"))
-    (bucketed.withColumn("grn", offExpr + row_number().over(localW)), n)
+      .orderBy(if (descending) col(valueCol).desc else col(valueCol),
+        col(keyCol))
+    (bucketed.withColumn("grn", offExpr + row_number().over(localW))
+      .drop("bkt"), n)
   }
 
   def spendStanding(s: SparkSession, dir: String): DataFrame = {
@@ -677,6 +691,83 @@ object Analytics {
           (-col("pk.nd")).cast("int")).as("change_day"),
         col("pk.a").as("cusum_peak"), col("n_days"), col("total_cents"))
       .orderBy("event_type")
+  }
+
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * customer-value grid: each dimension scored 1..5 by GLOBAL
+    * quintile-of-rank, best first (most recent, most orders, highest
+    * spend → 5), customers rolled up per (r,f,m) cell. Every
+    * dimension's ranking runs through the generic bucketed
+    * global-rank core — three rankings, zero single-partition
+    * windows — and the score is pure integer arithmetic off the
+    * exact rank (5 − (rank−1)·5 div n), so a DuckDB rank-window
+    * replay lands on identical cells. Recency is measured against
+    * the corpus max date (a 1-row broadcast), monetary in exact
+    * cents; the per-customer base is pooled (three rankings + any
+    * rerun share one orders aggregation).
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.CachePool.cached(s, s"analytics.rfmBase:$dir") {
+      val o = Tables.orders(s, dir)
+      val maxDay = o.agg(max(col("o_orderdate").cast("date"))
+        .as("corpus_max"))
+      o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+          count(lit(1)).as("frequency"),
+          (moneySum(col("o_totalprice")) * 100).cast("long")
+            .as("monetary_cents"))
+        .crossJoin(broadcast(maxDay))
+        .select(col("o_custkey"),
+          datediff(col("corpus_max"), col("last_day")).cast("long")
+            .as("recency"),
+          col("frequency"), col("monetary_cents"))
+    }
+    def scored(in: DataFrame, valueCol: String, scoreCol: String,
+        descending: Boolean): DataFrame = {
+      val (ranked, n) = withGlobalRank(s, in, valueCol, "o_custkey",
+        descending)
+      ranked.withColumn(scoreCol,
+        expr(s"cast(5 - (grn - 1L) * 5L div ${n}L as int)")).drop("grn")
+    }
+    val cells = scored(scored(scored(base,
+        "recency", "r_score", descending = false),
+        "frequency", "f_score", descending = true),
+        "monetary_cents", "m_score", descending = true)
+    cells.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("o_custkey")).as("min_custkey"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Week-over-week retention: per week, how many active users were
+    * also active the week before — the cohortRetention triangle's
+    * operational cousin (one number per week instead of a cohort
+    * grid; what goes on the company dashboard). Shape: ONE distinct
+    * (user, week) projection reused for both sides of a self
+    * equi-join on (user, week−7) — Catalyst materializes the
+    * distinct's exchange once (the typeCooccurrence ReusedExchange
+    * pattern); the rate is a single integer division
+    * (retained·10⁶ div active) so the output is all-BIGINT
+    * hash-exact. Week bucketing uses date_trunc('week') — the same
+    * Monday convention in Spark and DuckDB.
+    */
+  def wowRetention(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val retained = uw.as("c").join(uw.as("p"),
+        col("p.user_id") === col("c.user_id") &&
+          col("p.week") === date_sub(col("c.week"), 7))
+      .groupBy(col("c.week").as("week"))
+      .agg(count(lit(1)).as("n_retained"))
+    uw.groupBy("week").agg(count(lit(1)).as("n_active"))
+      .join(retained, Seq("week"), "left")
+      .select(col("week"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        expr("coalesce(n_retained, 0L) * 1000000L div n_active")
+          .as("retention_ppm"))
+      .orderBy("week")
   }
 
   /** Session-path discovery: the top event-type FLOWS users actually

@@ -259,6 +259,54 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("wowRetention: retained is a subset of active, first week " +
+    "retains zero, and the rate recomputes from the counts") {
+    val rows = Analytics.wowRetention(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.head._3 == 0L, "no week precedes the first")
+    rows.foreach { case (_, active, retained, ppm) =>
+      assert(retained <= active)
+      assert(ppm == retained * 1000000L / active)
+    }
+    // independent recount from distinct (user, week) pairs
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("w"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    rows.foreach { case (w, active, retained, _) =>
+      val cur = uw.filter(_._2 == w).map(_._1).toSet
+      val prev = uw.filter(_._2 == w.minusDays(7)).map(_._1).toSet
+      assert(active == cur.size && retained == (cur & prev).size,
+        s"$w: ($active,$retained) vs (${cur.size},${(cur & prev).size})")
+    }
+  }
+
+  test("rfmSegments: customers conserve, scores live in 1..5, and " +
+    "every dimension's marginal is an exact quintile split") {
+    val cells = Analytics.rfmSegments(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val total = cells.map(_._4).sum
+    val nCust = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(total == nCust, "customers not conserved across cells")
+    cells.foreach { case (r, f, m, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+    }
+    // rank-quintile law: each score s gets the ranks in one fifth —
+    // marginal size is within 1 of n/5 for every dimension
+    def marginal(pick: ((Int, Int, Int, Long)) => Int) =
+      cells.groupBy(pick).view.mapValues(_.map(_._4).sum)
+    for (dim <- Seq(marginal(_._1), marginal(_._2), marginal(_._3))) {
+      assert(dim.keySet == (1 to 5).toSet, dim.toMap.toString)
+      dim.foreach { case (s, n) =>
+        assert(math.abs(n - nCust / 5.0) <= 1.0, s"score $s: $n")
+      }
+    }
+  }
+
   test("sessionPaths: session count conserves against a driver-side " +
     "gap walk, and every path draws from the event-type alphabet") {
     // un-truncated surface: all paths, so n_sessions must conserve
