@@ -252,6 +252,9 @@ object SparkEntry {
     "sink_ctas_promote" -> (Sinks.ctasPromote _),
     "sink_upsert_by_date" -> (Sinks.upsertByDate _),
     "sink_time_travel" -> (Versioned.timeTravel _),
+    // change data feed: diff two versions via the table's own asOf
+    // reads — insert/delete/update classification, unchanged rows cut
+    "sink_versioned_cdf" -> (Versioned.changeFeed _),
     "sink_versioned_merge" -> (Versioned.versionedMerge _),
     "sink_versioned_delete" -> (Versioned.versionedDelete _),
     "sink_compact" -> (Sinks.compact _),
@@ -383,6 +386,8 @@ object SparkEntry {
     "text_bigrams" -> (TextAnalysis.bigrams _),
     // PMI collocations ranked by the exact integer ratio (log-free)
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
+    // Heaps-law vocabulary growth per corpus decile (saturation report)
+    "text_vocab_growth" -> (TextAnalysis.vocabGrowth _),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "text_pack" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -2138,6 +2143,41 @@ object SparkEntry {
     // the versioned-table MERGE applies the same change batch, so the
     // same oracle checks the write -> publish -> read round trip
     "sink_versioned_merge" -> mergeCdcOracle,
+    "sink_versioned_cdf" ->
+      // v2 rebuilt from the deterministic change law, then the same
+      // full-outer diff + classification
+      """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'U' AS op, 'R' AS c_status,
+        |      o_totalprice + CAST(1000.0 AS DOUBLE) AS c_total
+        |    FROM snap WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', CAST(NULL AS VARCHAR),
+        |      CAST(NULL AS DOUBLE)
+        |    FROM snap WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), 'I', 'N', CAST(50000.0 AS DOUBLE)
+        |    FROM snap WHERE o_orderkey % 13 = 0),
+        |merged AS (SELECT COALESCE(s.o_orderkey, c.o_orderkey)
+        |      AS o_orderkey,
+        |    COALESCE(c.c_status, s.o_orderstatus) AS o_orderstatus,
+        |    COALESCE(c.c_total, s.o_totalprice) AS o_totalprice
+        |  FROM snap s FULL OUTER JOIN changes c
+        |    ON s.o_orderkey = c.o_orderkey
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT COALESCE(s.o_orderkey, m.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NULL THEN 'insert'
+        |       WHEN m.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  s.o_orderstatus AS old_status, m.o_orderstatus AS new_status,
+        |  s.o_totalprice AS old_total, m.o_totalprice AS new_total
+        |FROM snap s FULL OUTER JOIN merged m
+        |  ON s.o_orderkey = m.o_orderkey
+        |WHERE s.o_orderkey IS NULL OR m.o_orderkey IS NULL
+        |   OR s.o_orderstatus <> m.o_orderstatus
+        |   OR s.o_totalprice <> m.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
     "sink_versioned_delete" ->
       // the erasure batch removes keys ≡ 3 (mod 10); the post-delete
       // version must equal the surviving predicate over the raw table
@@ -4176,6 +4216,36 @@ object SparkEntry {
         |        '\s+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_vocab_growth" ->
+      // same value-range decile law (integer floor; Spark's double
+      // truncate agrees — quotient <= 10 so fp error ~1e-15 << 1/den)
+      """WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dp AS (SELECT CAST((doc_id - b.lo) * 10 // (b.hi - b.lo + 1)
+        |      AS INT) + 1 AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents CROSS JOIN b GROUP BY 1),
+        |tp AS (SELECT CAST((doc_id - b.lo) * 10 // (b.hi - b.lo + 1)
+        |      AS INT) + 1 AS decile,
+        |    CAST(SUM(tf) AS BIGINT) AS n_tokens
+        |  FROM tf CROSS JOIN b GROUP BY 1),
+        |ft AS (SELECT token, MIN(doc_id) AS first_doc FROM tf GROUP BY 1),
+        |nt AS (SELECT CAST((first_doc - b.lo) * 10 // (b.hi - b.lo + 1)
+        |      AS INT) + 1 AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS new_types
+        |  FROM ft CROSS JOIN b GROUP BY 1),
+        |pd AS (SELECT dp.decile, dp.n_docs, tp.n_tokens,
+        |    COALESCE(nt.new_types, 0) AS new_types
+        |  FROM dp JOIN tp USING (decile) LEFT JOIN nt USING (decile))
+        |SELECT p.decile, p.n_docs, p.n_tokens, p.new_types,
+        |  CAST((SELECT SUM(q.new_types) FROM pd q
+        |        WHERE q.decile <= p.decile) AS BIGINT) AS vocab_cumulative
+        |FROM pd p ORDER BY p.decile""".stripMargin,
     "text_collocations" ->
       // same staged integer ratio ((n_ab·1e6 div n_a)·N div n_b) and
       // the same (ratio desc, w1, w2) total order

@@ -530,6 +530,50 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** Vocabulary-growth curve (Heaps' law diagnostic): type and token
+    * counts per corpus DECILE plus the cumulative vocabulary — the
+    * saturation report that answers "is more of this source still
+    * adding new vocabulary, or just repeating itself" (flat growth
+    * on a crawl slice is the strongest cheap staleness/duplication
+    * signal; tokenizer-vocab sizing reads the same curve). Deciles
+    * are VALUE-RANGE slices of the doc-id space — (id − min)·10 div
+    * (max − min + 1), a declared row-local law both engines compute
+    * exactly (a count-based split would need a global rank for a
+    * statistic that doesn't care) — and each type is attributed to
+    * the decile of its FIRST occurrence (min doc_id per token off
+    * the pooled postings). The cumulative sum runs over ≤10 rows.
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val tf = termFreq(s, dir)
+    val bounds = Tables.documents(s, dir)
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    def decile(c: Column) =
+      ((c - col("lo")) * 10 / (col("hi") - col("lo") + 1)).cast("int") + 1
+    val docsPer = Tables.documents(s, dir).select(col("doc_id"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(decile(col("doc_id")).as("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+    val toksPer = tf.crossJoin(broadcast(bounds))
+      .groupBy(decile(col("doc_id")).as("decile"))
+      .agg(sum(col("tf")).as("n_tokens"))
+    val newTypes = tf.groupBy("token")
+      .agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(decile(col("first_doc")).as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val perDecile = docsPer.join(toksPer, "decile")
+      .join(newTypes, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    // cumulative over the ≤10-row decile table via a triangular
+    // self-join — no global window enters the plan for 10 rows
+    val cum = perDecile.select(col("decile").as("d2"),
+        col("new_types").as("nt2"))
+      .join(perDecile.select(col("decile")), col("d2") <= col("decile"))
+      .groupBy("decile").agg(sum(col("nt2")).as("vocab_cumulative"))
+    perDecile.join(cum, "decile").orderBy("decile")
+  }
+
   /** Collocation extraction by pointwise mutual information (Church &
     * Hanks 1990): bigrams whose parts co-occur far more than their
     * unigram rates predict — the multi-word-expression detector

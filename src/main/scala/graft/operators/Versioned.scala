@@ -383,6 +383,49 @@ object Versioned {
     read(s, table).orderBy("o_orderkey")
   }
 
+  /** Change data feed between two versions — the "what changed since
+    * version N" read Delta/Iceberg expose as CDF, composed from this
+    * table's own primitives: commit v1, MERGE to v2, then diff
+    * read(asOf=1) against read(latest) with a key-equi full outer
+    * join and row-local classification (absent-old → insert,
+    * absent-new → delete, value drift → update; unchanged rows never
+    * leave the join). Downstream incremental consumers (the
+    * mv_incremental_refresh shape) get exactly the rows to reprocess
+    * without scanning either snapshot twice — and unlike a log-based
+    * CDF, this reconstruction works between ANY two versions. The
+    * oracle rebuilds v2 from the deterministic change law and
+    * re-derives the identical diff.
+    */
+  def changeFeed(s: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_sinks/${new File(dir).getName}/versioned_cdf"
+    hfs(s, table).delete(new Path(table), true) // fresh run, idempotent
+    val snap = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    commit(snap, table)
+    mergeInto(s, table, Pipelines.cdcChanges(snap)
+      .select(col("o_orderkey"), col("op"),
+        col("c_status").as("c_o_orderstatus"),
+        col("c_total").as("c_o_totalprice")),
+      "o_orderkey")
+    val old = read(s, table, asOf = Some(1))
+      .select(col("o_orderkey"), col("o_orderstatus").as("old_status"),
+        col("o_totalprice").as("old_total"), lit(true).as("in_old"))
+    val neu = read(s, table)
+      .select(col("o_orderkey"), col("o_orderstatus").as("new_status"),
+        col("o_totalprice").as("new_total"), lit(true).as("in_new"))
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .filter(col("in_old").isNull || col("in_new").isNull ||
+        !(col("old_status") <=> col("new_status")) ||
+        !(col("old_total") <=> col("new_total")))
+      .select(col("o_orderkey"),
+        when(col("in_old").isNull, "insert")
+          .when(col("in_new").isNull, "delete")
+          .otherwise("update").as("change_type"),
+        col("old_status"), col("new_status"),
+        col("old_total"), col("new_total"))
+      .orderBy("o_orderkey")
+  }
+
   def timeTravel(s: SparkSession, dir: String): DataFrame = {
     val table = s"/tmp/graft_sinks/${new File(dir).getName}/versioned_orders"
     hfs(s, table).delete(new Path(table), true) // fresh run, idempotent

@@ -844,6 +844,25 @@ class NorthStarSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("vocabGrowth: docs and types conserve, the cumulative curve is " +
+    "monotone, and the final point is the whole vocabulary") {
+    val rows = TextAnalysis.vocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 1 && r._1 <= 10))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nDocs, "docs not conserved")
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(rows.map(_._4).sum == vocab, "types not conserved")
+    assert(rows.last._5 == vocab, "final cumulative != vocabulary")
+    val cums = rows.map(_._5)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    // each decile's new types can't exceed its token volume
+    rows.foreach { r => assert(r._4 <= r._3) }
+  }
+
   test("collocations: min-count floor holds, the staged integer ratio " +
     "recomputes from the emitted counts, and top bigrams outscore " +
     "their unigram-rate prediction") {

@@ -324,4 +324,29 @@ class SinksSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("changeFeed: classification counts follow the change law and " +
+    "update rows carry exactly the merged delta") {
+    val rows = Versioned.changeFeed(spark, sfDir).collect()
+    val keys = Tables.orders(spark, sfDir)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val byType = rows.groupBy(_.getString(1))
+    assert(byType("insert").map(_.getLong(0)).toSet ==
+      keys.filter(_ % 13 == 0).map(k => -(k + 1)).toSet)
+    assert(byType("delete").map(_.getLong(0)).toSet ==
+      keys.filter(_ % 11 == 0).toSet)
+    assert(byType("update").map(_.getLong(0)).toSet ==
+      keys.filter(k => k % 7 == 0 && k % 11 != 0).toSet)
+    byType("update").foreach { r =>
+      assert(r.getString(3) == "R", "update postimage status")
+      assert(r.getDouble(5) == r.getDouble(4) + 1000.0,
+        "update postimage total")
+    }
+    byType("insert").foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(4), "insert must have no preimage")
+    }
+    byType("delete").foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(5), "delete must have no postimage")
+    }
+  }
 }
