@@ -240,6 +240,9 @@ object SparkEntry {
     "w_percent_rank" -> (Analytics.spendStanding _),
     "agg_weighted_avg" -> (Analytics.weightedAvg _),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    // personalized PageRank: teleport mass on a seed cohort — the
+    // recommendation form of the rank loop; deterministic top-20
+    "graph_ppr" -> ((s, d) => Graph.personalizedPagerank(s, d)),
     // synchronous label propagation, exact-integer scores + min-label
     // tie-break → the oracle replays every round deterministically
     "graph_label_prop" -> ((s, d) => Graph.labelPropagation(s, d)),
@@ -264,6 +267,10 @@ object SparkEntry {
     "dq_expectations" -> (Quality.expectations _),
     "dq_observed_audit" -> (Quality.observedAudit _),
     "dq_volume_anomaly" -> (Quality.volumeAnomaly _),
+    // total-variation drift between two slices, all-integer ppm
+    "dq_dist_drift" -> (Quality.distributionDrift _),
+    // timeline causality gate: purchase before (or without) signup
+    "dq_order_violations" -> (Quality.orderingViolations _),
     "dq_referential" -> (Quality.referentialAudit _),
     // robust |x-med| > 3*MAD gate, discrete medians, integer cents
     "dq_outlier_mad" -> (Quality.madOutliers _),
@@ -446,6 +453,7 @@ object SparkEntry {
       "dedup_lsh_index" + // builder writes the bucketed index table
       "p_entity_resolution" + // composes the CC fixpoint on fuzzy pairs
       "graph_pagerank" + // builder runs the rank-iteration jobs
+      "graph_ppr" + // same loop with the seeded teleport
       "graph_label_prop" + // builder runs the propagation-round jobs
       "graph_triangles" + // builder checkpoints the oriented edge set
       "graph_clustering_coeff" + // same checkpointed edge pipeline
@@ -513,6 +521,49 @@ object SparkEntry {
     }
     (base +: rounds).mkString(",\n") +
       s"\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
+
+  /** DuckDB replay of Graph.personalizedPagerank: same edge chain,
+    * seeded teleport via a full outer join per round, identical
+    * double operand structure.
+    */
+  private def pprOracle(iters: Int): String = {
+    val base =
+      """WITH pair AS (SELECT -(l_suppkey + 1) AS supp_node,
+        |    o_custkey AS cust_node, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT supp_node AS src, cust_node AS dst, w FROM pair
+        |  UNION ALL SELECT cust_node, supp_node, w FROM pair),
+        |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg
+        |  FROM edges GROUP BY src),
+        |seeds AS (SELECT c_custkey AS node FROM customer
+        |  WHERE c_nationkey = 1
+        |    AND c_custkey IN (SELECT src FROM deg)),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / ns.n AS rank
+        |  FROM seeds, ns)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst,
+         |    CAST(round(r.rank * e.w / d.outdeg * 1e12) AS BIGINT) AS c
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src),
+         |w$i AS (SELECT dst AS node,
+         |    CAST(0.85 AS DOUBLE) * (CAST(SUM(c) AS BIGINT) / 1e12)
+         |      AS walk
+         |  FROM c$i GROUP BY 1),
+         |r$i AS (SELECT COALESCE(w.node, s.node) AS node,
+         |    CASE WHEN s.node IS NOT NULL
+         |      THEN CAST(0.15 AS DOUBLE) / ns.n
+         |      ELSE CAST(0.0 AS DOUBLE) END
+         |      + COALESCE(w.walk, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM w$i w FULL OUTER JOIN seeds s ON w.node = s.node, ns)"""
+        .stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"""\nSELECT -(node) - 1 AS s_suppkey, rank FROM r$iters
+         |WHERE node < 0 ORDER BY rank DESC, s_suppkey LIMIT 20"""
+        .stripMargin
   }
 
   /** DuckDB replay of Graph.labelPropagation: the same edge set, one
@@ -1091,6 +1142,7 @@ object SparkEntry {
         |  TRUE AS vocab_at_target, TRUE AS em_ll_monotone
         |FROM f""".stripMargin,
     "graph_pagerank" -> pagerankOracle(3),
+    "graph_ppr" -> pprOracle(3),
     "graph_label_prop" -> lpaOracle(3),
     "graph_kcore" ->
       // the same three peel rounds unrolled, k = lower-median degree
@@ -1849,6 +1901,47 @@ object SparkEntry {
         |  UNION ALL SELECT 'status_in_domain', n_checked, v3 FROM r
         |  UNION ALL SELECT 'custkey_resolves', n_checked, v FROM fk)
         |ORDER BY rule""".stripMargin,
+    "dq_dist_drift" ->
+      // same ppm share law (integer //) and the same halved abs-sum
+      """WITH c AS (SELECT o_orderpriority AS bin,
+        |    CAST(COUNT(*) FILTER (o_orderdate < TIMESTAMP '1996-01-01')
+        |      AS BIGINT) AS cnt_a,
+        |    CAST(COUNT(*) FILTER (o_orderdate >= TIMESTAMP '1996-01-01')
+        |      AS BIGINT) AS cnt_b
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM c),
+        |sh AS (SELECT bin, cnt_a, cnt_b,
+        |    cnt_a * 1000000 // t.n_a AS p_ppm,
+        |    cnt_b * 1000000 // t.n_b AS q_ppm
+        |  FROM c CROSS JOIN t),
+        |tv AS (SELECT CAST(SUM(abs(p_ppm - q_ppm)) / 2 AS BIGINT)
+        |    AS tvd_ppm FROM sh)
+        |SELECT sh.bin, sh.cnt_a, sh.cnt_b, sh.p_ppm, sh.q_ppm,
+        |  tv.tvd_ppm
+        |FROM sh CROSS JOIN tv ORDER BY sh.bin""".stripMargin,
+    "dq_order_violations" ->
+      // same conditional-min timeline and classification
+      """WITH f AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |      AS first_signup,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      AS first_purchase
+        |  FROM events WHERE event_type IN ('signup', 'purchase')
+        |  GROUP BY 1),
+        |p AS (SELECT * FROM f WHERE first_purchase IS NOT NULL),
+        |fl AS (SELECT user_id, first_signup, first_purchase,
+        |    CASE WHEN first_signup IS NULL THEN 'no_signup'
+        |         WHEN first_purchase < first_signup
+        |           THEN 'purchase_before_signup' END AS violation
+        |  FROM p),
+        |cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchasers,
+        |    CAST(COUNT(*) FILTER (violation IS NOT NULL) AS BIGINT)
+        |      AS n_violations FROM fl)
+        |SELECT fl.user_id, fl.first_signup, fl.first_purchase,
+        |  fl.violation, cn.n_purchasers, cn.n_violations
+        |FROM fl CROSS JOIN cn WHERE fl.violation IS NOT NULL
+        |ORDER BY fl.user_id""".stripMargin,
     "dq_volume_anomaly" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,

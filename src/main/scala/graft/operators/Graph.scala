@@ -171,6 +171,66 @@ object Graph {
     ranks.orderBy("node")
   }
 
+  /** Personalized PageRank (Haveliwala 2002): teleport mass
+    * concentrated on a SEED COHORT instead of spread uniformly —
+    * r = 0.15·e_S + 0.85·P·r — so the stationary mass ranks nodes by
+    * relevance TO THAT COHORT, not global popularity: the
+    * recommendation form of the rank loop ("which suppliers matter
+    * to nation-1 customers"), and at corpus scale the seeded variant
+    * that scores crawl pages against a trusted-domain seed set.
+    * Same determinism engineering as pagerank (contributions scaled
+    * to 1e12 BIGINTs, one double multiply/add closing each round,
+    * identical operand structure in the chained-CTE oracle), but the
+    * teleport enters via a full outer join with the seed table —
+    * non-seed nodes get walk mass only, nodes the walk hasn't
+    * reached keep their teleport share (mass leaks out of dead ends
+    * exactly like the textbook defines for a restart vector). Output
+    * = the supplier side's top-20 under (rank desc, key) — a
+    * deterministic TakeOrderedAndProject.
+    */
+  def personalizedPagerank(s: SparkSession, dir: String,
+      iterations: Int = 3, topN: Int = 20): DataFrame =
+    graft.CachePool.cached(s, s"graph.ppr:$dir:$iterations") {
+      pprBuild(s, dir, iterations, topN)
+    }
+
+  private def pprBuild(s: SparkSession, dir: String, iterations: Int,
+      topN: Int): DataFrame = {
+    val edges = bipartiteEdges(s, dir)
+    val outdeg = edges.groupBy("src").agg(sum(col("w")).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, Seq("src")).localCheckpoint()
+    val seeds = Tables.customer(s, dir)
+      .filter(col("c_nationkey") === 1)
+      .select(col("c_custkey").as("node"))
+      .join(outdeg.select(col("src").as("node")), Seq("node"),
+        "left_semi")
+      .localCheckpoint()
+    val nS = seeds.count()
+    var ranks = seeds.select(col("node"), (lit(1.0) / nS).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"),
+          round(col("rank") * col("w") / col("outdeg") * lit(1e12))
+            .cast("long").as("c"))
+      val walk = contrib.groupBy(col("dst").as("node"))
+        .agg((lit(0.85) * (sum(col("c")) / lit(1e12))).as("walk"))
+      ranks = walk
+        .join(seeds.select(col("node"), lit(1).as("is_seed")),
+          Seq("node"), "full_outer")
+        .select(col("node"),
+          (when(col("is_seed").isNotNull, lit(0.15) / nS)
+            .otherwise(lit(0.0)) +
+            coalesce(col("walk"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.filter(col("node") < 0)
+      .select((-col("node") - 1).as("s_suppkey"), col("rank"))
+      .orderBy(col("rank").desc, col("s_suppkey"))
+      .limit(topN)
+  }
+
   /** Community detection by synchronous label propagation (Raghavan
     * et al. 2007), 3 rounds, over the same signed-id bipartite graph
     * as pagerank — the community primitive training-data curation

@@ -354,4 +354,69 @@ object Quality {
       .groupBy("event_type")
       .agg(((min(col("bin")) + 1) * lit(widthC)).as(out))
   }
+
+  /** Distribution drift between two table slices by TOTAL VARIATION
+    * DISTANCE — the data-contract check that catches "the mix
+    * changed" even when every row is individually valid (a feed that
+    * silently stops sending one priority class passes every row rule
+    * and fails this one). TVD = ½·Σ|p_i − q_i| is the drift statistic
+    * that stays EXACT in integers: per-bin shares in ppm by declared
+    * integer division, the distance one div by 2 — no logs (PSI) or
+    * squared ratios (χ²) to drag libm/rationals across engines.
+    * Slices: pre-1996 vs from-1996 orders (the timeTravel boundary);
+    * bins: the order-priority classes — full-outer joined so a class
+    * absent from one slice still contributes its whole share. One
+    * scan builds both slice counts (conditional aggregation); the
+    * distance re-enters each row as a 1-row broadcast audit column.
+    */
+  def distributionDrift(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1996-01-01").cast("timestamp")
+    val counted = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("bin"))
+      .agg(
+        sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("cnt_b"))
+    val totals = counted.agg(sum(col("cnt_a")).as("n_a"),
+      sum(col("cnt_b")).as("n_b"))
+    val shares = counted.crossJoin(broadcast(totals))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        expr("cnt_a * 1000000L div n_a").as("p_ppm"),
+        expr("cnt_b * 1000000L div n_b").as("q_ppm"))
+    val tvd = shares
+      .agg((sum(abs(col("p_ppm") - col("q_ppm"))) / 2).cast("long")
+        .as("tvd_ppm"))
+    shares.crossJoin(broadcast(tvd)).orderBy("bin")
+  }
+
+  /** Event-ordering violation gate: users whose first purchase
+    * precedes their first signup (or who purchase with NO signup) —
+    * the causality check referential integrity can't express (both
+    * rows exist and both keys resolve; the TIMELINE is what's
+    * broken; upstream replays and client-clock skew produce exactly
+    * this). One min-per-(user, kind) aggregate from one scan
+    * (conditional min — no self-join), row-local comparison,
+    * violators emitted with both timestamps and the violation class;
+    * corpus-wide counts ride along as a 1-row broadcast so the gate
+    * reads as (violations, checked) without a second pass.
+    */
+  def orderingViolations(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_purchase").isNotNull)
+    val flagged = firsts.select(col("user_id"), col("first_signup"),
+      col("first_purchase"),
+      when(col("first_signup").isNull, "no_signup")
+        .when(col("first_purchase") < col("first_signup"),
+          "purchase_before_signup").as("violation"))
+    val counts = flagged.agg(count(lit(1)).as("n_purchasers"),
+      sum(when(col("violation").isNotNull, 1L).otherwise(0L))
+        .as("n_violations"))
+    flagged.filter(col("violation").isNotNull)
+      .crossJoin(broadcast(counts))
+      .orderBy("user_id")
+  }
 }

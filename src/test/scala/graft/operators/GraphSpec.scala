@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** PageRank contract: mass conservation, positivity, and EXACT
   * equality with an independent driver-side recompute that mirrors
@@ -121,6 +121,27 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after1.keySet == (1L to 6L).toSet + 201L, after1.toString)
     assert(after1(201L) == 1L && after1(6L) == 6L, after1.toString)
+  }
+
+  test("personalizedPagerank: supplier top-20 is rank-ordered, keys " +
+    "resolve, and seeded teleport shifts mass vs the uniform rank") {
+    val rows = Graph.personalizedPagerank(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ranks = rows.map(_.getDouble(1))
+    assert(ranks.forall(_ > 0.0))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    val supp = Tables.supplier(spark, sfDir)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(supp(r.getLong(0))))
+    // personalization must matter: the PPR supplier ordering is not
+    // just the global pagerank ordering restricted to suppliers
+    // (identical orderings would mean the seed set did nothing)
+    val globalTop = Graph.pagerank(spark, sfDir).collect()
+      .filter(_.getLong(0) < 0)
+      .map(r => (-r.getLong(0) - 1, r.getDouble(1)))
+      .sortBy { case (k, v) => (-v, k) }.take(rows.length).map(_._1)
+    assert(!rows.map(_.getLong(0)).sameElements(globalTop),
+      "seeded ranking degenerated to the global ordering")
   }
 
   test("linkPredictionEdges: path/star/triangle fixtures score exactly, " +

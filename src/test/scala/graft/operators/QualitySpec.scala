@@ -144,4 +144,45 @@ class QualitySpec extends SparkSpec {
       assert(r.getBoolean(6) && math.abs(madEst - madX) <= 2 * W)
     }
   }
+
+  test("distributionDrift: ppm shares nearly sum to 1e6 per slice " +
+    "(div truncation only), tvd recomputes and is bounded") {
+    val rows = Quality.distributionDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val bins = rows.length
+    val pSum = rows.map(_._4).sum
+    val qSum = rows.map(_._5).sum
+    assert(pSum > 1000000L - bins && pSum <= 1000000L, pSum.toString)
+    assert(qSum > 1000000L - bins && qSum <= 1000000L, qSum.toString)
+    val tvd = rows.head._6
+    assert(rows.forall(_._6 == tvd), "tvd must ride every row")
+    assert(tvd == rows.map(r => math.abs(r._4 - r._5)).sum / 2)
+    assert(tvd >= 0 && tvd <= 1000000L)
+  }
+
+  test("orderingViolations: flagged set equals a driver-side timeline " +
+    "recount and the audit counts are corpus-wide") {
+    val rows = Quality.orderingViolations(spark, sfDir).collect()
+    val firsts = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("signup", "purchase")).collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getTimestamp(1)))
+      .groupBy(_._1).view.mapValues { es =>
+        (es.filter(_._2 == "signup").map(_._3).sortBy(_.getTime)
+           .headOption,
+         es.filter(_._2 == "purchase").map(_._3).sortBy(_.getTime)
+           .headOption)
+      }.toMap
+    val expect = firsts.collect {
+      case (u, (s, Some(p))) if s.isEmpty || p.before(s.get) =>
+        u -> (if (s.isEmpty) "no_signup" else "purchase_before_signup")
+    }
+    assert(rows.map(r => r.getLong(0) -> r.getString(3)).toMap == expect)
+    val purchasers = firsts.count(_._2._2.isDefined)
+    rows.foreach { r =>
+      assert(r.getLong(4) == purchasers.toLong)
+      assert(r.getLong(5) == expect.size.toLong)
+    }
+  }
 }
