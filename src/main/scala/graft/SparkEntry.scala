@@ -184,6 +184,8 @@ object SparkEntry {
     "agg_funnel" -> (Analytics.funnel _),
     "agg_cohort" -> (Analytics.cohortRetention _),
     "agg_quantile_rollup" -> (Analytics.quantileRollup _),
+    // trailing-7-day moving median from merged day HistSketches
+    "st_moving_median" -> ((s, d) => Analytics.movingMedian(s, d)),
     "j_fuzzy_match" -> (Advanced.fuzzyMatch _),
     "sim_random_proj" -> ((s, d) => Similarity.randomProjection(s, d)),
     // assertion form: orthonormality/eigen/variance invariants
@@ -216,6 +218,9 @@ object SparkEntry {
     // conservation-law checkable
     "agg_attribution" -> (Analytics.attribution _),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
+    // dense alphabetical surrogate keys via the bucketed global rank
+    // (order-preserving proxy; no single-partition window)
+    "p_surrogate_keys" -> (Pipelines.surrogateKeys _),
     // survivorship merge after ER: one master row per entity cluster,
     // each attribute by its own deterministic rule (mode/max/min)
     "p_golden_record" -> (Pipelines.goldenRecord _),
@@ -1990,6 +1995,29 @@ object SparkEntry {
         |FROM w WHERE date_diff('month', cohort, omonth) <= 6
         |GROUP BY cohort, month_offset
         |ORDER BY cohort, month_offset""".stripMargin,
+    "st_moving_median" ->
+      // full sketch-path replay: same bins, same 7-day fan-out, same
+      // lower-median rank and upper-bin-edge read-off
+      """WITH b AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    LEAST(GREATEST(CAST(floor(o_totalprice / 25000.0) AS INTEGER),
+        |      0), 63) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM b),
+        |wb AS (SELECT d.day AS wday, b.bin,
+        |    CAST(SUM(b.cnt) AS BIGINT) AS cnt
+        |  FROM days d JOIN b ON b.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1, 2),
+        |c AS (SELECT wday,
+        |    CAST(SUM(cnt) OVER (PARTITION BY wday) AS BIGINT) AS n,
+        |    bin,
+        |    CAST(SUM(cnt) OVER (PARTITION BY wday ORDER BY bin)
+        |      AS BIGINT) AS cum
+        |  FROM wb WHERE cnt > 0)
+        |SELECT wday AS day, n AS n_orders,
+        |  (MIN(CASE WHEN cum >= floor(n * 0.5 + 0.5) THEN bin END) + 1)
+        |    * CAST(25000.0 AS DOUBLE) AS p50_est
+        |FROM c GROUP BY wday, n ORDER BY day""".stripMargin,
     "agg_quantile_rollup" ->
       """WITH b AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
         |      AS scope,
@@ -2508,6 +2536,15 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
         |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p_surrogate_keys" ->
+      // the proxy is bucketing-only: the contract is the plain
+      // alphabetical dense rank
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT name,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT)
+        |    AS surrogate_key,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM names) AS n_names
+        |FROM names ORDER BY name""".stripMargin,
     "agg_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
         |    lead(event_type, 1) OVER

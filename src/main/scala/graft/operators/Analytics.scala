@@ -447,7 +447,7 @@ object Analytics {
     * literal prefix-sum offset map, one bucket-keyed window ranks
     * locally. Returns (frame + `grn` column, total rows).
     */
-  private def withGlobalRank(s: SparkSession, in: DataFrame,
+  private[operators] def withGlobalRank(s: SparkSession, in: DataFrame,
       valueCol: String, keyCol: String, descending: Boolean)
       : (DataFrame, Long) = {
     val nBuckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -942,6 +942,51 @@ object Analytics {
         ((min(when(col("cum") >= rank(lit(0.95)), col("bin"))) + 1) *
           HistSketch.Width).as("p95_est"))
       .orderBy("scope")
+  }
+
+  /** Trailing-7-day moving MEDIAN of order totals from merged day
+    * sketches — the sliding-window member of the mergeable-quantile
+    * family (quantileRollup: day→total rollup; stream_quantiles:
+    * streaming state; this: every day's trailing window) and the
+    * exact analog of agg_sliding_distinct's shape for a quantile
+    * instead of a distinct: per-day HistSketch bins built once (ONE
+    * corpus shuffle), day-grain bin rows fanned out to the ≤7 window
+    * ends they serve, bin-wise sums per window, the deterministic
+    * upper-bin-edge read-off at the lower-median rank. A moving
+    * median over raw rows would re-sort every window of every day;
+    * here a year of windows reprocesses 64-int day rows. Estimate
+    * error ≤ one bin width by construction; the DuckDB oracle
+    * replays the ENTIRE sketch path, so the estimate itself is
+    * hash-exact.
+    */
+  def movingMedian(s: SparkSession, dir: String, days: Int = 7)
+      : DataFrame = {
+    import graft.functions.HistSketch
+    val sketch = udaf(HistSketch)
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sketch(col("o_totalprice")).as("sk"))
+    val dayBins = daily
+      .select(col("day"),
+        explode(sequence(lit(0), lit(days - 1))).as("off"),
+        col("sk"))
+      .select(date_add(col("day"), col("off")).as("wday"), col("sk"))
+      .join(daily.select(col("day").as("wday")), Seq("wday"), "left_semi")
+      .select(col("wday"), posexplode(col("sk")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0)
+      .groupBy("wday", "bin").agg(sum(col("cnt")).as("cnt"))
+    val wc = Window.partitionBy(col("wday")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dayBins
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("wday"))))
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .groupBy(col("wday").as("day"), col("n").as("n_orders"))
+      // the quantileRollup read-off: lower-median rank via
+      // floor(n·frac + (1 − frac)), upper edge of the covering bin
+      .agg(((min(when(col("cum") >= floor(col("n") * 0.5 + 0.5),
+        col("bin"))) + 1) * HistSketch.Width).as("p50_est"))
+      .orderBy("day")
   }
 
   /** Gaps-and-islands: per-user consecutive-active-day streaks (the

@@ -377,6 +377,34 @@ object Pipelines {
       .orderBy("name")
   }
 
+  /** Dense surrogate-key assignment — the dimension-load ETL step
+    * Spark has no safe built-in for: `monotonically_increasing_id` is
+    * sparse and partition-dependent, `row_number()` over an
+    * unpartitioned window is the single-partition choke. Here the
+    * alphabetical dense rank comes from the bucketed global-rank
+    * core with an ORDER-PRESERVING numeric proxy (first two
+    * character codes: proxy < proxy ⇒ name < name, so sorting by
+    * (proxy, name) IS sorting by name and the bucket boundaries can
+    * never contradict the final order) — buckets from the proxy's
+    * quantiles, per-bucket window, literal offset map. The proxy
+    * exists only for bucketing; the DuckDB oracle is a plain
+    * ROW_NUMBER() OVER (ORDER BY name), which is the point: stable,
+    * dense, engine-replayable keys. Bucket skew (common first
+    * letters) affects only balance, never the assignment.
+    */
+  def surrogateKeys(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .select(col("p_name").as("name")).distinct()
+      .withColumn("proxy",
+        (ascii(substring(col("name"), 1, 1)) * 256 +
+          ascii(substring(col("name"), 2, 1))).cast("long"))
+    val (ranked, n) = Analytics.withGlobalRank(s, names, "proxy",
+      "name", descending = false)
+    ranked.select(col("name"), col("grn").as("surrogate_key"),
+      lit(n).as("n_names"))
+      .orderBy("name")
+  }
+
   /** Golden-record construction — the SURVIVORSHIP layer after entity
     * resolution (the MDM "merge the duplicates into one master row"
     * step): per fuzzy-name entity cluster, each attribute survives by

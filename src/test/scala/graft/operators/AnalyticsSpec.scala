@@ -259,6 +259,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("movingMedian: every window estimate is within one bin width " +
+    "of the exact trailing median and counts conserve") {
+    val got = Analytics.movingMedian(spark, sfDir).collect()
+      .map(r => r.getDate(0).toLocalDate -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val days = rows.map(_._1).distinct
+    assert(got.size == days.length && got.nonEmpty)
+    days.foreach { d =>
+      val win = rows.filter { case (dd, _) =>
+        !dd.isAfter(d) && !dd.isBefore(d.minusDays(6)) }.map(_._2).sorted
+      val (n, est) = got(d)
+      assert(n == win.length.toLong, s"$d count")
+      val exact = win((win.length - 1) / 2) // lower median
+      assert(math.abs(est - exact) <= 25000.0,
+        s"$d: est $est vs exact $exact")
+    }
+  }
+
   test("wowRetention: retained is a subset of active, first week " +
     "retains zero, and the rate recomputes from the counts") {
     val rows = Analytics.wowRetention(spark, sfDir).collect()
