@@ -274,6 +274,8 @@ object SparkEntry {
     "dq_volume_anomaly" -> (Quality.volumeAnomaly _),
     // total-variation drift between two slices, all-integer ppm
     "dq_dist_drift" -> (Quality.distributionDrift _),
+    // Benford first-digit authenticity screen, literal ppm curve
+    "dq_benford" -> (Quality.benfordAudit _),
     // timeline causality gate: purchase before (or without) signup
     "dq_order_violations" -> (Quality.orderingViolations _),
     "dq_referential" -> (Quality.referentialAudit _),
@@ -1906,6 +1908,26 @@ object SparkEntry {
         |  UNION ALL SELECT 'status_in_domain', n_checked, v3 FROM r
         |  UNION ALL SELECT 'custkey_resolves', n_checked, v FROM fk)
         |ORDER BY rule""".stripMargin,
+    "dq_benford" ->
+      // same literal ppm curve, digit from the exact cents string,
+      // same integer share law and halved abs-sum distance
+      """WITH e(digit, benford_ppm) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+        |  (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c),
+        |sh AS (SELECT e.digit, COALESCE(c.n, 0) AS n,
+        |    CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+        |    COALESCE(c.n, 0) * 1000000 // t.n_total AS observed_ppm
+        |  FROM e LEFT JOIN c USING (digit) CROSS JOIN t),
+        |tv AS (SELECT CAST(SUM(abs(observed_ppm - benford_ppm)) / 2
+        |    AS BIGINT) AS tvd_vs_benford_ppm FROM sh)
+        |SELECT sh.digit, sh.n, sh.benford_ppm, sh.observed_ppm,
+        |  tv.tvd_vs_benford_ppm
+        |FROM sh CROSS JOIN tv ORDER BY sh.digit""".stripMargin,
     "dq_dist_drift" ->
       // same ppm share law (integer //) and the same halved abs-sum
       """WITH c AS (SELECT o_orderpriority AS bin,

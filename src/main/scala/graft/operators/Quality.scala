@@ -388,6 +388,45 @@ object Quality {
     shares.crossJoin(broadcast(tvd)).orderBy("bin")
   }
 
+  /** Benford's-law first-digit audit (Newcomb 1881, Benford 1938;
+    * Nigrini's fraud-detection standard): naturally occurring
+    * multi-scale amounts put digit d first with probability
+    * log₁₀(1+1/d) — fabricated or capped data doesn't — so the
+    * digit histogram vs the Benford curve is the cheapest
+    * authenticity screen an amount column gets. Exactness: the nine
+    * expected shares enter as INTEGER PPM LITERALS (they sum to
+    * exactly 1 000 000; computing them in-plan would drag log₁₀
+    * across engines), the first digit is string-extracted from the
+    * exact cents integer (same leading digit as the amount, no
+    * float formatting), observed shares are the declared ppm
+    * integer-div law, and the TVD-vs-Benford distance rides every
+    * row as a 1-row broadcast audit column. One scan, 9-row output.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val expected = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    val expDf = {
+      import s.implicits._
+      expected.toDF("digit", "benford_ppm")
+    }
+    val counted = Tables.orders(s, dir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counted.agg(sum(col("n")).as("n_total"))
+    val shares = expDf.join(counted, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("benford_ppm"),
+        expr("coalesce(n, 0L) * 1000000L div n_total")
+          .as("observed_ppm"))
+    val tvd = shares
+      .agg((sum(abs(col("observed_ppm") - col("benford_ppm"))) / 2)
+        .cast("long").as("tvd_vs_benford_ppm"))
+    shares.crossJoin(broadcast(tvd)).orderBy("digit")
+  }
+
   /** Event-ordering violation gate: users whose first purchase
     * precedes their first signup (or who purchase with NO signup) —
     * the causality check referential integrity can't express (both

@@ -162,6 +162,22 @@ class QualitySpec extends SparkSpec {
     assert(tvd >= 0 && tvd <= 1000000L)
   }
 
+  test("benfordAudit: all nine digit rows, literal curve sums to " +
+    "exactly 1e6, counts conserve, tvd recomputes") {
+    val rows = Quality.benfordAudit(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 9))
+    assert(rows.map(_._3).sum == 1000000L, "Benford curve must sum to 1")
+    assert(rows.map(_._2).sum ==
+      Tables.orders(spark, sfDir).count(), "digit counts conserve")
+    val tvd = rows.head._5
+    assert(rows.forall(_._5 == tvd))
+    assert(tvd == rows.map(r => math.abs(r._4 - r._3)).sum / 2)
+    val obsSum = rows.map(_._4).sum
+    assert(obsSum > 1000000L - 9 && obsSum <= 1000000L)
+  }
+
   test("orderingViolations: flagged set equals a driver-side timeline " +
     "recount and the audit counts are corpus-wide") {
     val rows = Quality.orderingViolations(spark, sfDir).collect()
