@@ -132,6 +132,9 @@ object SparkEntry {
     // streaming per-event EWMA: one double of TWS state per key,
     // power-of-two decay → the drained level replays bit-for-bit
     "stream_ewma" -> (graft.streaming.StreamingAnalogs.feedEwma _),
+    // streaming one-sided CUSUM drift alarm: four longs of TWS state
+    // per key, integer-exact; oracle replays the closed form
+    "stream_cusum" -> (graft.streaming.StreamingAnalogs.feedCusum _),
     // streaming point-in-time enrichment: stream-static temporal join
     // against a versioned dim — the serving twin of p_pit_lookup
     "stream_pit_enrich" ->
@@ -2751,6 +2754,37 @@ object SparkEntry {
         |SELECT kind, list_reduce(list_prepend(0.0, xs),
         |  (acc, x) -> acc / 2 + x) AS ewma
         |FROM fr ORDER BY kind""".stripMargin,
+    "stream_cusum" ->
+      // the recursion S_t = max(0, S_{t-1} + x - 50000) replayed via
+      // its closed form S_t = P_t - least(0, min_{i<=t} P_i)
+      // (reflection at zero) — two windows, all BIGINT; peak ties
+      // keep the first id (rank cusum DESC, id ASC = the fold's
+      // strict >)
+      """WITH feed AS (
+        |  SELECT range AS id,
+        |    CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END AS kind,
+        |    (range * 2654435761) % 100000 AS x
+        |  FROM range(5000)),
+        |w AS (SELECT kind, id,
+        |    SUM(x - 50000) OVER (PARTITION BY kind ORDER BY id) AS p
+        |  FROM feed),
+        |s AS (SELECT kind, id,
+        |    p - least(0, MIN(p) OVER (PARTITION BY kind ORDER BY id))
+        |      AS cusum
+        |  FROM w),
+        |r AS (SELECT kind, id, cusum,
+        |    ROW_NUMBER() OVER (PARTITION BY kind
+        |      ORDER BY cusum DESC, id) AS rk,
+        |    ROW_NUMBER() OVER (PARTITION BY kind ORDER BY id DESC)
+        |      AS rlast
+        |  FROM s)
+        |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(CASE WHEN rlast = 1 THEN cusum END) AS BIGINT)
+        |    AS cusum,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN cusum END) AS BIGINT)
+        |    AS cusum_peak,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS peak_id
+        |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
     "stream_sliding_distinct" ->
       // generator replay: the retained window set (day > max − 7 per
       // kind) and each day's trailing-7 exact windowed distinct

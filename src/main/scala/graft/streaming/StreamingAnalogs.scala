@@ -608,6 +608,104 @@ object StreamingAnalogs {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming one-sided CUSUM change detector (Page 1954) as
+    * transformWithState state — the ONLINE twin of
+    * Analytics.cusumChangePoint: the batch form scores a finished
+    * daily series retrospectively; this maintains the alarm statistic
+    * S_t = max(0, S_{t−1} + (x_t − k_ref)) per key AS EVENTS ARRIVE —
+    * the live drift alarm a quality pipeline keeps on ingest volume
+    * or amount streams (alarm when S crosses h; here the statistic,
+    * its running peak, and the peak's position are emitted so the
+    * threshold stays policy, not plumbing).
+    *
+    * Exactness: x is integer cents and k_ref an integer literal, so
+    * every S_t is exact BIGINT arithmetic — no float drift across
+    * 5000 folds. The oracle replays the recursion through its CLOSED
+    * FORM S_t = P_t − min(0, min_{i≤t} P_i) (reflection at zero;
+    * P = running sum of x − k_ref), a plain pair of SQL windows —
+    * the recursion itself never crosses engines. Peak ties keep the
+    * FIRST attaining id (strict > in the fold ⇔ rank by cusum DESC,
+    * id ASC in the replay). State per key is four longs — RocksDB
+    * scale-ready like the rest of the TWS family.
+    */
+  class RunningCusumProcessor(kRef: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), (String, Long, Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Long, Long, Long, Long)] = _ // (s, peak, peakId, n)
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("cusum",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long, Long, Long)] = {
+      // id order within the batch (admission-capped buffer); batches
+      // arrive in id order, so the state walks the full-stream fold
+      val buf = rows.toArray.sortBy(_._2)
+      // peak seeds BELOW any reachable S (S ≥ 0 always): the first row
+      // must SET the peak, so an all-flat stream still reports the
+      // first position — matching the replay's unconditional rank
+      var (s, peak, peakId, n) =
+        if (st.exists()) st.get() else (0L, Long.MinValue, -1L, 0L)
+      buf.foreach { case (_, id, x) =>
+        s = math.max(0L, s + x - kRef)
+        if (s > peak) { peak = s; peakId = id }
+        n += 1
+      }
+      st.update((s, peak, peakId, n))
+      Iterator((key, n, s, peak, peakId))
+    }
+  }
+
+  def runningCusumTws(rows: Dataset[(String, Long, Long)], kRef: Long)
+      : Dataset[(String, Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_._1)
+      .transformWithState(new RunningCusumProcessor(kRef),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Driver-checked gate query for the streaming CUSUM: per kind the
+    * final statistic, its full-stream peak, and the peak's first
+    * position after the AvailableNow drain — hash-exact (all BIGINT)
+    * vs the closed-form window replay (see RunningCusumProcessor).
+    * k_ref = 50000 is the generator's domain midpoint, so both kinds
+    * hover near criticality and exercise the max(0, ·) reflection.
+    */
+  def feedCusum(s: SparkSession, dir: String): DataFrame = {
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_cusum"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    import s.implicits._
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      .select(col("kind"), col("id"),
+        ((col("id") * lit(2654435761L)) % lit(100000L)).as("cents"))
+      .as[(String, Long, Long)]
+    drainTwsToTable(s, base, runningCusumTws(feed, 50000L)
+      .toDF("kind", "n_events", "cusum", "cusum_peak", "peak_id"))
+    s.read.parquet(s"$base/table")
+      .select(col("kind"), col("n_events"), col("cusum"),
+        col("cusum_peak"), col("peak_id"))
+      .orderBy("kind")
+  }
+
   /** Streaming point-in-time dimension enrichment — the SERVING-side
     * twin of Pipelines.pitLookup: each event joins the dimension
     * version in effect AT ITS OWN event time (valid_from ≤ ts <

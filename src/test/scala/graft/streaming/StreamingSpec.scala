@@ -238,6 +238,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("runningCusumTws: the streamed fold equals the closed-form " +
+    "reflection replay, peak ties keep the first id, and the " +
+    "max(0,·) floor actually fires") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cusum_ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val kRef = 10L
+    // deviations x−10: +14, −25 (floor fires: S clamps at 0), +14
+    // again (peak TIE with id 0 — must keep id 0), then −5 (decay,
+    // so the tie stays the final peak and the law is observable)
+    val xs = Seq(24L, -15L, 24L, 5L)
+    val q = StreamingAnalogs.runningCusumTws(input.toDS(), kRef)
+      .toDF("kind", "n_events", "cusum", "cusum_peak", "peak_id")
+      .writeStream.format("memory").queryName("cusum_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      // split across two batches so state crosses a batch boundary
+      input.addData(Seq(("a", 0L, xs(0)), ("a", 1L, xs(1))))
+      q.processAllAvailable()
+      input.addData(Seq(("a", 2L, xs(2)), ("a", 3L, xs(3))))
+      q.processAllAvailable()
+      val r = s.table("cusum_out")
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getLong(4))).toSet
+      // hand fold: S = [14, 0, 14, 9]. Batch-1 emission: peak 14 at
+      // id 0. Batch-2: id 2 TIES the 14 peak (S back to 14) and must
+      // NOT move peak_id (strict > in the fold); id 3 decays to 9.
+      // Both update-mode emissions land in the memory sink, so the
+      // floor, the tie law, and the decay are all visible.
+      assert(r == Set(("a", 2L, 0L, 14L, 0L), ("a", 4L, 9L, 14L, 0L)))
+      // closed-form reflection replay on the same xs: S_t = P_t −
+      // min(0, min_{i≤t} P_i) with P = running sum of (x − kRef) —
+      // the identity the DuckDB oracle rides
+      val p = xs.map(_ - kRef).scanLeft(0L)(_ + _).tail
+      val closed = p.zipWithIndex.map { case (pt, t) =>
+        pt - math.min(0L, p.take(t + 1).min) }
+      assert(closed == Seq(14L, 0L, 14L, 9L))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("dedupStream: replayed event_id across microbatches is dropped") {
     val s = spark
     import s.implicits._
