@@ -279,6 +279,9 @@ object SparkEntry {
     "dq_dist_drift" -> (Quality.distributionDrift _),
     // Benford first-digit authenticity screen, literal ppm curve
     "dq_benford" -> (Quality.benfordAudit _),
+    // per-column null-rate / ndv-density drift between two slices —
+    // the profile diff of the observability stack, exact integer ppm
+    "dq_profile_drift" -> (Quality.profileDrift _),
     // timeline causality gate: purchase before (or without) signup
     "dq_order_violations" -> (Quality.orderingViolations _),
     "dq_referential" -> (Quality.referentialAudit _),
@@ -1931,6 +1934,88 @@ object SparkEntry {
         |SELECT sh.digit, sh.n, sh.benford_ppm, sh.observed_ppm,
         |  tv.tvd_vs_benford_ppm
         |FROM sh CROSS JOIN tv ORDER BY sh.digit""".stripMargin,
+    "dq_profile_drift" ->
+      // one conditional-aggregation block per profiled column (same
+      // slice cut, same ppm div law, same literal thresholds), unioned
+      """WITH src AS (SELECT o_orderstatus, o_orderpriority, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS o_totalprice_cents,
+        |    (o_orderdate < TIMESTAMP '1996-01-01') AS in_a
+        |  FROM orders),
+        |c1 AS (SELECT o_orderstatus AS v,
+        |    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS cnt_a,
+        |    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cnt_b
+        |  FROM src GROUP BY 1),
+        |c2 AS (SELECT o_orderpriority AS v,
+        |    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS cnt_a,
+        |    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cnt_b
+        |  FROM src GROUP BY 1),
+        |c3 AS (SELECT o_custkey AS v,
+        |    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS cnt_a,
+        |    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cnt_b
+        |  FROM src GROUP BY 1),
+        |c4 AS (SELECT o_totalprice_cents AS v,
+        |    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS cnt_a,
+        |    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cnt_b
+        |  FROM src GROUP BY 1),
+        |u AS (
+        |  SELECT 'o_orderstatus' AS column_name,
+        |    CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+        |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt_a END), 0)
+        |      AS BIGINT) AS null_a,
+        |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt_b END), 0)
+        |      AS BIGINT) AS null_b,
+        |    CAST(COUNT(CASE WHEN v IS NOT NULL AND cnt_a > 0 THEN 1
+        |      END) AS BIGINT) AS ndv_a,
+        |    CAST(COUNT(CASE WHEN v IS NOT NULL AND cnt_b > 0 THEN 1
+        |      END) AS BIGINT) AS ndv_b FROM c1
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(SUM(cnt_a) AS BIGINT),
+        |    CAST(SUM(cnt_b) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt_a END), 0)
+        |      AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt_b END), 0)
+        |      AS BIGINT),
+        |    CAST(COUNT(CASE WHEN v IS NOT NULL AND cnt_a > 0 THEN 1
+        |      END) AS BIGINT),
+        |    CAST(COUNT(CASE WHEN v IS NOT NULL AND cnt_b > 0 THEN 1
+        |      END) AS BIGINT) FROM c2
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(SUM(cnt_a) AS BIGINT),
+        |    CAST(SUM(cnt_b) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt_a END), 0)
+        |      AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt_b END), 0)
+        |      AS BIGINT),
+        |    CAST(COUNT(CASE WHEN v IS NOT NULL AND cnt_a > 0 THEN 1
+        |      END) AS BIGINT),
+        |    CAST(COUNT(CASE WHEN v IS NOT NULL AND cnt_b > 0 THEN 1
+        |      END) AS BIGINT) FROM c3
+        |  UNION ALL
+        |  SELECT 'o_totalprice_cents', CAST(SUM(cnt_a) AS BIGINT),
+        |    CAST(SUM(cnt_b) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt_a END), 0)
+        |      AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt_b END), 0)
+        |      AS BIGINT),
+        |    CAST(COUNT(CASE WHEN v IS NOT NULL AND cnt_a > 0 THEN 1
+        |      END) AS BIGINT),
+        |    CAST(COUNT(CASE WHEN v IS NOT NULL AND cnt_b > 0 THEN 1
+        |      END) AS BIGINT) FROM c4),
+        |d AS (SELECT column_name, n_a, n_b,
+        |    null_a * 1000000 // greatest(n_a, 1) AS null_ppm_a,
+        |    null_b * 1000000 // greatest(n_b, 1) AS null_ppm_b,
+        |    ndv_a, ndv_b,
+        |    ndv_a * 1000000 // greatest(n_a, 1) AS ndv_ppm_a,
+        |    ndv_b * 1000000 // greatest(n_b, 1) AS ndv_ppm_b
+        |  FROM u)
+        |SELECT column_name, n_a, n_b, null_ppm_a, null_ppm_b,
+        |  null_ppm_b - null_ppm_a AS null_delta_ppm, ndv_a, ndv_b,
+        |  ndv_ppm_b - ndv_ppm_a AS ndv_delta_ppm,
+        |  (abs(null_ppm_b - null_ppm_a) > 10000 OR
+        |   abs(ndv_ppm_b - ndv_ppm_a) > 50000) AS drift_flag
+        |FROM d ORDER BY column_name""".stripMargin,
     "dq_dist_drift" ->
       // same ppm share law (integer //) and the same halved abs-sum
       """WITH c AS (SELECT o_orderpriority AS bin,

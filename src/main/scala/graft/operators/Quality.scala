@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -425,6 +425,77 @@ object Quality {
       .agg((sum(abs(col("observed_ppm") - col("benford_ppm"))) / 2)
         .cast("long").as("tvd_vs_benford_ppm"))
     shares.crossJoin(broadcast(tvd)).orderBy("digit")
+  }
+
+  /** Column-PROFILE drift between two table slices — the schema-health
+    * complement of distributionDrift: that one watches a single
+    * column's value mix, this one watches every column's null rate
+    * and distinct-value density, the stats that catch "a field went
+    * dark upstream" or "an id column started collapsing" before any
+    * row rule fires (the Great-Expectations/observability profile
+    * diff, computed engine-side). Per column: one (value)-grain
+    * groupBy with slice-conditional counts — the profileOrders shape
+    * extended to two slices in the SAME single scan per column; the
+    * per-column plans union into one job and shuffle only their own
+    * group counts. All derived rates are exact integer ppm (declared
+    * div law); the drift flag is a row-local boolean over declared
+    * thresholds, so policy changes don't touch the measurement.
+    * Slices: pre-1996 vs from-1996 orders (distributionDrift's
+    * boundary). At 100 TB swap the exact per-column groupBys for one
+    * approx_count_distinct pass per slice when estimates suffice —
+    * the output contract is unchanged.
+    */
+  def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1996-01-01").cast("timestamp")
+    profileDriftCore(Tables.orders(s, dir), col("o_orderdate") < cut,
+      Seq("o_orderstatus" -> col("o_orderstatus"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_custkey" -> col("o_custkey"),
+        "o_totalprice_cents" ->
+          round(col("o_totalprice") * 100).cast("long")))
+  }
+
+  /** The measurement core over any frame, slice predicate, and column
+    * list — split out so specs can drive it with injected nulls and
+    * collapsed ids (TPC-H orders carries no NULLs).
+    */
+  private[operators] def profileDriftCore(df: DataFrame, isA: Column,
+      cols: Seq[(String, Column)]): DataFrame = {
+    val perCol = cols.map { case (name, c) =>
+      df.groupBy(c.as("v"))
+        .agg(sum(when(isA, 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(isA, 0L).otherwise(1L)).as("cnt_b"))
+        .agg(
+          sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
+          coalesce(sum(when(col("v").isNull, col("cnt_a"))), lit(0L))
+            .as("null_a"),
+          coalesce(sum(when(col("v").isNull, col("cnt_b"))), lit(0L))
+            .as("null_b"),
+          count(when(col("v").isNotNull && col("cnt_a") > 0, 1))
+            .as("ndv_a"),
+          count(when(col("v").isNotNull && col("cnt_b") > 0, 1))
+            .as("ndv_b"))
+        .select(lit(name).as("column_name"), col("n_a"), col("n_b"),
+          col("null_a"), col("null_b"), col("ndv_a"), col("ndv_b"))
+    }.reduce(_ unionByName _)
+    perCol
+      .withColumn("null_ppm_a",
+        expr("null_a * 1000000L div greatest(n_a, 1L)"))
+      .withColumn("null_ppm_b",
+        expr("null_b * 1000000L div greatest(n_b, 1L)"))
+      .withColumn("ndv_ppm_a",
+        expr("ndv_a * 1000000L div greatest(n_a, 1L)"))
+      .withColumn("ndv_ppm_b",
+        expr("ndv_b * 1000000L div greatest(n_b, 1L)"))
+      .select(col("column_name"), col("n_a"), col("n_b"),
+        col("null_ppm_a"), col("null_ppm_b"),
+        (col("null_ppm_b") - col("null_ppm_a")).as("null_delta_ppm"),
+        col("ndv_a"), col("ndv_b"),
+        (col("ndv_ppm_b") - col("ndv_ppm_a")).as("ndv_delta_ppm"),
+        (abs(col("null_ppm_b") - col("null_ppm_a")) > 10000L ||
+          abs(col("ndv_ppm_b") - col("ndv_ppm_a")) > 50000L)
+          .as("drift_flag"))
+      .orderBy("column_name")
   }
 
   /** Event-ordering violation gate: users whose first purchase

@@ -178,6 +178,48 @@ class QualitySpec extends SparkSpec {
     assert(obsSum > 1000000L - 9 && obsSum <= 1000000L)
   }
 
+  test("profileDrift: per-column counts conserve, ppm laws recompute, " +
+    "and clean TPC-H slices raise no null drift") {
+    val rows = Quality.profileDrift(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("o_custkey",
+      "o_orderpriority", "o_orderstatus", "o_totalprice_cents"))
+    val nOrders = Tables.orders(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == nOrders,
+        s"${r.getString(0)}: slice counts must conserve")
+      // TPC-H carries no NULLs: null ppm and delta are exactly zero
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 0L)
+      assert(r.getLong(6) > 0L && r.getLong(7) > 0L, "ndv positive")
+    }
+    // status has ~3 distinct values over 15k rows; custkey is dense —
+    // the ndv densities must order that way in both slices
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("o_custkey").getLong(6) >
+      byName("o_orderstatus").getLong(6))
+  }
+
+  test("profileDriftCore: injected nulls and a collapsed id column in " +
+    "one slice raise the drift flag with exact ppm deltas") {
+    import spark.implicits._
+    // slice A: ids 0..99 distinct, x never null
+    // slice B: ids all 7 (collapse), x null for half the rows
+    val df = ((0 until 100).map(i => (true, i.toLong, Some(i.toLong))) ++
+      (0 until 100).map(i => (false, 7L,
+        if (i % 2 == 0) None else Some(i.toLong))))
+      .toDF("in_a", "id", "x")
+    val out = Quality.profileDriftCore(df, col("in_a"),
+      Seq("id" -> col("id"), "x" -> col("x")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getLong(6) == 100L && id.getLong(7) == 1L) // ndv 100 -> 1
+    // ndv ppm: 1e6 -> 10000; delta -990000 -> flag
+    assert(id.getLong(8) == 10000L - 1000000L && id.getBoolean(9))
+    val x = out("x")
+    // null ppm: 0 -> 500000; delta 500000 -> flag
+    assert(x.getLong(3) == 0L && x.getLong(4) == 500000L &&
+      x.getLong(5) == 500000L && x.getBoolean(9))
+  }
+
   test("orderingViolations: flagged set equals a driver-side timeline " +
     "recount and the audit counts are corpus-wide") {
     val rows = Quality.orderingViolations(spark, sfDir).collect()
