@@ -384,6 +384,10 @@ object SparkEntry {
     // assertion forms: ANN recall vs the exact baselines
     "sim_ann_lsh" -> (Assertions.annLshRecall _),
     "sim_ann_ivf" -> (Assertions.annIvfRecall _),
+    // corpus-wide mutual-kNN graph (SemDeDup/SNN substrate): IVF
+    // multi-probe candidates, round-3 rank, mutuality filter; exact
+    // full-pair graph computed in-plan as the assertion ground truth
+    "sim_knn_graph" -> ((s, d) => Assertions.knnGraphBounds(s, d)),
     "sim_quantize" -> (Assertions.quantizeBound _),
     "sim_centroids" -> (Similarity.labelCentroids _),
     "sim_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
@@ -3800,6 +3804,30 @@ object SparkEntry {
     "sim_pq_topk" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "sim_knn_graph" ->
+      // the exact mutual-kNN edge count replays through the same
+      // round-3 rank windows (rank by rounded sim DESC, dst — the
+      // dedup_cosine-pinned stable currency); the IVF graph's
+      // agreement enters as the bound booleans
+      """WITH e AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(CAST(list_cosine_similarity(a.embedding,
+        |      b.embedding) AS DOUBLE), 3) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst,
+        |    ROW_NUMBER() OVER (PARTITION BY src
+        |      ORDER BY sim DESC, dst) AS rk
+        |  FROM e),
+        |k AS (SELECT src, dst FROM r WHERE rk <= 5),
+        |m AS (SELECT x.src FROM k x
+        |  JOIN k y ON x.src = y.dst AND x.dst = y.src
+        |  WHERE x.src < x.dst)
+        |SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
+        |    AS n_nodes,
+        |  CAST(COUNT(*) AS BIGINT) AS n_edges_exact,
+        |  true AS recall_ok, true AS precision_ok
+        |FROM m""".stripMargin,
     "sim_ivfpq_topk" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,

@@ -352,6 +352,42 @@ object Assertions {
     * 0.025 at sf0.01 — a broken deflate/length plumbing scatters it);
     * (c) the repetitive_flag column is exactly ratio < 0.35.
     */
+  /** sim_knn_graph: IVF-restricted mutual-kNN graph vs the exact
+    * full-pair-space mutual-kNN graph. Exact columns (n_nodes,
+    * n_edges_exact) replay in DuckDB through the same round-3
+    * rank windows; the IVF graph's agreement enters as bound
+    * booleans — recall (shared edges ≥ bound · exact edges) and
+    * precision (shared edges ≥ bound · IVF edges). The bounds are
+    * scale-aware by construction (the ivfPqTopK discipline): with a
+    * fixed 2-cell multi-probe, recall tracks the probed corpus
+    * fraction — measured 0.52/0.67 (recall/precision) at 4 cells
+    * (sf0.001/0.01) and 0.22/0.35 at 16 cells (sf0.1) — so the gate
+    * pins 0.15/0.25, below the worst measured geometry; the tight
+    * fixed-geometry bound lives in NorthStarSpec.
+    */
+  def knnGraphBounds(s: SparkSession, dir: String,
+      recallBound: Double = 0.15, precisionBound: Double = 0.25)
+      : DataFrame = {
+    val ivf = Similarity.knnGraph(s, dir)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("in_ivf"))
+    val exact = Similarity.knnGraph(s, dir, restricted = false)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("in_exact"))
+    val joined = ivf.join(exact, Seq("vec_a", "vec_b"), "full")
+      .agg(coalesce(sum(col("in_ivf")), lit(0L)).as("n_ivf"),
+        coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("in_ivf") * col("in_exact")), lit(0L))
+          .as("n_hit"))
+    val nNodes = graft.Tables.embeddings(s, dir)
+      .agg(count(lit(1)).as("n_nodes"))
+    nNodes.crossJoin(joined)
+      .select(col("n_nodes"), col("n_exact").as("n_edges_exact"),
+        (col("n_hit") >= col("n_exact") * lit(recallBound))
+          .as("recall_ok"),
+        (col("n_ivf") === 0 ||
+          col("n_hit") >= col("n_ivf") * lit(precisionBound))
+          .as("precision_ok"))
+  }
+
   def compressionInvariants(s: SparkSession, dir: String): DataFrame = {
     val cr = TextAnalysis.compressionRatio(s, dir)
     val truth = ngramTruth(s, dir)

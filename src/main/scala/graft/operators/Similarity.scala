@@ -171,6 +171,89 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Mutual-kNN graph over the WHOLE corpus — the edge structure
+    * behind graph-based corpus curation (SemDeDup-style cluster
+    * pruning, SNN clustering, kNN-graph label propagation): every
+    * node keeps its k nearest neighbors; an edge survives only if
+    * BOTH endpoints keep each other, which drops hub and noise edges
+    * without any similarity threshold. Unlike annIvf (a bounded probe
+    * set against the corpus) this ranks neighbors for EVERY vector.
+    *
+    * Production path (`restricted = true`): candidates are the
+    * node's own IVF cell, so the pair space is Σ|cell|² ≈ (corpus ⁄
+    * 127)·127² = 127·n rows — LINEAR at the fixed expected cell size,
+    * the cells are the shuffle partitioning, and no global pair
+    * space ever materializes. The exact path (`restricted = false`,
+    * the assertion ground truth) ranks the full n² pair space —
+    * test-scale only. Ranking uses the 3-decimal-rounded cosine with
+    * a dst tie-break: the rounded values are the cross-engine-stable
+    * currency dedup_cosine already hash-pins, so the DuckDB replay
+    * ranks identically. The directed kNN set is pooled — the mutual
+    * self-join reads it twice.
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 5,
+      restricted: Boolean = true): DataFrame = {
+    val base = if (restricted) {
+      // multi-probe (nprobe = 2, the FAISS recall lever): the PROBE
+      // side ranks its top-2 coarse cells, the INDEX side keeps its
+      // single best cell — so each node's candidate list is the union
+      // of two inverted lists (2·expected-cell-size per node, still
+      // linear), and no candidate repeats (an index vector lives in
+      // exactly one cell)
+      val probe = ivfProbeAssignment(s, dir, nProbe = 2)
+      val index = ivfAssignment(s, dir)
+      probe.as("a").join(index.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+    } else {
+      val c = corpus(s, dir)
+      c.as("a").join(c.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    }
+    val sims = base.select(col("a.vec_id").as("src"),
+      col("b.vec_id").as("dst"),
+      round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")),
+        3).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val knn = graft.CachePool.cached(s,
+      s"sim.knn:$restricted:$k:$dir") {
+      sims.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("src"), col("dst"), col("sim"))
+    }
+    knn.as("x").join(knn.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
+          && col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
+        col("x.sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Top-nProbe coarse-cell assignment for multi-probe searches: the
+    * same broadcast-centroid kernel as ivfAssignment, keeping the
+    * nProbe best cells per vector (rank window over the per-vector
+    * centroid scores — the partition is one vector's |centroids|
+    * rows). Kept separate from the pooled top-1 assignment: that one
+    * is the INDEX (each vector lives in exactly one inverted list);
+    * this one is the QUERY fan-out.
+    */
+  private def ivfProbeAssignment(s: SparkSession, dir: String,
+      nProbe: Int): DataFrame = {
+    val c = corpus(s, dir)
+    val cents = c.filter(col("vec_id") % 127 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    c.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
+  }
+
   /** The IVF inverted-list assignment (vec → max-cosine coarse cell),
     * pooled: annIvf's probe and corpus sides, ivfPqTopK's cell
     * restriction, and the recall specs all read it — one materialized

@@ -53,6 +53,14 @@ class AssertionsSpec extends SparkSpec {
     allTrue(Assertions.ivfPqTopKRecall(spark, sfDir))
   }
 
+  test("mutual-kNN graph bounds hold, including the tight " +
+    "fixed-geometry bound (4 cells at this sf)") {
+    allTrue(Assertions.knnGraphBounds(spark, sfDir))
+    // measured 0.52/0.67 at the 4-cell geometry — pin half that
+    allTrue(Assertions.knnGraphBounds(spark, sfDir,
+      recallBound = 0.3, precisionBound = 0.35))
+  }
+
   test("numeric-invariant assertions hold (quantize / pca)") {
     allTrue(Assertions.quantizeBound(spark, sfDir))
     allTrue(Assertions.pcaInvariants(spark, sfDir))

@@ -79,6 +79,49 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("knnGraph: the exact graph equals a driver-side mutual top-5 " +
+    "recompute, and IVF edges are a well-formed subgraph of true " +
+    "cosines") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos3(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      // same rounding family as Spark's round(): half-up on the
+      // double quotient
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val sims = (for {
+      (u, uv) <- vecs; (v, vv) <- vecs if u != v
+    } yield (u, v) -> cos3(uv, vv)).toMap
+    val topk = vecs.map { case (u, _) =>
+      u -> vecs.collect { case (v, _) if v != u => v }
+        .sortBy(v => (-sims((u, v)), v)).take(5).toSet
+    }.toMap
+    val expected = (for {
+      (u, _) <- vecs; v <- topk(u)
+      if u < v && topk(v).contains(u)
+    } yield (u, v, sims((u, v)))).toSet
+    val exact = Similarity.knnGraph(spark, sfDir, restricted = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(exact == expected, "exact mutual-kNN graph must equal the " +
+      s"driver recompute (got ${exact.size} vs ${expected.size})")
+    val ivf = Similarity.knnGraph(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    assert(ivf.map(e => (e._1, e._2)).distinct.length == ivf.length)
+    ivf.foreach { case (a, b, s) =>
+      assert(a < b, "canonical edge orientation")
+      assert(s == sims((a, b)), s"edge ($a,$b) must carry the true " +
+        s"round-3 cosine: $s vs ${sims((a, b))}")
+    }
+  }
+
   test("pqCodes: Lloyd update never increases distortion; codes " +
     "stay in [0, k); compression is real (m codes per vector)") {
     def meanErr(iters: Int): Double = {
