@@ -224,6 +224,9 @@ object SparkEntry {
     // dense alphabetical surrogate keys via the bucketed global rank
     // (order-preserving proxy; no single-partition window)
     "p_surrogate_keys" -> (Pipelines.surrogateKeys _),
+    // partition backfill planner: day-grain truth vs manifest, missing/
+    // stale/orphan classification, newest-first bounded batch
+    "p_backfill_plan" -> (Pipelines.backfillPlan _),
     // survivorship merge after ER: one master row per entity cluster,
     // each attribute by its own deterministic rule (mode/max/min)
     "p_golden_record" -> (Pipelines.goldenRecord _),
@@ -2659,6 +2662,35 @@ object SparkEntry {
         |    AS surrogate_key,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM names) AS n_names
         |FROM names ORDER BY name""".stripMargin,
+    "p_backfill_plan" ->
+      // same derived manifest (every 7th epoch-day a hole, every 5th
+      // a 90% partial load), same full-outer classification, same
+      // newest-first rank and 30-day batch cap
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_source,
+        |    CAST(SUM(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_partial,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS epoch
+        |  FROM events GROUP BY 1, 4),
+        |man AS (SELECT day,
+        |    CASE WHEN epoch % 5 = 0 THEN n_partial ELSE n_source END
+        |      AS n_manifest
+        |  FROM daily WHERE epoch % 7 <> 3),
+        |j AS (SELECT COALESCE(s.day, m.day) AS day, s.n_source,
+        |    m.n_manifest,
+        |    CASE WHEN s.day IS NULL THEN 'orphan'
+        |         WHEN m.day IS NULL THEN 'missing'
+        |         WHEN m.n_manifest <> s.n_source THEN 'stale'
+        |    END AS status
+        |  FROM daily s FULL OUTER JOIN man m ON s.day = m.day),
+        |work AS (SELECT day, n_source, n_manifest, status,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day DESC) AS BIGINT)
+        |      AS backfill_rank
+        |  FROM j WHERE status IS NOT NULL)
+        |SELECT day, n_source, n_manifest, status, backfill_rank,
+        |  backfill_rank <= 30 AS in_batch
+        |FROM work ORDER BY day DESC""".stripMargin,
     "agg_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
         |    lead(event_type, 1) OVER

@@ -490,4 +490,63 @@ object Pipelines {
       .select(col("batch_id"), col("doc_id"), col("source"))
       .orderBy("batch_id", "source")
   }
+
+  /** Partition BACKFILL PLANNER — the catch-up primitive behind every
+    * scheduled-pipeline recovery (Airflow catchup, lakehouse partition
+    * repair): compare the source's partition-grain truth (day → row
+    * count) against the sink's published MANIFEST and emit the work
+    * list — `missing` (never published), `stale` (published count
+    * disagrees — a partial load that must be rewritten), `orphan`
+    * (published but no longer in the source — retract). Work items
+    * come back newest-first with a dense backfill_rank and a
+    * `in_batch` cap of the 30 most recent (bounded catch-up per run —
+    * the property that keeps a month-long outage from scheduling a
+    * month of work in one run). Partition grain means the plan join
+    * is O(days), never O(rows): at 100 TB both sides are prebuilt
+    * day-count rollups and the planner's cost is independent of
+    * table size.
+    *
+    * The query derives a deterministic manifest from the source
+    * itself: every 7th day-of-epoch is a hole (missing) and every
+    * 5th was loaded at 90% (event_id % 10 != 0 — stale); the spec
+    * drives the core with injected orphans.
+    */
+  def backfillPlan(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_source"),
+        sum(when(col("event_id") % 10 =!= 0, 1L).otherwise(0L))
+          .as("n_partial"))
+      .withColumn("epoch",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val source = daily.select(col("day"), col("n_source"))
+    val manifest = daily
+      .filter(col("epoch") % 7 =!= 3)
+      .select(col("day"),
+        when(col("epoch") % 5 === 0, col("n_partial"))
+          .otherwise(col("n_source")).as("n_manifest"))
+    backfillPlanCore(source, manifest)
+  }
+
+  /** The planning core over any (day, n_source) truth and (day,
+    * n_manifest) manifest — full outer on the partition key, row-local
+    * classification, newest-first rank over the work list only.
+    */
+  private[operators] def backfillPlanCore(source: DataFrame,
+      manifest: DataFrame, batchSize: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = source.join(manifest, Seq("day"), "full")
+      .select(col("day"), col("n_source"), col("n_manifest"),
+        when(col("n_source").isNull, "orphan")
+          .when(col("n_manifest").isNull, "missing")
+          .when(col("n_manifest") =!= col("n_source"), "stale")
+          .as("status"))
+      .filter(col("status").isNotNull)
+    // the work list is outage-sized (days), so the newest-first rank
+    // window is bounded — never the full calendar, never row-grain
+    val w = Window.orderBy(col("day").desc)
+    joined.withColumn("backfill_rank", row_number().over(w).cast("long"))
+      .withColumn("in_batch", col("backfill_rank") <= batchSize)
+      .orderBy(col("day").desc)
+  }
 }

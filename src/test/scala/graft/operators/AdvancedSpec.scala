@@ -416,4 +416,66 @@ class AdvancedSpec extends SparkSpec {
     nonDominated(small, 1)
     nonDominated(large, -1)
   }
+
+  test("backfillPlanCore: missing/stale/orphan classify exactly, rank " +
+    "is newest-first, and the batch cap bounds per-run work") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val source = Seq((d("2024-01-01"), 10L), (d("2024-01-02"), 20L),
+      (d("2024-01-03"), 30L), (d("2024-01-04"), 40L))
+      .toDF("day", "n_source")
+    // 01 missing; 02 exact (clean); 03 stale (29 != 30); 04 exact;
+    // 05 orphan (manifest-only)
+    val manifest = Seq((d("2024-01-02"), 20L), (d("2024-01-03"), 29L),
+      (d("2024-01-04"), 40L), (d("2024-01-05"), 7L))
+      .toDF("day", "n_manifest")
+    val plan = Pipelines.backfillPlanCore(source, manifest, batchSize = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getString(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(plan.toSeq == Seq(
+      ("2024-01-05", "orphan", 1L, true),
+      ("2024-01-03", "stale", 2L, true),
+      ("2024-01-01", "missing", 3L, false)))
+  }
+
+  test("backfillPlan: every work item recounts against the derived " +
+    "manifest law; clean days never appear; batch caps at 30") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_id") % 10 =!= 0, 1L).otherwise(0L))
+          .as("np"))
+      .collect()
+      .map(r => r.getDate(0).toLocalDate -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val rows = Pipelines.backfillPlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val flagged = rows.map(_.getDate(0).toLocalDate).toSet
+    rows.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      val epoch = day.toEpochDay
+      val (n, np) = daily(day)
+      r.getString(3) match {
+        case "missing" => assert(epoch % 7 == 3, s"$day not a hole")
+        case "stale" =>
+          assert(epoch % 7 != 3 && epoch % 5 == 0 && np != n,
+            s"$day not a partial-load day")
+          assert(r.getLong(2) == np)
+        case other => fail(s"unexpected status $other (no orphans " +
+          "derivable from the source itself)")
+      }
+    }
+    // clean days (neither hole nor divergent partial) never flagged
+    daily.foreach { case (day, (n, np)) =>
+      val epoch = day.toEpochDay
+      val dirty = epoch % 7 == 3 || (epoch % 5 == 0 && np != n)
+      assert(flagged.contains(day) == dirty, s"$day misclassified")
+    }
+    // newest-first dense rank; at most 30 in the batch
+    val ranked = rows.sortBy(_.getLong(4))
+    assert(ranked.map(_.getDate(0).toLocalDate.toEpochDay).toSeq ==
+      ranked.map(_.getDate(0).toLocalDate.toEpochDay)
+        .sorted(Ordering[Long].reverse).toSeq)
+    assert(rows.count(_.getBoolean(5)) == math.min(30, rows.length))
+  }
 }

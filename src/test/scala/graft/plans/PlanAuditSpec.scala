@@ -75,7 +75,11 @@ class PlanAuditSpec extends SparkSpec {
       // bounded-by-the-calendar is the documented exception the
       // round-4 window audit already carved out
       "st2_sliding_7day" -> Set("global-window"),
-      "agg_quantile_rollup" -> Set("global-window"))
+      "agg_quantile_rollup" -> Set("global-window"),
+      // the backfill rank runs over the day-grain WORK LIST (missing/
+      // stale/orphan partitions) — outage-sized, bounded by the
+      // calendar at any data scale; same carve-out as above
+      "p_backfill_plan" -> Set("global-window"))
     val violations = graft.SparkEntry.queries
       .filterNot { case (n, _) => graft.SparkEntry.eagerWriters(n) }
       .toSeq.sortBy(_._1)
