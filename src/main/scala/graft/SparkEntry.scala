@@ -420,6 +420,9 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_lm_score" -> (TextAnalysis.lmScore _),
+    // CCNet head/middle/tail terciles over the LM score — the
+    // quality-stratification mixture knob; exact integer tercile law
+    "text_ppl_buckets" -> (TextAnalysis.perplexityBuckets _),
     "text_pii_scrub" -> (TextAnalysis.piiScrub _),
     "text_holdout_split" -> (TextAnalysis.holdoutSplit _),
     "text_repetition" -> (TextAnalysis.repetition _),
@@ -3970,6 +3973,40 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  SUM(s) / (COUNT(*) * 1e6) AS avg_p
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_ppl_buckets" ->
+      // lmScore's exact rational mean, a rank window on it (desc,
+      // doc_id tie-break — the same doubles both engines derive from
+      // exact integers), and the integer tercile law
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |bg AS (SELECT doc_id, w AS w1,
+        |         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |       FROM toks),
+        |b AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        |       FROM b GROUP BY 1),
+        |sc AS (SELECT b.doc_id,
+        |    CAST(round((CAST(c2.c2 AS DOUBLE) / c1.c1) * 1e6) AS BIGINT)
+        |      AS s
+        |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    SUM(s) / (COUNT(*) * 1e6) AS avg_p
+        |  FROM sc GROUP BY 1),
+        |r AS (SELECT doc_id, n_bigrams, avg_p,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY avg_p DESC, doc_id)
+        |      AS BIGINT) AS lm_rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM d)
+        |SELECT doc_id, n_bigrams, avg_p, lm_rank,
+        |  CASE (lm_rank - 1) * 3 // n WHEN 0 THEN 'head'
+        |    WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -654,6 +654,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document by its LM score and cut the corpus into head / middle /
+    * tail terciles — the quality stratification CCNet popularized
+    * (keep head, sample middle, drop tail) and the mixture knob
+    * data-curation recipes tune. The score is lmScore's exact
+    * rational mean (avg bigram probability — same ordering as
+    * perplexity, no libm), the global rank runs through the bucketed
+    * global-rank core (NO single-partition window — approx-quantile
+    * bounds only balance buckets, ranks stay exact), and the tercile
+    * is the integer law (rank−1)·3 div n, so the assignment replays
+    * exactly in SQL. Docs with zero bigrams carry no score and stay
+    * out, matching the oracle's scored set.
+    */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = lmScore(s, dir)
+    val (ranked, n) = Analytics.withGlobalRank(s, scored, "avg_p",
+      "doc_id", descending = true)
+    ranked.select(col("doc_id"), col("n_bigrams"), col("avg_p"),
+        col("grn").as("lm_rank"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          (expr(s"(grn - 1) * 3 div ${n}L") + 1).cast("int"))
+          .as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction: detect + scrub email addresses and phone numbers —
     * the compliance pass every training corpus runs before anything
     * else sees the text. The testdata corpus contains no PII, so a

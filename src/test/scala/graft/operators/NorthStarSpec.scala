@@ -867,6 +867,34 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("perplexityBuckets: terciles partition the scored set near-" +
+    "evenly, ranks are the (avg_p desc, doc_id) permutation, and " +
+    "bucket score ranges never interleave") {
+    val rows = TextAnalysis.perplexityBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3),
+        r.getString(4)))
+    val n = rows.length
+    assert(n == TextAnalysis.lmScore(spark, sfDir).count())
+    // lm_rank is exactly the (avg_p desc, doc_id asc) permutation
+    val expected = rows.sortBy { case (id, p, _, _) => (-p, id) }
+      .zipWithIndex.map { case ((id, _, _, _), i) => id -> (i + 1L) }
+      .toMap
+    rows.foreach { case (id, _, rk, _) => assert(rk == expected(id)) }
+    // tercile sizes within 1 of n/3 and the integer law replays
+    val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    sizes.values.foreach(sz =>
+      assert(math.abs(sz - n / 3.0) <= 1.0, s"uneven terciles: $sizes"))
+    rows.foreach { case (_, _, rk, b) =>
+      val want = Seq("head", "middle", "tail")(((rk - 1) * 3 / n).toInt)
+      assert(b == want)
+    }
+    // quality ordering: worst head score >= best tail score
+    val headMin = rows.filter(_._4 == "head").map(_._2).min
+    val tailMax = rows.filter(_._4 == "tail").map(_._2).max
+    assert(headMin >= tailMax)
+  }
+
   test("labelCentroids: one row per (label, dim); mean within value range") {
     val c = Similarity.labelCentroids(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
