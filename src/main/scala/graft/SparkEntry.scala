@@ -285,6 +285,9 @@ object SparkEntry {
     // per-column null-rate / ndv-density drift between two slices —
     // the profile diff of the observability stack, exact integer ppm
     "dq_profile_drift" -> (Quality.profileDrift _),
+    // watermark-sizing audit: per-key max/p95 event-time disorder in
+    // exact integer micros (ceiling-rank p95, no interpolation)
+    "dq_late_arrivals" -> (Quality.lateArrivals _),
     // timeline causality gate: purchase before (or without) signup
     "dq_order_violations" -> (Quality.orderingViolations _),
     "dq_referential" -> (Quality.referentialAudit _),
@@ -2026,6 +2029,27 @@ object SparkEntry {
         |  (abs(null_ppm_b - null_ppm_a) > 10000 OR
         |   abs(ndv_ppm_b - ndv_ppm_a) > 50000) AS drift_flag
         |FROM d ORDER BY column_name""".stripMargin,
+    "dq_late_arrivals" ->
+      // same simulated delivery order (multiplicative shuffle), same
+      // running max, exact micros diffs, same ceiling-rank p95 law
+      """WITH late AS (SELECT event_type, event_id,
+        |    MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY (event_id * 2654435761) % 100000000, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) - epoch_us(ts) AS late_us
+        |  FROM events),
+        |r AS (SELECT event_type, late_us,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY late_us, event_id) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_events,
+        |    CAST(MAX(late_us) OVER (PARTITION BY event_type)
+        |      AS BIGINT) AS max_late_us
+        |  FROM late)
+        |SELECT event_type, n_events, max_late_us,
+        |  CAST(late_us AS BIGINT) AS p95_late_us
+        |FROM r WHERE rk = (n_events * 95 + 99) // 100
+        |ORDER BY event_type""".stripMargin,
     "dq_dist_drift" ->
       // same ppm share law (integer //) and the same halved abs-sum
       """WITH c AS (SELECT o_orderpriority AS bin,

@@ -498,6 +498,59 @@ object Quality {
       .orderBy("column_name")
   }
 
+  /** Late-arrival audit — the WATERMARK-SIZING measurement every
+    * streaming deployment needs before it picks `withWatermark`: for
+    * each event, its event-time disorder = (max event time seen so
+    * far in arrival order) − (its own event time); the per-key max
+    * and p95 of that disorder are exactly the delays at which a
+    * watermark would have dropped 0% / 5% of this history. Arrival
+    * order is the delivery sequence (event_id — the append order of
+    * the feed); all arithmetic is exact integer microseconds, and
+    * the p95 is an exact rank law ((n·95 + 99) div 100, ceiling),
+    * not an interpolated percentile — so the whole audit replays in
+    * SQL. One per-key ordered window for the running max (state =
+    * one timestamp per key — the same O(keys) state the stream
+    * itself would carry), one per-key rank for the p95.
+    *
+    * The testdata's events are already event-time-sorted (zero
+    * disorder on the raw id order — the audit would be vacuous), so
+    * the query SIMULATES delivery order with the deterministic
+    * multiplicative shuffle (event_id · 2654435761, the fixture
+    * family's standard permutation; no Long overflow at any fixture
+    * scale). In production you pass the real ingestion sequence
+    * (Kafka offset, commit LSN) as `arrival`.
+    */
+  def lateArrivals(s: SparkSession, dir: String): DataFrame =
+    lateArrivalsCore(Tables.events(s, dir),
+      (col("event_id") * 2654435761L) % 100000000L)
+
+  private[operators] def lateArrivalsCore(events: DataFrame,
+      arrival: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arrivalW = Window.partitionBy("event_type")
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), arrival.as("arr"))
+      .withColumn("late_us", max(col("us")).over(arrivalW) - col("us"))
+    val byLate = Window.partitionBy("event_type")
+      .orderBy(col("late_us"), col("event_id"))
+    val ranked = late
+      .withColumn("rk", row_number().over(byLate).cast("long"))
+    val stats = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("max_late_us"))
+    // p95 = the late value at the ceiling rank — filter-join, no
+    // second scan of the raw events (ranked is the same plan)
+    val p95 = ranked.join(stats, "event_type")
+      .filter(col("rk") === expr("(n_events * 95 + 99) div 100"))
+      .select(col("event_type"), col("late_us").as("p95_late_us"))
+    stats.join(p95, "event_type")
+      .select(col("event_type"), col("n_events"), col("max_late_us"),
+        col("p95_late_us"))
+      .orderBy("event_type")
+  }
+
   /** Event-ordering violation gate: users whose first purchase
     * precedes their first signup (or who purchase with NO signup) —
     * the causality check referential integrity can't express (both

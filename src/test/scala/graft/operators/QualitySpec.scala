@@ -220,6 +220,53 @@ class QualitySpec extends SparkSpec {
       x.getLong(5) == 500000L && x.getBoolean(9))
   }
 
+  test("lateArrivals: max and ceiling-rank p95 disorder match a " +
+    "driver-side arrival-order recompute, and the simulated " +
+    "delivery order measures real disorder") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).map { case (et, rows) =>
+      val ordered = rows.sortBy(r => ((r._2 * 2654435761L) %
+        100000000L, r._2))
+      var runMax = Long.MinValue
+      val lates = ordered.map { case (_, _, us) =>
+        runMax = math.max(runMax, us); runMax - us
+      }
+      val sorted = lates.sorted
+      val p95 = sorted(((sorted.length * 95 + 99) / 100 - 1).toInt)
+      et -> ((lates.length.toLong, lates.max, p95))
+    }
+    val got = Quality.lateArrivals(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // the audit is non-trivial under the shuffled delivery order
+    assert(got.values.exists(_._2 > 0L), "no disorder measured")
+  }
+
+  test("lateArrivalsCore: a hand-built disordered stream yields the " +
+    "hand-computed lateness profile; an in-order stream yields zero") {
+    import spark.implicits._
+    def t(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    // arrival order = event_id; event times: 10, 30, 20, 25, 40 s →
+    // lateness 0, 0, 10s, 5s, 0
+    val df = Seq((1L, t(10)), (2L, t(30)), (3L, t(20)), (4L, t(25)),
+      (5L, t(40)))
+      .toDF("event_id", "ts").withColumn("event_type", lit("k"))
+    val r = Quality.lateArrivalsCore(df, col("event_id")).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 5L)
+    assert(r.head.getLong(2) == 10L * 1000000L) // max = 10 s
+    assert(r.head.getLong(3) == 10L * 1000000L) // p95 rank 5 of 5
+    val inOrder = Seq((1L, t(1)), (2L, t(2)), (3L, t(3)))
+      .toDF("event_id", "ts").withColumn("event_type", lit("k"))
+    val r2 = Quality.lateArrivalsCore(inOrder, col("event_id")).collect()
+    assert(r2.head.getLong(2) == 0L && r2.head.getLong(3) == 0L)
+  }
+
   test("orderingViolations: flagged set equals a driver-side timeline " +
     "recount and the audit counts are corpus-wide") {
     val rows = Quality.orderingViolations(spark, sfDir).collect()
