@@ -457,6 +457,9 @@ object SparkEntry {
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_payload_neardup" -> (Multimodal.payloadNearDup _),
+    // WebDataset shard packing: prefix-sum div law per source, shard-
+    // grain manifest (counts/bytes/id range)
+    "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
     "mm_resize" -> (Multimodal.resize _),
     "mm_features" -> (Multimodal.featureExtract _),
   )
@@ -4729,6 +4732,23 @@ object SparkEntry {
         | CAST((octet_length(encode(text)) + 3) // 4 AS INT)
         |   AS n_sample_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_shard_plan" ->
+      // same prefix-sum div assignment (bytes BEFORE the item over
+      // the per-source doc order), same shard-grain rollup
+      """WITH sz AS (SELECT source, doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |pre AS (SELECT source, doc_id, n_bytes,
+        |    SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_bytes AS before
+        |  FROM sz)
+        |SELECT source, CAST(before // 32768 AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+        |  CAST(MIN(doc_id) AS BIGINT) AS doc_lo,
+        |  CAST(MAX(doc_id) AS BIGINT) AS doc_hi
+        |FROM pre GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mm_payload_neardup" ->
       // candidates: the quantized byte-histogram rank hash replayed
       // bit-for-bit (same LCG index pairs, 1-based lists, BIGINT bit

@@ -195,4 +195,37 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("fingerprint"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** WebDataset-style SHARD PACKING manifest: sequence-pack payloads
+    * into size-bounded shards per group (here `source` — one shard
+    * series per dataset, the tar-shard layout samplers stream at
+    * training time). The assignment is the prefix-sum div law —
+    * shard = floor(bytes-before-me ⁄ target) over the group's
+    * deterministic doc order — so items never split, every shard
+    * except the last holds ≥ target − max_item bytes, and a shard
+    * overflows target by at most one item (the same bound as the
+    * sequential greedy packer, but expressible as ONE per-group
+    * window instead of a recursive fold — at 100 TB each group's
+    * running sum is a partitioned window over its own rows, no
+    * global state). Output is the shard-grain manifest (counts,
+    * bytes, id range) a packer would execute; payload size is
+    * octet_length of the payload bytes (the UTF-8 stand-in the rest
+    * of the mm family uses).
+    */
+  def shardPlan(s: SparkSession, dir: String,
+      targetBytes: Long = 32768L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("before",
+        sum(col("n_bytes")).over(w) - col("n_bytes"))
+      .withColumn("shard_id", expr(s"before div ${targetBytes}L"))
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"))
+      .orderBy("source", "shard_id")
+  }
 }

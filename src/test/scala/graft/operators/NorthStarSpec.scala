@@ -373,6 +373,45 @@ class NorthStarSpec extends SparkSpec {
     assert(out.filter(col("byte_offset") % 16 =!= 0).count() == 0)
   }
 
+  test("shardPlan: manifest equals a driver-side sequential packer " +
+    "replay; bytes conserve; shards never overflow target by more " +
+    "than one item; id ranges are disjoint and ordered") {
+    val target = 4096L // small target so multiple shards per source
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var before = 0L
+      rows.sortBy(_._2).map { case (_, id, n) =>
+        val shard = before / target; before += n; (src, shard, id, n)
+      }.toSeq
+    }.groupBy(t => (t._1, t._2)).map { case ((src, sh), items) =>
+      (src, sh, items.length.toLong, items.map(_._4).sum,
+        items.map(_._3).min, items.map(_._3).max)
+    }.toSet
+    val got = Multimodal.shardPlan(spark, sfDir, target).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSet == expected)
+    // conservation + per-shard overflow bound (< target + max item)
+    val bySource = got.groupBy(_._1)
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      assert(bySource(src).map(_._4).sum == rows.map(_._3).sum)
+    }
+    val maxItem = docs.map(_._3).max
+    got.foreach { case (_, _, nd, bytes, _, _) =>
+      assert(nd > 0 && bytes < target + maxItem)
+    }
+    // disjoint, ordered id ranges within a source
+    bySource.values.foreach { shards =>
+      shards.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5)
+        case _ =>
+      }
+    }
+  }
+
   test("repetition: sorted-run top counts equal explode-groupBy max counts") {
     val rep = TextAnalysis.repetition(spark, sfDir)
     // independent derivation of the same statistic through the
