@@ -1133,11 +1133,18 @@ object SparkEntry {
       |prefc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_prefix
       |  FROM (SELECT DISTINCT a.doc_id, b.doc_id
       |    FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
-      |      AND b.n >= a.n * 0.5 AND a.n >= b.n * 0.5))
+      |      AND b.n >= a.n * 0.5 AND a.n >= b.n * 0.5)),
+      |probef AS (SELECT CAST(COALESCE(SUM(df * (df - 1) // 2), 0)
+      |    AS BIGINT) AS n_probe_full FROM dfreq),
+      |probep AS (SELECT CAST(COALESCE(SUM(df2 * (df2 - 1) // 2), 0)
+      |    AS BIGINT) AS n_probe_prefix
+      |  FROM (SELECT s, count(*) AS df2 FROM pref GROUP BY s))
       |SELECT n_true_pairs, n_cand_prefix, n_cand_full,
+      |  n_probe_prefix, n_probe_full,
       |  (n_cand_prefix < n_cand_full) AS prefix_prunes,
+      |  (n_probe_prefix < n_probe_full) AS probe_prunes,
       |  (n_cand_prefix >= n_true_pairs) AS covers_truth
-      |FROM truth, prefc, fullc""".stripMargin
+      |FROM truth, prefc, fullc, probep, probef""".stripMargin
 
   /** Oracle for the pair-recall assertion queries: the truth-pair
     * count replays exactly; the bound booleans replay as `true` —

@@ -266,13 +266,22 @@ object Dedup {
     * Pooled — the pair query verifies it and the stats query counts
     * it; the self-join + distinct is the dominant cost of both.
     */
+  /** The exploded prefix-index rows (doc_id, n, sh) — one row per
+    * indexed rarest-first shingle; shared by the candidate join and
+    * the stats query's closed-form probe count.
+    */
+  private def prefixIndexRows(s: SparkSession, dir: String,
+      t: Double): DataFrame = {
+    val ordered = prefixOrdered(s, dir, t)
+    ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("osh"), lit(1),
+        (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("sh"))
+  }
+
   private def prefixCandidates(s: SparkSession, dir: String,
       t: Double): DataFrame =
     graft.CachePool.cached(s, s"dedup.prefixCand:$dir:$t") {
-      val ordered = prefixOrdered(s, dir, t)
-      val prefix = ordered.select(col("doc_id"), col("n"),
-        explode(slice(col("osh"), lit(1),
-          (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("sh"))
+      val prefix = prefixIndexRows(s, dir, t)
       prefix.as("a").join(prefix.as("b"),
           col("a.sh") === col("b.sh") &&
             col("a.doc_id") < col("b.doc_id") &&
@@ -310,9 +319,26 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .agg(count(lit(1)).as("n_cand_full"))
+    // the LINEAR closed forms (Σ C(df,2) per shingle — the index's
+    // probe-pair MULTISET, Bayardo's "candidates generated"): exact
+    // upper bounds on the distinct counts above, computed from the
+    // df tables alone. These are the 100 TB form of this diagnostic —
+    // the exact distinct counts need the pair multiset materialized,
+    // which is the very blowup being measured (scalecheck allowlists
+    // this query for exactly that superlinear column)
+    val probeFull = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(expr("df * (df - 1L) div 2L")), lit(0L))
+        .as("n_probe_full"))
+    val probePref = prefixIndexRows(s, dir, t)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(expr("df * (df - 1L) div 2L")), lit(0L))
+        .as("n_probe_prefix"))
     nTrue.crossJoin(nPref).crossJoin(nFull)
+      .crossJoin(broadcast(probePref)).crossJoin(broadcast(probeFull))
       .select(col("n_true_pairs"), col("n_cand_prefix"), col("n_cand_full"),
+        col("n_probe_prefix"), col("n_probe_full"),
         (col("n_cand_prefix") < col("n_cand_full")).as("prefix_prunes"),
+        (col("n_probe_prefix") < col("n_probe_full")).as("probe_prunes"),
         (col("n_cand_prefix") >= col("n_true_pairs")).as("covers_truth"))
   }
 

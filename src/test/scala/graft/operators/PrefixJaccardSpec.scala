@@ -48,4 +48,23 @@ class PrefixJaccardSpec extends SparkSpec {
       s"no pruning: prefix $prefCand vs full $fullCand")
     assert(prefCand >= truth, "candidate set lost a true pair")
   }
+
+  test("stats: the closed-form probe multisets recompute from the df " +
+    "tables and bound the distinct candidate counts") {
+    val r = Dedup.prefixFilterStats(spark, sfDir).head
+    val (nTrue, nCandPref, nCandFull, nProbePref, nProbeFull) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7))
+    // Σ C(df,2) over the full index, recomputed independently
+    val toks = Dedup.shingleArrDf(spark, sfDir)
+      .select(col("doc_id"), explode(col("sharr")).as("sh"))
+    val expectedFull = toks.groupBy("sh").count()
+      .agg(sum(expr("count * (count - 1L) div 2L"))).head.getLong(0)
+    assert(nProbeFull == expectedFull)
+    // multiset probes bound distinct candidates; distinct bounds truth
+    assert(nCandFull <= nProbeFull, "distinct full > probe multiset")
+    assert(nCandPref <= nProbePref, "distinct prefix > probe multiset")
+    assert(nTrue <= nCandPref && nCandPref <= nCandFull)
+  }
 }
