@@ -396,6 +396,9 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Assertions.knnGraphBounds(s, d)),
     "sim_quantize" -> (Assertions.quantizeBound _),
     "sim_centroids" -> (Similarity.labelCentroids _),
+    // corrupt-embedding screen: integer-exact centroid distances
+    // (n·x − Σx residuals), squared 3σ law — no sqrt, no division
+    "sim_outlier_gate" -> (Similarity.outlierGate _),
     "sim_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "sim_pq" -> ((s, d) => Similarity.pqCodes(s, d)),
     "sim_pq_topk" -> (Assertions.pqTopKRecall _),
@@ -4316,6 +4319,36 @@ object SparkEntry {
         |        unnest(range(len(embedding))) AS dim
         |      FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "sim_outlier_gate" ->
+      // same 1e3 scaled-integer law, same n·x − Σx residuals (BIGINT
+      // throughout; the fourth-power moments ride HUGEINT), same
+      // squared 3σ comparison in doubles derived from exact sums
+      """WITH x AS (SELECT vec_id, label,
+        |    unnest(range(len(embedding))) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e3)
+        |      AS BIGINT) AS xs
+        |  FROM embeddings),
+        |st AS (SELECT label, dim, CAST(SUM(xs) AS BIGINT) AS s1,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM x GROUP BY 1, 2),
+        |d2 AS (SELECT vec_id, x.label,
+        |    CAST(SUM((n * xs - s1) * (n * xs - s1)) AS BIGINT) AS d2s
+        |  FROM x JOIN st ON x.label = st.label AND x.dim = st.dim
+        |  GROUP BY 1, 2),
+        |lb AS (SELECT label, COUNT(*) AS k,
+        |    SUM(CAST(d2s AS HUGEINT)) AS t1,
+        |    SUM(CAST(d2s AS HUGEINT) * d2s) AS t2
+        |  FROM d2 GROUP BY 1),
+        |z AS (SELECT vec_id, d2.label, d2s,
+        |    CAST(t1 AS DOUBLE) / k AS mean_d2,
+        |    CAST(t2 AS DOUBLE) / k -
+        |      (CAST(t1 AS DOUBLE) / k) * (CAST(t1 AS DOUBLE) / k)
+        |      AS var_d2
+        |  FROM d2 JOIN lb ON d2.label = lb.label)
+        |SELECT vec_id, label, d2s,
+        |  CAST((d2s - mean_d2) * (d2s - mean_d2) > 9.0 * var_d2
+        |    AS INT) AS is_outlier
+        |FROM z ORDER BY vec_id""".stripMargin,
     "sim_kmeans" -> kmeansOracle,
     "sim_pq" -> pqOracle(4, 16, 16),
     "p_diverse_subset" ->

@@ -881,6 +881,57 @@ object Similarity {
         col("n_vecs"))
       .orderBy("label", "dim")
 
+  /** Embedding OUTLIER GATE — the corrupt-vector screen a training
+    * pipeline runs before embeddings feed anything downstream (a
+    * zeroed buffer, a wrong-preprocessing batch, or a truncated read
+    * lands far from its class): flag vectors whose squared distance
+    * to their own label centroid deviates from the label's mean by
+    * more than 3σ. Exactness discipline: per-(label, dim) moments
+    * come from SCALED-INTEGER sums (the labelCentroids trick, 1e3
+    * units here for squared-term headroom), the centroid division is
+    * AVOIDED entirely by scaling the residual to n·x − Σx (pure
+    * BIGINTs), and the z-test is the volumeAnomaly form — squared,
+    * no sqrt, moments from exact sums (decimal(38) for the
+    * fourth-power magnitudes) so the flag replays bit-identically in
+    * any engine. Two aggregations + one broadcast of O(labels)
+    * stats; the per-vector distance is one map-side-combinable
+    * rollup. At 100 TB with per-label counts beyond ~10⁶, divide the
+    * centroid out in doubles instead of carrying n·x − Σx (the
+    * integer form is the oracle-parity choice at audit scale).
+    */
+  def outlierGate(s: SparkSession, dir: String): DataFrame =
+    outlierGateCore(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v"))))
+
+  /** The gate over any exploded (vec_id, label, dim, v) frame — split
+    * out so specs can drive it with planted corrupt vectors.
+    */
+  private[operators] def outlierGateCore(exploded: DataFrame): DataFrame = {
+    val x = exploded
+      .withColumn("xs", round(col("v").cast("double") * 1e3).cast("long"))
+    val stats = x.groupBy("label", "dim")
+      .agg(sum(col("xs")).as("s1"), count(lit(1)).as("n"))
+    val d2 = x.join(stats, Seq("label", "dim"))
+      .withColumn("e", col("n") * col("xs") - col("s1"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("e") * col("e")).as("d2s"))
+    val dec = col("d2s").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val lbl = d2.groupBy("label")
+      .agg(count(lit(1)).as("k"), sum(dec).as("t1"),
+        sum(dec * dec).as("t2"))
+    d2.join(broadcast(lbl), "label")
+      .withColumn("mean_d2", col("t1").cast("double") / col("k"))
+      .withColumn("var_d2",
+        col("t2").cast("double") / col("k") -
+          col("mean_d2") * col("mean_d2"))
+      .withColumn("is_outlier",
+        ((col("d2s") - col("mean_d2")) * (col("d2s") - col("mean_d2")) >
+          lit(9.0) * col("var_d2")).cast("int"))
+      .select(col("vec_id"), col("label"), col("d2s"), col("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Per-dimension z-score standardization of the embedding corpus —
     * the feature-scaling pass before any distance-based method
     * (k-means, ANN) when dimensions have uneven spread. Two-phase at

@@ -934,6 +934,47 @@ class NorthStarSpec extends SparkSpec {
     assert(headMin >= tailMax)
   }
 
+  test("outlierGate: a planted far vector flags, its tight cluster " +
+    "does not, and the corpus gate matches a driver-side replay of " +
+    "the integer law") {
+    import spark.implicits._
+    // label 0: 20 near-identical vectors + one corrupt (zeroed-ish)
+    val rows = (0 until 20).flatMap { i =>
+      Seq((i.toLong, 0, 0, 0.5 + i * 1e-4), (i.toLong, 0, 1, -0.5))
+    } ++ Seq((99L, 0, 0, 0.0), (99L, 0, 1, 0.0))
+    val out = Similarity.outlierGateCore(
+      rows.toDF("vec_id", "label", "dim", "v")).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out(99L) == 1, "the planted corrupt vector must flag")
+    assert((0 until 20).forall(i => out(i.toLong) == 0),
+      "the tight cluster must not flag")
+    // corpus replay: same scaled-integer residual + squared 3-sigma law
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(v => math.round(v.toDouble * 1e3)).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val expected = byLabel.toSeq.flatMap { case (_, vs) =>
+      val n = vs.length.toLong
+      val dims = vs.head._3.length
+      val s1 = Array.tabulate(dims)(d => vs.map(_._3(d)).sum)
+      val d2s = vs.map { case (id, _, xs) =>
+        id -> (0 until dims).map { d =>
+          val e = n * xs(d) - s1(d); e * e }.sum
+      }
+      val k = d2s.length
+      val mean = d2s.map(x => BigDecimal(x._2)).sum.toDouble / k
+      val vr = d2s.map(x => BigDecimal(x._2) * BigDecimal(x._2))
+        .sum.toDouble / k - mean * mean
+      d2s.toSeq.map { case (id, d2) =>
+        id -> ((d2, if ((d2 - mean) * (d2 - mean) > 9.0 * vr) 1 else 0))
+      }
+    }.toMap
+    val got = Similarity.outlierGate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(got == expected)
+  }
+
   test("labelCentroids: one row per (label, dim); mean within value range") {
     val c = Similarity.labelCentroids(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
