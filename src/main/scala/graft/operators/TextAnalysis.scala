@@ -639,20 +639,24 @@ object TextAnalysis {
     * scaled to an integer before the per-doc sum — addition order
     * cannot perturb the score.
     */
-  def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val bg = docBigrams(s, dir) // pooled — see docBigrams
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val p = (col("c2").cast("double") / col("c1")).as("p")
-    bg.join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(round(p * lit(1e6)).cast("long")).as("ssum"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("ssum") / (col("n_bigrams") * lit(1e6))).as("avg_p"))
-      .orderBy("doc_id")
-  }
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    // pooled: the per-doc score table feeds this query AND
+    // perplexityBuckets' global rank (plus its quantile pre-pass) —
+    // one model build + scoring join per session
+    graft.CachePool.cached(s, s"text.lmScores:$dir") {
+      val bg = docBigrams(s, dir) // pooled — see docBigrams
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val p = (col("c2").cast("double") / col("c1")).as("p")
+      bg.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(round(p * lit(1e6)).cast("long")).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("ssum") / (col("n_bigrams") * lit(1e6))).as("avg_p"))
+        .orderBy("doc_id")
+    }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
     * document by its LM score and cut the corpus into head / middle /

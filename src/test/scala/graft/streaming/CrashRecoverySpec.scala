@@ -449,6 +449,73 @@ class CrashRecoverySpec extends SparkSpec {
     assert(got == expect, s"$got != $expect")
   }
 
+  test("running CUSUM (transformWithState/RocksDB): crash after " +
+    "batch-0's sink write; restart resumes (s, peak, peakId, n) and " +
+    "the drained statistics equal the full-stream integer fold") {
+    val base = cleanBase("cusum")
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def keyed = feed(5000, 1000)
+      .select(col("kind"), col("id"),
+        ((col("id") * lit(2654435761L)) % lit(100000L)).as("cents"))
+      .as[(String, Long, Long)]
+    def drain(injectCrash: Boolean): Unit = {
+      val q = StreamingAnalogs.runningCusumTws(keyed, 50000L)
+        .toDF("kind", "n_events", "cusum", "cusum_peak", "peak_id")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind")
+            .parquet(s"$base/table")
+          if (injectCrash && id == 0)
+            throw new RuntimeException("injected crash")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      intercept[StreamingQueryException](drain(injectCrash = true))
+      drain(injectCrash = false) // resume: state restored, batch 0 replays
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val got = spark.read.parquet(s"$base/table")
+      .select(col("kind"), col("n_events"), col("cusum"),
+        col("cusum_peak"), col("peak_id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // ground truth: the full per-kind id-ordered integer fold. A lost
+    // or double-applied batch shifts the EXACT integers — n doubles,
+    // s/peak drift — so plain equality is the recovery assertion
+    val expect = (0L until 5000L)
+      .map(id => (if (id % 3 == 0) "credit" else "debit", id,
+        (id * 2654435761L) % 100000L))
+      .groupBy(_._1)
+      .map { case (k, xs) =>
+        var s = 0L; var peak = Long.MinValue; var peakId = -1L
+        xs.sortBy(_._2).foreach { case (_, id, x) =>
+          s = math.max(0L, s + x - 50000L)
+          if (s > peak) { peak = s; peakId = id }
+        }
+        k -> ((xs.size.toLong, s, peak, peakId))
+      }
+    assert(got == expect, s"$got != $expect")
+  }
+
   test("watermark dedup: crash after batch-1's sink write; checkpoint " +
     "restart restores the seen-id state, so a slower source's LATER " +
     "duplicates of pre-crash ids are still dropped") {
