@@ -725,4 +725,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p.take(2000))
   }
+
+  test("knnGraph: the mutual self-join reads the POOLED directed kNN " +
+    "(never re-derives the candidate pair space), and the candidate " +
+    "join is an equi join on the cell — no cartesian") {
+    Similarity.knnGraph(spark, sfDir).queryExecution.toRdd.count()
+    val p = plan(Similarity.knnGraph(spark, sfDir))
+    assert(p.contains("InMemoryTableScan") ||
+      p.contains("TableCacheQueryStage"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("shardPlan: one per-source window + one hash aggregate; the " +
+    "scan reads only (source, doc_id, text)") {
+    val p = plan(Multimodal.shardPlan(spark, sfDir))
+    assert("Window".r.findAllIn(p).size >= 1)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(1500))
+    val schemaLine = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(schemaLine.contains("doc_id") && schemaLine.contains("source")
+      && !schemaLine.contains("lang"), schemaLine)
+  }
+
+  test("profileDrift: four concurrent per-column aggregates union — " +
+    "no join, no window, each branch two-phase") {
+    val p = plan(Quality.profileDrift(spark, sfDir))
+    assert(p.contains("Union"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(1500))
+  }
+
+  test("lateArrivals: the p95 filter-join rides the ranked plan (two " +
+    "windows, one events scan branch pair) with no cartesian") {
+    val p = plan(Quality.lateArrivals(spark, sfDir))
+    assert("Window".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("outlierGate: per-(label,dim) moments broadcast back; the gate " +
+    "is two aggregations and no window") {
+    val p = plan(Similarity.outlierGate(spark, sfDir))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastQueryStage"), p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
 }
