@@ -463,6 +463,9 @@ object SparkEntry {
     // WebDataset shard packing: prefix-sum div law per source, shard-
     // grain manifest (counts/bytes/id range)
     "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
+    // epoch-shuffled reader order over the shard manifest: row-local
+    // multiplicative permutation key, bucketed global rank
+    "p_epoch_shuffle" -> ((s, d) => Multimodal.epochShuffle(s, d)),
     "mm_resize" -> (Multimodal.resize _),
     "mm_features" -> (Multimodal.featureExtract _),
   )
@@ -4789,6 +4792,34 @@ object SparkEntry {
         |  CAST(MIN(doc_id) AS BIGINT) AS doc_lo,
         |  CAST(MAX(doc_id) AS BIGINT) AS doc_hi
         |FROM pre GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "p_epoch_shuffle" ->
+      // same manifest derivation, same dense index g (shard_id, sk
+      // order), same multiplicative permutation law, rank replayed
+      // per epoch (h, then source:shard tie-break)
+      """WITH sz AS (SELECT source, doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |pre AS (SELECT source, doc_id, n_bytes,
+        |    SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_bytes AS before
+        |  FROM sz),
+        |man AS (SELECT DISTINCT source,
+        |    CAST(before // 32768 AS BIGINT) AS shard_id,
+        |    source || ':' || CAST(before // 32768 AS BIGINT) AS sk
+        |  FROM pre),
+        |gi AS (SELECT source, shard_id, sk,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY shard_id, sk) AS BIGINT)
+        |      AS g
+        |  FROM man),
+        |e(epoch) AS (VALUES (1), (2), (3)),
+        |k AS (SELECT epoch, source, shard_id, sk,
+        |    ((g * 3 + epoch) * 2654435761) % 1000000007 AS h
+        |  FROM gi CROSS JOIN e)
+        |SELECT epoch, source, shard_id, CAST(h AS BIGINT) AS h,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+        |    ORDER BY h, sk) AS BIGINT) AS position
+        |FROM k ORDER BY epoch, position""".stripMargin,
     "mm_payload_neardup" ->
       // candidates: the quantized byte-histogram rank hash replayed
       // bit-for-bit (same LCG index pairs, 1-based lists, BIGINT bit

@@ -212,6 +212,45 @@ object Multimodal {
     * octet_length of the payload bytes (the UTF-8 stand-in the rest
     * of the mm family uses).
     */
+  /** Epoch SHUFFLE plan — the training-reader primitive on top of
+    * shardPlan: each epoch reads the shard manifest in a different
+    * deterministic pseudo-random order (WebDataset's epoch shuffling —
+    * decorrelates batch composition across epochs without moving a
+    * byte of data). The permutation key multiplies the shard's dense
+    * GLOBAL index into the mix — h = ((3g + epoch) · 2654435761) mod
+    * (10⁹+7) — because an ADDITIVE epoch term only rotates the order
+    * (adding a constant mod M preserves relative order except at the
+    * wrap), while shifting the multiplicand re-scrambles it; g itself
+    * and each epoch's position are global ranks through the bucketed
+    * global-rank core (a shard manifest at 100 TB is billions of
+    * rows — NOT calendar-bounded, so no single-partition window is
+    * acceptable here). Per-epoch determinism means any reader replica
+    * derives the same order with no coordination.
+    */
+  def epochShuffle(s: SparkSession, dir: String,
+      epochs: Int = 3): DataFrame = {
+    // pooled: the dense-index manifest feeds every epoch's ranking
+    val indexed = graft.CachePool.cached(s, s"mm.shardManifest:$dir") {
+      val manifest = shardPlan(s, dir)
+        .select(col("source"), col("shard_id"))
+        .withColumn("sk",
+          concat(col("source"), lit(":"), col("shard_id")))
+      val (g, _) = Analytics.withGlobalRank(s, manifest, "shard_id",
+        "sk", descending = false)
+      g.withColumnRenamed("grn", "g")
+    }
+    val shuffled = (1 to epochs).map { e =>
+      val h = ((col("g") * 3L + lit(e.toLong)) * lit(2654435761L)) %
+        lit(1000000007L)
+      val keyed = indexed.withColumn("epoch", lit(e)).withColumn("h", h)
+      val (ranked, _) = Analytics.withGlobalRank(s, keyed, "h", "sk",
+        descending = false)
+      ranked.select(col("epoch"), col("source"), col("shard_id"),
+        col("h"), col("grn").as("position"))
+    }.reduce(_ unionByName _)
+    shuffled.orderBy("epoch", "position")
+  }
+
   def shardPlan(s: SparkSession, dir: String,
       targetBytes: Long = 32768L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

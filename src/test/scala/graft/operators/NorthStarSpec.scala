@@ -412,6 +412,41 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle: every epoch is a full permutation of the " +
+    "manifest, the permutation key recomputes row-locally, and " +
+    "epochs actually reorder") {
+    val manifest = Multimodal.shardPlan(spark, sfDir)
+      .select(col("source"), col("shard_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val rows = Multimodal.epochShuffle(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1, 2, 3))
+    byEpoch.foreach { case (e, es) =>
+      assert(es.map(x => (x._2, x._3)).toSet == manifest,
+        s"epoch $e must cover the manifest exactly")
+      assert(es.map(_._5).sorted.toSeq == (1L to manifest.size).toSeq,
+        s"epoch $e positions must be a dense permutation")
+      // the permutation key recomputes from the dense (shard_id, sk)
+      // index — the multiplicative law, epoch in the multiplicand
+      val g = manifest.toSeq
+        .sortBy { case (src, sh) => (sh, s"$src:$sh") }.zipWithIndex
+        .map { case (k, i) => k -> (i + 1L) }.toMap
+      es.foreach { case (_, src, sh, h, _) =>
+        val want = ((g((src, sh)) * 3L + e) * 2654435761L) % 1000000007L
+        assert(h == want, s"permutation key law broke for ($src, $sh)")
+      }
+    }
+    // decorrelation: at least two epochs order some shard pair
+    // differently (with >= 2 shards this fails only if all three
+    // hash orders coincide — astronomically unlikely by construction)
+    val orderOf = byEpoch.view.mapValues(_.sortBy(_._5)
+      .map(x => (x._2, x._3)).toSeq).toMap
+    assert(manifest.size < 2 || orderOf(1) != orderOf(2) ||
+      orderOf(2) != orderOf(3))
+  }
+
   test("repetition: sorted-run top counts equal explode-groupBy max counts") {
     val rep = TextAnalysis.repetition(spark, sfDir)
     // independent derivation of the same statistic through the
