@@ -50,6 +50,10 @@ object SparkEntry {
     // (partition-pruned base read + dynamic partition overwrite);
     // oracle recomputes the rollup from the raw fact
     "mv_incremental_refresh" -> (MaterializedView.incrementalRollup _),
+    // delta-rule maintenance of a JOIN view (retract ∪ re-derive ∪
+    // insert, with a dimension UPDATE delta); oracle recomputes
+    // O_new ⋈ C_new from the raw tables
+    "mv_join_delta" -> (MaterializedView.joinDeltaRollup _),
     // decorrelated-subquery family (TPC-H Q15/Q17/Q18/Q21/Q22 shapes)
     "j02_min_cost_supplier" -> (Subqueries.q2MinCostSupplier _),
     "j11_important_parts" -> (Subqueries.q11ImportantParts _),
@@ -83,6 +87,9 @@ object SparkEntry {
     "agg_weighted_sample" -> ((s, d) => Aggregates.weightedSample(s, d)),
     // count-min frequency point queries, daily sketches driver-merged
     "agg_cms_pointq" -> (Aggregates.cmsPointQueries _),
+    // dyadic half-life decayed counters (integer 1/256th units —
+    // order-independent sums, no libm pow)
+    "agg_decay_halflife" -> (Aggregates.decayHalflife _),
     // §2.7 sorts / limits / windows / set ops
     "w_topk" -> (Analytics.topCustomers _),
     // per-group top-k via mergeable aggregate, not a window
@@ -259,6 +266,9 @@ object SparkEntry {
     "graph_label_prop" -> ((s, d) => Graph.labelPropagation(s, d)),
     // bounded-round k-core peel; the oracle unrolls the same rounds
     "graph_kcore" -> ((s, d) => Graph.kcore(s, d)),
+    // multi-source BFS hop distances, level-synchronous frontier
+    // rounds; the oracle unrolls the same rounds as chained CTEs
+    "graph_bfs_hops" -> ((s, d) => Graph.bfsHops(s, d)),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -290,6 +300,8 @@ object SparkEntry {
     "dq_late_arrivals" -> (Quality.lateArrivals _),
     // timeline causality gate: purchase before (or without) signup
     "dq_order_violations" -> (Quality.orderingViolations _),
+    // candidate-key uniqueness audit over single + composite keys
+    "dq_key_discovery" -> (Quality.keyDiscovery _),
     "dq_referential" -> (Quality.referentialAudit _),
     // robust |x-med| > 3*MAD gate, discrete medians, integer cents
     "dq_outlier_mad" -> (Quality.madOutliers _),
@@ -417,6 +429,9 @@ object SparkEntry {
     "dedup_winnow_pairs" -> (Assertions.winnowPairsRecall _),
     "text_vocab" -> (TextAnalysis.vocab _),
     "text_bigrams" -> (TextAnalysis.bigrams _),
+    // interpolated Kneser–Ney bigram LM (continuation counts from the
+    // one bigram-types table; rational probability, no logs)
+    "text_kn_bigram" -> ((s, d) => TextAnalysis.knBigram(s, d)),
     // PMI collocations ranked by the exact integer ratio (log-free)
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     // Heaps-law vocabulary growth per corpus decile (saturation report)
@@ -524,6 +539,8 @@ object SparkEntry {
       "agg_median_scale" + // builder runs the stats + histogram jobs
       "dq_observed_audit" + // builder runs the observed pass
       "mv_incremental_refresh" + // builder writes base + merges the delta
+      "mv_join_delta" + // builder materializes the stored join view
+      "graph_bfs_hops" + // builder runs the frontier-round jobs
       "agg_kmv_overlap" + // builder collects the per-group sketches
       "agg_cms_pointq" + // builder merges day sketches (O(days) rows)
       "s_partition_prune" // builder writes the events_by_day layout (once)
@@ -1218,6 +1235,34 @@ object SparkEntry {
         |  JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
         |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
         |FROM e3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_bfs_hops" ->
+      // the same level-synchronous frontier rounds unrolled: v_k =
+      // visited after k rounds, f_k = the round-k frontier (reached,
+      // not yet visited); distances are the round constants
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ed AS (SELECT x.pk AS a, y.pk AS b FROM li x
+        |  JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS src, b AS dst FROM ed
+        |  UNION ALL SELECT b, a FROM ed),
+        |f0 AS (SELECT DISTINCT src AS node FROM sym WHERE src % 50 = 0),
+        |f1 AS (SELECT DISTINCT e.dst AS node FROM sym e
+        |  JOIN f0 ON e.src = f0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM f0)),
+        |v1 AS (SELECT node FROM f0 UNION ALL SELECT node FROM f1),
+        |f2 AS (SELECT DISTINCT e.dst AS node FROM sym e
+        |  JOIN f1 ON e.src = f1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT node FROM v1 UNION ALL SELECT node FROM f2),
+        |f3 AS (SELECT DISTINCT e.dst AS node FROM sym e
+        |  JOIN f2 ON e.src = f2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM v2))
+        |SELECT node, CAST(0 AS INT) AS dist FROM f0
+        |UNION ALL SELECT node, 1 FROM f1
+        |UNION ALL SELECT node, 2 FROM f2
+        |UNION ALL SELECT node, 3 FROM f3
+        |ORDER BY node""".stripMargin,
     "graph_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pp AS (
@@ -1499,6 +1544,19 @@ object SparkEntry {
         |   AS sum_base_price,
         | CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mv_join_delta" ->
+      // full O_new ⋈ C_new recompute: a green row proves the
+      // retract ∪ re-derive ∪ insert delta algebra lands on exactly
+      // the recomputed join view (dimension UPDATE included)
+      """WITH cnew AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 97 = 0 THEN 'PROMOTED'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        | FROM customer)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS revenue
+        |FROM orders JOIN cnew ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j09_product_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
@@ -1836,6 +1894,23 @@ object SparkEntry {
         |  TRUE AS est_ok
         |FROM events WHERE user_id % 13 = 0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_decay_halflife" ->
+      // same dyadic 1/256th-unit integer sums; the only float ops are
+      // the two post-aggregate divisions (/2^8 exact, /100 rounded
+      // once — identical IEEE in both engines)
+      """WITH nw AS (SELECT MAX(CAST(ts AS DATE)) AS now_day FROM events),
+        |w AS (SELECT event_type,
+        |   (CAST(1 AS BIGINT) << CAST(8 - LEAST(
+        |      date_diff('day', CAST(ts AS DATE), now_day) // 7, 8)
+        |      AS INT)) AS u,
+        |   CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events, nw)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(u) AS BIGINT) AS decayed_units,
+        |  CAST(SUM(cents * u) AS BIGINT) AS decayed_cent_units,
+        |  CAST(SUM(u) AS BIGINT) / 256.0 AS decayed_count,
+        |  CAST(SUM(cents * u) AS BIGINT) / 256.0 / 100.0 AS decayed_value
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_cooccurrence" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -2107,6 +2182,35 @@ object SparkEntry {
         |  fl.violation, cn.n_purchasers, cn.n_violations
         |FROM fl CROSS JOIN cn WHERE fl.violation IS NOT NULL
         |ORDER BY fl.user_id""".stripMargin,
+    "dq_key_discovery" ->
+      // one group-count pass per candidate, re-aggregated to
+      // (groups, rows, worst multiplicity); integer-only
+      """WITH g1 AS (SELECT COUNT(*) AS cnt FROM orders
+        |  GROUP BY o_orderkey),
+        |g2 AS (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+        |g3 AS (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderdate),
+        |g4 AS (SELECT COUNT(*) AS cnt FROM orders
+        |  GROUP BY o_custkey, o_orderdate),
+        |g5 AS (SELECT COUNT(*) AS cnt FROM orders
+        |  GROUP BY o_custkey, o_orderdate, o_orderstatus)
+        |SELECT 'o_orderkey' AS candidate,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_dup, MAX(cnt) = 1 AS is_key
+        |FROM g1
+        |UNION ALL SELECT 'o_custkey', CAST(SUM(cnt) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(MAX(cnt) AS BIGINT),
+        |  MAX(cnt) = 1 FROM g2
+        |UNION ALL SELECT 'o_orderdate', CAST(SUM(cnt) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(MAX(cnt) AS BIGINT),
+        |  MAX(cnt) = 1 FROM g3
+        |UNION ALL SELECT 'o_custkey+o_orderdate',
+        |  CAST(SUM(cnt) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(MAX(cnt) AS BIGINT), MAX(cnt) = 1 FROM g4
+        |UNION ALL SELECT 'o_custkey+o_orderdate+o_orderstatus',
+        |  CAST(SUM(cnt) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(MAX(cnt) AS BIGINT), MAX(cnt) = 1 FROM g5
+        |ORDER BY candidate""".stripMargin,
     "dq_volume_anomaly" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,
@@ -4722,6 +4826,31 @@ object SparkEntry {
         |  FROM toks QUALIFY bigram IS NOT NULL)
         |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
         |FROM bg GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "text_kn_bigram" ->
+      // same one-bigram-table derivation; DuckDB's decimal literals
+      // stay exact here because the 0.75 discount is dyadic (c−0.75
+      // and 0.75·n land on exactly-representable doubles), and `/`
+      // promotes to DOUBLE — five IEEE ops in the same tree
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |bg AS (
+        |  SELECT w AS w1, lead(w, 1) OVER
+        |    (PARTITION BY doc_id ORDER BY i) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |lf AS (SELECT w1, SUM(c) AS cw1, COUNT(*) AS n1w1
+        |  FROM bc GROUP BY 1),
+        |ct AS (SELECT w2, COUNT(*) AS n1cont FROM bc GROUP BY 1),
+        |bt AS (SELECT COUNT(*) AS bt FROM bc)
+        |SELECT w1, w2, CAST(c AS BIGINT) AS c,
+        |  (c - 0.75) / cw1 + ((0.75 * n1w1) / cw1) * (n1cont / bt)
+        |    AS p_kn
+        |FROM bc JOIN lf USING (w1) JOIN ct USING (w2), bt
+        |WHERE c >= 5 ORDER BY w1, w2""".stripMargin,
     "text_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts

@@ -397,4 +397,44 @@ object Aggregates {
           est <= col("n_exact") + lit(bound)).as("est_ok"))
       .orderBy("user_id")
   }
+
+  /** Exponentially time-decayed counters per event type — the
+    * freshness-weighted engagement score behind trending feeds and
+    * recency-biased sampling weights: an event contributes
+    * 2^-(age_weeks) of a full count, halving per week of age and
+    * flooring at 2^-8 (so the tail stays summable, not a vanishing
+    * denormal). "Now" is the corpus max timestamp — a 1-row broadcast
+    * pre-aggregate, same plane as tfidf's N.
+    *
+    * Exactness: decay weights are DYADIC — every weight is an integer
+    * number of 1/256ths — so the whole aggregate runs in integer
+    * arithmetic: each event contributes 2^(8-age_weeks) ∈ [1, 256]
+    * units (a shiftleft, no libm pow), cents = floor(value·100)
+    * (floor, not round: round-half ties break differently across
+    * engines; floor of the identically-rounded product doesn't), and
+    * the per-group BIGINT sums are order-independent — deterministic
+    * under any partitioning, which a double-accumulating decay sum is
+    * NOT. The one division by 256.0 happens after aggregation: two
+    * exact-rounded IEEE ops, bit-identical in Spark and DuckDB. The
+    * float-free integer columns ride along for the oracle.
+    */
+  def decayHalflife(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val nowDf = ev.agg(max(col("ts").cast("date")).as("now_day"))
+    ev.crossJoin(broadcast(nowDf))
+      .withColumn("wk", least(
+        expr("datediff(now_day, cast(ts as date)) div 7"), lit(8L)))
+      .withColumn("u", expr("shiftleft(1L, cast(8 - wk as int))"))
+      .select(col("event_type"), col("u"),
+        (floor(col("value") * 100).cast("long") * col("u")).as("cu"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("u")).as("decayed_units"),
+        sum(col("cu")).as("decayed_cent_units"))
+      .select(col("event_type"), col("n_events"), col("decayed_units"),
+        col("decayed_cent_units"),
+        (col("decayed_units") / 256.0).as("decayed_count"),
+        (col("decayed_cent_units") / 256.0 / 100.0).as("decayed_value"))
+      .orderBy("event_type")
+  }
 }

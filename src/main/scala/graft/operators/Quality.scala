@@ -582,4 +582,41 @@ object Quality {
       .crossJoin(broadcast(counts))
       .orderBy("user_id")
   }
+
+  /** Candidate-key discovery: for each declared candidate (single
+    * columns and composites), is it a unique key of the table — and
+    * if not, how badly does it fail (group count, worst duplicate
+    * multiplicity)? The audit a warehouse runs before declaring a
+    * primary key, building a MERGE match condition, or choosing a
+    * dedup identity — composite candidates are the interesting case
+    * (is (custkey, orderdate) "one order per customer per day"?) and
+    * the one per-column profilers (agg_profile) can't answer.
+    *
+    * Shape: one map-side-combining groupBy per candidate — count per
+    * key group, then a 4-value re-aggregate (groups, rows, max
+    * multiplicity). No distinct-Expand (a multi-countDistinct agg
+    * pushes |candidates|× the rows through ONE aggregate — the shape
+    * profileOrders measured 5× slower), no sort, each candidate's
+    * pass independent and parallel. At 100 TB with many candidates,
+    * prefilter with approx_count_distinct ≈ n_rows and run the exact
+    * pass only on survivors; the exact pass here IS the confirm step
+    * of that design.
+    */
+  def keyDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir)
+    val candidates: Seq[(String, Seq[String])] = Seq(
+      "o_orderkey" -> Seq("o_orderkey"),
+      "o_custkey" -> Seq("o_custkey"),
+      "o_orderdate" -> Seq("o_orderdate"),
+      "o_custkey+o_orderdate" -> Seq("o_custkey", "o_orderdate"),
+      "o_custkey+o_orderdate+o_orderstatus" ->
+        Seq("o_custkey", "o_orderdate", "o_orderstatus"))
+    candidates.map { case (name, cols) =>
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_dup"))
+        .select(lit(name).as("candidate"), col("n_rows"), col("n_groups"),
+          col("max_dup"), (col("max_dup") === 1).as("is_key"))
+    }.reduce(_ unionByName _).orderBy("candidate")
+  }
 }

@@ -265,6 +265,57 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("bigram"))
       .limit(50)
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 — the standard n-gram smoothing): for every
+    * bigram seen ≥ 5 times,
+    *
+    *   p_kn(w2|w1) = (c(w1,w2) − d)/c(w1·)
+    *               + (d·N1+(w1·)/c(w1·)) · (N1+(·w2)/B)
+    *
+    * with absolute discount d = 0.75, N1+ the distinct-continuation
+    * counts, and B the total distinct bigram types. The lower-order
+    * term is the CONTINUATION probability — how many contexts a word
+    * completes, not how often it occurs — which is what makes KN the
+    * n-gram smoothing that still underpins fast LM-quality scoring
+    * (a KN bigram scorer is the classic cheap perplexity filter when
+    * the neural LM pass is too expensive for a first cut).
+    *
+    * Every input to the formula is an exact integer from the ONE
+    * bigram-count table: c(w1·) and N1+(w1·) are a sum+count per w1,
+    * N1+(·w2) a count per w2, B a 1-row broadcast — three shuffles of
+    * the types table (≪ token count), never a second corpus scan.
+    * c ≥ 1 ⇒ c − d > 0, so no max(·,0) clamp is needed at this order.
+    * The probability itself is five IEEE ops on exact integers in a
+    * fixed tree, so DuckDB replays it bit-identically (same dodge as
+    * tfidf's rational idf: no libm logs anywhere).
+    */
+  def knBigram(s: SparkSession, dir: String, minCount: Int = 5)
+      : DataFrame = {
+    val bc = graft.CachePool.cached(s, s"text.knBigramCounts:$dir") {
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) > 1)
+        .select(explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> " +
+            "struct(ts[i - 1] AS w1, ts[i] AS w2))")).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c"))
+    }
+    val left = bc.groupBy("w1")
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
+    val cont = bc.groupBy("w2").agg(count(lit(1)).as("n1cont"))
+    val types = bc.agg(count(lit(1)).as("bt"))
+    bc.join(left, "w1").join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .filter(col("c") >= minCount)
+      .select(col("w1"), col("w2"), col("c"),
+        ((col("c") - lit(0.75)) / col("cw1") +
+          ((lit(0.75) * col("n1w1")) / col("cw1")) *
+            (col("n1cont") / col("bt"))).as("p_kn"))
+      .orderBy("w1", "w2")
+  }
+
   /** Per-document TF-IDF top terms — the relevance-weighting pass
     * behind corpus search/keyword extraction. Shuffle shape: term
     * frequencies aggregate per (doc, token) with map-side combine,

@@ -145,4 +145,34 @@ class AggregatesSpec extends SparkSpec {
       assert(got(d.toString) >= dailyExact(d))
     }
   }
+
+  test("decayHalflife: distributed dyadic-unit sums equal a sequential " +
+    "recompute exactly; units bounded by [n, 256·n]; the derived " +
+    "doubles are the integer sums divided once") {
+    val out = Aggregates.decayHalflife(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val now = ev.map(_._2.toEpochDay).max
+    val seq = ev.groupBy(_._1).map { case (t, rs) =>
+      val us = rs.map { case (_, d, v) =>
+        val wk = math.min((now - d.toEpochDay) / 7, 8L)
+        val u = 1L << (8 - wk).toInt
+        (u, math.floor(v * 100).toLong * u)
+      }
+      t -> (rs.length.toLong, us.map(_._1).sum, us.map(_._2).sum)
+    }
+    assert(out.map(_.getString(0)).toSet == seq.keySet)
+    out.foreach { r =>
+      val (n, du, dcu) = seq(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == du, s"${r.getString(0)} units")
+      assert(r.getLong(3) == dcu, s"${r.getString(0)} cent units")
+      assert(du >= n && du <= 256 * n)
+      assert(r.getDouble(4) == du / 256.0)
+      assert(r.getDouble(5) == dcu / 256.0 / 100.0)
+    }
+  }
 }

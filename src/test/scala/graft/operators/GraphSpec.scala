@@ -178,4 +178,44 @@ class GraphSpec extends SparkSpec {
     val keys = rows.map(r => (-r.getLong(3), r.getLong(0), r.getLong(1)))
     assert(keys.sameElements(keys.sorted), "output not in declared order")
   }
+
+  test("bfsHopsEdges: chain fixture distances are hop-exact, two seeds " +
+    "take the min, and the 4th hop stays unreached at rounds=3") {
+    val s = spark
+    import s.implicits._
+    // chain 50-1-2-3-4-5 with a second seed 100 hanging off node 3:
+    // seeds are the % 50 == 0 nodes (50, 100)
+    val e = Seq((1L, 50L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 100L)).toDF("a", "b")
+    val out = Graph.bfsHopsEdges(e, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(50L -> 0, 100L -> 0, 1L -> 1, 3L -> 1,
+      2L -> 2, 4L -> 2, 5L -> 3))
+    // one round fewer → the frontier stops a hop earlier, nothing else
+    // moves (level-synchronous rounds are monotone)
+    val short = Graph.bfsHopsEdges(e, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(short == out - 5L)
+  }
+
+  test("bfsHops: dist 0 is exactly the seed set, and every deeper " +
+    "node's closest neighbor is one hop nearer (triangle property)") {
+    val out = Graph.bfsHops(spark, sfDir)
+    val e = Graph.coPurchaseEdges(spark, sfDir)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .filter(col("node") % 50 === 0).collect().map(_.getLong(0)).toSet
+    val dist = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dist.filter(_._2 == 0).keySet == seeds)
+    assert(dist.values.forall(d => d >= 0 && d <= 3))
+    // min neighbor distance of every non-seed reached node = dist - 1
+    val nbrMin = sym.join(out.withColumnRenamed("node", "src")
+        .withColumnRenamed("dist", "sd"), Seq("src"))
+      .groupBy(col("dst").as("node")).agg(min(col("sd")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    dist.filter(_._2 > 0).foreach { case (n, d) =>
+      assert(nbrMin(n) == d - 1, s"node $n dist $d minNbr ${nbrMin(n)}")
+    }
+  }
 }

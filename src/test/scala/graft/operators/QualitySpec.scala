@@ -290,4 +290,27 @@ class QualitySpec extends SparkSpec {
       assert(r.getLong(5) == expect.size.toLong)
     }
   }
+
+  test("keyDiscovery: o_orderkey is the unique key, every candidate " +
+    "audits the same row count, composites only refine their parts, " +
+    "and groups × worst multiplicity covers the rows (pigeonhole)") {
+    val rows = Quality.keyDiscovery(spark, sfDir).collect().map { r =>
+      r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+    }.toMap
+    assert(rows.size == 5)
+    val nRows = Tables.orders(spark, sfDir).count()
+    assert(rows.values.forall(_._1 == nRows))
+    // the declared primary key really is one
+    val (_, pkGroups, pkDup, pkIsKey) = rows("o_orderkey")
+    assert(pkIsKey && pkGroups == nRows && pkDup == 1)
+    // adding a column can only split groups finer, never merge them
+    assert(rows("o_custkey+o_orderdate")._2 >= rows("o_custkey")._2)
+    assert(rows("o_custkey+o_orderdate+o_orderstatus")._2 >=
+      rows("o_custkey+o_orderdate")._2)
+    rows.values.foreach { case (n, g, m, isKey) =>
+      assert(g * m >= n && m >= 1)
+      assert(isKey == (m == 1))
+    }
+  }
 }
