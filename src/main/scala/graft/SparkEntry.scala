@@ -217,6 +217,12 @@ object SparkEntry {
     "st_cusum" -> (Analytics.cusumChangePoint _),
     // Mann–Kendall S over calendar-bounded day pairs, all integers
     "st_trend" -> (Analytics.trendTest _),
+    // lag-1..3 autocorrelation from exact BIGINT moments; the signed
+    // square r·|r| dodges sqrt (libm) across engines
+    "st_autocorr" -> ((s, d) => Analytics.autocorr(s, d)),
+    // day-of-week chi-square uniformity in rational form
+    // (7·Σo² − n²)/n; weekday = epoch-day mod 7, engine-neutral
+    "st_seasonality" -> (Analytics.seasonality _),
     // gap-sessionized top event-type flows (funnel discovery)
     "agg_session_paths" -> ((s, d) => Analytics.sessionPaths(s, d)),
     // week-over-week retention off one reused (user, week) distinct
@@ -227,6 +233,9 @@ object SparkEntry {
     // linear multi-touch attribution: exact 1e6 div/mod credit split,
     // conservation-law checkable
     "agg_attribution" -> (Analytics.attribution _),
+    // heavy-change top-k: first-half vs second-half per-user deltas,
+    // one conditional-count groupBy + TakeOrdered
+    "agg_heavy_change" -> ((s, d) => Aggregates.heavyChange(s, d)),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
     // dense alphabetical surrogate keys via the bucketed global rank
     // (order-preserving proxy; no single-partition window)
@@ -234,6 +243,9 @@ object SparkEntry {
     // partition backfill planner: day-grain truth vs manifest, missing/
     // stale/orphan classification, newest-first bounded batch
     "p_backfill_plan" -> (Pipelines.backfillPlan _),
+    // per-language floor + global-quality fill (two-level quota);
+    // global rank via the bucketed core, quota from a 1-row broadcast
+    "p_quota_fill" -> ((s, d) => Pipelines.quotaFill(s, d)),
     // survivorship merge after ER: one master row per entity cluster,
     // each attribute by its own deterministic rule (mode/max/min)
     "p_golden_record" -> (Pipelines.goldenRecord _),
@@ -384,6 +396,9 @@ object SparkEntry {
     "graph_linkpred" -> ((s, d) => Graph.linkPrediction(s, d)),
     "dedup_clusters_star" -> (Dedup.nearDupClustersStar _),
     "text_decontaminate" -> (Dedup.decontaminate _),
+    // duplicate-8-gram coverage per doc (RefinedWeb metric), string
+    // shingles joined verbatim, div-ppm law
+    "text_dup_coverage" -> ((s, d) => TextAnalysis.dupCoverage(s, d)),
     "dedup_incremental" -> (Dedup.incremental _),
     // the index-probe form: history band buckets pooled, delta
     // signatures probe them, candidates exact-verified (assertion
@@ -2669,6 +2684,63 @@ object SparkEntry {
         |       ELSE 'none' END AS trend
         |FROM agg JOIN nd USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    "st_autocorr" ->
+      // same observed-sequence lags and BIGINT moments; the signed
+      // square (num/den1)·(|num|/den2) is the sqrt-free IEEE tree
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, 1 AS lag, x, lag(x, 1) OVER
+        |    (PARTITION BY event_type ORDER BY day) AS y FROM daily
+        |  UNION ALL SELECT event_type, 2, x, lag(x, 2) OVER
+        |    (PARTITION BY event_type ORDER BY day) FROM daily
+        |  UNION ALL SELECT event_type, 3, x, lag(x, 3) OVER
+        |    (PARTITION BY event_type ORDER BY day) FROM daily),
+        |m AS (SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INT) AS lag, n,
+        |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den1,
+        |  n * syy - sy * sy AS den2,
+        |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+        |    THEN ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |       * (abs(n * sxy - sx * sy) / (n * syy - sy * sy))
+        |  END AS acf_sq_signed
+        |FROM m ORDER BY event_type, lag""".stripMargin,
+    "st_seasonality" ->
+      // rational chi-square (7·Σo² − n²)/n; weekday = epoch-day mod 7
+      // (both engines' dayofweek() disagree on week start — unused)
+      """WITH bd AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+        |      AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_dow
+        |  FROM events GROUP BY 1, 2),
+        |bt AS (SELECT event_type, CAST(SUM(n_dow) AS BIGINT) AS n,
+        |    CAST(SUM(n_dow * n_dow) AS BIGINT) AS so2
+        |  FROM bd GROUP BY 1)
+        |SELECT bd.event_type, CAST(dow AS INT) AS dow, n_dow, n,
+        |  7 * so2 - n * n AS chi2_num,
+        |  (7 * so2 - n * n) / n AS chi2,
+        |  (7 * so2 - n * n) / n < 12.592 AS is_uniform
+        |FROM bd JOIN bt USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
+    "agg_heavy_change" ->
+      // same derived mid-point, conditional halves, total order + cut
+      """WITH md AS (SELECT MIN(CAST(ts AS DATE)) + 15 AS mid
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) < mid
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+        |    CAST(SUM(CASE WHEN CAST(ts AS DATE) >= mid
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+        |  FROM events, md GROUP BY 1)
+        |SELECT user_id, n_before, n_after, n_after - n_before AS delta
+        |FROM g ORDER BY abs(n_after - n_before) DESC, user_id
+        |LIMIT 20""".stripMargin,
     "agg_attribution" ->
       // same interval residual, window credit split, and audit columns
       """WITH cl AS (SELECT user_id, ts AS cts, event_id AS click_id
@@ -2852,6 +2924,22 @@ object SparkEntry {
         |  CAST(a.n_trans AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p_trans
         |FROM adj a JOIN tot t USING (prev_type)
         |ORDER BY prev_type, next_type""".stripMargin,
+    "p_quota_fill" ->
+      // two rank windows under the same (n_chars desc, doc_id) total
+      // order; the fill quota derives from the actual floor count
+      """WITH ranked AS (SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS lr
+        |  FROM documents),
+        |fl AS (SELECT doc_id, lang, n_chars FROM ranked WHERE lr <= 5),
+        |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_floor FROM fl),
+        |rest AS (SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS grn
+        |  FROM ranked WHERE lr > 5)
+        |SELECT doc_id, lang, n_chars, 'floor' AS reason FROM fl
+        |UNION ALL SELECT doc_id, lang, n_chars, 'fill'
+        |FROM rest, nf WHERE grn <= 100 - n_floor
+        |ORDER BY doc_id""".stripMargin,
     "p_golden_record" ->
       // same fuzzy-name closure as p_entity_resolution, then every
       // survivorship rule replayed: mode brand (count desc, brand asc),
@@ -4044,6 +4132,25 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shared_ngrams,
         |  CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
         |FROM train t JOIN bench b ON t.s = b.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_dup_coverage" ->
+      // same distinct (doc, 8-gram) space joined verbatim on the
+      // shingle string; coverage via the declared div-ppm law
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |sg AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ts[i : i + 7], ' ') AS sh
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(1, len(ts) - 7)) AS i
+        |        FROM t WHERE len(ts) >= 8)),
+        |df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM sg GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(COUNT(*) FILTER (df > 1) AS BIGINT) AS n_dup,
+        |  CAST(COUNT(*) FILTER (df > 1) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS dup_ppm
+        |FROM sg JOIN df USING (sh)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars._
@@ -436,5 +437,87 @@ object Aggregates {
         (col("decayed_units") / 256.0).as("decayed_count"),
         (col("decayed_cent_units") / 256.0 / 100.0).as("decayed_value"))
       .orderBy("event_type")
+  }
+
+  /** Heavy-change detection: the users whose activity moved MOST
+    * between the corpus's first and second half — the "what changed"
+    * question behind incident triage and drift attribution, where
+    * heavy HITTERS (text_heavy_hitters, stream_heavy_hitters) answer
+    * only "what is big". The split point derives from the corpus
+    * min day (+15d) as a 1-row broadcast, so the query carries no
+    * wall-clock literal.
+    *
+    * One scan, one conditional-count groupBy (both halves in the same
+    * aggregate — never two scans + a join), then a
+    * TakeOrderedAndProject under the total order (|Δ| desc, user_id):
+    * O(k) rows leave each partition. At 100 TB with billions of keys
+    * this exact form is the confirm pass; the sketch pass that feeds
+    * it candidates is the deltoid/CM-change literature — same shape
+    * as cmsPointQueries' sketch plane.
+    */
+  def heavyChange(s: SparkSession, dir: String, topN: Int = 20)
+      : DataFrame = {
+    val ev = Tables.events(s, dir)
+    val mid = ev.agg(date_add(min(col("ts").cast("date")), 15).as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts").cast("date") < col("mid"), 1L).otherwise(0L))
+          .as("n_before"),
+        sum(when(col("ts").cast("date") >= col("mid"), 1L).otherwise(0L))
+          .as("n_after"))
+      .select(col("user_id"), col("n_before"), col("n_after"),
+        (col("n_after") - col("n_before")).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("user_id"))
+      .limit(topN)
+  }
+
+  /** Pareto / contribution analysis: revenue share per part brand with
+    * cumulative share and the 80% head flag — "which 20% of the
+    * catalog carries 80% of revenue", the concentration question
+    * behind every prioritization review.
+    *
+    * Exactness: revenue enters as exact 10⁻⁴-unit BIGINTs —
+    * extendedprice·(1−discount) in decimal(18,6)·decimal(18,6) has
+    * ≤ 4 decimal places (2+2), so ·10⁴ is integral and the long cast
+    * truncates nothing (NOT cents: ·10² leaves 2 live decimals, and
+    * Spark truncates a decimal→long cast where DuckDB rounds — the
+    * engine trap the 10⁻⁴ scale avoids by construction). Shares land
+    * by the div-ppm law with the numerator in decimal(38,0): the
+    * corpus total ·10⁶ exceeds BIGINT around sf1, and the decimal
+    * floor-division is provably exact (a non-integer quotient sits
+    * ≥ 1/total ≥ 10⁻¹⁵ from any integer — far beyond the division's
+    * 1e-20-scale rounding; DuckDB replays in HUGEINT). The head flag
+    * marks rows whose PRECEDING cumulative share is < 80%: the
+    * minimal prefix covering 80% of revenue under the
+    * (revenue desc, brand) total order.
+    *
+    * Shape: one fact-scan groupBy to |brands| rows (map-side
+    * combined); the cumulative window is global but runs over the
+    * AGGREGATE — p_brand is a 25-value domain at any data scale
+    * (domain-bounded, the documented global-window carve-out); the
+    * grand total joins back as a 1-row broadcast.
+    */
+  def pareto(s: SparkSession, dir: String): DataFrame = {
+    val byBrand = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum((money(col("l_extendedprice")) *
+          (lit(1) - money(col("l_discount"))) * 10000).cast("long"))
+        .as("rev_u"))
+    val total = byBrand.agg(sum(col("rev_u")).as("total_u"))
+    val w = Window.orderBy(col("rev_u").desc, col("brand"))
+    def ppm(num: Column): Column =
+      expr(s"CAST(floor(CAST(${num.toString} AS DECIMAL(38,0)) " +
+        "* 1000000 / total_u) AS BIGINT)")
+    byBrand.crossJoin(broadcast(total))
+      .withColumn("cum_u", sum(col("rev_u")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("brand"), col("rev_u"), col("total_u"),
+        ppm(col("rev_u")).as("share_ppm"),
+        ppm(col("cum_u")).as("cum_ppm"),
+        (ppm(col("cum_u") - col("rev_u")) < 800000L).as("in_head"))
+      .orderBy(col("rev_u").desc, col("brand"))
   }
 }

@@ -1050,4 +1050,85 @@ object Analytics {
         sum(col("len")).as("n_active_days"))
       .orderBy("user_id")
   }
+
+  /** Lag-k autocorrelation of the daily count series per event type
+    * (k = 1..maxLag) — the seasonality/memory probe behind anomaly
+    * baselines and forecasting sanity checks ("does yesterday predict
+    * today?"). Over the OBSERVED day sequence (rows in date order;
+    * a missing day pairs its neighbors — the convention for gappy
+    * operational series).
+    *
+    * Exactness: Pearson r over (x_t, x_{t−k}) pairs from the five
+    * BIGINT moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — all exact
+    * integers off the day-grain table. r² would need a sqrt-free
+    * form, so the emitted statistic is the SIGNED SQUARE
+    * r·|r| = (num/den1)·(|num|/den2) with num = n·Σxy − Σx·Σy,
+    * den_i the variance numerators: two exact-integer divisions and
+    * one multiply — an IEEE tree DuckDB replays bit-identically
+    * (sqrt is libm; this form never calls it). Monotone in r, sign
+    * preserved, so thresholds translate by squaring. Day-grain input:
+    * O(days·types) rows regardless of fact size; the lag windows
+    * partition by type.
+    */
+  def autocorr(s: SparkSession, dir: String, maxLag: Int = 3)
+      : DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = (1 to maxLag).map { k =>
+      daily.select(col("event_type"), col("x"),
+          lag(col("x"), k).over(w).as("y"), lit(k).as("lag"))
+        .filter(col("y").isNotNull)
+    }.reduce(_ unionByName _)
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den1 = col("n") * col("sxx") - col("sx") * col("sx")
+    val den2 = col("n") * col("syy") - col("sy") * col("sy")
+    lagged.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        num.as("num"), den1.as("den1"), den2.as("den2"),
+        when(den1 =!= 0 && den2 =!= 0,
+          (num / den1) * (abs(num) / den2)).as("acf_sq_signed"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** Day-of-week seasonality gate: the chi-square uniformity statistic
+    * per event type — does volume actually depend on the weekday, or
+    * is the "weekend dip" an artifact? Feeds the same decision as
+    * dq_volume_anomaly's baseline: whether anomaly thresholds need
+    * per-weekday baselines or one global one.
+    *
+    * The statistic enters in its RATIONAL form: with o_d the per-dow
+    * counts and n = Σo_d, χ² = Σ(o_d − n/7)²/(n/7) simplifies to
+    * (7·Σo_d² − n²)/n — an exact BIGINT numerator and ONE double
+    * division, no floating accumulation. Weekday indices come from
+    * epoch-day mod 7 (pure integer; both engines' dayofweek()
+    * functions disagree on week start, so neither is used). Absent
+    * (type, dow) cells contribute o=0 ⇒ o²=0 — the simplified form
+    * needs no dense spine. is_uniform compares χ² to the 0.95
+    * critical value of χ²₆ (12.592) — the one float comparison, on a
+    * bit-identical quotient.
+    */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables.events(s, dir)
+      .select(col("event_type"),
+        pmod(expr("datediff(cast(ts as date), date '1970-01-01')"),
+          lit(7)).as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_dow"))
+    val byType = byDow.groupBy("event_type")
+      .agg(sum(col("n_dow")).as("n"),
+        sum(col("n_dow") * col("n_dow")).as("so2"))
+      .select(col("event_type"), col("n"),
+        (lit(7) * col("so2") - col("n") * col("n")).as("chi2_num"))
+    byDow.join(byType, "event_type")
+      .select(col("event_type"), col("dow"), col("n_dow"), col("n"),
+        col("chi2_num"), (col("chi2_num") / col("n")).as("chi2"),
+        (col("chi2_num") / col("n") < 12.592).as("is_uniform"))
+      .orderBy("event_type", "dow")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -507,5 +508,55 @@ object Graph {
       frontier = next.select("node")
     }
     visited.orderBy("node")
+  }
+
+  /** Item-item collaborative filtering over the co-purchase matrix:
+    * for each part, the top-`k` most similar parts by the cosine of
+    * their order-membership vectors — the "customers who bought X
+    * also bought Y" primitive, computed batch-side the way item-based
+    * recommenders precompute their similarity lists.
+    *
+    * With binary membership vectors, cos(i,j) = c_ij / √(c_i·c_j)
+    * where c_i counts orders containing i and c_ij orders containing
+    * both. The √ is libm, so the emitted statistic is the exact
+    * rational SQUARE as parts-per-million:
+    * cos2_ppm = ⌊c_ij²·10⁶ / (c_i·c_j)⌋ — monotone in cosine, so the
+    * ranking is the cosine ranking. The numerator c_ij²·10⁶ runs in
+    * decimal(38,0) (BIGINT would overflow once c_ij > ~3M at real
+    * scale) and the floor-division is provably exact: the quotient's
+    * distance from any integer is either 0 or ≥ 1/(c_i·c_j) ≫ the
+    * decimal division's 1e-20-scale rounding. The DuckDB oracle runs
+    * the same law in HUGEINT.
+    *
+    * Shape: pair space is co-occurrence-bounded (Σ basket² — never
+    * |parts|²; the support-≥2 prune drops coincidence pairs), the
+    * top-k window partitions by the source item (per-item lists are
+    * basket-bounded), and ties break on (cos2_ppm desc, sup desc,
+    * item asc) — a total order, so the cut is deterministic.
+    */
+  def itemCf(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    val sym = pairs.unionByName(pairs.select(col("b").as("a"),
+      col("a").as("b"), col("sup")))
+    val scored = sym
+      .join(itemCnt.select(col("pk").as("a"), col("c").as("c_a")), "a")
+      .join(itemCnt.select(col("pk").as("b"), col("c").as("c_b")), "b")
+      .select(col("a").as("item"), col("b").as("neighbor"),
+        col("sup"), col("c_a").as("c_item"), col("c_b").as("c_neighbor"),
+        expr("CAST(floor(CAST(sup AS DECIMAL(38,0)) * sup * 1000000" +
+          " / (c_a * c_b)) AS BIGINT)").as("cos2_ppm"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("cos2_ppm").desc, col("sup").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("item", "rank")
   }
 }

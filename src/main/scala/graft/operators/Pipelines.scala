@@ -549,4 +549,45 @@ object Pipelines {
       .withColumn("in_batch", col("backfill_rank") <= batchSize)
       .orderBy(col("day").desc)
   }
+
+  /** Two-level quota fill — the curation selector behind "every
+    * language keeps representation, quality decides the rest": each
+    * language is guaranteed its `floorPerLang` best documents, then
+    * the remaining budget fills with the globally best leftovers
+    * regardless of language. A pure per-language top-k starves the
+    * budget of quality; a pure global top-k starves low-resource
+    * languages — this is the standard compromise (the "minimum
+    * per-domain allocation" in data-mixture curation).
+    *
+    * Quality key is the integer n_chars with doc_id tie-break — a
+    * total order, so the selection is deterministic and the DuckDB
+    * oracle replays it with two rank windows. The per-language rank
+    * partitions by lang; the GLOBAL fill rank runs through the
+    * bucketed global-rank core (no single-partition window — the
+    * PlanAudit rule every other global rank here obeys). The fill
+    * quota derives from the ACTUAL floor count as a 1-row broadcast
+    * (a language with < floorPerLang docs contributes what it has;
+    * nothing collects to the driver).
+    */
+  def quotaFill(s: SparkSession, dir: String, floorPerLang: Int = 5,
+      total: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+    val wLang = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = docs.withColumn("lr", row_number().over(wLang))
+    val floor = ranked.filter(col("lr") <= floorPerLang)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        lit("floor").as("reason"))
+    val nFloor = floor.agg(count(lit(1)).as("n_floor"))
+    val rest = ranked.filter(col("lr") > floorPerLang)
+      .select("doc_id", "lang", "n_chars")
+    val (restRanked, _) = Analytics.withGlobalRank(s, rest,
+      "n_chars", "doc_id", descending = true)
+    val fill = restRanked.crossJoin(broadcast(nFloor))
+      .filter(col("grn") <= lit(total.toLong) - col("n_floor"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        lit("fill").as("reason"))
+    floor.unionByName(fill).orderBy("doc_id")
+  }
 }

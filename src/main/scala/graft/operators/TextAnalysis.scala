@@ -289,6 +289,42 @@ object TextAnalysis {
     * fixed tree, so DuckDB replays it bit-identically (same dodge as
     * tfidf's rational idf: no libm logs anywhere).
     */
+  /** Duplicate-n-gram coverage per document (the RefinedWeb /
+    * MassiveText dedup METRIC, as opposed to its removal pass): what
+    * fraction of a document's distinct token 8-grams also occur in
+    * some other document. Scores docs for boilerplate/templating —
+    * a doc can be no one's near-duplicate yet be 80% stitched from
+    * corpus-common spans, which pairwise dedup (minhash, simhash,
+    * prefix-Jaccard) structurally cannot see.
+    *
+    * Shape: one shingle explode → (doc, shingle) distinct → shingle
+    * document-frequency groupBy → join back → per-doc conditional
+    * count. The join key is the shingle STRING (no hashing), so the
+    * DuckDB oracle replays it verbatim; coverage lands as the
+    * declared integer div-ppm law. A same-doc repeated shingle counts
+    * once (the distinct): df > 1 then means "in another document",
+    * with one subtlety — a shingle repeated only WITHIN one doc stays
+    * df = 1 and does not mark its own doc. Pair space is
+    * O(tokens) rows, never O(docs²).
+    */
+  def dupCoverage(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val sh = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), i -> " +
+          s"array_join(slice(ts, i, $k), ' '))")).as("sh"))
+      .distinct()
+    val df_ = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df_, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        expr("n_dup * 1000000L div n_shingles").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
   def knBigram(s: SparkSession, dir: String, minCount: Int = 5)
       : DataFrame = {
     val bc = graft.CachePool.cached(s, s"text.knBigramCounts:$dir") {
@@ -1339,5 +1375,102 @@ object TextAnalysis {
         (col("n") * (m + 1) > col("n_total")).cast("int").as("guaranteed"))
       .orderBy(desc("n"), asc("token"))
       .limit(k)
+  }
+
+  /** Positional postings (doc_id, pos, token) — the inverted-index
+    * substrate phrase queries probe. Pooled: the phrase operator reads
+    * it twice (stats pass + probe pass) and future positional
+    * consumers (proximity scoring, span extraction) share the build.
+    * Positions are 0-based within the whitespace token stream.
+    */
+  private def posPostings(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"text.posPostings:$dir") {
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .toDF("doc_id", "pos", "token")
+    }
+
+  /** Exact phrase search over the positional index: the top-`k` most
+    * frequent token trigrams in the corpus, each answered the way a
+    * search engine answers a quoted query — by intersecting the THREE
+    * terms' posting lists on (doc, adjacent positions), never by
+    * re-scanning text. Two passes over the pooled postings:
+    *
+    * 1. STATS: the full position-adjacency self-join (p₂ = p₁+1,
+    *    p₃ = p₁+2 within a doc) materializes every trigram instance —
+    *    O(tokens) rows, shuffled on (doc, pos)-derived keys — and a
+    *    TakeOrdered under (count desc, phrase) picks the probe
+    *    phrases deterministically. This is the offline index-stats
+    *    pass; at 100 TB it is the one corpus-linear job here.
+    * 2. PROBE: the runtime path — postings are first pruned to the
+    *    ≤ 3k distinct probe TERMS by a broadcast semi join (posting-
+    *    list retrieval: touched rows ∝ the queried terms' document
+    *    frequency, NOT corpus size), then the pruned lists intersect
+    *    through the same adjacency join and a per-phrase rollup
+    *    emits occurrence and document counts.
+    *
+    * The emitted counts come from the PROBE plan; the DuckDB oracle
+    * recomputes them independently by sliding a 3-window over each
+    * document's token array — so the hash check proves the index
+    * probe equals a direct corpus scan. All counts exact BIGINTs;
+    * phrases join verbatim as strings (no hashing).
+    */
+  def phraseSearch(s: SparkSession, dir: String, k: Int = 10)
+      : DataFrame = {
+    val p = posPostings(s, dir)
+    def leg(i: Int) = p.select(col("doc_id").as(s"d$i"),
+      col("pos").as(s"p$i"), col("token").as(s"t$i"))
+    def adjacency(l1: DataFrame, l2: DataFrame, l3: DataFrame) =
+      l1.join(l2, col("d1") === col("d2") && col("p2") === col("p1") + 1)
+        .join(l3, col("d1") === col("d3") && col("p3") === col("p1") + 2)
+        .select(col("d1").as("doc_id"),
+          concat_ws(" ", col("t1"), col("t2"), col("t3")).as("phrase"))
+    // stats pass: full adjacency → top-k phrases (deterministic cut)
+    val probes = adjacency(leg(1), leg(2), leg(3))
+      .groupBy("phrase").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase"))
+      .limit(k)
+      .select(col("phrase"))
+    // probe pass: posting-list retrieval for the probe terms only,
+    // then the same intersection over the PRUNED lists
+    val terms = probes
+      .select(explode(split(col("phrase"), " ")).as("token")).distinct()
+    val pruned = p.join(broadcast(terms), "token")
+    def prunedLeg(i: Int) = pruned.select(col("doc_id").as(s"d$i"),
+      col("pos").as(s"p$i"), col("token").as(s"t$i"))
+    adjacency(prunedLeg(1), prunedLeg(2), prunedLeg(3))
+      .join(broadcast(probes), "phrase") // only the queried phrases
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("phrase"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus top-`k`
+    * vocabulary — the tokenizer-hygiene gate of a training pipeline
+    * (a doc whose tokens mostly miss the vocab is noise, markup, or
+    * the wrong language for the tokenizer). The vocabulary derives
+    * in-plan from the pooled term frequencies under the
+    * (count desc, token) total order, lands as a ≤ k-row broadcast,
+    * and each doc folds its own termFreq rows against it — one
+    * corpus-linear pass, no global structure beyond the k-row list.
+    * `k` = 16 at fixture scale (the synthetic corpus has 31 distinct
+    * tokens; production vocabularies are 30k–100k and still
+    * broadcast-sized). OOV mass lands by the declared div-ppm law.
+    */
+  def oovRate(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val tf = termFreq(s, dir)
+    val vocab = tf.groupBy("token").agg(sum(col("tf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L))
+          .as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+      .orderBy("doc_id")
   }
 }

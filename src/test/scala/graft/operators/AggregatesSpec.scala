@@ -175,4 +175,22 @@ class AggregatesSpec extends SparkSpec {
       assert(r.getDouble(5) == dcu / 256.0 / 100.0)
     }
   }
+
+  test("heavyChange: top-20 equals a sequential recompute under the " +
+    "(|Δ| desc, user_id) total order; halves partition each user's " +
+    "events exactly") {
+    val out = Aggregates.heavyChange(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val mid = ev.map(_._2.toEpochDay).min + 15
+    val expect = ev.groupBy(_._1).map { case (u, rs) =>
+      val before = rs.count(_._2.toEpochDay < mid).toLong
+      val after = rs.size - before
+      (u, before, after, after - before)
+    }.toSeq.sortBy { case (u, _, _, d) => (-math.abs(d), u) }.take(20)
+    assert(out.toSeq == expect)
+    out.foreach { case (_, b, a, d) => assert(d == a - b) }
+  }
 }

@@ -453,4 +453,66 @@ class AnalyticsSpec extends SparkSpec {
       assert(active <= n * longest)
     }
   }
+
+  test("autocorr: moments and the signed square match a sequential " +
+    "recompute exactly; |r·|r|| ≤ 1 (Cauchy–Schwarz)") {
+    val out = Analytics.autocorr(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.toEpochDay).map(_._3)).toMap
+    val expect = (for {
+      (t, xs) <- daily.toSeq
+      k <- 1 to 3 if xs.length > k
+    } yield {
+      val pairs = xs.drop(k).zip(xs.dropRight(k)) // (x_t, x_{t-k})
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val d1 = n * sxx - sx * sx; val d2 = n * syy - sy * sy
+      (t, k) -> (n, num, d1, d2,
+        if (d1 != 0 && d2 != 0)
+          Some((num.toDouble / d1) * (math.abs(num).toDouble / d2))
+        else None)
+    }).toMap
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSet ==
+      expect.keySet)
+    out.foreach { r =>
+      val (n, num, d1, d2, acf) = expect((r.getString(0), r.getInt(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == num)
+      assert(r.getLong(4) == d1 && r.getLong(5) == d2)
+      acf match {
+        case Some(a) =>
+          assert(r.getDouble(6) == a)
+          assert(math.abs(a) <= 1.0 + 1e-12)
+        case None => assert(r.isNullAt(6))
+      }
+    }
+  }
+
+  test("seasonality: chi-square numerator matches the per-dow counts, " +
+    "cells sum to n, chi2 ≥ 0, dow indices stay in [0, 7)") {
+    val rows = Analytics.seasonality(spark, sfDir).collect()
+    val cells = rows.map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(cells.keys.forall { case (_, d) => d >= 0 && d < 7 })
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val n = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum == n, s"$t cells don't sum to n")
+      val so2 = rs.map(r => r.getLong(2) * r.getLong(2)).sum
+      val chiNum = 7 * so2 - n * n
+      assert(rs.forall(_.getLong(4) == chiNum))
+      assert(chiNum >= 0, s"$t chi2_num $chiNum < 0") // Cauchy–Schwarz
+      rs.foreach { r =>
+        assert(r.getDouble(5) == chiNum.toDouble / n)
+        assert(r.getBoolean(6) == (chiNum.toDouble / n < 12.592))
+      }
+    }
+  }
 }
