@@ -203,6 +203,11 @@ object SparkEntry {
     "sim_corr_matrix" -> (Similarity.corrMatrix _),
     "sim_standardize" -> (Similarity.standardize _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    // phrase search off the positional index: top-10 trigrams answered
+    // by posting-list intersection (oracle = direct corpus slide)
+    "text_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
+    // per-doc OOV mass vs the broadcast top-16 vocabulary, div-ppm
+    "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(s, d)),
     "st_gap_fill" -> (Analytics.gapFill _),
     // gaps-and-islands consecutive-day streaks (day − rank run id,
     // one window shuffle, no re-exchange after it)
@@ -236,6 +241,9 @@ object SparkEntry {
     // heavy-change top-k: first-half vs second-half per-user deltas,
     // one conditional-count groupBy + TakeOrdered
     "agg_heavy_change" -> ((s, d) => Aggregates.heavyChange(s, d)),
+    // Pareto contribution analysis: brand revenue shares, cumulative
+    // 80% head; exact 1e-4-unit BIGINTs, decimal floor-div ppm
+    "agg_pareto" -> (Aggregates.pareto _),
     "p_entity_resolution" -> (Pipelines.entityResolution _),
     // dense alphabetical surrogate keys via the bucketed global rank
     // (order-preserving proxy; no single-partition window)
@@ -315,6 +323,8 @@ object SparkEntry {
     // candidate-key uniqueness audit over single + composite keys
     "dq_key_discovery" -> (Quality.keyDiscovery _),
     "dq_referential" -> (Quality.referentialAudit _),
+    // confusion matrix + rational Cohen's kappa: langId vs labels
+    "dq_agreement_kappa" -> (Quality.agreementKappa _),
     // robust |x-med| > 3*MAD gate, discrete medians, integer cents
     "dq_outlier_mad" -> (Quality.madOutliers _),
     // the same gate with mergeable HistSketch medians — the 100 TB
@@ -394,6 +404,9 @@ object SparkEntry {
     // contributions over the wedge space, anti-joined vs existing
     // edges, deterministic top-100
     "graph_linkpred" -> ((s, d) => Graph.linkPrediction(s, d)),
+    // item-item CF: rational cosine² ppm over co-purchase counts,
+    // per-item top-5 (basket-bounded pair space)
+    "graph_item_cf" -> ((s, d) => Graph.itemCf(s, d)),
     "dedup_clusters_star" -> (Dedup.nearDupClustersStar _),
     "text_decontaminate" -> (Dedup.decontaminate _),
     // duplicate-8-gram coverage per doc (RefinedWeb metric), string
@@ -1324,6 +1337,32 @@ object SparkEntry {
         |WHERE NOT EXISTS
         |  (SELECT 1 FROM pp WHERE pp.a = sc.a AND pp.b = sc.b)
         |ORDER BY ra_score DESC, a, b LIMIT 100""".stripMargin,
+    "graph_item_cf" ->
+      // same support-pruned pair counts; the cos² ppm law in HUGEINT
+      // (// is floor division — matches the decimal floor), same
+      // (cos2_ppm desc, sup desc, neighbor) rank order
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM li GROUP BY 1),
+        |pr AS (SELECT x.pk AS a, y.pk AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS sup
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT a, b, sup FROM pr
+        |  UNION ALL SELECT b, a, sup FROM pr),
+        |sc AS (SELECT sym.a AS item, sym.b AS neighbor, sup,
+        |    ia.c AS c_item, ib.c AS c_neighbor,
+        |    CAST(CAST(sup AS HUGEINT) * sup * 1000000
+        |      // (ia.c * ib.c) AS BIGINT) AS cos2_ppm
+        |  FROM sym JOIN ic ia ON sym.a = ia.pk
+        |           JOIN ic ib ON sym.b = ib.pk),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY cos2_ppm DESC, sup DESC, neighbor) AS rank
+        |  FROM sc)
+        |SELECT item, neighbor, sup, c_item, c_neighbor, cos2_ppm,
+        |  CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
     "graph_triangles" ->
       // naive a<b<c replay; the engine's degree-ordered orientation
       // must count the identical triangle set
@@ -2388,6 +2427,40 @@ object SparkEntry {
         |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100
         |    AS beta_qty_per_discount
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "dq_agreement_kappa" ->
+      // same marker argmax as text_lang_id, then the confusion cells,
+      // marginals off the cells, and the rational kappa
+      """WITH p AS (SELECT lang AS labeled,
+        |    CASE WHEN s_en >= s_zh AND s_en >= s_de THEN 'en'
+        |         WHEN s_zh >= s_de THEN 'zh' ELSE 'de' END AS predicted
+        |  FROM (SELECT lang,
+        |      len(regexp_extract_all(text, '\b(the|a|of)\b')) AS s_en,
+        |      len(regexp_extract_all(text, '\b(data|query|row)\b'))
+        |        AS s_zh,
+        |      len(regexp_extract_all(text, '\b(fast|slow|small)\b'))
+        |        AS s_de
+        |    FROM documents)),
+        |cells AS (SELECT labeled, predicted,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cell
+        |  FROM p GROUP BY 1, 2),
+        |r AS (SELECT labeled, CAST(SUM(n_cell) AS BIGINT) AS n_row
+        |  FROM cells GROUP BY 1),
+        |c AS (SELECT predicted, CAST(SUM(n_cell) AS BIGINT) AS n_col
+        |  FROM cells GROUP BY 1),
+        |st AS (SELECT
+        |    (SELECT CAST(SUM(n_cell) AS BIGINT) FROM cells) AS n,
+        |    (SELECT CAST(COALESCE(SUM(n_cell), 0) AS BIGINT)
+        |      FROM cells WHERE labeled = predicted) AS sum_diag,
+        |    (SELECT CAST(COALESCE(SUM(n_row * n_col), 0) AS BIGINT)
+        |      FROM r JOIN c ON r.labeled = c.predicted) AS sum_rc)
+        |SELECT cells.labeled, cells.predicted, n_cell, n_row, n_col,
+        |  n, sum_diag,
+        |  n * sum_diag - sum_rc AS kappa_num,
+        |  n * n - sum_rc AS kappa_den,
+        |  CAST(n * sum_diag - sum_rc AS DOUBLE) / (n * n - sum_rc)
+        |    AS kappa
+        |FROM cells JOIN r USING (labeled) JOIN c USING (predicted), st
+        |ORDER BY labeled, predicted""".stripMargin,
     "dq_referential" ->
       """SELECT 'customer->nation' AS fk_edge, CAST(count(*) AS BIGINT)
         |  AS n_orphans FROM customer WHERE c_nationkey IS NOT NULL
@@ -2741,6 +2814,28 @@ object SparkEntry {
         |SELECT user_id, n_before, n_after, n_after - n_before AS delta
         |FROM g ORDER BY abs(n_after - n_before) DESC, user_id
         |LIMIT 20""".stripMargin,
+    "agg_pareto" ->
+      // same 1e-4-unit revenue (double product is within 1e-7 of the
+      // exact 4-decimal integer, so round() recovers it identically),
+      // HUGEINT replay of the decimal floor-div ppm law
+      """WITH bb AS (SELECT p_brand AS brand,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+        |      * 10000) AS BIGINT)) AS BIGINT) AS rev_u
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev_u) AS BIGINT) AS total_u FROM bb),
+        |c AS (SELECT brand, rev_u,
+        |    CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, brand
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_u
+        |  FROM bb)
+        |SELECT brand, rev_u, total_u,
+        |  CAST(CAST(rev_u AS HUGEINT) * 1000000 // total_u AS BIGINT)
+        |    AS share_ppm,
+        |  CAST(CAST(cum_u AS HUGEINT) * 1000000 // total_u AS BIGINT)
+        |    AS cum_ppm,
+        |  CAST(CAST(cum_u - rev_u AS HUGEINT) * 1000000 // total_u
+        |    AS BIGINT) < 800000 AS in_head
+        |FROM c, t ORDER BY rev_u DESC, brand""".stripMargin,
     "agg_attribution" ->
       // same interval residual, window credit split, and audit columns
       """WITH cl AS (SELECT user_id, ts AS cts, event_id AS click_id
@@ -4151,6 +4246,41 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (df > 1) * 1000000 // COUNT(*)
         |    AS BIGINT) AS dup_ppm
         |FROM sg JOIN df USING (sh)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_phrase_search" ->
+      // independent path: direct 3-window slide over each document's
+      // token array — proves the index probe equals a corpus scan
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |tri AS (SELECT doc_id, array_to_string(ts[i : i + 2], ' ')
+        |      AS phrase
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(1, len(ts) - 2)) AS i
+        |        FROM t WHERE len(ts) >= 3)),
+        |top AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM tri GROUP BY 1 ORDER BY n_occ DESC, phrase LIMIT 10)
+        |SELECT phrase, n_occ, n_docs FROM top
+        |ORDER BY n_occ DESC, phrase""".stripMargin,
+    "text_oov_rate" ->
+      // same tokenizer, same (count desc, token) vocab cut, same
+      // div-ppm law
+      """WITH tf AS (SELECT doc_id, tok AS token,
+        |    CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |        AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |vocab AS (SELECT token FROM (
+        |    SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1
+        |    ORDER BY cnt DESC, token LIMIT 16))
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN tf ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN tf ELSE 0 END)
+        |    * 1000000 // SUM(tf) AS BIGINT) AS oov_ppm
+        |FROM tf LEFT JOIN vocab v ON tf.token = v.token
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (

@@ -509,8 +509,8 @@ object Aggregates {
     val total = byBrand.agg(sum(col("rev_u")).as("total_u"))
     val w = Window.orderBy(col("rev_u").desc, col("brand"))
     def ppm(num: Column): Column =
-      expr(s"CAST(floor(CAST(${num.toString} AS DECIMAL(38,0)) " +
-        "* 1000000 / total_u) AS BIGINT)")
+      floor(num.cast("decimal(38,0)") * lit(1000000) / col("total_u"))
+        .cast("long")
     byBrand.crossJoin(broadcast(total))
       .withColumn("cum_u", sum(col("rev_u")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

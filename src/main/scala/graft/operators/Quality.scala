@@ -619,4 +619,65 @@ object Quality {
           col("max_dup"), (col("max_dup") === 1).as("is_key"))
     }.reduce(_ unionByName _).orderBy("candidate")
   }
+
+  /** Labeler-agreement audit: confusion matrix + Cohen's kappa between
+    * the heuristic language classifier (TextAnalysis.langId's marker
+    * argmax) and the labeled `lang` column — the evaluation step every
+    * classifier-based curation filter needs before its verdicts gate
+    * data (accuracy alone flatters imbalanced corpora; kappa discounts
+    * chance agreement from the marginals).
+    *
+    * All inputs are exact integers: cell counts from one groupBy over
+    * the deterministic predictions, marginals from two rollups of the
+    * CELLS (never a second corpus pass), and kappa in its rational
+    * form — with Σd = Σ_k cm[k,k]·N... precisely:
+    * κ = (N·Σdiag − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k), so the
+    * emitted kappa_num / kappa_den are BIGINTs and the one double
+    * division replays bit-identically (same dodge as the chi-square
+    * gate's rational form). Every row carries the corpus-level
+    * (n, sum_diag, kappa_*) columns alongside its cell, so the oracle
+    * hash pins matrix AND statistic.
+    *
+    * Shape: the label domains are domain-bounded (|langs|² cells at
+    * any data scale), so everything after the first groupBy is
+    * broadcast-sized; the statistic join is a cross join against a
+    * 1-row aggregate.
+    */
+  def agreementKappa(s: SparkSession, dir: String): DataFrame = {
+    val preds = Tables.documents(s, dir)
+      .select(col("lang").as("labeled"),
+        TextAnalysis.markerCount(col("text"), TextAnalysis.enMarkers)
+          .as("s_en"),
+        TextAnalysis.markerCount(col("text"), TextAnalysis.zhMarkers)
+          .as("s_zh"),
+        TextAnalysis.markerCount(col("text"), TextAnalysis.deMarkers)
+          .as("s_de"))
+      .select(col("labeled"), TextAnalysis.predictedLang(col("s_en"),
+        col("s_zh"), col("s_de")).as("predicted"))
+    val cells = preds.groupBy("labeled", "predicted")
+      .agg(count(lit(1)).as("n_cell"))
+    val rows = cells.groupBy("labeled").agg(sum("n_cell").as("n_row"))
+    val cols_ = cells.groupBy("predicted").agg(sum("n_cell").as("n_col"))
+    // chance-agreement term over the union of label domains: a class
+    // absent on one side contributes row·col = 0, so the inner join
+    // of marginals is exactly Σ_k row_k·col_k
+    val stats = rows.join(cols_, col("labeled") === col("predicted"))
+      .agg(sum(col("n_row") * col("n_col")).as("sum_rc"))
+      .crossJoin(cells.agg(sum("n_cell").as("n"),
+        sum(when(col("labeled") === col("predicted"), col("n_cell"))
+          .otherwise(0L)).as("sum_diag")))
+      .select(col("n"), col("sum_diag"),
+        (col("n") * col("sum_diag") - col("sum_rc")).as("kappa_num"),
+        (col("n") * col("n") - col("sum_rc")).as("kappa_den"))
+    cells
+      .join(rows, "labeled")
+      .join(cols_, "predicted")
+      .crossJoin(broadcast(stats))
+      .select(col("labeled"), col("predicted"), col("n_cell"),
+        col("n_row"), col("n_col"), col("n"), col("sum_diag"),
+        col("kappa_num"), col("kappa_den"),
+        (col("kappa_num").cast("double") / col("kappa_den"))
+          .as("kappa"))
+      .orderBy("labeled", "predicted")
+  }
 }

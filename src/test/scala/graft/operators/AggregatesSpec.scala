@@ -193,4 +193,39 @@ class AggregatesSpec extends SparkSpec {
     assert(out.toSeq == expect)
     out.foreach { case (_, b, a, d) => assert(d == a - b) }
   }
+
+  test("pareto: revenue units and ppm shares match a BigDecimal " +
+    "sequential recompute; cumulative/head laws hold") {
+    val out = Aggregates.pareto(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+    val byBrand = rows.groupBy(_.getString(0)).view.mapValues(_.map {
+      r =>
+        // the decimal(18,6) casts, replayed with the same HALF_UP
+        val ep = BigDecimal(r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        val di = BigDecimal(r.getDouble(2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        (ep * (BigDecimal(1) - di) * 10000).toBigInt.toLong
+    }.sum).toMap
+    val total = byBrand.values.sum
+    val ordered = byBrand.toSeq.sortBy { case (b, v) => (-v, b) }
+    var cum = 0L
+    val expect = ordered.map { case (b, v) =>
+      val prev = cum; cum += v
+      def ppm(x: Long) = (BigInt(x) * 1000000 / total).toLong
+      (b, v, total, ppm(v), ppm(cum), ppm(prev) < 800000L)
+    }
+    assert(out.toSeq == expect)
+    assert(cum == total) // shares exhaust the corpus
+    assert(out.last._5 == 1000000L) // last cumulative share is 100%
+    // the head is a prefix: once a row leaves the head, none return
+    assert(!out.map(_._6).dropWhile(identity).contains(true))
+    assert(out.head._6) // the top brand is always in the head
+  }
 }

@@ -65,4 +65,50 @@ class CurationSpec extends SparkSpec {
       assert(kept >= math.min(5, ds.length), s"$lang starved: $kept")
     }
   }
+
+  test("phraseSearch: the index-probe answers equal a direct " +
+    "sequential trigram slide; top-10 cut deterministic") {
+    val out = TextAnalysis.phraseSearch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tris = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().flatMap { r =>
+        val ts = r.getString(1).trim.toLowerCase.split("\\s+", -1)
+        if (ts.length >= 3)
+          ts.sliding(3).map(w => r.getLong(0) -> w.mkString(" ")).toSeq
+        else Seq.empty[(Long, String)]
+      }
+    val expect = tris.groupBy(_._2).view.mapValues { occ =>
+      (occ.length.toLong, occ.map(_._1).distinct.length.toLong)
+    }.toSeq.map { case (p, (n, d)) => (p, n, d) }
+      .sortBy { case (p, n, _) => (-n, p) }.take(10)
+    assert(out.toSeq == expect)
+    out.foreach { case (p, n, d) =>
+      assert(p.split(" ").length == 3 && d <= n)
+    }
+  }
+
+  test("oovRate: per-doc OOV mass matches a sequential recompute " +
+    "against the top-16 vocabulary; ppm law and bounds hold") {
+    val out = TextAnalysis.oovRate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val toks = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map { r =>
+        r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+", -1)
+      }
+    val corpus = toks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val vocab = corpus.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(16).map(_._1).toSet
+    val expect = toks.map { case (d, ts) =>
+      val oov = ts.count(t => !vocab(t)).toLong
+      d -> (ts.length.toLong, oov, oov * 1000000L / ts.length)
+    }.toMap
+    assert(out == expect)
+    out.values.foreach { case (n, oov, ppm) =>
+      assert(oov <= n && ppm >= 0 && ppm <= 1000000L)
+    }
+    // the fixture vocabulary is larger than 16, so OOV mass is real
+    assert(out.values.map(_._2).sum > 0)
+  }
 }

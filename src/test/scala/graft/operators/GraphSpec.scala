@@ -218,4 +218,38 @@ class GraphSpec extends SparkSpec {
       assert(nbrMin(n) == d - 1, s"node $n dist $d minNbr ${nbrMin(n)}")
     }
   }
+
+  test("itemCf: top-5 lists equal a sequential recompute of the cos² " +
+    "ppm law; scores bounded by 1e6; lists symmetric in the pair set") {
+    val out = Graph.itemCf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val sym = pairs.toSeq.flatMap { case ((a, b), s) =>
+      Seq((a, b, s), (b, a, s)) }
+    val scored = sym.map { case (a, b, s) =>
+      val c2 = (BigInt(s) * s * 1000000 / (BigInt(cnt(a)) * cnt(b)))
+        .toLong
+      (a, b, s, cnt(a), cnt(b), c2)
+    }
+    val expect = scored.groupBy(_._1).toSeq.flatMap { case (_, cs) =>
+      cs.sortBy(c => (-c._6, -c._3, c._2)).take(5).zipWithIndex
+        .map { case ((a, b, s, ca, cb, c2), i) =>
+          (a, b, s, ca, cb, c2, i + 1) }
+    }.sortBy(t => (t._1, t._7))
+    assert(out.toSeq == expect)
+    out.foreach { case (_, _, s, ca, cb, c2, _) =>
+      assert(c2 <= 1000000L && c2 >= 0)
+      assert(s <= math.min(ca, cb)) // co-occurrence bounded by counts
+    }
+  }
 }

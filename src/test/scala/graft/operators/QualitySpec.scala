@@ -313,4 +313,37 @@ class QualitySpec extends SparkSpec {
       assert(isKey == (m == 1))
     }
   }
+
+  test("agreementKappa: cells/marginals/kappa match a sequential " +
+    "recompute off langId's own predictions; kappa law holds") {
+    val out = Quality.agreementKappa(spark, sfDir).collect()
+    val preds = TextAnalysis.langId(spark, sfDir)
+      .select(col("labeled_lang"), col("predicted_lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = preds.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val rowM = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colM = preds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = preds.length.toLong
+    val sumDiag = cells.collect {
+      case ((l, p), c) if l == p => c }.sum
+    val sumRc = rowM.keySet.intersect(colM.keySet)
+      .map(k => rowM(k) * colM(k)).sum
+    val num = n * sumDiag - sumRc
+    val den = n * n - sumRc
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      cells.keySet)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == cells(key))
+      assert(r.getLong(3) == rowM(key._1) && r.getLong(4) == colM(key._2))
+      assert(r.getLong(5) == n && r.getLong(6) == sumDiag)
+      assert(r.getLong(7) == num && r.getLong(8) == den)
+      assert(r.getDouble(9) == num.toDouble / den)
+    }
+    assert(out.map(_.getLong(2)).sum == n) // cells partition the corpus
+    assert(num.toDouble / den <= 1.0) // kappa ≤ 1 always
+    // perfect-agreement sanity: kappa = 1 iff sum_diag = n
+    if (sumDiag == n) assert(num == den)
+  }
 }

@@ -79,7 +79,12 @@ class PlanAuditSpec extends SparkSpec {
       // the backfill rank runs over the day-grain WORK LIST (missing/
       // stale/orphan partitions) — outage-sized, bounded by the
       // calendar at any data scale; same carve-out as above
-      "p_backfill_plan" -> Set("global-window"))
+      "p_backfill_plan" -> Set("global-window"),
+      // the cumulative-share window runs over the BRAND aggregate —
+      // p_brand is a 25-value domain at any data scale, so the single
+      // partition holds a constant-bounded row count (domain-bounded,
+      // the same carve-out class as calendar-bounded)
+      "agg_pareto" -> Set("global-window"))
     val violations = graft.SparkEntry.queries
       .filterNot { case (n, _) => graft.SparkEntry.eagerWriters(n) }
       .toSeq.sortBy(_._1)
