@@ -228,6 +228,9 @@ object SparkEntry {
     // day-of-week chi-square uniformity in rational form
     // (7·Σo² − n²)/n; weekday = epoch-day mod 7, engine-neutral
     "st_seasonality" -> (Analytics.seasonality _),
+    // additive trend/seasonal/residual decomposition; exact BIGINT
+    // numerators, one division per emitted double
+    "st_decompose" -> (Analytics.decompose _),
     // gap-sessionized top event-type flows (funnel discovery)
     "agg_session_paths" -> ((s, d) => Analytics.sessionPaths(s, d)),
     // week-over-week retention off one reused (user, week) distinct
@@ -325,6 +328,9 @@ object SparkEntry {
     "dq_referential" -> (Quality.referentialAudit _),
     // confusion matrix + rational Cohen's kappa: langId vs labels
     "dq_agreement_kappa" -> (Quality.agreementKappa _),
+    // two-sample chi-square: hash sample vs population, Euclidean-
+    // split integer quotients (no wide intermediates)
+    "dq_sample_fit" -> (Quality.sampleFit _),
     // robust |x-med| > 3*MAD gate, discrete medians, integer cents
     "dq_outlier_mad" -> (Quality.madOutliers _),
     // the same gate with mergeable HistSketch medians — the 100 TB
@@ -412,6 +418,10 @@ object SparkEntry {
     // duplicate-8-gram coverage per doc (RefinedWeb metric), string
     // shingles joined verbatim, div-ppm law
     "text_dup_coverage" -> ((s, d) => TextAnalysis.dupCoverage(s, d)),
+    // maximal duplicated-span extraction (islands over dup positions)
+    "text_dup_spans" -> ((s, d) => TextAnalysis.dupSpans(s, d)),
+    // Simpson diversity + type-token ratio, div-ppm laws
+    "text_diversity" -> (TextAnalysis.diversity _),
     "dedup_incremental" -> (Dedup.incremental _),
     // the index-probe form: history band buckets pooled, delta
     // signatures probe them, candidates exact-verified (assertion
@@ -2461,6 +2471,29 @@ object SparkEntry {
         |    AS kappa
         |FROM cells JOIN r USING (labeled) JOIN c USING (predicted), st
         |ORDER BY labeled, predicted""".stripMargin,
+    "dq_sample_fit" ->
+      // same hash-sample law, same Euclidean-split quotient — plain
+      // BIGINT ops on both engines (abs first, so // and % agree)
+      """WITH cells AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS o1,
+        |    CAST(SUM(CASE WHEN ((event_id % 2147483648)
+        |      * 2654435761) % 97 < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS o2
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o1) AS BIGINT) AS n1,
+        |    CAST(SUM(o2) AS BIGINT) AS n2 FROM cells),
+        |sp AS (SELECT event_type, o1, o2, n1, n2,
+        |    abs(n2 * o1 - n1 * o2) AS d, o1 + o2 AS m
+        |  FROM cells, t),
+        |q AS (SELECT event_type, o1, o2, n1, n2,
+        |    (d // m) * (d // m) * m + 2 * (d // m) * (d % m)
+        |      + (d % m) * (d % m) // m AS term_q
+        |  FROM sp),
+        |c AS (SELECT CAST(SUM(term_q) AS BIGINT) AS sum_q FROM q)
+        |SELECT event_type, o1, o2, n1, n2, term_q, sum_q,
+        |  CAST(sum_q AS DOUBLE) / (n1 * n2) AS chi2,
+        |  CAST(sum_q AS DOUBLE) / (n1 * n2) < 9.488 AS is_fit
+        |FROM q, c ORDER BY event_type""".stripMargin,
     "dq_referential" ->
       """SELECT 'customer->nation' AS fk_edge, CAST(count(*) AS BIGINT)
         |  AS n_orphans FROM customer WHERE c_nationkey IS NOT NULL
@@ -2801,6 +2834,37 @@ object SparkEntry {
         |  (7 * so2 - n * n) / n < 12.592 AS is_uniform
         |FROM bd JOIN bt USING (event_type)
         |ORDER BY event_type, dow""".stripMargin,
+    "st_decompose" ->
+      // same observed-row 7-window, same per-dow moments off the
+      // interior, each double one division of the exact integers
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+        |      AS dow
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (SELECT event_type, day, dow, x,
+        |    CAST(SUM(x) OVER w AS BIGINT) AS trend_sum7,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT *, CASE WHEN n_win = 7
+        |    THEN 7 * x - trend_sum7 END AS detrend_num FROM tr),
+        |se AS (SELECT event_type, dow,
+        |    CAST(SUM(detrend_num) AS BIGINT) AS s_num,
+        |    CAST(COUNT(*) AS BIGINT) AS s_cnt
+        |  FROM dt WHERE detrend_num IS NOT NULL GROUP BY 1, 2)
+        |SELECT dt.event_type, dt.day, CAST(dt.dow AS INT) AS dow,
+        |  dt.x, dt.trend_sum7, dt.n_win, dt.detrend_num,
+        |  se.s_num, se.s_cnt,
+        |  CASE WHEN n_win = 7
+        |    THEN CAST(trend_sum7 AS DOUBLE) / 7 END AS trend,
+        |  CAST(s_num AS DOUBLE) / (7 * s_cnt) AS seasonal,
+        |  CAST(s_cnt * detrend_num - s_num AS DOUBLE) / (7 * s_cnt)
+        |    AS residual
+        |FROM dt LEFT JOIN se
+        |  ON dt.event_type = se.event_type AND dt.dow = se.dow
+        |ORDER BY dt.event_type, dt.day""".stripMargin,
     "agg_heavy_change" ->
       // same derived mid-point, conditional halves, total order + cut
       """WITH md AS (SELECT MIN(CAST(ts AS DATE)) + 15 AS mid
@@ -4282,6 +4346,43 @@ object SparkEntry {
         |    * 1000000 // SUM(tf) AS BIGINT) AS oov_ppm
         |FROM tf LEFT JOIN vocab v ON tf.token = v.token
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_dup_spans" ->
+      // same positional shingles, cross-doc df, islands merge
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |sg AS (SELECT doc_id, i AS pos,
+        |    array_to_string(ts[i : i + 7], ' ') AS sh
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(1, len(ts) - 7)) AS i
+        |        FROM t WHERE len(ts) >= 8)),
+        |df AS (SELECT sh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM sg GROUP BY 1),
+        |dup AS (SELECT doc_id, pos FROM sg JOIN df USING (sh)
+        |  WHERE df.df > 1),
+        |g AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS grp
+        |  FROM dup)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM g GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "text_diversity" ->
+      // same pooled term frequencies; both div-ppm laws replayed
+      """WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |        AS tok
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(tf * tf) AS BIGINT) AS sum_c2,
+        |  CAST((SUM(tf) * SUM(tf) - SUM(tf * tf)) * 1000000
+        |    // (SUM(tf) * SUM(tf)) AS BIGINT) AS simpson_ppm,
+        |  CAST(COUNT(*) * 1000000 // SUM(tf) AS BIGINT) AS ttr_ppm
+        |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1096,6 +1096,57 @@ object Analytics {
       .orderBy("event_type", "lag")
   }
 
+  /** Classical additive decomposition of the per-type daily series:
+    * x = trend + seasonal + residual, with trend the centered 7-row
+    * moving average, seasonal the per-weekday mean of the detrended
+    * interior, residual the leftover — the STL-lite baseline behind
+    * "is Monday actually low, or is volume just falling?".
+    *
+    * Exactness: every component is carried as an exact BIGINT
+    * NUMERATOR over a declared denominator, so both engines divide
+    * once at the end: trend_sum7 (the 7-row window sum; valid only
+    * where n_win = 7), detrend_num = 7·x − trend_sum7, per-dow
+    * seasonal moments (s_num = Σ detrend_num, s_cnt), and
+    * resid_num = s_cnt·detrend_num − s_num. The decomposition
+    * identity holds EXACTLY in integers on interior days:
+    * 7·s_cnt·x = s_cnt·trend_sum7 + s_num + resid_num (spec-pinned;
+    * the emitted doubles are each one division of those integers —
+    * trend = trend_sum7/7, seasonal = s_num/(7·s_cnt),
+    * residual = resid_num/(7·s_cnt) — bit-identical across engines).
+    * Weekday = epoch-day mod 7 (engine-neutral, as the chi-square
+    * gate). Day-grain input: O(days·types) rows at any fact size;
+    * the window partitions by type over the observed day sequence.
+    */
+  def decompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow",
+        pmod(expr("datediff(day, date '1970-01-01')"), lit(7)))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend_sum7", sum(col("x")).over(w))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("detrend_num",
+        when(col("n_win") === 7, lit(7) * col("x") - col("trend_sum7")))
+    val seasonal = trended.filter(col("detrend_num").isNotNull)
+      .groupBy("event_type", "dow")
+      .agg(sum(col("detrend_num")).as("s_num"),
+        count(lit(1)).as("s_cnt"))
+    trended.join(seasonal, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("day"), col("dow"), col("x"),
+        col("trend_sum7"), col("n_win"), col("detrend_num"),
+        col("s_num"), col("s_cnt"),
+        when(col("n_win") === 7,
+          col("trend_sum7").cast("double") / 7).as("trend"),
+        (col("s_num").cast("double") / (lit(7) * col("s_cnt")))
+          .as("seasonal"),
+        ((col("s_cnt") * col("detrend_num") - col("s_num"))
+          .cast("double") / (lit(7) * col("s_cnt"))).as("residual"))
+      .orderBy("event_type", "day")
+  }
+
   /** Day-of-week seasonality gate: the chi-square uniformity statistic
     * per event type — does volume actually depend on the weekday, or
     * is the "weekend dip" an artifact? Feeds the same decision as

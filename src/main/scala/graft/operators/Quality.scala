@@ -620,6 +620,59 @@ object Quality {
     }.reduce(_ unionByName _).orderBy("candidate")
   }
 
+  /** Sample-fidelity audit: does the deterministic hash sample
+    * preserve the population's event-type distribution? The
+    * two-sample chi-square homogeneity test in exact-integer form —
+    * the audit every sampled dashboard needs before its numbers are
+    * trusted (a hash keyed on something correlated with the dimension
+    * under test fails it loudly).
+    *
+    * Sample = the fixture's multiplicative-hash law on event_id
+    * (((id mod 2³¹)·2654435761) mod 97 < 5 — ≈ 5.2%, deterministic,
+    * the same Knuth-hash convention as the weighted sampler).
+    * Statistic: χ² = Σ_k (n₂·o₁ₖ − n₁·o₂ₖ)² / (n₁·n₂·(o₁ₖ+o₂ₖ)).
+    * The squared difference overflows BIGINT around n ~ 10⁶, so each
+    * cell's quotient term_q = ⌊d²/m⌋ (d = |n₂·o₁ₖ − n₁·o₂ₖ|,
+    * m = o₁ₖ+o₂ₖ) is computed WITHOUT the wide intermediate via the
+    * Euclidean split d = q·m + r: ⌊d²/m⌋ = q²·m + 2·q·r + ⌊r²/m⌋ —
+    * every factor stays ≤ ~d²/m (the magnitude of the ANSWER, not of
+    * d²), all plain BIGINT ops both engines replay digit-for-digit
+    * (abs() first: d ≥ 0, so div/% agree across engines' negative
+    * conventions). chi2 = Σ term_q / (n₁·n₂) is ONE double division
+    * of exact integers. is_fit compares to the χ²₆ 0.95 critical
+    * value (12.592 — |event_type| = 7 here; both halves bit-identical
+    * across engines). Everything after the conditional-count groupBy
+    * (ONE scan — the sample is a filter, so population and sample
+    * count from the same pass) is |event_types| rows.
+    */
+  def sampleFit(s: SparkSession, dir: String): DataFrame = {
+    val u = pmod(pmod(col("event_id"), lit(2147483648L)) *
+      lit(2654435761L), lit(97))
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"), (u < 5).as("in_sample"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("o1"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("o2"))
+    val totals = cells.agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    val scored = cells.crossJoin(broadcast(totals))
+      .withColumn("d", abs(col("n2") * col("o1") - col("n1") * col("o2")))
+      .withColumn("m", col("o1") + col("o2"))
+      .withColumn("q", expr("d div m"))
+      .withColumn("r", col("d") % col("m"))
+      .withColumn("term_q", col("q") * col("q") * col("m") +
+        lit(2) * col("q") * col("r") + expr("(r * r) div m"))
+      .drop("d", "m", "q", "r")
+    val chi = scored.agg(sum(col("term_q")).as("sum_q"))
+    scored.crossJoin(broadcast(chi))
+      .select(col("event_type"), col("o1"), col("o2"), col("n1"),
+        col("n2"), col("term_q"), col("sum_q"),
+        (col("sum_q").cast("double") / (col("n1") * col("n2")))
+          .as("chi2"),
+        (col("sum_q").cast("double") / (col("n1") * col("n2")) < 9.488)
+          .as("is_fit"))
+      .orderBy("event_type")
+  }
+
   /** Labeler-agreement audit: confusion matrix + Cohen's kappa between
     * the heuristic language classifier (TextAnalysis.langId's marker
     * argmax) and the labeled `lang` column — the evaluation step every

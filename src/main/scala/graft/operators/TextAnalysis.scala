@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -324,6 +325,68 @@ object TextAnalysis {
         expr("n_dup * 1000000L div n_shingles").as("dup_ppm"))
       .orderBy("doc_id")
   }
+
+  /** Maximal duplicated-span extraction — the REMOVAL companion of
+    * dupCoverage (the metric says how much of a doc is boilerplate;
+    * this says exactly WHERE, so a cleaning pass can cut it — the
+    * exact-substring dedup step of Lee et al. 2022, approximated at
+    * the k-gram grain): for each document, the maximal runs of token
+    * positions whose 8-gram also occurs in another document.
+    *
+    * Shape: positional 8-gram shingles (doc, pos, sh) — NOT distinct,
+    * positions matter — joined against the cross-doc document
+    * frequency of the DISTINCT (doc, sh) space (a shingle repeated
+    * only within one doc stays df = 1, same convention as
+    * dupCoverage); duplicated positions then merge into maximal runs
+    * with the islands trick (pos − row_number is constant within a
+    * consecutive run) under a PER-DOC window. A run of shingle
+    * positions [p, q] covers tokens [p, q+7], so span_tokens =
+    * q − p + 8. Pair space O(tokens); windows partition by doc.
+    */
+  def dupSpans(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val sh = Tables.fanOut(Tables.documents(s, dir))
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), i -> " +
+          s"array_join(slice(ts, i, $k), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sh"))
+    val df_ = sh.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val dup = sh.join(df_, "sh").filter(col("df") > 1)
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dup.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Lexical-diversity scores per document: Simpson diversity (the
+    * probability two independently drawn tokens DIFFER — 1 − Σp²)
+    * and the type-token ratio, both as exact div-ppm integers off
+    * the pooled term frequencies: simpson = (n² − Σc²)·10⁶ div n²,
+    * ttr = d·10⁶ div n. The repetition signal orthogonal to the
+    * Gopher top-coverage filters (a doc can pass those yet have
+    * pathologically low diversity) and log-free where entropy is not.
+    * One |docs|-row rollup of termFreq — corpus-linear, no shuffle
+    * beyond the pooled build.
+    */
+  def diversity(s: SparkSession, dir: String): DataFrame =
+    termFreq(s, dir)
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("tf") * col("tf")).as("sum_c2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("sum_c2"),
+        expr("(n_tokens * n_tokens - sum_c2) * 1000000L div " +
+          "(n_tokens * n_tokens)").as("simpson_ppm"),
+        expr("n_types * 1000000L div n_tokens").as("ttr_ppm"))
+      .orderBy("doc_id")
 
   def knBigram(s: SparkSession, dir: String, minCount: Int = 5)
       : DataFrame = {

@@ -515,4 +515,50 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("decompose: integer components match a sequential recompute; " +
+    "the exact identity 7·s_cnt·x = s_cnt·trend_sum7 + s_num + " +
+    "resid_num holds on every interior day") {
+    val rows = Analytics.decompose(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.toEpochDay)).toMap
+    // sequential replay of the 7-row centered window per type
+    val trendMap = daily.flatMap { case (t, xs) =>
+      xs.indices.map { i =>
+        val lo = math.max(0, i - 3); val hi = math.min(xs.length - 1, i + 3)
+        val win = (lo to hi).map(j => xs(j)._3)
+        (t, xs(i)._2) -> (xs(i)._3, win.sum, win.length.toLong)
+      }
+    }
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getDate(1).toLocalDate)
+      val (x, ts7, nw) = trendMap(key)
+      assert(r.getLong(3) == x && r.getLong(4) == ts7 && r.getLong(5) == nw)
+      val dow = Math.floorMod(key._2.toEpochDay, 7L)
+      assert(r.getInt(2) == dow)
+      if (nw == 7) {
+        assert(r.getLong(6) == 7 * x - ts7)
+        val (sNum, sCnt) = (r.getLong(7), r.getLong(8))
+        val residNum = sCnt * (7 * x - ts7) - sNum
+        // the decomposition identity, exactly in integers
+        assert(7 * sCnt * x == sCnt * ts7 + sNum + residNum)
+        // each double is one division of the integers
+        assert(r.getDouble(9) == ts7.toDouble / 7)
+        assert(r.getDouble(10) == sNum.toDouble / (7 * sCnt))
+        assert(r.getDouble(11) == residNum.toDouble / (7 * sCnt))
+      } else assert(r.isNullAt(6) && r.isNullAt(9))
+    }
+    // per-(type, dow) seasonal moments really are the interior sums
+    rows.filter(!_.isNullAt(6))
+      .groupBy(r => (r.getString(0), r.getInt(2))).foreach {
+        case (_, rs) =>
+          assert(rs.map(_.getLong(7)).distinct.length == 1)
+          assert(rs.head.getLong(7) == rs.map(_.getLong(6)).sum)
+          assert(rs.head.getLong(8) == rs.length.toLong)
+      }
+  }
 }

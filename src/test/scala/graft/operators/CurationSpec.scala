@@ -111,4 +111,71 @@ class CurationSpec extends SparkSpec {
     // the fixture vocabulary is larger than 16, so OOV mass is real
     assert(out.values.map(_._2).sum > 0)
   }
+
+  test("dupSpans: spans equal a sequential islands recompute, are " +
+    "disjoint and maximal, and their shingle mass reconciles with a " +
+    "direct duplicated-position count") {
+    val out = TextAnalysis.dupSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sequential recompute: positional shingles, cross-doc df, islands
+    val pos = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().flatMap { r =>
+        val ts = r.getString(1).trim.toLowerCase.split("\\s+", -1)
+        if (ts.length >= 8)
+          ts.sliding(8).zipWithIndex.map { case (w, i) =>
+            (r.getLong(0), i + 1L, w.mkString(" ")) }.toSeq
+        else Seq.empty[(Long, Long, String)]
+      }
+    val docsPerSh = pos.map(p => (p._3, p._1)).distinct
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val dup = pos.filter(p => docsPerSh(p._3) > 1).map(p => (p._1, p._2))
+    val expect = dup.groupBy(_._1).toSeq.flatMap { case (d, ps) =>
+      val sorted = ps.map(_._2).sorted
+      // islands: split where the gap exceeds 1
+      sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: tail, p) if p == e + 1 => (s, p) :: tail
+        case (acc, p) => (p, p) :: acc
+      }.reverse.map { case (s, e) => (d, s, e + 7, e + 7 - s + 1) }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expect)
+    // disjoint + maximal: consecutive spans of a doc leave a gap
+    out.groupBy(_._1).values.foreach { spans =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1)
+        case _ =>
+      }
+    }
+    // mass law: Σ (span_tokens − 7) = duplicated shingle positions
+    assert(out.map(_._4 - 7).sum == dup.length)
+    out.foreach { case (_, s, e, n) =>
+      assert(n == e - s + 1 && n >= 8) // every span ≥ one full 8-gram
+    }
+  }
+
+  test("diversity: Simpson and TTR ppm match a sequential recompute; " +
+    "bounds and degenerate laws hold") {
+    val out = TextAnalysis.diversity(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val toks = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map { r =>
+        r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+", -1)
+      }
+    val expect = toks.map { case (d, ts) =>
+      val n = ts.length.toLong
+      val counts = ts.groupBy(identity).map(_._2.length.toLong)
+      val c2 = counts.map(c => c * c).sum
+      d -> (n, counts.size.toLong, c2,
+        (n * n - c2) * 1000000L / (n * n), counts.size * 1000000L / n)
+    }.toMap
+    assert(out == expect)
+    out.values.foreach { case (n, d, c2, simpson, ttr) =>
+      assert(simpson >= 0 && simpson < 1000000L) // can never reach 1
+      assert(ttr >= 0 && ttr <= 1000000L && d <= n)
+      assert(c2 >= n) // Σc² ≥ n (Cauchy–Schwarz with all-ones)
+      // single-type doc ⇒ simpson = 0, full-diversity ⇒ ttr = 1e6
+      if (d == 1) assert(simpson == 0L)
+      if (d == n) assert(ttr == 1000000L)
+    }
+  }
 }

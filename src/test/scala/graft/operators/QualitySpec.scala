@@ -346,4 +346,37 @@ class QualitySpec extends SparkSpec {
     // perfect-agreement sanity: kappa = 1 iff sum_diag = n
     if (sumDiag == n) assert(num == den)
   }
+
+  test("sampleFit: Euclidean-split quotients equal the exact BigInt " +
+    "floor ⌊d²/m⌋; cells match a sequential recount; chi2 law holds") {
+    val out = Quality.sampleFit(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def inSample(id: Long): Boolean =
+      ((id % 2147483648L) * 2654435761L) % 97 < 5
+    val o1 = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val o2 = ev.filter(e => inSample(e._1)).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val n1 = ev.length.toLong
+    val n2 = ev.count(e => inSample(e._1)).toLong
+    val termQ = o1.map { case (t, o1k) =>
+      val d = BigInt((n2 * o1k - n1 * o2(t)).abs)
+      t -> (d * d / (o1k + o2(t))).toLong // exact floor, no split
+    }
+    val sumQ = termQ.values.sum
+    assert(out.length == o1.size)
+    out.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == o1(t) && r.getLong(2) == o2(t))
+      assert(r.getLong(3) == n1 && r.getLong(4) == n2)
+      assert(r.getLong(5) == termQ(t), s"term_q mismatch for $t")
+      assert(r.getLong(6) == sumQ)
+      val chi2 = sumQ.toDouble / (n1 * n2)
+      assert(r.getDouble(7) == chi2)
+      assert(r.getBoolean(8) == (chi2 < 9.488))
+    }
+    // a ~5% hash sample of a hash-uncorrelated dimension should fit
+    assert(out.head.getBoolean(8), "hash sample failed homogeneity")
+  }
 }
