@@ -160,6 +160,9 @@ object SparkEntry {
     }),
     // advanced joins / windows / skew tools
     "adv_asof_join" -> (Advanced.asofJoin _),
+    // nearest-in-time join (both directions, ±24h band): day-exploded
+    // equi candidates, one struct-argmin aggregate
+    "adv_nearest_join" -> (Advanced.nearestJoin _),
     "adv_interval_join" -> (Advanced.intervalJoin _),
     "adv_session_window" -> (Advanced.sessionWindows _),
     "adv_salted_agg" -> (Advanced.saltedAgg _),
@@ -187,6 +190,9 @@ object SparkEntry {
     "set_cube" -> (Analytics.cubeFlags _),
     // assertion form: HLL estimates vs exact distincts (Assertions)
     "agg_approx_distinct" -> (Assertions.approxDistinctBound _),
+    // bitmap-word exact distinct (the bitmap-index pattern); oracle
+    // counts DISTINCT directly — hash proves the planes equal
+    "agg_bitmap_distinct" -> (Aggregates.bitmapDistinct _),
     // assertion form: merged-sketch rollup vs exact per-level distincts
     "agg_sketch_rollup" -> (Assertions.sketchRollupBound _),
     "agg_profile" -> (Analytics.profileOrders _),
@@ -200,6 +206,8 @@ object SparkEntry {
     "sim_random_proj" -> ((s, d) => Similarity.randomProjection(s, d)),
     // assertion form: orthonormality/eigen/variance invariants
     "sim_pca" -> ((s, d) => Assertions.pcaInvariants(s, d)),
+    // Matryoshka retained-energy audit per truncation level
+    "sim_mrl_energy" -> ((s, d) => Similarity.mrlEnergy(s, d)),
     "sim_corr_matrix" -> (Similarity.corrMatrix _),
     "sim_standardize" -> (Similarity.standardize _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -3480,6 +3488,27 @@ object SparkEntry {
         |ASOF LEFT JOIN lastord o
         |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "adv_nearest_join" ->
+      // independent path: a raw band filter + row_number argmin under
+      // the same (abs_us, ts, id) total order — no day explode
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |    FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |    FROM events WHERE event_type = 'click'),
+        |cand AS (SELECT p.purchase_id, c.click_id, c.c_ts,
+        |    abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)) AS abs_us
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE abs(epoch_us(c.c_ts) - epoch_us(p.p_ts))
+        |    <= 86400000000),
+        |best AS (SELECT purchase_id, click_id, c_ts, abs_us,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY abs_us, c_ts, click_id) AS rn
+        |  FROM cand)
+        |SELECT p.purchase_id, p.user_id, p.p_ts AS purchase_ts,
+        |  b.click_id, b.c_ts AS click_ts, b.abs_us
+        |FROM p LEFT JOIN best b
+        |  ON p.purchase_id = b.purchase_id AND b.rn = 1
+        |ORDER BY p.purchase_id""".stripMargin,
     "adv_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
@@ -4210,6 +4239,14 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
         | true AS parts_ok, true AS supps_ok FROM lineitem""".stripMargin,
+    "agg_bitmap_distinct" ->
+      // independent path: DISTINCT counts directly — equality with the
+      // OR-folded bitmap words is the exactness proof
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT user_id // 32) AS BIGINT) AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_sketch_rollup" ->
       """SELECT day, n_events, n_users_exact, true AS est_ok FROM (
         |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
@@ -4264,6 +4301,34 @@ object SparkEntry {
       """SELECT CAST(count(*) * 8 AS BIGINT) AS n_proj_rows,
         | true AS orthonormal_ok, true AS eigs_desc_ok,
         | true AS var_matches_eig FROM embeddings""".stripMargin,
+    "sim_mrl_energy" ->
+      // same quantized per-element energies, same div-ppm laws
+      """WITH el AS (SELECT vec_id,
+        |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings),
+        |pv AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN pos < 4 THEN xq * xq ELSE 0 END)
+        |      AS BIGINT) AS e4,
+        |    CAST(SUM(CASE WHEN pos < 16 THEN xq * xq ELSE 0 END)
+        |      AS BIGINT) AS e16,
+        |    CAST(SUM(xq * xq) AS BIGINT) AS e64
+        |  FROM el GROUP BY 1),
+        |lv AS (SELECT vec_id, 4 AS dim_level, e4 AS e_d, e64 AS e_full
+        |    FROM pv
+        |  UNION ALL SELECT vec_id, 16, e16, e64 FROM pv
+        |  UNION ALL SELECT vec_id, 64, e64, e64 FROM pv),
+        |r AS (SELECT dim_level, e_d * 1000000 // e_full AS ppm
+        |  FROM lv WHERE e_full > 0)
+        |SELECT CAST(dim_level AS INT) AS dim_level,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_retained_ppm,
+        |  CAST(MIN(ppm) AS BIGINT) AS min_retained_ppm,
+        |  CAST(MAX(ppm) AS BIGINT) AS max_retained_ppm,
+        |  CAST(SUM(CASE WHEN ppm >= 990000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above_99pct
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_clusters" -> ccClustersOracle,
     "p_split_leakage_safe" -> leakageSplitOracle,
     "dedup_keep_best" -> keepBestOracle,

@@ -446,4 +446,58 @@ object Advanced {
       .filter(!col("dominated"))
       .select(col("id"), col("k1"), col("k2"))
   }
+
+  /** Nearest-in-time join: for every purchase, the SAME user's
+    * closest CLICK within ±24 hours — the sensor-fusion / "what was
+    * the user doing around this transaction" primitive. As-of joins
+    * look only BACKWARD; nearest joins look both ways and keep the
+    * closer side, which no built-in join expresses directly.
+    *
+    * Shape: the time band becomes an equi join by exploding each
+    * purchase into its candidate calendar DAYS (a ±24 h tolerance
+    * spans at most 3 days — a constant bounded-side multiplier
+    * however big the fact tables are), then joining clicks on
+    * (user, exact day): candidates per purchase are that user's
+    * clicks in the band, never a cross product and never a non-equi
+    * range condition (which would plan a nested loop). The winner is
+    * `min(struct(abs_us, ts, event_id))` — a total order (distance,
+    * then earlier, then id), so ties at equal distance break
+    * deterministically and the whole argmin is one map-side-combining
+    * aggregate. Purchases with no click in the band come back via the
+    * final left join with null click columns. Time distance is
+    * integer MICROSECONDS (unix_micros both sides — exact BIGINT
+    * subtraction, no calendar arithmetic).
+    */
+  def nearestJoin(s: SparkSession, dir: String): DataFrame = {
+    val bandUs = 24L * 3600 * 1000000L
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val cand = purchases.select(col("purchase_id"), col("user_id"),
+      col("p_ts"),
+      explode(expr("sequence(" +
+        "cast(p_ts - interval 24 hours as date), " +
+        "cast(p_ts + interval 24 hours as date))")).as("c_day"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"),
+        col("ts").cast("date").as("c_day"))
+    val best = cand.join(clicks,
+        cand("user_id") === clicks("c_user") &&
+          cand("c_day") === clicks("c_day"))
+      .withColumn("abs_us",
+        abs(unix_micros(col("c_ts")) - unix_micros(col("p_ts"))))
+      .filter(col("abs_us") <= bandUs)
+      .groupBy("purchase_id")
+      .agg(min(struct(col("abs_us"), col("c_ts"), col("click_id")))
+        .as("w"))
+      .select(col("purchase_id"), col("w.click_id").as("click_id"),
+        col("w.c_ts").as("click_ts"), col("w.abs_us").as("abs_us"))
+    purchases.join(best, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        col("p_ts").as("purchase_ts"),
+        col("click_id"), col("click_ts"), col("abs_us"))
+      .orderBy("purchase_id")
+  }
 }

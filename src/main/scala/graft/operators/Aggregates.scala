@@ -472,6 +472,36 @@ object Aggregates {
       .limit(topN)
   }
 
+  /** Exact distinct counting via bitmap words — the roaring-bitmap /
+    * bitmap-index pattern (Druid, ClickHouse, Pinot) expressed in
+    * plain Spark: user ids pack into 32-bit words (word = id div 32,
+    * bit = id mod 32), the groupBy OR-folds each word map-side, and
+    * the distinct count is Σ bit_count(word). Why not count_distinct:
+    * that shuffles every distinct (group, id) pair; the bitmap
+    * shuffles at most one row per OCCUPIED WORD per group —
+    * 32× fewer rows on a dense id domain, and the OR is mergeable so
+    * map-side combine does most of the collapsing. 32-bit words dodge
+    * both engines' sign-bit traps (Spark's shiftleft into bit 63 goes
+    * negative; DuckDB's 1<<63 raises). The DuckDB oracle counts
+    * DISTINCT directly — the hash check proves the bitmap plane IS
+    * the exact distinct count.
+    */
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.events(s, dir)
+      .select(col("event_type"), expr("user_id div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+          .as("mask"),
+        col("event_id"))
+      .groupBy("event_type", "word")
+      .agg(bit_or(col("mask")).as("bits"),
+        count(lit(1)).as("n_rows"))
+    words.groupBy("event_type")
+      .agg(sum(bit_count(col("bits")).cast("long")).as("n_users"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_rows")).as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** Pareto / contribution analysis: revenue share per part brand with
     * cumulative share and the 80% head flag — "which 20% of the
     * catalog carries 80% of revenue", the concentration question

@@ -1228,4 +1228,53 @@ object Similarity {
           .as("val"))
       .orderBy("vec_id", "dim")
   }
+
+  /** Matryoshka truncation audit: how much of each embedding's energy
+    * the first d dimensions retain, for d ∈ {4, 16, 64} — the
+    * measurement behind MRL-style dimension cuts ("can we search at
+    * d=16 and rerank at full?"). Because truncation is an orthogonal
+    * projection, cos²(x[:d], x) = ‖x[:d]‖²/‖x‖² exactly — so the
+    * quality statistic IS a retained-energy ratio and needs no dot
+    * products or sqrt.
+    *
+    * Exactness: per-element energy is round(x·10³)² — an exact BIGINT
+    * of the quantized vector (the repo's scaled-int convention), so
+    * prefix and total energies are order-independent integer sums and
+    * the per-vector ratio lands by the div-ppm law. The rollup emits
+    * per-level corpus stats: mean ppm as Σ div n (exact), min/max
+    * ppm, and how many vectors clear 99%. One posexplode pass,
+    * row-local arithmetic, |levels|·|vecs| intermediate rows — never
+    * a pair space.
+    */
+  def mrlEnergy(s: SparkSession, dir: String,
+      levels: Seq[Int] = Seq(4, 16, 64)): DataFrame = {
+    val perVec = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        (round(col("col").cast("double") * 1000).cast("long") *
+          round(col("col").cast("double") * 1000).cast("long")).as("e"))
+      .groupBy("vec_id")
+      .agg(
+        sum(when(col("pos") < levels.head, col("e")).otherwise(0L))
+          .as(s"e${levels.head}"),
+        levels.tail.init.map(d =>
+          sum(when(col("pos") < d, col("e")).otherwise(0L)).as(s"e$d")) :+
+          sum(col("e")).as(s"e${levels.last}"): _*)
+    val stacked = perVec.select(col("vec_id"), expr(
+      s"stack(${levels.size}, " +
+        levels.map(d => s"$d, e$d").mkString(", ") +
+        s") AS (dim_level, e_d)"),
+      col(s"e${levels.last}").as("e_full"))
+      .filter(col("e_full") > 0)
+      .withColumn("retained_ppm",
+        expr("e_d * 1000000L div e_full"))
+    stacked.groupBy("dim_level")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(retained_ppm) div count(1)").as("mean_retained_ppm"),
+        min(col("retained_ppm")).as("min_retained_ppm"),
+        max(col("retained_ppm")).as("max_retained_ppm"),
+        sum(when(col("retained_ppm") >= 990000L, 1L).otherwise(0L))
+          .as("n_above_99pct"))
+      .orderBy("dim_level")
+  }
 }

@@ -478,4 +478,45 @@ class AdvancedSpec extends SparkSpec {
         .sorted(Ordering[Long].reverse).toSeq)
     assert(rows.count(_.getBoolean(5)) == math.min(30, rows.length))
   }
+
+  test("nearestJoin: every purchase exactly once; the winner replays " +
+    "as the true min-|Δt| in-band click under the (abs_us, ts, id) " +
+    "order; click columns are null iff the ±24h band is empty") {
+    val out = Advanced.nearestJoin(spark, sfDir).collect()
+    def ldt(x: Any): java.time.LocalDateTime = x match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case t: java.time.LocalDateTime => t
+      case t: java.time.Instant =>
+        java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
+    }
+    def us(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+    val nPurchases = ev.count(_.getString(3) == "purchase")
+    assert(out.length == nPurchases)
+    val clicksByUser = ev.filter(_.getString(3) == "click")
+      .map(r => (r.getLong(0), r.getLong(1), ldt(r.get(2))))
+      .groupBy(_._1)
+    var matched = 0
+    out.foreach { r =>
+      val pUs = us(ldt(r.get(2)))
+      val cands = clicksByUser
+        .getOrElse(r.getAs[Long]("user_id"), Array.empty)
+        .filter { case (_, _, t) =>
+          math.abs(us(t) - pUs) <= 24L * 3600 * 1000000L }
+      if (cands.isEmpty) assert(r.isNullAt(3), s"purchase ${r.get(0)}")
+      else {
+        val (_, id, t) = cands.minBy { case (_, id, t) =>
+          (math.abs(us(t) - pUs), us(t), id)
+        }
+        assert(r.getAs[Long]("click_id") == id, s"purchase ${r.get(0)}")
+        assert(r.getAs[Long]("abs_us") == math.abs(us(t) - pUs),
+          s"purchase ${r.get(0)}")
+        matched += 1
+      }
+    }
+    assert(matched > 0 && matched < out.length) // both branches exercised
+  }
 }

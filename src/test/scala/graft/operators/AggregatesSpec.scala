@@ -228,4 +228,25 @@ class AggregatesSpec extends SparkSpec {
     assert(!out.map(_._6).dropWhile(identity).contains(true))
     assert(out.head._6) // the top brand is always in the head
   }
+
+  test("bitmapDistinct: OR-folded words reproduce the exact distinct " +
+    "count, occupied-word count, and event totals per type") {
+    val out = Aggregates.bitmapDistinct(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1)
+    assert(out.length == byType.size)
+    assert(out.map(_.getString(0)).toSeq ==
+      out.map(_.getString(0)).toSeq.sorted)
+    out.foreach { r =>
+      val rows = byType(r.getString(0))
+      assert(r.getAs[Long]("n_users") == rows.map(_._2).distinct.length)
+      assert(r.getAs[Long]("n_words") ==
+        rows.map(_._2 / 32).distinct.length)
+      assert(r.getAs[Long]("n_events") == rows.length)
+      // the compression claim: never more words than users
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_users"))
+    }
+  }
 }
