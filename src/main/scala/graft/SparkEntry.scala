@@ -170,6 +170,10 @@ object SparkEntry {
     "adv_skew_join" -> (Advanced.skewJoin _),
     "adv_dpp_prune" -> ((s: SparkSession, dir: String) =>
       Advanced.dppPrune(s, dir)),
+    // spatial radius self-join via grid-cell blocking (cell = radius,
+    // 9-cell probe explode, row-local exact distance); oracle = the
+    // O(n²) brute-force scan the cells avoid
+    "geo_cell_join" -> ((s, d) => Geo.cellJoin(s, d)),
     "adv_bucketed_join" -> ((s, d) => Advanced.bucketedJoin(s, d)),
     "adv_recursive_cte" -> (Advanced.recursiveChain _),
     // two Pareto frontiers over (price, size) via the bucketed
@@ -236,6 +240,12 @@ object SparkEntry {
     // day-of-week chi-square uniformity in rational form
     // (7·Σo² − n²)/n; weekday = epoch-day mod 7, engine-neutral
     "st_seasonality" -> (Analytics.seasonality _),
+    // sweep-line max open 30-min intervals per user (+1/−1 running
+    // sum; −1 first at equal instants = half-open semantics)
+    "st_concurrency" -> (Analytics.concurrency _),
+    // coalesced interval coverage per user (islands via running
+    // max-end; covered µs exact integers)
+    "st_interval_union" -> (Analytics.intervalUnion _),
     // additive trend/seasonal/residual decomposition; exact BIGINT
     // numerators, one division per emitted double
     "st_decompose" -> (Analytics.decompose _),
@@ -252,6 +262,9 @@ object SparkEntry {
     // heavy-change top-k: first-half vs second-half per-user deltas,
     // one conditional-count groupBy + TakeOrdered
     "agg_heavy_change" -> ((s, d) => Aggregates.heavyChange(s, d)),
+    // AQP audit: 1/16 hash-sample estimates (uniform HT vs
+    // day-stratified ratio) with exact div-ppm errors, one scan
+    "agg_aqp_estimate" -> (Aggregates.aqpEstimate _),
     // Pareto contribution analysis: brand revenue shares, cumulative
     // 80% head; exact 1e-4-unit BIGINTs, decimal floor-div ppm
     "agg_pareto" -> (Aggregates.pareto _),
@@ -339,6 +352,9 @@ object SparkEntry {
     // two-sample chi-square: hash sample vs population, Euclidean-
     // split integer quotients (no wide intermediates)
     "dq_sample_fit" -> (Quality.sampleFit _),
+    // join-key skew audit: exact Gini coefficient per candidate key
+    // via the bucketed global-rank core; integer num/den + div-ppm
+    "dq_skew_gini" -> (Quality.skewGini _),
     // robust |x-med| > 3*MAD gate, discrete medians, integer cents
     "dq_outlier_mad" -> (Quality.madOutliers _),
     // the same gate with mergeable HistSketch medians — the 100 TB
@@ -4247,6 +4263,100 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id // 32) AS BIGINT) AS n_words,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "geo_cell_join" ->
+      // independent path: the O(n²) brute-force distance scan the
+      // grid cells exist to avoid — hash equality proves zero
+      // recall loss from the blocking
+      """WITH p AS (SELECT c_custkey AS id,
+        |    (c_custkey * 2654435761) % 1000000 AS lat,
+        |    (c_custkey * 2246822519) % 1000000 AS lon
+        |  FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  (a.lat - b.lat) * (a.lat - b.lat)
+        |    + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        |    + (a.lon - b.lon) * (a.lon - b.lon) <= 400000000
+        |ORDER BY a_id, b_id""".stripMargin,
+    "st_concurrency" ->
+      """WITH ep AS (
+        |  SELECT user_id, epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) + 1800000000, -1 FROM events),
+        |r AS (SELECT user_id, sum(delta) OVER (PARTITION BY user_id
+        |    ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM ep)
+        |SELECT user_id, CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+        |  CAST(max(open) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e FROM events),
+        |m AS (SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM m),
+        |grp AS (SELECT user_id, island, count(*) AS n_iv,
+        |    max(e) - min(s) AS covered
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(covered) AS BIGINT) AS covered_us
+        |FROM grp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq_skew_gini" -> {
+      def block(name: String, sel: String) =
+        s"""SELECT '$name' AS key_col, n_keys, total_rows, gini_num,
+           |  gini_den, gini_num * 1000000 // gini_den AS gini_ppm,
+           |  CAST(gini_num AS DOUBLE) / CAST(gini_den AS DOUBLE)
+           |    AS gini
+           |FROM (
+           |  SELECT CAST(max(n) AS BIGINT) AS n_keys,
+           |    CAST(sum(cnt) AS BIGINT) AS total_rows,
+           |    CAST(2 * sum(i * cnt)
+           |      - (max(n) + 1) * sum(cnt) AS BIGINT) AS gini_num,
+           |    CAST(max(n) * sum(cnt) AS BIGINT) AS gini_den
+           |  FROM (
+           |    SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS i,
+           |      count(*) OVER () AS n
+           |    FROM (SELECT k, count(*) AS cnt FROM ($sel) GROUP BY 1)))
+           |""".stripMargin
+      block("l_suppkey", "SELECT l_suppkey AS k FROM lineitem") +
+        "UNION ALL " +
+        block("l_partkey", "SELECT l_partkey AS k FROM lineitem") +
+        "UNION ALL " +
+        block("user_id", "SELECT user_id AS k FROM events") +
+        "ORDER BY key_col"
+    },
+    "agg_aqp_estimate" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    (event_id * 2654435761) % 16 = 0 AS in_sample
+        |  FROM events),
+        |cells AS (SELECT event_type, day, count(*) AS n_cell,
+        |    sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS s_cell
+        |  FROM ev GROUP BY 1, 2),
+        |days AS (SELECT day, sum(n_cell) AS n_day,
+        |    sum(s_cell) AS s_day FROM cells GROUP BY 1),
+        |t AS (SELECT event_type,
+        |    CAST(sum(n_cell) AS BIGINT) AS n_exact,
+        |    CAST(sum(s_cell) AS BIGINT) AS n_sampled,
+        |    CAST(sum(CASE WHEN s_day > 0
+        |      THEN n_day * s_cell // s_day ELSE 0 END) AS BIGINT)
+        |      AS n_est_ratio
+        |  FROM cells JOIN days USING (day) GROUP BY 1)
+        |SELECT event_type, n_exact, n_sampled,
+        |  n_sampled * 16 AS n_est_uniform, n_est_ratio,
+        |  abs(n_sampled * 16 - n_exact) * 1000000 // n_exact
+        |    AS err_uniform_ppm,
+        |  abs(n_est_ratio - n_exact) * 1000000 // n_exact
+        |    AS err_ratio_ppm
+        |FROM t ORDER BY 1""".stripMargin,
     "agg_sketch_rollup" ->
       """SELECT day, n_events, n_users_exact, true AS est_ok FROM (
         |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

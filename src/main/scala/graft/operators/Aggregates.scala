@@ -550,4 +550,53 @@ object Aggregates {
         (ppm(col("cum_u") - col("rev_u")) < 800000L).as("in_head"))
       .orderBy(col("rev_u").desc, col("brand"))
   }
+
+  /** Approximate-query-processing audit (the BlinkDB pattern): how
+    * well does a 1/16 deterministic hash sample estimate per-type
+    * event counts, under two estimators — uniform Horvitz–Thompson
+    * (16 × sample count) and the day-stratified RATIO estimator
+    * (per day: known day total × the sample's within-day type share,
+    * floor division; strata where the sample is empty contribute 0).
+    * The stratified form is why AQP engines keep stratum metadata:
+    * day totals are cheap partition statistics, and conditioning on
+    * them removes the between-day variance component.
+    *
+    * Everything is replayable integer arithmetic — the sample is a
+    * PREDICATE (multiplicative-hash bucket 0 of 16, the fixture
+    * convention, decorrelated from id assignment), both estimators
+    * are exact functions of it, and the error columns are div-ppm
+    * laws — so the DuckDB oracle checks estimates AND errors to the
+    * digit. One scan: exact count, sample count, and per-day sample
+    * cells all come off the same aggregate tree; at 100 TB the
+    * sample predicate would push into the scan of a sample TABLE
+    * instead, same plan above it.
+    */
+  def aqpEstimate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      col("ts").cast("date").as("day"),
+      (pmod(col("event_id") * lit(2654435761L), lit(16L)) === 0L)
+        .as("in_sample"))
+    // one pass: per (type, day) exact and sample counts
+    val cells = ev.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_cell"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("s_cell"))
+    val dayTotals = cells.groupBy("day")
+      .agg(sum(col("n_cell")).as("n_day"), sum(col("s_cell")).as("s_day"))
+    val perType = cells.join(dayTotals, "day")
+      .groupBy("event_type")
+      .agg(sum(col("n_cell")).as("n_exact"),
+        sum(col("s_cell")).as("n_sampled"),
+        sum(when(col("s_day") > 0,
+          expr("n_day * s_cell div s_day")).otherwise(0L))
+          .as("n_est_ratio"))
+    perType
+      .select(col("event_type"), col("n_exact"), col("n_sampled"),
+        (col("n_sampled") * 16L).as("n_est_uniform"),
+        col("n_est_ratio"))
+      .withColumn("err_uniform_ppm",
+        expr("abs(n_est_uniform - n_exact) * 1000000L div n_exact"))
+      .withColumn("err_ratio_ppm",
+        expr("abs(n_est_ratio - n_exact) * 1000000L div n_exact"))
+      .orderBy("event_type")
+  }
 }

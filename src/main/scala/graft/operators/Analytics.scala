@@ -1182,4 +1182,75 @@ object Analytics {
         (col("chi2_num") / col("n") < 12.592).as("is_uniform"))
       .orderBy("event_type", "dow")
   }
+
+  /** Half-open 30-minute activity intervals per event, as exact
+    * integer microsecond endpoints — the shared input of the two
+    * interval-algebra operators below. Both windows partition by
+    * user (never global): per-user interval counts are bounded by
+    * that user's events, so one task never sorts more than one
+    * user's history at any corpus size.
+    */
+  private def intervals(s: SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + lit(1800000000L)).as("end_us"))
+
+  /** Sweep-line max concurrency: the most 30-min activity intervals
+    * one user has open at once — the "how many parallel sessions /
+    * devices" question, and the batch form of the stream-state-sizing
+    * question (peak open windows = peak state rows per key). Each
+    * interval contributes a +1 at start and a −1 at end; a running
+    * sum over (time, delta) is the number open, and its max is the
+    * answer. Ordering deltas ascending puts the −1 BEFORE the +1 at
+    * equal instants, which is exactly half-open [s, e) semantics: an
+    * interval ending where another starts never overlaps it. Equal
+    * (time, delta) rows commute in a sum, so the running max is
+    * deterministic under any tie order — no id tiebreak needed.
+    */
+  def concurrency(s: SparkSession, dir: String): DataFrame = {
+    val ends = intervals(s, dir).select(col("user_id"),
+        explode(array(
+          struct(col("start_us").as("t"), lit(1L).as("delta")),
+          struct(col("end_us").as("t"), lit(-1L).as("delta"))))
+          .as("ep"))
+      .select(col("user_id"), col("ep.t"), col("ep.delta"))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ends.withColumn("open", sum(col("delta")).over(w))
+      .groupBy("user_id")
+      .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(col("open")).as("max_concurrent"))
+      .orderBy("user_id")
+  }
+
+  /** Coalesced interval coverage: total microseconds each user was
+    * "active" under the 30-min-per-event rule, after merging
+    * overlapping intervals — the islands problem in its interval
+    * form (billing minutes, uptime, dwell time). A new island starts
+    * where an interval's start exceeds the running max END of all
+    * EARLIER intervals (sorted by start; the running max handles the
+    * containment case a lag(end) misses); islands are then closed
+    * groups, and coverage = Σ (max end − min start) per island.
+    */
+  def intervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val byStart = Window.partitionBy("user_id")
+      .orderBy(col("start_us"), col("event_id"))
+    val prevMaxEnd = max(col("end_us")).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = intervals(s, dir)
+      .withColumn("new_island",
+        when(col("start_us") > coalesce(prevMaxEnd, lit(Long.MinValue)),
+          1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_iv"),
+        (max(col("end_us")) - min(col("start_us"))).as("covered"))
+      .groupBy("user_id")
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("covered")).as("covered_us"))
+      .orderBy("user_id")
+  }
 }

@@ -733,4 +733,50 @@ object Quality {
           .as("kappa"))
       .orderBy("labeled", "predicted")
   }
+
+  /** Join-key skew audit: the exact Gini coefficient of each
+    * candidate key's frequency distribution — the number that says
+    * whether a shuffle on that key will hot-spot (0 = perfectly
+    * uniform, →1 = one key owns everything), the quantitative form of
+    * the decision the salted-agg / AQE-skew operators act on.
+    *
+    * With per-key counts x sorted ascending and ranked 1..n,
+    * Gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) — every term an exact
+    * integer. The rank is the bucketed global-rank core (no
+    * single-partition window; key ndv at 100 TB is fact-scale), equal
+    * counts commute in Σi·xᵢ so the tie order never changes the
+    * answer. gini_ppm = num·10⁶ div den in plain BIGINT — exact and
+    * overflow-free while num ≤ 9.2e12 (num ≤ 2·n·Σx, so comfortably
+    * past the fixture scales; beyond that swap the multiply into
+    * decimal(38,0) with an explicit floor, the itemCf discipline —
+    * NOT Spark's decimal division, whose scale clips to 6 digits and
+    * can round across an integer before a floor). The double
+    * quotient is one IEEE division of two < 2⁵³ exact integers, so
+    * DuckDB replays it bit-identically.
+    */
+  def skewGini(s: SparkSession, dir: String): DataFrame = {
+    def giniOf(name: String, keyed: DataFrame): DataFrame = {
+      val counts = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .withColumn("cnt_d", col("cnt").cast("double"))
+      val (ranked, n) = Analytics.withGlobalRank(s, counts,
+        "cnt_d", "k", descending = false)
+      ranked.agg(sum(col("grn") * col("cnt")).as("s_ix"),
+          sum(col("cnt")).as("s_x"))
+        .select(lit(name).as("key_col"), lit(n).as("n_keys"),
+          col("s_x").as("total_rows"),
+          (lit(2L) * col("s_ix") - lit(n + 1) * col("s_x"))
+            .as("gini_num"),
+          (lit(n) * col("s_x")).as("gini_den"))
+        .withColumn("gini_ppm",
+          expr("gini_num * 1000000L div gini_den"))
+        .withColumn("gini", col("gini_num").cast("double") /
+          col("gini_den").cast("double"))
+    }
+    val li = Tables.lineitem(s, dir)
+    giniOf("l_suppkey", li.select(col("l_suppkey").as("k")))
+      .unionAll(giniOf("l_partkey", li.select(col("l_partkey").as("k"))))
+      .unionAll(giniOf("user_id",
+        Tables.events(s, dir).select(col("user_id").as("k"))))
+      .orderBy("key_col")
+  }
 }

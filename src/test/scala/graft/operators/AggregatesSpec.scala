@@ -249,4 +249,33 @@ class AggregatesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_users"))
     }
   }
+
+  test("aqpEstimate: both estimators replay sequentially; the ratio " +
+    "estimator conditions on exact day totals") {
+    val out = Aggregates.aqpEstimate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2) * 2654435761L % 16 == 0))
+    val types = ev.map(_._1).distinct.sorted
+    assert(out.map(_._1).toSeq == types.toSeq)
+    val dayTotals = ev.groupBy(_._2).map { case (d, rs) =>
+      d -> (rs.length.toLong, rs.count(_._3).toLong) }
+    out.foreach { case (t, nExact, nSampled, estU, estR, errU, errR) =>
+      val rows = ev.filter(_._1 == t)
+      assert(nExact == rows.length)
+      assert(nSampled == rows.count(_._3))
+      assert(estU == nSampled * 16)
+      val expR = rows.groupBy(_._2).map { case (d, rs) =>
+        val (nDay, sDay) = dayTotals(d)
+        if (sDay > 0) nDay * rs.count(_._3) / sDay else 0L
+      }.sum
+      assert(estR == expR, t)
+      assert(errU == math.abs(estU - nExact) * 1000000L / nExact)
+      assert(errR == math.abs(estR - nExact) * 1000000L / nExact)
+    }
+  }
 }

@@ -561,4 +561,63 @@ class AnalyticsSpec extends SparkSpec {
           assert(rs.head.getLong(8) == rs.length.toLong)
       }
   }
+
+  private def eventStartsUs(): Map[Long, Array[Long]] = {
+    def us(x: Any): Long = x match {
+      case t: java.sql.Timestamp =>
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000
+      case t: java.time.Instant =>
+        t.getEpochSecond * 1000000L + t.getNano / 1000
+    }
+    Tables.events(spark, sfDir).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), us(r.get(1))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).sorted }
+  }
+
+  test("concurrency: per-user max open intervals replays a sequential " +
+    "sweep; bounds hold") {
+    val out = Analytics.concurrency(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = eventStartsUs()
+    assert(out.length == byUser.size)
+    out.foreach { case (u, nIv, maxC) =>
+      val starts = byUser(u)
+      assert(nIv == starts.length)
+      // sequential sweep: sort endpoints, ends before starts at ties
+      val eps = starts.flatMap(t =>
+        Seq((t, 1L), (t + 1800000000L, -1L))).sortBy(e => (e._1, e._2))
+      var open = 0L; var best = 0L
+      eps.foreach { case (_, d) => open += d; best = math.max(best, open) }
+      assert(maxC == best, s"user $u")
+      assert(maxC >= 1 && maxC <= nIv)
+    }
+  }
+
+  test("intervalUnion: covered time replays a sequential coalesce; " +
+    "island and coverage bounds hold") {
+    val out = Analytics.intervalUnion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = eventStartsUs()
+    assert(out.length == byUser.size)
+    out.foreach { case (u, nIv, nIsl, covered) =>
+      val starts = byUser(u)
+      assert(nIv == starts.length)
+      // sequential coalesce over sorted starts (fixed 30-min length)
+      var islands = 0L; var cov = 0L
+      var curS = 0L; var curE = Long.MinValue
+      starts.foreach { t =>
+        if (t > curE) {
+          if (curE != Long.MinValue) cov += curE - curS
+          islands += 1; curS = t; curE = t + 1800000000L
+        } else curE = math.max(curE, t + 1800000000L)
+      }
+      if (curE != Long.MinValue) cov += curE - curS
+      assert(nIsl == islands && covered == cov, s"user $u")
+      assert(covered >= 1800000000L && covered <= 1800000000L * nIv)
+      assert(nIsl <= nIv)
+    }
+  }
 }

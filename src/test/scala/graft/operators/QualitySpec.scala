@@ -379,4 +379,35 @@ class QualitySpec extends SparkSpec {
     // a ~5% hash sample of a hash-uncorrelated dimension should fit
     assert(out.head.getBoolean(8), "hash sample failed homogeneity")
   }
+
+  test("skewGini: every candidate's Gini replays a sequential " +
+    "sorted-counts recompute; range and consistency laws hold") {
+    val out = Quality.skewGini(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    def expect(keys: Array[Long]) = {
+      val counts = keys.groupBy(identity).values.map(_.length.toLong)
+        .toArray.sorted
+      val n = counts.length.toLong
+      val sx = counts.sum
+      val six = counts.zipWithIndex
+        .map { case (x, i) => (i + 1) * x }.sum
+      (n, sx, 2 * six - (n + 1) * sx, n * sx)
+    }
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_partkey").collect()
+    val uid = Tables.events(spark, sfDir).select("user_id").collect()
+      .map(_.getLong(0))
+    val byName = Map(
+      "l_suppkey" -> expect(li.map(_.getLong(0))),
+      "l_partkey" -> expect(li.map(_.getLong(1))),
+      "user_id" -> expect(uid))
+    assert(out.length == 3)
+    out.foreach { case (name, nk, tot, num, den, ppm, g) =>
+      val (en, esx, enum_, eden) = byName(name)
+      assert((nk, tot, num, den) == (en, esx, enum_, eden), name)
+      assert(ppm == num * 1000000L / den && ppm >= 0 && ppm < 1000000L)
+      assert(g == num.toDouble / den.toDouble)
+    }
+  }
 }
