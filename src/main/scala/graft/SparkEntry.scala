@@ -278,6 +278,9 @@ object SparkEntry {
     // per-language floor + global-quality fill (two-level quota);
     // global rank via the bucketed core, quota from a 1-row broadcast
     "p_quota_fill" -> ((s, d) => Pipelines.quotaFill(s, d)),
+    // shard-rebalance audit: mod vs rendezvous-hash key movement when
+    // 16 shards grow to 17; one 17-way explode + max(struct) argmax
+    "p_shard_rebalance" -> (Pipelines.shardRebalance _),
     // survivorship merge after ER: one master row per entity cluster,
     // each attribute by its own deterministic rule (mode/max/min)
     "p_golden_record" -> (Pipelines.goldenRecord _),
@@ -313,6 +316,9 @@ object SparkEntry {
     // multi-source BFS hop distances, level-synchronous frontier
     // rounds; the oracle unrolls the same rounds as chained CTEs
     "graph_bfs_hops" -> ((s, d) => Graph.bfsHops(s, d)),
+    // weighted SSSP: 3 Bellman-Ford relaxation rounds, integer edge
+    // lengths 1e6 div sup; exact ≤-3-edge shortest distances
+    "graph_sssp" -> ((s, d) => Graph.sssp(s, d)),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -346,6 +352,12 @@ object SparkEntry {
     "dq_order_violations" -> (Quality.orderingViolations _),
     // candidate-key uniqueness audit over single + composite keys
     "dq_key_discovery" -> (Quality.keyDiscovery _),
+    // sort-free sequence-gap audit: min/max/count arithmetic + a
+    // shifted self anti join for run starts — no window, no lag
+    "dq_id_gaps" -> (Quality.idGaps _),
+    // CBO join-size audit: exact Σ cl·cr off ndv-sized count tables
+    // vs the |L|·|R|/max(ndv) uniform estimate, div-ppm error
+    "dq_join_card" -> (Quality.joinCard _),
     "dq_referential" -> (Quality.referentialAudit _),
     // confusion matrix + rational Cohen's kappa: langId vs labels
     "dq_agreement_kappa" -> (Quality.agreementKappa _),
@@ -1325,6 +1337,108 @@ object SparkEntry {
         |UNION ALL SELECT node, 2 FROM f2
         |UNION ALL SELECT node, 3 FROM f3
         |ORDER BY node""".stripMargin,
+    "graph_sssp" ->
+      // the same Bellman-Ford relaxation rounds unrolled: d_k holds
+      // the exact shortest distance among paths of ≤ k edges
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ed AS (SELECT x.pk AS a, y.pk AS b, count(*) AS sup FROM li x
+        |  JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS src, b AS dst, 1000000 // sup AS w FROM ed
+        |  UNION ALL SELECT b, a, 1000000 // sup FROM ed),
+        |d0 AS (SELECT DISTINCT src AS node,
+        |    CAST(0 AS BIGINT) AS dist FROM sym WHERE src % 50 = 0),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL SELECT s.dst, d.dist + s.w FROM d0 d
+        |    JOIN sym s ON d.node = s.src) GROUP BY 1),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1
+        |  UNION ALL SELECT s.dst, d.dist + s.w FROM d1 d
+        |    JOIN sym s ON d.node = s.src) GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2
+        |  UNION ALL SELECT s.dst, d.dist + s.w FROM d2 d
+        |    JOIN sym s ON d.node = s.src) GROUP BY 1)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+        |ORDER BY node""".stripMargin,
+    "p_shard_rebalance" ->
+      // independent argmax path: row_number over (h desc, s desc)
+      """WITH ks AS (SELECT c_custkey AS k FROM customer),
+        |ex AS (SELECT k, s,
+        |    ((k * 2654435761 + s * 2246822519) % 1000000007
+        |      * 48271) % 1000000007 AS h
+        |  FROM ks, (SELECT unnest(range(17)) AS s)),
+        |a16 AS (SELECT k, s AS hrw16 FROM (
+        |  SELECT k, s, row_number() OVER (PARTITION BY k
+        |    ORDER BY h DESC, s DESC) AS rn FROM ex WHERE s < 16)
+        |  WHERE rn = 1),
+        |a17 AS (SELECT k, s AS hrw17 FROM (
+        |  SELECT k, s, row_number() OVER (PARTITION BY k
+        |    ORDER BY h DESC, s DESC) AS rn FROM ex)
+        |  WHERE rn = 1),
+        |j AS (SELECT a16.k, hrw16, hrw17 FROM a16
+        |  JOIN a17 ON a16.k = a17.k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN k % 16 <> k % 17 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS moved_mod,
+        |  CAST(sum(CASE WHEN k % 16 <> k % 17 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS moved_mod_ppm,
+        |  CAST(sum(CASE WHEN hrw16 <> hrw17 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS moved_hrw,
+        |  CAST(sum(CASE WHEN hrw16 <> hrw17 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS moved_hrw_ppm
+        |FROM j""".stripMargin,
+    "dq_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT event_type, event_id AS id
+        |  FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_ids,
+        |    min(id) AS id_min, max(id) AS id_max,
+        |    CAST(max(id) - min(id) + 1 - count(*) AS BIGINT)
+        |      AS n_missing
+        |  FROM ids GROUP BY 1),
+        |g AS (SELECT x.event_type,
+        |    CAST(count(*) - 1 AS BIGINT) AS n_gap_runs
+        |  FROM ids x LEFT JOIN ids y
+        |    ON x.event_type = y.event_type AND x.id = y.id + 1
+        |  WHERE y.id IS NULL GROUP BY 1)
+        |SELECT st.event_type, n_ids, id_min, id_max, n_missing,
+        |  n_gap_runs
+        |FROM st JOIN g ON st.event_type = g.event_type
+        |ORDER BY 1""".stripMargin,
+    "dq_join_card" -> {
+      def block(name: String, lsel: String, rsel: String) =
+        s"""SELECT '$name' AS join_key, n_left, ndv_left, n_right,
+           |  ndv_right, exact_rows,
+           |  n_left * n_right
+           |    // greatest(ndv_left, ndv_right) AS est_rows,
+           |  abs(n_left * n_right
+           |      // greatest(ndv_left, ndv_right) - exact_rows)
+           |    * 1000000 // exact_rows AS err_ppm
+           |FROM
+           |  (SELECT CAST(count(*) AS BIGINT) AS n_left,
+           |     CAST(count(DISTINCT k) AS BIGINT) AS ndv_left
+           |   FROM ($lsel)),
+           |  (SELECT CAST(count(*) AS BIGINT) AS n_right,
+           |     CAST(count(DISTINCT k) AS BIGINT) AS ndv_right
+           |   FROM ($rsel)),
+           |  (SELECT CAST(coalesce(sum(cl * cr), 0) AS BIGINT)
+           |     AS exact_rows
+           |   FROM (SELECT k, count(*) AS cl FROM ($lsel) GROUP BY 1) l
+           |   JOIN (SELECT k, count(*) AS cr FROM ($rsel) GROUP BY 1) r
+           |   ON l.k = r.k)
+           |""".stripMargin
+      block("orderkey", "SELECT l_orderkey AS k FROM lineitem",
+        "SELECT o_orderkey AS k FROM orders") +
+        "UNION ALL " +
+        block("partkey", "SELECT l_partkey AS k FROM lineitem",
+          "SELECT p_partkey AS k FROM part") +
+        "UNION ALL " +
+        block("suppkey", "SELECT l_suppkey AS k FROM lineitem",
+          "SELECT s_suppkey AS k FROM supplier") +
+        "ORDER BY join_key"
+    },
     "graph_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pp AS (

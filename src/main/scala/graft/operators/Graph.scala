@@ -310,8 +310,15 @@ object Graph {
     * reports their cold build.
     */
   private def pooledEdges(s: SparkSession, dir: String): DataFrame =
+    pooledWeighted(s, dir).select("a", "b")
+
+  /** The pooled build keeps the support column so weighted consumers
+    * (SSSP) share the same cached table as the unweighted ones —
+    * dropping `sup` is a free row-local projection on top.
+    */
+  private def pooledWeighted(s: SparkSession, dir: String): DataFrame =
     graft.CachePool.cached(s, s"graph.coPurchase:$dir") {
-      coPurchaseEdges(s, dir)
+      coPurchaseWeighted(s, dir)
     }
 
   /** Global clustering coefficient: 3·triangles / wedges — how much
@@ -388,6 +395,10 @@ object Graph {
     * raw co-occurrence graph for specs that want density.
     */
   private[operators] def coPurchaseEdges(s: SparkSession, dir: String,
+      minSupport: Int = 2): DataFrame =
+    coPurchaseWeighted(s, dir, minSupport).select("a", "b")
+
+  private[operators] def coPurchaseWeighted(s: SparkSession, dir: String,
       minSupport: Int = 2): DataFrame = {
     // distinct FIRST: support counts co-occurring ORDERS, so an order
     // that carries the same part on two lines must contribute one —
@@ -407,7 +418,6 @@ object Graph {
       .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
-      .select(col("a"), col("b"))
   }
 
   /** Link prediction by the resource-allocation index (Zhou, Lü &
@@ -485,6 +495,43 @@ object Graph {
     graft.CachePool.cached(s, s"graph_bfs:$dir:$rounds") {
       bfsHopsEdges(pooledEdges(s, dir), rounds)
     }
+
+  /** Weighted single-source shortest paths by `rounds` Bellman–Ford
+    * relaxations over the co-purchase graph — BFS's weighted sibling.
+    * Edge length is 1000000 div sup (integer: strong co-purchase =
+    * short edge), so path lengths are exact BIGINT sums and min() is
+    * deterministic under any partitioning. After round r the table
+    * holds the EXACT shortest distance among paths of ≤ r edges (the
+    * Bellman–Ford invariant) — the declared semantics, which the
+    * DuckDB oracle replays as r unrolled CTE rounds. Each round is
+    * one dist ⋈ edges shuffle + one min groupBy (O(E) per round, the
+    * distributed-SSSP standard — Pregel without the framework), with
+    * a localCheckpoint lineage cut per round like pagerank/LPA/BFS.
+    * Same seed convention as BFS (node % 50 == 0).
+    */
+  def sssp(s: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    graft.CachePool.cached(s, s"graph_sssp:$dir:$rounds") {
+      ssspEdges(pooledWeighted(s, dir), rounds)
+    }
+
+  private[operators] def ssspEdges(e: DataFrame, rounds: Int)
+      : DataFrame = {
+    val w = expr("1000000L div sup").as("w")
+    val sym = e.select(col("a").as("src"), col("b").as("dst"), w)
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst"), w))
+    var dist = sym.select(col("src").as("node")).distinct()
+      .filter(col("node") % 50 === 0)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(sym, dist("node") === sym("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy("node")
+  }
 
   /** The frontier loop over any distinct undirected edge set (a < b) —
     * split out so specs can drive it with hand-built graphs.

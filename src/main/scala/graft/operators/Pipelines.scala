@@ -590,4 +590,42 @@ object Pipelines {
         lit("fill").as("reason"))
     floor.unionByName(fill).orderBy("doc_id")
   }
+
+  /** Shard-rebalance audit: when a 16-shard layout grows to 17, what
+    * fraction of keys MOVE under (a) mod-hash placement and (b)
+    * rendezvous (highest-random-weight) hashing — the consistent-
+    * hashing argument, measured instead of asserted. Mod placement
+    * moves ~15/16 of all keys (every key whose residues differ);
+    * HRW moves exactly the keys the NEW shard wins (~1/17), because
+    * the argmax over a superset changes only when the added element
+    * is the new max — the minimal-disruption property that matters
+    * when each "key" is a terabyte partition.
+    *
+    * The weight h(k, s) is two multiplicative-mix rounds mod the
+    * prime 2³¹−…(1000000007), all BIGINT-exact for keys < ~3.4e9 —
+    * both assignments come off ONE 17-way explode (a constant
+    * multiplier) and one max(struct) groupBy; ties break to the
+    * higher shard id by the struct order (unreachable in practice,
+    * declared for totality).
+    */
+  def shardRebalance(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+      .select(col("k"), explode(expr("sequence(0L, 16L)")).as("s"))
+      .withColumn("h", expr("((k * 2654435761L + s * 2246822519L)" +
+        " % 1000000007L * 48271L) % 1000000007L"))
+    val asg = ex.groupBy("k")
+      .agg(max(when(col("s") < 16, struct(col("h"), col("s"))))
+          .as("w16"),
+        max(struct(col("h"), col("s"))).as("w17"))
+      .select(col("k"), col("w16.s").as("hrw16"), col("w17.s").as("hrw17"))
+    asg.agg(count(lit(1)).as("n_keys"),
+        sum(when(expr("k % 16 != k % 17"), 1L).otherwise(0L))
+          .as("moved_mod"),
+        sum(when(col("hrw16") =!= col("hrw17"), 1L).otherwise(0L))
+          .as("moved_hrw"))
+      .select(col("n_keys"), col("moved_mod"),
+        expr("moved_mod * 1000000L div n_keys").as("moved_mod_ppm"),
+        col("moved_hrw"),
+        expr("moved_hrw * 1000000L div n_keys").as("moved_hrw_ppm"))
+  }
 }

@@ -779,4 +779,75 @@ object Quality {
         Tables.events(s, dir).select(col("user_id").as("k"))))
       .orderBy("key_col")
   }
+
+  /** Sequence-gap audit WITHOUT sorting: per event type, how many ids
+    * of the type's id range are missing and how many missing RUNS
+    * there are — the "did the extractor drop records" check over a
+    * sequence-numbered feed. The classic lag(id) formulation sorts
+    * every type's ids in one task; this one never orders anything:
+    * missing count is pure min/max/count arithmetic, and run count is
+    * a SHIFTED SELF ANTI JOIN — an id opens a run iff id−1 is absent
+    * — minus 1 for the range minimum (which has no predecessor by
+    * construction, not by loss). Both are plain equi shuffles that
+    * scale like the groupBy they ride on.
+    */
+  def idGaps(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id").as("id")).distinct()
+    val stats = ids.groupBy("event_type")
+      .agg(count(lit(1)).as("n_ids"), min("id").as("id_min"),
+        max("id").as("id_max"))
+      .withColumn("n_missing",
+        col("id_max") - col("id_min") + 1 - col("n_ids"))
+    val runStarts = ids.as("x").join(ids.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.id") === col("y.id") + 1, "left_anti")
+      .groupBy("event_type")
+      .agg((count(lit(1)) - 1).as("n_gap_runs"))
+    stats.join(runStarts, "event_type")
+      .select(col("event_type"), col("n_ids"), col("id_min"),
+        col("id_max"), col("n_missing"), col("n_gap_runs"))
+      .orderBy("event_type")
+  }
+
+  /** Join-cardinality estimation audit — the cost-based-optimizer
+    * primitive, measured: for each FK join the EXACT output size
+    * computed WITHOUT executing the join (Σ_k count_l(k)·count_r(k)
+    * over the two per-key count tables — an ndv-sized join instead
+    * of a fact-sized one) against the textbook CBO estimate
+    * |L|·|R| / max(ndv_L, ndv_R) (the uniform-frequency,
+    * containment-assumption formula Spark's own stats use). The
+    * error column is the number that says how much a skewed key
+    * breaks the uniformity assumption — exactly what AQE exists to
+    * catch at runtime.
+    */
+  def joinCard(s: SparkSession, dir: String): DataFrame = {
+    def one(name: String, l: DataFrame, r: DataFrame): DataFrame = {
+      val cl = l.groupBy("k").agg(count(lit(1)).as("cl"))
+      val cr = r.groupBy("k").agg(count(lit(1)).as("cr"))
+      val exact = cl.join(cr, "k")
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))
+          .as("exact_rows"))
+      cl.agg(sum(col("cl")).as("n_left"),
+          count(lit(1)).as("ndv_left"))
+        .crossJoin(cr.agg(sum(col("cr")).as("n_right"),
+          count(lit(1)).as("ndv_right")))
+        .crossJoin(exact)
+        .select(lit(name).as("join_key"), col("n_left"),
+          col("ndv_left"), col("n_right"), col("ndv_right"),
+          col("exact_rows"),
+          expr("n_left * n_right div greatest(ndv_left, ndv_right)")
+            .as("est_rows"))
+        .withColumn("err_ppm",
+          expr("abs(est_rows - exact_rows) * 1000000L div exact_rows"))
+    }
+    val li = Tables.lineitem(s, dir)
+    one("orderkey", li.select(col("l_orderkey").as("k")),
+        Tables.orders(s, dir).select(col("o_orderkey").as("k")))
+      .unionAll(one("partkey", li.select(col("l_partkey").as("k")),
+        Tables.part(s, dir).select(col("p_partkey").as("k"))))
+      .unionAll(one("suppkey", li.select(col("l_suppkey").as("k")),
+        Tables.supplier(s, dir).select(col("s_suppkey").as("k"))))
+      .orderBy("join_key")
+  }
 }

@@ -178,4 +178,32 @@ class CurationSpec extends SparkSpec {
       if (d == n) assert(ttr == 1000000L)
     }
   }
+
+  test("shardRebalance: both movement counts replay sequentially; " +
+    "HRW moves exactly the keys shard 16 wins, far fewer than mod") {
+    val out = Pipelines.shardRebalance(spark, sfDir).collect().head
+    val keys = Tables.customer(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0))
+    def h(k: Long, s: Long): Long =
+      (k * 2654435761L + s * 2246822519L) % 1000000007L *
+        48271L % 1000000007L
+    def hrw(k: Long, shards: Int): Long =
+      (0L until shards.toLong).maxBy(s => (h(k, s), s))
+    val movedMod = keys.count(k => k % 16 != k % 17).toLong
+    val movedHrw = keys.count(k => hrw(k, 16) != hrw(k, 17)).toLong
+    assert(out.getLong(0) == keys.length.toLong)
+    assert(out.getLong(1) == movedMod)
+    assert(out.getLong(3) == movedHrw)
+    assert(out.getLong(2) == movedMod * 1000000L / keys.length)
+    assert(out.getLong(4) == movedHrw * 1000000L / keys.length)
+    // minimal-disruption law: a key moves under HRW iff the NEW
+    // shard wins it — argmax over a superset changes only then
+    keys.foreach { k =>
+      if (hrw(k, 16) != hrw(k, 17)) assert(hrw(k, 17) == 16L)
+    }
+    assert(movedHrw < movedMod, "HRW lost its minimal-disruption edge")
+    // and the expected magnitudes: ~1/17 vs ~15/16
+    assert(movedHrw.toDouble / keys.length < 0.2)
+    assert(movedMod.toDouble / keys.length > 0.8)
+  }
 }

@@ -252,4 +252,42 @@ class GraphSpec extends SparkSpec {
       assert(s <= math.min(ca, cb)) // co-occurrence bounded by counts
     }
   }
+
+  test("ssspEdges: a cheap 2-edge path beats an expensive direct " +
+    "edge; the ≤-rounds invariant caps path length") {
+    val s = spark
+    import s.implicits._
+    // seed 50; edge weights are 1e6 div sup:
+    //   50-1 sup 1 (w 1e6), 50-2 sup 10 (w 1e5), 2-1 sup 10 (w 1e5)
+    //   1-3 sup 10 (w 1e5): 3 is reachable in 3 edges via 50-2-1-3
+    //   3-4 sup 10: 4 needs 4 edges on the cheap path, 0 direct —
+    //   at rounds=3 its best ≤3-edge path goes 50-1-3-4 (1e6+2e5)
+    val e = Seq((50L, 1L, 1L), (50L, 2L, 10L), (2L, 1L, 10L),
+      (1L, 3L, 10L), (3L, 4L, 10L)).toDF("a", "b", "sup")
+    val out = Graph.ssspEdges(e, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(50L -> 0L, 2L -> 100000L, 1L -> 200000L,
+      3L -> 300000L, 4L -> 1200000L))
+    // one more round relaxes 4 onto the all-cheap path
+    val more = Graph.ssspEdges(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == out + (4L -> 400000L))
+  }
+
+  test("sssp: seeds at 0; reach set equals BFS ≤3 hops; every " +
+    "distance is within [minW·hops, maxW·hops] of its BFS hop count") {
+    val dist = Graph.sssp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hops = Graph.bfsHops(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dist.keySet == hops.keySet) // positive weights: same reach
+    assert(dist.filter(_._2 == 0L).keySet ==
+      hops.filter(_._2 == 0).keySet)
+    dist.foreach { case (n, d) =>
+      val h = hops(n).toLong
+      // any path has ≥ h edges, each edge weight ∈ [1, 500000]
+      assert(d >= h && (h == 0 || d >= 1), s"node $n")
+      if (h > 0) assert(d <= 500000L * 3, s"node $n") // ≤3 edges used
+    }
+  }
 }

@@ -410,4 +410,59 @@ class QualitySpec extends SparkSpec {
       assert(g == num.toDouble / den.toDouble)
     }
   }
+
+  test("idGaps: missing counts and run counts replay a sorted " +
+    "sequential scan; arithmetic laws hold") {
+    val out = Quality.idGaps(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1)
+    assert(out.length == byType.size)
+    out.foreach { case (t, nIds, lo, hi, miss, runs) =>
+      val ids = byType(t).map(_._2).distinct.sorted
+      assert(nIds == ids.length && lo == ids.head && hi == ids.last)
+      assert(miss == hi - lo + 1 - nIds)
+      val expRuns = ids.sliding(2).count {
+        case Array(a, b) => b > a + 1; case _ => false }
+      assert(runs == expRuns, t)
+      assert(runs <= miss) // every run has ≥1 missing id
+      assert(miss == 0 == (runs == 0))
+    }
+    // the per-type slices of a shared dense id space MUST have gaps
+    assert(out.map(_._5).sum > 0, "fixture unexpectedly gapless")
+  }
+
+  test("joinCard: exact sizes equal the materialized joins; the CBO " +
+    "estimate replays; FK joins make exact = |lineitem|") {
+    val out = Quality.joinCard(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val li = Tables.lineitem(spark, sfDir)
+    val nLi = li.count()
+    val byKey = Map(
+      "orderkey" -> (li.select("l_orderkey"),
+        Tables.orders(spark, sfDir).select("o_orderkey")),
+      "partkey" -> (li.select("l_partkey"),
+        Tables.part(spark, sfDir).select("p_partkey")),
+      "suppkey" -> (li.select("l_suppkey"),
+        Tables.supplier(spark, sfDir).select("s_suppkey")))
+    assert(out.map(_._1).toSeq == byKey.keys.toSeq.sorted)
+    out.foreach { case (name, nl, ndvl, nr, ndvr, exact, est, err) =>
+      val (l, r) = byKey(name)
+      val lk = l.collect().map(_.getLong(0))
+      val rk = r.collect().map(_.getLong(0))
+      assert((nl, ndvl) == (lk.length.toLong, lk.distinct.length.toLong))
+      assert((nr, ndvr) == (rk.length.toLong, rk.distinct.length.toLong))
+      // ground truth: the actually-materialized join size
+      val rCnt = rk.groupBy(identity).view.mapValues(_.length).toMap
+      val trueSize = lk.map(k => rCnt.getOrElse(k, 0).toLong).sum
+      assert(exact == trueSize && exact == nLi) // FK: every line hits
+      assert(est == nl * nr / math.max(ndvl, ndvr))
+      assert(err == math.abs(est - exact) * 1000000L / exact)
+    }
+  }
 }
