@@ -142,6 +142,10 @@ object SparkEntry {
     // streaming one-sided CUSUM drift alarm: four longs of TWS state
     // per key, integer-exact; oracle replays the closed form
     "stream_cusum" -> (graft.streaming.StreamingAnalogs.feedCusum _),
+    // streaming open-interval concurrency: priority-queue state of
+    // open ends, logical event-time sweep (deterministic, no timers)
+    "stream_concurrency" ->
+      (graft.streaming.StreamingAnalogs.feedConcurrency _),
     // streaming point-in-time enrichment: stream-static temporal join
     // against a versioned dim — the serving twin of p_pit_lookup
     "stream_pit_enrich" ->
@@ -246,6 +250,12 @@ object SparkEntry {
     // coalesced interval coverage per user (islands via running
     // max-end; covered µs exact integers)
     "st_interval_union" -> (Analytics.intervalUnion _),
+    // OHLC bars: open/close via min/max(struct) argmin — one
+    // aggregate pass, no window over raw events; exact integer cents
+    "st_ohlc" -> (Analytics.ohlcBars _),
+    // anchored-window funnel: signup → click ≤7d → purchase ≤7d of
+    // the click; each stage one argmin, conversions exact div-ppm
+    "agg_funnel_windowed" -> (Analytics.funnelWindowed _),
     // additive trend/seasonal/residual decomposition; exact BIGINT
     // numerators, one division per emitted double
     "st_decompose" -> (Analytics.decompose _),
@@ -615,6 +625,8 @@ object SparkEntry {
       "mv_incremental_refresh" + // builder writes base + merges the delta
       "mv_join_delta" + // builder materializes the stored join view
       "graph_bfs_hops" + // builder runs the frontier-round jobs
+      "graph_sssp" + // builder runs the relaxation-round jobs
+      "stream_concurrency" + // AvailableNow drain, TWS open-ends state
       "agg_kmv_overlap" + // builder collects the per-group sketches
       "agg_cms_pointq" + // builder merges day sketches (O(days) rows)
       "s_partition_prune" // builder writes the events_by_day layout (once)
@@ -1390,6 +1402,46 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN hrw16 <> hrw17 THEN 1 ELSE 0 END)
         |    * 1000000 // count(*) AS BIGINT) AS moved_hrw_ppm
         |FROM j""".stripMargin,
+    "st_ohlc" ->
+      // independent argmin path: row_number both directions
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    epoch_us(ts) AS t, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, day, cents,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY t, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY t DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+        |    AS open_cents,
+        |  CAST(max(cents) AS BIGINT) AS high_cents,
+        |  CAST(min(cents) AS BIGINT) AS low_cents,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+        |    AS close_cents,
+        |  CAST(sum(cents) AS BIGINT) AS vol_cents
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |s AS (SELECT user_id, min(t) AS signup_t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT s.user_id, min(e.t) AS click_t FROM s
+        |  JOIN ev e ON e.user_id = s.user_id
+        |    AND e.event_type = 'click' AND e.t >= s.signup_t
+        |    AND e.t < s.signup_t + 604800000000 GROUP BY 1),
+        |p AS (SELECT c.user_id, min(e.t) AS purchase_t FROM c
+        |  JOIN ev e ON e.user_id = c.user_id
+        |    AND e.event_type = 'purchase' AND e.t >= c.click_t
+        |    AND e.t < c.click_t + 604800000000 GROUP BY 1)
+        |SELECT n_signup, n_click_7d, n_purchase_7d,
+        |  n_click_7d * 1000000 // n_signup AS conv1_ppm,
+        |  n_purchase_7d * 1000000 // n_click_7d AS conv2_ppm
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n_signup FROM s),
+        |  (SELECT CAST(count(*) AS BIGINT) AS n_click_7d FROM c),
+        |  (SELECT CAST(count(*) AS BIGINT) AS n_purchase_7d FROM p)
+        |""".stripMargin,
     "dq_id_gaps" ->
       """WITH ids AS (SELECT DISTINCT event_type, event_id AS id
         |  FROM events),
@@ -3438,6 +3490,30 @@ object SparkEntry {
         |    AS cusum_peak,
         |  CAST(MAX(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS peak_id
         |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+    "stream_concurrency" ->
+      // generator replay: open(i) = |{j : t_j ≤ t_i < t_j + len_j}|
+      // per kind (relative micros — the epoch constant cancels in
+      // every comparison); final = intervals outliving the last event
+      """WITH feed AS (
+        |  SELECT range AS id,
+        |    CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END
+        |      AS kind,
+        |    range * 60000000 AS t,
+        |    (1 + (range * 2654435761) % 30) * 60000000 AS len
+        |  FROM range(5000)),
+        |o AS (SELECT i.kind, i.id, count(*) AS open
+        |  FROM feed i JOIN feed j ON j.kind = i.kind
+        |    AND j.t <= i.t AND i.t < j.t + j.len
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT kind, max(t) AS tl FROM feed GROUP BY 1),
+        |fin AS (SELECT f.kind,
+        |    CAST(sum(CASE WHEN f.t + f.len > mx.tl THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS open_final
+        |  FROM feed f JOIN mx ON f.kind = mx.kind GROUP BY 1)
+        |SELECT o.kind, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(open) AS BIGINT) AS max_open, fin.open_final
+        |FROM o JOIN fin ON o.kind = fin.kind
+        |GROUP BY o.kind, fin.open_final ORDER BY o.kind""".stripMargin,
     "stream_sliding_distinct" ->
       // generator replay: the retained window set (day > max − 7 per
       // kind) and each day's trailing-7 exact windowed distinct

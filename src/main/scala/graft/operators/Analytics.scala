@@ -1253,4 +1253,79 @@ object Analytics {
         sum(col("covered")).as("covered_us"))
       .orderBy("user_id")
   }
+
+  /** OHLC downsampling: per (event_type, day) the opening value,
+    * high, low, closing value, count, and volume — the time-series
+    * bar primitive (financial candles, telemetry rollups). Open and
+    * close are argmin/argmax under the (ts, event_id) total order —
+    * each ONE map-side-combining min/max(struct) inside the same
+    * groupBy as the extremes and the volume sum, so the whole bar
+    * table is a single aggregate pass (never a window over raw
+    * events, which would sort each group). Values enter as exact
+    * integer cents (round(v·100), the repo's scaled-int convention),
+    * so every column is BIGINT-deterministic under any partitioning.
+    */
+  def ohlcBars(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("t_us"), col("event_id"), col("cents")))
+          .getField("cents").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("t_us"), col("event_id"), col("cents")))
+          .getField("cents").as("close_cents"),
+        sum(col("cents")).as("vol_cents"))
+      .orderBy("event_type", "day")
+
+  /** Time-constrained funnel: signup → first click within 7 days of
+    * the signup → first purchase within 7 days of THAT click, per
+    * user — the windowed form of agg_funnel (which only orders the
+    * stages). The anchored-window semantics is the one marketing /
+    * activation analytics actually defines: each stage's clock
+    * starts at the PREVIOUS stage's attained event, so a late click
+    * can still convert while an early purchase before the click
+    * counts for nothing.
+    *
+    * Every stage is one argmin: the user's first signup
+    * (min(struct(ts, id))), then the first in-window click (equi
+    * join on user + band FILTER — clicks per user are bounded, so
+    * the band never becomes a non-equi join plan), then the first
+    * in-window purchase. Rollup emits stage counts and exact
+    * div-ppm conversion rates.
+    */
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+    val week = 7L * 86400000000L
+    def firstOf(df: DataFrame, tpe: String, out: String): DataFrame =
+      df.filter(col("event_type") === tpe)
+        .groupBy("user_id")
+        .agg(min(struct(col("t"), col("event_id")))
+          .getField("t").as(out))
+    val signup = firstOf(ev, "signup", "signup_t")
+    val click = signup
+      .join(ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t")), Seq("user_id"))
+      .filter(col("t") >= col("signup_t") &&
+        col("t") < col("signup_t") + week)
+      .groupBy("user_id").agg(min(col("t")).as("click_t"))
+    val purchase = click
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t")), Seq("user_id"))
+      .filter(col("t") >= col("click_t") &&
+        col("t") < col("click_t") + week)
+      .groupBy("user_id").agg(min(col("t")).as("purchase_t"))
+    signup.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(click.agg(count(lit(1)).as("n_click_7d")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_7d")))
+      .select(col("n_signup"), col("n_click_7d"), col("n_purchase_7d"),
+        expr("n_click_7d * 1000000L div n_signup").as("conv1_ppm"),
+        expr("n_purchase_7d * 1000000L div n_click_7d")
+          .as("conv2_ppm"))
+  }
 }

@@ -1300,4 +1300,95 @@ object StreamingAnalogs {
       .select(col("kind"), col("day"), col("n_users_7d"))
       .orderBy("kind", "day")
   }
+
+  /** Streaming open-interval concurrency per key — the ONLINE twin of
+    * Analytics.concurrency, generalized to VARIABLE interval lengths
+    * (each event opens an interval of 1 + hash(id) % 30 minutes), so
+    * expiries complete out of order and the state must be the set of
+    * open interval ENDS (a priority queue), not a counter or a single
+    * max-end. State per key is bounded by the key's PEAK concurrency
+    * — exactly the number this operator reports — never by stream
+    * length.
+    *
+    * Determinism note (why a logical sweep, not event-time timers):
+    * physical timer firing depends on watermark cadence, i.e. on
+    * micro-batch layout — an operator whose MAX depends on when the
+    * engine fires callbacks is not replayable. Here expiry is applied
+    * LOGICALLY at each event's own timestamp (pop ends ≤ ts before
+    * pushing, the half-open convention) while folding in id order, so
+    * the result is a pure function of the stream and the DuckDB
+    * oracle replays it from the generator: open(i) =
+    * |{j : ts_j ≤ ts_i < ts_j + len_j}| within the key.
+    */
+  class OpenIntervalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long, Long), (String, Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Seq[Long], Long, Long)] = _ // (open ends, n_events, max_open)
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Seq[Long], Long, Long)]("open",
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Seq[Long], Long, Long)](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long, Long)] = {
+      val buf = rows.toArray.sortBy(_._2) // id order = ts order
+      var (open, n, maxOpen) =
+        if (st.exists()) st.get() else (Seq.empty[Long], 0L, 0L)
+      buf.foreach { case (_, _, startUs, endUs) =>
+        open = open.filter(_ > startUs) :+ endUs // pop ≤ ts, push
+        n += 1
+        if (open.size > maxOpen) maxOpen = open.size.toLong
+      }
+      st.update((open, n, maxOpen))
+      Iterator((key, n, maxOpen, open.size.toLong))
+    }
+  }
+
+  def openIntervalTws(rows: Dataset[(String, Long, Long, Long)])
+      : Dataset[(String, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_._1)
+      .transformWithState(new OpenIntervalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Driver-checked gate query for the streaming concurrency: per
+    * kind the event count, the peak number of simultaneously open
+    * intervals, and how many are still open after the last event —
+    * all BIGINT, hash-exact vs the generator-replay pair count (see
+    * OpenIntervalProcessor).
+    */
+  def feedConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_conc"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    import s.implicits._
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      .select(col("kind"), col("id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) +
+          (lit(1L) + (col("id") * lit(2654435761L)) % lit(30L))
+            * lit(60000000L)).as("end_us"))
+      .as[(String, Long, Long, Long)]
+    drainTwsToTable(s, base, openIntervalTws(feed)
+      .toDF("kind", "n_events", "max_open", "open_final"))
+    s.read.parquet(s"$base/table")
+      .select(col("kind"), col("n_events"), col("max_open"),
+        col("open_final"))
+      .orderBy("kind")
+  }
 }

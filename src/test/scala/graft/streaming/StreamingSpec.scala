@@ -238,6 +238,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("openIntervalTws: out-of-order expiries need the full open-end " +
+    "set; max and final replay a hand sweep across a batch boundary") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(String, Long, Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_conc_ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    // intervals (start, end): a long one [0, 100) outlives two short
+    // ones [10, 20) and [30, 40) — a plain counter or max-end scalar
+    // gets the pops wrong; then [95, 99) overlaps only the long one
+    val q = StreamingAnalogs.openIntervalTws(input.toDS())
+      .toDF("kind", "n_events", "max_open", "open_final")
+      .writeStream.format("memory").queryName("conc_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      input.addData(Seq(("a", 0L, 0L, 100L), ("a", 1L, 10L, 20L)))
+      q.processAllAvailable()
+      input.addData(Seq(("a", 2L, 30L, 40L), ("a", 3L, 95L, 99L),
+        ("a", 4L, 200L, 210L)))
+      q.processAllAvailable()
+      val r = s.table("conc_out")
+        .collect().map(x => (x.getString(0), x.getLong(1),
+          x.getLong(2), x.getLong(3))).toSet
+      // sweep: open after each event = 1, 2 | 2, 2, 1 — max 2; the
+      // last interval [200,210) starts after everything expired
+      assert(r == Set(("a", 2L, 2L, 2L), ("a", 5L, 2L, 1L)))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("runningCusumTws: the streamed fold equals the closed-form " +
     "reflection replay, peak ties keep the first id, and the " +
     "max(0,·) floor actually fires") {
