@@ -576,13 +576,17 @@ object Aggregates {
       col("ts").cast("date").as("day"),
       (pmod(col("event_id") * lit(2654435761L), lit(16L)) === 0L)
         .as("in_sample"))
-    // one pass: per (type, day) exact and sample counts
+    // one pass: per (type, day) exact and sample counts; the day
+    // totals are a WINDOW over the cells aggregate (|types| rows per
+    // day partition — bounded), not a re-join, so the whole audit is
+    // literally one scan of the fact table
     val cells = ev.groupBy("event_type", "day")
       .agg(count(lit(1)).as("n_cell"),
         sum(when(col("in_sample"), 1L).otherwise(0L)).as("s_cell"))
-    val dayTotals = cells.groupBy("day")
-      .agg(sum(col("n_cell")).as("n_day"), sum(col("s_cell")).as("s_day"))
-    val perType = cells.join(dayTotals, "day")
+    val byDay = Window.partitionBy("day")
+    val perType = cells
+      .withColumn("n_day", sum(col("n_cell")).over(byDay))
+      .withColumn("s_day", sum(col("s_cell")).over(byDay))
       .groupBy("event_type")
       .agg(sum(col("n_cell")).as("n_exact"),
         sum(col("s_cell")).as("n_sampled"),

@@ -770,4 +770,88 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastQueryStage"), p.take(2000))
     assert(!p.contains("Window"), p.take(1500))
   }
+
+  test("nearestJoin: the ±24h band is an EQUI hash join on (user, " +
+    "day) — never a range nested loop; argmin partial-aggregates") {
+    val p = plan(Advanced.nearestJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("partial_min"), p.take(3000)) // map-side argmin
+  }
+
+  test("bitmapDistinct: the word OR-fold partial-aggregates before " +
+    "its exchange (one row per occupied word crosses the wire)") {
+    val p = plan(Aggregates.bitmapDistinct(spark, sfDir))
+    assert(p.contains("partial_bit_or") || p.contains("partial_first") ||
+      ("partial".r.findAllIn(p).size >= 2 && p.contains("bit_or")),
+      p.take(3000))
+    assert(!p.contains("Expand"), p.take(1500)) // not a count_distinct
+  }
+
+  test("geo cellJoin: equi hash join on the cell key — never a " +
+    "cartesian/BNLJ distance scan") {
+    val p = plan(Geo.cellJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("HashJoin"), p.take(1500))
+  }
+
+  test("interval algebra: every window partitions by user_id — no " +
+    "single-partition (global) window") {
+    Seq(Analytics.concurrency(spark, sfDir),
+        Analytics.intervalUnion(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("SinglePartition"), p.take(2000))
+      assert(p.contains("Window"), p.take(1500))
+    }
+  }
+
+  test("ohlcBars: ONE aggregate pass, no window, argmins partial") {
+    val p = plan(Analytics.ohlcBars(spark, sfDir))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      p.take(3000))
+  }
+
+  test("funnelWindowed: every stage join is an equi join on user_id " +
+    "(bands are filters), no cartesian except the 1-row rollup") {
+    val p = plan(Analytics.funnelWindowed(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the rollup's 1-row cross joins plan as BNLJ — demand exactly
+    // the two rollup NODES ("(n) BNLJ" detail lines), none in the
+    // stage chain; the stage hops must be hash joins
+    assert(p.linesIterator.count(
+      _.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 2,
+      p.take(2500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(1500))
+  }
+
+  test("aqpEstimate: exact, sampled, and stratified counts come off " +
+    "ONE events scan (single-scan audit)") {
+    val p = plan(Aggregates.aqpEstimate(spark, sfDir))
+    assert(scansOf(p, "events") == 1, p.take(2000))
+  }
+
+  test("skewGini: rank windows ride the bucketed core (bkt hash " +
+    "partitioning), never a single-partition window; joinCard has " +
+    "no window at all") {
+    val pg = plan(Quality.skewGini(spark, sfDir))
+    assert(pg.contains("Window"), pg.take(1500))
+    assert(pg.linesIterator.exists(l => l.contains("hashpartitioning(") &&
+      l.contains("bkt")), pg.take(2500))
+    // the only SinglePartition exchanges are the 1-row rollups — no
+    // Window may sit on one (window partition keys always include bkt)
+    assert(pg.linesIterator.filter(_.contains("Window"))
+      .forall(!_.contains("SinglePartition")), pg.take(2500))
+    val pj = plan(Quality.joinCard(spark, sfDir))
+    assert(!pj.contains("Window"), pj.take(1500))
+  }
+
+  test("idGaps: gap runs via an anti join — no window, no sort " +
+    "before the final presentation order") {
+    val p = plan(Quality.idGaps(spark, sfDir))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
 }
