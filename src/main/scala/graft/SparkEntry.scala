@@ -253,6 +253,9 @@ object SparkEntry {
     // OHLC bars: open/close via min/max(struct) argmin — one
     // aggregate pass, no window over raw events; exact integer cents
     "st_ohlc" -> (Analytics.ohlcBars _),
+    // MATCH_RECOGNIZE-lite: calendar-consecutive declining runs per
+    // series via day-arithmetic lag + the islands trick
+    "w_pattern_runs" -> (Analytics.patternRuns _),
     // anchored-window funnel: signup → click ≤7d → purchase ≤7d of
     // the click; each stage one argmin, conversions exact div-ppm
     "agg_funnel_windowed" -> (Analytics.funnelWindowed _),
@@ -291,6 +294,9 @@ object SparkEntry {
     // shard-rebalance audit: mod vs rendezvous-hash key movement when
     // 16 shards grow to 17; one 17-way explode + max(struct) argmax
     "p_shard_rebalance" -> (Pipelines.shardRebalance _),
+    // VACUUM planner: keep-last-2 + 365d guard per key; kept-by-count
+    // vs kept-by-time-only split; per-key windows
+    "p_retention_gc" -> ((s, d) => Pipelines.retentionGc(s, d)),
     // survivorship merge after ER: one master row per entity cluster,
     // each attribute by its own deterministic rule (mode/max/min)
     "p_golden_record" -> (Pipelines.goldenRecord _),
@@ -1402,6 +1408,60 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN hrw16 <> hrw17 THEN 1 ELSE 0 END)
         |    * 1000000 // count(*) AS BIGINT) AS moved_hrw_ppm
         |FROM j""".stripMargin,
+    "p_retention_gc" ->
+      """WITH v AS (SELECT o_custkey, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS vdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE) DESC,
+        |        o_orderkey DESC) AS vrank,
+        |    max(CAST(o_orderdate AS DATE)) OVER
+        |      (PARTITION BY o_custkey) AS newest
+        |  FROM orders),
+        |f AS (SELECT o_custkey, vdate, vrank <= 2 AS by_count,
+        |    vdate >= newest - 365 AS by_time FROM v)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_versions,
+        |  CAST(sum(CASE WHEN by_count OR by_time THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_keep,
+        |  CAST(sum(CASE WHEN NOT by_count AND NOT by_time
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gc,
+        |  CAST(sum(CASE WHEN by_time AND NOT by_count
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_by_time_only,
+        |  min(CASE WHEN by_count OR by_time THEN vdate END)
+        |    AS oldest_kept
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_pattern_runs" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS eday,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, eday, cnt,
+        |    lag(eday) OVER (PARTITION BY event_type ORDER BY eday)
+        |      AS pd,
+        |    lag(cnt) OVER (PARTITION BY event_type ORDER BY eday)
+        |      AS pc
+        |  FROM daily),
+        |fl AS (SELECT event_type, eday,
+        |    (pd = eday - 1 AND cnt < pc) AS declining FROM f),
+        |r AS (SELECT event_type, eday - row_number() OVER
+        |    (PARTITION BY event_type ORDER BY eday) AS grp
+        |  FROM fl WHERE declining),
+        |rl AS (SELECT event_type, grp, count(*) AS run_len
+        |  FROM r GROUP BY 1, 2),
+        |a1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN declining THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_declining_days
+        |  FROM fl GROUP BY 1),
+        |a2 AS (SELECT event_type,
+        |    CAST(max(run_len) AS BIGINT) AS longest_run,
+        |    CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_runs_ge3
+        |  FROM rl GROUP BY 1)
+        |SELECT a1.event_type, n_days, n_declining_days,
+        |  CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run,
+        |  CAST(coalesce(n_runs_ge3, 0) AS BIGINT) AS n_runs_ge3
+        |FROM a1 LEFT JOIN a2 ON a1.event_type = a2.event_type
+        |ORDER BY 1""".stripMargin,
     "st_ohlc" ->
       // independent argmin path: row_number both directions
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

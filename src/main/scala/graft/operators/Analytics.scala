@@ -1328,4 +1328,48 @@ object Analytics {
         expr("n_purchase_7d * 1000000L div n_click_7d")
           .as("conv2_ppm"))
   }
+
+  /** Consecutive-decline pattern detection per series — the
+    * MATCH_RECOGNIZE-lite primitive ("three down days in a row"),
+    * over per-type daily counts: a day is DECLINING when its count
+    * drops strictly below the previous CALENDAR day's (a gap in the
+    * day sequence breaks any run — lag is taken by day arithmetic,
+    * not row adjacency, so missing days can't fake continuity); runs
+    * come from the islands trick (epoch_day − row_number is constant
+    * exactly on calendar-consecutive declining days). Everything
+    * past the first groupBy is O(days·types) rows; windows partition
+    * by type, never globally.
+    */
+  def patternRuns(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("datediff(cast(ts as date), date '1970-01-01')")
+          .cast("long").as("eday"))
+      .groupBy("event_type", "eday")
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy("event_type").orderBy("eday")
+    val flagged = daily
+      .withColumn("prev_day", lag(col("eday"), 1).over(byType))
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(byType))
+      .withColumn("declining",
+        col("prev_day") === col("eday") - 1 && col("cnt") < col("prev_cnt"))
+    val runW = Window.partitionBy("event_type").orderBy("eday")
+    val runs = flagged.filter(col("declining"))
+      .withColumn("grp", col("eday") - row_number().over(runW))
+      .groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("run_len"))
+    flagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("declining"), 1L).otherwise(0L))
+          .as("n_declining_days"))
+      .join(runs.groupBy("event_type")
+          .agg(max(col("run_len")).as("longest_run"),
+            sum(when(col("run_len") >= 3, 1L).otherwise(0L))
+              .as("n_runs_ge3")),
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"), col("n_declining_days"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("n_runs_ge3"), lit(0L)).as("n_runs_ge3"))
+      .orderBy("event_type")
+  }
 }

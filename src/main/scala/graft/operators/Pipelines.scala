@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars._
@@ -627,5 +628,42 @@ object Pipelines {
         expr("moved_mod * 1000000L div n_keys").as("moved_mod_ppm"),
         col("moved_hrw"),
         expr("moved_hrw * 1000000L div n_keys").as("moved_hrw_ppm"))
+  }
+
+  /** Version-retention GC planner: under the lakehouse policy "keep
+    * the newest `keepLast` versions per key, plus anything within
+    * `guardDays` of the key's newest version", how much of each key's
+    * history is reclaimable — the VACUUM work-list computation, done
+    * as a plan instead of a metadata walk (orders stand in as the
+    * per-customer version chain). A version is kept iff EITHER rule
+    * holds; the two kept-counts are emitted separately (by-count vs
+    * by-time-only) because the policy knobs are tuned from exactly
+    * that split. All windows partition by key; version rank uses the
+    * (date, orderkey) DESC total order so ties are deterministic.
+    */
+  def retentionGc(s: SparkSession, dir: String, keepLast: Int = 2,
+      guardDays: Int = 365): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("vdate").desc, col("o_orderkey").desc)
+    val versions = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("vdate"))
+      .withColumn("vrank", row_number().over(w))
+      .withColumn("newest", max(col("vdate")).over(
+        Window.partitionBy("o_custkey")))
+      .withColumn("by_count", col("vrank") <= keepLast)
+      .withColumn("by_time",
+        col("vdate") >= date_sub(col("newest"), guardDays))
+    versions.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("by_count") || col("by_time"), 1L).otherwise(0L))
+          .as("n_keep"),
+        sum(when(!col("by_count") && !col("by_time"), 1L).otherwise(0L))
+          .as("n_gc"),
+        sum(when(col("by_time") && !col("by_count"), 1L).otherwise(0L))
+          .as("n_kept_by_time_only"),
+        min(when(col("by_count") || col("by_time"), col("vdate")))
+          .as("oldest_kept"))
+      .orderBy("o_custkey")
   }
 }

@@ -690,4 +690,39 @@ class AnalyticsSpec extends SparkSpec {
       cl.getOrElse(u, Array.empty[Long]).exists(_ >= su(u).min))
     assert(clickT.size <= unwindowedClicks)
   }
+
+  test("patternRuns: run statistics replay a sequential calendar " +
+    "walk; gaps break runs; laws hold") {
+    val out = Analytics.patternRuns(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(
+        _.groupBy(_._2.toEpochDay).view.mapValues(_.length.toLong)
+          .toMap).toMap
+    assert(out.length == daily.size)
+    out.foreach { case (t, nDays, nDecl, longest, nGe3) =>
+      val cnts = daily(t).toSeq.sortBy(_._1)
+      assert(nDays == cnts.length)
+      // sequential walk: declining iff previous CALENDAR day present
+      // and strictly larger
+      val decl = cnts.sliding(2).map {
+        case Seq((d1, c1), (d2, c2)) => (d2, d2 == d1 + 1 && c2 < c1)
+        case _ => (0L, false)
+      }.toSeq
+      assert(nDecl == decl.count(_._2))
+      var runs = List.empty[Long]; var cur = 0L; var prevD = Long.MinValue
+      decl.filter(_._2).foreach { case (d, _) =>
+        if (d == prevD + 1) cur += 1 else { if (cur > 0) runs ::= cur; cur = 1 }
+        prevD = d
+      }
+      if (cur > 0) runs ::= cur
+      assert(longest == (if (runs.isEmpty) 0L else runs.max), t)
+      assert(nGe3 == runs.count(_ >= 3).toLong, t)
+      assert(nDecl == runs.sum)
+      assert(longest <= nDecl && nGe3 * 3 <= nDecl)
+    }
+  }
 }

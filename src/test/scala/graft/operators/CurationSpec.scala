@@ -206,4 +206,35 @@ class CurationSpec extends SparkSpec {
     assert(movedHrw.toDouble / keys.length < 0.2)
     assert(movedMod.toDouble / keys.length > 0.8)
   }
+
+  test("retentionGc: keep/gc partition replays the policy " +
+    "sequentially; conservation and floor laws hold") {
+    val out = Pipelines.retentionGc(spark, sfDir).collect()
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toLocalDate.toEpochDay))
+      .groupBy(_._1)
+    assert(out.length == orders.size)
+    var gcTotal = 0L
+    out.foreach { r =>
+      val vs = orders(r.getLong(0))
+        .sortBy(v => (-v._3, -v._2)) // newest first, id tiebreak
+      val newest = vs.map(_._3).max
+      val kept = vs.zipWithIndex.filter { case ((_, _, d), i) =>
+        i < 2 || d >= newest - 365 }
+      assert(r.getLong(1) == vs.length)
+      assert(r.getLong(2) == kept.length)
+      assert(r.getLong(3) == vs.length - kept.length)
+      assert(r.getLong(4) == kept.count { case ((_, _, d), i) =>
+        i >= 2 && d >= newest - 365 })
+      assert(r.getDate(5).toLocalDate.toEpochDay ==
+        kept.map(_._1._3).min)
+      // floor: at least min(2, n) versions always survive
+      assert(r.getLong(2) >= math.min(2, vs.length).toLong)
+      gcTotal += r.getLong(3)
+    }
+    assert(gcTotal > 0, "policy never reclaims anything — vacuous")
+  }
 }
