@@ -146,6 +146,10 @@ object SparkEntry {
     // open ends, logical event-time sweep (deterministic, no timers)
     "stream_concurrency" ->
       (graft.streaming.StreamingAnalogs.feedConcurrency _),
+    // stream-static ANTI join: admit only ids absent from the static
+    // already-ingested index; no join state accumulates
+    "stream_dedup_history" ->
+      (graft.streaming.StreamingAnalogs.feedDedupHistory _),
     // streaming point-in-time enrichment: stream-static temporal join
     // against a versioned dim — the serving twin of p_pit_lookup
     "stream_pit_enrich" ->
@@ -201,6 +205,9 @@ object SparkEntry {
     // bitmap-word exact distinct (the bitmap-index pattern); oracle
     // counts DISTINCT directly — hash proves the planes equal
     "agg_bitmap_distinct" -> (Aggregates.bitmapDistinct _),
+    // bitmap-index REUSE: per-type + TOTAL distincts answered from
+    // the pooled word table; the fact is never rescanned
+    "agg_bitmap_rollup" -> (Aggregates.bitmapRollup _),
     // assertion form: merged-sketch rollup vs exact per-level distincts
     "agg_sketch_rollup" -> (Assertions.sketchRollupBound _),
     "agg_profile" -> (Analytics.profileOrders _),
@@ -256,6 +263,9 @@ object SparkEntry {
     // MATCH_RECOGNIZE-lite: calendar-consecutive declining runs per
     // series via day-arithmetic lag + the islands trick
     "w_pattern_runs" -> (Analytics.patternRuns _),
+    // step-function time-weighted average per user; exact cents×µs
+    // integrals, arithmetic mean emitted alongside for the gap
+    "st_twap" -> (Analytics.twap _),
     // anchored-window funnel: signup → click ≤7d → purchase ≤7d of
     // the click; each stage one argmin, conversions exact div-ppm
     "agg_funnel_windowed" -> (Analytics.funnelWindowed _),
@@ -633,6 +643,7 @@ object SparkEntry {
       "graph_bfs_hops" + // builder runs the frontier-round jobs
       "graph_sssp" + // builder runs the relaxation-round jobs
       "stream_concurrency" + // AvailableNow drain, TWS open-ends state
+      "stream_dedup_history" + // AvailableNow drain, stream-static anti
       "agg_kmv_overlap" + // builder collects the per-group sketches
       "agg_cms_pointq" + // builder merges day sketches (O(days) rows)
       "s_partition_prune" // builder writes the events_by_day layout (once)
@@ -4513,6 +4524,42 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id // 32) AS BIGINT) AS n_words,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_dedup_history" ->
+      // generator replay: history = ids ≡ 3 (mod 7), admitted = rest
+      """WITH feed AS (SELECT range AS id,
+        |    CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END
+        |      AS kind,
+        |    (range * 2654435761) % 100000 AS cents
+        |  FROM range(5000))
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_admitted,
+        |  CAST(sum(cents) AS BIGINT) AS cents_admitted,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM feed WHERE id % 7 <> 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_bitmap_rollup" ->
+      // raw DISTINCTs both planes: per type AND the cross-type union
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT 'TOTAL', CAST(count(DISTINCT user_id) AS BIGINT)
+        |FROM events
+        |ORDER BY 1""".stripMargin,
+    "st_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, t, cents,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      - t AS dt
+        |  FROM e),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(t) - min(t) AS BIGINT) AS span_us,
+        |    CAST(sum(cents * dt) AS BIGINT) AS wsum,
+        |    CAST(sum(cents) AS BIGINT) AS csum
+        |  FROM d GROUP BY 1)
+        |SELECT user_id, n_events, span_us,
+        |  wsum // span_us AS twap_cents,
+        |  csum // n_events AS mean_cents
+        |FROM g WHERE span_us > 0 ORDER BY 1""".stripMargin,
     "geo_cell_join" ->
       // independent path: the O(n²) brute-force distance scan the
       // grid cells exist to avoid — hash equality proves zero

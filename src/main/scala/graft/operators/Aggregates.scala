@@ -486,20 +486,48 @@ object Aggregates {
     * DISTINCT directly — the hash check proves the bitmap plane IS
     * the exact distinct count.
     */
-  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.events(s, dir)
-      .select(col("event_type"), expr("user_id div 32").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
-          .as("mask"),
-        col("event_id"))
-      .groupBy("event_type", "word")
-      .agg(bit_or(col("mask")).as("bits"),
-        count(lit(1)).as("n_rows"))
-    words.groupBy("event_type")
+  /** The per-(type, word) OR-folded bitmap table — pooled because it
+    * IS the reusable index: bitmapDistinct reads it once,
+    * bitmapRollup answers a second distinct question from it without
+    * ever rescanning the fact table.
+    */
+  private def bitmapWords(s: SparkSession, dir: String): DataFrame =
+    graft.CachePool.cached(s, s"agg.bitmapWords:$dir") {
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("user_id div 32").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            .as("mask"),
+          col("event_id"))
+        .groupBy("event_type", "word")
+        .agg(bit_or(col("mask")).as("bits"),
+          count(lit(1)).as("n_rows"))
+    }
+
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    bitmapWords(s, dir).groupBy("event_type")
       .agg(sum(bit_count(col("bits")).cast("long")).as("n_users"),
         count(lit(1)).as("n_words"),
         sum(col("n_rows")).as("n_events"))
       .orderBy("event_type")
+
+  /** Bitmap-index REUSE: the distinct rollup (per type + TOTAL)
+    * answered entirely from the pooled word table — the reason
+    * engines persist bitmap indexes: the total is NOT Σ per-type
+    * distincts (users span types); it is the bit-OR of the word rows
+    * ACROSS types, one |words|-sized groupBy, and the fact table is
+    * never touched again. The DuckDB oracle recomputes both planes
+    * from raw DISTINCTs, so the hash check proves OR-merge ≡ set
+    * union exactly.
+    */
+  def bitmapRollup(s: SparkSession, dir: String): DataFrame = {
+    val words = bitmapWords(s, dir)
+    val perType = words.groupBy("event_type")
+      .agg(sum(bit_count(col("bits")).cast("long")).as("n_users"))
+    val total = words.groupBy("word")
+      .agg(bit_or(col("bits")).as("bits"))
+      .agg(sum(bit_count(col("bits")).cast("long")).as("n_users"))
+      .select(lit("TOTAL").as("event_type"), col("n_users"))
+    perType.unionByName(total).orderBy("event_type")
   }
 
   /** Pareto / contribution analysis: revenue share per part brand with

@@ -1372,4 +1372,36 @@ object Analytics {
         coalesce(col("n_runs_ge3"), lit(0L)).as("n_runs_ge3"))
       .orderBy("event_type")
   }
+
+  /** Time-weighted average (TWAP): each event's value HOLDS until the
+    * user's next event, so the mean that matters is the step-function
+    * integral ∫v dt / span, not the per-event average (which
+    * over-weights bursts — the arithmetic-vs-time-weighted gap this
+    * operator exists to expose; both are emitted). Integral over
+    * [first event, last event) per user: the last event bounds the
+    * window and contributes no duration — declared, matching the
+    * oracle. Exact integers end-to-end: cents × µs durations are
+    * BIGINT products summed losslessly; both means are floor
+    * divisions. One lead() window per user (never global), then one
+    * aggregate.
+    */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dt", lead(col("t"), 1).over(w) - col("t"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("t")) - min(col("t"))).as("span_us"),
+        sum(col("cents") * col("dt")).as("wsum"),
+        sum(col("cents")).as("csum"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_events"), col("span_us"),
+        expr("wsum div span_us").as("twap_cents"),
+        expr("csum div n_events").as("mean_cents"))
+      .orderBy("user_id")
+  }
 }

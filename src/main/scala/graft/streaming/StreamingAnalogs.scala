@@ -1391,4 +1391,61 @@ object StreamingAnalogs {
         col("open_final"))
       .orderBy("kind")
   }
+
+  /** Stream-STATIC ANTI-join dedup: admit only feed rows whose id is
+    * NOT in a static already-ingested index — the "don't re-crawl
+    * what the warehouse already has" gate, and the admission-side
+    * complement of dropDuplicates (which dedups WITHIN the stream;
+    * this dedups AGAINST history). The static side is re-planned and
+    * broadcast per micro-batch with NO join state accumulating —
+    * at scale the index side would be a bucketed fingerprint table
+    * and the anti join its bloom/DPP-pruned probe; the streaming
+    * plan above it is identical. Downstream an update-mode per-kind
+    * rollup in exact cents, hash-checked against the generator
+    * replay (history = ids ≡ 3 mod 7, arithmetic both engines).
+    */
+  def feedDedupHistory(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_hist"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    val history = s.range(0, 5000).filter(col("id") % 7 === 3)
+      .select(col("id").as("seen_id"))
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      .select(col("kind"), col("id"),
+        ((col("id") * lit(2654435761L)) % lit(100000L)).as("cents"))
+    val admitted = feed.join(history,
+      feed("id") === history("seen_id"), "left_anti")
+    val agg = admitted.groupBy("kind")
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("cents")).as("cents_admitted"),
+        max(col("id")).as("max_id"))
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kind")
+            .parquet(s"$base/table")
+        }
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    s.read.parquet(s"$base/table")
+      .select(col("kind"), col("n_admitted"), col("cents_admitted"),
+        col("max_id"))
+      .orderBy("kind")
+  }
 }

@@ -250,6 +250,25 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("bitmapRollup: the TOTAL row is the true cross-type union " +
+    "(OR-merge ≡ set union), bounded by the per-type rows") {
+    val out = Aggregates.bitmapRollup(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perType = ev.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.toSet).toMap
+    perType.foreach { case (t, us) => assert(out(t) == us.size) }
+    val union = perType.values.reduce(_ ++ _)
+    assert(out("TOTAL") == union.size)
+    // union bounds: ≥ any single type, ≤ Σ types (users span types)
+    assert(out("TOTAL") >= perType.values.map(_.size).max)
+    assert(out("TOTAL") <= perType.values.map(_.size).sum)
+    assert(out("TOTAL") < perType.values.map(_.size.toLong).sum,
+      "no user spans two types — union law vacuous")
+  }
+
   test("aqpEstimate: both estimators replay sequentially; the ratio " +
     "estimator conditions on exact day totals") {
     val out = Aggregates.aqpEstimate(spark, sfDir).collect()

@@ -725,4 +725,40 @@ class AnalyticsSpec extends SparkSpec {
       assert(longest <= nDecl && nGe3 * 3 <= nDecl)
     }
   }
+
+  test("twap: the step integral replays sequentially; the " +
+    "time-weighted and arithmetic means genuinely diverge somewhere") {
+    val out = Analytics.twap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    def us(x: Any): Long = x match {
+      case t: java.sql.Timestamp =>
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), (us(r.get(2)), r.getLong(1),
+        BigDecimal(r.getDouble(3) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(x => (x._1, x._2)))
+      .toMap
+    assert(out.length == ev.count(_._2.map(_._1).distinct.length > 1))
+    out.foreach { case (u, n, span, tw, mean) =>
+      val rows = ev(u)
+      assert(n == rows.length)
+      assert(span == rows.last._1 - rows.head._1)
+      val wsum = rows.sliding(2).collect {
+        case Array((t1, _, c1), (t2, _, _)) => c1 * (t2 - t1)
+      }.foldLeft(0L)(_ + _)
+      assert(tw == wsum / span, s"user $u")
+      assert(mean == rows.map(_._3).sum / n)
+      // both means live inside the value range
+      assert(tw >= rows.map(_._3).min && tw <= rows.map(_._3).max)
+    }
+    assert(out.exists(r => r._4 != r._5),
+      "TWAP never differs from the arithmetic mean — vacuous")
+  }
 }

@@ -238,6 +238,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static anti join: only ids absent from the static " +
+    "history pass, across a batch boundary, with no stream state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val history = Seq(1L, 3L, 5L).toDF("seen_id")
+    val feed = input.toDS().toDF("kind", "id")
+    val admitted = feed.join(history,
+      feed("id") === history("seen_id"), "left_anti")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_hist_ckpt").toString
+    val q = admitted.writeStream.format("memory")
+      .queryName("hist_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(("a", 0L), ("a", 1L), ("a", 2L)))
+      q.processAllAvailable()
+      input.addData(Seq(("a", 3L), ("a", 4L), ("a", 5L), ("a", 6L)))
+      q.processAllAvailable()
+      val got = s.table("hist_out").collect()
+        .map(_.getLong(1)).toSet
+      assert(got == Set(0L, 2L, 4L, 6L)) // history ids dropped
+      // the anti join holds no stream state: append mode with no
+      // watermark is only legal because the static side re-plans
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("openIntervalTws: out-of-order expiries need the full open-end " +
     "set; max and final replay a hand sweep across a batch boundary") {
     val s = spark
