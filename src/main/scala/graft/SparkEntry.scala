@@ -266,6 +266,9 @@ object SparkEntry {
     // step-function time-weighted average per user; exact cents×µs
     // integrals, arithmetic mean emitted alongside for the gap
     "st_twap" -> (Analytics.twap _),
+    // max peak-to-trough drawdown per user: running sum + running max
+    // share one window spec; first-attaining argmax, exact BIGINT
+    "st_drawdown" -> (Analytics.drawdown _),
     // anchored-window funnel: signup → click ≤7d → purchase ≤7d of
     // the click; each stage one argmin, conversions exact div-ppm
     "agg_funnel_windowed" -> (Analytics.funnelWindowed _),
@@ -4560,6 +4563,36 @@ object SparkEntry {
         |  wsum // span_us AS twap_cents,
         |  csum // n_events AS mean_cents
         |FROM g WHERE span_us > 0 ORDER BY 1""".stripMargin,
+    "st_drawdown" ->
+      // independent argmax path: row_number under (dd DESC, t, id)
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN -CAST(round(value * 100) AS BIGINT)
+        |      ELSE CAST(round(value * 100) AS BIGINT) END AS sc
+        |  FROM events),
+        |b AS (SELECT user_id, event_id, t,
+        |    sum(sc) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS balance
+        |  FROM e),
+        |p AS (SELECT user_id, event_id, t, balance,
+        |    max(balance) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - balance AS dd
+        |  FROM b),
+        |r AS (SELECT user_id, event_id, balance, dd,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY dd DESC, t, event_id) AS rk
+        |  FROM p)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(balance) AS BIGINT) AS peak_balance,
+        |  CAST(min(balance) AS BIGINT) AS trough_balance,
+        |  CAST(max(CASE WHEN rk = 1 THEN dd END) AS BIGINT)
+        |    AS max_drawdown,
+        |  CAST(max(CASE WHEN rk = 1 THEN event_id END) AS BIGINT)
+        |    AS dd_event_id
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "geo_cell_join" ->
       // independent path: the O(n²) brute-force distance scan the
       // grid cells exist to avoid — hash equality proves zero

@@ -1404,4 +1404,46 @@ object Analytics {
         expr("csum div n_events").as("mean_cents"))
       .orderBy("user_id")
   }
+
+  /** Maximum drawdown per user over the running-balance series — the
+    * risk statistic ("worst peak-to-trough fall so far") and the
+    * canonical running-max-minus-current composition: balance is the
+    * cumulative sum of signed cents (purchases negative), drawdown
+    * at t is max_{i≤t}(balance_i) − balance_t, and the answer is its
+    * max with the first ATTAINING position under the (drawdown desc,
+    * t asc, id asc) order — deterministic even with repeated
+    * balances. Two frames over ONE per-user window spec (running sum
+    * + running max share the sort), then one argmax aggregate; day
+    * grain never enters, so the series is the raw event walk and
+    * everything is exact BIGINT.
+    */
+  def drawdown(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        when(col("event_type") === "purchase",
+          -round(col("value") * 100).cast("long"))
+          .otherwise(round(col("value") * 100).cast("long"))
+          .as("signed_cents"))
+      .withColumn("balance", sum(col("signed_cents")).over(w))
+      .withColumn("peak", max(col("balance")).over(w))
+      .withColumn("dd", col("peak") - col("balance"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("balance")).as("peak_balance"),
+        min(col("balance")).as("trough_balance"),
+        max(struct(col("dd"), (-col("t")).as("nt"),
+          (-col("event_id")).as("nid")))
+          .getField("dd").as("max_drawdown"),
+        max(struct(col("dd"), (-col("t")).as("nt"),
+          (-col("event_id")).as("nid")))
+          .getField("nid").as("neg_dd_event"))
+      .select(col("user_id"), col("n_events"), col("peak_balance"),
+        col("trough_balance"), col("max_drawdown"),
+        (-col("neg_dd_event")).as("dd_event_id"))
+      .orderBy("user_id")
+  }
 }

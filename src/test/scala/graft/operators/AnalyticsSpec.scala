@@ -761,4 +761,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.exists(r => r._4 != r._5),
       "TWAP never differs from the arithmetic mean — vacuous")
   }
+
+  test("drawdown: the running-max walk replays sequentially; the " +
+    "argmax keeps the FIRST attaining event; range laws hold") {
+    val out = Analytics.drawdown(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    def us(x: Any): Long = x match {
+      case t: java.sql.Timestamp =>
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .collect()
+      .map { r =>
+        val c = BigDecimal(r.getDouble(4) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (r.getLong(0), (us(r.get(2)), r.getLong(1),
+          if (r.getString(3) == "purchase") -c else c))
+      }
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(x => (x._1, x._2))).toMap
+    assert(out.length == ev.size)
+    out.foreach { case (u, n, peakB, troughB, maxDd, ddId) =>
+      val rows = ev(u)
+      var bal = 0L; var peak = Long.MinValue
+      var bestDd = Long.MinValue; var bestId = -1L
+      var minB = Long.MaxValue; var maxB = Long.MinValue
+      rows.foreach { case (_, id, sc) =>
+        bal += sc; peak = math.max(peak, bal)
+        minB = math.min(minB, bal); maxB = math.max(maxB, bal)
+        val dd = peak - bal
+        if (dd > bestDd) { bestDd = dd; bestId = id } // strict >: first
+      }
+      assert(n == rows.length)
+      assert((peakB, troughB) == (maxB, minB))
+      assert(maxDd == bestDd && ddId == bestId, s"user $u")
+      assert(maxDd >= 0 && maxDd <= maxB - minB)
+    }
+    assert(out.exists(_._5 > 0), "no user ever draws down — vacuous")
+  }
 }
