@@ -208,6 +208,9 @@ object SparkEntry {
     // bitmap-index REUSE: per-type + TOTAL distincts answered from
     // the pooled word table; the fact is never rescanned
     "agg_bitmap_rollup" -> (Aggregates.bitmapRollup _),
+    // exact pairwise Jaccard/overlap via word AND — the exact plane
+    // of agg_kmv_overlap's sketch question, third index reuse
+    "agg_bitmap_jaccard" -> (Aggregates.bitmapJaccard _),
     // assertion form: merged-sketch rollup vs exact per-level distincts
     "agg_sketch_rollup" -> (Assertions.sketchRollupBound _),
     "agg_profile" -> (Analytics.profileOrders _),
@@ -310,6 +313,9 @@ object SparkEntry {
     // VACUUM planner: keep-last-2 + 365d guard per key; kept-by-count
     // vs kept-by-time-only split; per-key windows
     "p_retention_gc" -> ((s, d) => Pipelines.retentionGc(s, d)),
+    // GDPR erasure work list: per-table row/key counts for a subject
+    // batch, incl. the transitive lineitem-via-orders hop
+    "p_erasure_plan" -> (Pipelines.erasurePlan _),
     // survivorship merge after ER: one master row per entity cluster,
     // each attribute by its own deterministic rule (mode/max/min)
     "p_golden_record" -> (Pipelines.goldenRecord _),
@@ -4547,6 +4553,46 @@ object SparkEntry {
         |SELECT 'TOTAL', CAST(count(DISTINCT user_id) AS BIGINT)
         |FROM events
         |ORDER BY 1""".stripMargin,
+    "agg_bitmap_jaccard" ->
+      // raw distinct-pair join both planes; AND-merge ≡ intersection
+      """WITH s AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM du a JOIN du b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  sa.n + sb.n - n_inter AS n_union,
+        |  n_inter * 1000000 // (sa.n + sb.n - n_inter)
+        |    AS jaccard_ppm,
+        |  n_inter * 1000000 // least(sa.n, sb.n) AS overlap_ppm
+        |FROM i JOIN s sa ON i.type_a = sa.event_type
+        |JOIN s sb ON i.type_b = sb.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "p_erasure_plan" ->
+      """WITH subj AS (SELECT c_custkey AS s FROM customer
+        |  WHERE c_custkey % 97 = 0)
+        |SELECT 'customer' AS table_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys
+        |FROM customer JOIN subj ON c_custkey = s
+        |UNION ALL
+        |SELECT 'events', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT)
+        |FROM events JOIN subj ON user_id = s
+        |UNION ALL
+        |SELECT 'lineitem_via_orders', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN subj ON o_custkey = s
+        |UNION ALL
+        |SELECT 'orders', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |FROM orders JOIN subj ON o_custkey = s
+        |ORDER BY table_name""".stripMargin,
     "st_twap" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

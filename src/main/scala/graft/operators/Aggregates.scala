@@ -530,6 +530,48 @@ object Aggregates {
     perType.unionByName(total).orderBy("event_type")
   }
 
+  /** Exact pairwise set algebra from the bitmap index: |A∩B|, |A∪B|,
+    * Jaccard and overlap (Szymkiewicz–Simpson) coefficients for every
+    * event-type pair, computed by AND/OR-ing the pooled word table —
+    * the EXACT plane of the question agg_kmv_overlap answers with
+    * sketches, and the second reuse of the index (after
+    * agg_bitmap_rollup): the fact table is never rescanned and the
+    * pair space is |types|²·|words| word rows, never user rows.
+    * Intersection = Σ bit_count(bits_a & bits_b) over the words the
+    * INNER join aligns (a word absent from one side ANDs to zero —
+    * the join IS the sparsity optimization); union by
+    * inclusion–exclusion. Coefficients land by the div-ppm law.
+    */
+  def bitmapJaccard(s: SparkSession, dir: String): DataFrame = {
+    val w = bitmapWords(s, dir).select(col("event_type"), col("word"),
+      col("bits"))
+    val sizes = w.groupBy("event_type")
+      .agg(sum(bit_count(col("bits")).cast("long")).as("n"))
+    val inter = w.as("x").join(w.as("y"),
+        col("x.word") === col("y.word") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(sum(bit_count(col("x.bits").bitwiseAND(col("y.bits")))
+        .cast("long")).as("n_inter"))
+      // drop pairs that share words but no users: the oracle's raw
+      // distinct-pair join never materializes them
+      .filter(col("n_inter") > 0)
+    inter
+      .join(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        expr("n_inter * 1000000L div (n_a + n_b - n_inter)")
+          .as("jaccard_ppm"),
+        expr("n_inter * 1000000L div least(n_a, n_b)")
+          .as("overlap_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Pareto / contribution analysis: revenue share per part brand with
     * cumulative share and the 80% head flag — "which 20% of the
     * catalog carries 80% of revenue", the concentration question

@@ -630,6 +630,48 @@ object Pipelines {
         expr("moved_hrw * 1000000L div n_keys").as("moved_hrw_ppm"))
   }
 
+  /** Right-to-be-forgotten erasure planner: for a subject list (the
+    * deterministic id ≡ 0 mod 97 slice — standing in for a DSAR
+    * batch), the per-table work list a GDPR/CCPA pipeline executes —
+    * row counts and touched-key counts in every table holding the
+    * subjects' data, INCLUDING the transitive hop (lineitem holds no
+    * customer key; its rows erase via orders — FK lineage, not
+    * column match). Each table's count is one semi/inner join against
+    * the broadcast subject list; nothing scans twice; the output is
+    * |tables| rows at any scale. The split between direct and
+    * transitive rows is the number that decides whether erasure can
+    * be a partition drop or needs a rewrite.
+    */
+  def erasurePlan(s: SparkSession, dir: String): DataFrame = {
+    val subjects = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("subj"))
+    def row(table: String, keyed: DataFrame, key: String): DataFrame =
+      keyed.join(broadcast(subjects), col(key) === col("subj"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_rows"),
+          coalesce(countDistinct(col(key)), lit(0L)).as("n_keys"))
+        .select(lit(table).as("table_name"), col("n_rows"),
+          col("n_keys"))
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    // transitive: lineitems reached through the subjects' orders
+    val subjOrders = orders.join(broadcast(subjects),
+        col("o_custkey") === col("subj"))
+      .select(col("o_orderkey").as("sok"), col("o_custkey"))
+    val liRow = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .join(subjOrders, col("l_orderkey") === col("sok"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_rows"),
+        coalesce(countDistinct(col("o_custkey")), lit(0L)).as("n_keys"))
+      .select(lit("lineitem_via_orders").as("table_name"),
+        col("n_rows"), col("n_keys"))
+    row("customer", Tables.customer(s, dir), "c_custkey")
+      .unionByName(row("orders", orders, "o_custkey"))
+      .unionByName(row("events",
+        Tables.events(s, dir).select(col("user_id")), "user_id"))
+      .unionByName(liRow)
+      .orderBy("table_name")
+  }
+
   /** Version-retention GC planner: under the lakehouse policy "keep
     * the newest `keepLast` versions per key, plus anything within
     * `guardDays` of the key's newest version", how much of each key's

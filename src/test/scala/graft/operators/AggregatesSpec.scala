@@ -269,6 +269,35 @@ class AggregatesSpec extends SparkSpec {
       "no user spans two types — union law vacuous")
   }
 
+  test("bitmapJaccard: every pair's intersection/union/coefficients " +
+    "replay from driver-side sets; AND-merge ≡ set intersection") {
+    val out = Aggregates.bitmapJaccard(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    val sets = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expect = (for {
+      a <- types; b <- types if a < b
+      inter = (sets(a) & sets(b)).size.toLong if inter > 0
+    } yield {
+      val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+      val uni = na + nb - inter
+      (a, b) -> ((na, nb, inter, uni, inter * 1000000L / uni,
+        inter * 1000000L / math.min(na, nb)))
+    }).toMap
+    assert(out == expect)
+    // laws: inter ≤ min, union ≥ max, overlap ≥ jaccard
+    out.values.foreach { case (na, nb, i, u, j, o) =>
+      assert(i <= math.min(na, nb) && u >= math.max(na, nb))
+      assert(o >= j && j >= 0 && o <= 1000000L)
+    }
+    assert(out.nonEmpty)
+  }
+
   test("aqpEstimate: both estimators replay sequentially; the ratio " +
     "estimator conditions on exact day totals") {
     val out = Aggregates.aqpEstimate(spark, sfDir).collect()

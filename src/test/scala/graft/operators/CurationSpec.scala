@@ -237,4 +237,34 @@ class CurationSpec extends SparkSpec {
     }
     assert(gcTotal > 0, "policy never reclaims anything — vacuous")
   }
+
+  test("erasurePlan: every table's work list replays from driver-side " +
+    "joins; the transitive hop reaches rows no column match could") {
+    val out = Pipelines.erasurePlan(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val subj = Tables.customer(spark, sfDir).select("c_custkey")
+      .collect().map(_.getLong(0)).filter(_ % 97 == 0).toSet
+    assert(subj.nonEmpty)
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val subjOrders = orders.filter(o => subj(o._2)).toMap
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey")
+      .collect().map(_.getLong(0))
+    val ev = Tables.events(spark, sfDir).select("user_id")
+      .collect().map(_.getLong(0))
+    assert(out("customer") == ((subj.size.toLong, subj.size.toLong)))
+    val so = orders.filter(o => subj(o._2))
+    assert(out("orders") ==
+      ((so.length.toLong, so.map(_._2).distinct.length.toLong)))
+    val se = ev.filter(subj)
+    assert(out("events") ==
+      ((se.length.toLong, se.distinct.length.toLong)))
+    val sl = li.filter(subjOrders.contains)
+    assert(out("lineitem_via_orders") == ((sl.length.toLong,
+      sl.map(subjOrders).distinct.length.toLong)))
+    // the transitive hop is load-bearing: lineitem rows exist for
+    // the subjects even though lineitem carries no customer column
+    assert(sl.nonEmpty)
+  }
 }
