@@ -316,6 +316,9 @@ object SparkEntry {
     // GDPR erasure work list: per-table row/key counts for a subject
     // batch, incl. the transitive lineitem-via-orders hop
     "p_erasure_plan" -> (Pipelines.erasurePlan _),
+    // PPS budget split by Hamilton largest-remainder apportionment:
+    // exact floors + mod-ranked extras, Σseats = budget by law
+    "p_pps_alloc" -> ((s, d) => Pipelines.ppsAlloc(s, d)),
     // survivorship merge after ER: one master row per entity cluster,
     // each attribute by its own deterministic rule (mode/max/min)
     "p_golden_record" -> (Pipelines.goldenRecord _),
@@ -4593,6 +4596,27 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT)
         |FROM orders JOIN subj ON o_custkey = s
         |ORDER BY table_name""".stripMargin,
+    "p_pps_alloc" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS weight
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT *, (SELECT sum(weight) FROM st) AS total_w
+        |  FROM st),
+        |b AS (SELECT event_type, n_rows, weight,
+        |    1000 * weight // total_w AS base_seats,
+        |    1000 * weight % total_w AS rem FROM t),
+        |e AS (SELECT *, row_number() OVER
+        |    (ORDER BY rem DESC, event_type) AS rk,
+        |    (SELECT 1000 - sum(base_seats) FROM b) AS extra_n FROM b)
+        |SELECT event_type, n_rows, weight,
+        |  CAST(base_seats AS BIGINT) AS base_seats,
+        |  CAST(CASE WHEN rk <= extra_n THEN 1 ELSE 0 END AS BIGINT)
+        |    AS extra,
+        |  CAST(base_seats + CASE WHEN rk <= extra_n THEN 1 ELSE 0 END
+        |    AS BIGINT) AS seats
+        |FROM e ORDER BY event_type""".stripMargin,
     "st_twap" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -672,6 +672,45 @@ object Pipelines {
       .orderBy("table_name")
   }
 
+  /** PPS sample allocation by Hamilton (largest-remainder)
+    * apportionment: split a fixed sample budget across strata
+    * proportional to each stratum's total value — the
+    * probability-proportional-to-size frame survey sampling and
+    * shard-budgeting both use, with the rounding done EXACTLY: base
+    * seats are floor(B·w/W), and the B − Σfloor leftover seats go to
+    * the largest remainders (B·w mod W, ties to the lexicographically
+    * first stratum) — the one rounding rule that both exhausts the
+    * budget and never rounds anyone by more than 1 (the quota
+    * property). All integer: weights are exact cent sums, remainders
+    * exact mods, the rank over |strata| rows. The naive
+    * round(B·w/W) alternative can over- or under-shoot the budget —
+    * which is why apportionment is a named algorithm and not a cast.
+    */
+  def ppsAlloc(s: SparkSession, dir: String, budget: Long = 1000L)
+      : DataFrame = {
+    val strata = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("weight"))
+    val w = strata.crossJoin(broadcast(
+        strata.agg(sum(col("weight")).as("total_w"))))
+      .withColumn("base_seats",
+        expr(s"${budget}L * weight div total_w"))
+      .withColumn("rem", expr(s"${budget}L * weight % total_w"))
+    val leftover = w.crossJoin(broadcast(
+        w.agg((lit(budget) - sum(col("base_seats"))).as("extra_n"))))
+      .withColumn("rem_rank", row_number().over(
+        Window.orderBy(col("rem").desc, col("event_type"))))
+      .withColumn("extra",
+        when(col("rem_rank") <= col("extra_n"), 1L).otherwise(0L))
+    leftover
+      .select(col("event_type"), col("n_rows"), col("weight"),
+        col("base_seats"), col("extra"),
+        (col("base_seats") + col("extra")).as("seats"))
+      .orderBy("event_type")
+  }
+
   /** Version-retention GC planner: under the lakehouse policy "keep
     * the newest `keepLast` versions per key, plus anything within
     * `guardDays` of the key's newest version", how much of each key's

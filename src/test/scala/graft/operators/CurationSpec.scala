@@ -267,4 +267,35 @@ class CurationSpec extends SparkSpec {
     // the subjects even though lineitem carries no customer column
     assert(sl.nonEmpty)
   }
+
+  test("ppsAlloc: Hamilton apportionment replays sequentially; the " +
+    "budget is exhausted exactly and the quota property holds") {
+    val out = Pipelines.ppsAlloc(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val weights = ev.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val totalW = weights.values.map(_._2).sum
+    val base = weights.view.mapValues { case (_, w) =>
+      (1000L * w / totalW, 1000L * w % totalW) }.toMap
+    val extraN = 1000L - base.values.map(_._1).sum
+    val extras = base.toSeq.sortBy { case (t, (_, r)) => (-r, t) }
+      .take(extraN.toInt).map(_._1).toSet
+    assert(out.length == weights.size)
+    out.foreach { case (t, n, w, bs, ex, seats) =>
+      assert((n, w) == weights(t))
+      assert(bs == base(t)._1)
+      assert(ex == (if (extras(t)) 1L else 0L))
+      assert(seats == bs + ex)
+      // quota property: floor(quota) ≤ seats ≤ ceil(quota)
+      val quotaFloor = 1000L * w / totalW
+      assert(seats == quotaFloor || seats == quotaFloor + 1)
+    }
+    assert(out.map(_._6).sum == 1000L) // budget exhausted exactly
+    assert(extraN > 0, "no remainder seats — apportionment vacuous")
+  }
 }

@@ -84,7 +84,12 @@ class PlanAuditSpec extends SparkSpec {
       // p_brand is a 25-value domain at any data scale, so the single
       // partition holds a constant-bounded row count (domain-bounded,
       // the same carve-out class as calendar-bounded)
-      "agg_pareto" -> Set("global-window"))
+      "agg_pareto" -> Set("global-window"),
+      // the remainder rank runs over the STRATUM aggregate —
+      // |event types| rows at any data scale (domain-bounded, same
+      // carve-out as pareto); apportionment is definitionally a
+      // total order over the strata
+      "p_pps_alloc" -> Set("global-window"))
     val violations = graft.SparkEntry.queries
       .filterNot { case (n, _) => graft.SparkEntry.eagerWriters(n) }
       .toSeq.sortBy(_._1)
