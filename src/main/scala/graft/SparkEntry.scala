@@ -434,6 +434,9 @@ object SparkEntry {
     // a planner change that flips a trigger shape fails the compare
     "plan_audit" -> (graft.plans.PlanAudit.lintDemo _),
     "p_scd2" -> (Pipelines.scd2 _),
+    // incremental SCD2 merge: stored history read back, delta-sized
+    // close + chain; oracle = the full rebuild (incremental ≡ rebuild)
+    "p_scd2_merge" -> (Pipelines.scd2Merge _),
     // point-in-time SCD2 lookup: facts enriched with the attribute in
     // effect at their OWN event time (training-serving skew guard)
     "p_pit_lookup" -> (Pipelines.pitLookup _),
@@ -656,6 +659,7 @@ object SparkEntry {
       "graph_sssp" + // builder runs the relaxation-round jobs
       "stream_concurrency" + // AvailableNow drain, TWS open-ends state
       "stream_dedup_history" + // AvailableNow drain, stream-static anti
+      "p_scd2_merge" + // builder materializes the stored history table
       "agg_kmv_overlap" + // builder collects the per-group sketches
       "agg_cms_pointq" + // builder merges day sketches (O(days) rows)
       "s_partition_prune" // builder writes the events_by_day layout (once)
@@ -3982,6 +3986,16 @@ object SparkEntry {
         |  AND (scd.valid_to IS NULL OR pr.l_shipdate < scd.valid_to)
         |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
     "p_scd2" ->
+      """SELECT cust_id, version_key, attr, valid_from, valid_to,
+        | CAST(valid_to IS NULL AS INT) AS is_current
+        |FROM (SELECT o_custkey AS cust_id, o_orderkey AS version_key,
+        |        o_orderpriority AS attr, o_orderdate AS valid_from,
+        |        LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |      FROM orders)
+        |ORDER BY cust_id, valid_from, version_key""".stripMargin,
+    "p_scd2_merge" ->
+      // the FULL rebuild — equality proves the incremental path
       """SELECT cust_id, version_key, attr, valid_from, valid_to,
         | CAST(valid_to IS NULL AS INT) AS is_current
         |FROM (SELECT o_custkey AS cust_id, o_orderkey AS version_key,

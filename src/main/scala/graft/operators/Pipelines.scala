@@ -112,6 +112,53 @@ object Pipelines {
       .orderBy("cust_id", "valid_from", "version_key")
   }
 
+  /** INCREMENTAL SCD2 merge — the production form of scd2 (which
+    * rebuilds the whole timeline): the stored history (versions up to
+    * the split date, materialized to parquet and READ BACK — never
+    * recomputed, the mv_join_delta discipline) absorbs a late batch
+    * in three delta-sized moves: (1) closed historical versions pass
+    * through UNTOUCHED (in production they stay in place; they flow
+    * through the union here only so the result is comparable); (2)
+    * each delta key's open version closes at that key's FIRST delta
+    * date (min(valid_from) — if two delta versions tie on the date,
+    * either gives the same bound, so the aggregate needs no
+    * tie-break); (3) the delta chains internally with a window over
+    * the DELTA ONLY. Correctness rests on the split invariant (every
+    * delta date ≥ split > every history date), and the oracle is the
+    * FULL rebuild over all orders — hash equality proves
+    * incremental ≡ rebuild, the contract every warehouse's nightly
+    * dimension merge is trusted to satisfy and rarely checks.
+    */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val split = lit("1998-01-01").cast("timestamp")
+    val all = Tables.orders(s, dir).select(
+      col("o_custkey").as("cust_id"),
+      col("o_orderkey").as("version_key"),
+      col("o_orderpriority").as("attr"),
+      col("o_orderdate").as("valid_from"))
+    val w = Window.partitionBy("cust_id")
+      .orderBy("valid_from", "version_key")
+    val histPath =
+      s"/tmp/graft_scd2_hist/${new java.io.File(dir).getName}"
+    all.filter(col("valid_from") < split)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .write.mode("overwrite").parquet(histPath)
+    val hist = s.read.parquet(histPath) // stored table, not a rebuild
+    val delta = all.filter(col("valid_from") >= split)
+    val firstDelta = delta.groupBy("cust_id")
+      .agg(min(col("valid_from")).as("delta_start"))
+    val closed = hist.filter(col("valid_to").isNotNull)
+    val reopened = hist.filter(col("valid_to").isNull).drop("valid_to")
+      .join(firstDelta, Seq("cust_id"), "left")
+      .withColumn("valid_to", col("delta_start"))
+      .drop("delta_start")
+    val deltaChain = delta
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    closed.unionByName(reopened).unionByName(deltaChain)
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .orderBy("cust_id", "valid_from", "version_key")
+  }
+
   /** Point-in-time SCD2 lookup — the feature-store workhorse: enrich
     * each fact row with the dimension attribute that was IN EFFECT at
     * the fact's own event time, not the current one (training-serving

@@ -51,6 +51,41 @@ class AdvancedSpec extends SparkSpec {
     assert(out.count() == Tables.orders(spark, sfDir).count())
   }
 
+  test("scd2Merge: incremental ≡ full rebuild; history rows change " +
+    "ONLY where a delta key's open version closes") {
+    val merged = Pipelines.scd2Merge(spark, sfDir).collect()
+    val rebuilt = Pipelines.scd2(spark, sfDir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1))
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2),
+        String.valueOf(r.get(3)), String.valueOf(r.get(4)),
+        r.getInt(5))
+    assert(merged.map(norm).toSet == rebuilt.map(norm).toSet)
+    assert(merged.length == rebuilt.length)
+    // the split must actually exercise all three merge arms
+    val split = java.time.LocalDateTime.parse("1998-01-01T00:00")
+    def vf(r: org.apache.spark.sql.Row) = r.get(3) match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case t: java.time.LocalDateTime => t
+    }
+    val hist = rebuilt.filter(r => vf(r).isBefore(split))
+    val delta = rebuilt.filter(r => !vf(r).isBefore(split))
+    assert(hist.nonEmpty && delta.nonEmpty, "split out of range")
+    // some history key must have been closed by the delta: an open-
+    // in-history version whose rebuild valid_to lands after the split
+    val closedByDelta = rebuilt.count { r =>
+      vf(r).isBefore(split) && !r.isNullAt(4) && {
+        val vt = r.get(4) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }
+        !vt.isBefore(split)
+      }
+    }
+    assert(closedByDelta > 0, "no open version closed — arm 2 vacuous")
+  }
+
   test("pitLookup: fact cardinality preserved; matched attr is the " +
     "latest version at-or-before the ship date; sentinel iff the ship " +
     "date precedes the key's first version") {
