@@ -349,6 +349,9 @@ object SparkEntry {
     // synchronous label propagation, exact-integer scores + min-label
     // tie-break → the oracle replays every round deterministically
     "graph_label_prop" -> ((s, d) => Graph.labelPropagation(s, d)),
+    // weighted modularity of the LPA communities: exact BIGINT
+    // numerators, one IEEE division; rides the pooled LPA build
+    "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
     // bounded-round k-core peel; the oracle unrolls the same rounds
     "graph_kcore" -> ((s, d) => Graph.kcore(s, d)),
     // multi-source BFS hop distances, level-synchronous frontier
@@ -620,6 +623,7 @@ object SparkEntry {
       "graph_pagerank" + // builder runs the rank-iteration jobs
       "graph_ppr" + // same loop with the seeded teleport
       "graph_label_prop" + // builder runs the propagation-round jobs
+      "graph_modularity" + // rides the same pooled LPA round jobs
       "graph_triangles" + // builder checkpoints the oriented edge set
       "graph_clustering_coeff" + // same checkpointed edge pipeline
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
@@ -763,6 +767,55 @@ object SparkEntry {
     }
     (base +: rounds).mkString(",\n") +
       s"\nSELECT node, lbl AS community FROM l$iters ORDER BY node"
+  }
+
+  /** DuckDB replay of Graph.modularity: the same synchronous LPA
+    * rounds over the UNIPARTITE co-purchase symmetric edges, then
+    * the degree/in-weight rollup and the S·sym_in − d² identity;
+    * the final division is the same IEEE op.
+    */
+  private def modularityOracle(iters: Int): String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ed AS (SELECT x.pk AS a, y.pk AS b, count(*) AS sup FROM li x
+        |  JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT a AS src, b AS dst, sup AS w FROM ed
+        |  UNION ALL SELECT b, a, sup FROM ed),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS node, l.lbl AS lbl,
+         |    CAST(SUM(e.w) AS BIGINT) AS score
+         |  FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |    ORDER BY score DESC, lbl ASC) AS rn FROM s$i) WHERE rn = 1)"""
+        .stripMargin
+    }
+    (base +: rounds).mkString(",\n") + s""",
+      |deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS k
+      |  FROM edges GROUP BY 1),
+      |dc AS (SELECT l.lbl AS community,
+      |    CAST(SUM(d.k) AS BIGINT) AS d_c,
+      |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |  FROM deg d JOIN l$iters l ON d.node = l.node GROUP BY 1),
+      |win AS (SELECT a.lbl AS community,
+      |    CAST(SUM(e.w) AS BIGINT) AS w_in_sym
+      |  FROM edges e JOIN l$iters a ON e.src = a.node
+      |  JOIN l$iters b ON e.dst = b.node AND a.lbl = b.lbl
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS s2m FROM edges),
+      |per AS (SELECT dc.community, n_nodes, d_c,
+      |    CAST(coalesce(w_in_sym, 0) AS BIGINT) AS w_in_sym,
+      |    CAST(s2m * coalesce(w_in_sym, 0) - d_c * d_c AS BIGINT)
+      |      AS contrib_num, s2m
+      |  FROM dc LEFT JOIN win ON dc.community = win.community, tot),
+      |q AS (SELECT CAST(SUM(contrib_num) AS BIGINT) AS q_num FROM per)
+      |SELECT community, n_nodes, d_c, w_in_sym, contrib_num, s2m,
+      |  q_num, CAST(q_num AS DOUBLE) / CAST(s2m * s2m AS DOUBLE) AS q
+      |FROM per, q ORDER BY community""".stripMargin
   }
 
   /** DuckDB replay of Similarity.kmeans (two Lloyd iterations with the
@@ -1322,6 +1375,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracle(3),
     "graph_ppr" -> pprOracle(3),
     "graph_label_prop" -> lpaOracle(3),
+    "graph_modularity" -> modularityOracle(3),
     "graph_kcore" ->
       // the same three peel rounds unrolled, k = lower-median degree
       // + 1 re-derived in SQL; counts only, no floats

@@ -253,6 +253,51 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("modularity: per-community numerators replay from a full " +
+    "driver-side LPA + rollup; conservation and range laws hold") {
+    val out = Graph.modularity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))
+    // co-purchase symmetric edge list rebuilt driver-side
+    val und = Graph.coPurchaseWeighted(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sym = und ++ und.map(e => (e._2, e._1, e._3))
+    // synchronous LPA replay, 3 rounds, same tie rule
+    var lbl = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = sym.groupBy(_._2).view.mapValues { es =>
+        es.groupBy(e => lbl(e._1)).view.mapValues(_.map(_._3).sum)
+          .toSeq.minBy { case (l, sc) => (-sc, l) }._1
+      }.toMap
+    }
+    val s2m = sym.map(_._3).sum
+    val degByComm = sym.groupBy(e => lbl(e._1)).view
+      .mapValues(es => (es.map(_._3).sum,
+        es.map(_._1).distinct.length.toLong)).toMap
+    val winByComm = sym.filter(e => lbl(e._1) == lbl(e._2))
+      .groupBy(e => lbl(e._1)).view.mapValues(_.map(_._3).sum).toMap
+    assert(out.length == degByComm.size)
+    var qNum = 0L
+    out.foreach { case (c, n, dc, win, contrib, s, _, _) =>
+      val (ed, en) = degByComm(c)
+      assert((dc, n) == (ed, en), s"community $c")
+      assert(win == winByComm.getOrElse(c, 0L))
+      assert(s == s2m && contrib == s2m * win - dc * dc)
+      qNum += contrib
+    }
+    out.foreach { case (_, _, _, _, _, s, qn, q) =>
+      assert(qn == qNum && q == qNum.toDouble / (s * s).toDouble)
+    }
+    // conservation: degrees and in-weights both partition the total
+    assert(degByComm.values.map(_._1).sum == s2m)
+    assert(winByComm.values.sum <= s2m)
+    // a uniform co-occurrence graph has ALMOST no structure — the
+    // honest verdict is small-positive Q, not a large one
+    val q = out.head._8
+    assert(q > 0 && q < 0.1, s"Q out of the structureless band: $q")
+  }
+
   test("ssspEdges: a cheap 2-edge path beats an expensive direct " +
     "edge; the ≤-rounds invariant caps path length") {
     val s = spark
