@@ -399,6 +399,9 @@ object SparkEntry {
     // CBO join-size audit: exact Σ cl·cr off ndv-sized count tables
     // vs the |L|·|R|/max(ndv) uniform estimate, div-ppm error
     "dq_join_card" -> (Quality.joinCard _),
+    // FK fanout distribution incl. the k=0 class inner joins drop;
+    // two groupBys + one anti join, no window
+    "dq_fanout_profile" -> (Quality.fanoutProfile _),
     "dq_referential" -> (Quality.referentialAudit _),
     // confusion matrix + rational Cohen's kappa: langId vs labels
     "dq_agreement_kappa" -> (Quality.agreementKappa _),
@@ -453,6 +456,9 @@ object SparkEntry {
     "x4_address" -> (ScalarSuite.addressConcat _),
     "x7_map_construct" -> (ScalarSuite.mapConstruct _),
     "x_hof_suite" -> (ScalarSuite.hofSuite _),
+    // business-day SLA lateness via the closed-form weekday prefix
+    // W(e) = 5·⌊(e+3)/7⌋ + min((e+3)%7+1, 5); exact both engines
+    "x_business_days" -> (ScalarSuite.businessDays _),
     // semi-structured JSON layer (S4-S6, X3/X6)
     "ss_json_flatten" -> (SemiStructured.jsonFlatten _),
     "ss_props_extract" -> (SemiStructured.propsExtract _),
@@ -1583,6 +1589,47 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) AS n_click_7d FROM c),
         |  (SELECT CAST(count(*) AS BIGINT) AS n_purchase_7d FROM p)
         |""".stripMargin,
+    "x_business_days" ->
+      """WITH j AS (SELECT o_orderpriority,
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS ea,
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS eb
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (SELECT o_orderpriority,
+        |    (5 * ((eb + 3) // 7) + least((eb + 3) % 7 + 1, 5))
+        |      - (5 * ((ea + 3) // 7) + least((ea + 3) % 7 + 1, 5))
+        |      AS bd
+        |  FROM j)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN bd >= 0 AND bd <= 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_within_sla,
+        |  CAST(sum(CASE WHEN bd >= 0 AND bd <= 5 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS sla_ppm,
+        |  CAST(sum(bd) AS BIGINT) AS bd_sum,
+        |  CAST(min(bd) AS BIGINT) AS bd_min,
+        |  CAST(max(bd) AS BIGINT) AS bd_max
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq_fanout_profile" ->
+      """WITH pp AS (SELECT o_custkey AS parent,
+        |    CAST(count(*) AS BIGINT) AS k FROM orders GROUP BY 1),
+        |z AS (SELECT CAST(0 AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_parents
+        |  FROM customer
+        |  WHERE c_custkey NOT IN (SELECT parent FROM pp)),
+        |d0 AS (SELECT k, CAST(count(*) AS BIGINT) AS n_parents
+        |  FROM pp GROUP BY 1
+        |  UNION ALL SELECT k, n_parents FROM z WHERE n_parents > 0),
+        |t AS (SELECT CAST(sum(n_parents) AS BIGINT) AS total_parents,
+        |    CAST(sum(k * n_parents) AS BIGINT) AS total_children
+        |  FROM d0)
+        |SELECT d0.k, n_parents, k * n_parents AS n_children,
+        |  total_parents, total_children,
+        |  (SELECT k FROM d0 ORDER BY n_parents DESC, k DESC LIMIT 1)
+        |    AS mode_k,
+        |  CAST(n_parents * 1000000 // total_parents AS BIGINT)
+        |    AS share_ppm
+        |FROM d0, t ORDER BY k""".stripMargin,
     "dq_id_gaps" ->
       """WITH ids AS (SELECT DISTINCT event_type, event_id AS id
         |  FROM events),

@@ -810,6 +810,51 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** FK fanout-distribution profile: how many parents have exactly k
+    * children, for the orders-per-customer relationship INCLUDING the
+    * k = 0 parents an inner-join profile silently drops (customers
+    * who never ordered — at 100 TB the zero class is usually the
+    * biggest and the one capacity planning cares about). Two
+    * map-side-combining groupBys (child counts per parent → parents
+    * per count) plus one anti join for the zero class; the output is
+    * |distinct fanouts| rows. The mode fanout comes from one
+    * max(struct) argmax — no window anywhere.
+    */
+  def fanoutProfile(s: SparkSession, dir: String): DataFrame =
+    fanoutCore(
+      Tables.customer(s, dir).select(col("c_custkey").as("parent")),
+      Tables.orders(s, dir).select(col("o_custkey").as("parent")))
+
+  /** The distribution core over any (parents, child-rows) pair —
+    * split out so the spec can drive the k = 0 class with a
+    * hand-built frame (this fixture has no orderless customers).
+    */
+  private[operators] def fanoutCore(parents: DataFrame,
+      children: DataFrame): DataFrame = {
+    val perParent = children
+      .groupBy(col("parent"))
+      .agg(count(lit(1)).as("k"))
+    val zeros = parents
+      .join(perParent.select("parent"), Seq("parent"), "left_anti")
+      .agg(count(lit(1)).as("n_parents"))
+      .select(lit(0L).as("k"), col("n_parents"))
+    val dist = perParent.groupBy("k")
+      .agg(count(lit(1)).as("n_parents"))
+      .unionByName(zeros)
+      .filter(col("n_parents") > 0)
+    dist.crossJoin(broadcast(dist.agg(
+        sum(col("n_parents")).as("total_parents"),
+        sum(col("k") * col("n_parents")).as("total_children"),
+        max(struct(col("n_parents"), col("k"))).getField("k")
+          .as("mode_k"))))
+      .select(col("k"), col("n_parents"),
+        (col("k") * col("n_parents")).as("n_children"),
+        col("total_parents"), col("total_children"), col("mode_k"),
+        expr("n_parents * 1000000L div total_parents")
+          .as("share_ppm"))
+      .orderBy("k")
+  }
+
   /** Join-cardinality estimation audit — the cost-based-optimizer
     * primitive, measured: for each FK join the EXACT output size
     * computed WITHOUT executing the join (Σ_k count_l(k)·count_r(k)

@@ -159,4 +159,54 @@ object ScalarSuite {
           lit(0.0), (acc, x) => acc + x).as("pos_weighted"))
       .orderBy("l_orderkey")
   }
+
+  /** Business-day SLA audit: ship latency in WEEKDAYS per order
+    * priority — calendar-day latency overstates weekend-spanning
+    * shipments, which is why SLAs are contracted in business days.
+    * The weekday count comes from a closed-form prefix function
+    * instead of a per-day loop or calendar table:
+    * W(e) = 5·⌊(e+3)/7⌋ + min((e+3) mod 7 + 1, 5) counts weekdays
+    * from the epoch through day e (the +3 aligns the week so index
+    * 0 = Monday; epoch day 0 = Thursday = index 3), and
+    * bd(a, b] = W(b) − W(a) — two integer ops per row, exact in both
+    * engines, valid for any span with no loop. The fixture's ship
+    * dates are NOT anchored to order dates (signed gaps in
+    * ±~2400 bd), so the rollup treats bd as a signed gap: SLA =
+    * shipped AFTER the order and within 5 business days; the mean
+    * is emitted as (sum, n) exact pairs rather than a floor quotient
+    * — integer division on a possibly-negative sum is exactly where
+    * Spark's truncating `div` and DuckDB's flooring `//` diverge.
+    */
+  def businessDays(s: SparkSession, dir: String): DataFrame = {
+    // W(e) built as SQL expressions for readability and exact parity
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ea",
+        expr("datediff(cast(o_orderdate as date), date '1970-01-01')")
+          .cast("long"))
+      .withColumn("eb",
+        expr("datediff(cast(l_shipdate as date), date '1970-01-01')")
+          .cast("long"))
+      .withColumn("wa", expr(
+        "5L * ((ea + 3) div 7) + least((ea + 3) % 7 + 1, 5L)"))
+      .withColumn("wb", expr(
+        "5L * ((eb + 3) div 7) + least((eb + 3) % 7 + 1, 5L)"))
+      .withColumn("bd", col("wb") - col("wa"))
+    li.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("bd") >= 0L && col("bd") <= 5L, 1L)
+          .otherwise(0L)).as("n_within_sla"),
+        sum(col("bd")).as("bd_sum"),
+        min(col("bd")).as("bd_min"),
+        max(col("bd")).as("bd_max"))
+      .select(col("o_orderpriority"), col("n_lines"),
+        col("n_within_sla"),
+        expr("n_within_sla * 1000000L div n_lines").as("sla_ppm"),
+        col("bd_sum"), col("bd_min"), col("bd_max"))
+      .orderBy("o_orderpriority")
+  }
 }

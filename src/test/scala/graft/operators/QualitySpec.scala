@@ -435,6 +435,48 @@ class QualitySpec extends SparkSpec {
     assert(out.map(_._5).sum > 0, "fixture unexpectedly gapless")
   }
 
+  test("fanoutProfile: the distribution replays driver-side; the " +
+    "zero class is present and conservation laws hold") {
+    val out = Quality.fanoutProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val custs = Tables.customer(spark, sfDir).select("c_custkey")
+      .collect().map(_.getLong(0))
+    val ordCnt = Tables.orders(spark, sfDir).select("o_custkey")
+      .collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val fanouts = custs.map(c => ordCnt.getOrElse(c, 0L))
+    val expect = fanouts.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(out.map(r => r._1 -> r._2).toMap == expect)
+    val totalParents = custs.length.toLong
+    val modeK = expect.toSeq.maxBy { case (k, n) => (n, k) }._1
+    out.foreach { case (k, np, nc, tp, tc, mk, ppm) =>
+      assert(nc == k * np && tp == totalParents)
+      assert(tc == ordCnt.values.sum && mk == modeK)
+      assert(ppm == np * 1000000L / totalParents)
+    }
+    // this fixture has no orderless customers, so the zero class is
+    // legitimately absent here; classes still partition the parents
+    assert(out.map(_._2).sum == totalParents)
+  }
+
+  test("fanoutCore: the k = 0 class surfaces orderless parents a " +
+    "join-based profile would drop (hand-built frame)") {
+    val s = spark
+    import s.implicits._
+    val parents = Seq(1L, 2L, 3L, 4L, 5L).toDF("parent")
+    val children = Seq(1L, 1L, 1L, 2L).toDF("parent") // 3,4,5 orphan
+    val out = Quality.fanoutCore(parents, children).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getLong(6)))).toMap
+    // classes: k=0 ×3, k=1 ×1, k=3 ×1 — mode is the zero class
+    assert(out.keySet == Set(0L, 1L, 3L))
+    assert(out(0L) == ((3L, 0L, 0L, 600000L)))
+    assert(out(1L) == ((1L, 1L, 0L, 200000L)))
+    assert(out(3L) == ((1L, 3L, 0L, 200000L)))
+  }
+
   test("joinCard: exact sizes equal the materialized joins; the CBO " +
     "estimate replays; FK joins make exact = |lineitem|") {
     val out = Quality.joinCard(spark, sfDir).collect()
