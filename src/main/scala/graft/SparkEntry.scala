@@ -272,6 +272,12 @@ object SparkEntry {
     // max peak-to-trough drawdown per user: running sum + running max
     // share one window spec; first-attaining argmax, exact BIGINT
     "st_drawdown" -> (Analytics.drawdown _),
+    // YoY monthly growth: exact 1e-4-unit revenue, (y−1, m) self
+    // join (never lag(12) — month gaps misalign it), IEEE ratio
+    "st_yoy" -> (Analytics.yoyGrowth _),
+    // Fano-factor dispersion per type: exact rational moments, one
+    // IEEE division; Poisson = 1, bursts above
+    "st_burstiness" -> (Analytics.burstiness _),
     // anchored-window funnel: signup → click ≤7d → purchase ≤7d of
     // the click; each stage one argmin, conversions exact div-ppm
     "agg_funnel_windowed" -> (Analytics.funnelWindowed _),
@@ -4748,6 +4754,35 @@ object SparkEntry {
         |  wsum // span_us AS twap_cents,
         |  csum // n_events AS mean_cents
         |FROM g WHERE span_us > 0 ORDER BY 1""".stripMargin,
+    "st_yoy" ->
+      """WITH monthly AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |    CAST(month(o_orderdate) AS INT) AS m,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,6))
+        |      * 10000 AS BIGINT)) AS BIGINT) AS rev_u,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT c.y, c.m, c.n_orders, c.rev_u,
+        |  p.rev_u AS prev_rev_u,
+        |  c.rev_u - p.rev_u AS diff_u,
+        |  CAST(c.rev_u AS DOUBLE) / CAST(p.rev_u AS DOUBLE)
+        |    AS yoy_ratio
+        |FROM monthly c LEFT JOIN monthly p
+        |  ON c.y - 1 = p.y AND c.m = p.m
+        |ORDER BY 1, 2""".stripMargin,
+    "st_burstiness" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n_days, sx,
+        |  n_days * sx2 - sx * sx AS fano_num,
+        |  (n_days - 1) * sx AS fano_den,
+        |  CAST(n_days * sx2 - sx * sx AS DOUBLE)
+        |    / CAST((n_days - 1) * sx AS DOUBLE) AS fano
+        |FROM g ORDER BY 1""".stripMargin,
     "st_drawdown" ->
       // independent argmax path: row_number under (dd DESC, t, id)
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,

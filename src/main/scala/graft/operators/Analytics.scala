@@ -1405,6 +1405,64 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Year-over-year monthly revenue growth — the BI staple, kept
+    * engine-exact: month revenue is an exact 10⁻⁴-unit BIGINT
+    * (moneySum), the prior-year value arrives by a self JOIN on
+    * (year−1, month) rather than a 12-row lag (month gaps can't
+    * misalign a join; a lag(12) silently compares wrong months when
+    * a month is missing), the absolute delta is integer, and the
+    * growth RATIO is one IEEE division of two exact integers —
+    * never an integer division, whose truncation direction the two
+    * engines disagree on for the negative deltas a YoY series is
+    * full of. O(months) rows after the first groupBy.
+    */
+  def yoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        col("o_totalprice"))
+      .groupBy("y", "m")
+      .agg(sum((money(col("o_totalprice")) * 10000).cast("long"))
+        .as("rev_u"), count(lit(1)).as("n_orders"))
+    monthly.as("cur")
+      .join(monthly.select(col("y").as("py"), col("m").as("pm"),
+          col("rev_u").as("prev_rev_u")),
+        col("cur.y") - 1 === col("py") && col("cur.m") === col("pm"),
+        "left")
+      .select(col("cur.y").as("y"), col("cur.m").as("m"),
+        col("n_orders"), col("rev_u"), col("prev_rev_u"),
+        (col("rev_u") - col("prev_rev_u")).as("diff_u"),
+        (col("rev_u").cast("double") / col("prev_rev_u").cast("double"))
+          .as("yoy_ratio"))
+      .orderBy("y", "m")
+  }
+
+  /** Burstiness (Fano factor) of daily event counts per type:
+    * variance-to-mean dispersion — 1 under a Poisson arrival
+    * process, above it when traffic arrives in bursts (the
+    * capacity-planning number behind "p99 provisioning"). In the
+    * exact rational form: with daily counts x over n days,
+    * F = (n·Σx² − (Σx)²) / (n·(n−1)·x̄) — numerator and denominator
+    * (= (n−1)·Σx) are exact BIGINTs off one day-grain aggregate, the
+    * single division IEEE-identical in both engines. O(days·types)
+    * rows past the first groupBy, no window.
+    */
+  def burstiness(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      .select(col("event_type"), col("n_days"), col("sx"),
+        (col("n_days") * col("sx2") - col("sx") * col("sx"))
+          .as("fano_num"),
+        ((col("n_days") - 1) * col("sx")).as("fano_den"))
+      .withColumn("fano",
+        col("fano_num").cast("double") / col("fano_den").cast("double"))
+      .orderBy("event_type")
+
   /** Maximum drawdown per user over the running-balance series — the
     * risk statistic ("worst peak-to-trough fall so far") and the
     * canonical running-max-minus-current composition: balance is the

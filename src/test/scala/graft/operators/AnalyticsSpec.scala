@@ -804,4 +804,58 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(out.exists(_._5 > 0), "no user ever draws down — vacuous")
   }
+
+  test("yoyGrowth: the self-join alignment replays; the first year " +
+    "has null priors; ratios are the exact-integer quotient") {
+    val out = Analytics.yoyGrowth(spark, sfDir).collect()
+    val monthly = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"), col("o_totalprice"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        BigDecimal(r.getDouble(2)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP) * 10000))
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong,
+        rs.map(_._2.toBigInt.toLong).sum)).toMap
+    assert(out.length == monthly.size)
+    out.foreach { r =>
+      val key = (r.getInt(0), r.getInt(1))
+      val (n, rev) = monthly(key)
+      assert(r.getLong(2) == n && r.getLong(3) == rev)
+      monthly.get((key._1 - 1, key._2)) match {
+        case Some((_, prev)) =>
+          assert(r.getLong(4) == prev)
+          assert(r.getLong(5) == rev - prev)
+          assert(r.getDouble(6) == rev.toDouble / prev.toDouble)
+        case None => assert(r.isNullAt(4) && r.isNullAt(5))
+      }
+    }
+    assert(out.count(_.isNullAt(4)) >= 1) // a first year exists
+    assert(out.exists(r => !r.isNullAt(5) && r.getLong(5) < 0) ||
+      out.exists(r => !r.isNullAt(5) && r.getLong(5) > 0))
+  }
+
+  test("burstiness: Fano moments replay; the daily-count series is " +
+    "super-Poisson or sub-Poisson somewhere, never degenerate") {
+    val out = Analytics.burstiness(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(
+        _.groupBy(_._2).values.map(_.length.toLong).toSeq).toMap
+    assert(out.length == daily.size)
+    out.foreach { case (t, nd, sx, num, den, f) =>
+      val xs = daily(t)
+      assert(nd == xs.length && sx == xs.sum)
+      assert(num == nd * xs.map(x => x * x).sum - sx * sx)
+      assert(den == (nd - 1) * sx)
+      assert(f == num.toDouble / den.toDouble)
+      assert(f >= 0) // a variance ratio
+    }
+    assert(out.exists(r => math.abs(r._6 - 1.0) > 0.01),
+      "every series exactly Poisson — fixture suspiciously regular")
+  }
 }
