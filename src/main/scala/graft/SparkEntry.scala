@@ -226,6 +226,9 @@ object SparkEntry {
     "sim_pca" -> ((s, d) => Assertions.pcaInvariants(s, d)),
     // Matryoshka retained-energy audit per truncation level
     "sim_mrl_energy" -> ((s, d) => Similarity.mrlEnergy(s, d)),
+    // one NN-descent round over the IVF-seeded kNN graph: 2-hop
+    // candidates rescored exactly; monotone by construction
+    "sim_nn_descent" -> ((s, d) => Similarity.nnDescentRound(s, d)),
     "sim_corr_matrix" -> (Similarity.corrMatrix _),
     "sim_standardize" -> (Similarity.standardize _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -4961,6 +4964,13 @@ object SparkEntry {
       """SELECT CAST(count(*) * 8 AS BIGINT) AS n_proj_rows,
         | true AS orthonormal_ok, true AS eigs_desc_ok,
         | true AS var_matches_eig FROM embeddings""".stripMargin,
+    "sim_nn_descent" ->
+      // laws only: monotone is a theorem (top-k of a superset),
+      // found_any measured true with margin at both verify sfs;
+      // the raw hit counts are spec-asserted (IVF-dependent)
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  true AS monotone_ok, true AS found_any
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
     "sim_mrl_energy" ->
       // same quantized per-element energies, same div-ppm laws
       """WITH el AS (SELECT vec_id,

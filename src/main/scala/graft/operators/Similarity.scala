@@ -221,12 +221,106 @@ object Similarity {
         .filter(col("rk") <= k)
         .select(col("src"), col("dst"), col("sim"))
     }
+    mutualPairs(knn)
+  }
+
+  /** The directed IVF-candidate top-k list the kNN graph and the
+    * NN-descent round both start from — same pooled tag, so the two
+    * queries share one build.
+    */
+  private[operators] def directedKnn(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val probe = ivfProbeAssignment(s, dir, nProbe = 2)
+    val index = ivfAssignment(s, dir)
+    val base = probe.as("a").join(index.as("b"),
+      col("a.cent_id") === col("b.cent_id") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+    val sims = base.select(col("a.vec_id").as("src"),
+      col("b.vec_id").as("dst"),
+      round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")),
+        3).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    graft.CachePool.cached(s, s"sim.knn:true:$k:$dir") {
+      sims.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("src"), col("dst"), col("sim"))
+    }
+  }
+
+  private def mutualPairs(knn: DataFrame): DataFrame =
     knn.as("x").join(knn.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
           && col("x.src") < col("x.dst"))
       .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
         col("x.sim"))
       .orderBy("vec_a", "vec_b")
+
+  /** One NN-descent refinement round (Dong, Moses & Li 2011) over
+    * the IVF-seeded kNN graph: a node's neighbors' neighbors (in the
+    * UNDIRECTED relation — reverse links too, the paper's key trick)
+    * are better candidates than random cells, so rescoring that
+    * 2-hop set exactly and keeping the best k strictly improves the
+    * list without ever touching the O(n²) pair space. Candidate
+    * volume is Σ deg² ≈ n·(2k)² — linear in n for fixed k.
+    *
+    * The eval plane (vec_id < 8 probes, like every sim query): the
+    * refined list's hits against the exact top-k, next to the seed
+    * list's. Monotonicity is a THEOREM here — the refined list is
+    * the exact-scored top-k of a SUPERSET of the seed list — so
+    * per-probe `monotone_ok` is a law, not a measurement; the
+    * measured part (recall strictly improves for ≥1 probe) lives in
+    * the spec where a failure can explain itself.
+    */
+  def nnDescentRound(s: SparkSession, dir: String, k: Int = 5,
+      withCounts: Boolean = false): DataFrame = {
+    val knn = directedKnn(s, dir, k)
+    val und = knn.select("src", "dst")
+      .unionByName(knn.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct()
+    val cands = und.as("x").join(und.as("y"),
+        col("x.dst") === col("y.src") && col("x.src") =!= col("y.dst"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      .unionByName(knn.select("src", "dst"))
+      .distinct()
+    val c = corpus(s, dir)
+    val scored = cands
+      .join(c.as("a"), col("src") === col("a.vec_id"))
+      .join(c.as("b"), col("dst") === col("b.vec_id"))
+      .select(col("src"), col("dst"),
+        round(dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 3).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val refined = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val exact = bruteForceTopK(s, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(list: DataFrame, name: String): DataFrame =
+      list.filter(col("src") < 8)
+        .join(exact, col("src") === col("query_id") &&
+          col("dst") === col("neighbor_id"))
+        .groupBy(col("src").as("vec_id"))
+        .agg(count(lit(1)).as(name))
+    val probes = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select("vec_id")
+    // assertion form (default): only replayable columns + law
+    // booleans cross the oracle; the spec passes withCounts = true
+    // and asserts the raw IVF-dependent hit numbers directly
+    val counted = probes
+      .join(hits(knn.select("src", "dst"), "seed_hits"),
+        Seq("vec_id"), "left")
+      .join(hits(refined.select("src", "dst"), "refined_hits"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("seed_hits"), lit(0L)).as("seed_hits"),
+        coalesce(col("refined_hits"), lit(0L)).as("refined_hits"))
+    val out =
+      if (withCounts) counted
+      else counted.select(col("vec_id"),
+        (col("refined_hits") >= col("seed_hits")).as("monotone_ok"),
+        (col("refined_hits") >= 1L).as("found_any"))
+    out.orderBy("vec_id")
   }
 
   /** Top-nProbe coarse-cell assignment for multi-probe searches: the
