@@ -281,6 +281,9 @@ object SparkEntry {
     // Fano-factor dispersion per type: exact rational moments, one
     // IEEE division; Poisson = 1, bursts above
     "st_burstiness" -> (Analytics.burstiness _),
+    // records test: record-high days vs the exact scaled harmonic
+    // expectation Σ 1e6 div k — trend evidence with no logs
+    "st_records" -> (Analytics.recordsTest _),
     // anchored-window funnel: signup → click ≤7d → purchase ≤7d of
     // the click; each stage one argmin, conversions exact div-ppm
     "agg_funnel_windowed" -> (Analytics.funnelWindowed _),
@@ -4786,6 +4789,26 @@ object SparkEntry {
         |  CAST(n_days * sx2 - sx * sx AS DOUBLE)
         |    / CAST((n_days - 1) * sx AS DOUBLE) AS fano
         |FROM g ORDER BY 1""".stripMargin,
+    "st_records" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, cnt,
+        |    max(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm
+        |  FROM d),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN pm IS NULL OR cnt > pm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_records
+        |  FROM f GROUP BY 1),
+        |h AS (SELECT event_type,
+        |    CAST(sum(1000000 // (s + 1)) AS BIGINT) AS h_scaled
+        |  FROM g, unnest(range(n_days)) AS t(s) GROUP BY 1)
+        |SELECT g.event_type, n_days, n_records, h_scaled,
+        |  n_records * 1000000 - h_scaled AS excess_scaled
+        |FROM g JOIN h ON g.event_type = h.event_type
+        |ORDER BY 1""".stripMargin,
     "st_drawdown" ->
       // independent argmax path: row_number under (dd DESC, t, id)
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,

@@ -1463,6 +1463,41 @@ object Analytics {
         col("fano_num").cast("double") / col("fano_den").cast("double"))
       .orderBy("event_type")
 
+  /** Records test for trend: how many RECORD-HIGH days each series
+    * has, against the exchangeability expectation — under a
+    * stationary (shuffled) series, P(day k is a record) = 1/k, so
+    * E[records] = H_n ≈ ln n; a records count far above the harmonic
+    * number is trend evidence orthogonal to Mann–Kendall (which sums
+    * pairwise signs; this only looks at the running max — robust to
+    * anything below it). A day is a record when its count strictly
+    * exceeds every earlier day's (the first day is trivially one).
+    * The expectation ships exactly: H_n·10⁶ as Σ_{k≤n} (10⁶ div k) —
+    * an integer sum with a declared floor per term, no logs, both
+    * engines digit-identical. Day-grain inputs, per-type windows.
+    */
+  def recordsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("cnt"))
+    val prevMax = max(col("cnt")).over(
+      Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = daily
+      .withColumn("is_record",
+        col("cnt") > coalesce(prevMax, lit(Long.MinValue)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("is_record"), 1L).otherwise(0L)).as("n_records"))
+    flagged
+      .withColumn("h_scaled",
+        expr("aggregate(sequence(1L, n_days), 0L, " +
+          "(acc, k) -> acc + 1000000L div k)"))
+      .withColumn("excess_scaled",
+        col("n_records") * 1000000L - col("h_scaled"))
+      .orderBy("event_type")
+  }
+
   /** Maximum drawdown per user over the running-balance series — the
     * risk statistic ("worst peak-to-trough fall so far") and the
     * canonical running-max-minus-current composition: balance is the

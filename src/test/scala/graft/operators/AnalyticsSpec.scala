@@ -858,4 +858,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.exists(r => math.abs(r._6 - 1.0) > 0.01),
       "every series exactly Poisson — fixture suspiciously regular")
   }
+
+  test("recordsTest: record walk and scaled harmonic replay " +
+    "sequentially; bounds hold") {
+    val out = Analytics.recordsTest(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(
+        _.groupBy(_._2).toSeq.sortBy(_._1.toEpochDay)
+          .map(_._2.length.toLong)).toMap
+    assert(out.length == daily.size)
+    out.foreach { case (t, nDays, nRec, h, excess) =>
+      val xs = daily(t)
+      assert(nDays == xs.length)
+      var mx = Long.MinValue; var rec = 0L
+      xs.foreach { x => if (x > mx) { rec += 1; mx = x } }
+      assert(nRec == rec, t)
+      assert(h == (1L to nDays).map(1000000L / _).sum)
+      assert(excess == nRec * 1000000L - h)
+      assert(nRec >= 1 && nRec <= nDays) // day 1 is always a record
+    }
+  }
 }
