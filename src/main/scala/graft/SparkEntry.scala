@@ -451,6 +451,9 @@ object SparkEntry {
     // oracle is the hand-derived finding set, so a rule regression or
     // a planner change that flips a trigger shape fails the compare
     "plan_audit" -> (graft.plans.PlanAudit.lintDemo _),
+    // ANALYZE-stats audit: catalog rowCount/ndv vs exact ground truth
+    // (assertion form; raw estimates spec-asserted)
+    "plan_stats_audit" -> ((s, d) => graft.plans.StatsAudit.audit(s, d)),
     "p_scd2" -> (Pipelines.scd2 _),
     // incremental SCD2 merge: stored history read back, delta-sized
     // close + chain; oracle = the full rebuild (incremental ≡ rebuild)
@@ -682,6 +685,7 @@ object SparkEntry {
       "stream_concurrency" + // AvailableNow drain, TWS open-ends state
       "stream_dedup_history" + // AvailableNow drain, stream-static anti
       "p_scd2_merge" + // builder materializes the stored history table
+      "plan_stats_audit" + // builder saves the table + runs ANALYZE
       "agg_kmv_overlap" + // builder collects the per-group sketches
       "agg_cms_pointq" + // builder merges day sketches (O(days) rows)
       "s_partition_prune" // builder writes the events_by_day layout (once)
@@ -4107,6 +4111,20 @@ object SparkEntry {
         |          ORDER BY o_orderdate, o_orderkey) AS valid_to
         |      FROM orders)
         |ORDER BY cust_id, valid_from, version_key""".stripMargin,
+    "plan_stats_audit" ->
+      // ground truth replays; catalog estimates cross as law booleans
+      """SELECT col_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS actual_rows,
+        |  ndv_exact, true AS rowcount_exact, true AS ndv_in_envelope
+        |FROM (
+        |  SELECT 'o_custkey' AS col_name,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_exact
+        |  FROM orders
+        |  UNION ALL SELECT 'o_orderpriority',
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus',
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders)
+        |ORDER BY col_name""".stripMargin,
     "p_scd2_merge" ->
       // the FULL rebuild — equality proves the incremental path
       """SELECT cust_id, version_key, attr, valid_from, valid_to,
