@@ -364,6 +364,9 @@ object SparkEntry {
     // weighted modularity of the LPA communities: exact BIGINT
     // numerators, one IEEE division; rides the pooled LPA build
     "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
+    // per-node local clustering: degree-ordered wedges, inner close,
+    // 3 incidence rows per triangle, div-ppm coefficient
+    "graph_local_cc" -> (Graph.localClustering _),
     // bounded-round k-core peel; the oracle unrolls the same rounds
     "graph_kcore" -> ((s, d) => Graph.kcore(s, d)),
     // multi-source BFS hop distances, level-synchronous frontier
@@ -645,6 +648,7 @@ object SparkEntry {
       "graph_ppr" + // same loop with the seeded teleport
       "graph_label_prop" + // builder runs the propagation-round jobs
       "graph_modularity" + // rides the same pooled LPA round jobs
+      "graph_local_cc" + // builder checkpoints the oriented edge set
       "graph_triangles" + // builder checkpoints the oriented edge set
       "graph_clustering_coeff" + // same checkpointed edge pipeline
       "sim_kmeans" +     // builder runs the Lloyd-iteration jobs
@@ -1398,6 +1402,29 @@ object SparkEntry {
     "graph_ppr" -> pprOracle(3),
     "graph_label_prop" -> lpaOracle(3),
     "graph_modularity" -> modularityOracle(3),
+    "graph_local_cc" ->
+      // independent path: direct a<b<c triangle enumeration
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ed AS (SELECT x.pk AS a, y.pk AS b FROM li x
+        |  JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+        |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |inc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT x AS node FROM tr
+        |  UNION ALL SELECT y FROM tr
+        |  UNION ALL SELECT z FROM tr) GROUP BY 1),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT a AS node FROM ed
+        |  UNION ALL SELECT b FROM ed) GROUP BY 1)
+        |SELECT deg.node AS node, d AS degree,
+        |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN d >= 2 THEN coalesce(n_tri, 0) * 2000000
+        |    // (d * (d - 1)) ELSE 0 END AS BIGINT) AS lcc_ppm
+        |FROM deg LEFT JOIN inc ON deg.node = inc.node
+        |ORDER BY 1""".stripMargin,
     "graph_kcore" ->
       // the same three peel rounds unrolled, k = lower-median degree
       // + 1 re-derived in SQL; counts only, no floats

@@ -298,6 +298,30 @@ class GraphSpec extends SparkSpec {
     assert(q > 0 && q < 0.1, s"Q out of the structureless band: $q")
   }
 
+  test("localClusteringEdges: hand graph (one triangle + one " +
+    "pendant) gets corner-exact coefficients; incidence sums to " +
+    "3× the global count on the production graph") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 with pendant 4 on node 1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = Graph.localClusteringEdges(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // node 1: deg 3, 1 triangle, lcc = 1/3; nodes 2,3: deg 2, 1 tri,
+    // lcc = 1; node 4: deg 1 → defined 0
+    assert(out(1L) == ((3L, 1L, 333333L)))
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    assert(out(3L) == ((2L, 1L, 1000000L)))
+    assert(out(4L) == ((1L, 0L, 0L)))
+    // production law: Σ per-node triangles = 3 · global triangles
+    val perNode = Graph.localClustering(spark, sfDir).collect()
+      .map(_.getLong(2)).sum
+    val global = Graph.triangleCount(spark, sfDir).collect()
+      .head.getLong(0)
+    assert(perNode == 3 * global)
+  }
+
   test("ssspEdges: a cheap 2-edge path beats an expensive direct " +
     "edge; the ≤-rounds invariant caps path length") {
     val s = spark
