@@ -2518,7 +2518,7 @@ object SparkEntry {
         |    CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
         |    COALESCE(c.n, 0) * 1000000 // t.n_total AS observed_ppm
         |  FROM e LEFT JOIN c USING (digit) CROSS JOIN t),
-        |tv AS (SELECT CAST(SUM(abs(observed_ppm - benford_ppm)) / 2
+        |tv AS (SELECT CAST(SUM(abs(observed_ppm - benford_ppm)) // 2
         |    AS BIGINT) AS tvd_vs_benford_ppm FROM sh)
         |SELECT sh.digit, sh.n, sh.benford_ppm, sh.observed_ppm,
         |  tv.tvd_vs_benford_ppm

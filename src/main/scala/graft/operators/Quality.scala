@@ -421,9 +421,14 @@ object Quality {
         col("benford_ppm"),
         expr("coalesce(n, 0L) * 1000000L div n_total")
           .as("observed_ppm"))
+    // floor-div by 2, NOT /2-then-cast: an odd |Δ| sum makes the
+    // half-value fractional, and Spark's double→long cast TRUNCATES
+    // where DuckDB's ROUNDS (surfaced by the sf0.001 full sweep —
+    // 277393.5 → 277393 vs 277394); integer div is the declared law
     val tvd = shares
-      .agg((sum(abs(col("observed_ppm") - col("benford_ppm"))) / 2)
-        .cast("long").as("tvd_vs_benford_ppm"))
+      .agg(sum(abs(col("observed_ppm") - col("benford_ppm")))
+        .as("tvd2"))
+      .select(expr("tvd2 div 2").as("tvd_vs_benford_ppm"))
     shares.crossJoin(broadcast(tvd)).orderBy("digit")
   }
 
