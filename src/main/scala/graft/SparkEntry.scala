@@ -417,6 +417,8 @@ object SparkEntry {
     // FK fanout distribution incl. the k=0 class inner joins drop;
     // two groupBys + one anti join, no window
     "dq_fanout_profile" -> (Quality.fanoutProfile _),
+    // k-anonymity audit over the QI tuple; suppression cost div-ppm
+    "dq_k_anonymity" -> ((s, d) => Quality.kAnonymity(s, d)),
     "dq_referential" -> (Quality.referentialAudit _),
     // confusion matrix + rational Cohen's kappa: langId vs labels
     "dq_agreement_kappa" -> (Quality.agreementKappa _),
@@ -1673,6 +1675,21 @@ object SparkEntry {
         |  CAST(n_parents * 1000000 // total_parents AS BIGINT)
         |    AS share_ppm
         |FROM d0, t ORDER BY k""".stripMargin,
+    "dq_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 5000) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(cnt) AS BIGINT) AS min_class_size,
+        |  CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_classes,
+        |  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) * 1000000
+        |    // sum(cnt) AS BIGINT) AS suppress_ppm
+        |FROM cls""".stripMargin,
     "dq_id_gaps" ->
       """WITH ids AS (SELECT DISTINCT event_type, event_id AS id
         |  FROM events),

@@ -860,6 +860,38 @@ object Quality {
       .orderBy("k")
   }
 
+  /** k-anonymity audit — the privacy twin of the erasure planner:
+    * how identifiable is each row under the quasi-identifier tuple
+    * (nation, market segment, coarse account-balance band)? A row in an
+    * equivalence class smaller than k is re-identifiable by linkage;
+    * the audit emits the class landscape (count, minimum size) and
+    * the SUPPRESSION COST — how many rows a k-anonymizer would have
+    * to drop or generalize (the number that decides band width).
+    * One groupBy over the QI tuple + one rollup; the balance band is
+    * floor(bal/100) — IEEE floor is engine-identical where a
+    * double→int CAST is not (DuckDB rounds, Spark truncates — the
+    * Benford lesson applied at design time).
+    */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val classes = Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 5000).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("cnt"))
+    classes.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("cnt")).as("min_class_size"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L))
+          .as("n_small_classes"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+          .as("rows_at_risk"))
+      .select(col("n_rows"), col("n_classes"), col("min_class_size"),
+        col("n_small_classes"), col("rows_at_risk"),
+        expr("rows_at_risk * 1000000L div n_rows")
+          .as("suppress_ppm"))
+  }
+
   /** Join-cardinality estimation audit — the cost-based-optimizer
     * primitive, measured: for each FK join the EXACT output size
     * computed WITHOUT executing the join (Σ_k count_l(k)·count_r(k)

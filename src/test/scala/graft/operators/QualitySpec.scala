@@ -477,6 +477,30 @@ class QualitySpec extends SparkSpec {
     assert(out(3L) == ((1L, 3L, 0L, 200000L)))
   }
 
+  test("kAnonymity: the class landscape replays driver-side; risk " +
+    "bounds hold and the audit is non-vacuous") {
+    val out = Quality.kAnonymity(spark, sfDir).collect().head
+    val rows = Tables.customer(spark, sfDir)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        math.floor(r.getDouble(2) / 5000).toLong))
+    val classes = rows.groupBy(identity).values.map(_.length.toLong)
+    val atRisk = classes.filter(_ < 5)
+    assert(out.getLong(0) == rows.length.toLong)
+    assert(out.getLong(1) == classes.size.toLong)
+    assert(out.getLong(2) == classes.min)
+    assert(out.getLong(3) == atRisk.size.toLong)
+    assert(out.getLong(4) == atRisk.sum)
+    assert(out.getLong(5) == atRisk.sum * 1000000L / rows.length)
+    // non-vacuous: risk exists. At THIS sf (150 customers) the QI is
+    // so fine that EVERY class is < 5 — itself the correct audit
+    // verdict ("this quasi-identifier re-identifies everyone in a
+    // small population"); the mixed regime shows at sf0.01, where
+    // the driver's oracle hash pins the split every round.
+    assert(atRisk.sum > 0)
+    assert(out.getLong(5) <= 1000000L)
+  }
+
   test("joinCard: exact sizes equal the materialized joins; the CBO " +
     "estimate replays; FK joins make exact = |lineitem|") {
     val out = Quality.joinCard(spark, sfDir).collect()
