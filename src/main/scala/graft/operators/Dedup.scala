@@ -148,14 +148,23 @@ object Dedup {
     */
   private[operators] def jaccardPairs(s: SparkSession,
       dir: String): DataFrame =
-    // NOT separately pooled: a cheap filter+projection over the
-    // pooled pair base — a second cache entry would persist strictly
-    // redundant bytes and burn an LRU slot (review finding)
-    pairSizeCounts(s, dir)
-      .withColumn("jaccard",
-        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // Pooled ON TOP of the pooled raw base (layered cache). Round-9
+    // shipped this as a bare filter over pairSizeCounts to save an
+    // LRU slot, and the seven Jaccard consumers each re-scanned the
+    // big UNFILTERED candidate base (every shingle-sharing pair)
+    // per run — measured 2.6x on dedup_ngram_jaccard and 1.9x on
+    // p_corpus_clean at the bench sf. The filtered set is ~1-2% of
+    // the base's rows, so this entry's bytes are trivial and every
+    // consumer is back to scanning only true near-dup pairs; the
+    // base entry still makes containment+jaccard share the one
+    // pair-count shuffle. Adjudicated numbers in PLANS.md.
+    graft.CachePool.cached(s, s"dedup.jaccardPairs:$dir") {
+      pairSizeCounts(s, dir)
+        .withColumn("jaccard",
+          col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
 
   /** The raw (doc_a, doc_b, n_inter, n_a, n_b) table for every
     * shingle-sharing pair — the shared base under BOTH similarity

@@ -28,15 +28,6 @@ ALLOW = {
         "filtering exists to avoid — the production operator "
         "dedup_prefix_jaccard holds shuffle_slope 0.98 in this same "
         "artifact",
-    "geo_cell_join":
-        "the ANSWER grows superlinearly by fixture construction, not "
-        "the operator: points derive into a FIXED 1-degree square, so "
-        "10x points = 10x density and the true pair count measures "
-        "3661 -> 254603 (log-slope 1.84, DuckDB brute force); the "
-        "shuffle slope 1.82 tracks the output exactly - the cell join "
-        "moves O(answer) bytes, the property that matters. At real "
-        "scale area grows with data (density ~constant) and the same "
-        "plan is linear",
 }
 
 
