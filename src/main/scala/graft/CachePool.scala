@@ -67,6 +67,48 @@ object CachePool {
     out
   }
 
+  // ---- value-object lane ----------------------------------------
+  // Driver-side trained state that is NOT a DataFrame (PQ codebooks:
+  // O(m·k·d) doubles; the legal iterative-algorithm collect shape)
+  // but wants the same pooling contract: keyed by (session, tag),
+  // bounded count, access-ordered eviction, entries die with their
+  // session. One lane for every such memo so no operator grows a
+  // bespoke driver-side map with hand-rolled eviction (round-9
+  // review finding on Similarity.booksMemo). Values need no
+  // unpersist — dropping the reference is the whole eviction.
+  private val ValMax = 64
+  private val valMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), AnyRef](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), AnyRef])
+          : Boolean = size() > ValMax
+    }
+
+  /** The memoized value for (s, tag), building it on first use.
+    * `build` must be a pure function of (s, tag); it may run Spark
+    * jobs (training collects) but must return plain driver objects.
+    */
+  def memoized[T <: AnyRef](s: SparkSession, tag: String)(build: => T): T = {
+    memo.synchronized { touched += tag } // never nested inside valMemo's
+    val key = (s, tag)
+    val hit = valMemo.synchronized {
+      val it = valMemo.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      valMemo.get(key)
+    }
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      // build OUTSIDE the lock: training collects run Spark jobs for
+      // seconds and must not block unrelated memo lookups. Builds are
+      // pure functions of (s, tag), so a rare concurrent double-build
+      // is wasted work, never divergent state — last insert wins.
+      val v = build
+      valMemo.synchronized { valMemo.put(key, v) }
+      v
+    }
+  }
+
   /** The cached DataFrame for (s, tag), building + `.cache()`-ing it on
     * first use. `build` must be a pure function of (s, tag).
     */

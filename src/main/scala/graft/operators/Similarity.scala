@@ -687,14 +687,13 @@ object Similarity {
     * collect shape (kmeans' centroids, BPE's merges).
     *
     * The TRAINING (seed collect + iters×m refit jobs) is memoized per
-    * (session, dir, grid): pqTopK and ivfPqTopK train the identical
-    * 8×32 grid, and an index is trained once then queried many times —
-    * re-running Lloyd per query would bill every search for the build.
-    * Entries die with their session (same discipline as CachePool).
+    * (session, dir, grid) through CachePool's value lane: pqTopK and
+    * ivfPqTopK train the identical 8×32 grid, and an index is trained
+    * once then queried many times — re-running Lloyd per query would
+    * bill every search for the build. The lane gives the same
+    * bounded-count, evict-with-session discipline as the DataFrame
+    * pool (round-9 review finding: no bespoke driver memos).
     */
-  private val booksMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Array[Seq[(Int, Seq[Double])]], Int)]
-
   private def pqBooks(s: SparkSession, dir: String, m: Int, k: Int,
       iters: Int)
       : (DataFrame, Array[Seq[(Int, Seq[Double])]], Int) = {
@@ -703,9 +702,8 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("v"))
     }
     VectorExpressions.ensureRegistered(s)
-    booksMemo.filterInPlace((key, _) => !key._1.sparkContext.isStopped)
-    val (books, subDim) = booksMemo.getOrElseUpdate(
-      (s, s"$dir:$m:$k:$iters"), trainBooks(emb, m, k, iters))
+    val (books, subDim) = graft.CachePool.memoized(
+      s, s"sim.pqBooks:$dir:$m:$k:$iters")(trainBooks(emb, m, k, iters))
     (emb, books, subDim)
   }
 
@@ -1196,19 +1194,15 @@ object Similarity {
   }
 
   /** PCA model memo per (session, dir, k) — an index build: trained
-    * once, projected many times (same discipline as booksMemo).
-    * Holds (top-k eigenvalues, row-major flattened k×d components,
-    * per-component centering offsets μ·Cᵣ) — O(k·d) driver doubles.
+    * once, projected many times (CachePool's value lane, same
+    * discipline as the PQ codebooks). Holds (top-k eigenvalues,
+    * row-major flattened k×d components, per-component centering
+    * offsets μ·Cᵣ) — O(k·d) driver doubles.
     */
-  private val pcaMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String),
-      (Array[Double], Array[Double], Array[Double])]
-
   private[graft] def pcaModel(s: SparkSession, dir: String, k: Int)
-      : (Array[Double], Array[Double], Array[Double]) = {
-    pcaMemo.filterInPlace((key, _) => !key._1.sparkContext.isStopped)
-    pcaMemo.getOrElseUpdate((s, s"$dir:$k"), pcaTrain(s, dir, k))
-  }
+      : (Array[Double], Array[Double], Array[Double]) =
+    graft.CachePool.memoized(s, s"sim.pcaModel:$dir:$k")(
+      pcaTrain(s, dir, k))
 
   /** The training pass: EXACT scaled-integer covariance in one
     * distributed sweep (the pooled `moments` Gram fold — per-partition
