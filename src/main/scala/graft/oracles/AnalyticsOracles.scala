@@ -1,0 +1,654 @@
+package graft.oracles
+
+import graft.oracles.Gen._
+
+/** DuckDB oracle SQL for the window / set-op / session-time / advanced-join queries —
+  * one entry per SparkEntry.queries key in this family. Moved out
+  * of SparkEntry mechanically (round-10 verdict ask #7); the text
+  * of every entry is unchanged.
+  */
+private[graft] object AnalyticsOracles {
+  val sql: Map[String, String] = Map(
+    "w_pattern_runs" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS eday,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, eday, cnt,
+        |    lag(eday) OVER (PARTITION BY event_type ORDER BY eday)
+        |      AS pd,
+        |    lag(cnt) OVER (PARTITION BY event_type ORDER BY eday)
+        |      AS pc
+        |  FROM daily),
+        |fl AS (SELECT event_type, eday,
+        |    (pd = eday - 1 AND cnt < pc) AS declining FROM f),
+        |r AS (SELECT event_type, eday - row_number() OVER
+        |    (PARTITION BY event_type ORDER BY eday) AS grp
+        |  FROM fl WHERE declining),
+        |rl AS (SELECT event_type, grp, count(*) AS run_len
+        |  FROM r GROUP BY 1, 2),
+        |a1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN declining THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_declining_days
+        |  FROM fl GROUP BY 1),
+        |a2 AS (SELECT event_type,
+        |    CAST(max(run_len) AS BIGINT) AS longest_run,
+        |    CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_runs_ge3
+        |  FROM rl GROUP BY 1)
+        |SELECT a1.event_type, n_days, n_declining_days,
+        |  CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run,
+        |  CAST(coalesce(n_runs_ge3, 0) AS BIGINT) AS n_runs_ge3
+        |FROM a1 LEFT JOIN a2 ON a1.event_type = a2.event_type
+        |ORDER BY 1""".stripMargin,
+    "st_ohlc" ->
+      // independent argmin path: row_number both directions
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    epoch_us(ts) AS t, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, day, cents,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY t, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY t DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+        |    AS open_cents,
+        |  CAST(max(cents) AS BIGINT) AS high_cents,
+        |  CAST(min(cents) AS BIGINT) AS low_cents,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+        |    AS close_cents,
+        |  CAST(sum(cents) AS BIGINT) AS vol_cents
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w_topk" ->
+      """SELECT o_custkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_spend,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1
+        |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin,
+    "w_topk_group" ->
+      // the window formulation the aggregator replaces — identical
+      // rows, including the o_orderkey tie-break
+      """SELECT o_orderpriority, rk,
+        | CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderkey
+        |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |   row_number() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders)
+        |WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
+    "w_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1",
+    "set_rollup" ->
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "set_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "st_moving_median" ->
+      // full sketch-path replay: same bins, same 7-day fan-out, same
+      // lower-median rank and upper-bin-edge read-off
+      """WITH b AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    LEAST(GREATEST(CAST(floor(o_totalprice / 25000.0) AS INTEGER),
+        |      0), 63) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM b),
+        |wb AS (SELECT d.day AS wday, b.bin,
+        |    CAST(SUM(b.cnt) AS BIGINT) AS cnt
+        |  FROM days d JOIN b ON b.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1, 2),
+        |c AS (SELECT wday,
+        |    CAST(SUM(cnt) OVER (PARTITION BY wday) AS BIGINT) AS n,
+        |    bin,
+        |    CAST(SUM(cnt) OVER (PARTITION BY wday ORDER BY bin)
+        |      AS BIGINT) AS cum
+        |  FROM wb WHERE cnt > 0)
+        |SELECT wday AS day, n AS n_orders,
+        |  (MIN(CASE WHEN cum >= floor(n * 0.5 + 0.5) THEN bin END) + 1)
+        |    * CAST(25000.0 AS DOUBLE) AS p50_est
+        |FROM c GROUP BY wday, n ORDER BY day""".stripMargin,
+    "w_percent_rank" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, total_spend,
+        |  percent_rank() OVER (ORDER BY total_spend, o_custkey)
+        |    AS spend_pct_rank,
+        |  cume_dist() OVER (ORDER BY total_spend, o_custkey)
+        |    AS spend_cume_dist
+        |FROM spend ORDER BY o_custkey""".stripMargin,
+    "set_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric,
+        |  CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "set_union_evolve" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "w_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST(epoch(ts) AS BIGINT)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS trailing_7d_value
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "st_gap_fill" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events WHERE value >= 250.0 GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+        |    INTERVAL 1 DAY)) AS day)
+        |SELECT CAST(spine.day AS DATE) AS day,
+        |  COALESCE(daily.n_events, 0) AS n_events,
+        |  COALESCE(daily.sum_value, 0.0) AS sum_value
+        |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
+        |ORDER BY day""".stripMargin,
+    "st_trend" ->
+      // triangular day-pair self-join per series, integer sign sum
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+        |      ELSE 0 END AS sgn
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |agg AS (SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM p GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT agg.event_type, agg.s_stat, agg.n_pairs, nd.n_days,
+        |  CASE WHEN s_stat > 0 THEN 'increasing'
+        |       WHEN s_stat < 0 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM agg JOIN nd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "st_autocorr" ->
+      // same observed-sequence lags and BIGINT moments; the signed
+      // square (num/den1)·(|num|/den2) is the sqrt-free IEEE tree
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, 1 AS lag, x, lag(x, 1) OVER
+        |    (PARTITION BY event_type ORDER BY day) AS y FROM daily
+        |  UNION ALL SELECT event_type, 2, x, lag(x, 2) OVER
+        |    (PARTITION BY event_type ORDER BY day) FROM daily
+        |  UNION ALL SELECT event_type, 3, x, lag(x, 3) OVER
+        |    (PARTITION BY event_type ORDER BY day) FROM daily),
+        |m AS (SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INT) AS lag, n,
+        |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den1,
+        |  n * syy - sy * sy AS den2,
+        |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+        |    THEN ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |       * (abs(n * sxy - sx * sy) / (n * syy - sy * sy))
+        |  END AS acf_sq_signed
+        |FROM m ORDER BY event_type, lag""".stripMargin,
+    "st_seasonality" ->
+      // rational chi-square (7·Σo² − n²)/n; weekday = epoch-day mod 7
+      // (both engines' dayofweek() disagree on week start — unused)
+      """WITH bd AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+        |      AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_dow
+        |  FROM events GROUP BY 1, 2),
+        |bt AS (SELECT event_type, CAST(SUM(n_dow) AS BIGINT) AS n,
+        |    CAST(SUM(n_dow * n_dow) AS BIGINT) AS so2
+        |  FROM bd GROUP BY 1)
+        |SELECT bd.event_type, CAST(dow AS INT) AS dow, n_dow, n,
+        |  7 * so2 - n * n AS chi2_num,
+        |  (7 * so2 - n * n) / n AS chi2,
+        |  (7 * so2 - n * n) / n < 12.592 AS is_uniform
+        |FROM bd JOIN bt USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
+    "st_decompose" ->
+      // same observed-row 7-window, same per-dow moments off the
+      // interior, each double one division of the exact integers
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+        |      AS dow
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (SELECT event_type, day, dow, x,
+        |    CAST(SUM(x) OVER w AS BIGINT) AS trend_sum7,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT *, CASE WHEN n_win = 7
+        |    THEN 7 * x - trend_sum7 END AS detrend_num FROM tr),
+        |se AS (SELECT event_type, dow,
+        |    CAST(SUM(detrend_num) AS BIGINT) AS s_num,
+        |    CAST(COUNT(*) AS BIGINT) AS s_cnt
+        |  FROM dt WHERE detrend_num IS NOT NULL GROUP BY 1, 2)
+        |SELECT dt.event_type, dt.day, CAST(dt.dow AS INT) AS dow,
+        |  dt.x, dt.trend_sum7, dt.n_win, dt.detrend_num,
+        |  se.s_num, se.s_cnt,
+        |  CASE WHEN n_win = 7
+        |    THEN CAST(trend_sum7 AS DOUBLE) / 7 END AS trend,
+        |  CAST(s_num AS DOUBLE) / (7 * s_cnt) AS seasonal,
+        |  CAST(s_cnt * detrend_num - s_num AS DOUBLE) / (7 * s_cnt)
+        |    AS residual
+        |FROM dt LEFT JOIN se
+        |  ON dt.event_type = se.event_type AND dt.dow = se.dow
+        |ORDER BY dt.event_type, dt.day""".stripMargin,
+    "st_cusum" ->
+      // same scaled deviation sum n·prefix − t·total in BIGINTs; the
+      // argmax replayed by a rank window (abs desc, day asc)
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+        |    CAST(SUM(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS prefix,
+        |    CAST(COUNT(*) OVER p AS BIGINT) AS n_days,
+        |    CAST(SUM(x) OVER p AS BIGINT) AS total_cents
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+        |         p AS (PARTITION BY event_type)),
+        |s AS (SELECT event_type, day,
+        |    abs(n_days * prefix - t * total_cents) AS a,
+        |    n_days, total_cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n_days * prefix - t * total_cents) DESC, day)
+        |      AS rk
+        |  FROM c)
+        |SELECT event_type, day AS change_day, CAST(a AS BIGINT)
+        |    AS cusum_peak, n_days, total_cents
+        |FROM s WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "st_ewma" ->
+      // same left fold over the same 10-day frame list: acc/2 + x is
+      // an exponent decrement plus an in-mantissa add, so the doubles
+      // are bit-identical across engines (see ewmaDaily's scaladoc);
+      // list_prepend(0.0) mirrors Spark aggregate's zero seed
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM events GROUP BY 1, 2),
+        |fr AS (SELECT event_type, day, total_cents,
+        |    list(CAST(total_cents AS DOUBLE)) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS frame
+        |  FROM daily)
+        |SELECT event_type, day, total_cents,
+        |  list_reduce(list_prepend(0.0, frame),
+        |    (acc, x) -> acc / 2 + x) AS ewma
+        |FROM fr ORDER BY event_type, day""".stripMargin,
+    "st_locf" ->
+      // LOCF replay: same spine, last_value IGNORE NULLS over the
+      // same running frame; integer cents → hash-exact fill
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM events WHERE "value" >= 250.0 GROUP BY 1, 2),
+        |spine AS (SELECT t.event_type, CAST(d.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    (SELECT min(CAST(ts AS DATE)) FROM events),
+        |    (SELECT max(CAST(ts AS DATE)) FROM events),
+        |    INTERVAL 1 DAY)) AS day) d)
+        |SELECT s.event_type, s.day,
+        |  daily.sum_cents IS NOT NULL AS observed,
+        |  last_value(daily.sum_cents IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sum_cents_filled
+        |FROM spine s LEFT JOIN daily
+        |  ON s.event_type = daily.event_type AND s.day = daily.day
+        |ORDER BY s.event_type, s.day""".stripMargin,
+    "st1_tumbling_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st2_sliding_7day" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS daily_events
+        |  FROM events GROUP BY 1)
+        |SELECT day, daily_events,
+        | CAST(SUM(daily_events) OVER (
+        |     ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS trailing_7d_events
+        |FROM daily ORDER BY day""".stripMargin,
+    "adv_asof_join" ->
+      """WITH lastord AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts,
+        | o.o_orderkey AS last_orderkey,
+        | o.o_orderdate AS last_orderdate
+        |FROM events e
+        |ASOF LEFT JOIN lastord o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "adv_nearest_join" ->
+      // independent path: a raw band filter + row_number argmin under
+      // the same (abs_us, ts, id) total order — no day explode
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |    FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |    FROM events WHERE event_type = 'click'),
+        |cand AS (SELECT p.purchase_id, c.click_id, c.c_ts,
+        |    abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)) AS abs_us
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE abs(epoch_us(c.c_ts) - epoch_us(p.p_ts))
+        |    <= 86400000000),
+        |best AS (SELECT purchase_id, click_id, c_ts, abs_us,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY abs_us, c_ts, click_id) AS rn
+        |  FROM cand)
+        |SELECT p.purchase_id, p.user_id, p.p_ts AS purchase_ts,
+        |  b.click_id, b.c_ts AS click_ts, b.abs_us
+        |FROM p LEFT JOIN best b
+        |  ON p.purchase_id = b.purchase_id AND b.rn = 1
+        |ORDER BY p.purchase_id""".stripMargin,
+    "adv_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts >= lag(ts) OVER w + INTERVAL 2 HOUR
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 2 HOUR AS session_end,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "adv_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "adv_dpp_prune" ->
+      // the dim join is semantically the quarter predicate — computed
+      // directly here, so a green row proves the DPP'd join exact
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "adv_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey, c_custkey AS root, 1 AS depth
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, ch.root, ch.depth + 1
+        |  FROM customer c
+        |  JOIN chain ch
+        |    ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = ch.c_custkey
+        |  WHERE c.c_custkey >= 10
+        |)
+        |SELECT c_custkey, root, depth FROM chain
+        |ORDER BY c_custkey""".stripMargin,
+    "adv_salted_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "adv_skyline" ->
+      // independent formulation: the quadratic NOT EXISTS dominance
+      // test the engine's bucketed core must agree with exactly
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc, p_size
+        |  FROM part)
+        |SELECT 'cheap_small' AS frontier, p_partkey,
+        |  pc AS price_cents, p_size
+        |FROM p x WHERE NOT EXISTS (SELECT 1 FROM p y
+        |  WHERE y.pc <= x.pc AND y.p_size <= x.p_size
+        |    AND (y.pc < x.pc OR y.p_size < x.p_size))
+        |UNION ALL
+        |SELECT 'cheap_large' AS frontier, p_partkey,
+        |  pc AS price_cents, p_size
+        |FROM p x WHERE NOT EXISTS (SELECT 1 FROM p y
+        |  WHERE y.pc <= x.pc AND y.p_size >= x.p_size
+        |    AND (y.pc < x.pc OR y.p_size > x.p_size))
+        |ORDER BY frontier, p_partkey""".stripMargin,
+    "adv_skew_join" ->
+      // the runtime split must not change the answer: plain replay of
+      // the skewed-key join + rollup (integer cents)
+      """WITH f AS (SELECT CASE WHEN user_id % 2 = 0 THEN 0
+        |      ELSE user_id END AS k,
+        |    CAST(round("value" * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT DISTINCT k, k % 7 AS bucket FROM f)
+        |SELECT d.bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM f JOIN d ON f.k = d.k
+        |GROUP BY d.bucket ORDER BY d.bucket""".stripMargin,
+    "adv_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | CAST(count(e.ts) AS BIGINT) AS n_prior_events,
+        | coalesce(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE),
+        |   0.0) AS prior_value
+        |FROM events p LEFT JOIN events e
+        |  ON e.user_id = p.user_id AND e.ts < p.ts
+        |  AND e.ts >= p.ts - INTERVAL 10 MINUTE
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    "w_leadlag" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        | CAST(date_diff('day', lag(CAST(o_orderdate AS DATE), 1) OVER w,
+        |   CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w_streaks" ->
+      // the same day − ROW_NUMBER run id; all-integer output
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |isl AS (SELECT user_id, d,
+        |    d - CAST(ROW_NUMBER() OVER
+        |          (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+        |  FROM days),
+        |runs AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  MAX(len) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "w_ntile" ->
+      """SELECT o_custkey, total_spend,
+        | CAST(NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey) AS INT)
+        |   AS quartile
+        |FROM (SELECT o_custkey,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |          AS total_spend
+        |      FROM orders GROUP BY 1)
+        |ORDER BY o_custkey""".stripMargin,
+    "set_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "st_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, t, cents,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      - t AS dt
+        |  FROM e),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(t) - min(t) AS BIGINT) AS span_us,
+        |    CAST(sum(cents * dt) AS BIGINT) AS wsum,
+        |    CAST(sum(cents) AS BIGINT) AS csum
+        |  FROM d GROUP BY 1)
+        |SELECT user_id, n_events, span_us,
+        |  wsum // span_us AS twap_cents,
+        |  csum // n_events AS mean_cents
+        |FROM g WHERE span_us > 0 ORDER BY 1""".stripMargin,
+    "st_yoy" ->
+      """WITH monthly AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |    CAST(month(o_orderdate) AS INT) AS m,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,6))
+        |      * 10000 AS BIGINT)) AS BIGINT) AS rev_u,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT c.y, c.m, c.n_orders, c.rev_u,
+        |  p.rev_u AS prev_rev_u,
+        |  c.rev_u - p.rev_u AS diff_u,
+        |  CAST(c.rev_u AS DOUBLE) / CAST(p.rev_u AS DOUBLE)
+        |    AS yoy_ratio
+        |FROM monthly c LEFT JOIN monthly p
+        |  ON c.y - 1 = p.y AND c.m = p.m
+        |ORDER BY 1, 2""".stripMargin,
+    "st_burstiness" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n_days, sx,
+        |  n_days * sx2 - sx * sx AS fano_num,
+        |  (n_days - 1) * sx AS fano_den,
+        |  CAST(n_days * sx2 - sx * sx AS DOUBLE)
+        |    / CAST((n_days - 1) * sx AS DOUBLE) AS fano
+        |FROM g ORDER BY 1""".stripMargin,
+    "st_records" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, cnt,
+        |    max(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm
+        |  FROM d),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN pm IS NULL OR cnt > pm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_records
+        |  FROM f GROUP BY 1),
+        |h AS (SELECT event_type,
+        |    CAST(sum(1000000 // (s + 1)) AS BIGINT) AS h_scaled
+        |  FROM g, unnest(range(n_days)) AS t(s) GROUP BY 1)
+        |SELECT g.event_type, n_days, n_records, h_scaled,
+        |  n_records * 1000000 - h_scaled AS excess_scaled
+        |FROM g JOIN h ON g.event_type = h.event_type
+        |ORDER BY 1""".stripMargin,
+    "st_drawdown" ->
+      // independent argmax path: row_number under (dd DESC, t, id)
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN -CAST(round(value * 100) AS BIGINT)
+        |      ELSE CAST(round(value * 100) AS BIGINT) END AS sc
+        |  FROM events),
+        |b AS (SELECT user_id, event_id, t,
+        |    sum(sc) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS balance
+        |  FROM e),
+        |p AS (SELECT user_id, event_id, t, balance,
+        |    max(balance) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - balance AS dd
+        |  FROM b),
+        |r AS (SELECT user_id, event_id, balance, dd,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY dd DESC, t, event_id) AS rk
+        |  FROM p)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(balance) AS BIGINT) AS peak_balance,
+        |  CAST(min(balance) AS BIGINT) AS trough_balance,
+        |  CAST(max(CASE WHEN rk = 1 THEN dd END) AS BIGINT)
+        |    AS max_drawdown,
+        |  CAST(max(CASE WHEN rk = 1 THEN event_id END) AS BIGINT)
+        |    AS dd_event_id
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st_concurrency" ->
+      """WITH ep AS (
+        |  SELECT user_id, epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) + 1800000000, -1 FROM events),
+        |r AS (SELECT user_id, sum(delta) OVER (PARTITION BY user_id
+        |    ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM ep)
+        |SELECT user_id, CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+        |  CAST(max(open) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e FROM events),
+        |m AS (SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM m),
+        |grp AS (SELECT user_id, island, count(*) AS n_iv,
+        |    max(e) - min(s) AS covered
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(covered) AS BIGINT) AS covered_us
+        |FROM grp GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
