@@ -229,6 +229,9 @@ object SparkEntry {
     // one NN-descent round over the IVF-seeded kNN graph: 2-hop
     // candidates rescored exactly; monotone by construction
     "sim_nn_descent" -> ((s, d) => Similarity.nnDescentRound(s, d)),
+    // NN-descent to a bounded round budget: per-probe recall curve
+    // across 2 refinement rounds (monotone per round by construction)
+    "sim_nn_descent_curve" -> ((s, d) => Similarity.nnDescent(s, d)),
     "sim_corr_matrix" -> (Similarity.corrMatrix _),
     "sim_standardize" -> (Similarity.standardize _),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -678,6 +681,7 @@ object SparkEntry {
       "j11_important_parts" + // builder checkpoints the per-part values
       "dq_snapshot_diff" + // builder checkpoints the base projection
       "sim_ivfpq_topk" + // builder trains the PQ books (Lloyd jobs)
+      "sim_nn_descent_curve" + // eager localCheckpoints between rounds
       "sim_pca" +        // builder runs the covariance pass + eigensolve
       "mv_summary_rewrite" + // builder materializes the rollup summary
       "adv_dpp_prune" +  // builder writes the partitioned fact copy

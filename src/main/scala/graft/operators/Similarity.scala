@@ -275,13 +275,67 @@ object Similarity {
   def nnDescentRound(s: SparkSession, dir: String, k: Int = 5,
       withCounts: Boolean = false): DataFrame = {
     val knn = directedKnn(s, dir, k)
-    val und = knn.select("src", "dst")
-      .unionByName(knn.select(col("dst").as("src"),
+    val refined = refineOnce(s, dir, knn, k)
+    val counted = probeHitCurve(s, dir, k,
+      Seq("seed_hits" -> knn, "refined_hits" -> refined))
+    val out =
+      if (withCounts) counted
+      else counted.select(col("vec_id"),
+        (col("refined_hits") >= col("seed_hits")).as("monotone_ok"),
+        (col("refined_hits") >= 1L).as("found_any"))
+    out.orderBy("vec_id")
+  }
+
+  /** NN-descent run to a BOUNDED number of rounds (the k-core/LPA
+    * discipline: a fixed round budget, one keyed shuffle family per
+    * round, a localCheckpoint lineage cut between rounds — never an
+    * unbounded driver loop). Each round rescores the current graph's
+    * 2-hop candidate set exactly and keeps the best k, so per-probe
+    * recall is nondecreasing round over round BY CONSTRUCTION (each
+    * list is the exact-scored top-k of a superset of the previous
+    * one — Dong, Moses & Li 2011's convergence argument), and the
+    * per-round candidate volume stays Σ deg² ≈ n·(2k)² because the
+    * degree is re-capped at k every round.
+    *
+    * Output: the per-probe recall CURVE — hits against the exact
+    * top-k after 0 (seed), 1, …, `rounds` refinements. Assertion
+    * form ships the monotone/found laws; the spec takes
+    * withCounts = true and pins the measured curve.
+    */
+  def nnDescent(s: SparkSession, dir: String, k: Int = 5,
+      rounds: Int = 2, withCounts: Boolean = false): DataFrame = {
+    require(rounds >= 1, "nnDescent: need at least one round")
+    val seed = directedKnn(s, dir, k)
+    val lists = Iterator.iterate(seed)(l =>
+        refineOnce(s, dir, l, k).localCheckpoint())
+      .take(rounds + 1).toSeq
+    val named = lists.zipWithIndex.map { case (l, r) =>
+      s"hits_r$r" -> l }
+    val counted = probeHitCurve(s, dir, k, named)
+    val out =
+      if (withCounts) counted
+      else counted.select(col("vec_id") +:
+        (1 to rounds).map(r =>
+            (col(s"hits_r$r") >= col(s"hits_r${r - 1}"))
+              .as(s"monotone_r$r")) :+
+          (col(s"hits_r$rounds") >= 1L).as("found_any"): _*)
+    out.orderBy("vec_id")
+  }
+
+  /** One NN-descent refinement: rescore the undirected 2-hop
+    * candidate set of `list` (∪ the list itself) exactly and keep
+    * the best k per source — the step nnDescentRound and the
+    * multi-round nnDescent share.
+    */
+  private def refineOnce(s: SparkSession, dir: String,
+      list: DataFrame, k: Int): DataFrame = {
+    val und = list.select("src", "dst")
+      .unionByName(list.select(col("dst").as("src"),
         col("src").as("dst"))).distinct()
     val cands = und.as("x").join(und.as("y"),
         col("x.dst") === col("y.src") && col("x.src") =!= col("y.dst"))
       .select(col("x.src").as("src"), col("y.dst").as("dst"))
-      .unionByName(knn.select("src", "dst"))
+      .unionByName(list.select("src", "dst"))
       .distinct()
     val c = corpus(s, dir)
     val scored = cands
@@ -292,8 +346,18 @@ object Similarity {
           (col("a.nrm") * col("b.nrm")), 3).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-    val refined = scored.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("sim"))
+  }
+
+  /** Per-probe (vec_id < 8) hit counts of each named candidate list
+    * against the exact top-k — the shared eval plane of the
+    * NN-descent queries. Counts are IVF-dependent, so they ride the
+    * oracle only as law booleans; specs assert the raw numbers.
+    */
+  private def probeHitCurve(s: SparkSession, dir: String, k: Int,
+      lists: Seq[(String, DataFrame)]): DataFrame = {
     val exact = bruteForceTopK(s, dir, k)
       .select(col("query_id"), col("neighbor_id"))
     def hits(list: DataFrame, name: String): DataFrame =
@@ -304,23 +368,10 @@ object Similarity {
         .agg(count(lit(1)).as(name))
     val probes = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
       .select("vec_id")
-    // assertion form (default): only replayable columns + law
-    // booleans cross the oracle; the spec passes withCounts = true
-    // and asserts the raw IVF-dependent hit numbers directly
-    val counted = probes
-      .join(hits(knn.select("src", "dst"), "seed_hits"),
-        Seq("vec_id"), "left")
-      .join(hits(refined.select("src", "dst"), "refined_hits"),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("seed_hits"), lit(0L)).as("seed_hits"),
-        coalesce(col("refined_hits"), lit(0L)).as("refined_hits"))
-    val out =
-      if (withCounts) counted
-      else counted.select(col("vec_id"),
-        (col("refined_hits") >= col("seed_hits")).as("monotone_ok"),
-        (col("refined_hits") >= 1L).as("found_any"))
-    out.orderBy("vec_id")
+    lists.foldLeft(probes) { case (acc, (name, l)) =>
+      acc.join(hits(l.select("src", "dst"), name), Seq("vec_id"), "left")
+    }.select(col("vec_id") +: lists.map { case (name, _) =>
+      coalesce(col(name), lit(0L)).as(name) }: _*)
   }
 
   /** Top-nProbe coarse-cell assignment for multi-probe searches: the

@@ -113,6 +113,14 @@ private[graft] object SimOracles {
       """SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |  true AS monotone_ok, true AS found_any
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+    "sim_nn_descent_curve" ->
+      // laws only: per-round monotonicity is a theorem (each round's
+      // list is the exact-scored top-k of a superset of the previous
+      // round's); the raw per-round hit counts are spec-pinned
+      // (NnDescentSpec) because they are IVF-seed-dependent
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  true AS monotone_r1, true AS monotone_r2, true AS found_any
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
     "sim_mrl_energy" ->
       // same quantized per-element energies, same div-ppm laws
       """WITH el AS (SELECT vec_id,
