@@ -77,11 +77,20 @@ object Bench {
     // executor memory from).
     var spillBytes = Map.empty[String, Long]
     var peakMemBytes = Map.empty[String, Long]
+    // stream-drain decomposition (r9 verdict ask #5): a stream_*
+    // query's wall time is ~fixed checkpoint/RocksDB/AvailableNow
+    // setup plus the actual microbatch work — a real per-batch
+    // regression is invisible in the total. Recorded from the pass-2
+    // run (same convention as the shuffle metrics): setup = wall −
+    // Σ triggerExecution, drain = Σ triggerExecution, addbatch =
+    // Σ addBatch (the per-batch work component benchdiff compares).
+    var streamBreak = Map.empty[String, (Double, Double, Double, Int)]
     // the AQE-aware metric rollup lives in plans.ExecMetrics so the
     // PlanAudit spec can pin the same plumbing the artifact reports
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame, name: String,
         recordShuffle: Boolean = false): Double = {
+      graft.streaming.StreamStats.drainProgress() // clear stale events
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -97,6 +106,17 @@ object Bench {
         // and populates the very accumulators planShuffleBytes walks.
         df.queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
+        if (recordShuffle) {
+          val prog = graft.streaming.StreamStats.drainProgress()
+          if (prog.nonEmpty) {
+            def sumMs(key: String): Double = prog.map { p =>
+              Option(p.durationMs.get(key)).map(_.toLong).getOrElse(0L)
+            }.sum / 1000.0
+            val trig = sumMs("triggerExecution")
+            streamBreak += name ->
+              ((dt - trig).max(0.0), trig, sumMs("addBatch"), prog.size)
+          }
+        }
         if (recordShuffle)
           try {
             val (sh, sp, pk) = graft.plans.ExecMetrics.walk(df)
@@ -236,6 +256,14 @@ object Bench {
     // them against pure batch plans
     val streamingJson = sorted.map(_._1).filter(_.startsWith("stream_"))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-stream-query (setup, drain, addbatch, batches) from the
+    // pass-2 run — the decomposition that makes per-batch regressions
+    // visible under the ~2 s fixed drain overhead
+    val streamBreakJson = streamBreak.toSeq.sortBy(_._1)
+      .map { case (k, (su, dr, ab, nb)) =>
+        s""""$k":{"setup":${fmt(su)},"drain":${fmt(dr)},""" +
+          s""""addbatch":${fmt(ab)},"batches":$nb}""" }
+      .mkString("{", ",", "}")
     val spillJson = spillBytes.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v / 1048576.0) }
       .mkString("{", ",", "}")
@@ -252,7 +280,7 @@ object Bench {
     // verdict asked for are all recoverable from the artifact
     val retryJson = jsonOf(retry.toSeq.sortBy(_._1))
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"retry":$retryJson,"pooled":$pooledJson,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"peak_mem_mb":$peakJson,"calib_series":$probeJson,"streaming":$streamingJson,"calib":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"retry":$retryJson,"pooled":$pooledJson,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"peak_mem_mb":$peakJson,"calib_series":$probeJson,"streaming":$streamingJson,"stream_breakdown":$streamBreakJson,"calib":$calibJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the artifact
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -270,7 +298,11 @@ object Bench {
     // full sweep's map lives in BENCH_FULL.json only — stdout is
     // size-bounded)
     val shortShuffle =
-      if (args.isEmpty) "" else s""","shuffle_mb":$shuffleJson"""
+      if (args.isEmpty) "" else {
+        val sb = if (streamBreak.isEmpty) ""
+          else s""","stream_breakdown":$streamBreakJson"""
+        s""","shuffle_mb":$shuffleJson$sb"""
+      }
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${sorted.size},"npooled":${pooled.size},"nretried":${retry.size},"calib":$calibJson,"queries":${jsonOf(stdoutQs)}$shortShuffle,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(shortLine)

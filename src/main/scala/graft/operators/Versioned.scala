@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars._
+import graft.streaming.StreamStats.RecordedQuery
 
 /** Manifest-versioned parquet table with time-travel reads — the
   * production form of the reference's blob housekeeping
@@ -182,7 +183,7 @@ object Versioned {
         commitBatch(batch, table, id): Unit
       }
       .start()
-      .awaitTermination()
+      .drainRecorded()
     val all = versions(s, table)
       .map(v => read(s, table, Some(v)))
       .reduce(_ unionByName _)

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
+import graft.streaming.StreamStats.RecordedQuery
 
 /** Structured Streaming analogs of the reference's batch cadences
   * (SURVEY.md §2.8): the daily snapshot (ST1), the upsert-by-date
@@ -253,7 +254,7 @@ object StreamingAnalogs {
             .parquet(s"$base/table")
         }
         .start()
-        .awaitTermination()
+        .drainRecorded()
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.read.parquet(s"$base/table")
       .select(col("day_start"), col("n_events"), col("total_amount"),
@@ -325,7 +326,7 @@ object StreamingAnalogs {
           batch.write.mode("append").parquet(s"$base/table")
         }
         .start()
-        .awaitTermination()
+        .drainRecorded()
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.read.parquet(s"$base/table")
       .orderBy("user_id", "session_start")
@@ -375,7 +376,7 @@ object StreamingAnalogs {
           batch.write.mode("overwrite").parquet(s"$base/table/batch=$bid")
         }
         .start()
-        .awaitTermination()
+        .drainRecorded()
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.read.parquet(s"$base/table")
       .select(col("id"), col("ts"), col("kind"), col("amount"))
@@ -770,7 +771,7 @@ object StreamingAnalogs {
             .parquet(s"$base/table")
         }
         .start()
-        .awaitTermination()
+        .drainRecorded()
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.read.parquet(s"$base/table")
       .select(col("kind"), col("rate_version").cast("long")
@@ -867,7 +868,7 @@ object StreamingAnalogs {
             .parquet(s"$base/table")
         }
         .start()
-        .awaitTermination()
+        .drainRecorded()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", savedParts)
       savedProvider match {
@@ -1441,7 +1442,7 @@ object StreamingAnalogs {
             .parquet(s"$base/table")
         }
         .start()
-        .awaitTermination()
+        .drainRecorded()
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.read.parquet(s"$base/table")
       .select(col("kind"), col("n_admitted"), col("cents_admitted"),

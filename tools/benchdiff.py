@@ -108,18 +108,33 @@ def main(old_path, new_path, threshold=1.3):
 
     mo, mn = machine_speed(old), machine_speed(new)
     speed = (mn / mo) if (mo and mn) else 1.0
+    # stream_* queries: when BOTH artifacts carry a stream_breakdown
+    # entry (round-10+), compare the WORK component (drain =
+    # Σ triggerExecution) instead of the total — the ~2 s fixed
+    # checkpoint/RocksDB/AvailableNow setup otherwise swamps any real
+    # per-batch regression. Sub-0.2 s drains are noise-floor; fall
+    # back to the total there.
+    ob, nb = old.get("stream_breakdown") or {}, new.get(
+        "stream_breakdown") or {}
     rows = []
+    n_work = 0
     for name in shared:
-        raw = nq[name] / oq[name]
+        o_t, n_t = oq[name], nq[name]
+        if (name in ob and name in nb
+                and ob[name].get("drain", 0) > 0.2
+                and nb[name].get("drain", 0) > 0.2):
+            o_t, n_t = ob[name]["drain"], nb[name]["drain"]
+            n_work += 1
+        raw = n_t / o_t
         # expected ratio of an unchanged query = cross-artifact machine
         # speed x the ratio of local bursts near it in each sweep
         load_factor = speed * (local_burst(new, name, norder) /
                                local_burst(old, name, oorder))
-        rows.append((name, oq[name], nq[name], raw, raw / load_factor))
+        rows.append((name, o_t, n_t, raw, raw / load_factor))
 
     norm_ratios = [r[4] for r in rows]
     med = statistics.median(norm_ratios)
-    print(f"{len(shared)} shared queries; "
+    print(f"{len(shared)} shared queries ({n_work} compared on stream work); "
           f"median probe-normalized ratio {med:.2f}")
     print(f"ambient-load factor (new calib / old calib) ~{speed:.2f}")
     flagged = [r for r in rows if r[4] > threshold or r[4] < 1 / threshold]
