@@ -20,18 +20,39 @@ package graft
   *    utilization (fixed per-query overheads dominate small sfs), so
   *    it is recorded for trend but flagged only above the same 1.3.
   *
-  * Load robustness: the two sfs run BACK-TO-BACK per query (not as
-  * two separate sweeps), so an ambient-load burst inflates both ends
+  * Two-decade curves (round-9 verdict ask #4): a 100 TB claim
+  * extrapolates from the measured decade, and several time_slopes sit
+  * near 0 at these sizes — obviously overhead-dominated, carrying no
+  * growth signal. The HEAVY set (the bench's most expensive queries:
+  * the stream_* family plus the verdict-named dedup/text/agg/graph
+  * ops) therefore runs a THIRD point at sf0.001, spanning 100× of
+  * data. For those, `*_slope2` is the per-decade log slope over both
+  * decades — and the difference between the first and second decade's
+  * slopes separates fixed overhead (first decade flat, second steep →
+  * overhead amortizing out) from true growth (both decades equal).
+  *
+  * Load robustness: all sfs run BACK-TO-BACK per query (not as
+  * separate sweeps), so an ambient-load burst inflates both ends
   * of a ratio and the slope survives — the same adjacency reasoning
   * behind Bench's interleaved probes, applied structurally.
   */
 object Scale {
+  /** Queries measured across two decades (sf0.001/sf0.01/sf0.1). */
+  def heavy: Set[String] =
+    SparkEntry.queries.keySet.filter(_.startsWith("stream_")) ++ Set(
+      "dedup_winnow_pairs", "dedup_prefix_stats", "dedup_prefix_jaccard",
+      "text_phrase_search", "adv_skyline", "agg_rfm", "p_pit_lookup",
+      "graph_local_cc", "text_repetition", "text_vocab_growth",
+      "text_dup_coverage", "sim_mmr_rerank", "dq_skew_gini",
+      "geo_cell_join")
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val sfTiny = "/root/testdata/sf0.001"
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val spark = Sessions.local(cpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
-    sfs.foreach(d => Tables.names.foreach(t =>
+    (sfTiny +: sfs).foreach(d => Tables.names.foreach(t =>
       Tables.load(spark, d, t).count())) // warm footers + codegen
     // the FULL declared surface (round-9 extension — originally the
     // headline subset plus verdict-named heavy ops): every query
@@ -62,40 +83,55 @@ object Scale {
     }
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val MB = 1048576.0
     val rows = subset.toSeq.sorted.map { name =>
       try {
         // back-to-back per query: a load burst hits both sfs' runs
-        val bySf = sfs.map(d => timeAndShuffle(name, d))
-        val Seq((tSmall, sSmall), (tBig, sBig)) = bySf
+        val dirs = if (heavy(name)) sfTiny +: sfs else sfs
+        val bySf = dirs.map(d => timeAndShuffle(name, d))
+        val (tSmall, sSmall) = bySf(bySf.size - 2) // sf0.01
+        val (tBig, sBig) = bySf.last               // sf0.1
         val timeSlope = math.log10(tBig / tSmall)
         val shuffleSlope =
           if (sSmall > 1024 && sBig > 1024)
             Some(math.log10(sBig.toDouble / sSmall))
           else None // sub-KB at either sf: broadcast/constant plane
-        (name, Some((tSmall, tBig, sSmall, sBig, timeSlope, shuffleSlope)))
+        (name, Some((bySf, timeSlope, shuffleSlope)))
       } catch { case e: Throwable =>
         System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
         (name, None)
       }
     }
     val qJson = rows.collect {
-      case (name, Some((ts, tb, ss, sb, tsl, shsl))) =>
+      case (name, Some((bySf, tsl, shsl))) =>
+        val secArr = bySf.map(p => fmt(p._1)).mkString("[", ",", "]")
+        val mbArr = bySf.map(p => fmt(p._2 / MB)).mkString("[", ",", "]")
         val shuffleJson = shsl.map(v => fmt(v)).getOrElse("null")
-        s""""$name":{"sec":[${fmt(ts)},${fmt(tb)}],""" +
-          s""""shuffle_mb":[${fmt(ss / 1048576.0)},${fmt(sb / 1048576.0)}],""" +
-          s""""time_slope":${fmt(tsl)},"shuffle_slope":$shuffleJson}"""
+        // two-decade per-decade slopes for the 3-point heavy entries
+        val slope2 =
+          if (bySf.size == 3) {
+            val (t0, s0) = bySf.head; val (t2, s2) = bySf.last
+            val t2d = fmt(math.log10(t2 / t0) / 2)
+            val s2d = if (s0 > 1024 && s2 > 1024)
+              fmt(math.log10(s2.toDouble / s0) / 2) else "null"
+            s""","time_slope2":$t2d,"shuffle_slope2":$s2d"""
+          } else ""
+        s""""$name":{"sec":$secArr,"shuffle_mb":$mbArr,""" +
+          s""""time_slope":${fmt(tsl)},"shuffle_slope":$shuffleJson$slope2}"""
     }.mkString("{", ",", "}")
     // flag superlinear growth here too (scalecheck.py re-derives it):
     // shuffle above the 1 MB floor at the larger sf growing steeper
     // than the 10x data jump allows
     val flagged = rows.collect {
-      case (name, Some((_, _, _, sb, tsl, shsl)))
-        if shsl.exists(v => v > 1.3 && sb > 1048576) || tsl > 1.3 => name
+      case (name, Some((bySf, tsl, shsl)))
+        if shsl.exists(v => v > 1.3 && bySf.last._2 > 1048576) ||
+          tsl > 1.3 => name
     }.sorted
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = rows.collect { case (n, None) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val line = s"""{"metric":"scale_slopes","sfs":["sf0.01","sf0.1"],""" +
+      s""""sfs_heavy":["sf0.001","sf0.01","sf0.1"],""" +
       s""""data_ratio":10.0,"nqueries":${rows.count(_._2.isDefined)},""" +
       s""""flagged":$flaggedJson,"failed":$failed,"queries":$qJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),

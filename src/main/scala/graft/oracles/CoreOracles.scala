@@ -501,10 +501,10 @@ private[graft] object CoreOracles {
       // independent path: the O(n²) brute-force distance scan the
       // grid cells exist to avoid — hash equality proves zero
       // recall loss from the blocking
-      """WITH n AS (SELECT count(*) * 700 AS side FROM customer),
-        |p AS (SELECT c_custkey AS id,
+      """WITH p AS (SELECT c_custkey AS id,
         |    (c_custkey * 2654435761) % 1000000 AS lat,
-        |    (c_custkey * 2246822519) % (SELECT side FROM n) AS lon
+        |    (c_custkey // 150) * 1000000
+        |      + (c_custkey * 2246822519) % 1000000 AS lon
         |  FROM customer)
         |SELECT a.id AS a_id, b.id AS b_id,
         |  (a.lat - b.lat) * (a.lat - b.lat)

@@ -18,9 +18,9 @@ class GeoSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
     val ids = Tables.customer(spark, sfDir)
       .select("c_custkey").collect().map(_.getLong(0))
-    val lonSide = ids.length * 700L
     val pts = ids.map(id => (id,
-      id * 2654435761L % 1000000L, id * 2246822519L % lonSide))
+      id * 2654435761L % 1000000L,
+      id / 150L * 1000000L + id * 2246822519L % 1000000L))
     val brute = (for {
       (a, alat, alon) <- pts; (b, blat, blon) <- pts
       if a < b

@@ -38,20 +38,33 @@ def main(path, threshold=1.3):
         print("no queries in artifact")
         return 1
     flagged = []
+    n3 = 0
     for name, q in sorted(qs.items()):
         ssl = q.get("shuffle_slope")
         tsl = q.get("time_slope")
-        big_mb = q.get("shuffle_mb", [0, 0])[1]
+        big_mb = q.get("shuffle_mb", [0, 0])[-1]
         reasons = []
         if ssl is not None and ssl > threshold and big_mb > 1.0:
             reasons.append(f"shuffle_slope {ssl:.2f}")
         if tsl is not None and tsl > threshold:
             reasons.append(f"time_slope {tsl:.2f}")
+        # two-decade gate (3-point heavy entries): the per-decade
+        # slope over the full 100x span — fixed overhead can hide a
+        # steep second decade in the single-decade number and vice
+        # versa, so both are gated at the same threshold
+        ssl2 = q.get("shuffle_slope2")
+        tsl2 = q.get("time_slope2")
+        if ssl2 is not None or tsl2 is not None:
+            n3 += 1
+        if ssl2 is not None and ssl2 > threshold and big_mb > 1.0:
+            reasons.append(f"shuffle_slope2 {ssl2:.2f}")
+        if tsl2 is not None and tsl2 > threshold:
+            reasons.append(f"time_slope2 {tsl2:.2f}")
         if reasons:
             flagged.append((name, q, reasons))
     allowed = [(n, q, r) for n, q, r in flagged if n in ALLOW]
     flagged = [(n, q, r) for n, q, r in flagged if n not in ALLOW]
-    print(f"{len(qs)} queries measured; "
+    print(f"{len(qs)} queries measured ({n3} with two-decade curves); "
           f"{len(flagged)} superlinear beyond {threshold} "
           f"({len(allowed)} allowlisted)")
     for name, _, reasons in allowed:
@@ -68,8 +81,8 @@ def main(path, threshold=1.3):
     print(f"\n{'query':30s} {'sec@.01':>8s} {'sec@.1':>8s} "
           f"{'mb@.01':>8s} {'mb@.1':>8s}  reasons")
     for name, q, reasons in flagged:
-        s0, s1 = q["sec"]
-        m0, m1 = q["shuffle_mb"]
+        s0, s1 = q["sec"][-2:]
+        m0, m1 = q["shuffle_mb"][-2:]
         print(f"{name:30s} {s0:8.3f} {s1:8.3f} {m0:8.3f} {m1:8.3f}  "
               + ", ".join(reasons))
     return 1
