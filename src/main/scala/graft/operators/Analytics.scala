@@ -928,18 +928,25 @@ object Analytics {
         sum(col("cnt")).over(totalW).as("n_orders"),
         col("bin"), col("cnt"))
     // shared estimate read-off: cumulative count in bin order, then
-    // the upper edge of the first bin covering each target rank
+    // the upper edge of the first bin covering each target rank.
+    // Rank law in INTEGER arithmetic: floor(n·f + (1−f)) for f = p/q
+    // is exactly (p·n + (q−p)) div q — the double form diverged
+    // cross-engine at sf0.1 (n = 61, f = 0.95: 61·0.95 + 0.05 is
+    // exactly 58 in DuckDB's DECIMAL literals but 58−2ulp in Spark's
+    // doubles, flipping the covering bin). f = 1/2 → (n+1) div 2,
+    // f = 19/20 → (19n+1) div 20; integers can't disagree.
     val wc = Window.partitionBy(col("scope")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def rank(frac: Column) = floor(col("n_orders") * frac + (lit(1) - frac))
+    def rank(p: Int, q: Int) =
+      expr(s"($p * n_orders + ${q - p}) div $q")
     dayBins.unionByName(totalBins)
       .filter(col("cnt") > 0)
       .withColumn("cum", sum(col("cnt")).over(wc))
       .groupBy("scope", "n_orders")
       .agg(
-        ((min(when(col("cum") >= rank(lit(0.5)), col("bin"))) + 1) *
+        ((min(when(col("cum") >= rank(1, 2), col("bin"))) + 1) *
           HistSketch.Width).as("p50_est"),
-        ((min(when(col("cum") >= rank(lit(0.95)), col("bin"))) + 1) *
+        ((min(when(col("cum") >= rank(19, 20), col("bin"))) + 1) *
           HistSketch.Width).as("p95_est"))
       .orderBy("scope")
   }
@@ -982,9 +989,11 @@ object Analytics {
         Window.partitionBy(col("wday"))))
       .withColumn("cum", sum(col("cnt")).over(wc))
       .groupBy(col("wday").as("day"), col("n").as("n_orders"))
-      // the quantileRollup read-off: lower-median rank via
-      // floor(n·frac + (1 − frac)), upper edge of the covering bin
-      .agg(((min(when(col("cum") >= floor(col("n") * 0.5 + 0.5),
+      // the quantileRollup read-off: lower-median rank via the
+      // INTEGER form (n+1) div 2 (≡ floor(n·1/2 + 1/2); the integer
+      // rank law shared by the whole mergeable-quantile family),
+      // upper edge of the covering bin
+      .agg(((min(when(col("cum") >= expr("(n + 1) div 2"),
         col("bin"))) + 1) * HistSketch.Width).as("p50_est"))
       .orderBy("day")
   }

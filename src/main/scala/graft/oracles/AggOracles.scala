@@ -241,9 +241,9 @@ private[graft] object AggOracles {
         |      AS cum
         |  FROM allb WHERE cnt > 0)
         |SELECT scope, n_orders,
-        |  (MIN(CASE WHEN cum >= floor(n_orders * 0.5 + (1 - 0.5))
+        |  (MIN(CASE WHEN cum >= (n_orders + 1) // 2
         |     THEN bin END) + 1) * CAST(25000.0 AS DOUBLE) AS p50_est,
-        |  (MIN(CASE WHEN cum >= floor(n_orders * 0.95 + (1 - 0.95))
+        |  (MIN(CASE WHEN cum >= (19 * n_orders + 1) // 20
         |     THEN bin END) + 1) * CAST(25000.0 AS DOUBLE) AS p95_est
         |FROM c GROUP BY scope, n_orders ORDER BY scope""".stripMargin,
     "agg_weighted_avg" ->

@@ -140,7 +140,7 @@ private[graft] object AnalyticsOracles {
         |      AS BIGINT) AS cum
         |  FROM wb WHERE cnt > 0)
         |SELECT wday AS day, n AS n_orders,
-        |  (MIN(CASE WHEN cum >= floor(n * 0.5 + 0.5) THEN bin END) + 1)
+        |  (MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) + 1)
         |    * CAST(25000.0 AS DOUBLE) AS p50_est
         |FROM c GROUP BY wday, n ORDER BY day""".stripMargin,
     "w_percent_rank" ->
@@ -169,10 +169,16 @@ private[graft] object AnalyticsOracles {
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
         |ORDER BY o_orderkey""".stripMargin,
     "w_range_frame" ->
+      // epoch_us // 1e6 floors to whole seconds like Spark's
+      // unix_timestamp; CAST(epoch(ts) AS BIGINT) ROUNDS in DuckDB
+      // (truncates in Spark) and flipped one frame-boundary event at
+      // sf0.1 — the same divergence class commit 8da9b0f fixed, only
+      // visible at the sf where an event lands exactly on a 7-day
+      // boundary's half-second
       """SELECT event_id, user_id, ts,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
         |    PARTITION BY user_id
-        |    ORDER BY CAST(epoch(ts) AS BIGINT)
+        |    ORDER BY epoch_us(ts) // 1000000
         |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         |  AS DOUBLE) AS trailing_7d_value
         |FROM events

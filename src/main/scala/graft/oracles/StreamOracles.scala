@@ -195,7 +195,7 @@ private[graft] object StreamOracles {
       // the ESTIMATES replay, not just bounds: the sketch read-off is
       // the upper edge of the exact rank element's 400-cent bin (the
       // bin-edge identity), with the same rank law as the batch
-      // quantile rollup — floor(n*frac + (1-frac))
+      // quantile rollup in integer form — rank(p/q) = (p*n + (q-p)) // q
       """WITH f AS (
         |  SELECT CASE WHEN range % 3 = 0 THEN 'credit' ELSE 'debit' END
         |      AS kind,
@@ -206,9 +206,9 @@ private[graft] object StreamOracles {
         |    CAST(count(*) OVER (PARTITION BY kind) AS BIGINT) AS n
         |  FROM f),
         |sel AS (SELECT kind, n,
-        |    MAX(CASE WHEN rn = CAST(floor(n * 0.5 + 0.5) AS BIGINT)
+        |    MAX(CASE WHEN rn = (n + 1) // 2
         |      THEN v END) AS v50,
-        |    MAX(CASE WHEN rn = CAST(floor(n * 0.95 + 0.05) AS BIGINT)
+        |    MAX(CASE WHEN rn = (19 * n + 1) // 20
         |      THEN v END) AS v95
         |  FROM r GROUP BY kind, n)
         |SELECT kind, n AS n_events,

@@ -1055,16 +1055,18 @@ object StreamingAnalogs {
       val next = rows.foldLeft(cur)((b, r) => agg.reduce(b, r._2.toDouble))
       st.update(next)
       val n = next.sum
-      // same rank law as Analytics.quantileRollup:
-      // rank(frac) = floor(n·frac + (1 − frac)); estimate = upper
-      // edge of the first bin whose cumulative count reaches it
-      def est(frac: Double): Long = {
-        val rank = math.floor(n * frac + (1 - frac)).toLong
+      // same rank law as Analytics.quantileRollup, in INTEGER
+      // arithmetic: rank(p/q) = (p·n + (q−p)) div q (≡ floor(n·f +
+      // (1−f)) exactly — the double form flipped a bin cross-engine
+      // at a rank boundary); estimate = upper edge of the first bin
+      // whose cumulative count reaches it
+      def est(p: Long, q: Long): Long = {
+        val rank = (p * n + (q - p)) / q
         var cum = 0L; var b = 0
         while (b < bins && cum + next(b) < rank) { cum += next(b); b += 1 }
         (b + 1) * widthC
       }
-      Iterator((key, n, est(0.5), est(0.95)))
+      Iterator((key, n, est(1, 2), est(19, 20)))
     }
   }
 
