@@ -602,6 +602,11 @@ object SparkEntry {
       Learn.scoreQualityClassifier(s, d)),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_resample" -> (TextAnalysis.resample _),
+    // temperature-scaled domain mixture: p_d ∝ tokens_d^(1/2) via
+    // exact integer isqrt + ppm/div laws (boosts low-resource langs)
+    "text_mixture_temp" -> ((s, d) => TextAnalysis.mixtureTemperature(s, d)),
+    // length-curriculum staging over the bucketed global-rank core
+    "p_curriculum" -> ((s, d) => Pipelines.curriculumStages(s, d)),
     // DSIR importance resampling: target/proposal bigram-LM ratio as
     // the weight, deterministic A-ES draw — fully oracle-replayed
     "text_dsir_resample" -> ((s, d) => TextAnalysis.dsirResample(s, d)),
@@ -675,6 +680,7 @@ object SparkEntry {
       "stream_versioned_ingest" + // drain committing versions per batch
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
+      "p_curriculum" +   // same bucketed-rank bounds/counts collects
       "w_ntile" +        // same bucket-rank machinery (ntile from rank)
       "dedup_minhash" +  // builder counts candidates to gate the broadcast
       "j15_top_supplier" + // builder checkpoints the per-supplier revenue

@@ -794,4 +794,38 @@ object Pipelines {
           .as("oldest_kept"))
       .orderBy("o_custkey")
   }
+
+  /** Length-curriculum staging: order the corpus by a difficulty
+    * proxy (n_chars — the sequence-length curriculum: train on short
+    * docs first, long ones later) and cut it into `stages` equal
+    * rank slices, emitting each stage's size, difficulty band, and
+    * token share. The global total order runs through the bucketed
+    * rank core (Analytics.withGlobalRank — quantile-bucketed local
+    * windows + a literal offset map), never a single-partition
+    * window; the stage id is pure integer arithmetic on the rank,
+    * ((grn−1)·stages) div n, so the oracle replays it with a plain
+    * row_number. Stage rollup is a tiny groupBy(stage).
+    */
+  def curriculumStages(s: SparkSession, dir: String,
+      stages: Int = 4): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .as("n_tok"))
+    val (ranked, n) = Analytics.withGlobalRank(s, docs, "n_chars",
+      "doc_id", descending = false)
+    val perStage = ranked
+      .withColumn("stage", expr(s"(($stages * (grn - 1)) div ${n}L)"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_tok")).as("n_tokens"))
+    val total = perStage.agg(sum(col("n_tokens")).as("tot_tok"))
+    perStage.crossJoin(broadcast(total))
+      .select(col("stage"), col("n_docs"), col("min_chars"),
+        col("max_chars"), col("n_tokens"),
+        expr("1000000L * n_tokens div tot_tok").as("token_share_ppm"))
+      .orderBy("stage")
+  }
 }

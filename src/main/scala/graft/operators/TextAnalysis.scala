@@ -1001,6 +1001,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled domain mixture (the multilingual-LLM sampling
+    * law, Conneau & Lample 2019 / mT5: p_d ∝ n_d^α with α < 1 boosts
+    * low-resource domains and downsamples dominant ones; α = 1/2
+    * here). Unlike tokenMixture's FIXED per-source budgets, the
+    * weights derive from the data: w_d = isqrt(token_d), then
+    * natural vs sampled shares and a per-domain token quota at a
+    * declared budget, all in ppm/div integer laws.
+    *
+    * Exactness: isqrt = floor(sqrt(n)) on a BIGINT-exact double is
+    * deterministic cross-engine — IEEE-754 sqrt is correctly rounded,
+    * perfect squares < 2^52 hit their root exactly, and a non-square
+    * n has |√n − m| ≥ 1/(2m+1) for every integer m, orders of
+    * magnitude above one ulp, so the floor can't straddle an integer.
+    *
+    * Scale shape: token counting is row-local ahead of ONE tiny
+    * groupBy(lang) (domain cardinality, not corpus cardinality); the
+    * Σ-row joins back as a broadcast — no global window anywhere.
+    */
+  def mixtureTemperature(s: SparkSession, dir: String,
+      budgetTokens: Long = 100000L): DataFrame = {
+    val perDomain = Tables.documents(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).as("n_tok"))
+      .groupBy(col("lang").as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens"))).cast("long"))
+    val totals = perDomain.agg(
+      sum(col("n_tokens")).as("tot_tokens"), sum(col("w")).as("tot_w"))
+    perDomain.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_docs"), col("n_tokens"), col("w"),
+        expr("1000000L * n_tokens div tot_tokens").as("natural_ppm"),
+        expr("1000000L * w div tot_w").as("sample_ppm"),
+        // per-mille boost of the sampled share over the natural one:
+        // > 1000 for low-resource domains, < 1000 for dominant ones
+        expr("(1000L * (1000000L * w div tot_w)) div " +
+          "(1000000L * n_tokens div tot_tokens)").as("boost_pm"),
+        expr(s"${budgetTokens}L * w div tot_w").as("quota_tokens"))
+      .orderBy("domain")
+  }
+
   /** Per-source quality-quantile gate: keep each source's top half by
     * quality score (the quality-classifier thresholding step of a
     * corpus pipeline — thresholds are per DOMAIN, because an absolute

@@ -89,6 +89,27 @@ private[graft] object CoreOracles {
         |                    WHERE c_acctbal > 0 AND c_name IS NOT NULL)
         |ORDER BY o_orderkey""".stripMargin,
     "p_merge_cdc" -> mergeCdcOracle,
+    "p_curriculum" ->
+      // direct replay of the bucketed-rank stage cut: global
+      // (n_chars, doc_id) rank, stage = (4·(rank−1)) // n, then the
+      // per-stage rollup + ppm share — all integer laws
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS grn,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |s AS (SELECT (4 * (grn - 1)) // n AS stage, n_chars, n_tok
+        |  FROM r),
+        |g AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |    CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM g)
+        |SELECT CAST(stage AS BIGINT) AS stage, n_docs, min_chars,
+        |  max_chars, n_tokens,
+        |  CAST(1000000 * n_tokens // tot AS BIGINT) AS token_share_ppm
+        |FROM g, t ORDER BY stage""".stripMargin,
     // direct aggregation over the SURVIVING rows — the incremental
     // merge must equal it exactly (additive count + decimal sum)
     "p_incremental_agg" ->

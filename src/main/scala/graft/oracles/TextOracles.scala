@@ -451,6 +451,27 @@ private[graft] object TextOracles {
         |    AS pass_repetition
         |FROM b JOIN wx USING (doc_id) LEFT JOIN bx USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "text_mixture_temp" ->
+      // isqrt = floor(sqrt(BIGINT)) is deterministic cross-engine
+      // (IEEE sqrt is correctly rounded; a non-square n is never
+      // within an ulp of an integer root), then pure // integer laws
+      """WITH d AS (SELECT lang AS domain,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT domain, n_docs, n_tokens,
+        |    CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w FROM d),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |    CAST(sum(w) AS BIGINT) AS tot_w FROM w)
+        |SELECT domain, n_docs, n_tokens, w,
+        |  CAST(1000000 * n_tokens // tot_tokens AS BIGINT)
+        |    AS natural_ppm,
+        |  CAST(1000000 * w // tot_w AS BIGINT) AS sample_ppm,
+        |  CAST((1000 * (1000000 * w // tot_w))
+        |    // (1000000 * n_tokens // tot_tokens) AS BIGINT) AS boost_pm,
+        |  CAST(100000 * w // tot_w AS BIGINT) AS quota_tokens
+        |FROM w, t ORDER BY domain""".stripMargin,
     "text_gopher_quality" ->
       """SELECT doc_id, n_words, sum_word_len, n_symbol_chars,
         |  n_chars_calc, n_alpha_words, stopword_n,
