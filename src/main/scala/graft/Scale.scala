@@ -134,9 +134,13 @@ object Scale {
       s""""sfs_heavy":["sf0.001","sf0.01","sf0.1"],""" +
       s""""data_ratio":10.0,"nqueries":${rows.count(_._2.isDefined)},""" +
       s""""flagged":$flaggedJson,"failed":$failed,"queries":$qJson}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // a filtered profiling run must not clobber the committed artifact
+    // (same guard as Bench): only the full sweep writes SCALE.json
+    if (args.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    else println(line)
     println(s"""{"metric":"scale_slopes","nqueries":${
       rows.count(_._2.isDefined)},"flagged":$flaggedJson,"full":"SCALE.json"}""")
     spark.stop()
