@@ -76,16 +76,21 @@ object Similarity {
     * paths (lshTopK / ivfTopK), which bucket-join instead; this op is
     * their exactness baseline by design.
     */
-  def bruteForceTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    probeCosines(s, dir, nProbes = 8)
-      .withColumnRenamed("cand_id", "neighbor_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
-  }
+  def bruteForceTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    // pooled: this is the exactness baseline every ANN/recall query
+    // joins against (the NN-descent curve alone reads it once per
+    // round's hit count) — |probes|·k rows, the cheapest cache in
+    // the pool
+    graft.CachePool.cached(s, s"sim.bruteTopk:$dir:$k") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      probeCosines(s, dir, nProbes = 8)
+        .withColumnRenamed("cand_id", "neighbor_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .orderBy("query_id", "rank")
+    }
 
   /** The shared broadcast-probe cosine kernel: probes (vec_id <
     * nProbes) against the pooled normed corpus, 3-decimal-rounded
@@ -306,9 +311,13 @@ object Similarity {
       rounds: Int = 2, withCounts: Boolean = false): DataFrame = {
     require(rounds >= 1, "nnDescent: need at least one round")
     val seed = directedKnn(s, dir, k)
-    val lists = Iterator.iterate(seed)(l =>
-        refineOnce(s, dir, l, k).localCheckpoint())
-      .take(rounds + 1).toSeq
+    // lineage cut between rounds only — the FINAL round's list is
+    // consumed once by the hit eval, so checkpointing it would be a
+    // pure extra materialization
+    val lists = (1 to rounds).scanLeft(seed) { (l, r) =>
+      val next = refineOnce(s, dir, l, k)
+      if (r < rounds) next.localCheckpoint() else next
+    }
     val named = lists.zipWithIndex.map { case (l, r) =>
       s"hits_r$r" -> l }
     val counted = probeHitCurve(s, dir, k, named)
