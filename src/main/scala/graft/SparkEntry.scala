@@ -501,6 +501,9 @@ object SparkEntry {
     // asymmetric containment |A∩B|/min — catches short-doc-inside-
     // long-doc duplication symmetric Jaccard structurally misses
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // cross-source contamination matrix off the pooled shingle/pair
+    // bases: shared shingles + cross-source candidate/near-dup pairs
+    "dedup_source_overlap" -> (Dedup.sourceOverlap _),
     // prefix-filtered EXACT Jaccard join — same output as the full
     // index, candidate set provably complete and far smaller
     "dedup_prefix_jaccard" -> ((s, d) => Dedup.prefixJaccard(s, d)),

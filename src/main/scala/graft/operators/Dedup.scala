@@ -209,6 +209,50 @@ object Dedup {
           .otherwise("mutual").as("direction"))
       .orderBy("doc_a", "doc_b")
 
+  /** Cross-SOURCE contamination matrix: for every pair of corpus
+    * sources, how much n-gram material they share — the diagnostic
+    * that decides where a 100 TB dedup run should spend its budget
+    * (two crawls of the same sites light up; disjoint domains don't).
+    * Three numbers per source pair: distinct shingles present in
+    * both, cross-source candidate pairs (docs sharing ≥ 1 shingle),
+    * and cross-source near-dups (Jaccard ≥ 0.5, tested in the exact
+    * integer form 3·n_inter ≥ n_a + n_b — no float boundary).
+    *
+    * Pure composition of pooled bases: the shingle stream and
+    * pairSizeCounts are both cache hits when any other dedup query
+    * ran first. The (shingle, source) self-join is bounded: a
+    * shingle's source set is ≤ |sources| (a CONSTANT — domains, not
+    * docs), so even the hottest boilerplate shingle expands to at
+    * most |sources|² pairs, and the output is |sources|² rows.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docSrc = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+    val shSrc = shingleDf(s, dir).join(docSrc, "doc_id")
+      .select(col("sh"), col("source")).distinct()
+    val shared = shSrc.as("a").join(shSrc.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+    val cross = pairSizeCounts(s, dir)
+      .join(docSrc.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), "doc_a")
+      .join(docSrc.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), "doc_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_cross_pairs"),
+        sum(when(col("n_inter") * 3 >= col("n_a") + col("n_b"), 1L)
+          .otherwise(0L)).as("n_neardup_pairs"))
+    shared.join(cross, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_shared_shingles"),
+        coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"),
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Exact Jaccard ≥ t pair join via PREFIX FILTERING (Chaudhuri
     * SSJoin / Bayardo All-Pairs / Xiao PPJoin) — the third point in
     * the near-dup design space: ngramJaccard indexes EVERY shingle

@@ -49,6 +49,53 @@ private[graft] object DedupOracles {
     "dedup_prefix_stats" -> prefixStatsSql,
     // --- assertion-form oracles (approx/hash-family queries) ---
     "dedup_minhash" -> pairRecallOracle,
+    "dedup_source_overlap" ->
+      // full replay: the same 3-gram shingles, the distinct
+      // (shingle, source) incidence, the shingle-sharing pair base
+      // with sizes, and the integer Jaccard-0.5 test
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(trim(lower(text)), '\s+')))) AS i
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+        |      AS s
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+        |ss AS (SELECT DISTINCT sh.s, d.source
+        |  FROM sh JOIN documents d USING (doc_id)),
+        |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared_shingles
+        |  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |px AS (SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b,
+        |    pr.n_inter, sa.n AS n_a, sb.n AS n_b
+        |  FROM pr
+        |  JOIN documents da ON pr.doc_a = da.doc_id
+        |  JOIN documents db ON pr.doc_b = db.doc_id
+        |  JOIN sz sa ON pr.doc_a = sa.doc_id
+        |  JOIN sz sb ON pr.doc_b = sb.doc_id
+        |  WHERE da.source <> db.source),
+        |cand AS (SELECT source_a, source_b,
+        |    CAST(count(*) AS BIGINT) AS n_cross_pairs,
+        |    CAST(sum(CASE WHEN 3 * n_inter >= n_a + n_b
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_pairs
+        |  FROM px GROUP BY 1, 2)
+        |SELECT shared.source_a, shared.source_b, n_shared_shingles,
+        |  coalesce(n_cross_pairs, 0) AS n_cross_pairs,
+        |  coalesce(n_neardup_pairs, 0) AS n_neardup_pairs
+        |FROM shared LEFT JOIN cand USING (source_a, source_b)
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
          | true AS recall_ok, true AS candidates_bounded

@@ -70,4 +70,29 @@ class DedupRecallSpec extends SparkSpec {
     assert(recall >= 0.6, s"winnow recall $recall")
     assert(precision >= 0.5, s"winnow precision $precision")
   }
+
+  test("source overlap matrix: reconciles with the per-doc ground " +
+    "truth and its own internal bounds") {
+    val m = Dedup.sourceOverlap(spark, sf01).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    m.foreach { case ((a, b), (sh, cand, near)) =>
+      assert(a < b, "unordered or self pair")
+      assert(sh >= 1 && cand >= 0 && near <= cand, s"($a,$b) bounds")
+    }
+    // the matrix's cross-source near-dup total must equal the
+    // oracle-verified jaccard pair set restricted to cross-source
+    val srcOf = graft.Tables.documents(spark, sf01)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val crossTruth = truth.filter { case (x, y) => srcOf(x) != srcOf(y) }
+    assert(m.values.map(_._3).sum == crossTruth.size,
+      "near-dup totals disagree with ground truth")
+    // and each cross-source truth pair lands in ITS source cell
+    crossTruth.foreach { case (x, y) =>
+      val key = if (srcOf(x) < srcOf(y)) (srcOf(x), srcOf(y))
+        else (srcOf(y), srcOf(x))
+      assert(m(key)._3 >= 1, s"pair ($x,$y) missing from cell $key")
+    }
+  }
 }
