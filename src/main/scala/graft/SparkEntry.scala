@@ -133,6 +133,10 @@ object SparkEntry {
     "stream_quantiles" ->
       (graft.streaming.StreamingAnalogs.feedQuantiles _),
     "stream_versioned_ingest" -> (Versioned.streamVersionedIngest _),
+    // streaming mixture-drift monitor: per-domain TWS counters, the
+    // share/drift/alarm math batch-side off the drained table
+    "stream_mixture_drift" ->
+      ((s, d) => graft.streaming.StreamingAnalogs.feedMixtureDrift(s, d)),
     // streaming exact dedup: a doubled at-least-once feed through
     // dropDuplicatesWithinWatermark — output = the generator, exactly
     "stream_dedup_feed" -> (graft.streaming.StreamingAnalogs.feedDedup _),
@@ -681,6 +685,7 @@ object SparkEntry {
       "stream_heavy_hitters" + // same drain, TWS Misra-Gries state
       "stream_quantiles" + // same drain, TWS histogram-sketch state
       "stream_versioned_ingest" + // drain committing versions per batch
+      "stream_mixture_drift" + // same drain, TWS domain counters
       "text_heavy_hitters" + // builder checkpoints the sketch pass
       "w_percent_rank" + // builder collects quantile bounds + bucket counts
       "p_curriculum" +   // same bucketed-rank bounds/counts collects

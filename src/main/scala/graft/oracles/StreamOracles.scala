@@ -144,6 +144,25 @@ private[graft] object StreamOracles {
         |  FROM range(5000))
         |SELECT kind, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_mixture_drift" ->
+      // generator replay: the id-bucket domains, integer share ppm,
+      // drift vs the uniform 333333 target, alarm at 50000 ppm
+      """WITH feed AS (SELECT range AS id,
+        |    CASE WHEN range % 10 < 5 THEN 'head'
+        |         WHEN range % 10 < 8 THEN 'mid'
+        |         ELSE 'tail' END AS domain
+        |  FROM range(5000)),
+        |c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_seen
+        |  FROM feed GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_seen) AS BIGINT) AS n_total FROM c)
+        |SELECT domain, n_seen, n_total,
+        |  CAST(1000000 * n_seen // n_total AS BIGINT) AS share_ppm,
+        |  CAST(333333 AS BIGINT) AS target_ppm,
+        |  CAST(abs(1000000 * n_seen // n_total - 333333) AS BIGINT)
+        |    AS drift_ppm,
+        |  CAST(abs(1000000 * n_seen // n_total - 333333) > 50000
+        |    AS INT) AS alarm
+        |FROM c, t ORDER BY domain""".stripMargin,
     "stream_weighted_sample" ->
       // generator replay + the same A-ES keys re-derived + a rank
       // window: the streaming reservoir's full-stream drain must

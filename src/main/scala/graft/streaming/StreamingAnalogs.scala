@@ -837,6 +837,82 @@ object StreamingAnalogs {
       .select(col("kind"), col("n_users")).orderBy("kind")
   }
 
+  /** Streaming mixture-drift monitor: is the arriving stream's DOMAIN
+    * MIX still the mixture the pipeline declared? (The training-feed
+    * guard for text_mixture_temp's plan: a crawler source going dark
+    * or a loader bug silently reweights the corpus long before any
+    * per-doc check fires.) One ValueState[Long] counter per domain —
+    * state O(|domains|), a constant — emitted per batch; shares,
+    * drift vs the declared target, and the alarm are computed
+    * BATCH-SIDE off the drained table, because a share needs the
+    * cross-key total and TWS state is per-key (a single-key global
+    * map would funnel the whole stream through one task).
+    *
+    * Fixture domains: deterministic id-range buckets with real skew
+    * (head 50% / mid 30% / tail 20%), so against the uniform target
+    * two domains alarm at 50 000 ppm and one does not — the alarm
+    * path and the quiet path both exercised, generator-replayed
+    * exactly by the oracle.
+    */
+  class DomainCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long)] {
+    @transient private var n:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long)] = {
+      val total = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(total)
+      Iterator((key, total))
+    }
+  }
+
+  def feedMixtureDrift(s: SparkSession, dir: String,
+      alarmPpm: Long = 50000L): DataFrame = {
+    val base =
+      s"/tmp/graft_streams/${new java.io.File(dir).getName}/mixture_drift"
+    val path = new org.apache.hadoop.fs.Path(base)
+    val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(path, true)
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val feed = s.readStream.format("graft.sources.FeedSource")
+      .option("totalRows", 5000)
+      .option("rowsPerTrigger", 1000)
+      .option("partitionsPerBatch", 4)
+      .load()
+      .select(when(col("id") % 10 < 5, "head")
+        .when(col("id") % 10 < 8, "mid")
+        .otherwise("tail").as("domain"), col("id"))
+      .as[(String, Long)]
+    val counts = feed.groupByKey(_._1)
+      .transformWithState(new DomainCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("kind", "n_seen") // drain harness partitions by "kind"
+    drainTwsToTable(s, base, counts)
+    val table = s.read.parquet(s"$base/table")
+      .select(col("kind").as("domain"), col("n_seen"))
+    val total = table.agg(sum(col("n_seen")).as("n_total"))
+    table.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_seen"), col("n_total"),
+        expr("1000000L * n_seen div n_total").as("share_ppm"),
+        lit(333333L).as("target_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("share_ppm") - col("target_ppm")))
+      .withColumn("alarm", (col("drift_ppm") > alarmPpm).cast("int"))
+      .orderBy("domain")
+  }
+
   /** Shared transformWithState drain harness: RocksDB state-store
     * provider (TWS requires it) and key-cardinality-sized shuffle
     * partitions set for the drain and restored after; update-mode

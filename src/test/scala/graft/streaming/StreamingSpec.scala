@@ -721,4 +721,22 @@ class StreamingSpec extends SparkSpec {
         r.getLong(3))).toSet
     assert(streamed == batch)
   }
+
+  test("feedMixtureDrift: drained domain counts equal the generator's " +
+    "skewed buckets; alarm fires on the drifted domains only") {
+    val out = StreamingAnalogs.feedMixtureDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getInt(6))).sortBy(_._1)
+    // generator law: id % 10 buckets 5/3/2 over 5000 rows
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq(("head", 2500L), ("mid", 1500L), ("tail", 1000L)))
+    out.foreach { case (d, n, tot, share, drift, alarm) =>
+      assert(tot == 5000L, d)
+      assert(share == 1000000L * n / tot, d)
+      assert(drift == math.abs(share - 333333L), d)
+      assert(alarm == (if (drift > 50000L) 1 else 0), d)
+    }
+    // both paths exercised: head+tail alarm, mid stays quiet
+    assert(out.map(_._6).toSeq == Seq(1, 0, 1))
+  }
 }
