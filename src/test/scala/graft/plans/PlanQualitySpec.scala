@@ -200,6 +200,16 @@ class PlanQualitySpec extends SparkSpec {
       l.contains("bkt")), p.take(2500))
   }
 
+  test("curriculumStages: the global length order runs bucket-local " +
+    "— no single-partition window exchange anywhere in the plan") {
+    val p = plan(graft.operators.Pipelines.curriculumStages(spark, sfDir))
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.linesIterator.exists(l => l.contains("Window") &&
+      l.contains("SinglePartition")), p.take(2500))
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning(") &&
+      l.contains("bkt")), p.take(2500))
+  }
+
   test("spendQuartiles: ntile via the same bucket-rank machinery — " +
     "no single-partition exchange, no built-in global ntile window") {
     val p = plan(Analytics.spendQuartiles(spark, sfDir))
