@@ -105,4 +105,76 @@ class PropertySpec extends SparkSpec {
       assert(Scalars.normalizeBooleans(df).count() == n.toLong)
     }
   }
+
+  // ---- mergeable-aggregator partition-invariance -----------------
+  // The law Spark's partial aggregation RELIES on: for ANY split of
+  // the input into partitions, folding each part with reduce() and
+  // combining with merge() must finish() to the same value as one
+  // sequential fold. A sketch that silently violates it returns
+  // different answers at different parallelism — the worst kind of
+  // distributed bug (green at local[1], wrong on the cluster).
+
+  /** Random ordered split of xs into 1..5 contiguous parts. */
+  private def splitsOf[A](xs: List[A], seedOff: Int): Seq[Seq[List[A]]] =
+    samples(Gen.chooseNum(1, 5), 4).zipWithIndex.map { case (nParts, i) =>
+      val cuts = samples(Gen.chooseNum(0, xs.size), nParts - 1)
+        .sorted.distinct
+      (0 +: cuts :+ xs.size).sliding(2).map {
+        case Seq(a, b) => xs.slice(a, b)
+      }.toSeq
+    }
+
+  test("KmvSketch: partition-invariant under any split + merge order; " +
+    "exact below k") {
+    val agg = new KmvSketch(16)
+    val gen = Gen.listOfN(60, Gen.chooseNum(1L, 40L))
+    samples(gen, 8).foreach { ids =>
+      // the same hash→[0,1) map the production sketch applies
+      val xs = ids.map(_ % 1000 / 1000.0 + 1e-9).toList
+      val whole = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      splitsOf(xs, 7).foreach { parts =>
+        val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        val lr = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+        val rl = agg.finish(partials.reverse.foldLeft(agg.zero)(agg.merge))
+        assert(lr == whole && rl == whole, s"parts=${parts.map(_.size)}")
+      }
+      // exact regime: ndv ≤ k ⇒ the estimate IS the distinct count
+      val ndv = xs.distinct.size
+      if (ndv <= 16) assert(Kmv.estimate(16, whole) == ndv.toDouble)
+    }
+  }
+
+  test("TopKAgg: partition-invariant; equals the naive global top-k " +
+    "under the (-value, id) order") {
+    val agg = new TopKAgg(5)
+    val gen = Gen.listOfN(40, Gen.chooseNum(0L, 99L))
+    samples(gen, 8).zipWithIndex.foreach { case (vs, i) =>
+      val xs = vs.zipWithIndex
+        .map { case (v, id) => (v.toDouble, id.toLong) }.toList
+      val whole = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val naive = xs.sortBy { case (v, id) => (-v, id) }.take(5)
+      assert(whole == naive)
+      splitsOf(xs, 13).foreach { parts =>
+        val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(partials.foldLeft(agg.zero)(agg.merge)) == naive,
+          s"parts=${parts.map(_.size)}")
+      }
+    }
+  }
+
+  test("HistSketchAgg: merge is elementwise sum — partition-invariant " +
+    "and count-preserving, clamped bins included") {
+    val agg = new HistSketchAgg(8, 10.0)
+    val gen = Gen.listOfN(50, Gen.chooseNum(-30.0, 130.0))
+    samples(gen, 8).foreach { vs =>
+      val xs = vs.toList
+      val whole = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      assert(whole.sum == xs.size.toLong, "a value fell out of the bins")
+      splitsOf(xs, 29).foreach { parts =>
+        val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        val merged = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+        assert(merged.toSeq == whole.toSeq, s"parts=${parts.map(_.size)}")
+      }
+    }
+  }
 }
