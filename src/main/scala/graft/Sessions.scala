@@ -36,6 +36,12 @@ object Sessions {
       b.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.extensions", "graft.plans.GraftExtensions")
         .config("spark.sql.adaptive.enabled", "true")
+        // StreamStats decomposes drain wall time from recentProgress,
+        // which Spark caps (default 100 events) — a drain with more
+        // microbatches would silently undercount the setup/drain/
+        // addBatch split benchdiff compares. No production drain is
+        // near 1000 batches; StreamStats.drain also warns at the cap.
+        .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
         .config("spark.ui.enabled", "false")) {
       case (bb, (k, v)) => bb.config(k, v)
     }

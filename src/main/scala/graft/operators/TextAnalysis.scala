@@ -1034,9 +1034,12 @@ object TextAnalysis {
         expr("1000000L * n_tokens div tot_tokens").as("natural_ppm"),
         expr("1000000L * w div tot_w").as("sample_ppm"),
         // per-mille boost of the sampled share over the natural one:
-        // > 1000 for low-resource domains, < 1000 for dominant ones
+        // > 1000 for low-resource domains, < 1000 for dominant ones.
+        // greatest(.., 1): a domain under 1 ppm of total tokens has
+        // natural_ppm = 0, where Spark's div returns NULL but DuckDB's
+        // // raises division-by-zero — clamp identically on both sides
         expr("(1000L * (1000000L * w div tot_w)) div " +
-          "(1000000L * n_tokens div tot_tokens)").as("boost_pm"),
+          "greatest(1000000L * n_tokens div tot_tokens, 1L)").as("boost_pm"),
         expr(s"${budgetTokens}L * w div tot_w").as("quota_tokens"))
       .orderBy("domain")
   }

@@ -469,7 +469,8 @@ private[graft] object TextOracles {
         |    AS natural_ppm,
         |  CAST(1000000 * w // tot_w AS BIGINT) AS sample_ppm,
         |  CAST((1000 * (1000000 * w // tot_w))
-        |    // (1000000 * n_tokens // tot_tokens) AS BIGINT) AS boost_pm,
+        |    // greatest(1000000 * n_tokens // tot_tokens, 1)
+        |    AS BIGINT) AS boost_pm,
         |  CAST(100000 * w // tot_w AS BIGINT) AS quota_tokens
         |FROM w, t ORDER BY domain""".stripMargin,
     "text_gopher_quality" ->

@@ -21,7 +21,19 @@ object StreamStats {
   /** Await the query's termination and record its batch progress. */
   def drain(q: StreamingQuery): Unit = {
     q.awaitTermination()
-    synchronized { buf ++= q.recentProgress }
+    val prog = q.recentProgress
+    // recentProgress is a RING buffer sized by
+    // spark.sql.streaming.numRecentProgressUpdates (Sessions raises it
+    // to 1000): a drain with more microbatches than the cap silently
+    // drops the earliest events and the setup/drain/addBatch
+    // decomposition undercounts. Make that loud, never silent.
+    val cap = try q.sparkSession.conf
+      .get("spark.sql.streaming.numRecentProgressUpdates").toInt
+    catch { case _: Throwable => 100 }
+    if (prog.length >= cap)
+      System.err.println(s"[StreamStats] WARNING: query ${q.name} hit " +
+        s"the recentProgress cap ($cap) — breakdown undercounts")
+    synchronized { buf ++= prog }
   }
 
   /** Progress events recorded since the previous call. */

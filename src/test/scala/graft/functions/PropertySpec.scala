@@ -114,11 +114,23 @@ class PropertySpec extends SparkSpec {
   // different answers at different parallelism — the worst kind of
   // distributed bug (green at local[1], wrong on the cluster).
 
-  /** Random ordered split of xs into 1..5 contiguous parts. */
+  /** Samples with an explicit seed base — lets callers draw DISTINCT
+    * deterministic streams (the default `samples` always starts at 42).
+    */
+  private def samplesAt[A](g: Gen[A], n: Int, seedBase: Long): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(seedBase + i)))
+
+  /** Random ordered split of xs into 1..5 contiguous parts; seedOff
+    * varies the generator stream so each caller exercises different
+    * splits (it was previously ignored — all three partition-invariance
+    * tests drew identical splits).
+    */
   private def splitsOf[A](xs: List[A], seedOff: Int): Seq[Seq[List[A]]] =
-    samples(Gen.chooseNum(1, 5), 4).zipWithIndex.map { case (nParts, i) =>
-      val cuts = samples(Gen.chooseNum(0, xs.size), nParts - 1)
-        .sorted.distinct
+    samplesAt(Gen.chooseNum(1, 5), 4, 42L + 1000L * seedOff)
+      .zipWithIndex.map { case (nParts, i) =>
+      val cuts = samplesAt(Gen.chooseNum(0, xs.size), nParts - 1,
+        42L + 1000L * seedOff + 17L * (i + 1)).sorted.distinct
       (0 +: cuts :+ xs.size).sliding(2).map {
         case Seq(a, b) => xs.slice(a, b)
       }.toSeq

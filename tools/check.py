@@ -45,15 +45,33 @@ def main(sf_dir, out_dir, artifact=None, timeout=None):
             continue
         timed_out = []
         timer = None
+        # Two guards close a timer race: if the Timer fires after
+        # fetch_arrow_table() returns but before timer.cancel(), a bare
+        # con.interrupt() would poison the NEXT oracle on the shared
+        # connection (recorded as a spurious 'oracle SQL error' with an
+        # empty timed_out list). So (a) each timed oracle runs on its
+        # own cursor — a late interrupt dies with the cursor — and (b)
+        # a `done` flag set under a lock makes the late interrupt a
+        # no-op in the first place.
+        done = []
+        lock = threading.Lock()
+        cur = con.cursor() if timeout else con
         if timeout:
             def interrupt():
-                timed_out.append(True)
-                con.interrupt()
+                with lock:
+                    if done:
+                        return
+                    timed_out.append(True)
+                    cur.interrupt()
             timer = threading.Timer(timeout, interrupt)
             timer.start()
         try:
-            oracle_tbl = con.execute(oracles[name]).fetch_arrow_table()
+            oracle_tbl = cur.execute(oracles[name]).fetch_arrow_table()
+            with lock:
+                done.append(True)
         except Exception as e:
+            with lock:
+                done.append(True)
             if timer:
                 timer.cancel()
             if timed_out:
@@ -67,6 +85,8 @@ def main(sf_dir, out_dir, artifact=None, timeout=None):
         finally:
             if timer:
                 timer.cancel()
+            if cur is not con:
+                cur.close()
         ok = True
         # column set + order-insensitive: sort columns by name
         scols, ocols = sorted(spark_tbl.column_names), sorted(oracle_tbl.column_names)
