@@ -85,12 +85,24 @@ object Bench {
     // Σ triggerExecution, drain = Σ triggerExecution, addbatch =
     // Σ addBatch (the per-batch work component benchdiff compares).
     var streamBreak = Map.empty[String, (Double, Double, Double, Int)]
+    // per-run cost components (round-10 verdict asks #2/#3): `fixture`
+    // = one-time disk/db fixture builds (Fixtures.timed sites),
+    // `pool` = CachePool entry materializations, `run` = wall − both —
+    // the query's own plan cost, which is what benchdiff should
+    // compare (a pool rebuild charged to its first consumer read as a
+    // 1.7× sim_ann_lsh regression in r10). runBest = best `run` over
+    // all recorded runs of the query.
+    var fixC = Map.empty[String, Double]   // cold-pass fixture seconds
+    var poolC = Map.empty[String, Double]  // cold-pass pool-build seconds
+    var runBest = Map.empty[String, Double]
     // the AQE-aware metric rollup lives in plans.ExecMetrics so the
     // PlanAudit spec can pin the same plumbing the artifact reports
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame, name: String,
-        recordShuffle: Boolean = false): Double = {
+        recordShuffle: Boolean = false,
+        recordComponents: Boolean = false): Double = {
       graft.streaming.StreamStats.drainProgress() // clear stale events
+      Fixtures.drainBuilt(); CachePool.drainBuilt() // clear stale builds
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -106,6 +118,11 @@ object Bench {
         // and populates the very accumulators planShuffleBytes walks.
         df.queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
+        val fix = Fixtures.drainBuilt().map(_._2).sum
+        val pool = CachePool.drainBuilt().map(_._2).sum
+        val run = math.max(0.0, dt - fix - pool)
+        if (recordComponents) { fixC += name -> fix; poolC += name -> pool }
+        runBest += name -> math.min(runBest.getOrElse(name, run), run)
         if (recordShuffle) {
           val prog = graft.streaming.StreamStats.drainProgress()
           if (prog.nonEmpty) {
@@ -173,7 +190,7 @@ object Bench {
     // artifact can't be read as end-to-end compute cost
     order.zipWithIndex.foreach { case ((name, fn), i) =>
       CachePool.drainTouched()
-      cold += name -> timeOnce(fn, name)
+      cold += name -> timeOnce(fn, name, recordComponents = true)
       if (CachePool.drainTouched().nonEmpty) pooled += name
       if ((i + 1) % PROBE_EVERY == 0) probeOnce(1, name)
     }
@@ -279,8 +296,21 @@ object Bench {
     // in "cold" and the final min in "queries", the three timings the
     // verdict asked for are all recoverable from the artifact
     val retryJson = jsonOf(retry.toSeq.sortBy(_._1))
+    // cold_components: the pass-1 (fixture, pool, run) decomposition —
+    // fixture = Fixtures.timed one-time builds (Derby seed), pool =
+    // CachePool materializations, run = wall − both. run_s = each
+    // query's best run component over ALL its timed runs; benchdiff
+    // compares run_s so a pool/fixture rebuild can never masquerade as
+    // a query regression (or mask one).
+    val coldCompJson = cold.keys.toSeq.sorted.filter(fixC.contains)
+      .map { n =>
+        val f = fixC.getOrElse(n, 0.0); val p = poolC.getOrElse(n, 0.0)
+        val r = math.max(0.0, cold(n) - f - p)
+        s""""$n":{"fixture":${fmt(f)},"pool":${fmt(p)},"run":${fmt(r)}}"""
+      }.mkString("{", ",", "}")
+    val runJson = jsonOf(runBest.toSeq.sortBy(_._1))
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"retry":$retryJson,"pooled":$pooledJson,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"peak_mem_mb":$peakJson,"calib_series":$probeJson,"streaming":$streamingJson,"stream_breakdown":$streamBreakJson,"calib":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonOf(sorted)},"cold":${jsonOf(cold.toSeq.sortBy(_._1))},"cold_components":$coldCompJson,"run_s":$runJson,"retry":$retryJson,"pooled":$pooledJson,"shuffle_mb":$shuffleJson,"spill_mb":$spillJson,"peak_mem_mb":$peakJson,"calib_series":$probeJson,"streaming":$streamingJson,"stream_breakdown":$streamBreakJson,"calib":$calibJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the artifact
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

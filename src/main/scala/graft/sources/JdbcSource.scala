@@ -47,7 +47,7 @@ object JdbcSource {
       // keep derby.log (and lock files on crash recovery) out of cwd
       System.setProperty("derby.system.home", "/tmp/graft_derby")
       val u = url(dir)
-      val (lo, hi) = seeded.getOrElse(u, {
+      val (lo, hi) = seeded.getOrElse(u, graft.Fixtures.timed(s"derby:$dir") {
         val src = graft.Tables.supplier(s, dir)
         src.write.mode(SaveMode.Overwrite)
           .format("jdbc")
@@ -68,7 +68,7 @@ object JdbcSource {
         val range = (r.getLong(0), r.getLong(1))
         seeded += u -> range
         range
-      })
+      }) // Fixtures.timed: one-time seed cost -> bench fixture component
       (u, lo, hi)
     }
 
