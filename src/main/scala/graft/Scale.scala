@@ -50,9 +50,18 @@ object Scale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sfTiny = "/root/testdata/sf0.001"
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    // Fourth point (round-10 verdict ask #1): the builder-generated
+    // sf1.0 (graft.GenData, TESTDATA-sf1.md) extends the heavy curves
+    // to THREE measured decades when present. Optional by existence —
+    // a fresh checkout without `data/` still produces the two-decade
+    // artifact rather than failing the sweep.
+    val sfOne = "data/sf1.0"
+    val hasSfOne = new java.io.File(s"$sfOne/lineitem.parquet").exists()
+    val heavyDirs =
+      if (hasSfOne) Seq(sfTiny) ++ sfs :+ sfOne else sfTiny +: sfs
     val spark = Sessions.local(cpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
-    (sfTiny +: sfs).foreach(d => Tables.names.foreach(t =>
+    (heavyDirs ++ sfs).distinct.foreach(d => Tables.names.foreach(t =>
       Tables.load(spark, d, t).count())) // warm footers + codegen
     // the FULL declared surface (round-9 extension — originally the
     // headline subset plus verdict-named heavy ops): every query
@@ -87,10 +96,13 @@ object Scale {
     val rows = subset.toSeq.sorted.map { name =>
       try {
         // back-to-back per query: a load burst hits both sfs' runs
-        val dirs = if (heavy(name)) sfTiny +: sfs else sfs
+        val dirs = if (heavy(name)) heavyDirs else sfs
         val bySf = dirs.map(d => timeAndShuffle(name, d))
-        val (tSmall, sSmall) = bySf(bySf.size - 2) // sf0.01
-        val (tBig, sBig) = bySf.last               // sf0.1
+        // anchor the cross-round-comparable single-decade slope to the
+        // SAME pair every round (sf0.01 -> sf0.1) regardless of how
+        // many extra points this entry carries
+        val (tSmall, sSmall) = bySf(dirs.indexOf(sfs.head))
+        val (tBig, sBig) = bySf(dirs.indexOf(sfs.last))
         val timeSlope = math.log10(tBig / tSmall)
         val shuffleSlope =
           if (sSmall > 1024 && sBig > 1024)
@@ -107,17 +119,38 @@ object Scale {
         val secArr = bySf.map(p => fmt(p._1)).mkString("[", ",", "]")
         val mbArr = bySf.map(p => fmt(p._2 / MB)).mkString("[", ",", "]")
         val shuffleJson = shsl.map(v => fmt(v)).getOrElse("null")
-        // two-decade per-decade slopes for the 3-point heavy entries
+        // multi-decade per-decade slopes for 3- and 4-point heavy
+        // entries: *_slope2 spans sf0.001->sf0.1 (2 decades, the
+        // round-9 field, kept stable), *_slope3 spans sf0.001->sf1.0
+        // (3 decades), and *_slope_top is the sf0.1->sf1.0 decade
+        // alone — the largest measured sf pair, where fixed per-query
+        // overhead pollutes the ratio least (sf0.001 numbers are
+        // mostly overhead; sf0.1->sf1.0 is the closest local proxy
+        // for the next 100x)
         val slope2 =
-          if (bySf.size == 3) {
-            val (t0, s0) = bySf.head; val (t2, s2) = bySf.last
+          if (bySf.size >= 3) {
+            val (t0, s0) = bySf.head; val (t2, s2) = bySf(2)
             val t2d = fmt(math.log10(t2 / t0) / 2)
             val s2d = if (s0 > 1024 && s2 > 1024)
               fmt(math.log10(s2.toDouble / s0) / 2) else "null"
             s""","time_slope2":$t2d,"shuffle_slope2":$s2d"""
           } else ""
+        val slope3 =
+          if (bySf.size == 4) {
+            val (t0, s0) = bySf.head; val (t3, s3) = bySf(3)
+            val (t2, s2) = bySf(2)
+            val t3d = fmt(math.log10(t3 / t0) / 3)
+            val s3d = if (s0 > 1024 && s3 > 1024)
+              fmt(math.log10(s3.toDouble / s0) / 3) else "null"
+            val tTop = fmt(math.log10(t3 / t2))
+            val sTop = if (s2 > 1024 && s3 > 1024)
+              fmt(math.log10(s3.toDouble / s2)) else "null"
+            s""","time_slope3":$t3d,"shuffle_slope3":$s3d""" +
+              s""","time_slope_top":$tTop,"shuffle_slope_top":$sTop"""
+          } else ""
         s""""$name":{"sec":$secArr,"shuffle_mb":$mbArr,""" +
-          s""""time_slope":${fmt(tsl)},"shuffle_slope":$shuffleJson$slope2}"""
+          s""""time_slope":${fmt(tsl)},"shuffle_slope":$shuffleJson""" +
+          s"""$slope2$slope3}"""
     }.mkString("{", ",", "}")
     // flag superlinear growth here too (scalecheck.py re-derives it):
     // shuffle above the 1 MB floor at the larger sf growing steeper
@@ -130,8 +163,10 @@ object Scale {
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = rows.collect { case (n, None) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
+    val heavyNames = heavyDirs.map(d =>
+      "\"" + d.split("/").last + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"scale_slopes","sfs":["sf0.01","sf0.1"],""" +
-      s""""sfs_heavy":["sf0.001","sf0.01","sf0.1"],""" +
+      s""""sfs_heavy":$heavyNames,""" +
       s""""data_ratio":10.0,"nqueries":${rows.count(_._2.isDefined)},""" +
       s""""flagged":$flaggedJson,"failed":$failed,"queries":$qJson}"""
     // a filtered profiling run must not clobber the committed artifact

@@ -256,6 +256,10 @@ object SparkEntry {
     // CUSUM change point: n·prefix − t·total keeps the mean-deviation
     // sum in BIGINTs — argmax day + peak are hash-exact
     "st_cusum" -> (Analytics.cusumChangePoint _),
+    // Holt's double exponential smoothing (level+trend forecast):
+    // α=β=½ makes every step exact-or-deterministically-rounded; the
+    // identical op sequence on both engines → bit-identical doubles
+    "st_holt_winters" -> (Analytics.holtWinters _),
     // Mann–Kendall S over calendar-bounded day pairs, all integers
     "st_trend" -> (Analytics.trendTest _),
     // lag-1..3 autocorrelation from exact BIGINT moments; the signed
@@ -607,6 +611,16 @@ object SparkEntry {
       Learn.trainQualityClassifier(s, d)),
     "text_classifier_score" -> ((s, d) =>
       Learn.scoreQualityClassifier(s, d)),
+    // reliability-diagram calibration audit of the trained classifier:
+    // 10 bins, exact BIGINT micro-mass and |Σp−Σy| gap per bin
+    "text_calibration_ece" -> ((s, d) => Learn.calibrationEce(s, d)),
+    // margin-based uncertainty sampling (active learning): per-language
+    // top-k docs nearest the 0.5 boundary via the mergeable TopKAgg
+    "p_active_learning_margin" -> ((s, d) =>
+      Learn.activeLearningMargin(s, d)),
+    // Fellegi–Sunter probabilistic record linkage: blocked pairs →
+    // 2³ agreement patterns → 2-round EM → per-pattern LR + posterior
+    "p_linkage_fs" -> ((s, d) => Pipelines.linkageFellegiSunter(s, d)),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_resample" -> (TextAnalysis.resample _),
     // temperature-scaled domain mixture: p_d ∝ tokens_d^(1/2) via

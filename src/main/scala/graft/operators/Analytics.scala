@@ -1548,4 +1548,49 @@ object Analytics {
         (-col("neg_dd_event")).as("dd_event_id"))
       .orderBy("user_id")
   }
+
+  /** Holt's double exponential smoothing (level + trend) over the
+    * per-type daily series — the forecasting step beyond st_ewma's
+    * single-state smoothing: l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, emitted per day with the
+    * one-step-ahead forecast l_t + b_t.
+    *
+    * Cross-engine exactness (the st_ewma discipline, extended to a
+    * TWO-variable recursion): α = β = ½, so each step is
+    * l' = (x + l + b)/2 and b' = (l' − l + b)/2 — adds, subtracts and
+    * exponent decrements only, every one an IEEE-exact-or-correctly-
+    * rounded op. The recursion is inherently sequential PER SERIES,
+    * and both engines execute the identical op sequence in the
+    * identical order (Spark: a left fold over the day-ordered prefix
+    * list; DuckDB: a recursive CTE walking day rank), so the doubles
+    * agree bit-for-bit even past the 53-bit-exact regime — rounding
+    * is deterministic when the op sequence is.
+    *
+    * Scale shape: one day-grain aggregation (map-side combined) turns
+    * the event stream into O(series × days) rows; the per-row prefix
+    * fold is O(days²) scalar ops on a ~30-element list — series
+    * count is the parallelism (same contract as st_ewma/st_cusum),
+    * and day counts are calendar-bounded, never event-bounded.
+    */
+  def holtWinters(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("total_cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("prefix",
+        collect_list(col("total_cents").cast("double")).over(w))
+      .withColumn("state", expr(
+        """aggregate(prefix,
+          |  named_struct('l', cast(0.0 as double), 'b', cast(0.0 as double)),
+          |  (acc, x) -> named_struct(
+          |    'l', (x + acc.l + acc.b) / 2,
+          |    'b', (((x + acc.l + acc.b) / 2) - acc.l + acc.b) / 2))
+          |""".stripMargin))
+      .select(col("event_type"), col("day"), col("total_cents"),
+        col("state.l").as("level"), col("state.b").as("trend"),
+        (col("state.l") + col("state.b")).as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -104,4 +104,75 @@ object Learn {
     feats.agg(avg(-(col("y") * log(p) +
       (lit(1.0) - col("y")) * log(lit(1.0) - p)))).head().getDouble(0)
   }
+
+  /** The trained model's 6-decimal-rounded probability column over the
+    * documents table — the scoring expression scoreQualityClassifier,
+    * calibrationEce and activeLearningMargin all share (micro-rounded
+    * weights re-entering as literals, one codegen pass).
+    */
+  private[operators] def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = trainQualityClassifier(s, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+    val z = lit(w("bias")) * lit(1.0) +
+      lit(w("x_chars_h")) * (col("n_chars") / 100.0) +
+      lit(w("x_src0")) * when(col("source") === "src0", 1.0).otherwise(0.0)
+    Tables.documents(s, dir)
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+      .withColumn("y",
+        when(col("lang") === "en", 1L).otherwise(0L))
+  }
+
+  /** Calibration audit of the trained classifier — the reliability
+    * diagram behind "can this quality/lang scorer's probabilities be
+    * thresholded, or only ranked": 10 equal-width confidence bins,
+    * each with its doc count, empirical positive count and predicted
+    * probability mass. gap_micro = |Σp − Σy|·10⁶ is the bin's
+    * calibration gap; Σ_bins gap_micro / (N·10⁶) is the expected
+    * calibration error (the spec pins it; the gate pins every bin).
+    *
+    * Exactness: p is the trainer's 6-decimal-rounded sigmoid, so the
+    * per-bin mass is an exact BIGINT micro-sum (order-free) and the
+    * gap is integer arithmetic — no tolerance anywhere. Scale shape:
+    * one codegen scoring pass into a 10-group hash aggregate with
+    * map-side partials; state is O(bins).
+    */
+  def calibrationEce(s: SparkSession, dir: String): DataFrame =
+    scoredDocs(s, dir)
+      .select(least(floor(col("p") * 10), lit(9L)).cast("int").as("bin"),
+        col("p"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_pos"),
+        sum(round(col("p") * 1e6).cast("long")).as("p_mass_micro"))
+      .withColumn("gap_micro",
+        abs(col("p_mass_micro") - col("n_pos") * 1000000L))
+      .orderBy("bin")
+
+  /** Margin-based uncertainty sampling — the active-learning
+    * selection step of a labeling pipeline: the k docs per language
+    * whose predicted probability sits closest to the 0.5 decision
+    * boundary are the ones a labeling budget buys the most model
+    * improvement from. margin_micro = |p·10⁶ − 500000| is exact
+    * BIGINT off the 6-decimal sigmoid; selection is the mergeable
+    * TopKAgg on (−margin, doc_id) — map-side partials cap each task
+    * at k rows per language, O(k × tasks) on the wire, never a
+    * per-language window sort over the corpus.
+    */
+  def activeLearningMargin(s: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    scoredDocs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        abs(round(col("p") * 1e6).cast("long") - 500000L)
+          .as("margin_micro"))
+      .groupBy("lang")
+      .agg(topk((-col("margin_micro")).cast("double"), col("doc_id"))
+        .as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("t._2").as("doc_id"),
+        (-col("t._1")).cast("long").as("margin_micro"))
+      .orderBy("lang", "rk")
+  }
 }

@@ -828,4 +828,95 @@ object Pipelines {
         expr("1000000L * n_tokens div tot_tok").as("token_share_ppm"))
       .orderBy("stage")
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (the 1969 theory of
+    * record linkage, the model behind Splink/dedupe-style ER): blocked
+    * candidate pairs are reduced to an agreement PATTERN over three
+    * comparison fields (adjective of the name, brand, price bucket);
+    * a two-component mixture — match vs non-match — is fit to the
+    * pattern counts with two EM iterations; each pattern gets its
+    * likelihood ratio and match posterior. Complements
+    * p_entity_resolution (which links by edit distance alone): F-S
+    * LEARNS per-field agreement weights from the data, unsupervised.
+    *
+    * Scale shape: the pair space is bounded by blocking on
+    * (noun, size, type) — the same prefix-blocking contract as the
+    * dedup family, one equi-join shuffle, never all-pairs; the
+    * pattern table the EM sees is 2³ rows regardless of corpus size
+    * (the legal bounded-driver-state shape, like kmeans' centroids),
+    * and every EM aggregate is a BIGINT sum over those 8 rows.
+    *
+    * Cross-engine exactness (the logreg discipline): posteriors are
+    * micro-rounded to BIGINT before they enter any sum, so the EM's
+    * M-step divides exact integers; all double ops (+, *, /) run in
+    * the identical order in the DuckDB replay, so the fitted
+    * parameters and final weights hash-match bit-for-bit. The
+    * likelihood ratio is pure arithmetic (no log), clamped at 1e12 so
+    * a vanishing non-match probability stays finite identically on
+    * both engines.
+    */
+  def linkageFellegiSunter(s: SparkSession, dir: String,
+      iters: Int = 2): DataFrame = {
+    val pp = Tables.part(s, dir).select(
+      col("p_partkey"), col("p_brand"),
+      element_at(split(col("p_name"), " "), 1).as("adj"),
+      element_at(split(col("p_name"), " "), -1).as("noun"),
+      col("p_size"), col("p_type"),
+      floor(col("p_retailprice") / 10).cast("long").as("pb"))
+    val pat = pp.alias("a").join(pp.alias("b"),
+        col("a.noun") === col("b.noun") &&
+          col("a.p_size") === col("b.p_size") &&
+          col("a.p_type") === col("b.p_type") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(
+        when(col("a.adj") === col("b.adj"), 1).otherwise(0).as("g_adj"),
+        when(col("a.p_brand") === col("b.p_brand"), 1).otherwise(0)
+          .as("g_brand"),
+        when(col("a.pb") === col("b.pb"), 1).otherwise(0).as("g_price"))
+      .groupBy("g_adj", "g_brand", "g_price")
+      .agg(count(lit(1)).as("n"))
+      .collect() // ≤ 8 rows: bounded driver state by construction
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // EM over the pattern counts — the arithmetic mirrors the oracle's
+    // chained CTEs op-for-op (left-assoc products, p*pm recomputed in
+    // the denominator, micro-rounded posteriors entering BIGINT sums)
+    var p = 0.1
+    var m = Array(0.9, 0.9, 0.9)
+    var u = Array(0.1, 0.1, 0.1)
+    def probs(bits: Seq[Int], v: Array[Double]): Double =
+      (if (bits(0) == 1) v(0) else 1.0 - v(0)) *
+        (if (bits(1) == 1) v(1) else 1.0 - v(1)) *
+        (if (bits(2) == 1) v(2) else 1.0 - v(2))
+    for (_ <- 1 to iters) {
+      val e = pat.map { case (g1, g2, g3, n) =>
+        val bits = Seq(g1, g2, g3)
+        val pm = probs(bits, m)
+        val pu = probs(bits, u)
+        val w = (p * pm) / (p * pm + (1.0 - p) * pu)
+        (bits, n, math.round(w * 1e6))
+      }
+      val sw = e.map { case (_, n, wmu) => n * wmu }.sum
+      val stot = e.map { case (_, n, _) => n * 1000000L }.sum
+      p = sw.toDouble / stot.toDouble
+      m = Array.tabulate(3)(j =>
+        e.collect { case (b, n, wmu) if b(j) == 1 => n * wmu }.sum
+          .toDouble / sw.toDouble)
+      u = Array.tabulate(3)(j =>
+        e.collect { case (b, n, wmu) if b(j) == 1 =>
+          n * (1000000L - wmu) }.sum.toDouble / (stot - sw).toDouble)
+    }
+    val rows = pat.map { case (g1, g2, g3, n) =>
+      val bits = Seq(g1, g2, g3)
+      val pm = probs(bits, m)
+      val pu = probs(bits, u)
+      val w = (p * pm) / (p * pm + (1.0 - p) * pu)
+      val post = math.round(w * 1e6)
+      (g1, g2, g3, n, math.round(math.min(pm / pu, 1e12) * 1e6),
+        post, post > 500000L)
+    }
+    import s.implicits._
+    rows.toSeq.toDF("g_adj", "g_brand", "g_price", "n_pairs",
+      "lr_micro", "posterior_micro", "is_match")
+      .orderBy("g_adj", "g_brand", "g_price")
+  }
 }

@@ -317,6 +317,34 @@ private[graft] object AnalyticsOracles {
         |SELECT event_type, day AS change_day, CAST(a AS BIGINT)
         |    AS cusum_peak, n_days, total_cents
         |FROM s WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "st_holt_winters" ->
+      // the identical two-variable α=β=½ recursion, walked day-rank
+      // by day-rank with a recursive CTE — the same op sequence as
+      // Spark's prefix fold, so every level/trend double is
+      // bit-identical even past the 53-bit-exact regime (rounding is
+      // deterministic when the op sequence is; see holtWinters)
+      """WITH RECURSIVE d0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (SELECT event_type, day, total_cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    CAST(total_cents AS DOUBLE) AS x
+        |  FROM d0),
+        |hw AS (
+        |  SELECT event_type, day, total_cents, t, x,
+        |    (x + 0.0 + 0.0) / 2 AS l,
+        |    (((x + 0.0 + 0.0) / 2) - 0.0 + 0.0) / 2 AS b
+        |  FROM daily WHERE t = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.total_cents, d.t, d.x,
+        |    (d.x + hw.l + hw.b) / 2,
+        |    (((d.x + hw.l + hw.b) / 2) - hw.l + hw.b) / 2
+        |  FROM hw JOIN daily d
+        |    ON d.event_type = hw.event_type AND d.t = hw.t + 1)
+        |SELECT event_type, day, total_cents, l AS level, b AS trend,
+        |  l + b AS forecast_next
+        |FROM hw ORDER BY event_type, day""".stripMargin,
     "st_ewma" ->
       // same left fold over the same 10-day frame list: acc/2 + x is
       // an exponent decrement plus an in-mantissa add, so the doubles

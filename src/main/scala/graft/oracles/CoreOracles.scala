@@ -242,6 +242,10 @@ private[graft] object CoreOracles {
         |  g.min_size, x.mode_brand, x.brand_n
         |FROM g JOIN bmx x USING (canonical_name)
         |ORDER BY g.canonical_name""".stripMargin,
+    // Fellegi–Sunter linkage replay: identical blocked pair base,
+    // 2³ pattern counts, chained EM CTEs (micro-rounded posteriors,
+    // integer M-step numerators) — parameters and weights bit-match
+    "p_linkage_fs" -> linkageOracle(2),
     "p_entity_resolution" ->
       """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
         |b AS (SELECT name, list_extract(string_split(name, ' '),

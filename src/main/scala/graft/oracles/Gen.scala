@@ -317,6 +317,143 @@ private[graft] object Gen {
          |    AS p_mass_micro
          |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Shared CTE tail: every doc scored by the trained chain's
+    * micro-rounded weights — the oracle-side twin of
+    * Learn.scoredDocs, reused by the calibration and active-learning
+    * replays.
+    */
+  def logregScoredDocs(iters: Int): String =
+    logregChain(iters) +
+      s""",
+         |wm AS (SELECT CAST(round(w0 * 1e6) AS BIGINT) / 1e6 AS b,
+         |    CAST(round(w1 * 1e6) AS BIGINT) / 1e6 AS c,
+         |    CAST(round(w2 * 1e6) AS BIGINT) / 1e6 AS ww FROM w$iters),
+         |scored AS (SELECT doc_id, lang,
+         |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS y,
+         |    round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) +
+         |      exp(-(wm.b * CAST(1 AS DOUBLE) +
+         |        wm.c * (CAST(n_chars AS DOUBLE) / CAST(100 AS DOUBLE)) +
+         |        wm.ww * (CASE WHEN source = 'src0' THEN CAST(1 AS DOUBLE)
+         |          ELSE CAST(0 AS DOUBLE) END)))), 6) AS p
+         |  FROM documents, wm)""".stripMargin
+
+  /** Learn.calibrationEce replay: same 6-decimal sigmoid, 10
+    * equal-width bins, exact BIGINT micro-mass and gap per bin.
+    */
+  def calibrationOracle(iters: Int): String =
+    logregScoredDocs(iters) +
+      """
+        |SELECT bin, n_docs, n_pos, p_mass_micro,
+        |  abs(p_mass_micro - n_pos * 1000000) AS gap_micro
+        |FROM (
+        |  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST(round(p * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS p_mass_micro
+        |  FROM scored GROUP BY 1)
+        |ORDER BY bin""".stripMargin
+
+  /** Learn.activeLearningMargin replay: margin off the same
+    * micro-rounded p, per-language ROW_NUMBER with the doc_id
+    * tie-break — the window form of the TopKAgg selection.
+    */
+  def marginOracle(iters: Int, k: Int): String =
+    logregScoredDocs(iters) +
+      s""",
+         |m AS (SELECT lang, doc_id,
+         |    abs(CAST(round(p * 1e6) AS BIGINT) - 500000) AS margin_micro,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY abs(CAST(round(p * 1e6) AS BIGINT) - 500000),
+         |        doc_id) AS rk
+         |  FROM scored)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, margin_micro
+         |FROM m WHERE rk <= $k ORDER BY lang, rk""".stripMargin
+
+  /** DuckDB replay of Pipelines.linkageFellegiSunter — the identical
+    * blocked pair base, 2³ agreement-pattern counts, and chained EM
+    * arithmetic (micro-rounded posteriors entering BIGINT sums; the
+    * M-step divides exact integers), so the fitted parameters and the
+    * final per-pattern weights hash-match bit-for-bit.
+    */
+  def linkageOracle(iters: Int): String = {
+    val base =
+      """WITH pp AS (SELECT p_partkey, p_brand,
+        |    string_split(p_name, ' ')[1] AS adj,
+        |    string_split(p_name, ' ')[-1] AS noun,
+        |    p_size, p_type,
+        |    CAST(floor(p_retailprice / 10) AS BIGINT) AS pb
+        |  FROM part),
+        |pat AS (SELECT g_adj, g_brand, g_price,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT
+        |      CASE WHEN a.adj = b.adj THEN 1 ELSE 0 END AS g_adj,
+        |      CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS g_brand,
+        |      CASE WHEN a.pb = b.pb THEN 1 ELSE 0 END AS g_price
+        |    FROM pp a JOIN pp b
+        |      ON a.noun = b.noun AND a.p_size = b.p_size
+        |      AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey)
+        |  GROUP BY 1, 2, 3),
+        |p0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+        |  CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+        |  CAST(0.9 AS DOUBLE) AS m3,
+        |  CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+        |  CAST(0.1 AS DOUBLE) AS u3)""".stripMargin
+    // pm/pu as left-assoc three-term products, matching the Scala fold
+    def mix(v1: String, v2: String, v3: String) =
+      s"""(CASE WHEN g_adj = 1 THEN q.$v1 ELSE 1.0 - q.$v1 END) *
+         |      (CASE WHEN g_brand = 1 THEN q.$v2 ELSE 1.0 - q.$v2 END) *
+         |      (CASE WHEN g_price = 1 THEN q.$v3 ELSE 1.0 - q.$v3 END)"""
+        .stripMargin
+    def expanded(prev: String) =
+      s"""SELECT pat.g_adj, pat.g_brand, pat.g_price, pat.n, q.p,
+         |      ${mix("m1", "m2", "m3")} AS pm,
+         |      ${mix("u1", "u2", "u3")} AS pu
+         |    FROM pat, $prev q""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""e$i AS (SELECT g_adj, g_brand, g_price, n,
+         |    CAST(round(((p * pm) / (p * pm + (1.0 - p) * pu)) * 1e6)
+         |      AS BIGINT) AS wmu
+         |  FROM (${expanded(s"p${i - 1}")})),
+         |s$i AS (SELECT
+         |    CAST(SUM(n * wmu) AS BIGINT) AS sw,
+         |    CAST(SUM(n) * 1000000 AS BIGINT) AS stot,
+         |    CAST(SUM(CASE WHEN g_adj = 1 THEN n * wmu ELSE 0 END)
+         |      AS BIGINT) AS ma1,
+         |    CAST(SUM(CASE WHEN g_brand = 1 THEN n * wmu ELSE 0 END)
+         |      AS BIGINT) AS ma2,
+         |    CAST(SUM(CASE WHEN g_price = 1 THEN n * wmu ELSE 0 END)
+         |      AS BIGINT) AS ma3,
+         |    CAST(SUM(CASE WHEN g_adj = 1 THEN n * (1000000 - wmu)
+         |      ELSE 0 END) AS BIGINT) AS ua1,
+         |    CAST(SUM(CASE WHEN g_brand = 1 THEN n * (1000000 - wmu)
+         |      ELSE 0 END) AS BIGINT) AS ua2,
+         |    CAST(SUM(CASE WHEN g_price = 1 THEN n * (1000000 - wmu)
+         |      ELSE 0 END) AS BIGINT) AS ua3
+         |  FROM e$i),
+         |p$i AS (SELECT
+         |    CAST(sw AS DOUBLE) / CAST(stot AS DOUBLE) AS p,
+         |    CAST(ma1 AS DOUBLE) / CAST(sw AS DOUBLE) AS m1,
+         |    CAST(ma2 AS DOUBLE) / CAST(sw AS DOUBLE) AS m2,
+         |    CAST(ma3 AS DOUBLE) / CAST(sw AS DOUBLE) AS m3,
+         |    CAST(ua1 AS DOUBLE) / CAST(stot - sw AS DOUBLE) AS u1,
+         |    CAST(ua2 AS DOUBLE) / CAST(stot - sw AS DOUBLE) AS u2,
+         |    CAST(ua3 AS DOUBLE) / CAST(stot - sw AS DOUBLE) AS u3
+         |  FROM s$i)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"""
+         |SELECT g_adj, g_brand, g_price, n AS n_pairs,
+         |  CAST(round(least(pm / pu, 1e12) * 1e6) AS BIGINT) AS lr_micro,
+         |  CAST(round(((p * pm) / (p * pm + (1.0 - p) * pu)) * 1e6)
+         |    AS BIGINT) AS posterior_micro,
+         |  CAST(round(((p * pm) / (p * pm + (1.0 - p) * pu)) * 1e6)
+         |    AS BIGINT) > 500000 AS is_match
+         |FROM (${expanded(s"p$iters")})
+         |ORDER BY g_adj, g_brand, g_price""".stripMargin
+  }
+
   def logregChain(iters: Int): String = {
     val base =
       """WITH f AS (SELECT CAST(1 AS DOUBLE) AS x0,

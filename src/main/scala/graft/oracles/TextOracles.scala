@@ -12,6 +12,8 @@ private[graft] object TextOracles {
     "text_bpe_train" -> bpeOracle(8),
     "text_train_classifier" -> logregOracle(3),
     "text_classifier_score" -> logregScoreOracle(3),
+    "text_calibration_ece" -> calibrationOracle(3),
+    "p_active_learning_margin" -> marginOracle(3, 20),
     "text_bpe_apply" -> bpeApplyOracle(8),
     "text_wordpiece_apply" -> wordpieceOracle(8),
     "text_unigram_lm" ->

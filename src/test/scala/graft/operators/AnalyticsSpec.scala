@@ -213,6 +213,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("holtWinters: bit-exact vs a Scala replay of the two-variable " +
+    "α=β=½ recursion from (0,0); forecast_next = level + trend") {
+    val rows = Analytics.holtWinters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, series) =>
+      var l = 0.0
+      var b = 0.0
+      series.sortBy(_._2).foreach { case (_, day, cents, level, trend, fc) =>
+        // the identical op sequence as the in-plan fold — equality is
+        // BITWISE (deterministic rounding of a deterministic op order)
+        val l2 = (cents.toDouble + l + b) / 2
+        val b2 = (l2 - l + b) / 2
+        l = l2; b = b2
+        assert(level == l, s"$t $day level: $level != $l")
+        assert(trend == b, s"$t $day trend: $trend != $b")
+        assert(fc == l + b, s"$t $day forecast")
+      }
+    }
+  }
+
   test("locfFill: filled value = most recent observation at-or-before " +
     "the day; null only before a series' first observation") {
     val rows = Analytics.locfFill(spark, sfDir)

@@ -116,8 +116,17 @@ def main(old_path, new_path, threshold=1.3):
     # back to the total there.
     ob, nb = old.get("stream_breakdown") or {}, new.get(
         "stream_breakdown") or {}
+    # batch queries: when BOTH artifacts carry a run_s entry
+    # (round-11+), compare the RUN component (wall minus one-time
+    # fixture builds and CachePool materializations) instead of the
+    # total — a pool rebuild charged to its alphabetically-first
+    # consumer otherwise masquerades as that query's regression
+    # (r10's sim_ann_lsh 1.7x flag was exactly this). Sub-10 ms runs
+    # are noise-floor; fall back to the total there.
+    orn, nrn = old.get("run_s") or {}, new.get("run_s") or {}
     rows = []
     n_work = 0
+    n_run = 0
     for name in shared:
         o_t, n_t = oq[name], nq[name]
         if (name in ob and name in nb
@@ -125,6 +134,9 @@ def main(old_path, new_path, threshold=1.3):
                 and nb[name].get("drain", 0) > 0.2):
             o_t, n_t = ob[name]["drain"], nb[name]["drain"]
             n_work += 1
+        elif (orn.get(name, 0) > 0.01 and nrn.get(name, 0) > 0.01):
+            o_t, n_t = orn[name], nrn[name]
+            n_run += 1
         raw = n_t / o_t
         # expected ratio of an unchanged query = cross-artifact machine
         # speed x the ratio of local bursts near it in each sweep
@@ -134,7 +146,8 @@ def main(old_path, new_path, threshold=1.3):
 
     norm_ratios = [r[4] for r in rows]
     med = statistics.median(norm_ratios)
-    print(f"{len(shared)} shared queries ({n_work} compared on stream work); "
+    print(f"{len(shared)} shared queries ({n_work} compared on stream "
+          f"work, {n_run} on the run_s component); "
           f"median probe-normalized ratio {med:.2f}")
     print(f"ambient-load factor (new calib / old calib) ~{speed:.2f}")
     flagged = [r for r in rows if r[4] > threshold or r[4] < 1 / threshold]

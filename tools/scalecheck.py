@@ -39,6 +39,7 @@ def main(path, threshold=1.3):
         return 1
     flagged = []
     n3 = 0
+    n4 = 0
     for name, q in sorted(qs.items()):
         ssl = q.get("shuffle_slope")
         tsl = q.get("time_slope")
@@ -48,23 +49,36 @@ def main(path, threshold=1.3):
             reasons.append(f"shuffle_slope {ssl:.2f}")
         if tsl is not None and tsl > threshold:
             reasons.append(f"time_slope {tsl:.2f}")
-        # two-decade gate (3-point heavy entries): the per-decade
-        # slope over the full 100x span — fixed overhead can hide a
-        # steep second decade in the single-decade number and vice
-        # versa, so both are gated at the same threshold
+        # multi-decade gate (3-/4-point heavy entries): per-decade
+        # slopes over the full 100x (slope2) and 1000x (slope3) spans,
+        # plus the top sf0.1->sf1.0 decade alone (slope_top — the
+        # least overhead-polluted single decade) — fixed overhead can
+        # hide a steep later decade in the single-decade number and
+        # vice versa, so all are gated at the same threshold
         ssl2 = q.get("shuffle_slope2")
         tsl2 = q.get("time_slope2")
         if ssl2 is not None or tsl2 is not None:
             n3 += 1
+        if q.get("time_slope3") is not None:
+            n4 += 1
         if ssl2 is not None and ssl2 > threshold and big_mb > 1.0:
             reasons.append(f"shuffle_slope2 {ssl2:.2f}")
         if tsl2 is not None and tsl2 > threshold:
             reasons.append(f"time_slope2 {tsl2:.2f}")
+        for k in ("shuffle_slope3", "shuffle_slope_top"):
+            v = q.get(k)
+            if v is not None and v > threshold and big_mb > 1.0:
+                reasons.append(f"{k} {v:.2f}")
+        for k in ("time_slope3", "time_slope_top"):
+            v = q.get(k)
+            if v is not None and v > threshold:
+                reasons.append(f"{k} {v:.2f}")
         if reasons:
             flagged.append((name, q, reasons))
     allowed = [(n, q, r) for n, q, r in flagged if n in ALLOW]
     flagged = [(n, q, r) for n, q, r in flagged if n not in ALLOW]
-    print(f"{len(qs)} queries measured ({n3} with two-decade curves); "
+    print(f"{len(qs)} queries measured ({n3} with two-decade curves, "
+          f"{n4} with three-decade curves); "
           f"{len(flagged)} superlinear beyond {threshold} "
           f"({len(allowed)} allowlisted)")
     for name, _, reasons in allowed:
