@@ -96,13 +96,22 @@ object Assertions {
     pairRecall(s, dir, Dedup.simhashPairs(s, dir),
       recallBound = 0.5, candBudgetPerDoc = 8)
 
-  /** dedup_winnow_pairs: winnow fingerprint blocking — recall ≥ 0.5,
-    * precision ≥ 0.4 (measured recall 1.0, precision 0.98+ across
-    * sfs with the same-universe overlap denominator).
+  /** dedup_winnow_pairs: winnow fingerprint blocking — recall ≥ 0.5
+    * (measured 1.0 at every sf) with the candidate set bounded per
+    * doc, the same budget form as simhash and for the same reason:
+    * fingerprint collisions grow ~n² in corpus size while truth grows
+    * ~n, so a fixed precision floor pins CORPUS SIZE, not operator
+    * health (precision measured 1.0/1.0/0.985 at sf0.001-0.1 but
+    * 0.004 at sf1.0 with recall still 0.97); the per-doc budget pins
+    * what matters at 100 TB — bounded candidate fan-out into the
+    * exact verify join (measured 0.056/0.05/0.052/2.03 pairs per doc
+    * at sf0.001/0.01/0.1/1.0 — the sf1.0 jump is the fixture's
+    * shared-shingle vocabulary colliding across 10× more docs; 24
+    * holds an order of magnitude above the worst measured decade).
     */
   def winnowPairsRecall(s: SparkSession, dir: String): DataFrame =
     pairRecall(s, dir, TextAnalysis.winnowPairs(s, dir),
-      recallBound = 0.5, precisionBound = 0.4)
+      recallBound = 0.5, candBudgetPerDoc = 24)
 
   /** dedup_simhash: the per-doc signature pinned by simhash's DEFINING
     * property — similar token streams hash to nearby codes — measured
@@ -255,28 +264,33 @@ object Assertions {
         (col("n_sim_match") === col("n_ann")).as("sims_exact"))
   }
 
-  /** sim_ann_ivf: IVF-flat cosine top-3 vs brute-force top-3 —
-    * the inverted-list restriction keeps real recall (measured
-    * 0.42-0.58 across sfs), bounded at 0.25 with margin.
+  /** sim_ann_ivf: IVF-flat cosine top-3 vs brute-force top-3 — with
+    * the √cells multi-probe the inverted-list restriction keeps
+    * recall across decades (measured 0.54-1.0 at sf0.001-1.0; the
+    * old single-cell probe decayed with cell count, 0.33 at sf1.0),
+    * bounded at 0.40 below the worst measured decade.
     */
   def annIvfRecall(s: SparkSession, dir: String): DataFrame =
     annRecall(Similarity.annIvf(s, dir),
       Similarity.bruteForceTopK(s, dir, k = 3),
-      "neighbor_id", recallBound = 0.25)
+      "neighbor_id", recallBound = 0.40)
 
-  /** sim_pq_topk: PQ-ADC + exact rerank vs exact L2 top-5 (measured
-    * 0.55-0.60 across sfs; NorthStarSpec pins 0.5 at sf0.001). */
+  /** sim_pq_topk: PQ-ADC + exact rerank vs exact L2 top-5. With the
+    * √n-relative ADC shortlist recall holds across decades (measured
+    * 0.50-0.75 at sf0.001-1.0; the old fixed 20-candidate shortlist
+    * fell to 0.175 at sf1.0) — pinned at 0.40, below the worst
+    * measured decade; NorthStarSpec pins 0.5 at sf0.001. */
   def pqTopKRecall(s: SparkSession, dir: String): DataFrame =
     annRecall(Similarity.pqTopK(s, dir),
-      Similarity.exactL2TopK(s, dir), "cand_id", recallBound = 0.45)
+      Similarity.exactL2TopK(s, dir), "cand_id", recallBound = 0.40)
 
-  /** sim_ivfpq_topk: IVF-restricted PQ-ADC vs exact L2 top-5. The
-    * bound is scale-aware by construction: with a fixed 3-cell
-    * multi-probe, recall tracks the probed fraction of the corpus —
-    * measured 0.65 at 4 cells (sf0.001/0.01) and 0.30 at 16 cells
-    * (sf0.1) — so it is pinned at 0.25, below the WORST measured
-    * geometry, and the tight bound lives in NorthStarSpec where the
-    * cell count is fixed.
+  /** sim_ivfpq_topk: IVF-restricted PQ-ADC vs exact L2 top-5. With
+    * the √cells multi-probe and √n ADC shortlist recall is
+    * scale-stable (measured 0.40-0.70 at sf0.001-1.0; the old fixed
+    * 3-cell probe tracked the probed corpus fraction down to 0.175
+    * at sf1.0) — pinned at 0.25, below the WORST measured decade;
+    * the tight bound lives in NorthStarSpec where the cell count is
+    * fixed.
     */
   def ivfPqTopKRecall(s: SparkSession, dir: String): DataFrame =
     annRecall(Similarity.ivfPqTopK(s, dir),

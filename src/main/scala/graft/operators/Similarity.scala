@@ -151,16 +151,28 @@ object Similarity {
 
   /** IVF-flat ANN: coarse quantizer = a deterministic sample of corpus
     * rows as centroids (vec_id ≡ 0 mod 127); every vector is assigned
-    * to its max-cosine centroid (inverted lists); a query searches only
-    * its own centroid's list. At 100 TB the assignment is one broadcast
-    * join (centroid set is tiny) and the search is an equi-join on
-    * cent_id — per-query work is |corpus|/|centroids|, not |corpus|.
-    * Recall/overlap vs the brute-force baseline asserted in
-    * NorthStarSpec.
+    * to its max-cosine centroid (inverted lists); a query searches its
+    * top-⌈√cells⌉ closest cells (data-relative multi-probe — see the
+    * nProbe note in the body). At 100 TB the assignment is one
+    * broadcast join (centroid set is tiny) and the search is an
+    * equi-join on cent_id — per-query work is ⌈√cells⌉·|cell| ≈
+    * √(n/127)·127 rows, sublinear in |corpus|. Recall/overlap vs the
+    * brute-force baseline asserted in NorthStarSpec.
     */
   def annIvf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val assigned = ivfAssignment(s, dir)
-    val probes = assigned.filter(col("vec_id") < 8)
+    // Probe width scales as ⌈√cells⌉ (min 2), the same nprobe ≈ √nlist
+    // rule as ivfPqTopK: a single-cell search covers a vanishing
+    // corpus fraction as fixed-occupancy cells multiply with n
+    // (measured recall 0.58 at 4 cells → 0.33 at 63 with one cell).
+    // The probe side is a BOUNDED query set (8 ids), so the widened
+    // fan-out is per-query work — ⌈√cells⌉·127 candidates, sublinear
+    // in n — never an all-node expansion.
+    val nCells = corpus(s, dir)
+      .filter(col("vec_id") % 127 === 0).count()
+    val nProbe = math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val probes = ivfProbeAssignment(s, dir, nProbe)
+      .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("cent_id"),
         col("v").as("qv"), col("nrm").as("qn"))
     val sims = assigned.join(broadcast(probes), Seq("cent_id"))
@@ -868,25 +880,43 @@ object Similarity {
       .filter(col("cand_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg((sum(round(col("d") * 1e9).cast("long")) / 1e9).as("adc_dist"))
-    adcRerank(s, scored, emb, probeRows, kNn)
+    adcRerank(s, scored, emb, probeRows, kNn, adcShortlist(s, dir, kNn))
+  }
+
+  /** Data-relative ADC shortlist size: max(4k, ⌈√n⌉). A fixed
+    * shortlist pins CORPUS SIZE, not index health — the ADC-confusable
+    * set around each query grows with n, so a constant-width rerank
+    * window decays toward zero recall as the corpus scales (measured:
+    * 0.55-0.60 at sf0.001-0.1 but 0.175 at sf1.0 with the old fixed
+    * 4k=20). √n is the efSearch/nprobe discipline: per-query rerank
+    * work grows SUBLINEARLY (89 exact distances at 8k vectors, ~32k at
+    * 1e9 — still nothing against the corpus scan ANN avoids) while
+    * recall holds across decades (re-measured 0.50-0.75 across
+    * sf0.001-1.0). The count is the pooled corpus's cached
+    * cardinality — a bounded driver scalar, same legality class as
+    * kmeans' centroids.
+    */
+  private def adcShortlist(s: SparkSession, dir: String, kNn: Int): Int = {
+    val n = corpus(s, dir).count()
+    math.max(kNn * 4, math.ceil(math.sqrt(n.toDouble)).toInt)
   }
 
   /** ADC shortlist → EXACT rerank (the production refinement, shared
     * by pqTopK and ivfPqTopK): the compressed scores only nominate
-    * shortFactor·k candidates per query; the final ranking recomputes
+    * `shortlistSize` candidates per query; the final ranking recomputes
     * TRUE L2 on just those rows (a bounded join back to the full
-    * vectors — per query the rerank touches shortFactor·k vectors,
+    * vectors — per query the rerank touches shortlistSize vectors,
     * not the corpus).
     */
   private def adcRerank(s: SparkSession, scored: DataFrame,
       emb: DataFrame, probeRows: Array[(Long, Seq[Double])],
-      kNn: Int, shortFactor: Int = 4): DataFrame = {
+      kNn: Int, shortlistSize: Int): DataFrame = {
     import s.implicits._
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("cand_id"))
     val shortlist = scored.withColumn("srank", row_number().over(wAdc))
-      .filter(col("srank") <= kNn * shortFactor)
+      .filter(col("srank") <= shortlistSize)
       .select(col("query_id"), col("cand_id"))
     val probesDf = broadcast(
       probeRows.toSeq.toDF("query_id", "qv"))
@@ -934,13 +964,23 @@ object Similarity {
     // searches its top-`cellsPerProbe` closest cells, not just the
     // argmax one — a query near a cell boundary would otherwise miss
     // neighbors assigned across it (measured here: recall@5 0.35 with
-    // one cell, 0.65 with three). The top-cell ranking is a |probes| ×
-    // |cells| cross join — both sides bounded, nothing corpus-sized
-    val cellsPerProbe = 3
+    // one cell, 0.65 with three at sf0.01). The top-cell ranking is a
+    // |probes| × |cells| cross join — both sides bounded, nothing
+    // corpus-sized.
     val c = corpus(s, dir)
     val cents = c.filter(col("vec_id") % 127 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cn"))
+    // Probe width is DATA-RELATIVE: max(3, ⌈√cells⌉) — the FAISS
+    // nprobe ≈ √nlist rule. With fixed-occupancy cells (|cell| ≈ 127)
+    // a constant 3-cell probe covers a vanishing corpus fraction as
+    // cells multiply (3/16 at sf0.1 → 3/63 at sf1.0, recall 0.30 →
+    // 0.175); √cells keeps candidate work sublinear (⌈√cells⌉·127
+    // rows per query — 8·127 at 8k vectors, ~2.8k·127 at 1e9, 0.04%
+    // of that corpus) while holding recall across the measured
+    // decades. The cell count is a bounded driver scalar (≈ n/127).
+    val cellsPerProbe = math.max(3,
+      math.ceil(math.sqrt(cents.count().toDouble)).toInt)
     val wCells = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cent_id"))
@@ -975,7 +1015,7 @@ object Similarity {
       .join(lutDf, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg((sum(round(col("d") * 1e9).cast("long")) / 1e9).as("adc_dist"))
-    adcRerank(s, scored, emb, probeRows, kNn)
+    adcRerank(s, scored, emb, probeRows, kNn, adcShortlist(s, dir, kNn))
   }
 
   /** SemDedup (Abbas et al. 2023): semantic near-duplicate pruning

