@@ -401,24 +401,32 @@ object Similarity {
     * centroid scores — the partition is one vector's |centroids|
     * rows). Kept separate from the pooled top-1 assignment: that one
     * is the INDEX (each vector lives in exactly one inverted list);
-    * this one is the QUERY fan-out.
+    * this one is the QUERY fan-out. Pooled per (nProbe, dir): the
+    * kNN graph, NN-descent and the multi-probe ANN searches all rank
+    * the same corpus×centroids scoring pass — one materialized copy
+    * each probe width. (The conditionless broadcast join inside the
+    * build is the quantizer scoring pattern, bounded by construction:
+    * the build side is the |corpus|/127 centroid sample, so per-row
+    * work is O(cells), never O(n) — same legality class as
+    * ivfAssignment's pooled build.)
     */
   private def ivfProbeAssignment(s: SparkSession, dir: String,
-      nProbe: Int): DataFrame = {
-    val c = corpus(s, dir)
-    val cents = c.filter(col("vec_id") % 127 === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
-    c.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nProbe)
-      .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
-  }
+      nProbe: Int): DataFrame =
+    graft.CachePool.cached(s, s"sim.ivfProbe:$nProbe:$dir") {
+      val c = corpus(s, dir)
+      val cents = c.filter(col("vec_id") % 127 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      c.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= nProbe)
+        .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
+    }
 
   /** The IVF inverted-list assignment (vec → max-cosine coarse cell),
     * pooled: annIvf's probe and corpus sides, ivfPqTopK's cell
