@@ -621,6 +621,18 @@ object SparkEntry {
     // Fellegi–Sunter probabilistic record linkage: blocked pairs →
     // 2³ agreement patterns → 2-round EM → per-pattern LR + posterior
     "p_linkage_fs" -> ((s, d) => Pipelines.linkageFellegiSunter(s, d)),
+    // exact ROC-AUC of the trained classifier: Mann–Whitney rank
+    // statistic with average-rank ties, all BIGINT, bucketed prefix
+    "text_classifier_auc" -> ((s, d) => Learn.classifierAuc(s, d)),
+    // split-conformal threshold (exact ppm rank ceil) + holdout
+    // coverage — the distribution-free filter-shipping guarantee
+    "p_conformal_threshold" -> ((s, d) => Learn.conformalThreshold(s, d)),
+    // confident-learning label-noise joint counts off integer-div
+    // self-confidence thresholds
+    "p_label_noise" -> ((s, d) => Learn.labelNoise(s, d)),
+    // IPS/SNIPS off-policy value per action: BIGINT importance
+    // weights off a Knuth-multiplicative propensity
+    "agg_ips_value" -> ((s, d) => Learn.ipsOffPolicy(s, d)),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_resample" -> (TextAnalysis.resample _),
     // temperature-scaled domain mixture: p_d ∝ tokens_d^(1/2) via

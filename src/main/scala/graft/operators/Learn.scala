@@ -148,6 +148,175 @@ object Learn {
         abs(col("p_mass_micro") - col("n_pos") * 1000000L))
       .orderBy("bin")
 
+  /** Bucketed prefix totals over a (micro-value → count) aggregate:
+    * adds `prev` = Σ counts over strictly-smaller values, with NO
+    * single-partition window. The micro codomain is [0, 10⁶] at any
+    * corpus size (6-decimal probabilities), so fixed-width buckets
+    * (value div 10⁴ → ≤ 101) are constant-bounded: per-bucket totals
+    * collect to an O(101) literal offset map and the running sum is
+    * bucket-local — the same legality class as Analytics
+    * .withGlobalRank's bucketed rank core.
+    */
+  private def prefixTotals(g: DataFrame, valCol: String,
+      cntCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = g.withColumn("bkt",
+      expr(s"cast($valCol div 10000 as int)"))
+    val counts = bucketed.groupBy("bkt")
+      .agg(sum(col(cntCol)).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.zip(counts.scanLeft(0L)(_ + _._2))
+      .map { case ((b, _), off) => (b, off) }
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(map(offsets.toSeq.flatMap {
+        case (b, o) => Seq(lit(b), lit(o)) }: _*), col("bkt"))
+    val w = Window.partitionBy(col("bkt")).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.withColumn("prev",
+      offExpr + coalesce(sum(col(cntCol)).over(w), lit(0L)))
+      .drop("bkt")
+  }
+
+  /** Exact ROC-AUC of the trained classifier via the Mann–Whitney
+    * rank statistic with average-rank tie handling: over the distinct
+    * 6-decimal scores, 2·R₊ = Σ cp·(2·prev + c + 1) (cp positives at
+    * the score, c total, prev = rows strictly below), and
+    * U₂ = 2·R₊ − n₊(n₊+1) counts concordant pairs ×2 — all BIGINT, so
+    * the statistic is partition-order-free and the DuckDB replay
+    * hash-matches. auc = U₂ / (2·n₊·n₋) is ONE double division over
+    * exact integers (the modularity discipline). Scale shape: one
+    * scoring pass into a ≤10⁶+1-group aggregate (score codomain, not
+    * corpus), bucketed prefix totals, O(1) final row. BIGINT headroom:
+    * U₂ < 2³¹ at 10⁵ docs, overflows past ~3·10⁹ docs — at that scale
+    * the one sum moves to DECIMAL(38,0), nothing else changes.
+    */
+  def classifierAuc(s: SparkSession, dir: String): DataFrame = {
+    val g = scoredDocs(s, dir)
+      .select(round(col("p") * 1e6).cast("long").as("pm"), col("y"))
+      .groupBy("pm")
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("cp"))
+    prefixTotals(g, "pm", "c")
+      .agg(sum(col("cp")).as("n_pos"),
+        sum(col("c") - col("cp")).as("n_neg"),
+        sum(col("cp") * (lit(2L) * col("prev") + col("c") + lit(1L)))
+          .as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos") * (col("n_pos") + lit(1L))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Split-conformal prediction threshold + holdout coverage — the
+    * distribution-free guarantee step before shipping the classifier
+    * as a filter: on the calibration split (doc_id ≡ 0 mod 5) the
+    * nonconformity score is nc = |y·10⁶ − p_micro|; the threshold is
+    * the ⌈(n+1)(1−α)⌉-th smallest nc (α = 0.1, rank in exact ppm
+    * integer ceil), found as min{nc : cum ≥ k} over the bucketed
+    * prefix totals — never a global sort. Coverage is then measured
+    * on the disjoint eval split; split conformal guarantees
+    * E[coverage] ≥ 1−α. All columns integer; the two scalar joins are
+    * provably-1-row global aggregates (broadcast).
+    */
+  def conformalThreshold(s: SparkSession, dir: String): DataFrame = {
+    val sd = scoredDocs(s, dir)
+      .select(col("doc_id"),
+        round(col("p") * 1e6).cast("long").as("pm"), col("y"))
+      .withColumn("nc", abs(col("y") * lit(1000000L) - col("pm")))
+    val cal = sd.filter(col("doc_id") % 5 === 0)
+    val ev = sd.filter(col("doc_id") % 5 =!= 0)
+    val g = cal.groupBy("nc").agg(count(lit(1)).as("c"))
+    val k = g.agg(sum(col("c")).as("n_cal"))
+      .select(col("n_cal"),
+        expr("((n_cal + 1) * 900000 + 999999) div 1000000").as("k_rank"))
+    val q = prefixTotals(g, "nc", "c").crossJoin(k)
+      .filter(col("prev") + col("c") >= col("k_rank"))
+      .agg(min(col("nc")).as("q_micro"))
+    val cov = ev.crossJoin(q)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("nc") <= col("q_micro"), 1L).otherwise(0L))
+          .as("n_cov"))
+    k.crossJoin(q).crossJoin(cov)
+      .select(col("n_cal"), col("k_rank"), col("q_micro"),
+        col("n_eval"), col("n_cov"),
+        expr("(n_cov * 1000000) div n_eval").as("cov_ppm"))
+  }
+
+  /** IPS / SNIPS off-policy evaluation over the event log — the
+    * counterfactual "what would policy 'always serve action a' be
+    * worth" estimate behind ranking/filter-policy iteration without
+    * an online test. The logging propensity is a deterministic
+    * integer hash of the event id (Knuth multiplicative, the
+    * leakage-split discipline) into [0.1, 0.9] ppm-scaled; the
+    * importance weight wₖ = 10⁹ div prop_ppm ≈ 10³/p is exact BIGINT
+    * per row, so Σw and Σr·w are partition-order-free and the two
+    * value estimates are ONE double division each. IPS divides by the
+    * full log size (events where the target action was not logged
+    * contribute 0); SNIPS self-normalizes by Σw. One pass, one
+    * |actions|-group aggregate, a scalar-broadcast total.
+    */
+  def ipsOffPolicy(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        (lit(100000L) + (col("event_id") % lit(2147483648L)) *
+          lit(2654435761L) % lit(800001L)).as("prop_ppm"),
+        when(col("value") >= 50.0, 1L).otherwise(0L).as("r"))
+      .withColumn("wk", expr("1000000000 div prop_ppm"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n_logged"),
+        sum(col("r")).as("n_reward"),
+        sum(col("wk")).as("sum_w_k"),
+        sum(col("r") * col("wk")).as("sum_rw_k"))
+      .crossJoin(e.agg(count(lit(1)).as("n_total")))
+      .select(col("event_type"), col("n_logged"), col("n_reward"),
+        col("sum_w_k"), col("sum_rw_k"),
+        round(col("sum_rw_k").cast("double") /
+          (col("n_total") * lit(1000.0)), 6).as("ips_value"),
+        round(col("sum_rw_k").cast("double") /
+          col("sum_w_k").cast("double"), 6).as("snips_value"))
+      .orderBy("event_type")
+  }
+
+  /** Confident-learning label-noise matrix (Northcutt's C_{given,pred}
+    * joint counts) over the trained classifier — the "which labels are
+    * probably wrong" audit before treating lang as ground truth. The
+    * self-confidence threshold of class j is the mean class-j
+    * probability among docs LABELED j, exact as micro-mass div count;
+    * a doc counts toward (given, ŷ) when its class-ŷ probability
+    * clears t_ŷ (argmax on double qualification, class 1 on ties);
+    * unconfident docs are excluded, per the method. Off-diagonal
+    * cells estimate the label-noise mass. One scoring pass, two
+    * scalar-broadcast threshold rows, a 4-group aggregate.
+    */
+  def labelNoise(s: SparkSession, dir: String): DataFrame = {
+    val sd = scoredDocs(s, dir)
+      .select(col("doc_id"),
+        round(col("p") * 1e6).cast("long").as("pm"), col("y"))
+    val th = sd.agg(
+        sum(when(col("y") === 1, col("pm"))).as("s1"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("y") === 0, lit(1000000L) - col("pm"))).as("s0"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
+      .select(expr("s1 div n1").as("t1"), expr("s0 div n0").as("t0"))
+    val conf = sd.crossJoin(th)
+      .withColumn("c1", col("pm") >= col("t1"))
+      .withColumn("c0", lit(1000000L) - col("pm") >= col("t0"))
+      .withColumn("yhat",
+        when(col("c1") && col("c0"),
+          when(col("pm") >= lit(1000000L) - col("pm"), 1L).otherwise(0L))
+          .when(col("c1"), 1L)
+          .when(col("c0"), 0L))
+      .filter(col("yhat").isNotNull)
+    val cells = conf.groupBy(col("y").as("given"), col("yhat"))
+      .agg(count(lit(1)).as("n"))
+    cells.crossJoin(cells.agg(sum(col("n")).as("n_confident")))
+      .select(col("given"), col("yhat"), col("n"), col("n_confident"),
+        expr("(n * 1000000) div n_confident").as("share_ppm"),
+        (col("given") =!= col("yhat")).as("is_noise"))
+      .orderBy("given", "yhat")
+  }
+
   /** Margin-based uncertainty sampling — the active-learning
     * selection step of a labeling pipeline: the k docs per language
     * whose predicted probability sits closest to the 0.5 decision

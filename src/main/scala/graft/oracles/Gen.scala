@@ -371,6 +371,111 @@ private[graft] object Gen {
          |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, margin_micro
          |FROM m WHERE rk <= $k ORDER BY lang, rk""".stripMargin
 
+  /** Learn.classifierAuc replay: the Mann–Whitney rank statistic over
+    * the same 6-decimal scores — distinct-score counts, a prefix sum,
+    * the 2·R₊ / U₂ integer identities, one double division.
+    */
+  def aucOracle(iters: Int): String =
+    logregScoredDocs(iters) +
+      """,
+        |g AS (SELECT CAST(round(p * 1e6) AS BIGINT) AS pm,
+        |    CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS cp
+        |  FROM scored GROUP BY 1),
+        |r AS (SELECT pm, c, cp, COALESCE(SUM(c) OVER (ORDER BY pm
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    CAST(0 AS BIGINT)) AS prev FROM g),
+        |t AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |    CAST(SUM(c - cp) AS BIGINT) AS n_neg,
+        |    CAST(SUM(cp * (2 * prev + c + 1)) AS BIGINT) AS r2 FROM r)
+        |SELECT n_pos, n_neg,
+        |  CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        |  round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |    (2.0 * n_pos * n_neg), 6) AS auc
+        |FROM t""".stripMargin
+
+  /** Learn.conformalThreshold replay: same calibration split, exact
+    * ppm rank ceil, min-nc-clearing-the-rank threshold, holdout
+    * coverage — all integer.
+    */
+  def conformalOracle(iters: Int): String =
+    logregScoredDocs(iters) +
+      """,
+        |sd AS (SELECT doc_id, y,
+        |    abs(y * 1000000 - CAST(round(p * 1e6) AS BIGINT)) AS nc
+        |  FROM scored),
+        |cal AS (SELECT * FROM sd WHERE doc_id % 5 = 0),
+        |ev AS (SELECT * FROM sd WHERE doc_id % 5 <> 0),
+        |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |    CAST(((COUNT(*) + 1) * 900000 + 999999) // 1000000
+        |      AS BIGINT) AS k_rank FROM cal),
+        |r AS (SELECT nc, CAST(COUNT(*) AS BIGINT) AS c,
+        |    COALESCE(SUM(COUNT(*)) OVER (ORDER BY nc ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0 AS BIGINT)) AS prev
+        |  FROM cal GROUP BY nc),
+        |q AS (SELECT MIN(nc) AS q_micro FROM r, k
+        |  WHERE prev + c >= k_rank),
+        |cov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |    CAST(SUM(CASE WHEN nc <= q_micro THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_cov FROM ev, q)
+        |SELECT k.n_cal, k.k_rank, q.q_micro, cov.n_eval, cov.n_cov,
+        |  CAST((n_cov * 1000000) // n_eval AS BIGINT) AS cov_ppm
+        |FROM k, q, cov""".stripMargin
+
+  /** Learn.labelNoise replay: integer-div self-confidence thresholds,
+    * the same qualification/argmax CASE, 4-cell joint counts.
+    */
+  def labelNoiseOracle(iters: Int): String =
+    logregScoredDocs(iters) +
+      """,
+        |sd AS (SELECT doc_id, y, CAST(round(p * 1e6) AS BIGINT) AS pm
+        |  FROM scored),
+        |th AS (SELECT
+        |    SUM(CASE WHEN y = 1 THEN pm END) //
+        |      SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS t1,
+        |    SUM(CASE WHEN y = 0 THEN 1000000 - pm END) //
+        |      SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS t0
+        |  FROM sd),
+        |conf AS (SELECT y AS given,
+        |    CASE WHEN pm >= t1 AND 1000000 - pm >= t0 THEN
+        |        CASE WHEN pm >= 1000000 - pm THEN 1 ELSE 0 END
+        |      WHEN pm >= t1 THEN 1
+        |      WHEN 1000000 - pm >= t0 THEN 0
+        |      END AS yhat
+        |  FROM sd, th),
+        |cells AS (SELECT given, CAST(yhat AS BIGINT) AS yhat,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM conf WHERE yhat IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_confident FROM cells)
+        |SELECT given, yhat, n, n_confident,
+        |  CAST((n * 1000000) // n_confident AS BIGINT) AS share_ppm,
+        |  given <> yhat AS is_noise
+        |FROM cells, tot ORDER BY given, yhat""".stripMargin
+
+  /** Learn.ipsOffPolicy replay: the same Knuth-multiplicative
+    * propensity, BIGINT importance weights, one double division per
+    * estimate.
+    */
+  val ipsOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    100000 + ((event_id % 2147483648) * 2654435761) % 800001
+      |      AS prop_ppm,
+      |    CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS r
+      |  FROM events),
+      |w AS (SELECT event_type, r,
+      |    CAST(1000000000 // prop_ppm AS BIGINT) AS wk FROM e),
+      |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_logged,
+      |  CAST(SUM(r) AS BIGINT) AS n_reward,
+      |  CAST(SUM(wk) AS BIGINT) AS sum_w_k,
+      |  CAST(SUM(r * wk) AS BIGINT) AS sum_rw_k,
+      |  round(CAST(SUM(r * wk) AS DOUBLE) / (n_total * 1000.0), 6)
+      |    AS ips_value,
+      |  round(CAST(SUM(r * wk) AS DOUBLE) / CAST(SUM(wk) AS DOUBLE), 6)
+      |    AS snips_value
+      |FROM w, nt GROUP BY event_type, n_total
+      |ORDER BY event_type""".stripMargin
+
   /** DuckDB replay of Pipelines.linkageFellegiSunter — the identical
     * blocked pair base, 2³ agreement-pattern counts, and chained EM
     * arithmetic (micro-rounded posteriors entering BIGINT sums; the

@@ -14,6 +14,10 @@ private[graft] object TextOracles {
     "text_classifier_score" -> logregScoreOracle(3),
     "text_calibration_ece" -> calibrationOracle(3),
     "p_active_learning_margin" -> marginOracle(3, 20),
+    "text_classifier_auc" -> aucOracle(3),
+    "p_conformal_threshold" -> conformalOracle(3),
+    "p_label_noise" -> labelNoiseOracle(3),
+    "agg_ips_value" -> ipsOracle,
     "text_bpe_apply" -> bpeApplyOracle(8),
     "text_wordpiece_apply" -> wordpieceOracle(8),
     "text_unigram_lm" ->
