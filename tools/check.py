@@ -4,98 +4,162 @@ the Scala library; duckdb/pyarrow are driver-side tools). Usage:
 
     sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_verify"
     python3 tools/check.py /root/testdata/sf0.01 /tmp/graft_verify \
-        [--artifact OUT.json] [--timeout SEC]
+        [--artifact OUT.json] [--timeout SEC] [--resume]
 
 Compares each <name>.parquet dumped by graft.Verify against the oracle
 SQL in oracle_sql.json executed by DuckDB on the same parquet tables.
 
 --artifact writes the per-query result map (the committed
-CORRECTNESS_sf0.1.json gate artifact). --timeout bounds each ORACLE's
-DuckDB execution (the Spark side already ran in Verify): a query whose
-oracle is prohibitive at the larger sf is recorded as excluded-with-
-reason in the artifact — an explicit list, never a silent cap.
+CORRECTNESS_sf0.1.json / CORRECTNESS_sf1.json gate artifacts),
+INCREMENTALLY after every query, so a killed run leaves a usable
+partial artifact. --resume skips queries the artifact already records
+(the recovery path after a hang/kill). --timeout bounds each ORACLE's
+DuckDB execution: a query whose oracle is prohibitive at the larger sf
+is recorded as excluded-with-reason in the artifact — an explicit
+list, never a silent cap.
+
+Timed oracles run in a KILLED-ON-TIMEOUT child process, each with its
+own DuckDB database. The earlier in-process form (threading.Timer +
+cursor.interrupt()) deadlocked DuckDB at sf1.0 — interrupt raced the
+query's own teardown and every thread parked on a futex — and an
+interrupt can also poison sibling cursors of a shared connection.
+Process isolation removes the whole class: a hung/crashed/OOM'd oracle
+dies with its child, the parent just times the join. The per-child
+view setup re-reads only parquet footers (~ms); peak memory returns to
+baseline after every query instead of accumulating in one connection.
 """
-import sys, json, glob, os, threading
+import sys, json, glob, os, tempfile, multiprocessing as mp
 import duckdb
 import pyarrow.parquet as pq
 
-def main(sf_dir, out_dir, artifact=None, timeout=None):
-    con = duckdb.connect()
+
+def _views(con, sf_dir):
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         t = os.path.basename(p)[:-8]
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
+def _run_oracle(sf_dir, sql, out_path, err_path):
+    """Child-process body: one oracle, one fresh DuckDB, result to
+    parquet. Any failure leaves its message in err_path."""
+    try:
+        con = duckdb.connect()
+        # fail fast and clean instead of driving the box into swap: an
+        # oracle that needs more than this at the gate sf is prohibitive
+        # (recorded EXCLUDED by the parent), same class as a timeout
+        con.execute("SET memory_limit='24GB'")
+        _views(con, sf_dir)
+        pq.write_table(con.execute(sql).fetch_arrow_table(), out_path)
+    except Exception as e:  # noqa: BLE001 — the parent reports it
+        with open(err_path, "w") as f:
+            f.write(str(e))
+        sys.exit(1)
+
+
+def fetch_oracle(sf_dir, sql, timeout, shared_con):
+    """Returns (table, err, timed_out). Untimed mode keeps the fast
+    shared connection; timed mode isolates in a killable child."""
+    if timeout is None:
+        try:
+            return shared_con.execute(sql).fetch_arrow_table(), None, False
+        except Exception as e:  # noqa: BLE001
+            return None, str(e), False
+    with tempfile.TemporaryDirectory() as td:
+        out_path = os.path.join(td, "oracle.parquet")
+        err_path = os.path.join(td, "err.txt")
+        proc = mp.get_context("fork").Process(
+            target=_run_oracle, args=(sf_dir, sql, out_path, err_path),
+            daemon=True)
+        proc.start()
+        proc.join(timeout)
+        if proc.is_alive():
+            proc.kill()
+            proc.join()
+            return None, None, True
+        if proc.exitcode != 0:
+            err = (open(err_path).read() if os.path.exists(err_path)
+                   else f"oracle child died (exit {proc.exitcode})")
+            return None, err, False
+        return pq.read_table(out_path), None, False
+
+
+def main(sf_dir, out_dir, artifact=None, timeout=None, resume=False):
+    # untimed mode shares one connection (the common fast path); timed
+    # mode must NOT hold a parent connection across fork()s
+    con = duckdb.connect() if timeout is None else None
+    if con is not None:
+        _views(con, sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
     results = {}
     excluded = {}
+    if resume and artifact and os.path.exists(artifact):
+        prior = json.load(open(artifact))
+        results = dict(prior.get("queries", {}))
+        excluded = dict(prior.get("excluded", {}))
+        print(f"resuming: {len(results)} queries already recorded",
+              flush=True)
+
+    def counts():
+        n_pass = sum(1 for v in results.values() if v == "pass")
+        n_fail = sum(1 for v in results.values() if v.startswith("fail"))
+        n_skip = sum(1 for v in results.values() if v.startswith("skip"))
+        return n_pass, n_fail, n_skip
+
     def record(name, status):
         results[name] = status
+        if artifact:  # incremental: a killed run leaves a usable gate
+            n_pass, n_fail, n_skip = counts()
+            with open(artifact + ".tmp", "w") as f:
+                json.dump({"sf": sf_dir, "n_pass": n_pass,
+                           "n_fail": n_fail, "n_skip": n_skip,
+                           "excluded": excluded, "queries": results},
+                          f, indent=1, sort_keys=True)
+            os.replace(artifact + ".tmp", artifact)
+
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        if name in results:
+            continue  # --resume
         files = glob.glob(f"{d}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1
+            print(f"FAIL {name}: no spark output", flush=True)
             record(name, "fail: no spark output"); continue
         spark_tbl = pq.read_table(files[0])
         if name not in oracles:
-            print(f"SKIP {name}: no oracle ({spark_tbl.num_rows} rows)")
+            print(f"SKIP {name}: no oracle ({spark_tbl.num_rows} rows)",
+                  flush=True)
             record(name, f"skip: rows-only ({spark_tbl.num_rows} rows)")
             continue
-        timed_out = []
-        timer = None
-        # Two guards close a timer race: if the Timer fires after
-        # fetch_arrow_table() returns but before timer.cancel(), a bare
-        # con.interrupt() would poison the NEXT oracle on the shared
-        # connection (recorded as a spurious 'oracle SQL error' with an
-        # empty timed_out list). So (a) each timed oracle runs on its
-        # own cursor — a late interrupt dies with the cursor — and (b)
-        # a `done` flag set under a lock makes the late interrupt a
-        # no-op in the first place.
-        done = []
-        lock = threading.Lock()
-        cur = con.cursor() if timeout else con
-        if timeout:
-            def interrupt():
-                with lock:
-                    if done:
-                        return
-                    timed_out.append(True)
-                    cur.interrupt()
-            timer = threading.Timer(timeout, interrupt)
-            timer.start()
-        try:
-            oracle_tbl = cur.execute(oracles[name]).fetch_arrow_table()
-            with lock:
-                done.append(True)
-        except Exception as e:
-            with lock:
-                done.append(True)
-            if timer:
-                timer.cancel()
-            if timed_out:
-                reason = f"oracle exceeded {timeout}s in DuckDB at this sf"
-                print(f"EXCLUDE {name}: {reason}")
-                excluded[name] = reason
-                record(name, f"excluded: {reason}")
-                continue
-            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1
-            record(name, f"fail: oracle SQL error: {e}"); continue
-        finally:
-            if timer:
-                timer.cancel()
-            if cur is not con:
-                cur.close()
-        ok = True
+        oracle_tbl, err, timed_out = fetch_oracle(
+            sf_dir, oracles[name], timeout, con)
+        if timed_out:
+            reason = f"oracle exceeded {timeout}s in DuckDB at this sf"
+            print(f"EXCLUDE {name}: {reason}", flush=True)
+            excluded[name] = reason
+            record(name, f"excluded: {reason}"); continue
+        if err is not None and "Out of Memory" in err:
+            # prohibitive-oracle class, like a timeout: DuckDB could not
+            # hold the replay at this sf — an explicit exclusion, not a
+            # wrong answer (the sf1.0 run surfaced this on the graph
+            # recursive-CTE replays at 160k nodes)
+            reason = f"oracle exceeded DuckDB memory at this sf: {err}"
+            print(f"EXCLUDE {name}: {reason}", flush=True)
+            excluded[name] = reason
+            record(name, f"excluded: {reason}"); continue
+        if err is not None:
+            print(f"FAIL {name}: oracle SQL error: {err}", flush=True)
+            record(name, f"fail: oracle SQL error: {err}"); continue
         # column set + order-insensitive: sort columns by name
-        scols, ocols = sorted(spark_tbl.column_names), sorted(oracle_tbl.column_names)
+        scols = sorted(spark_tbl.column_names)
+        ocols = sorted(oracle_tbl.column_names)
         if scols != ocols:
-            print(f"FAIL {name}: columns {scols} vs {ocols}"); n_fail += 1
+            print(f"FAIL {name}: columns {scols} vs {ocols}", flush=True)
             record(name, f"fail: columns {scols} vs {ocols}"); continue
         if spark_tbl.num_rows != oracle_tbl.num_rows:
-            print(f"FAIL {name}: rows {spark_tbl.num_rows} vs {oracle_tbl.num_rows}")
-            n_fail += 1
+            print(f"FAIL {name}: rows {spark_tbl.num_rows} vs "
+                  f"{oracle_tbl.num_rows}", flush=True)
             record(name, f"fail: rows {spark_tbl.num_rows} vs "
                          f"{oracle_tbl.num_rows}"); continue
         s = spark_tbl.select(scols).to_pylist()
@@ -107,33 +171,32 @@ def main(sf_dir, out_dir, artifact=None, timeout=None):
         # schema (type) check, informational
         stypes = {c: str(spark_tbl.schema.field(c).type) for c in scols}
         otypes = {c: str(oracle_tbl.schema.field(c).type) for c in scols}
-        tdiff = {c: (stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]}
+        tdiff = {c: (stypes[c], otypes[c])
+                 for c in scols if stypes[c] != otypes[c]}
         if mismatch:
             i, rs, ro = mismatch
-            print(f"FAIL {name}: row {i}\n  spark : {rs}\n  oracle: {ro}")
-            n_fail += 1
+            print(f"FAIL {name}: row {i}\n  spark : {rs}\n  oracle: {ro}",
+                  flush=True)
             record(name, f"fail: value mismatch at row {i}")
         else:
             extra = f" [type diffs: {tdiff}]" if tdiff else ""
-            print(f"PASS {name} ({spark_tbl.num_rows} rows){extra}")
-            n_pass += 1
+            print(f"PASS {name} ({spark_tbl.num_rows} rows){extra}",
+                  flush=True)
             record(name, "pass")
+    n_pass, n_fail, _ = counts()
     print(f"\n{n_pass} pass, {n_fail} fail"
-          + (f", {len(excluded)} excluded" if excluded else ""))
+          + (f", {len(excluded)} excluded" if excluded else ""),
+          flush=True)
     if artifact:
-        with open(artifact, "w") as f:
-            json.dump({"sf": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-                       "n_skip": sum(1 for v in results.values()
-                                     if v.startswith("skip")),
-                       "excluded": excluded, "queries": results},
-                      f, indent=1, sort_keys=True)
-        print(f"artifact -> {artifact}")
+        print(f"artifact -> {artifact}", flush=True)
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
     art = None
     tmo = None
+    res = False
     pos = []
     i = 0
     while i < len(argv):
@@ -145,7 +208,9 @@ if __name__ == "__main__":
             v = a.split("=", 1)[1] if "=" in a else argv[i + 1]
             tmo = float(v)
             i += 1 if "=" not in a else 0
+        elif a == "--resume":
+            res = True
         else:
             pos.append(a)
         i += 1
-    sys.exit(main(pos[0], pos[1], art, tmo))
+    sys.exit(main(pos[0], pos[1], art, tmo, res))
