@@ -260,6 +260,12 @@ object SparkEntry {
     // α=β=½ makes every step exact-or-deterministically-rounded; the
     // identical op sequence on both engines → bit-identical doubles
     "st_holt_winters" -> (Analytics.holtWinters _),
+    // Kaplan–Meier retention: censoring-aware survival curve, ppm
+    // floor-div recurrence over the calendar-bounded duration grain
+    "st_kaplan_meier" -> (Analytics.kaplanMeier _),
+    // CUPED variance-reduced A/B readout: exact BIGINT moments,
+    // theta/effects/rho2 each a fixed double-op sequence
+    "agg_cuped" -> (Analytics.cuped _),
     // Mann–Kendall S over calendar-bounded day pairs, all integers
     "st_trend" -> (Analytics.trendTest _),
     // lag-1..3 autocorrelation from exact BIGINT moments; the signed

@@ -1572,6 +1572,123 @@ object Analytics {
     * count is the parallelism (same contract as st_ewma/st_cusum),
     * and day counts are calendar-bounded, never event-bounded.
     */
+  /** Kaplan–Meier survival over customer lifetime (days between first
+    * and last order; churn observed when the last order predates the
+    * global horizon by > 90 days, censored otherwise) — the retention
+    * curve that handles censoring correctly where a naive "fraction
+    * alive at t" over a growing cohort cannot.
+    *
+    * Exactness: the survival recurrence runs entirely in ppm BIGINTs —
+    * s_t = (s_{t−1} · (n_t − d_t)) div n_t at each event time, floor
+    * div on both engines — so the curve is hash-exact. The recurrence
+    * is inherently sequential; like st_holt_winters it folds a
+    * SORTED duration-grain list (aggregate HOF) while DuckDB walks the
+    * identical rows with a recursive CTE: same op sequence, same
+    * integers. Scale shape: one distributed per-customer min/max, one
+    * duration-grain aggregate (calendar-bounded: distinct durations ≤
+    * days in the data's span, never customer-bounded), then the fold
+    * over that O(days) list in a single task — the documented
+    * calendar-bounded carve-out. s·n products stay under 2⁶³ to ~10¹²
+    * customers.
+    */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val span = o.groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("o_orderdate"))).as("last_d"))
+    val cut = o.agg(
+      date_sub(max(to_date(col("o_orderdate"))), 90).as("c"))
+    val g = span.crossJoin(cut) // provably-1-row global aggregate
+      .select(datediff(col("last_d"), col("first_d")).cast("int").as("t"),
+        when(col("last_d") < col("c"), 1L).otherwise(0L).as("ch"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_exit"), sum(col("ch")).as("d"))
+    g.agg(sort_array(collect_list(struct(col("t"), col("n_exit"),
+        col("d")))).as("rows"),
+        sum(col("n_exit")).as("n_total"))
+      .withColumn("km", expr(
+        """aggregate(rows,
+          |  named_struct(
+          |    'cum', cast(0 as bigint),
+          |    's', cast(1000000 as bigint),
+          |    'out', cast(array() as
+          |      array<struct<t:int,n_risk:bigint,d:bigint,s:bigint>>)),
+          |  (acc, r) -> named_struct(
+          |    'cum', acc.cum + r.n_exit,
+          |    's', if(r.d > 0,
+          |      (acc.s * ((n_total - acc.cum) - r.d))
+          |        div (n_total - acc.cum), acc.s),
+          |    'out', if(r.d > 0,
+          |      array_append(acc.out, named_struct(
+          |        't', r.t,
+          |        'n_risk', n_total - acc.cum,
+          |        'd', r.d,
+          |        's', (acc.s * ((n_total - acc.cum) - r.d))
+          |          div (n_total - acc.cum))),
+          |      acc.out))).out""".stripMargin))
+      .select(explode(col("km")).as("e"))
+      .select(col("e.t").as("t_days"), col("e.n_risk").as("n_risk"),
+        col("e.d").as("d_churn"), col("e.s").as("surv_ppm"))
+      .orderBy("t_days")
+  }
+
+  /** CUPED variance-reduced A/B readout over the event log — the
+    * experimentation-analysis step: pre-period activity (X) absorbs
+    * between-user variance from the post-period metric (Y) via
+    * Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X). Assignment is a
+    * deterministic Knuth-multiplicative 50/50 hash of the user id
+    * (the leakage-split discipline); the split date is the data
+    * midpoint. All moments are exact BIGINTs over whole-unit sums
+    * (the agg_correlation discipline), so θ, the raw and adjusted
+    * treatment effects, and the ρ² variance-reduction factor are each
+    * a fixed handful of double ops over exact integers — identical op
+    * order on both engines. One pass to the per-user grain, one
+    * 9-column global aggregate: O(1) final state.
+    */
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-16").cast("timestamp")
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < split,
+          round(col("value")).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= split,
+          round(col("value")).cast("long")).otherwise(0L)).as("y"))
+      .withColumn("tr",
+        (col("user_id") % lit(2147483648L)) * lit(2654435761L) %
+          lit(100L) < 50L)
+    per.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(when(col("tr"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("tr"), col("x")).otherwise(0L)).as("sx_t"),
+        sum(when(col("tr"), col("y")).otherwise(0L)).as("sy_t"))
+      .select(col("n"), col("n_t").as("n_treat"),
+        (col("n") - col("n_t")).as("n_ctrl"),
+        expr("n * sxy - sx * sy").as("cov_num"),
+        expr("n * sxx - sx * sx").as("var_x_num"),
+        expr("n * syy - sy * sy").as("var_y_num"),
+        col("n_t"), col("sx_t"), col("sy_t"), col("sx"), col("sy"))
+      .select(col("n"), col("n_treat"), col("n_ctrl"),
+        expr("round(cast(cov_num as double) / cast(var_x_num as double)," +
+          " 6)").as("theta"),
+        expr("round((cast(sy_t as double) / cast(n_t as double) -" +
+          " cast(sy - sy_t as double) / cast(n - n_t as double)), 6)")
+          .as("raw_diff"),
+        expr("round((cast(sy_t as double) / cast(n_t as double) -" +
+          " cast(sy - sy_t as double) / cast(n - n_t as double)) -" +
+          " (cast(cov_num as double) / cast(var_x_num as double)) *" +
+          " (cast(sx_t as double) / cast(n_t as double) -" +
+          " cast(sx - sx_t as double) / cast(n - n_t as double)), 6)")
+          .as("adj_diff"),
+        expr("round(cast(cov_num as double) * cast(cov_num as double) /" +
+          " (cast(var_x_num as double) * cast(var_y_num as double)), 6)")
+          .as("rho2"))
+  }
+
   def holtWinters(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

@@ -345,6 +345,86 @@ private[graft] object AnalyticsOracles {
         |SELECT event_type, day, total_cents, l AS level, b AS trend,
         |  l + b AS forecast_next
         |FROM hw ORDER BY event_type, day""".stripMargin,
+    "st_kaplan_meier" ->
+      // the identical ppm floor-div survival recurrence, walked
+      // duration-rank by duration-rank with a recursive CTE — the
+      // same integer op sequence as Spark's sorted-list fold
+      """WITH RECURSIVE span AS (SELECT o_custkey,
+        |    CAST(MIN(o_orderdate) AS DATE) AS first_d,
+        |    CAST(MAX(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |cut AS (SELECT CAST(MAX(o_orderdate) AS DATE)
+        |    - INTERVAL 90 DAY AS c FROM orders),
+        |life AS (SELECT
+        |    CAST(date_diff('day', first_d, last_d) AS INT) AS t,
+        |    CASE WHEN last_d < cut.c THEN 1 ELSE 0 END AS ch
+        |  FROM span, cut),
+        |g AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_exit,
+        |    CAST(SUM(ch) AS BIGINT) AS d FROM life GROUP BY 1),
+        |g2 AS (SELECT t, n_exit, d,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn
+        |  FROM g),
+        |nt AS (SELECT CAST(SUM(n_exit) AS BIGINT) AS n_total FROM g),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS cum,
+        |    CAST(1000000 AS BIGINT) AS s
+        |  UNION ALL
+        |  SELECT g2.rn, rec.cum + g2.n_exit,
+        |    CASE WHEN g2.d > 0
+        |      THEN (rec.s * ((nt.n_total - rec.cum) - g2.d))
+        |        // (nt.n_total - rec.cum)
+        |      ELSE rec.s END
+        |  FROM rec JOIN g2 ON g2.rn = rec.rn + 1, nt)
+        |SELECT g2.t AS t_days,
+        |  nt.n_total - (rec.cum - g2.n_exit) AS n_risk,
+        |  g2.d AS d_churn, rec.s AS surv_ppm
+        |FROM rec JOIN g2 ON g2.rn = rec.rn, nt
+        |WHERE g2.d > 0 ORDER BY t_days""".stripMargin,
+    "agg_cuped" ->
+      // the same exact-BIGINT moments and the identical double op
+      // order for theta / effects / rho^2 (see Analytics.cuped)
+      """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(round("value") AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(round("value") AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |pt AS (SELECT x, y,
+        |    ((user_id % 2147483648) * 2654435761) % 100 < 50 AS tr
+        |  FROM per),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN tr THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+        |    CAST(SUM(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS sy_t
+        |  FROM pt),
+        |d AS (SELECT n, n_t AS n_treat, n - n_t AS n_ctrl,
+        |    n * sxy - sx * sy AS cov_num,
+        |    n * sxx - sx * sx AS var_x_num,
+        |    n * syy - sy * sy AS var_y_num,
+        |    n_t, sx_t, sy_t, sx, sy
+        |  FROM m)
+        |SELECT n, n_treat, n_ctrl,
+        |  round(CAST(cov_num AS DOUBLE) / CAST(var_x_num AS DOUBLE), 6)
+        |    AS theta,
+        |  round((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |    CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)), 6)
+        |    AS raw_diff,
+        |  round((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |    CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) -
+        |    (CAST(cov_num AS DOUBLE) / CAST(var_x_num AS DOUBLE)) *
+        |    (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |    CAST(sx - sx_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)), 6)
+        |    AS adj_diff,
+        |  round(CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE) /
+        |    (CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE)), 6)
+        |    AS rho2
+        |FROM d""".stripMargin,
     "st_ewma" ->
       // same left fold over the same 10-day frame list: acc/2 + x is
       // an exponent decrement plus an in-mantissa add, so the doubles

@@ -86,6 +86,76 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("kaplanMeier: risk sets recount from the raw spans; the ppm " +
+    "recurrence replays; the curve is monotone non-increasing") {
+    val km = Analytics.kaplanMeier(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(km.nonEmpty)
+    assert(km.map(_._1).toSeq == km.map(_._1).toSeq.sorted)
+    assert(km.map(_._4).toSeq == km.map(_._4).toSeq.sorted.reverse,
+      "survival not monotone non-increasing")
+    km.foreach { case (_, nRisk, d, s) =>
+      assert(d >= 1 && d <= nRisk); assert(s >= 0 && s <= 1000000L)
+    }
+    // independent replay from the per-customer spans
+    val o = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("f"),
+        max(to_date(col("o_orderdate"))).as("l"))
+      .select(datediff(col("l"), col("f")).as("dur"), col("l"))
+      .collect().map(r => (r.getInt(0), r.getDate(1)))
+    val cut = graft.Tables.orders(spark, sfDir)
+      .agg(date_sub(max(to_date(col("o_orderdate"))), 90)).collect()
+      .head.getDate(0)
+    val n = o.length.toLong
+    val byDur = o.groupBy(_._1).map { case (t, rs) =>
+      (t, rs.length.toLong,
+        rs.count(_._2.toLocalDate.isBefore(cut.toLocalDate)).toLong)
+    }.toSeq.sortBy(_._1)
+    var cum = 0L; var s = 1000000L
+    val want = byDur.flatMap { case (t, nExit, d) =>
+      val nRisk = n - cum
+      cum += nExit
+      if (d > 0) { s = s * (nRisk - d) / nRisk; Some((t, nRisk, d, s)) }
+      else None
+    }
+    assert(km.toSeq == want)
+  }
+
+  test("cuped: moments replay from the per-user sums; adjusted effect " +
+    "is raw minus theta times the covariate gap; rho2 in [0,1]") {
+    val row = Analytics.cuped(spark, sfDir).collect().head
+    val (n, nT, nC) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (theta, raw, adj, rho2) = (row.getDouble(3), row.getDouble(4),
+      row.getDouble(5), row.getDouble(6))
+    assert(n == nT + nC && nT > 0 && nC > 0)
+    assert(rho2 >= 0.0 && rho2 <= 1.0)
+    // replay from collected per-user (x, y, tr)
+    val per = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < lit("2024-01-16").cast("timestamp"),
+        round(col("value")).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"),
+          round(col("value")).cast("long")).otherwise(0L)).as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map { case (u, x, y) =>
+        (x, y, (u % 2147483648L) * 2654435761L % 100L < 50L) }
+    val (sx, sy) = (per.map(_._1).sum, per.map(_._2).sum)
+    val sxy = per.map(p => p._1 * p._2).sum
+    val sxx = per.map(p => p._1 * p._1).sum
+    val covN = n * sxy - sx * sy; val varXN = n * sxx - sx * sx
+    assert(math.abs(theta - covN.toDouble / varXN) <= 5e-7)
+    val t = per.filter(_._3); val c = per.filterNot(_._3)
+    assert(nT == t.length && nC == c.length)
+    val yDiff = t.map(_._2).sum.toDouble / t.length -
+      c.map(_._2).sum.toDouble / c.length
+    val xDiff = t.map(_._1).sum.toDouble / t.length -
+      c.map(_._1).sum.toDouble / c.length
+    assert(math.abs(raw - yDiff) <= 5e-7)
+    assert(math.abs(adj - (yDiff - covN.toDouble / varXN * xDiff)) <= 1e-6)
+  }
+
   test("labelNoise: thresholds are the integer-div class means; cells " +
     "partition the confident set; shares sum to ~1e6") {
     val cells = Learn.labelNoise(spark, sfDir).collect()
