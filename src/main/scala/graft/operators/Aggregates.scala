@@ -15,6 +15,15 @@ object Aggregates {
   /** A1-style grouped sums with error-tolerant casts (X10): the classic
     * pricing summary over lineitem. `try/except int(value)` (`BP:602-606`)
     * maps to decimal casts that null out rather than fail.
+    *
+    * The product expressions pre-round to 6 decimals BEFORE the
+    * decimal cast: the engines' double→DECIMAL(18,6) casts round the
+    * half-boundary differently (Spark HALF_UP on the double's exact
+    * expansion; DuckDB by its own scaled rint), and at sf1.0 a few of
+    * the 5.8M per-row products land exactly on it — round(x, 6) is
+    * the currency both engines already agree on, so the value
+    * entering the cast is boundary-free. (Raw 2-decimal columns never
+    * sit on a 6-decimal boundary; they cast bare.)
     */
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -23,10 +32,10 @@ object Aggregates {
       .agg(
         moneySum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
-        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("sum_disc_price"),
-        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        moneySum(round(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          6)).as("sum_disc_price"),
+        moneySum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 6)).as("sum_charge"),
         moneyAvg(col("l_quantity")).as("avg_qty"),
         moneyAvg(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -233,20 +242,28 @@ object Aggregates {
     * cannot answer, because HLL registers don't support
     * intersection. One shuffle of ≤ k-double sketches per group; the
     * driver-side set algebra touches kilobytes (the sketch plane,
-    * never the data). k = 16384 > every test sf's customer count, so
-    * the sketch operates in its EXACT sub-k regime here and the
-    * DuckDB oracle can demand equality; at 100 TB the same plan
-    * degrades gracefully to ~1/√k relative error (the saturation
-    * regime KmvSketchSpec bounds synthetically).
+    * never the data).
+    *
+    * The uniform hash is the Knuth-multiplicative integer map (the
+    * agg_weighted_sample discipline: a bijection on [0, 2³¹), so
+    * distinct keys stay distinct) scaled by the exact power-of-two
+    * 2⁻³¹ — every u is an exactly-representable double BOTH engines
+    * derive bit-for-bit, so the DuckDB oracle replays the k-minima
+    * and the ESTIMATES exactly in EVERY regime. That matters at
+    * sf1.0+, where 129k distinct customers saturate k = 16384 and the
+    * (k−1)/u_(k) estimator takes over from exact counting (the
+    * earlier xxhash64 form was only oracle-checkable in the sub-k
+    * regime — a fixed-tuning-vs-scale trap the third decade caught).
+    * Estimator error at saturation stays ~1/√k (KmvSketchSpec).
     */
   def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{Kmv, KmvSketch}
     val k = 16384
     val sketch = udaf(new KmvSketch(k))
-    // uniform [0,1) hash: xxhash64's signed long mapped affinely
-    val u = (xxhash64(col("o_custkey")).cast("double") /
-      lit(math.pow(2, 64))) + lit(0.5)
+    // uniform [0,1): Knuth bijection on [0,2^31), exact 2^-31 scale
+    val u = ((col("o_custkey") % lit(2147483648L)) * lit(2654435761L) %
+      lit(2147483648L)).cast("double") / lit(2147483648.0)
     val sk = Tables.orders(s, dir)
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .select(col("o_orderpriority").as("p"), u.as("u"))

@@ -382,9 +382,11 @@ object Quality {
       .select(col("bin"), col("cnt_a"), col("cnt_b"),
         expr("cnt_a * 1000000L div n_a").as("p_ppm"),
         expr("cnt_b * 1000000L div n_b").as("q_ppm"))
+    // integer div: Spark's double `/2` + cast TRUNCATES an odd
+    // abs-sum while DuckDB's CAST(… AS BIGINT) ROUNDS it — divergent
+    // at sf1.0 where the sum first came out odd (819.5 → 819 vs 820)
     val tvd = shares
-      .agg((sum(abs(col("p_ppm") - col("q_ppm"))) / 2).cast("long")
-        .as("tvd_ppm"))
+      .agg(expr("sum(abs(p_ppm - q_ppm)) div 2").as("tvd_ppm"))
     shares.crossJoin(broadcast(tvd)).orderBy("bin")
   }
 

@@ -67,16 +67,23 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
-    * (letter runs / digit runs / single other chars).
+    * (letter runs / digit runs / single other chars). chars_per_token
+    * is the INTEGER centi-ratio (n_chars·100 div tokens) scaled back
+    * by the exact /100.0 — a round() on the double quotient diverged
+    * at sf1.0 (199/40 = 4.975: Spark's shortest-decimal HALF_UP said
+    * 4.98, DuckDB's binary-true rounding 4.97; the integer law has no
+    * boundary to disagree on).
     */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
         size(tokens(col("text"))).as("ws_tokens"),
         size(regexp_extract_all(col("text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
-        round(length(col("text")) / size(tokens(col("text"))), 2)
-          .as("chars_per_token"))
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+      .withColumn("chars_per_token",
+        expr("(n_chars_raw * 100) div ws_tokens") / lit(100.0))
+      .drop("n_chars_raw")
       .orderBy("doc_id")
 
   /** Winnowing fingerprints (rolling-hash k-gram minima — the

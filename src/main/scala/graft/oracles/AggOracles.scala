@@ -31,23 +31,23 @@ private[graft] object AggOracles {
         |""".stripMargin,
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-        |   AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        | CAST(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 6)
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+        |   * (1 + l_tax), 6) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
         |   AS avg_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   / COUNT(*) AS avg_price,
         | CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a1_explode_sum" ->
       """SELECT event_type AS metric,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS metric_sum,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS metric_sum,
         | CAST(COUNT(*) AS BIGINT) AS n_points
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a2_pivot_daily" ->
@@ -104,28 +104,54 @@ private[graft] object AggOracles {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a8_round_avg" ->
       """SELECT c_nationkey,
-        | ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        | ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   / COUNT(*), 1) AS avg_acctbal,
         | CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_kmv_overlap" ->
-      // k=16384 exceeds every test sf's distinct-customer count, so
-      // the sketch is in its exact regime and the oracle demands the
-      // true distinct counts and the true intersection
-      """SELECT
-        | CAST(count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
-        |   THEN o_custkey END) AS BIGINT) AS n_urgent,
-        | CAST(count(DISTINCT CASE WHEN o_orderpriority = '2-HIGH'
-        |   THEN o_custkey END) AS BIGINT) AS n_high,
-        | CAST(count(DISTINCT CASE WHEN o_orderpriority IN
-        |   ('1-URGENT', '2-HIGH') THEN o_custkey END) AS BIGINT)
-        |   AS n_union,
-        | (SELECT CAST(count(*) AS BIGINT) FROM
-        |   (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-        |    INTERSECT
-        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))
-        |   AS n_both
-        |FROM orders""".stripMargin,
+      // FULL sketch-algebra replay, exact in EVERY regime: the Knuth
+      // hash is bit-identical on both engines, so the k-minima, the
+      // (k−1)/u_(k) estimates, the union sketch and the Jaccard
+      // intersection all replay verbatim (Kmv.estimate/union/
+      // intersection mirrored op-for-op; floor(x+0.5) = math.round).
+      // Sub-k still degenerates to exact distinct counts. The earlier
+      // exact-count oracle assumed the sub-k regime — sf1.0's 129k
+      // distinct customers saturated k=16384 and broke it.
+      """WITH ua AS (SELECT DISTINCT
+        |    CAST(((o_custkey % 2147483648) * 2654435761) % 2147483648
+        |      AS DOUBLE) / 2147483648 AS u
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |ub AS (SELECT DISTINCT
+        |    CAST(((o_custkey % 2147483648) * 2654435761) % 2147483648
+        |      AS DOUBLE) / 2147483648 AS u
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |uu AS (SELECT u FROM ua UNION SELECT u FROM ub),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ua),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ub),
+        |xs AS (SELECT u FROM uu ORDER BY u LIMIT 16384),
+        |nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xs),
+        |bo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xs
+        |  WHERE u IN (SELECT u FROM ua) AND u IN (SELECT u FROM ub)),
+        |est AS (SELECT
+        |    CASE WHEN na.n < 16384 THEN CAST(na.n AS DOUBLE)
+        |      ELSE CAST(16383 AS DOUBLE) / (SELECT u FROM ua
+        |        ORDER BY u LIMIT 1 OFFSET 16383) END AS ea,
+        |    CASE WHEN nb.n < 16384 THEN CAST(nb.n AS DOUBLE)
+        |      ELSE CAST(16383 AS DOUBLE) / (SELECT u FROM ub
+        |        ORDER BY u LIMIT 1 OFFSET 16383) END AS eb,
+        |    CASE WHEN nx.n < 16384 THEN CAST(nx.n AS DOUBLE)
+        |      ELSE CAST(16383 AS DOUBLE) / (SELECT MAX(u) FROM xs)
+        |      END AS eu,
+        |    CASE WHEN nx.n < 16384 THEN CAST(bo.n AS DOUBLE)
+        |      ELSE (CAST(bo.n AS DOUBLE) / CAST(nx.n AS DOUBLE)) *
+        |        (CAST(16383 AS DOUBLE) / (SELECT MAX(u) FROM xs))
+        |      END AS ei
+        |  FROM na, nb, nx, bo)
+        |SELECT CAST(floor(ea + 0.5) AS BIGINT) AS n_urgent,
+        |  CAST(floor(eb + 0.5) AS BIGINT) AS n_high,
+        |  CAST(floor(eu + 0.5) AS BIGINT) AS n_union,
+        |  CAST(floor(ei + 0.5) AS BIGINT) AS n_both
+        |FROM est""".stripMargin,
     "agg_weighted_sample" ->
       // replays the Efraimidis–Spirakis keys verbatim: u is a Knuth
       // multiplicative hash in plain integer arithmetic, so both
@@ -248,9 +274,9 @@ private[graft] object AggOracles {
         |FROM c GROUP BY scope, n_orders ORDER BY scope""".stripMargin,
     "agg_weighted_avg" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(18,6)))
+        |  CAST(CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(18,6))) AS VARCHAR)
         |      AS DOUBLE) /
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |    AS wavg_discount
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

@@ -64,7 +64,7 @@ private[graft] object AnalyticsOracles {
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "w_topk" ->
       """SELECT o_custkey,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   AS total_spend,
         | CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1
@@ -106,7 +106,7 @@ private[graft] object AnalyticsOracles {
     "set_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(COUNT(*) AS BIGINT) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
@@ -145,7 +145,7 @@ private[graft] object AnalyticsOracles {
         |FROM c GROUP BY wday, n ORDER BY day""".stripMargin,
     "w_percent_rank" ->
       """WITH spend AS (SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |      AS total_spend
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_custkey, total_spend,
@@ -186,7 +186,7 @@ private[graft] object AnalyticsOracles {
     "st_gap_fill" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS n_events,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |  FROM events WHERE value >= 250.0 GROUP BY 1),
         |spine AS (SELECT unnest(generate_series(
         |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
@@ -468,7 +468,7 @@ private[graft] object AnalyticsOracles {
     "st1_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         | CAST(COUNT(*) AS BIGINT) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "st2_sliding_7day" ->
       """WITH daily AS (
@@ -528,12 +528,12 @@ private[graft] object AnalyticsOracles {
         |SELECT user_id, min(ts) AS session_start,
         | max(ts) + INTERVAL 2 HOUR AS session_end,
         | CAST(COUNT(*) AS BIGINT) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS session_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "adv_bucketed_join" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -542,7 +542,7 @@ private[graft] object AnalyticsOracles {
       // directly here, so a green row proves the DPP'd join exact
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
         | CAST(COUNT(*) AS BIGINT) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders
         |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -561,7 +561,7 @@ private[graft] object AnalyticsOracles {
         |ORDER BY c_custkey""".stripMargin,
     "adv_salted_agg" ->
       """SELECT event_type,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
         | CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "adv_skyline" ->
@@ -596,7 +596,7 @@ private[graft] object AnalyticsOracles {
     "adv_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         | CAST(count(e.ts) AS BIGINT) AS n_prior_events,
-        | coalesce(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE),
+        | coalesce(CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE),
         |   0.0) AS prior_value
         |FROM events p LEFT JOIN events e
         |  ON e.user_id = p.user_id AND e.ts < p.ts
@@ -629,7 +629,7 @@ private[graft] object AnalyticsOracles {
         | CAST(NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey) AS INT)
         |   AS quartile
         |FROM (SELECT o_custkey,
-        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |          AS total_spend
         |      FROM orders GROUP BY 1)
         |ORDER BY o_custkey""".stripMargin,

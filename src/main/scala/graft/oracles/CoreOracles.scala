@@ -115,7 +115,7 @@ private[graft] object CoreOracles {
     "p_incremental_agg" ->
       """SELECT o_custkey,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |    AS spend
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
@@ -357,7 +357,7 @@ private[graft] object CoreOracles {
     "p_insight_gold" ->
       """WITH oa AS (
         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |      AS total_spend,
         |    MAX(o_orderstatus) AS max_status
         |  FROM orders GROUP BY 1),
@@ -370,7 +370,7 @@ private[graft] object CoreOracles {
         |        FROM orders) WHERE rn = 1),
         |ia AS (
         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |      AS total_qty
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1),
         |ea AS (

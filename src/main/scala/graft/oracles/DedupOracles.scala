@@ -183,11 +183,32 @@ private[graft] object DedupOracles {
         |FROM km LEFT JOIN drp USING (vec_id)
         |ORDER BY km.vec_id""".stripMargin,
     "dedup_cosine" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3)
-        |      >= 0.4
+      // replays Spark's vector_dot op sequence EXACTLY (float→double
+      // per-term products, left-fold accumulation from index 0, the
+      // same sqrt'd norms) — DuckDB's native list_cosine_similarity
+      // accumulates in a different order, and at sf1.0 one pair's ulp
+      // drift flipped the round-3 boundary (0.7275). The native
+      // function survives only as a conservative candidate PRE-FILTER
+      // (≥ 0.35, a full 0.05 below the 0.3995 decision line — orders
+      // of magnitude beyond any accumulation drift), so the exact
+      // fold runs on a tiny superset instead of all n² pairs.
+      """WITH n AS (SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, embedding, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM n),
+        |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    a.v AS va, b.v AS vb, a.nrm AS na, b.nrm AS nb
+        |  FROM m a JOIN m b ON a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+        |sims AS (SELECT vec_a, vec_b,
+        |    round(list_reduce(list_transform(list_zip(va, vb),
+        |        s -> s[1] * s[2]), (a, b) -> a + b) / (na * nb), 3)
+        |      AS sim
+        |  FROM cand)
+        |SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -17,7 +17,7 @@ private[graft] object JoinOracles {
         |FROM customer c
         |LEFT JOIN (SELECT o_custkey,
         |        CAST(COUNT(*) AS BIGINT) AS n_orders_2001,
-        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |          AS spend_2001,
         |        MAX(o_orderstatus) AS last_status
         |      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
@@ -26,12 +26,12 @@ private[graft] object JoinOracles {
         |ORDER BY c.c_custkey""".stripMargin,
     "j3_join_revenue" ->
       """SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS order_year,
-        | CAST(SUM(CAST(order_revenue AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(order_revenue AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         | CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders
         |JOIN (SELECT l_orderkey,
-        |        CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |          AS DECIMAL(18,6))) AS DOUBLE) AS order_revenue
+        |        CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |          AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS order_revenue
         |      FROM lineitem GROUP BY l_orderkey) lo
         |  ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -44,23 +44,23 @@ private[graft] object JoinOracles {
         |ORDER BY c_custkey""".stripMargin,
     "j4_promo_revenue" ->
       """SELECT p_brand,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-        | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
         |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue,
         | CAST(COUNT(*) AS BIGINT) AS n_items,
-        | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        | CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
         |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-        |   AS DECIMAL(18,6))) AS DOUBLE) /
-        |   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |     AS DECIMAL(18,6))) AS DOUBLE) AS promo_share
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) /
+        |   CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |     AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j5_local_supplier" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         | CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -74,8 +74,8 @@ private[graft] object JoinOracles {
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "j03_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |  AND o_orderdate < TIMESTAMP '1998-06-01'
@@ -95,7 +95,7 @@ private[graft] object JoinOracles {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j06_forecast_revenue" ->
       """SELECT
-        | CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        | CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS VARCHAR)
         |   AS DOUBLE) AS revenue_delta,
         | CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem
@@ -106,8 +106,8 @@ private[graft] object JoinOracles {
     "j7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | CAST(year(l_shipdate) AS INT) AS l_year,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         | CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM supplier
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
@@ -123,16 +123,16 @@ private[graft] object JoinOracles {
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "j8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-        | CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+        | CAST(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
         |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
-        | CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS nation_volume,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_volume,
+        | CAST(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
         |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-        |   AS DECIMAL(18,6))) AS DOUBLE) /
-        |   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |     AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) /
+        |   CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |     AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
         |JOIN orders ON l_orderkey = o_orderkey
@@ -147,8 +147,8 @@ private[graft] object JoinOracles {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN orders ON c_custkey = o_custkey
@@ -169,8 +169,8 @@ private[graft] object JoinOracles {
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "j19_disjunctive_revenue" ->
       """SELECT p_brand,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         | CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -182,8 +182,8 @@ private[graft] object JoinOracles {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j09_product_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
-        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |   AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -232,7 +232,7 @@ private[graft] object JoinOracles {
       // HAVING subquery re-aggregates the fact — Spark's plan reads
       // the materialized per-part table instead (same values)
       """SELECT l_partkey AS p_partkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR)
         |    AS DOUBLE) AS part_value
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -280,8 +280,8 @@ private[graft] object JoinOracles {
     "j15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |      AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |    CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -303,7 +303,7 @@ private[graft] object JoinOracles {
         |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
         |    COUNT(*) AS n_lines
         |  FROM li GROUP BY 1)
-        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR)
         |    AS DOUBLE) / 7.0 AS avg_yearly,
         |  CAST(COUNT(*) AS BIGINT) AS n_small_lines
         |FROM li JOIN pp USING (l_partkey)
@@ -312,10 +312,10 @@ private[graft] object JoinOracles {
     "j18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |      AS sum_qty
         |  FROM lineitem GROUP BY 1
-        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+        |  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR)
         |    AS DOUBLE) > 120)
         |SELECT o_orderkey, o_orderdate, o_totalprice, sum_qty,
         |  c_custkey, c_name
@@ -344,7 +344,7 @@ private[graft] object JoinOracles {
         |    COUNT(*) AS n_pos
         |  FROM customer WHERE c_acctbal > 0)
         |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |    AS total_bal
         |FROM customer, st
         |WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n_pos > sum_bal

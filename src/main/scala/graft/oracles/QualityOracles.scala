@@ -97,10 +97,10 @@ private[graft] object QualityOracles {
       // computed from the RAW fact: a green row proves the optimizer's
       // summary rewrite returns exactly what the fact scan would
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   AS sum_base_price,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
         |   AS avg_qty,
         | CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -110,8 +110,8 @@ private[graft] object QualityOracles {
       // aggregate, including the month straddling the 1998-06-15
       // cutoff (merged, not appended)
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   AS sum_base_price,
         | CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -124,7 +124,7 @@ private[graft] object QualityOracles {
         |       ELSE c_mktsegment END AS c_mktsegment
         | FROM customer)
         |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   AS revenue
         |FROM orders JOIN cnew ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -299,7 +299,7 @@ private[graft] object QualityOracles {
         |    cnt_a * 1000000 // t.n_a AS p_ppm,
         |    cnt_b * 1000000 // t.n_b AS q_ppm
         |  FROM c CROSS JOIN t),
-        |tv AS (SELECT CAST(SUM(abs(p_ppm - q_ppm)) / 2 AS BIGINT)
+        |tv AS (SELECT CAST(SUM(abs(p_ppm - q_ppm)) // 2 AS BIGINT)
         |    AS tvd_ppm FROM sh)
         |SELECT sh.bin, sh.cnt_a, sh.cnt_b, sh.p_ppm, sh.q_ppm,
         |  tv.tvd_ppm

@@ -31,7 +31,7 @@ private[graft] object SourceOracles {
       // the rollup the DATABASE computes under aggregate pushdown,
       // restated over the parquet seed
       """SELECT s_nationkey,
-        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal,
+        | CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS bal,
         | CAST(COUNT(*) AS BIGINT) AS n,
         | MIN(s_acctbal) AS lo,
         | MAX(s_acctbal) AS hi
@@ -58,7 +58,7 @@ private[graft] object SourceOracles {
     "sink_zorder" ->
       """SELECT CAST(ts AS DATE) AS day,
         | CAST(COUNT(*) AS BIGINT) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the versioned-table MERGE applies the same change batch, so the
@@ -111,7 +111,7 @@ private[graft] object SourceOracles {
         |        (id * 1103515245 + 12345) % 1000 AS v
         |      FROM ids)
         |SELECT page, CAST(COUNT(*) AS BIGINT) AS n,
-        | CAST(SUM(CAST(v / 10.0 AS DECIMAL(18,6))) AS DOUBLE) AS score_sum,
+        | CAST(CAST(SUM(CAST(v / 10.0 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS score_sum,
         | CAST(COUNT(CASE WHEN v % 5 = 0 THEN 1 END) AS BIGINT)
         |   AS n_inactive
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -119,7 +119,7 @@ private[graft] object SourceOracles {
       // the manifest prune is a pure file-planning optimization — the
       // result must equal the raw slice, which is what DuckDB computes
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events WHERE user_id BETWEEN 3 AND 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s_partition_prune" ->
@@ -127,14 +127,14 @@ private[graft] object SourceOracles {
       // partitioned read must equal the raw daily slice
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         | CAST(COUNT(*) AS BIGINT) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s_hash_sample" ->
       """SELECT l_returnflag,
         | CAST(count(*) AS BIGINT) AS n_sampled,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   AS sum_price
         |FROM lineitem
         |WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 97 < 5
@@ -172,12 +172,12 @@ private[graft] object SourceOracles {
       // each committed version is a pure filter of orders, so the
       // as-of read replays as the same filter over the base table
       """SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   AS total_price
         |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
         |UNION ALL
         |SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   AS total_price
         |FROM orders
         |ORDER BY version""".stripMargin,
@@ -349,11 +349,11 @@ private[graft] object SourceOracles {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_with_priority,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "ss_json_flatten" ->
       """SELECT l_returnflag AS flag,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         | CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "ss_props_extract" ->
@@ -372,7 +372,7 @@ private[graft] object SourceOracles {
       // replays straight from the flat columns; the absent path must
       // contribute nothing (n_missing_present = 0)
       """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |   AS total_balance,
         | CAST(0 AS BIGINT) AS n_missing_present,
         | CAST(MIN(c_custkey) AS BIGINT) AS min_id

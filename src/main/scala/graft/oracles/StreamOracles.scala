@@ -22,7 +22,7 @@ private[graft] object StreamOracles {
         |  FROM range(5000))
         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |    AS total_amount,
         |  CAST(SUM(CASE WHEN kind = 'credit' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_credit
@@ -245,7 +245,7 @@ private[graft] object StreamOracles {
         |      AS amount
         |  FROM range(3000))
         |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |    AS total_amount
         |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_sessionize" ->
@@ -279,7 +279,7 @@ private[graft] object StreamOracles {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL 2 HOUR AS session_end,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |    AS session_amount
         |FROM sessions GROUP BY user_id, sid
         |HAVING MAX(ts) + INTERVAL 2 HOUR <= TIMESTAMP '2024-01-04 10:19:00'

@@ -565,8 +565,8 @@ private[graft] object TextOracles {
         |   AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
         |   AS INT) AS bpe_ish_tokens,
-        | round(length(text) /
-        |   len(string_split_regex(trim(lower(text)), '\s+')), 2)
+        | ((length(text) * 100) //
+        |   len(string_split_regex(trim(lower(text)), '\s+'))) / 100.0
         |   AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->

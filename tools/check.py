@@ -76,6 +76,13 @@ def fetch_oracle(sf_dir, sql, timeout, shared_con):
             proc.kill()
             proc.join()
             return None, None, True
+        if proc.exitcode is not None and proc.exitcode < 0:
+            # killed by a signal (SIGABRT from DuckDB's hard-OOM path,
+            # OOM-killer SIGKILL): there is no answer to be wrong —
+            # prohibitive-oracle class, reported as Out of Memory so
+            # the caller records an explicit exclusion
+            return None, ("Out of Memory: oracle child killed by "
+                          f"signal {-proc.exitcode} at this sf"), False
         if proc.exitcode != 0:
             err = (open(err_path).read() if os.path.exists(err_path)
                    else f"oracle child died (exit {proc.exitcode})")
@@ -83,7 +90,29 @@ def fetch_oracle(sf_dir, sql, timeout, shared_con):
         return pq.read_table(out_path), None, False
 
 
-def main(sf_dir, out_dir, artifact=None, timeout=None, resume=False):
+def merge(out_path, shard_paths):
+    """Combine per-shard artifacts into one gate artifact."""
+    queries, excluded, sf = {}, {}, None
+    for p in shard_paths:
+        a = json.load(open(p))
+        queries.update(a.get("queries", {}))
+        excluded.update(a.get("excluded", {}))
+        sf = a.get("sf", sf)
+    n_pass = sum(1 for v in queries.values() if v == "pass")
+    n_fail = sum(1 for v in queries.values() if v.startswith("fail"))
+    n_skip = sum(1 for v in queries.values() if v.startswith("skip"))
+    with open(out_path, "w") as f:
+        json.dump({"sf": sf, "n_pass": n_pass, "n_fail": n_fail,
+                   "n_skip": n_skip, "excluded": excluded,
+                   "queries": queries}, f, indent=1, sort_keys=True)
+    print(f"{n_pass} pass, {n_fail} fail"
+          + (f", {len(excluded)} excluded" if excluded else "")
+          + f" -> {out_path}", flush=True)
+    return 1 if n_fail else 0
+
+
+def main(sf_dir, out_dir, artifact=None, timeout=None, resume=False,
+         shard=None):
     # untimed mode shares one connection (the common fast path); timed
     # mode must NOT hold a parent connection across fork()s
     con = duckdb.connect() if timeout is None else None
@@ -116,10 +145,16 @@ def main(sf_dir, out_dir, artifact=None, timeout=None, resume=False):
                           f, indent=1, sort_keys=True)
             os.replace(artifact + ".tmp", artifact)
 
-    for name in sorted(os.listdir(out_dir)):
+    names = [n for n in sorted(os.listdir(out_dir))
+             if os.path.isdir(os.path.join(out_dir, n))]
+    if shard is not None:  # --shard K/N: every Nth name, offset K —
+        # wall-clock parallelism for the big-sf gates, where timed-out
+        # oracles otherwise serialize 300s sleeps; shard artifacts are
+        # combined with --merge
+        k, n = shard
+        names = [nm for i, nm in enumerate(names) if i % n == k]
+    for name in names:
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
         if name in results:
             continue  # --resume
         files = glob.glob(f"{d}/*.parquet")
@@ -194,9 +229,12 @@ def main(sf_dir, out_dir, artifact=None, timeout=None, resume=False):
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
+    if argv and argv[0] == "--merge":
+        sys.exit(merge(argv[1], argv[2:]))
     art = None
     tmo = None
     res = False
+    shd = None
     pos = []
     i = 0
     while i < len(argv):
@@ -208,9 +246,14 @@ if __name__ == "__main__":
             v = a.split("=", 1)[1] if "=" in a else argv[i + 1]
             tmo = float(v)
             i += 1 if "=" not in a else 0
+        elif a.startswith("--shard"):
+            v = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            k, n = v.split("/")
+            shd = (int(k), int(n))
+            i += 1 if "=" not in a else 0
         elif a == "--resume":
             res = True
         else:
             pos.append(a)
         i += 1
-    sys.exit(main(pos[0], pos[1], art, tmo, res))
+    sys.exit(main(pos[0], pos[1], art, tmo, res, shd))
