@@ -266,6 +266,12 @@ object SparkEntry {
     // CUPED variance-reduced A/B readout: exact BIGINT moments,
     // theta/effects/rho2 each a fixed double-op sequence
     "agg_cuped" -> (Analytics.cuped _),
+    // difference-in-differences: Knuth top-bit assignment, micro
+    // BIGINT cell means, integer DID end-to-end
+    "agg_did" -> (Analytics.did _),
+    // Wald SPRT per event type: precomputed micro-nat literal
+    // weights make the LLR walk a pure BIGINT prefix sum
+    "st_sprt" -> (Analytics.sprt _),
     // Mann–Kendall S over calendar-bounded day pairs, all integers
     "st_trend" -> (Analytics.trendTest _),
     // lag-1..3 autocorrelation from exact BIGINT moments; the signed
@@ -639,6 +645,12 @@ object SparkEntry {
     // IPS/SNIPS off-policy value per action: BIGINT importance
     // weights off a Knuth-multiplicative propensity
     "agg_ips_value" -> ((s, d) => Learn.ipsOffPolicy(s, d)),
+    // doubly-robust off-policy value: even-half outcome model,
+    // odd-half BIGINT correction, one double division
+    "agg_dr_value" -> ((s, d) => Learn.drOffPolicy(s, d)),
+    // Bradley–Terry preference strengths: deterministic pairing,
+    // two integer MM iterations over the O(langs²) win matrix
+    "p_bradley_terry" -> ((s, d) => Learn.bradleyTerry(s, d)),
     "text_quality_filter" -> (TextAnalysis.qualityFilter _),
     "text_resample" -> (TextAnalysis.resample _),
     // temperature-scaled domain mixture: p_d ∝ tokens_d^(1/2) via

@@ -1710,4 +1710,77 @@ object Analytics {
         (col("state.l") + col("state.b")).as("forecast_next"))
       .orderBy("event_type", "day")
   }
+
+  /** Difference-in-differences over the order history — the natural-
+    * experiment sibling of `cuped`: a deterministic Knuth hash of the
+    * customer key assigns treatment (top bit of the multiplied key, so
+    * assignment is independent of the key's own parity), the data
+    * midpoint splits pre/post, and the causal readout is
+    * (T_post − T_pre) − (C_post − C_pre) over mean order value.
+    *
+    * Exactness: order totals enter as micro BIGINTs (2-decimal inputs,
+    * so round-to-micro is exact), each cell mean is an integer div,
+    * and the DID itself stays in micro BIGINTs end-to-end — the oracle
+    * replays the identical integer ops, no doubles until the final
+    * display column. One scan, one 4-cell aggregate: O(1) state.
+    */
+  def did(s: SparkSession, dir: String): DataFrame = {
+    val post = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+    val tr = (col("o_custkey") % lit(2147483648L)) * lit(2654435761L) %
+      lit(2147483648L) >= lit(1073741824L)
+    val cells = Tables.orders(s, dir)
+      .select(tr.as("tr"), post.as("post"),
+        round(col("o_totalprice") * 1e6).cast("long").as("micro"))
+      .groupBy("tr", "post")
+      .agg(count(lit(1)).as("n"), sum(col("micro")).as("s"))
+      .select(col("tr"), col("post"), col("n"),
+        expr("s div n").as("mean_micro"))
+    // 4 rows -> 1: conditional-max pivot, never a wide self join
+    cells.agg(
+        max(when(col("tr") && col("post"), col("mean_micro"))).as("m_tp"),
+        max(when(col("tr") && !col("post"), col("mean_micro"))).as("m_t0"),
+        max(when(!col("tr") && col("post"), col("mean_micro"))).as("m_cp"),
+        max(when(!col("tr") && !col("post"), col("mean_micro"))).as("m_c0"),
+        sum(when(col("tr"), col("n")).otherwise(0L)).as("n_treat"),
+        sum(when(!col("tr"), col("n")).otherwise(0L)).as("n_ctrl"))
+      .select(col("n_treat"), col("n_ctrl"),
+        col("m_t0"), col("m_tp"), col("m_c0"), col("m_cp"),
+        ((col("m_tp") - col("m_t0")) - (col("m_cp") - col("m_c0")))
+          .as("did_micro"),
+        round((((col("m_tp") - col("m_t0")) - (col("m_cp") - col("m_c0")))
+          .cast("double")) / 1e6, 6).as("did"))
+  }
+
+  /** Wald SPRT conversion monitor, one sequential test per event type:
+    * daily conversions (value ≥ 50, the `agg_ips_value` reward) walk a
+    * log-likelihood ratio for H1: p = 0.35 against H0: p = 0.40 with
+    * α = β = 0.05. The per-event weights are PRECOMPUTED micro-nat
+    * literals (ln(0.35/0.40) → −133531, ln(0.65/0.60) → +80043, bounds
+    * ±ln 19 → ±2944439), so the walk is a pure BIGINT prefix sum —
+    * no ln() on either engine, nothing to drift. The cumulative sum
+    * runs over the O(days) per-type daily aggregate (a
+    * partitioned-by-type window, the `st_records` discipline — never
+    * a single-partition window over raw events), and the verdict is a
+    * CASE on the running value; `decided_day` is the first boundary
+    * crossing, a prefix min over the same frame.
+    */
+  def sprt(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 50.0, 1L).otherwise(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("llr_micro",
+        sum(col("x") * lit(-133531L) +
+          (col("n") - col("x")) * lit(80043L)).over(w))
+      .withColumn("verdict",
+        when(col("llr_micro") >= 2944439L, "accept_h1")
+          .when(col("llr_micro") <= -2944439L, "accept_h0")
+          .otherwise("continue"))
+      .withColumn("decided_day",
+        min(when(abs(col("llr_micro")) >= 2944439L, col("day"))).over(w))
+      .orderBy("event_type", "day")
+  }
 }

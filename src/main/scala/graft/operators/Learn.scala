@@ -344,4 +344,129 @@ object Learn {
         (-col("t._1")).cast("long").as("margin_micro"))
       .orderBy("lang", "rk")
   }
+
+  /** Bradley–Terry strength ranking from pairwise preferences — the
+    * aggregate behind reward-model / RLHF preference data: which
+    * source population wins head-to-head comparisons. Comparisons are
+    * deterministic: consecutive doc ids pair up (block = id div 2),
+    * same-language pairs drop, and the higher 6-decimal classifier
+    * score wins (ties to the lexicographically smaller language). Two
+    * minorization–maximization iterations fit the strengths:
+    * w_i ← W_i / Σ_j g_ij/(w_i+w_j), renormalized to mean 10⁶ ppm.
+    *
+    * Every step is integer: the MM denominator term is
+    * (g_ij·10⁸) div (w_i+w_j), the update (W_i·10⁹) div denom, the
+    * renormalization (raw·10⁶) div (Σraw div n_items) — all divisors
+    * clamped with greatest(·,1) on BOTH engines (the boost_pm
+    * discipline), so the oracle replays the chained arithmetic
+    * verbatim. Scale: the corpus collapses to an O(langs²) pair-count
+    * table in one pass (one groupBy on id div 2 — pairing needs no
+    * join), and both MM iterations run on that constant-size table
+    * via broadcast joins; nothing downstream of the first aggregate
+    * depends on corpus size.
+    */
+  def bradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val sd = scoredDocs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        round(col("p") * 1e6).cast("long").as("pm"))
+      .withColumn("blk", expr("doc_id div 2"))
+      .withColumn("odd", col("doc_id") % 2 === 1)
+    val comps = sd.groupBy("blk")
+      .agg(max(when(!col("odd"), col("lang"))).as("la"),
+        max(when(!col("odd"), col("pm"))).as("pa"),
+        max(when(col("odd"), col("lang"))).as("lb"),
+        max(when(col("odd"), col("pm"))).as("pb"))
+      .filter(col("la").isNotNull && col("lb").isNotNull &&
+        col("la") =!= col("lb"))
+      .select(
+        when(col("pa") > col("pb"), col("la"))
+          .when(col("pb") > col("pa"), col("lb"))
+          .otherwise(least(col("la"), col("lb"))).as("winner"),
+        when(col("pa") > col("pb"), col("lb"))
+          .when(col("pb") > col("pa"), col("la"))
+          .otherwise(greatest(col("la"), col("lb"))).as("loser"))
+    val wins = comps.groupBy(col("winner").as("i"), col("loser").as("j"))
+      .agg(count(lit(1)).as("nw"))
+    // directed-complete games table: g(i,j) = g(j,i) = wins + losses
+    val games = wins.select(col("i"), col("j"), col("nw"))
+      .union(wins.select(col("j").as("i"), col("i").as("j"),
+        lit(0L).as("nw")))
+      .groupBy("i", "j")
+      .agg(sum(col("nw")).as("w_ij"))
+      .withColumn("g",
+        sum(col("w_ij")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(least(col("i"), col("j")),
+            greatest(col("i"), col("j")))))
+    val totW = wins.groupBy(col("i")).agg(sum(col("nw")).as("wins"))
+    val items = games.select(col("i")).distinct()
+      .join(totW, Seq("i"), "left")
+      .na.fill(0L, Seq("wins"))
+    val nItems = items.agg(count(lit(1)).as("n_items"))
+
+    def iterate(w: DataFrame): DataFrame = {
+      val wi = w.select(col("i"), col("w").as("w_i"))
+      val wj = w.select(col("i").as("j"), col("w").as("w_j"))
+      val denom = games.join(wi, Seq("i")).join(wj, Seq("j"))
+        .select(col("i"),
+          expr("(g * 100000000) div greatest(w_i + w_j, 1)").as("term"))
+        .groupBy("i").agg(sum(col("term")).as("denom"))
+      val raw = items.join(denom, Seq("i"))
+        .select(col("i"),
+          expr("(wins * 1000000000) div greatest(denom, 1)").as("raw"))
+      raw.crossJoin(raw.agg(sum(col("raw")).as("sumraw"))
+          .crossJoin(nItems))
+        .select(col("i"),
+          expr("(raw * 1000000) div greatest(sumraw div n_items, 1)")
+            .as("w"))
+    }
+    val w1 = iterate(items.select(col("i"), lit(1000000L).as("w")))
+    val w2 = iterate(w1)
+    items.join(w1.select(col("i"), col("w").as("w1_ppm")), Seq("i"))
+      .join(w2.select(col("i"), col("w").as("w2_ppm")), Seq("i"))
+      .join(games.groupBy("i").agg(sum(col("g")).as("games")), Seq("i"))
+      .select(col("i").as("lang"), col("games"), col("wins"),
+        col("w1_ppm"), col("w2_ppm"))
+      .orderBy(desc("w2_ppm"), col("lang"))
+  }
+
+  /** Doubly-robust off-policy value — the variance-reduced upgrade of
+    * `ipsOffPolicy`: the even-id half of the log trains a per-action
+    * outcome model r̂_a (exact ppm mean), the odd-id half evaluates
+    * DR(a) = mean[r̂_a + ρ·(r − r̂_a)·1{a_logged = a}]. The model term
+    * anchors the estimate where importance weights are noisy; the
+    * correction term keeps it unbiased. Importance weights are the
+    * same exact BIGINT wk = 10⁹ div prop_ppm off the Knuth propensity;
+    * every sum is BIGINT (correction in micro·wk units) and the final
+    * value is one double division — the oracle replays it literally.
+    * One scan, two grouped aggregates, one broadcast O(actions) join.
+    */
+  def drOffPolicy(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        (lit(100000L) + (col("event_id") % lit(2147483648L)) *
+          lit(2654435761L) % lit(800001L)).as("prop_ppm"),
+        when(col("value") >= 50.0, 1L).otherwise(0L).as("r"),
+        (col("event_id") % 2 === 0).as("model_half"))
+      .withColumn("wk", expr("1000000000 div prop_ppm"))
+    val rhat = e.filter(col("model_half"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_model"), sum(col("r")).as("r_model"))
+      .select(col("event_type"), col("n_model"),
+        expr("(r_model * 1000000) div greatest(n_model, 1)")
+          .as("rhat_ppm"))
+    val ev = e.filter(!col("model_half"))
+    val nEval = ev.agg(count(lit(1)).as("n_eval"))
+    ev.join(broadcast(rhat), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_model"), col("rhat_ppm"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("wk") * (col("r") * lit(1000000L) - col("rhat_ppm")))
+          .as("sum_corr"))
+      .crossJoin(nEval)
+      .select(col("event_type"), col("n_model"), col("rhat_ppm"),
+        col("n_matched"), col("n_eval"), col("sum_corr"),
+        round((col("n_eval") * col("rhat_ppm") * lit(1000L) +
+          col("sum_corr")).cast("double") /
+          (col("n_eval").cast("double") * 1e9), 6).as("dr_value"))
+      .orderBy("event_type")
+  }
 }

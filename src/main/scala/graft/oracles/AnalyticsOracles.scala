@@ -764,5 +764,55 @@ private[graft] object AnalyticsOracles {
         |  CAST(count(*) AS BIGINT) AS n_islands,
         |  CAST(sum(covered) AS BIGINT) AS covered_us
         |FROM grp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_did" ->
+      // same Knuth top-bit assignment, micro BIGINT cell means
+      // (integer div — all positive, so // matches Spark's div), and
+      // the identical integer DID (see Analytics.did)
+      """WITH c AS (SELECT
+        |    ((o_custkey % 2147483648) * 2654435761) % 2147483648
+        |      >= 1073741824 AS tr,
+        |    o_orderdate >= TIMESTAMP '1998-01-01' AS post,
+        |    CAST(round(o_totalprice * 1e6) AS BIGINT) AS micro
+        |  FROM orders),
+        |cells AS (SELECT tr, post, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(micro) AS BIGINT) AS s FROM c GROUP BY 1, 2),
+        |m AS (SELECT tr, post, n, s // n AS mean_micro FROM cells),
+        |p AS (SELECT
+        |    MAX(CASE WHEN tr AND post THEN mean_micro END) AS m_tp,
+        |    MAX(CASE WHEN tr AND NOT post THEN mean_micro END) AS m_t0,
+        |    MAX(CASE WHEN NOT tr AND post THEN mean_micro END) AS m_cp,
+        |    MAX(CASE WHEN NOT tr AND NOT post THEN mean_micro END)
+        |      AS m_c0,
+        |    CAST(SUM(CASE WHEN tr THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(SUM(CASE WHEN NOT tr THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_ctrl
+        |  FROM m)
+        |SELECT n_treat, n_ctrl, m_t0, m_tp, m_c0, m_cp,
+        |  (m_tp - m_t0) - (m_cp - m_c0) AS did_micro,
+        |  round(CAST((m_tp - m_t0) - (m_cp - m_c0) AS DOUBLE) / 1e6, 6)
+        |    AS did
+        |FROM p""".stripMargin,
+    "st_sprt" ->
+      // the identical literal micro-nat weights and bounds; the walk
+      // is a pure BIGINT prefix sum on both engines (see
+      // Analytics.sprt)
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN "value" >= 50.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day, n, x,
+        |    CAST(SUM(x * (-133531) + (n - x) * 80043) OVER
+        |      (PARTITION BY event_type ORDER BY day) AS BIGINT)
+        |      AS llr_micro
+        |  FROM daily)
+        |SELECT event_type, day, n, x, llr_micro,
+        |  CASE WHEN llr_micro >= 2944439 THEN 'accept_h1'
+        |    WHEN llr_micro <= -2944439 THEN 'accept_h0'
+        |    ELSE 'continue' END AS verdict,
+        |  MIN(CASE WHEN abs(llr_micro) >= 2944439 THEN day END) OVER
+        |    (PARTITION BY event_type ORDER BY day) AS decided_day
+        |FROM c ORDER BY event_type, day""".stripMargin,
   )
 }

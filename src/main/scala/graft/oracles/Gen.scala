@@ -476,6 +476,108 @@ private[graft] object Gen {
       |FROM w, nt GROUP BY event_type, n_total
       |ORDER BY event_type""".stripMargin
 
+  /** Learn.drOffPolicy replay: even-half outcome model, odd-half DR
+    * correction, one double division — identical chained BIGINTs.
+    */
+  val drOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    100000 + ((event_id % 2147483648) * 2654435761) % 800001
+      |      AS prop_ppm,
+      |    CASE WHEN "value" >= 50.0 THEN 1 ELSE 0 END AS r,
+      |    event_id % 2 = 0 AS model_half
+      |  FROM events),
+      |w AS (SELECT event_type, r, model_half,
+      |    CAST(1000000000 // prop_ppm AS BIGINT) AS wk FROM e),
+      |rhat AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_model,
+      |    CAST((SUM(r) * 1000000) // greatest(COUNT(*), 1) AS BIGINT)
+      |      AS rhat_ppm
+      |  FROM w WHERE model_half GROUP BY 1),
+      |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval FROM w
+      |  WHERE NOT model_half)
+      |SELECT w.event_type, rhat.n_model, rhat.rhat_ppm,
+      |  CAST(COUNT(*) AS BIGINT) AS n_matched, ne.n_eval,
+      |  CAST(SUM(wk * (r * 1000000 - rhat.rhat_ppm)) AS BIGINT)
+      |    AS sum_corr,
+      |  round(CAST(ne.n_eval * rhat.rhat_ppm * 1000 +
+      |      SUM(wk * (r * 1000000 - rhat.rhat_ppm)) AS DOUBLE) /
+      |    (CAST(ne.n_eval AS DOUBLE) * 1e9), 6) AS dr_value
+      |FROM w JOIN rhat ON w.event_type = rhat.event_type, ne
+      |WHERE NOT w.model_half
+      |GROUP BY w.event_type, rhat.n_model, rhat.rhat_ppm, ne.n_eval
+      |ORDER BY w.event_type""".stripMargin
+
+  /** Learn.bradleyTerry replay: the identical deterministic pairing,
+    * win counts, and two integer MM iterations (every divisor clamped
+    * greatest(·,1) on both engines; all operands non-negative, so
+    * DuckDB's floor-div // equals Spark's truncating div).
+    */
+  def btOracle(iters: Int): String =
+    logregScoredDocs(iters) +
+      """,
+        |sd AS (SELECT doc_id, lang, CAST(round(p * 1e6) AS BIGINT) AS pm,
+        |    doc_id // 2 AS blk, doc_id % 2 = 1 AS odd FROM scored),
+        |comps0 AS (SELECT blk,
+        |    MAX(CASE WHEN NOT odd THEN lang END) AS la,
+        |    MAX(CASE WHEN NOT odd THEN pm END) AS pa,
+        |    MAX(CASE WHEN odd THEN lang END) AS lb,
+        |    MAX(CASE WHEN odd THEN pm END) AS pb
+        |  FROM sd GROUP BY 1),
+        |comps AS (SELECT
+        |    CASE WHEN pa > pb THEN la WHEN pb > pa THEN lb
+        |      ELSE least(la, lb) END AS winner,
+        |    CASE WHEN pa > pb THEN lb WHEN pb > pa THEN la
+        |      ELSE greatest(la, lb) END AS loser
+        |  FROM comps0
+        |  WHERE la IS NOT NULL AND lb IS NOT NULL AND la <> lb),
+        |wins AS (SELECT winner AS i, loser AS j,
+        |    CAST(COUNT(*) AS BIGINT) AS nw FROM comps GROUP BY 1, 2),
+        |dirw AS (SELECT i, j, CAST(SUM(nw) AS BIGINT) AS w_ij FROM (
+        |    SELECT i, j, nw FROM wins
+        |    UNION ALL SELECT j AS i, i AS j, 0 AS nw FROM wins) u
+        |  GROUP BY 1, 2),
+        |games AS (SELECT i, j, w_ij,
+        |    CAST(SUM(w_ij) OVER (PARTITION BY least(i, j),
+        |      greatest(i, j)) AS BIGINT) AS g
+        |  FROM dirw),
+        |totw AS (SELECT i, CAST(SUM(nw) AS BIGINT) AS wins
+        |  FROM wins GROUP BY 1),
+        |items AS (SELECT d.i, COALESCE(t.wins, 0) AS wins
+        |  FROM (SELECT DISTINCT i FROM games) d
+        |  LEFT JOIN totw t ON d.i = t.i),
+        |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM items),
+        |wi0 AS (SELECT i, CAST(1000000 AS BIGINT) AS w FROM items),
+        |d1 AS (SELECT g.i,
+        |    CAST(SUM((g.g * 100000000) // greatest(a.w + b.w, 1))
+        |      AS BIGINT) AS denom
+        |  FROM games g JOIN wi0 a ON g.i = a.i JOIN wi0 b ON g.j = b.i
+        |  GROUP BY 1),
+        |r1 AS (SELECT it.i,
+        |    (it.wins * 1000000000) // greatest(d1.denom, 1) AS raw
+        |  FROM items it JOIN d1 ON it.i = d1.i),
+        |s1 AS (SELECT CAST(SUM(raw) AS BIGINT) AS sumraw FROM r1),
+        |wi1 AS (SELECT i, CAST((raw * 1000000) //
+        |    greatest(sumraw // n_items, 1) AS BIGINT) AS w
+        |  FROM r1, s1, ni),
+        |d2 AS (SELECT g.i,
+        |    CAST(SUM((g.g * 100000000) // greatest(a.w + b.w, 1))
+        |      AS BIGINT) AS denom
+        |  FROM games g JOIN wi1 a ON g.i = a.i JOIN wi1 b ON g.j = b.i
+        |  GROUP BY 1),
+        |r2 AS (SELECT it.i,
+        |    (it.wins * 1000000000) // greatest(d2.denom, 1) AS raw
+        |  FROM items it JOIN d2 ON it.i = d2.i),
+        |s2 AS (SELECT CAST(SUM(raw) AS BIGINT) AS sumraw FROM r2),
+        |wi2 AS (SELECT i, CAST((raw * 1000000) //
+        |    greatest(sumraw // n_items, 1) AS BIGINT) AS w
+        |  FROM r2, s2, ni),
+        |gi AS (SELECT i, CAST(SUM(g) AS BIGINT) AS games
+        |  FROM games GROUP BY 1)
+        |SELECT it.i AS lang, gi.games, it.wins,
+        |  wi1.w AS w1_ppm, wi2.w AS w2_ppm
+        |FROM items it JOIN gi ON it.i = gi.i
+        |  JOIN wi1 ON it.i = wi1.i JOIN wi2 ON it.i = wi2.i
+        |ORDER BY w2_ppm DESC, lang""".stripMargin
+
   /** DuckDB replay of Pipelines.linkageFellegiSunter — the identical
     * blocked pair base, 2³ agreement-pattern counts, and chained EM
     * arithmetic (micro-rounded posteriors entering BIGINT sums; the

@@ -18,6 +18,8 @@ private[graft] object TextOracles {
     "p_conformal_threshold" -> conformalOracle(3),
     "p_label_noise" -> labelNoiseOracle(3),
     "agg_ips_value" -> ipsOracle,
+    "agg_dr_value" -> drOracle,
+    "p_bradley_terry" -> btOracle(3),
     "text_bpe_apply" -> bpeApplyOracle(8),
     "text_wordpiece_apply" -> wordpieceOracle(8),
     "text_unigram_lm" ->

@@ -187,4 +187,144 @@ class EvalSpec extends SparkSpec {
     }.groupBy(identity).view.mapValues(_.length.toLong).toMap
     assert(cells.map(c => (c._1, c._2) -> c._3).toMap == rep)
   }
+
+  test("did: cell means and the DID replay from the raw orders; " +
+    "assignment partitions the order set") {
+    val row = Analytics.did(spark, sfDir).collect().head
+    val (nT, nC, mT0, mTp, mC0, mCp, didMicro, did) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6), row.getDouble(7))
+    val os = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("string"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(nT + nC == os.length)
+    def cell(tr: Boolean, post: Boolean): Long = {
+      val xs = os.filter { case (ck, d, _) =>
+        (((ck % 2147483648L) * 2654435761L % 2147483648L)
+          >= 1073741824L) == tr && (d >= "1998-01-01") == post
+      }.map(o => math.round(o._3 * 1e6))
+      xs.sum / xs.length
+    }
+    assert(mT0 == cell(tr = true, post = false))
+    assert(mTp == cell(tr = true, post = true))
+    assert(mC0 == cell(tr = false, post = false))
+    assert(mCp == cell(tr = false, post = true))
+    assert(didMicro == (mTp - mT0) - (mCp - mC0))
+    assert(math.abs(did - didMicro.toDouble / 1e6) <= 5e-7)
+  }
+
+  test("sprt: the llr walk is the literal-weight prefix sum per type; " +
+    "verdicts follow the bounds; decided_day is the first crossing") {
+    val rows = Analytics.sprt(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5),
+        Option(r.getDate(6)).map(_.toString)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, days) =>
+      val sorted = days.sortBy(_._2)
+      var cum = 0L
+      var firstCross: Option[String] = None
+      sorted.foreach { case (_, day, n, x, llr, verdict, decided) =>
+        cum += x * -133531L + (n - x) * 80043L
+        assert(llr == cum, s"llr mismatch on $day: $llr vs $cum")
+        val want = if (cum >= 2944439L) "accept_h1"
+          else if (cum <= -2944439L) "accept_h0" else "continue"
+        assert(verdict == want)
+        if (firstCross.isEmpty && math.abs(cum) >= 2944439L)
+          firstCross = Some(day)
+        assert(decided == firstCross, s"decided_day on $day")
+      }
+    }
+  }
+
+  test("drOffPolicy: outcome model from the even half, correction from " +
+    "the odd half; the DR value replays exactly") {
+    val got = Learn.drOffPolicy(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val nEval = ev.count(_._1 % 2 == 1).toLong
+    got.foreach { case (t, nModel, rhat, nMatched, nE, sumCorr, dr) =>
+      val mine = ev.filter(_._2 == t)
+      val model = mine.filter(_._1 % 2 == 0)
+      assert(nModel == model.length && nE == nEval)
+      val rhatRep =
+        model.count(_._3 >= 50.0).toLong * 1000000L / model.length
+      assert(rhat == rhatRep)
+      val eval = mine.filter(_._1 % 2 == 1)
+      assert(nMatched == eval.length)
+      val corr = eval.map { case (id, _, v) =>
+        val prop = 100000L + ((id % 2147483648L) * 2654435761L) % 800001L
+        val wk = 1000000000L / prop
+        wk * ((if (v >= 50.0) 1L else 0L) * 1000000L - rhat)
+      }.sum
+      assert(sumCorr == corr)
+      val want = (nEval * rhat * 1000L + corr).toDouble / (nEval * 1e9)
+      assert(math.abs(dr - want) <= 5e-7)
+      // the model term anchors DR near the conversion-rate scale
+      assert(dr > -0.5 && dr < 1.5, s"DR off the rails: $dr")
+    }
+  }
+
+  test("bradleyTerry: wins/games replay from the deterministic " +
+    "pairing; both integer MM iterations replay; a strictly dominant " +
+    "lang outranks a strictly dominated one") {
+    val got = Learn.bradleyTerry(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val sd = Learn.scoredDocs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        round(col("p") * 1e6).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val comps = sd.groupBy(_._1 / 2).values.toSeq
+      .filter(_.length == 2)
+      .map(_.sortBy(_._1))
+      .map { pair =>
+        val (_, la, pa) = pair(0); val (_, lb, pb) = pair(1)
+        if (pa > pb) (la, lb) else if (pb > pa) (lb, la)
+        else if (la < lb) (la, lb) else (lb, la)
+      }
+      .filter(p => p._1 != p._2)
+    val wins = comps.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val games = wins.toSeq
+      .flatMap { case ((i, j), n) => Seq(((i, j), n), ((j, i), n)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val items = games.keys.map(_._1).toSeq.distinct.sorted
+    val totW = items.map(i =>
+      i -> wins.collect { case ((w, _), n) if w == i => n }.sum).toMap
+    got.foreach { case (lang, g, w, _, _) =>
+      assert(g == games.collect { case ((i, _), n) if i == lang => n }.sum)
+      assert(w == totW(lang))
+    }
+    def iter(wm: Map[String, Long]): Map[String, Long] = {
+      val raw = items.map { i =>
+        val denom = items.filter(_ != i).map { j =>
+          games.get((i, j)).fold(0L)(g =>
+            g * 100000000L / math.max(wm(i) + wm(j), 1L))
+        }.sum
+        i -> totW(i) * 1000000000L / math.max(denom, 1L)
+      }.toMap
+      val sumraw = raw.values.sum
+      raw.view.mapValues(r =>
+        r * 1000000L / math.max(sumraw / items.length, 1L)).toMap
+    }
+    val w1 = iter(items.map(_ -> 1000000L).toMap)
+    val w2 = iter(w1)
+    got.foreach { case (lang, _, _, g1, g2) =>
+      assert(g1 == w1(lang), s"w1 mismatch for $lang")
+      assert(g2 == w2(lang), s"w2 mismatch for $lang")
+    }
+    // ranking sanity: if some lang never wins and another never loses,
+    // the undefeated one carries the larger strength
+    val undef = items.filter(i => totW(i) > 0 &&
+      totW(i) == games.collect { case ((a, _), n) if a == i => n }.sum)
+    val winless = items.filter(i => totW(i) == 0)
+    for (u <- undef; l <- winless) assert(w2(u) > w2(l))
+  }
 }

@@ -47,7 +47,14 @@ def _run_oracle(sf_dir, sql, out_path, err_path):
         # fail fast and clean instead of driving the box into swap: an
         # oracle that needs more than this at the gate sf is prohibitive
         # (recorded EXCLUDED by the parent), same class as a timeout
-        con.execute("SET memory_limit='24GB'")
+        con.execute(
+            f"SET memory_limit='{os.environ.get('CHECK_MEM', '24GB')}'")
+        # per-child spill dir: concurrent shard children otherwise all
+        # spill into the shared cwd ./.tmp and delete each other's
+        # temp blocks mid-query (observed as a bogus IO-error FAIL on
+        # a correct oracle at sf1.0)
+        spill = os.path.join(os.path.dirname(out_path), "spill")
+        con.execute(f"SET temp_directory='{spill}'")
         _views(con, sf_dir)
         pq.write_table(con.execute(sql).fetch_arrow_table(), out_path)
     except Exception as e:  # noqa: BLE001 — the parent reports it
