@@ -55,6 +55,12 @@ def _run_oracle(sf_dir, sql, out_path, err_path):
         # a correct oracle at sf1.0)
         spill = os.path.join(os.path.dirname(out_path), "spill")
         con.execute(f"SET temp_directory='{spill}'")
+        # spill is bounded too: a recursive-CTE replay that wants more
+        # than this of disk is the same prohibitive-oracle class as a
+        # memory OOM — die with a clean classifiable error instead of
+        # filling the filesystem under every concurrent sibling
+        con.execute("SET max_temp_directory_size="
+                    f"'{os.environ.get('CHECK_SPILL', '40GB')}'")
         _views(con, sf_dir)
         pq.write_table(con.execute(sql).fetch_arrow_table(), out_path)
     except Exception as e:  # noqa: BLE001 — the parent reports it
@@ -181,7 +187,9 @@ def main(sf_dir, out_dir, artifact=None, timeout=None, resume=False,
             print(f"EXCLUDE {name}: {reason}", flush=True)
             excluded[name] = reason
             record(name, f"excluded: {reason}"); continue
-        if err is not None and "Out of Memory" in err:
+        if err is not None and ("Out of Memory" in err
+                                or "No space left on device" in err
+                                or "space in temporary directory" in err):
             # prohibitive-oracle class, like a timeout: DuckDB could not
             # hold the replay at this sf — an explicit exclusion, not a
             # wrong answer (the sf1.0 run surfaced this on the graph
