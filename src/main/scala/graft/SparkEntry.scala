@@ -272,6 +272,16 @@ object SparkEntry {
     // Wald SPRT per event type: precomputed micro-nat literal
     // weights make the LLR walk a pure BIGINT prefix sum
     "st_sprt" -> (Analytics.sprt _),
+    // quantile treatment effects off mergeable per-arm HistSketches,
+    // integer rank law, upper-bin-edge convention
+    "agg_qte" -> (Analytics.qte _),
+    // winsorized effect: [p5,p95] bin-edge clamp, micro BIGINT means
+    "agg_winsorized" -> (Analytics.winsorized _),
+    // MDE per event type: exact moments, literal z-sum, IEEE sqrt
+    "agg_power_mde" -> (Analytics.powerMde _),
+    // Neyman-allocation stratified sample design: isqrt σ, floor
+    // allocation + largest-remainder top-up on the O(strata) table
+    "p_neyman_alloc" -> ((s, d) => Pipelines.neymanAlloc(s, d)),
     // Mann–Kendall S over calendar-bounded day pairs, all integers
     "st_trend" -> (Analytics.trendTest _),
     // lag-1..3 autocorrelation from exact BIGINT moments; the signed

@@ -919,4 +919,57 @@ object Pipelines {
       "lr_micro", "posterior_micro", "is_match")
       .orderBy("g_adj", "g_brand", "g_price")
   }
+
+  /** Neyman-allocation stratified sample design over the customer
+    * strata — the survey-sampling step of an eval/labeling pipeline:
+    * a fixed budget of k draws splits across market segments
+    * proportionally to N_h·σ_h (big AND variable strata deserve more
+    * of the budget than proportional allocation gives them).
+    *
+    * Exactness: per-stratum variance from exact BIGINT moments over
+    * whole-dollar balances (the `agg_cuped` discipline — per-stratum
+    * products stay far inside int64), σ as isqrt = floor∘sqrt of the
+    * integer variance (the `text_mixture_temp` isqrt law: exact
+    * cross-engine on BIGINT-sized inputs), floor allocation
+    * (k·w_h) div Σw, and the k − Σfloor leftover goes to the largest
+    * integer remainders (k·w_h) mod Σw — rank computed by a
+    * constant-size self join on the O(strata) table, never a window.
+    * One pass to stratum grain; everything after is O(strata).
+    */
+  def neymanAlloc(s: SparkSession, dir: String, k: Int = 1000): DataFrame = {
+    val strata = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("segment"),
+        round(col("c_acctbal")).cast("long").as("x"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("segment"), col("n_rows"),
+        floor(sqrt(expr("(n_rows * sxx - sx * sx) div" +
+          " greatest(n_rows * (n_rows - 1), 1)")))
+          .cast("long").as("sd_est"))
+      .withColumn("w", col("n_rows") * col("sd_est"))
+    val tot = strata.agg(greatest(sum(col("w")), lit(1L)).as("sum_w"))
+    val base = strata.crossJoin(tot)
+      .select(col("segment"), col("n_rows"), col("sd_est"), col("w"),
+        expr(s"($k * w) div sum_w").as("alloc_floor"),
+        expr(s"($k * w) % sum_w").as("rem"))
+    val leftover = base.agg((lit(k) - sum(col("alloc_floor")))
+      .as("leftover"))
+    // remainder rank by constant-size self join (no window): strata
+    // with a strictly larger remainder — ties to the smaller segment
+    val r = base.select(col("segment").as("s2"), col("rem").as("rem2"))
+    val ranked = base.join(r,
+        col("rem2") > col("rem") ||
+          (col("rem2") === col("rem") && col("s2") < col("segment")),
+        "left")
+      .groupBy("segment", "n_rows", "sd_est", "w", "alloc_floor", "rem")
+      .agg(count(col("s2")).as("rk"))
+    ranked.crossJoin(leftover)
+      .select(col("segment"), col("n_rows"), col("sd_est"), col("w"),
+        col("alloc_floor"), col("rem"), col("rk"),
+        (col("alloc_floor") +
+          when(col("rk") < col("leftover"), 1L).otherwise(0L))
+          .as("n_alloc"))
+      .orderBy("segment")
+  }
 }

@@ -814,5 +814,154 @@ private[graft] object AnalyticsOracles {
         |  MIN(CASE WHEN abs(llr_micro) >= 2944439 THEN day END) OVER
         |    (PARTITION BY event_type ORDER BY day) AS decided_day
         |FROM c ORDER BY event_type, day""".stripMargin,
+    "agg_qte" ->
+      // the identical HistSketch bin layout (floor-div 25000, clamp
+      // 0..63), per-arm cumulative bin counts, and the integer rank
+      // law (p·n + (q−p)) // q — all-positive, so // = Spark's div
+      """WITH c AS (SELECT
+        |    ((o_custkey % 2147483648) * 2654435761) % 2147483648
+        |      >= 1073741824 AS tr,
+        |    least(greatest(CAST(floor(o_totalprice / 25000.0) AS INT),
+        |      0), 63) AS bin
+        |  FROM orders),
+        |b AS (SELECT tr, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM c GROUP BY 1, 2),
+        |n AS (SELECT tr, CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM b GROUP BY 1),
+        |cum AS (SELECT b.tr, b.bin, n.n,
+        |    CAST(SUM(b.cnt) OVER (PARTITION BY b.tr ORDER BY b.bin)
+        |      AS BIGINT) AS cum
+        |  FROM b JOIN n ON b.tr = n.tr),
+        |q AS (SELECT tr, n,
+        |    (MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN bin END) + 1)
+        |      * CAST(25000.0 AS DOUBLE) AS q25,
+        |    (MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN bin END) + 1)
+        |      * CAST(25000.0 AS DOUBLE) AS q50,
+        |    (MIN(CASE WHEN cum >= (3 * n + 1) // 4 THEN bin END) + 1)
+        |      * CAST(25000.0 AS DOUBLE) AS q75
+        |  FROM cum GROUP BY 1, 2),
+        |p AS (SELECT
+        |    MAX(CASE WHEN tr THEN n END) AS n_treat,
+        |    MAX(CASE WHEN NOT tr THEN n END) AS n_ctrl,
+        |    MAX(CASE WHEN tr THEN q25 END) AS t25,
+        |    MAX(CASE WHEN tr THEN q50 END) AS t50,
+        |    MAX(CASE WHEN tr THEN q75 END) AS t75,
+        |    MAX(CASE WHEN NOT tr THEN q25 END) AS c25,
+        |    MAX(CASE WHEN NOT tr THEN q50 END) AS c50,
+        |    MAX(CASE WHEN NOT tr THEN q75 END) AS c75
+        |  FROM q)
+        |SELECT u.quantile, p.n_treat, p.n_ctrl, u.q_treat, u.q_ctrl,
+        |  u.q_treat - u.q_ctrl AS qte
+        |FROM p, (SELECT 'p25' AS quantile, t25 AS q_treat,
+        |    c25 AS q_ctrl FROM p
+        |  UNION ALL SELECT 'p50', t50, c50 FROM p
+        |  UNION ALL SELECT 'p75', t75, c75 FROM p) u
+        |ORDER BY u.quantile""".stripMargin,
+    "agg_winsorized" ->
+      // one merged histogram, [p5, p95] upper-bin-edge thresholds,
+      // micro BIGINT clamp and integer-div arm means (see
+      // Analytics.winsorized)
+      """WITH h AS (SELECT
+        |    least(greatest(CAST(floor(o_totalprice / 25000.0) AS INT),
+        |      0), 63) AS bin
+        |  FROM orders),
+        |b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM h GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b),
+        |cum AS (SELECT bin, n,
+        |    CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+        |  FROM b, nn),
+        |th AS (SELECT
+        |    CAST((MIN(CASE WHEN cum >= (1 * n + 19) // 20
+        |      THEN bin END) + 1) * 25000.0 * 1e6 AS BIGINT) AS lo_micro,
+        |    CAST((MIN(CASE WHEN cum >= (19 * n + 1) // 20
+        |      THEN bin END) + 1) * 25000.0 * 1e6 AS BIGINT) AS hi_micro
+        |  FROM cum GROUP BY n),
+        |r AS (SELECT
+        |    ((o_custkey % 2147483648) * 2654435761) % 2147483648
+        |      >= 1073741824 AS tr,
+        |    CAST(round(o_totalprice * 1e6) AS BIGINT) AS micro,
+        |    th.lo_micro, th.hi_micro
+        |  FROM orders, th),
+        |g AS (SELECT lo_micro, hi_micro,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ctrl,
+        |    CAST(SUM(CASE WHEN micro < lo_micro THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clip_lo,
+        |    CAST(SUM(CASE WHEN micro > hi_micro THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clip_hi,
+        |    CAST(SUM(CASE WHEN tr THEN
+        |      least(greatest(micro, lo_micro), hi_micro) ELSE 0 END)
+        |      AS BIGINT) AS s_t,
+        |    CAST(SUM(CASE WHEN NOT tr THEN
+        |      least(greatest(micro, lo_micro), hi_micro) ELSE 0 END)
+        |      AS BIGINT) AS s_c
+        |  FROM r GROUP BY 1, 2)
+        |SELECT lo_micro, hi_micro, n_treat, n_ctrl, n_clip_lo,
+        |  n_clip_hi, s_t // n_treat AS mean_treat_micro,
+        |  s_c // n_ctrl AS mean_ctrl_micro,
+        |  s_t // n_treat - s_c // n_ctrl AS effect_micro
+        |FROM g""".stripMargin,
+    "agg_power_mde" ->
+      // exact BIGINT moments; the z-sum 1.959964 + 0.841621 is the
+      // same precomputed literal 2.801585; sqrt inputs are identical
+      // rounded doubles on both engines (see Analytics.powerMde)
+      """WITH e AS (SELECT event_type,
+        |    ((user_id % 2147483648) * 2654435761) % 100 < 50 AS tr,
+        |    CAST(round("value") AS BIGINT) AS x FROM events),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n, n_treat, n - n_treat AS n_ctrl,
+        |  n * sxx - sx * sx AS var_num,
+        |  round(CAST(n * sxx - sx * sx AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS s2,
+        |  round(2.801585 * sqrt(round(CAST(n * sxx - sx * sx
+        |      AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)) *
+        |    sqrt(2.0 / CAST(least(n_treat, n - n_treat) AS DOUBLE)), 6)
+        |    AS mde
+        |FROM m ORDER BY event_type""".stripMargin,
+    "p_neyman_alloc" ->
+      // exact per-stratum BIGINT moments, isqrt σ, floor allocation
+      // and largest-remainder top-up ranked by a constant-size self
+      // join (see Pipelines.neymanAlloc; all divisors clamped, all
+      // operands of // non-negative)
+      """WITH s AS (SELECT c_mktsegment AS segment,
+        |    CAST(round(c_acctbal) AS BIGINT) AS x FROM customer),
+        |m AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM s GROUP BY 1),
+        |sd AS (SELECT segment, n_rows,
+        |    CAST(floor(sqrt(CAST((n_rows * sxx - sx * sx) //
+        |      greatest(n_rows * (n_rows - 1), 1) AS DOUBLE)))
+        |      AS BIGINT) AS sd_est
+        |  FROM m),
+        |w AS (SELECT segment, n_rows, sd_est,
+        |    n_rows * sd_est AS w FROM sd),
+        |t AS (SELECT greatest(CAST(SUM(w) AS BIGINT), 1) AS sum_w
+        |  FROM w),
+        |base AS (SELECT segment, n_rows, sd_est, w,
+        |    (1000 * w) // sum_w AS alloc_floor,
+        |    (1000 * w) % sum_w AS rem
+        |  FROM w, t),
+        |l AS (SELECT 1000 - CAST(SUM(alloc_floor) AS BIGINT)
+        |    AS leftover FROM base),
+        |rk AS (SELECT b.segment, b.n_rows, b.sd_est, b.w,
+        |    b.alloc_floor, b.rem, CAST(COUNT(r.segment) AS BIGINT)
+        |      AS rk
+        |  FROM base b LEFT JOIN base r ON r.rem > b.rem OR
+        |    (r.rem = b.rem AND r.segment < b.segment)
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT segment, n_rows, sd_est, w, alloc_floor, rem, rk,
+        |  alloc_floor + CASE WHEN rk < l.leftover THEN 1 ELSE 0 END
+        |    AS n_alloc
+        |FROM rk, l ORDER BY segment""".stripMargin,
   )
 }

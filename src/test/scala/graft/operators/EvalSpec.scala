@@ -327,4 +327,136 @@ class EvalSpec extends SparkSpec {
     val winless = items.filter(i => totW(i) == 0)
     for (u <- undef; l <- winless) assert(w2(u) > w2(l))
   }
+
+  private def ordersArmed = graft.Tables.orders(spark, sfDir)
+    .select(col("o_custkey"), col("o_totalprice")).collect()
+    .map { r =>
+      val tr = (r.getLong(0) % 2147483648L) * 2654435761L %
+        2147483648L >= 1073741824L
+      (tr, r.getDouble(1))
+    }
+
+  test("qte: per-arm histogram quantiles replay at the integer ranks; " +
+    "each arm's estimate is within one bin of the exact quantile") {
+    val rows = Analytics.qte(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == Seq("p25", "p50", "p75"))
+    val os = ordersArmed
+    def armQ(tr: Boolean, p: Int, q: Int): Double = {
+      val bins = os.filter(_._1 == tr)
+        .map(o => math.min(math.max((o._2 / 25000.0).toInt, 0), 63))
+      val n = bins.length.toLong
+      val rank = (p * n + (q - p)) / q
+      val cnt = bins.groupBy(identity).view.mapValues(_.length.toLong)
+      var cum = 0L
+      (0 to 63).collectFirst {
+        case b if { cum += cnt.getOrElse(b, 0L); cum >= rank } =>
+          (b + 1) * 25000.0
+      }.get
+    }
+    val pq = Map("p25" -> (1, 4), "p50" -> (1, 2), "p75" -> (3, 4))
+    rows.foreach { case (lbl, nT, nC, qt, qc, d) =>
+      assert(nT == os.count(_._1) && nC == os.count(!_._1))
+      val (p, q) = pq(lbl)
+      assert(qt == armQ(tr = true, p, q) && qc == armQ(tr = false, p, q))
+      assert(d == qt - qc)
+      // sketch contract: estimate within one bin width of the exact
+      // order statistic, per arm
+      for (tr <- Seq(true, false)) {
+        val xs = os.filter(_._1 == tr).map(_._2).sorted
+        val n = xs.length.toLong
+        val exact = xs(((p * n + (q - p)) / q - 1).toInt)
+        val est = if (tr) qt else qc
+        assert(est >= exact && est - exact <= 25000.0,
+          s"$lbl tr=$tr est $est vs exact $exact")
+      }
+    }
+  }
+
+  test("winsorized: thresholds are the [p5,p95] bin edges; clamp " +
+    "counts and arm means replay; clamping tightens the spread") {
+    val r = Analytics.winsorized(spark, sfDir).collect().head
+    val (lo, hi, nT, nC, nLo, nHi, mT, mC, eff) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))
+    val os = ordersArmed
+    val bins = os.map(o => math.min(math.max((o._2 / 25000.0).toInt, 0), 63))
+    val n = bins.length.toLong
+    val cnt = bins.groupBy(identity).view.mapValues(_.length.toLong)
+    def edge(p: Int, q: Int): Long = {
+      val rank = (p * n + (q - p)) / q
+      var cum = 0L
+      (0 to 63).collectFirst {
+        case b if { cum += cnt.getOrElse(b, 0L); cum >= rank } =>
+          ((b + 1) * 25000.0 * 1e6).toLong
+      }.get
+    }
+    assert(lo == edge(1, 20) && hi == edge(19, 20))
+    val micro = os.map(o => (o._1, math.round(o._2 * 1e6)))
+    assert(nLo == micro.count(_._2 < lo) && nHi == micro.count(_._2 > hi))
+    def mean(tr: Boolean): Long = {
+      val xs = micro.filter(_._1 == tr)
+        .map(m => math.min(math.max(m._2, lo), hi))
+      xs.sum / xs.length
+    }
+    assert(nT == micro.count(_._1) && nC == micro.count(!_._1))
+    assert(mT == mean(tr = true) && mC == mean(tr = false))
+    assert(eff == mT - mC)
+    assert(nLo + nHi < n, "clamp should not swallow the distribution")
+  }
+
+  test("powerMde: moments replay; the MDE chain matches the literal " +
+    "z-sum formula on the conservative arm size") {
+    val rows = Analytics.powerMde(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (t, n, nT, nC, varNum, s2, mde) =>
+      val mine = ev.filter(_._1 == t)
+      val xs = mine.map(e => math.round(e._3))
+      assert(n == xs.length)
+      val rep = mine.count(e =>
+        (e._2 % 2147483648L) * 2654435761L % 100L < 50L)
+      assert(nT == rep && nC == n - rep)
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      assert(varNum == n * sxx - sx * sx)
+      val s2rep = math.rint(varNum.toDouble / (n.toDouble * (n - 1).toDouble)
+        * 1e6) / 1e6
+      assert(s2 == s2rep)
+      val want = math.rint(2.801585 * math.sqrt(s2rep) *
+        math.sqrt(2.0 / math.min(nT, nC).toDouble) * 1e6) / 1e6
+      assert(math.abs(mde - want) <= 1e-6, s"$t mde $mde vs $want")
+      assert(mde > 0.0)
+    }
+  }
+
+  test("neymanAlloc: moments/isqrt/floor-allocation replay; the " +
+    "budget is spent exactly; bigger N·σ never gets less") {
+    val rows = Pipelines.neymanAlloc(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(rows.map(_._8).sum == 1000L, "budget not exactly spent")
+    val cs = graft.Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1))))
+    rows.foreach { case (seg, nRows, sd, w, fl, rem, _, _) =>
+      val xs = cs.filter(_._1 == seg).map(_._2)
+      assert(nRows == xs.length)
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      val s2 = (nRows * sxx - sx * sx) /
+        math.max(nRows * (nRows - 1), 1L)
+      assert(sd == math.floor(math.sqrt(s2.toDouble)).toLong)
+      assert(w == nRows * sd)
+      val sumW = math.max(rows.map(_._4).sum, 1L)
+      assert(fl == 1000L * w / sumW && rem == 1000L * w % sumW)
+    }
+    for (a <- rows; b <- rows if a._4 > b._4)
+      assert(a._8 >= b._8, s"${a._1} outweighs ${b._1} but got less")
+  }
 }

@@ -89,7 +89,13 @@ class PlanAuditSpec extends SparkSpec {
       // |event types| rows at any data scale (domain-bounded, same
       // carve-out as pareto); apportionment is definitionally a
       // total order over the strata
-      "p_pps_alloc" -> Set("global-window"))
+      "p_pps_alloc" -> Set("global-window"),
+      // the [p5,p95] threshold read-off runs over the merged
+      // HistSketch BIN table — ≤ 64 rows at any data scale
+      // (layout-bounded, a strictly tighter carve-out than
+      // domain-bounded); the corpus-sized clamp pass that follows is
+      // window-free
+      "agg_winsorized" -> Set("global-window"))
     val violations = graft.SparkEntry.queries
       .filterNot { case (n, _) => graft.SparkEntry.eagerWriters(n) }
       .toSeq.sortBy(_._1)
