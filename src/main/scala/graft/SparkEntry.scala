@@ -282,6 +282,17 @@ object SparkEntry {
     // Neyman-allocation stratified sample design: isqrt σ, floor
     // allocation + largest-remainder top-up on the O(strata) table
     "p_neyman_alloc" -> ((s, d) => Pipelines.neymanAlloc(s, d)),
+    // caliper 1-NN covariate matching (the adv_nearest_join band
+    // discipline on the covariate axis); ATT vs the naive diff
+    "p_psm" -> ((s, d) => Pipelines.psm(s, d)),
+    // binary BBSE label-shift correction off the trained classifier
+    "p_prior_shift" -> ((s, d) => Learn.priorShift(s, d)),
+    // O'Brien-Fleming-style 5-look group-sequential monitor with
+    // precomputed literal boundaries
+    "st_group_seq" -> (Analytics.groupSeq _),
+    // B-cubed precision/recall/F1 of the near-dup clusters against
+    // the exact-duplicate ground truth, ppm integer arithmetic
+    "dedup_bcubed" -> (Dedup.bcubed _),
     // Mann–Kendall S over calendar-bounded day pairs, all integers
     "st_trend" -> (Analytics.trendTest _),
     // lag-1..3 autocorrelation from exact BIGINT moments; the signed

@@ -1929,4 +1929,42 @@ object Analytics {
           " 6)").as("mde"))
       .orderBy("event_type")
   }
+
+  /** Group-sequential conversion monitor — the scheduled-looks
+    * counterpart of `st_sprt`'s continuous walk: five equal-width
+    * looks over the month, an O'Brien–Fleming-style spending boundary
+    * z*_k = 2.040·√(5/k) (PRECOMPUTED literals 4.562/3.226/2.634/
+    * 2.281/2.040 — conservative early, nominal late), and the z
+    * statistic (x_k − p₀·n_k)/√(n_k·p₀q₀) at p₀ = 0.37 computed as a
+    * fixed double chain over the exact BIGINT cumulative counts (the
+    * numerator stays integer micro mass; √ is IEEE-exact on both
+    * engines). Cumulative sums ride a partitioned-by-type window over
+    * the O(looks) grain; `decided_look` is the first crossing as a
+    * prefix min — the `st_sprt` discipline at look grain.
+    */
+  def groupSeq(s: SparkSession, dir: String): DataFrame = {
+    val looks = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("cast((dayofmonth(ts) - 1) div 6 as bigint) + 1")
+          .as("look"),
+        when(col("value") >= 50.0, 1L).otherwise(0L).as("r"))
+      .groupBy("event_type", "look")
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    looks
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_x", sum(col("x")).over(w))
+      .withColumn("z", expr(
+        "round((cast(cum_x * 1000000 - 370000 * cum_n as double)" +
+          " / 1e6) / sqrt(cast(cum_n as double) * 0.2331), 6)"))
+      .withColumn("z_bound", expr(
+        """cast(CASE look WHEN 1 THEN 4.562 WHEN 2 THEN 3.226
+          |WHEN 3 THEN 2.634 WHEN 4 THEN 2.281 ELSE 2.040 END
+          |as double)""".stripMargin))
+      .withColumn("crossed", abs(col("z")) >= col("z_bound"))
+      .withColumn("decided_look",
+        min(when(col("crossed"), col("look"))).over(w))
+      .orderBy("event_type", "look")
+  }
 }

@@ -1087,4 +1087,50 @@ object Dedup {
       .select(col("o_orderkey"), col("o_custkey"))
       .orderBy("o_orderkey")
   }
+
+  /** B³ (B-cubed) clustering-quality audit of the near-dup clusters
+    * against the EXACT-duplicate ground truth — the evaluation layer
+    * over the dedup stack: per-document precision
+    * |C(d) ∩ T(d)|/|C(d)| and recall /|T(d)|, averaged over the
+    * corpus. Unlike pair-counting metrics, B³ weights every document
+    * equally, so one giant over-merged cluster can't hide behind many
+    * correct small ones.
+    *
+    * Both partitions resolve to the document grain: predicted =
+    * pooled CC labels with singletons as their own cluster
+    * (coalesce(label, doc_id) — labels are min-ids, so the namespaces
+    * can't collide), truth = min doc_id per identical text. The whole
+    * metric then reduces to the (cluster, truth) CONTINGENCY table:
+    * B³P·N = Σ_ct n_ct²/|c|, B³R·N = Σ_ct n_ct²/|t| — two tiny
+    * grouped joins, exact ppm integer arithmetic (each cell's
+    * (n²·10⁶) div size, then div N, then the ppm-harmonic F1), no
+    * per-document fan-out beyond the one assignment join.
+    */
+  def bcubed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val truth = docs
+      .join(docs.groupBy("text").agg(min(col("doc_id")).as("tid")),
+        Seq("text"))
+      .select(col("doc_id"), col("tid"))
+    val assign = truth
+      .join(ccLabels(s, dir).withColumnRenamed("label", "cid"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id"))
+        .as("cid"), col("tid"))
+    val ct = assign.groupBy("cid", "tid").agg(count(lit(1)).as("n_ct"))
+    val szc = ct.groupBy("cid").agg(sum(col("n_ct")).as("size_c"))
+    val szt = ct.groupBy("tid").agg(sum(col("n_ct")).as("size_t"))
+    val cells = ct.join(szc, Seq("cid")).join(szt, Seq("tid"))
+    cells.agg(
+        sum(col("n_ct")).as("n_docs"),
+        countDistinct(col("cid")).as("n_clusters"),
+        countDistinct(col("tid")).as("n_truth"),
+        sum(expr("(n_ct * n_ct * 1000000) div size_c")).as("sp"),
+        sum(expr("(n_ct * n_ct * 1000000) div size_t")).as("sr"))
+      .select(col("n_docs"), col("n_clusters"), col("n_truth"),
+        expr("sp div n_docs").as("precision_ppm"),
+        expr("sr div n_docs").as("recall_ppm"),
+        expr("(2 * (sp div n_docs) * (sr div n_docs)) div" +
+          " greatest(sp div n_docs + sr div n_docs, 1)").as("f1_ppm"))
+  }
 }

@@ -469,4 +469,56 @@ object Learn {
           (col("n_eval").cast("double") * 1e9), 6).as("dr_value"))
       .orderBy("event_type")
   }
+
+  /** Label-shift (prior-shift) estimation — binary BBSE / Forman's
+    * adjusted count: the deployed corpus rarely keeps the training
+    * class balance, and raw classifier outputs inherit the skew. The
+    * even-id half supplies the confusion rates (fpr = c01/n0,
+    * tpr = c11/n1 at the 0.5 micro threshold), the odd-id half the
+    * observed positive-prediction share μ₁; the corrected positive
+    * prior is ŵ₁ = (μ₁ − fpr)/(tpr − fpr), clamped to [0, 1].
+    *
+    * All counts are one grouped pass each; the estimate is a fixed
+    * double-op chain over exact BIGINTs with the degenerate
+    * tpr = fpr case pinned to 0.5 identically on both engines (the
+    * greatest/least clamp discipline). Output is O(1).
+    */
+  def priorShift(s: SparkSession, dir: String): DataFrame = {
+    val sd = scoredDocs(s, dir)
+      .select(col("doc_id"), col("y"),
+        (round(col("p") * 1e6).cast("long") >= 500000L).as("pos"))
+    val cm = sd.filter(col("doc_id") % 2 === 0)
+      .agg(
+        sum(when(col("y") === 0 && !col("pos"), 1L).otherwise(0L))
+          .as("c00"),
+        sum(when(col("y") === 0 && col("pos"), 1L).otherwise(0L))
+          .as("c01"),
+        sum(when(col("y") === 1 && !col("pos"), 1L).otherwise(0L))
+          .as("c10"),
+        sum(when(col("y") === 1 && col("pos"), 1L).otherwise(0L))
+          .as("c11"))
+    val mu = sd.filter(col("doc_id") % 2 === 1)
+      .agg(count(lit(1)).as("n_tgt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("m1"))
+    cm.crossJoin(mu)
+      .select(col("c00"), col("c01"), col("c10"), col("c11"),
+        col("n_tgt"), col("m1"),
+        expr("(c01 * 1000000) div greatest(c00 + c01, 1)")
+          .as("fpr_ppm"),
+        expr("(c11 * 1000000) div greatest(c10 + c11, 1)")
+          .as("tpr_ppm"),
+        expr("(m1 * 1000000) div greatest(n_tgt, 1)").as("mu1_ppm"),
+        expr("""round(least(greatest(CASE
+          |  WHEN c11 * (c00 + c01) = c01 * (c10 + c11) THEN 0.5
+          |  ELSE (cast(m1 as double) / cast(greatest(n_tgt, 1)
+          |      as double) -
+          |    cast(c01 as double) / cast(greatest(c00 + c01, 1)
+          |      as double)) /
+          |    (cast(c11 as double) / cast(greatest(c10 + c11, 1)
+          |      as double) -
+          |    cast(c01 as double) / cast(greatest(c00 + c01, 1)
+          |      as double))
+          |  END, cast(0.0 as double)), cast(1.0 as double)), 6)
+          |""".stripMargin).as("w1_est"))
+  }
 }

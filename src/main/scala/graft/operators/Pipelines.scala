@@ -972,4 +972,74 @@ object Pipelines {
           .as("n_alloc"))
       .orderBy("segment")
   }
+
+  /** Caliper 1-NN covariate matching — the observational-causal
+    * sibling of `agg_cuped`'s randomized readout: every treated user
+    * matches its nearest control by pre-period activity (the same
+    * per-user grain and Knuth arm hash as CUPED), but only within a
+    * caliper; unmatched treated users drop, per the method. ATT is
+    * then the mean matched y-difference, next to the naive all-users
+    * difference the matching corrects.
+    *
+    * Scale shape is the `adv_nearest_join` discipline verbatim: the
+    * caliper band becomes an EQUI join by exploding each treated user
+    * into its 3 candidate covariate buckets (bucket width = caliper,
+    * a constant bounded-side multiplier), and the 1-NN winner is
+    * min(struct(dist, control_id, …)) — a total order, so ties break
+    * deterministically inside one map-side-combining aggregate. Never
+    * a cross product, never a global sort; matching is
+    * with-replacement (each treated independently), so no sequential
+    * greedy state exists to serialize.
+    */
+  def psm(s: SparkSession, dir: String, caliper: Long = 50L): DataFrame = {
+    val split = lit("2024-01-16").cast("timestamp")
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < split,
+          round(col("value")).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= split,
+          round(col("value")).cast("long")).otherwise(0L)).as("y"))
+      .withColumn("tr",
+        (col("user_id") % lit(2147483648L)) * lit(2654435761L) %
+          lit(100L) < 50L)
+    val t = per.filter(col("tr"))
+      .select(col("user_id").as("t_user"), col("x").as("xt"),
+        col("y").as("yt"))
+    val c = per.filter(!col("tr"))
+      .select(col("user_id").as("c_user"), col("x").as("xc"),
+        col("y").as("yc"))
+      .withColumn("bkt", expr(s"xc div $caliper"))
+    val cand = t
+      .withColumn("b0", expr(s"xt div $caliper"))
+      .select(col("t_user"), col("xt"), col("yt"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1))
+          .as("bkt"))
+    val matched = cand.join(c, Seq("bkt"))
+      .withColumn("d", abs(col("xc") - col("xt")))
+      .filter(col("d") <= caliper)
+      .groupBy("t_user", "xt", "yt")
+      .agg(min(struct(col("d"), col("c_user"), col("xc"), col("yc")))
+        .as("m"))
+    val naive = per.agg(
+      sum(when(col("tr"), col("y")).otherwise(0L)).as("sy_t"),
+      sum(when(col("tr"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(!col("tr"), col("y")).otherwise(0L)).as("sy_c"),
+      sum(when(!col("tr"), 1L).otherwise(0L)).as("n_c"))
+    matched.agg(count(lit(1)).as("n_matched"),
+        sum(col("yt") - col("m.yc")).as("sum_dy"),
+        sum(col("m.d")).as("sum_dist"))
+      .crossJoin(naive)
+      .select(col("n_t").as("n_treat"), col("n_c").as("n_ctrl"),
+        col("n_matched"),
+        expr("(n_matched * 1000000) div n_t").as("match_rate_ppm"),
+        col("sum_dist"),
+        expr("(sum_dy * 1000000) div greatest(n_matched, 1)")
+          .as("att_micro"),
+        expr("round(cast(sum_dy as double) /" +
+          " cast(greatest(n_matched, 1) as double), 6)").as("att"),
+        expr("round(cast(sy_t as double) / cast(n_t as double) -" +
+          " cast(sy_c as double) / cast(n_c as double), 6)")
+          .as("naive_diff"))
+  }
 }

@@ -963,5 +963,85 @@ private[graft] object AnalyticsOracles {
         |  alloc_floor + CASE WHEN rk < l.leftover THEN 1 ELSE 0 END
         |    AS n_alloc
         |FROM rk, l ORDER BY segment""".stripMargin,
+    "p_psm" ->
+      // same caliper bucket join and (dist, control_id) 1-NN total
+      // order; att_micro emulates Spark's toward-zero div on the
+      // possibly-negative numerator (see Pipelines.psm)
+      """WITH per AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(round("value") AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(round("value") AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |pt AS (SELECT user_id, x, y,
+        |    ((user_id % 2147483648) * 2654435761) % 100 < 50 AS tr
+        |  FROM per),
+        |t AS (SELECT user_id AS t_user, x AS xt, y AS yt FROM pt
+        |  WHERE tr),
+        |c AS (SELECT user_id AS c_user, x AS xc, y AS yc,
+        |    x // 50 AS bkt FROM pt WHERE NOT tr),
+        |cand AS (SELECT t_user, xt, yt, (xt // 50) + off AS bkt
+        |  FROM t, (SELECT unnest([-1, 0, 1]) AS off) o),
+        |j AS (SELECT cd.t_user, cd.xt, cd.yt, c.c_user, c.xc, c.yc,
+        |    abs(c.xc - cd.xt) AS d
+        |  FROM cand cd JOIN c ON c.bkt = cd.bkt
+        |  WHERE abs(c.xc - cd.xt) <= 50),
+        |mm AS (SELECT t_user, yt, yc, d,
+        |    ROW_NUMBER() OVER (PARTITION BY t_user
+        |      ORDER BY d, c_user) AS rn FROM j),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |    CAST(SUM(yt - yc) AS BIGINT) AS sum_dy,
+        |    CAST(SUM(d) AS BIGINT) AS sum_dist
+        |  FROM mm WHERE rn = 1),
+        |nv AS (SELECT
+        |    CAST(SUM(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT)
+        |      AS sy_t,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t,
+        |    CAST(SUM(CASE WHEN NOT tr THEN y ELSE 0 END) AS BIGINT)
+        |      AS sy_c,
+        |    CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c
+        |  FROM pt)
+        |SELECT n_t AS n_treat, n_c AS n_ctrl, n_matched,
+        |  (n_matched * 1000000) // n_t AS match_rate_ppm, sum_dist,
+        |  CASE WHEN sum_dy < 0
+        |    THEN -((-sum_dy * 1000000) // greatest(n_matched, 1))
+        |    ELSE (sum_dy * 1000000) // greatest(n_matched, 1) END
+        |    AS att_micro,
+        |  round(CAST(sum_dy AS DOUBLE) /
+        |    CAST(greatest(n_matched, 1) AS DOUBLE), 6) AS att,
+        |  round(CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |    CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+        |    AS naive_diff
+        |FROM agg, nv""".stripMargin,
+    "st_group_seq" ->
+      // identical literal boundaries and the same fixed double chain
+      // over exact cumulative BIGINTs (see Analytics.groupSeq)
+      """WITH looks AS (SELECT event_type,
+        |    CAST((date_part('day', ts) - 1) // 6 AS BIGINT) + 1
+        |      AS look,
+        |    CASE WHEN "value" >= 50.0 THEN 1 ELSE 0 END AS r
+        |  FROM events),
+        |g AS (SELECT event_type, look, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r) AS BIGINT) AS x FROM looks GROUP BY 1, 2),
+        |c AS (SELECT event_type, look, n, x,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+        |    CAST(SUM(x) OVER w AS BIGINT) AS cum_x
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY look)),
+        |z AS (SELECT event_type, look, n, x, cum_n, cum_x,
+        |    round((CAST(cum_x * 1000000 - 370000 * cum_n AS DOUBLE)
+        |      / 1e6) / sqrt(CAST(cum_n AS DOUBLE) * 0.2331), 6) AS z,
+        |    CAST(CASE look WHEN 1 THEN 4.562 WHEN 2 THEN 3.226
+        |      WHEN 3 THEN 2.634 WHEN 4 THEN 2.281 ELSE 2.040 END
+        |      AS DOUBLE) AS z_bound
+        |  FROM c)
+        |SELECT event_type, look, n, x, cum_n, cum_x, z, z_bound,
+        |  abs(z) >= z_bound AS crossed,
+        |  MIN(CASE WHEN abs(z) >= z_bound THEN look END) OVER
+        |    (PARTITION BY event_type ORDER BY look) AS decided_look
+        |FROM z ORDER BY event_type, look""".stripMargin,
   )
 }

@@ -113,6 +113,7 @@ private[graft] object DedupOracles {
          | true AS neardup_hamming_ok, true AS all_docs_signed
          |FROM ($ngramPairSql) t""".stripMargin,
     "dedup_clusters" -> ccClustersOracle,
+    "dedup_bcubed" -> bcubedOracle,
     "dedup_keep_best" -> keepBestOracle,
     // the star-alternation variant computes the SAME clusters
     "dedup_clusters_star" -> ccClustersOracle,

@@ -506,6 +506,82 @@ private[graft] object Gen {
       |GROUP BY w.event_type, rhat.n_model, rhat.rhat_ppm, ne.n_eval
       |ORDER BY w.event_type""".stripMargin
 
+  /** Learn.priorShift replay: confusion rates on the even half,
+    * observed positive share on the odd half, the binary BBSE closed
+    * form as the same clamped double chain.
+    */
+  def priorShiftOracle(iters: Int): String =
+    logregScoredDocs(iters) +
+      """,
+        |sd AS (SELECT doc_id, y,
+        |    CAST(round(p * 1e6) AS BIGINT) >= 500000 AS pos
+        |  FROM scored),
+        |cm AS (SELECT
+        |    CAST(SUM(CASE WHEN y = 0 AND NOT pos THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c00,
+        |    CAST(SUM(CASE WHEN y = 0 AND pos THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c01,
+        |    CAST(SUM(CASE WHEN y = 1 AND NOT pos THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c10,
+        |    CAST(SUM(CASE WHEN y = 1 AND pos THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c11
+        |  FROM sd WHERE doc_id % 2 = 0),
+        |mu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tgt,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS m1
+        |  FROM sd WHERE doc_id % 2 = 1)
+        |SELECT c00, c01, c10, c11, n_tgt, m1,
+        |  (c01 * 1000000) // greatest(c00 + c01, 1) AS fpr_ppm,
+        |  (c11 * 1000000) // greatest(c10 + c11, 1) AS tpr_ppm,
+        |  (m1 * 1000000) // greatest(n_tgt, 1) AS mu1_ppm,
+        |  round(least(greatest(CASE
+        |    WHEN c11 * (c00 + c01) = c01 * (c10 + c11) THEN 0.5
+        |    ELSE (CAST(m1 AS DOUBLE) / CAST(greatest(n_tgt, 1)
+        |        AS DOUBLE) -
+        |      CAST(c01 AS DOUBLE) / CAST(greatest(c00 + c01, 1)
+        |        AS DOUBLE)) /
+        |      (CAST(c11 AS DOUBLE) / CAST(greatest(c10 + c11, 1)
+        |        AS DOUBLE) -
+        |      CAST(c01 AS DOUBLE) / CAST(greatest(c00 + c01, 1)
+        |        AS DOUBLE))
+        |    END, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)), 6)
+        |    AS w1_est
+        |FROM cm, mu""".stripMargin
+
+  /** Dedup.bcubed replay: the closure CTE's per-doc labels with
+    * doc-id singletons, exact-text truth classes, and the same ppm
+    * integer B³ read-off from the contingency table.
+    */
+  // lazy: ccPairsLabCte is declared further down this object; a
+  // strict val here would interpolate null at init order
+  lazy val bcubedOracle: String =
+    s"""WITH RECURSIVE $ccPairsLabCte,
+       |t0 AS (SELECT text, MIN(doc_id) AS tid FROM documents
+       |  GROUP BY 1),
+       |asg AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id)
+       |    AS cid, t0.tid
+       |  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+       |  JOIN t0 ON t0.text = d.text),
+       |ct AS (SELECT cid, tid, CAST(COUNT(*) AS BIGINT) AS n_ct
+       |  FROM asg GROUP BY 1, 2),
+       |szc AS (SELECT cid, CAST(SUM(n_ct) AS BIGINT) AS size_c
+       |  FROM ct GROUP BY 1),
+       |szt AS (SELECT tid, CAST(SUM(n_ct) AS BIGINT) AS size_t
+       |  FROM ct GROUP BY 1),
+       |cells AS (SELECT ct.n_ct, szc.size_c, szt.size_t, ct.cid, ct.tid
+       |  FROM ct JOIN szc ON ct.cid = szc.cid
+       |  JOIN szt ON ct.tid = szt.tid),
+       |a AS (SELECT CAST(SUM(n_ct) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters,
+       |    CAST(COUNT(DISTINCT tid) AS BIGINT) AS n_truth,
+       |    CAST(SUM((n_ct * n_ct * 1000000) // size_c) AS BIGINT) AS sp,
+       |    CAST(SUM((n_ct * n_ct * 1000000) // size_t) AS BIGINT) AS sr
+       |  FROM cells)
+       |SELECT n_docs, n_clusters, n_truth,
+       |  sp // n_docs AS precision_ppm, sr // n_docs AS recall_ppm,
+       |  (2 * (sp // n_docs) * (sr // n_docs)) //
+       |    greatest(sp // n_docs + sr // n_docs, 1) AS f1_ppm
+       |FROM a""".stripMargin
+
   /** Learn.bradleyTerry replay: the identical deterministic pairing,
     * win counts, and two integer MM iterations (every divisor clamped
     * greatest(·,1) on both engines; all operands non-negative, so

@@ -20,6 +20,7 @@ private[graft] object TextOracles {
     "agg_ips_value" -> ipsOracle,
     "agg_dr_value" -> drOracle,
     "p_bradley_terry" -> btOracle(3),
+    "p_prior_shift" -> priorShiftOracle(3),
     "text_bpe_apply" -> bpeApplyOracle(8),
     "text_wordpiece_apply" -> wordpieceOracle(8),
     "text_unigram_lm" ->

