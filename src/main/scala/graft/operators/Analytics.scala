@@ -1645,9 +1645,16 @@ object Analytics {
     * order on both engines. One pass to the per-user grain, one
     * 9-column global aggregate: O(1) final state.
     */
-  def cuped(s: SparkSession, dir: String): DataFrame = {
+  /** Shared experimentation grain: per-user pre/post whole-unit sums
+    * (x, y) around the data-midpoint split with the Knuth 50/50 arm
+    * hash — the ONE definition `cuped` and `Pipelines.psm` both
+    * consume, so the split date and hash discipline can't silently
+    * diverge between the randomized and observational readouts.
+    */
+  private[operators] def userPrePost(s: SparkSession,
+      dir: String): DataFrame = {
     val split = lit("2024-01-16").cast("timestamp")
-    val per = Tables.events(s, dir)
+    Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(
         sum(when(col("ts") < split,
@@ -1657,6 +1664,18 @@ object Analytics {
       .withColumn("tr",
         (col("user_id") % lit(2147483648L)) * lit(2654435761L) %
           lit(100L) < 50L)
+  }
+
+  /** Shared order-side arm assignment: the Knuth top-bit of the
+    * customer key (`did`, `qte`, `winsorized` — one definition, so
+    * the three readouts always describe the same experiment).
+    */
+  private[operators] def custArm: Column =
+    (col("o_custkey") % lit(2147483648L)) * lit(2654435761L) %
+      lit(2147483648L) >= lit(1073741824L)
+
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val per = userPrePost(s, dir)
     per.agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -1726,10 +1745,8 @@ object Analytics {
     */
   def did(s: SparkSession, dir: String): DataFrame = {
     val post = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
-    val tr = (col("o_custkey") % lit(2147483648L)) * lit(2654435761L) %
-      lit(2147483648L) >= lit(1073741824L)
     val cells = Tables.orders(s, dir)
-      .select(tr.as("tr"), post.as("post"),
+      .select(custArm.as("tr"), post.as("post"),
         round(col("o_totalprice") * 1e6).cast("long").as("micro"))
       .groupBy("tr", "post")
       .agg(count(lit(1)).as("n"), sum(col("micro")).as("s"))
@@ -1798,10 +1815,8 @@ object Analytics {
   def qte(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HistSketch
     val sketch = udaf(HistSketch)
-    val tr = (col("o_custkey") % lit(2147483648L)) * lit(2654435761L) %
-      lit(2147483648L) >= lit(1073741824L)
     val arms = Tables.orders(s, dir)
-      .groupBy(tr.as("tr"))
+      .groupBy(custArm.as("tr"))
       .agg(sketch(col("o_totalprice")).as("sk"), count(lit(1)).as("n"))
     val wc = Window.partitionBy("tr").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1853,8 +1868,6 @@ object Analytics {
   def winsorized(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HistSketch
     val sketch = udaf(HistSketch)
-    val tr = (col("o_custkey") % lit(2147483648L)) * lit(2654435761L) %
-      lit(2147483648L) >= lit(1073741824L)
     val hist = Tables.orders(s, dir)
       .agg(sketch(col("o_totalprice")).as("sk"), count(lit(1)).as("n"))
     val wc = Window.partitionBy(lit(1)).orderBy("bin")
@@ -1873,7 +1886,7 @@ object Analytics {
         (((min(when(col("cum") >= rk(19, 20), col("bin"))) + 1) *
           HistSketch.Width) * 1e6).cast("long").as("hi_micro"))
     Tables.orders(s, dir)
-      .select(tr.as("tr"),
+      .select(custArm.as("tr"),
         round(col("o_totalprice") * 1e6).cast("long").as("micro"))
       .crossJoin(broadcast(th))
       .select(col("tr"), col("lo_micro"), col("hi_micro"),
@@ -1945,7 +1958,11 @@ object Analytics {
   def groupSeq(s: SparkSession, dir: String): DataFrame = {
     val looks = Tables.events(s, dir)
       .select(col("event_type"),
-        expr("cast((dayofmonth(ts) - 1) div 6 as bigint) + 1")
+        // least(…, 5): a 31st day would otherwise form a one-day
+        // sixth look and take the nominal final boundary twice,
+        // breaking the five-look spending contract — day 31 folds
+        // into look 5 instead
+        expr("least(cast((dayofmonth(ts) - 1) div 6 as bigint) + 1, 5)")
           .as("look"),
         when(col("value") >= 50.0, 1L).otherwise(0L).as("r"))
       .groupBy("event_type", "look")

@@ -992,17 +992,7 @@ object Pipelines {
     * greedy state exists to serialize.
     */
   def psm(s: SparkSession, dir: String, caliper: Long = 50L): DataFrame = {
-    val split = lit("2024-01-16").cast("timestamp")
-    val per = Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(
-        sum(when(col("ts") < split,
-          round(col("value")).cast("long")).otherwise(0L)).as("x"),
-        sum(when(col("ts") >= split,
-          round(col("value")).cast("long")).otherwise(0L)).as("y"))
-      .withColumn("tr",
-        (col("user_id") % lit(2147483648L)) * lit(2654435761L) %
-          lit(100L) < 50L)
+    val per = Analytics.userPrePost(s, dir)
     val t = per.filter(col("tr"))
       .select(col("user_id").as("t_user"), col("x").as("xt"),
         col("y").as("yt"))

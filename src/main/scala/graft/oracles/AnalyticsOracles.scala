@@ -1021,8 +1021,8 @@ private[graft] object AnalyticsOracles {
       // identical literal boundaries and the same fixed double chain
       // over exact cumulative BIGINTs (see Analytics.groupSeq)
       """WITH looks AS (SELECT event_type,
-        |    CAST((date_part('day', ts) - 1) // 6 AS BIGINT) + 1
-        |      AS look,
+        |    least(CAST((date_part('day', ts) - 1) // 6 AS BIGINT)
+        |      + 1, 5) AS look,
         |    CASE WHEN "value" >= 50.0 THEN 1 ELSE 0 END AS r
         |  FROM events),
         |g AS (SELECT event_type, look, CAST(COUNT(*) AS BIGINT) AS n,

@@ -548,14 +548,18 @@ class EvalSpec extends SparkSpec {
         val want = math.rint((cx * 1000000L - 370000L * cn).toDouble /
           1e6 / math.sqrt(cn.toDouble * 0.2331) * 1e6) / 1e6
         assert(math.abs(z - want) <= 1e-6)
-        assert(zb == bounds(math.min(look, 5L)))
+        assert(look >= 1L && look <= 5L, s"look $look outside 1..5")
+        assert(zb == bounds(look))
         assert(cr == (math.abs(z) >= zb))
         if (first.isEmpty && cr) first = Some(look)
         assert(dec == first)
       }
     }
-    assert(bounds.values.toSeq == bounds.values.toSeq.sorted.reverse
-      || true) // documented: conservative early, nominal late
+    // conservative early, nominal late: the boundary sequence is
+    // strictly decreasing in look order
+    val seq = (1L to 5L).map(bounds)
+    assert(seq.zip(seq.tail).forall { case (a, b) => a > b },
+      s"boundaries not strictly decreasing: $seq")
   }
 
   test("bcubed: the contingency read-off replays from per-doc " +
