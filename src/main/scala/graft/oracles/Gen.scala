@@ -1082,12 +1082,14 @@ private[graft] object Gen {
       |      ORDER BY dfreq.df, sh.s) AS r,
       |    count(*) OVER (PARTITION BY sh.doc_id) AS n
       |  FROM sh JOIN dfreq USING (s)),
-      |pref AS (SELECT doc_id, s, n FROM ord
+      |pref AS (SELECT doc_id, s, n, r FROM ord
       |  WHERE r <= n - CAST(ceil(n * 0.5) AS BIGINT) + 1),
       |prefc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_prefix
       |  FROM (SELECT DISTINCT a.doc_id, b.doc_id
       |    FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
-      |      AND b.n >= a.n * 0.5 AND a.n >= b.n * 0.5)),
+      |      AND b.n >= a.n * 0.5 AND a.n >= b.n * 0.5
+      |      AND 1 + least(a.n - a.r, b.n - b.r) >=
+      |        CAST(ceil(greatest(a.n, b.n) * 0.5) AS BIGINT))),
       |probef AS (SELECT CAST(COALESCE(SUM(df * (df - 1) // 2), 0)
       |    AS BIGINT) AS n_probe_full FROM dfreq),
       |probep AS (SELECT CAST(COALESCE(SUM(df2 * (df2 - 1) // 2), 0)
