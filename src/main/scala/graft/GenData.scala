@@ -29,10 +29,27 @@ import org.apache.spark.sql.functions._
   *    `l_shipdate` 1..94 days after the order without a join.
   *  - ~2 % of orders carry no lineitem (referential audits need a
   *    non-degenerate orphan class); lines per order 0..7, avg ~3.9.
-  *  - `documents` draws from the same 31-word vocabulary (phrase /
-  *    collocation queries probe words like 'spark', 'scan'); ~0.8 %
-  *    of docs are exact copies and ~1.6 % near-copies of an earlier
-  *    doc (the dedup family needs both classes present).
+  *  - `documents` keeps the 31 probe words (phrase / collocation /
+  *    BM25 queries probe words like 'spark', 'scan') as the HEAD of a
+  *    Zipf(1) rank distribution whose vocabulary size follows Heaps'
+  *    law, V = ceil(30·√(total tokens)) — ~50k words at sf1.0. The
+  *    round-11 fixture drew uniformly from ONLY the 31 words, which
+  *    saturates the 3-gram shingle space (31³ = 29,791 shingles for
+  *    2.5M instances at sf1.0: every posting list hot, ~8 % of all
+  *    doc pairs sharing a shingle by the birthday bound) and
+  *    mis-measures the exact-similarity family's top-decade curves;
+  *    real corpora grow vocabulary by Heaps' law with Zipf-tailed
+  *    document frequencies, which this mode reproduces. The rank draw
+  *    is inverse-CDF: r = ⌊V^u⌋ gives P(r) ≈ 1/(r·ln V) — Zipf
+  *    exponent 1, so rank-1 'a' lands at ~9 % of tokens (a stopword)
+  *    and rank-25 'spark' at ~0.4 % — probe phrases stay hot enough
+  *    for the BM25/phrase fixtures at every sf. Tail ranks map to
+  *    letter-only synthetic words ('x' + digits→letters, e.g.
+  *    x1097 → 'xbajh') so tokenizer/quality heuristics see word-like
+  *    tokens. `--mode sat31` reproduces the round-11 31-word fixture
+  *    byte-for-byte (kept so the r11 artifacts stay replayable).
+  *    ~0.8 % of docs are exact copies and ~1.6 % near-copies of an
+  *    earlier doc (the dedup family needs both classes present).
   *  - `embeddings` are unit-norm 64-d floats in 10 label clusters
   *    (centroid + noise, then exact normalization).
   */
@@ -61,17 +78,20 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.map(_.toDouble).getOrElse(1.0)
     val outDir = args.lift(1).getOrElse("data/sf1.0")
+    val mode = args.lift(2).getOrElse("heaps")
+    require(mode == "heaps" || mode == "sat31", s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = Sessions.local(cpus, "graft-gendata",
       // INT96 keeps timestamps tz-naive for pyarrow/DuckDB, matching
       // the driver fixtures (see Verify's note on the hash compare)
       Map("spark.sql.parquet.outputTimestampType" -> "INT96"))
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, outDir)
+    generate(spark, sf, outDir, mode)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, sf: Double, outDir: String): Unit = {
+  def generate(spark: SparkSession, sf: Double, outDir: String,
+               mode: String = "heaps"): Unit = {
     val nCust = math.max(1, (150000 * sf).toLong)
     val nSupp = math.max(1, (10000 * sf).toLong)
     val nPart = math.max(1, (200000 * sf).toLong)
@@ -206,8 +226,32 @@ object GenData {
 
     // documents: ~0.8 % exact copies and ~1.6 % near copies of an
     // earlier doc (content_id redirects; a near copy swaps ~1 word in 9
-    // via a second hash stream), word salad from the shared vocabulary
+    // via a second hash stream), word salad from a Heaps-law Zipf
+    // vocabulary headed by the 31 probe words (mode=heaps, default)
+    // or from the 31 words uniformly (mode=sat31, the round-11 form)
     val vocabArr = s"array(${vocab.map("'" + _ + "'").mkString(",")})"
+    // Heaps' law: V = ceil(K·n^β) with K=30, β=1/2 over the expected
+    // token mass (n_words averages 8 + 95/2 = 55.5) — ~50k words at
+    // sf1.0, ~5k at sf0.01, never below 2× the probe head
+    val vHeaps = math.max(62L,
+      math.ceil(30.0 * math.sqrt(nDoc * 55.5)).toLong)
+    // Zipf(1) by inverse CDF: u in (0,1) from the hash (half-open
+    // +0.5 offset keeps u>0 so pow>=1), rank r = floor(V^u) in
+    // [1, V-1], P(r) = ln(1+1/r)/ln(V) ~ 1/(r ln V); ranks 1..31 are
+    // the probe vocabulary, the tail is 'x'+digits->letters
+    def word(seed: String, salt: Int): String =
+      if (mode == "sat31")
+        s"element_at($vocabArr, cast(pmod(xxhash64($seed, i, ${salt}L), " +
+          s"31L) as int) + 1)"
+      else {
+        val rank = s"cast(pow(${vHeaps}.0d, " +
+          s"(pmod(xxhash64($seed, i, ${salt}L), 1000000L) + 0.5d) " +
+          s"/ 1000000.0d) as bigint)"
+        s"case when $rank <= 31 then " +
+          s"element_at($vocabArr, cast($rank as int)) " +
+          s"else concat('x', translate(cast($rank as string), " +
+          s"'0123456789', 'abcdefghij')) end"
+      }
     writeOne(spark.range(0, nDoc, 1, par)
       .selectExpr("id as doc_id",
         s"${m("id", 32, 500)} as dup_draw",
@@ -222,10 +266,8 @@ object GenData {
       .selectExpr("doc_id",
         s"array_join(transform(sequence(1, cast(n_words as int)), i -> " +
           s"case when mutate = 1 and pmod(i, 9) = 0 then " +
-          s"element_at($vocabArr, cast(pmod(xxhash64(doc_id, i, 35L), 31L)" +
-          s" as int) + 1) else " +
-          s"element_at($vocabArr, cast(pmod(xxhash64(content_id, i, 36L), " +
-          s"31L) as int) + 1) end), ' ') as text",
+          s"${word("doc_id", 35)} else " +
+          s"${word("content_id", 36)} end), ' ') as text",
         s"case when ${m("doc_id", 37, 20)} < 8 then 'en' " +
           s"when ${m("doc_id", 37, 20)} < 11 then 'de' " +
           s"when ${m("doc_id", 37, 20)} < 14 then 'es' " +

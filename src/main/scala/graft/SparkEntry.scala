@@ -419,6 +419,13 @@ object SparkEntry {
     // weighted SSSP: 3 Bellman-Ford relaxation rounds, integer edge
     // lengths 1e6 div sup; exact ≤-3-edge shortest distances
     "graph_sssp" -> ((s, d) => Graph.sssp(s, d)),
+    // sampled-subgraph companions (round-12, verdict ask #2): the
+    // SAME bounded-round operators over the deterministic ¼-node
+    // induced subgraph — their closure oracles stay replayable at
+    // sf1.0, where the full graph's are prohibitive-excluded
+    "graph_kcore_sample" -> ((s, d) => Graph.kcoreSample(s, d)),
+    "graph_bfs_hops_sample" -> ((s, d) => Graph.bfsHopsSample(s, d)),
+    "graph_modularity_sample" -> ((s, d) => Graph.modularitySample(s, d)),
     // §2.2 sinks (write → read-back round trips)
     "sink_csv_roundtrip" -> (Sinks.csvRoundTrip _),
     "sink_json_archive" -> (Sinks.jsonArchive _),
@@ -557,6 +564,10 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Assertions.simhashPairsRecall _),
     "dedup_cosine" -> (Similarity.cosineNearDup _),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
+    // in-plan conservation laws over the FULL pair graph (round-12):
+    // cross-label edges / label>member / rootless labels, all 0 —
+    // the CC gate that holds where a closure replay is prohibitive
+    "dedup_cc_invariants" -> (Dedup.ccInvariants _),
     "graph_triangles" -> (Graph.triangleCount _),
     "graph_clustering_coeff" -> (Graph.clusteringCoeff _),
     // resource-allocation link prediction: integer 1e6 div deg(w)

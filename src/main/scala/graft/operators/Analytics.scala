@@ -1933,10 +1933,23 @@ object Analytics {
         sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
       .select(col("event_type"), col("n"), col("n_treat"),
         (col("n") - col("n_treat")).as("n_ctrl"),
-        expr("(n * sxx - sx * sx)").as("var_num"),
-        expr("round(cast(n * sxx - sx * sx as double) /" +
+        // n·sxx − sx² in DECIMAL(38,0): the int64 form silently wraps
+        // once n per type passes ~5.4e6 at value<=560 (n²·560² hits
+        // 2⁶³) — a decade or two above the gate sf but inside the
+        // 100 TB design envelope. The oracle's twin is HUGEINT with
+        // the VARCHAR hop for its double conversion (DuckDB's
+        // int128→double double-rounds past 2⁵³); Spark's
+        // Decimal.toDouble is correctly rounded natively.
+        expr("cast(cast(n as decimal(20,0)) * cast(sxx as decimal(20,0))" +
+          " - cast(sx as decimal(20,0)) * cast(sx as decimal(20,0))" +
+          " as decimal(38,0))").as("var_num"),
+        expr("round(cast(cast(n as decimal(20,0)) *" +
+          " cast(sxx as decimal(20,0)) - cast(sx as decimal(20,0)) *" +
+          " cast(sx as decimal(20,0)) as double) /" +
           " (cast(n as double) * cast(n - 1 as double)), 6)").as("s2"),
-        expr("round(2.801585 * sqrt(round(cast(n * sxx - sx * sx as" +
+        expr("round(2.801585 * sqrt(round(cast(cast(n as decimal(20,0))" +
+          " * cast(sxx as decimal(20,0)) - cast(sx as decimal(20,0)) *" +
+          " cast(sx as decimal(20,0)) as" +
           " double) / (cast(n as double) * cast(n - 1 as double)), 6))" +
           " * sqrt(2.0 / cast(least(n_treat, n - n_treat) as double))," +
           " 6)").as("mde"))

@@ -726,6 +726,57 @@ object Dedup {
       .orderBy("split")
   }
 
+  /** Connected-component conservation laws, proved IN-PLAN over the
+    * FULL pair graph (round-12, verdict ask #2): the invariant gate
+    * that stays checkable at scale factors where a recursive-CTE
+    * closure replay is prohibitive — and at 100 TB, where no oracle
+    * exists at all. Three violation counts, each 0 for a correct
+    * min-label fixpoint:
+    *
+    *  - `n_cross_label_edges`: edges whose endpoints carry different
+    *    labels — nonzero means the fixpoint stopped early (a split
+    *    component). This is exactly the idempotence law: one more
+    *    propagation round changes nothing iff every edge is
+    *    label-consistent.
+    *  - `n_label_above_member`: docs labeled above their own id —
+    *    the min-label contract caps every label at the component min.
+    *  - `n_rootless_labels`: label values that are not themselves a
+    *    doc labeled by itself — every cluster's representative must
+    *    be a self-labeled member (the pointer-doubling invariant that
+    *    shortcutting preserves).
+    *
+    * Together: labels are constant on components, bounded by the
+    * member min, and rooted at a real member. (Over-MERGE of two
+    * disjoint components is not locally certifiable without a
+    * spanning-forest witness — that direction is covered by the exact
+    * closure oracle at the sfs where it fits, and by CCStarSpec's
+    * structural equality of two independent fixpoint algorithms.)
+    * Cost: the pooled labels + one labels⋈pairs join — nothing the
+    * cluster queries don't already pay.
+    */
+  def ccInvariants(s: SparkSession, dir: String): DataFrame = {
+    val labels = ccLabels(s, dir)
+    val pairs = jaccardPairs(s, dir).select("doc_a", "doc_b")
+    val cross = pairs
+      .join(labels.select(col("doc_id").as("doc_a"),
+        col("label").as("lbl_a")), "doc_a")
+      .join(labels.select(col("doc_id").as("doc_b"),
+        col("label").as("lbl_b")), "doc_b")
+      .agg(coalesce(sum(when(col("lbl_a") =!= col("lbl_b"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_cross_label_edges"))
+    val aboveMin = labels
+      .agg(coalesce(sum(when(col("label") > col("doc_id"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_label_above_member"))
+    val rootless = labels.select(col("label")).distinct()
+      .join(labels.filter(col("doc_id") === col("label"))
+        .select(col("label").as("root_lbl")),
+        col("label") === col("root_lbl"), "left_anti")
+      .agg(count(lit(1)).as("n_rootless_labels"))
+    val nDocs = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs.crossJoin(cross).crossJoin(aboveMin).crossJoin(rootless)
+  }
+
   /** nearDupClusters through the star alternation — identical output
     * contract (and DuckDB oracle); the variant a caller picks when
     * the pair graph's edges vastly outnumber its nodes.

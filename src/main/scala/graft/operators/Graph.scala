@@ -313,14 +313,21 @@ object Graph {
     * |communities| rows. The label build pools under its own tag.
     */
   def modularity(s: SparkSession, dir: String,
-      iterations: Int = 3): DataFrame = {
-    val und = pooledWeighted(s, dir)
+      iterations: Int = 3): DataFrame =
+    modularityCore(s, pooledWeighted(s, dir),
+      s"graph.lpaUni:$dir:$iterations", iterations)
+
+  /** The LPA + modularity readout over any weighted undirected edge
+    * set (a, b, sup) — shared by the full co-purchase graph and the
+    * sampled-subgraph companion; `lpaKey` pools the label rounds.
+    */
+  private def modularityCore(s: SparkSession, und: DataFrame,
+      lpaKey: String, iterations: Int): DataFrame = {
     val edges = und.select(col("a").as("src"), col("b").as("dst"),
         col("sup").as("w"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst"),
         col("sup").as("w")))
-    val lbl = graft.CachePool.cached(s,
-        s"graph.lpaUni:$dir:$iterations") {
+    val lbl = graft.CachePool.cached(s, lpaKey) {
       lpaRounds(edges, iterations)
     }.select(col("node"), col("community"))
     val byComm = edges.groupBy("src").agg(sum(col("w")).as("k"))
@@ -395,6 +402,58 @@ object Graph {
     graft.CachePool.cached(s, s"graph.coPurchase:$dir") {
       coPurchaseWeighted(s, dir)
     }
+
+  /** Deterministic ¼-node induced subgraph of the co-purchase graph
+    * (both endpoints ≡ 0 mod 4) — the sampled-replay substrate for
+    * the third-decade gate (round-12, closing the round-11 sf1.0
+    * exclusions): the FULL graph's bounded-round oracles are
+    * prohibitive for a single-node recursive replay at sf1.0 (DuckDB
+    * needs >64 GB RAM or >46 GiB spill on the 160k-node graph), but
+    * the same operator code over the induced subgraph replays in
+    * seconds at every sf. Filtering the support-pruned EDGE set on
+    * its endpoints equals inducing on sampled nodes with unchanged
+    * edge supports (dropping other parts can't change how often two
+    * surviving parts co-occur), so the companion queries run exactly
+    * the production operator on a smaller graph — same rounds, same
+    * data-relative thresholds, same total orders — not a variant
+    * algorithm. Node ids are l_partkey hash-draws, so id mod 4 is an
+    * unbiased ~1/16 edge sample.
+    */
+  private def sampledWeighted(s: SparkSession, dir: String): DataFrame =
+    pooledWeighted(s, dir)
+      .filter(pmod(col("a"), lit(4)) === 0 && pmod(col("b"), lit(4)) === 0)
+
+  /** kcore over the sampled subgraph (see sampledWeighted): gates the
+    * peel's exact bounded unrolling at scale factors where the full
+    * graph's oracle is prohibitive. k is re-derived from the SAMPLED
+    * graph's own degree median — the operator's data-relative
+    * threshold contract, exercised end-to-end.
+    */
+  def kcoreSample(s: SparkSession, dir: String, rounds: Int = 3)
+      : DataFrame =
+    graft.CachePool.cached(s, s"graph.kcoreSample:$dir:$rounds") {
+      val und = sampledWeighted(s, dir)
+      val sym = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      kcoreEdges(sym, rounds)
+    }
+
+  /** BFS over the sampled subgraph — same seed convention
+    * (node % 50 == 0) and level-synchronous rounds as bfsHops.
+    */
+  def bfsHopsSample(s: SparkSession, dir: String, rounds: Int = 3)
+      : DataFrame =
+    graft.CachePool.cached(s, s"graph_bfsSample:$dir:$rounds") {
+      bfsHopsEdges(sampledWeighted(s, dir).select("a", "b"), rounds)
+    }
+
+  /** LPA + modularity over the sampled subgraph — the same lpaRounds
+    * and readout as modularity, pooled under its own key.
+    */
+  def modularitySample(s: SparkSession, dir: String,
+      iterations: Int = 3): DataFrame =
+    modularityCore(s, sampledWeighted(s, dir),
+      s"graph.lpaUniSample:$dir:$iterations", iterations)
 
   /** Global clustering coefficient: 3·triangles / wedges — how much
     * of the graph's open-wedge structure actually closes (the

@@ -944,8 +944,14 @@ object Pipelines {
       .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("segment"), col("n_rows"),
-        floor(sqrt(expr("(n_rows * sxx - sx * sx) div" +
-          " greatest(n_rows * (n_rows - 1), 1)")))
+        // DECIMAL(20,0) moments like powerMde: n·sxx − sx² in int64
+        // wraps at n_h ≈ 9.6e6 per stratum (|x| <= 1e4); the quotient
+        // is a per-row variance, so it drops back to BIGINT for the
+        // isqrt. Oracle twin widens through HUGEINT.
+        floor(sqrt(expr("(cast(n_rows as decimal(20,0)) *" +
+          " cast(sxx as decimal(20,0)) - cast(sx as decimal(20,0)) *" +
+          " cast(sx as decimal(20,0))) div" +
+          " greatest(cast(n_rows as decimal(20,0)) * (n_rows - 1), 1)")))
           .cast("long").as("sd_est"))
       .withColumn("w", col("n_rows") * col("sd_est"))
     val tot = strata.agg(greatest(sum(col("w")), lit(1L)).as("sum_w"))

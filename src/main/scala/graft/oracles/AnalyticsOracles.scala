@@ -905,8 +905,10 @@ private[graft] object AnalyticsOracles {
         |  s_t // n_treat - s_c // n_ctrl AS effect_micro
         |FROM g""".stripMargin,
     "agg_power_mde" ->
-      // exact BIGINT moments; the z-sum 1.959964 + 0.841621 is the
-      // same precomputed literal 2.801585; sqrt inputs are identical
+      // exact BIGINT moments, HUGEINT variance numerator (int64
+      // wraps at n ≈ 5.4e6 per type) with the VARCHAR hop for its
+      // double conversion; the z-sum 1.959964 + 0.841621 is the same
+      // precomputed literal 2.801585; sqrt inputs are identical
       // rounded doubles on both engines (see Analytics.powerMde)
       """WITH e AS (SELECT event_type,
         |    ((user_id % 2147483648) * 2654435761) % 100 < 50 AS tr,
@@ -918,20 +920,23 @@ private[graft] object AnalyticsOracles {
         |    CAST(SUM(x * x) AS BIGINT) AS sxx
         |  FROM e GROUP BY 1)
         |SELECT event_type, n, n_treat, n - n_treat AS n_ctrl,
-        |  n * sxx - sx * sx AS var_num,
-        |  round(CAST(n * sxx - sx * sx AS DOUBLE) /
+        |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |    AS var_num,
+        |  round(CAST(CAST(CAST(n AS HUGEINT) * sxx -
+        |      CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) /
         |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS s2,
-        |  round(2.801585 * sqrt(round(CAST(n * sxx - sx * sx
-        |      AS DOUBLE) /
+        |  round(2.801585 * sqrt(round(CAST(CAST(CAST(n AS HUGEINT) *
+        |      sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) /
         |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)) *
         |    sqrt(2.0 / CAST(least(n_treat, n - n_treat) AS DOUBLE)), 6)
         |    AS mde
         |FROM m ORDER BY event_type""".stripMargin,
     "p_neyman_alloc" ->
-      // exact per-stratum BIGINT moments, isqrt σ, floor allocation
-      // and largest-remainder top-up ranked by a constant-size self
-      // join (see Pipelines.neymanAlloc; all divisors clamped, all
-      // operands of // non-negative)
+      // exact per-stratum moments (HUGEINT variance numerator — the
+      // int64 twin wraps at n_h ≈ 9.6e6 per stratum), isqrt σ, floor
+      // allocation and largest-remainder top-up ranked by a
+      // constant-size self join (see Pipelines.neymanAlloc; all
+      // divisors clamped, all operands of // non-negative)
       """WITH s AS (SELECT c_mktsegment AS segment,
         |    CAST(round(c_acctbal) AS BIGINT) AS x FROM customer),
         |m AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -939,8 +944,10 @@ private[graft] object AnalyticsOracles {
         |    CAST(SUM(x * x) AS BIGINT) AS sxx
         |  FROM s GROUP BY 1),
         |sd AS (SELECT segment, n_rows,
-        |    CAST(floor(sqrt(CAST((n_rows * sxx - sx * sx) //
-        |      greatest(n_rows * (n_rows - 1), 1) AS DOUBLE)))
+        |    CAST(floor(sqrt(CAST((CAST(n_rows AS HUGEINT) * sxx -
+        |      CAST(sx AS HUGEINT) * sx) //
+        |      greatest(CAST(n_rows AS HUGEINT) * (n_rows - 1), 1)
+        |      AS DOUBLE)))
         |      AS BIGINT) AS sd_est
         |  FROM m),
         |w AS (SELECT segment, n_rows, sd_est,
@@ -965,8 +972,11 @@ private[graft] object AnalyticsOracles {
         |FROM rk, l ORDER BY segment""".stripMargin,
     "p_psm" ->
       // same caliper bucket join and (dist, control_id) 1-NN total
-      // order; att_micro emulates Spark's toward-zero div on the
-      // possibly-negative numerator (see Pipelines.psm)
+      // order; att_micro AND both bkt expressions emulate Spark's
+      // toward-zero div on possibly-negative operands (x, xt >= 0 on
+      // this fixture, but a negative pre-period sum would otherwise
+      // silently shift the caliper candidate sets: // floors, div
+      // truncates) (see Pipelines.psm)
       """WITH per AS (SELECT user_id,
         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
         |      THEN CAST(round("value") AS BIGINT) ELSE 0 END)
@@ -981,8 +991,11 @@ private[graft] object AnalyticsOracles {
         |t AS (SELECT user_id AS t_user, x AS xt, y AS yt FROM pt
         |  WHERE tr),
         |c AS (SELECT user_id AS c_user, x AS xc, y AS yc,
-        |    x // 50 AS bkt FROM pt WHERE NOT tr),
-        |cand AS (SELECT t_user, xt, yt, (xt // 50) + off AS bkt
+        |    CASE WHEN x < 0 THEN -((-x) // 50) ELSE x // 50 END
+        |      AS bkt FROM pt WHERE NOT tr),
+        |cand AS (SELECT t_user, xt, yt,
+        |    (CASE WHEN xt < 0 THEN -((-xt) // 50) ELSE xt // 50 END)
+        |      + off AS bkt
         |  FROM t, (SELECT unnest([-1, 0, 1]) AS off) o),
         |j AS (SELECT cd.t_user, cd.xt, cd.yt, c.c_user, c.xc, c.yc,
         |    abs(c.xc - cd.xt) AS d

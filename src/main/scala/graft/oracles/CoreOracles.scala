@@ -271,21 +271,31 @@ private[graft] object CoreOracles {
         |FROM resolved r JOIN cs USING (canonical_name)
         |ORDER BY r.name""".stripMargin,
     "p_pit_lookup" ->
-      // the scd2 interval table rebuilt, then a key-equi + interval-
-      // residual left join: at most one version covers each ship date
+      // the scd2 interval table rebuilt, then the covering version by
+      // ASOF join (round-12: the equi+interval-residual left-join
+      // form exceeded 1500 s in DuckDB at sf1.0 — the planner ran the
+      // interval residual as a per-cust nested loop; ASOF is the
+      // merge-based equivalent, 55x faster at sf0.01 and seconds at
+      // sf1.0). Equivalence: non-empty scd2 intervals tile
+      // [min valid_from, inf) contiguously per cust, so the covering
+      // version IS the greatest valid_from <= shipdate; empty
+      // intervals (tied valid_from, where lead() returns the same
+      // date) are dropped first, which also makes (cust_id,
+      // valid_from) unique — ASOF's pick is then deterministic
       """WITH scd AS (SELECT o_custkey AS cust_id,
         |    o_orderpriority AS attr, o_orderdate AS valid_from,
         |    lead(o_orderdate) OVER (PARTITION BY o_custkey
         |      ORDER BY o_orderdate, o_orderkey) AS valid_to
         |  FROM orders),
+        |nz AS (SELECT * FROM scd
+        |  WHERE valid_to IS NULL OR valid_from < valid_to),
         |pr AS (SELECT l.l_orderkey, l.l_linenumber,
         |    o.o_custkey AS cust_id, l.l_shipdate
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
         |SELECT pr.l_orderkey, pr.l_linenumber, pr.cust_id, pr.l_shipdate,
-        |  COALESCE(scd.attr, 'Not_Found') AS attr_at_ship
-        |FROM pr LEFT JOIN scd ON pr.cust_id = scd.cust_id
-        |  AND scd.valid_from <= pr.l_shipdate
-        |  AND (scd.valid_to IS NULL OR pr.l_shipdate < scd.valid_to)
+        |  COALESCE(nz.attr, 'Not_Found') AS attr_at_ship
+        |FROM pr ASOF LEFT JOIN nz ON pr.cust_id = nz.cust_id
+        |  AND nz.valid_from <= pr.l_shipdate
         |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
     "p_scd2" ->
       """SELECT cust_id, version_key, attr, valid_from, valid_to,

@@ -113,6 +113,17 @@ private[graft] object DedupOracles {
          | true AS neardup_hamming_ok, true AS all_docs_signed
          |FROM ($ngramPairSql) t""".stripMargin,
     "dedup_clusters" -> ccClustersOracle,
+    // conservation-law assertion (round-12): the violation counts are
+    // computed IN-PLAN over the full pair graph and labels — the
+    // oracle states the laws (all three counts 0) plus the cheap
+    // corpus count, so this gate runs in milliseconds at ANY sf,
+    // including the decades where the closure replay is prohibitive
+    "dedup_cc_invariants" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+        |    AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_cross_label_edges,
+        |  CAST(0 AS BIGINT) AS n_label_above_member,
+        |  CAST(0 AS BIGINT) AS n_rootless_labels""".stripMargin,
     "dedup_bcubed" -> bcubedOracle,
     "dedup_keep_best" -> keepBestOracle,
     // the star-alternation variant computes the SAME clusters

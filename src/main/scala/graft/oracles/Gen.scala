@@ -113,13 +113,19 @@ private[graft] object Gen {
     * the degree/in-weight rollup and the S·sym_in − d² identity;
     * the final division is the same IEEE op.
     */
-  def modularityOracle(iters: Int): String = {
+  def modularityOracle(iters: Int, sample: Boolean = false): String = {
+    // sample=true: the ¼-node induced subgraph (both endpoints ≡ 0
+    // mod 4) — see Graph.sampledWeighted; supports are unchanged by
+    // induction, so filtering the support-pruned edges is exact
+    val sampleFilter =
+      if (sample) "\nWHERE a % 4 = 0 AND b % 4 = 0" else ""
     val base =
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
-        |ed AS (SELECT x.pk AS a, y.pk AS b, count(*) AS sup FROM li x
+        |ed AS (SELECT * FROM (SELECT x.pk AS a, y.pk AS b,
+        |    count(*) AS sup FROM li x
         |  JOIN li y ON x.ok = y.ok AND x.pk < y.pk
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)$sampleFilter),
         |edges AS (SELECT a AS src, b AS dst, sup AS w FROM ed
         |  UNION ALL SELECT b, a, sup FROM ed),
         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""

@@ -13,6 +13,69 @@ private[graft] object GraphOracles {
     "graph_ppr" -> pprOracle(3),
     "graph_label_prop" -> lpaOracle(3),
     "graph_modularity" -> modularityOracle(3),
+    "graph_modularity_sample" -> modularityOracle(3, sample = true),
+    // sampled-subgraph companions (round-12): identical unrollings
+    // over the ¼-node induced subgraph (a % 4 = 0 AND b % 4 = 0 on
+    // the support-pruned edge set, whose supports induction cannot
+    // change) — replayable at sf1.0 where the full-graph closure is
+    // a prohibitive-oracle exclusion
+    "graph_kcore_sample" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ed AS (SELECT * FROM (SELECT x.pk AS a, y.pk AS b FROM li x
+        |  JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |  WHERE a % 4 = 0 AND b % 4 = 0),
+        |e0 AS (SELECT a AS src, b AS dst FROM ed
+        |  UNION ALL SELECT b, a FROM ed),
+        |d0 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+        |dc AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d0 GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d0),
+        |cum AS (SELECT l.deg, CAST(SUM(r.cnt) AS BIGINT) AS cum
+        |  FROM dc l JOIN dc r ON r.deg <= l.deg GROUP BY 1),
+        |kk AS (SELECT MIN(deg) + 1 AS k FROM cum, nn
+        |  WHERE cum >= (n + 1) // 2),
+        |d1 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+        |k1 AS (SELECT src FROM d1, kk WHERE deg >= k),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |  JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+        |d2 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY 1),
+        |k2 AS (SELECT src FROM d2, kk WHERE deg >= k),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |  JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+        |d3 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1),
+        |k3 AS (SELECT src FROM d3, kk WHERE deg >= k),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |  JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+        |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM e3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_bfs_hops_sample" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ed AS (SELECT * FROM (SELECT x.pk AS a, y.pk AS b FROM li x
+        |  JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |  WHERE a % 4 = 0 AND b % 4 = 0),
+        |sym AS (SELECT a AS src, b AS dst FROM ed
+        |  UNION ALL SELECT b, a FROM ed),
+        |f0 AS (SELECT DISTINCT src AS node FROM sym WHERE src % 50 = 0),
+        |f1 AS (SELECT DISTINCT e.dst AS node FROM sym e
+        |  JOIN f0 ON e.src = f0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM f0)),
+        |v1 AS (SELECT node FROM f0 UNION ALL SELECT node FROM f1),
+        |f2 AS (SELECT DISTINCT e.dst AS node FROM sym e
+        |  JOIN f1 ON e.src = f1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT node FROM v1 UNION ALL SELECT node FROM f2),
+        |f3 AS (SELECT DISTINCT e.dst AS node FROM sym e
+        |  JOIN f2 ON e.src = f2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM v2))
+        |SELECT node, CAST(0 AS INT) AS dist FROM f0
+        |UNION ALL SELECT node, 1 FROM f1
+        |UNION ALL SELECT node, 2 FROM f2
+        |UNION ALL SELECT node, 3 FROM f3
+        |ORDER BY node""".stripMargin,
     "graph_local_cc" ->
       // independent path: direct a<b<c triangle enumeration
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

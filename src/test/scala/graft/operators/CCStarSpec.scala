@@ -92,4 +92,16 @@ class CCStarSpec extends SparkSpec {
     assert(star(33L) == 10L && star(11L) == 10L)
     assert(star(70L) == 70L && star(71L) == 70L)
   }
+
+  test("ccInvariants: the in-plan conservation laws hold on the " +
+    "fixture corpus — all three violation counts zero, n_docs exact") {
+    val r = Dedup.ccInvariants(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(row.getAs[Long]("n_docs") == nDocs)
+    assert(row.getAs[Long]("n_cross_label_edges") == 0L)
+    assert(row.getAs[Long]("n_label_above_member") == 0L)
+    assert(row.getAs[Long]("n_rootless_labels") == 0L)
+  }
 }

@@ -411,7 +411,8 @@ class EvalSpec extends SparkSpec {
     "z-sum formula on the conservative arm size") {
     val rows = Analytics.powerMde(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+        r.getLong(3), BigInt(r.getDecimal(4).toBigInteger),
+        r.getDouble(5), r.getDouble(6)))
     assert(rows.nonEmpty)
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"), col("value")).collect()
@@ -424,7 +425,9 @@ class EvalSpec extends SparkSpec {
         (e._2 % 2147483648L) * 2654435761L % 100L < 50L)
       assert(nT == rep && nC == n - rep)
       val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
-      assert(varNum == n * sxx - sx * sx)
+      // widened replay: the decimal(38,0) var_num must equal the
+      // arbitrary-precision product, not the int64-wrapped one
+      assert(varNum == BigInt(n) * BigInt(sxx) - BigInt(sx) * BigInt(sx))
       val s2rep = math.rint(varNum.toDouble / (n.toDouble * (n - 1).toDouble)
         * 1e6) / 1e6
       assert(s2 == s2rep)

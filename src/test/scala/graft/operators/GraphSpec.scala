@@ -219,6 +219,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("sampled companions: the ¼-node induced subgraph drives the " +
+    "SAME operators — kcoreSample equals kcoreEdges on the hand-" +
+    "filtered edge set, and every emitted node is a sampled node") {
+    val e = Graph.coPurchaseEdges(spark, sfDir)
+      .filter(pmod(col("a"), lit(4)) === 0 && pmod(col("b"), lit(4)) === 0)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val kc = Graph.kcoreSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val manual = Graph.kcoreEdges(sym, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(kc.toSeq == manual.toSeq)
+    assert(kc.forall(_._1 % 4 == 0))
+    val bf = Graph.bfsHopsSample(spark, sfDir).collect()
+    assert(bf.nonEmpty && bf.forall(_.getLong(0) % 4 == 0))
+    // the induced subgraph is a SUBSET of the full graph, so sampled
+    // BFS distances can never undercut the full graph's (fewer paths)
+    val full = Graph.bfsHops(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    bf.foreach { r =>
+      val (n, d) = (r.getLong(0), r.getInt(1))
+      full.get(n).foreach(fd => assert(d >= fd,
+        s"node $n sampled dist $d < full dist $fd"))
+    }
+    val md = Graph.modularitySample(spark, sfDir).collect()
+    assert(md.nonEmpty && md.forall(_.getLong(0) % 4 == 0))
+  }
+
   test("itemCf: top-5 lists equal a sequential recompute of the cos² " +
     "ppm law; scores bounded by 1e6; lists symmetric in the pair set") {
     val out = Graph.itemCf(spark, sfDir).collect()

@@ -188,8 +188,15 @@ def main(sf_dir, out_dir, artifact=None, timeout=None, resume=False,
             excluded[name] = reason
             record(name, f"excluded: {reason}"); continue
         if err is not None and ("Out of Memory" in err
-                                or "No space left on device" in err
-                                or "space in temporary directory" in err):
+                                # DuckDB's own spill-exhaustion texts
+                                # only: a raw ENOSPC from any other
+                                # source (disk filled by an unrelated
+                                # process) stays an investigable FAIL
+                                # rather than a recorded exclusion
+                                or "space in temporary directory" in err
+                                or "max_temp_directory_size" in err
+                                or ("No space left on device" in err
+                                    and "/spill" in err)):
             # prohibitive-oracle class, like a timeout: DuckDB could not
             # hold the replay at this sf — an explicit exclusion, not a
             # wrong answer (the sf1.0 run surfaced this on the graph

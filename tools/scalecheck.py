@@ -21,34 +21,43 @@ import sys
 # Queries whose superlinear growth is the MEASURED QUANTITY, not a
 # plan defect — each with the reason it is intended (the PlanAudit
 # allowlist discipline). Still printed, never silently dropped.
+#
+# KEYED BY (query, metric) (round-11 ADVICE): each entry names the
+# exact slope fields it suppresses, so an allowlisted query's OTHER
+# decades stay gated — a genuine plan regression in, say, the
+# sf0.001->0.1 base decades of a query whose only documented artifact
+# was a top-decade fixture effect must still fail. "metrics": None
+# means all metrics (reserved for diagnostic queries whose measured
+# quantity IS the blowup at every decade).
 ALLOW = {
-    "dedup_prefix_stats":
-        "diagnostic query: n_cand_full IS the full inverted index's "
-        "superlinear candidate blowup (measured ss 1.69) that prefix "
-        "filtering exists to avoid — the production operator "
-        "dedup_prefix_jaccard holds shuffle_slope 0.98 in this same "
-        "artifact",
-    # The two entries below flag only on the sf0.1 -> sf1.0 TOP decade
-    # of the builder-generated fixture, where the driver-convention
-    # 31-word vocabulary SATURATES its 3-gram shingle space (31^3 =
-    # 29,791 possible shingles for 2.5M shingle instances at sf1.0:
-    # every shingle is hot, so any two docs share one by the birthday
-    # bound — 107M full-index candidates for 398 true pairs). Real
-    # corpora grow vocabulary by Heaps' law and keep shingle df Zipf-
-    # tailed, which is the regime the operators' slopes <= 1.0 at the
-    # driver sfs measure. Root fix queued: give GenData a Heaps tail
-    # beyond the 31 probe words and re-measure. The PPJoin positional
-    # filter (round 11) already cuts the saturated-regime candidates
-    # 4x and the sf1.0 wall 3x, exactness spec-pinned.
-    "dedup_prefix_jaccard":
-        "top-decade flag is fixture shingle-space saturation (31-word "
-        "vocab => 30k possible shingles), not plan growth; sf0.001-0.1 "
-        "slopes <= 1.0; positional filter landed, Heaps-vocab fixture "
-        "fix queued",
-    "text_phrase_search":
-        "same saturation artifact: every 3-gram posting list is hot "
-        "at sf1.0 under the 31-word fixture vocabulary; sf0.001-0.1 "
-        "slopes <= 1.0",
+    "dedup_prefix_stats": {
+        "metrics": None,
+        "reason":
+            "diagnostic query: n_cand_full IS the full inverted "
+            "index's superlinear candidate blowup (measured ss 1.69) "
+            "that prefix filtering exists to avoid — the production "
+            "operator dedup_prefix_jaccard holds shuffle_slope 0.98 "
+            "in this same artifact"},
+    # Top-decade-only entries (retire once the Heaps-vocab fixture's
+    # re-measured SCALE.json lands): the sf0.1->sf1.0 flags were the
+    # 31-word fixture's shingle-space saturation (31^3 = 29,791
+    # possible shingles for 2.5M instances — every posting list hot),
+    # not plan growth; base-decade metrics stay GATED.
+    "dedup_prefix_jaccard": {
+        "metrics": {"time_slope3", "shuffle_slope3",
+                    "time_slope_top", "shuffle_slope_top"},
+        "reason":
+            "top-decade flag is fixture shingle-space saturation "
+            "(31-word vocab => 30k possible shingles), not plan "
+            "growth; sf0.001-0.1 slopes <= 1.0; positional filter "
+            "landed, Heaps-vocab fixture re-measure in flight"},
+    "text_phrase_search": {
+        "metrics": {"time_slope3", "shuffle_slope3",
+                    "time_slope_top", "shuffle_slope_top"},
+        "reason":
+            "same saturation artifact: every 3-gram posting list is "
+            "hot at sf1.0 under the 31-word fixture vocabulary; "
+            "sf0.001-0.1 slopes <= 1.0"},
 }
 
 
@@ -96,14 +105,29 @@ def main(path, threshold=1.3):
                 reasons.append(f"{k} {v:.2f}")
         if reasons:
             flagged.append((name, q, reasons))
-    allowed = [(n, q, r) for n, q, r in flagged if n in ALLOW]
-    flagged = [(n, q, r) for n, q, r in flagged if n not in ALLOW]
+    # per-metric allowlist split: a query stays flagged if ANY of its
+    # flagged metrics is outside its ALLOW entry's metric set
+    allowed, still = [], []
+    for n, q, r in flagged:
+        ent = ALLOW.get(n)
+        if ent is None:
+            still.append((n, q, r))
+            continue
+        ok = ent["metrics"]
+        covered = [x for x in r if ok is None or x.split()[0] in ok]
+        residual = [x for x in r if not (ok is None or x.split()[0] in ok)]
+        if covered:
+            allowed.append((n, q, covered))
+        if residual:
+            still.append((n, q, residual))
+    flagged = still
     print(f"{len(qs)} queries measured ({n3} with two-decade curves, "
           f"{n4} with three-decade curves); "
           f"{len(flagged)} superlinear beyond {threshold} "
           f"({len(allowed)} allowlisted)")
     for name, _, reasons in allowed:
-        print(f"  allowlisted {name} ({', '.join(reasons)}): {ALLOW[name]}")
+        print(f"  allowlisted {name} ({', '.join(reasons)}): "
+              f"{ALLOW[name]['reason']}")
     if art.get("failed"):
         print(f"failed to run: {art['failed']}")
     if not flagged:
