@@ -46,6 +46,23 @@ object Scale {
       "text_dup_coverage", "sim_mmr_rerank", "dq_skew_gini",
       "geo_cell_join")
 
+  /** Documents-table heavy queries ALSO measured on the builder's
+    * Heaps-vocabulary fixtures (data/sf0.01 → data/sf0.1 →
+    * data/sf1.0) when those exist — a SAME-REGIME two-decade curve
+    * (round 12). The driver fixtures draw document words uniformly
+    * from 31 words, which saturates the 3-gram shingle space as sf
+    * grows (every posting list hot by sf1.0); the heavy 4-point curve
+    * therefore crosses a fixture-regime change at its top decade once
+    * data/sf1.0 became Heaps-distributed. The `*_h` fields keep the
+    * text family's growth measurement inside ONE realistic regime;
+    * the driver-anchored sf0.01→sf0.1 slope stays the cross-round
+    * comparable number.
+    */
+  def heapsSet: Set[String] = Set(
+    "dedup_winnow_pairs", "dedup_prefix_stats", "dedup_prefix_jaccard",
+    "text_phrase_search", "text_repetition", "text_vocab_growth",
+    "text_dup_coverage")
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sfTiny = "/root/testdata/sf0.001"
@@ -59,10 +76,15 @@ object Scale {
     val hasSfOne = new java.io.File(s"$sfOne/lineitem.parquet").exists()
     val heavyDirs =
       if (hasSfOne) Seq(sfTiny) ++ sfs :+ sfOne else sfTiny +: sfs
+    // builder Heaps-fixture decades for the text family (see heapsSet)
+    val heapsDirs = Seq("data/sf0.01", "data/sf0.1", sfOne)
+    val hasHeaps = heapsDirs.forall(d =>
+      new java.io.File(s"$d/documents.parquet").exists())
     val spark = Sessions.local(cpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
-    (heavyDirs ++ sfs).distinct.foreach(d => Tables.names.foreach(t =>
-      Tables.load(spark, d, t).count())) // warm footers + codegen
+    (heavyDirs ++ sfs ++ (if (hasHeaps) heapsDirs else Nil)).distinct
+      .foreach(d => Tables.names.foreach(t =>
+        Tables.load(spark, d, t).count())) // warm footers + codegen
     // the FULL declared surface (round-9 extension — originally the
     // headline subset plus verdict-named heavy ops): every query
     // carries a measured slope, so no scaling claim anywhere in the
@@ -108,14 +130,19 @@ object Scale {
           if (sSmall > 1024 && sBig > 1024)
             Some(math.log10(sBig.toDouble / sSmall))
           else None // sub-KB at either sf: broadcast/constant plane
-        (name, Some((bySf, timeSlope, shuffleSlope)))
+        // same-regime Heaps decades for the text family
+        val hBySf =
+          if (hasHeaps && heapsSet(name))
+            Some(heapsDirs.map(d => timeAndShuffle(name, d)))
+          else None
+        (name, Some((bySf, timeSlope, shuffleSlope, hBySf)))
       } catch { case e: Throwable =>
         System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
         (name, None)
       }
     }
     val qJson = rows.collect {
-      case (name, Some((bySf, tsl, shsl))) =>
+      case (name, Some((bySf, tsl, shsl, hBySf))) =>
         val secArr = bySf.map(p => fmt(p._1)).mkString("[", ",", "]")
         val mbArr = bySf.map(p => fmt(p._2 / MB)).mkString("[", ",", "]")
         val shuffleJson = shsl.map(v => fmt(v)).getOrElse("null")
@@ -148,15 +175,33 @@ object Scale {
             s""","time_slope3":$t3d,"shuffle_slope3":$s3d""" +
               s""","time_slope_top":$tTop,"shuffle_slope_top":$sTop"""
           } else ""
+        // the Heaps-regime curve: per-decade slope over the 2-decade
+        // span (sf0.01->sf1.0) plus the top decade alone, same field
+        // semantics as slope2/slope_top but measured entirely inside
+        // the Heaps-vocabulary fixture family
+        val heaps = hBySf.map { h =>
+          val secH = h.map(p => fmt(p._1)).mkString("[", ",", "]")
+          val mbH = h.map(p => fmt(p._2 / MB)).mkString("[", ",", "]")
+          val (t0, s0) = h.head; val (t1, s1) = h(1); val (t2, s2) = h(2)
+          val tH = fmt(math.log10(t2 / t0) / 2)
+          val sH = if (s0 > 1024 && s2 > 1024)
+            fmt(math.log10(s2.toDouble / s0) / 2) else "null"
+          val tHTop = fmt(math.log10(t2 / t1))
+          val sHTop = if (s1 > 1024 && s2 > 1024)
+            fmt(math.log10(s2.toDouble / s1)) else "null"
+          s""","sec_h":$secH,"shuffle_mb_h":$mbH""" +
+            s""","time_slope_h":$tH,"shuffle_slope_h":$sH""" +
+            s""","time_slope_h_top":$tHTop,"shuffle_slope_h_top":$sHTop"""
+        }.getOrElse("")
         s""""$name":{"sec":$secArr,"shuffle_mb":$mbArr,""" +
           s""""time_slope":${fmt(tsl)},"shuffle_slope":$shuffleJson""" +
-          s"""$slope2$slope3}"""
+          s"""$slope2$slope3$heaps}"""
     }.mkString("{", ",", "}")
     // flag superlinear growth here too (scalecheck.py re-derives it):
     // shuffle above the 1 MB floor at the larger sf growing steeper
     // than the 10x data jump allows
     val flagged = rows.collect {
-      case (name, Some((bySf, tsl, shsl)))
+      case (name, Some((bySf, tsl, shsl, _)))
         if shsl.exists(v => v > 1.3 && bySf.last._2 > 1048576) ||
           tsl > 1.3 => name
     }.sorted

@@ -385,8 +385,18 @@ object Learn {
         when(col("pa") > col("pb"), col("lb"))
           .when(col("pb") > col("pa"), col("la"))
           .otherwise(greatest(col("la"), col("lb"))).as("loser"))
-    val wins = comps.groupBy(col("winner").as("i"), col("loser").as("j"))
-      .agg(count(lit(1)).as("nw"))
+    // POOLED corpus collapse (round-12): wins is the O(langs²) table
+    // every downstream branch (games, items, totW, both MM iterations)
+    // re-derives — uncached, the logical DAG duplicated the corpus
+    // aggregate subtree ~20x and correctness-of-scale rested on AQE
+    // exchange reuse deduping identical shuffle subtrees at runtime.
+    // Caching makes the single-corpus-scan property structural: one
+    // scan+shuffle builds 25-ish rows, everything after reads memory
+    // (PlanQualitySpec pins the InMemoryTableScan).
+    val wins = graft.CachePool.cached(s, s"learn.btWins:$dir") {
+      comps.groupBy(col("winner").as("i"), col("loser").as("j"))
+        .agg(count(lit(1)).as("nw"))
+    }
     // directed-complete games table: g(i,j) = g(j,i) = wins + losses
     val games = wins.select(col("i"), col("j"), col("nw"))
       .union(wins.select(col("j").as("i"), col("i").as("j"),

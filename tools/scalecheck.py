@@ -95,11 +95,20 @@ def main(path, threshold=1.3):
             reasons.append(f"shuffle_slope2 {ssl2:.2f}")
         if tsl2 is not None and tsl2 > threshold:
             reasons.append(f"time_slope2 {tsl2:.2f}")
+        # *_h fields: the builder Heaps-fixture same-regime curve for
+        # the text family (Scale.heapsSet) — gated like the driver
+        # decades; its own 1 MB floor comes from its own top point
+        big_mb_h = (q.get("shuffle_mb_h") or [0])[-1]
         for k in ("shuffle_slope3", "shuffle_slope_top"):
             v = q.get(k)
             if v is not None and v > threshold and big_mb > 1.0:
                 reasons.append(f"{k} {v:.2f}")
-        for k in ("time_slope3", "time_slope_top"):
+        for k in ("shuffle_slope_h", "shuffle_slope_h_top"):
+            v = q.get(k)
+            if v is not None and v > threshold and big_mb_h > 1.0:
+                reasons.append(f"{k} {v:.2f}")
+        for k in ("time_slope3", "time_slope_top",
+                  "time_slope_h", "time_slope_h_top"):
             v = q.get(k)
             if v is not None and v > threshold:
                 reasons.append(f"{k} {v:.2f}")
