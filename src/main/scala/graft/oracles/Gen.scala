@@ -13,23 +13,23 @@ private[graft] object Gen {
     */
   def pagerankOracle(iters: Int): String = {
     val base =
-      """WITH pair AS (SELECT -(l_suppkey + 1) AS supp_node,
+      """WITH pair AS MATERIALIZED (SELECT -(l_suppkey + 1) AS supp_node,
         |    o_custkey AS cust_node, CAST(COUNT(*) AS BIGINT) AS w
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  GROUP BY 1, 2),
-        |edges AS (SELECT supp_node AS src, cust_node AS dst, w FROM pair
+        |edges AS MATERIALIZED (SELECT supp_node AS src, cust_node AS dst, w FROM pair
         |  UNION ALL SELECT cust_node, supp_node, w FROM pair),
-        |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg
+        |deg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg
         |  FROM edges GROUP BY src),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
-        |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+        |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        |r0 AS MATERIALIZED (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
         |  FROM deg, nn)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst,
+      s"""c$i AS MATERIALIZED (SELECT e.dst,
          |    CAST(round(r.rank * e.w / d.outdeg * 1e12) AS BIGINT) AS c
          |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
          |  JOIN deg d ON e.src = d.src),
-         |r$i AS (SELECT dst AS node, CAST(0.15 AS DOUBLE) / nn.n +
+         |r$i AS MATERIALIZED (SELECT dst AS node, CAST(0.15 AS DOUBLE) / nn.n +
          |    CAST(0.85 AS DOUBLE) * (CAST(SUM(c) AS BIGINT) / 1e12) AS rank
          |  FROM c$i, nn GROUP BY dst, nn.n)""".stripMargin
     }
@@ -43,30 +43,30 @@ private[graft] object Gen {
     */
   def pprOracle(iters: Int): String = {
     val base =
-      """WITH pair AS (SELECT -(l_suppkey + 1) AS supp_node,
+      """WITH pair AS MATERIALIZED (SELECT -(l_suppkey + 1) AS supp_node,
         |    o_custkey AS cust_node, CAST(COUNT(*) AS BIGINT) AS w
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  GROUP BY 1, 2),
-        |edges AS (SELECT supp_node AS src, cust_node AS dst, w FROM pair
+        |edges AS MATERIALIZED (SELECT supp_node AS src, cust_node AS dst, w FROM pair
         |  UNION ALL SELECT cust_node, supp_node, w FROM pair),
-        |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg
+        |deg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg
         |  FROM edges GROUP BY src),
-        |seeds AS (SELECT c_custkey AS node FROM customer
+        |seeds AS MATERIALIZED (SELECT c_custkey AS node FROM customer
         |  WHERE c_nationkey = 1
         |    AND c_custkey IN (SELECT src FROM deg)),
-        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
-        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / ns.n AS rank
+        |ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+        |r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / ns.n AS rank
         |  FROM seeds, ns)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst,
+      s"""c$i AS MATERIALIZED (SELECT e.dst,
          |    CAST(round(r.rank * e.w / d.outdeg * 1e12) AS BIGINT) AS c
          |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
          |  JOIN deg d ON e.src = d.src),
-         |w$i AS (SELECT dst AS node,
+         |w$i AS MATERIALIZED (SELECT dst AS node,
          |    CAST(0.85 AS DOUBLE) * (CAST(SUM(c) AS BIGINT) / 1e12)
          |      AS walk
          |  FROM c$i GROUP BY 1),
-         |r$i AS (SELECT COALESCE(w.node, s.node) AS node,
+         |r$i AS MATERIALIZED (SELECT COALESCE(w.node, s.node) AS node,
          |    CASE WHEN s.node IS NOT NULL
          |      THEN CAST(0.15 AS DOUBLE) / ns.n
          |      ELSE CAST(0.0 AS DOUBLE) END
@@ -87,19 +87,19 @@ private[graft] object Gen {
     */
   def lpaOracle(iters: Int): String = {
     val base =
-      """WITH pair AS (SELECT -(l_suppkey + 1) AS supp_node,
+      """WITH pair AS MATERIALIZED (SELECT -(l_suppkey + 1) AS supp_node,
         |    o_custkey AS cust_node, CAST(COUNT(*) AS BIGINT) AS w
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  GROUP BY 1, 2),
-        |edges AS (SELECT supp_node AS src, cust_node AS dst, w FROM pair
+        |edges AS MATERIALIZED (SELECT supp_node AS src, cust_node AS dst, w FROM pair
         |  UNION ALL SELECT cust_node, supp_node, w FROM pair),
-        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
         .stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""s$i AS (SELECT e.dst AS node, l.lbl AS lbl,
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS node, l.lbl AS lbl,
          |    CAST(SUM(e.w) AS BIGINT) AS score
          |  FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
-         |l$i AS (SELECT node, lbl FROM (
+         |l$i AS MATERIALIZED (SELECT node, lbl FROM (
          |  SELECT node, lbl, row_number() OVER (PARTITION BY node
          |    ORDER BY score DESC, lbl ASC) AS rn FROM s$i) WHERE rn = 1)"""
         .stripMargin
@@ -115,49 +115,53 @@ private[graft] object Gen {
     */
   def modularityOracle(iters: Int, sample: Boolean = false): String = {
     // sample=true: the ¼-node induced subgraph (both endpoints ≡ 0
-    // mod 4) — see Graph.sampledWeighted; supports are unchanged by
-    // induction, so filtering the support-pruned edges is exact
-    val sampleFilter =
-      if (sample) "\nWHERE a % 4 = 0 AND b % 4 = 0" else ""
+    // mod 4) — see Graph.sampledWeighted. The filter is pushed INTO
+    // the li CTE (sample nodes BEFORE pairing): exactly equivalent —
+    // a surviving pair's co-occurrence count cannot change when
+    // other parts drop — and it keeps DuckDB from materializing the
+    // full corpus pair aggregate just to throw 15/16 of it away (the
+    // above-the-aggregate form OOM'd at sf1.0, the exact blowup the
+    // sampled companions exist to sidestep)
+    val liFilter = if (sample) " WHERE l_partkey % 4 = 0" else ""
     val base =
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem),
-        |ed AS (SELECT * FROM (SELECT x.pk AS a, y.pk AS b,
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem$liFilter),
+        |ed AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b,
         |    count(*) AS sup FROM li x
         |  JOIN li y ON x.ok = y.ok AND x.pk < y.pk
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)$sampleFilter),
-        |edges AS (SELECT a AS src, b AS dst, sup AS w FROM ed
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS MATERIALIZED (SELECT a AS src, b AS dst, sup AS w FROM ed
         |  UNION ALL SELECT b, a, sup FROM ed),
-        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
         .stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""s$i AS (SELECT e.dst AS node, l.lbl AS lbl,
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS node, l.lbl AS lbl,
          |    CAST(SUM(e.w) AS BIGINT) AS score
          |  FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
-         |l$i AS (SELECT node, lbl FROM (
+         |l$i AS MATERIALIZED (SELECT node, lbl FROM (
          |  SELECT node, lbl, row_number() OVER (PARTITION BY node
          |    ORDER BY score DESC, lbl ASC) AS rn FROM s$i) WHERE rn = 1)"""
         .stripMargin
     }
     (base +: rounds).mkString(",\n") + s""",
-      |deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS k
+      |deg AS MATERIALIZED (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS k
       |  FROM edges GROUP BY 1),
-      |dc AS (SELECT l.lbl AS community,
+      |dc AS MATERIALIZED (SELECT l.lbl AS community,
       |    CAST(SUM(d.k) AS BIGINT) AS d_c,
       |    CAST(COUNT(*) AS BIGINT) AS n_nodes
       |  FROM deg d JOIN l$iters l ON d.node = l.node GROUP BY 1),
-      |win AS (SELECT a.lbl AS community,
+      |win AS MATERIALIZED (SELECT a.lbl AS community,
       |    CAST(SUM(e.w) AS BIGINT) AS w_in_sym
       |  FROM edges e JOIN l$iters a ON e.src = a.node
       |  JOIN l$iters b ON e.dst = b.node AND a.lbl = b.lbl
       |  GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS s2m FROM edges),
-      |per AS (SELECT dc.community, n_nodes, d_c,
+      |tot AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS s2m FROM edges),
+      |per AS MATERIALIZED (SELECT dc.community, n_nodes, d_c,
       |    CAST(coalesce(w_in_sym, 0) AS BIGINT) AS w_in_sym,
       |    CAST(s2m * coalesce(w_in_sym, 0) - d_c * d_c AS BIGINT)
       |      AS contrib_num, s2m
       |  FROM dc LEFT JOIN win ON dc.community = win.community, tot),
-      |q AS (SELECT CAST(SUM(contrib_num) AS BIGINT) AS q_num FROM per)
+      |q AS MATERIALIZED (SELECT CAST(SUM(contrib_num) AS BIGINT) AS q_num FROM per)
       |SELECT community, n_nodes, d_c, w_in_sym, contrib_num, s2m,
       |  q_num, CAST(q_num AS DOUBLE) / CAST(s2m * s2m AS DOUBLE) AS q
       |FROM per, q ORDER BY community""".stripMargin
