@@ -361,9 +361,11 @@ object Learn {
     * discipline), so the oracle replays the chained arithmetic
     * verbatim. Scale: the corpus collapses to an O(langs²) pair-count
     * table in one pass (one groupBy on id div 2 — pairing needs no
-    * join), and both MM iterations run on that constant-size table
-    * via broadcast joins; nothing downstream of the first aggregate
-    * depends on corpus size.
+    * join); the MM iterations then run DRIVER-SIDE on that collected
+    * constant-size table (vocabulary-bounded state, like the trained
+    * classifier weights) — nothing downstream of the first aggregate
+    * depends on corpus size, and nothing constant-size rides the
+    * scheduler.
     */
   def bradleyTerry(s: SparkSession, dir: String): DataFrame = {
     val sd = scoredDocs(s, dir)
@@ -394,48 +396,60 @@ object Learn {
     // scan+shuffle builds 25-ish rows, everything after reads memory
     // (PlanQualitySpec pins the InMemoryTableScan).
     val wins = graft.CachePool.cached(s, s"learn.btWins:$dir") {
+      // localCheckpoint, not bare cache: ~20 downstream branches each
+      // replan their whole logical subtree, and with an
+      // InMemoryRelation that subtree still CONTAINS the corpus
+      // collapse (Catalyst re-canonicalizes it per action — measured
+      // as most of the query's wall at sf0.1). The checkpoint cuts
+      // the lineage to a flat LogicalRDD, the iterative-op discipline.
       comps.groupBy(col("winner").as("i"), col("loser").as("j"))
         .agg(count(lit(1)).as("nw"))
+        .localCheckpoint()
     }
+    // MM fixpoint on the COLLECTED O(langs²) table — vocabulary-
+    // bounded driver state (≤ |langs|² rows by construction), the
+    // trainQualityClassifier discipline (round-12): the corpus-scale
+    // work ends at the pooled wins aggregate, and iterating a ≤25-row
+    // fixpoint as ~35 distributed stages was pure scheduler latency
+    // (measured 5.0 s at sf0.1 for a table that fits in a cache
+    // line). All arithmetic is the same clamped integer chain the
+    // DataFrame form ran — Long./ on non-negative operands IS
+    // Spark's div — so the DuckDB oracle replays it unchanged.
+    val winRows = wins.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val wMap = winRows.map { case (i, j, nw) => (i, j) -> nw }.toMap
+      .withDefaultValue(0L)
     // directed-complete games table: g(i,j) = g(j,i) = wins + losses
-    val games = wins.select(col("i"), col("j"), col("nw"))
-      .union(wins.select(col("j").as("i"), col("i").as("j"),
-        lit(0L).as("nw")))
-      .groupBy("i", "j")
-      .agg(sum(col("nw")).as("w_ij"))
-      .withColumn("g",
-        sum(col("w_ij")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(least(col("i"), col("j")),
-            greatest(col("i"), col("j")))))
-    val totW = wins.groupBy(col("i")).agg(sum(col("nw")).as("wins"))
-    val items = games.select(col("i")).distinct()
-      .join(totW, Seq("i"), "left")
-      .na.fill(0L, Seq("wins"))
-    val nItems = items.agg(count(lit(1)).as("n_items"))
-
-    def iterate(w: DataFrame): DataFrame = {
-      val wi = w.select(col("i"), col("w").as("w_i"))
-      val wj = w.select(col("i").as("j"), col("w").as("w_j"))
-      val denom = games.join(wi, Seq("i")).join(wj, Seq("j"))
-        .select(col("i"),
-          expr("(g * 100000000) div greatest(w_i + w_j, 1)").as("term"))
-        .groupBy("i").agg(sum(col("term")).as("denom"))
-      val raw = items.join(denom, Seq("i"))
-        .select(col("i"),
-          expr("(wins * 1000000000) div greatest(denom, 1)").as("raw"))
-      raw.crossJoin(raw.agg(sum(col("raw")).as("sumraw"))
-          .crossJoin(nItems))
-        .select(col("i"),
-          expr("(raw * 1000000) div greatest(sumraw div n_items, 1)")
-            .as("w"))
+    val dirPairs = winRows
+      .flatMap { case (i, j, _) => Seq((i, j), (j, i)) }.distinct
+    val g = dirPairs
+      .map { case (i, j) => (i, j) -> (wMap((i, j)) + wMap((j, i))) }
+      .toMap
+    val itemsSeq = dirPairs.map(_._1).distinct.sorted
+    val adj = dirPairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val totW = winRows.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap.withDefaultValue(0L)
+    val nItems = itemsSeq.size.toLong
+    def iterate(w: Map[String, Long]): Map[String, Long] = {
+      val raw = itemsSeq.map { i =>
+        val denom = adj(i).map(j =>
+          g((i, j)) * 100000000L / math.max(w(i) + w(j), 1L)).sum
+        i -> totW(i) * 1000000000L / math.max(denom, 1L)
+      }.toMap
+      val sumraw = raw.values.sum
+      itemsSeq.map(i =>
+        i -> raw(i) * 1000000L / math.max(sumraw / nItems, 1L)).toMap
     }
-    val w1 = iterate(items.select(col("i"), lit(1000000L).as("w")))
-    val w2 = iterate(w1)
-    items.join(w1.select(col("i"), col("w").as("w1_ppm")), Seq("i"))
-      .join(w2.select(col("i"), col("w").as("w2_ppm")), Seq("i"))
-      .join(games.groupBy("i").agg(sum(col("g")).as("games")), Seq("i"))
-      .select(col("i").as("lang"), col("games"), col("wins"),
-        col("w1_ppm"), col("w2_ppm"))
+    val out: Seq[(String, Long, Long, Long, Long)] =
+      if (itemsSeq.isEmpty) Seq.empty
+      else {
+        val w1 = iterate(itemsSeq.map(_ -> 1000000L).toMap)
+        val w2 = iterate(w1)
+        itemsSeq.map(i => (i, adj(i).map(j => g((i, j))).sum,
+          totW(i), w1(i), w2(i))).toSeq
+      }
+    import s.implicits._
+    out.toDF("lang", "games", "wins", "w1_ppm", "w2_ppm")
       .orderBy(desc("w2_ppm"), col("lang"))
   }
 

@@ -1509,12 +1509,19 @@ object TextAnalysis {
     * terms' posting lists on (doc, adjacent positions), never by
     * re-scanning text. Two passes over the pooled postings:
     *
-    * 1. STATS: the full position-adjacency self-join (p₂ = p₁+1,
-    *    p₃ = p₁+2 within a doc) materializes every trigram instance —
-    *    O(tokens) rows, shuffled on (doc, pos)-derived keys — and a
-    *    TakeOrdered under (count desc, phrase) picks the probe
+    * 1. STATS: every trigram instance materializes via lead(token)
+    *    windows over (doc, pos) — ONE postings shuffle keyed by
+    *    doc_id (round-12; the earlier 3-way position-adjacency
+    *    self-join shuffled the postings three times and its legs
+    *    flipped broadcast→shuffled across the sf0.1→1.0 decade,
+    *    which read as a 1.73 shuffle slope on the Heaps fixture) —
+    *    and a TakeOrdered under (count desc, phrase) picks the probe
     *    phrases deterministically. This is the offline index-stats
-    *    pass; at 100 TB it is the one corpus-linear job here.
+    *    pass; at 100 TB it is the one corpus-linear job here (the
+    *    per-phrase combine is structurally combine-ineffective on a
+    *    realistic corpus — distinct trigrams grow ~linearly with
+    *    tokens — so its shuffle IS the trigram mass; docs bound the
+    *    window partitions).
     * 2. PROBE: the runtime path — postings are first pruned to the
     *    ≤ 3k distinct probe TERMS by a broadcast semi join (posting-
     *    list retrieval: touched rows ∝ the queried terms' document
@@ -1531,15 +1538,21 @@ object TextAnalysis {
   def phraseSearch(s: SparkSession, dir: String, k: Int = 10)
       : DataFrame = {
     val p = posPostings(s, dir)
-    def leg(i: Int) = p.select(col("doc_id").as(s"d$i"),
-      col("pos").as(s"p$i"), col("token").as(s"t$i"))
     def adjacency(l1: DataFrame, l2: DataFrame, l3: DataFrame) =
       l1.join(l2, col("d1") === col("d2") && col("p2") === col("p1") + 1)
         .join(l3, col("d1") === col("d3") && col("p3") === col("p1") + 2)
         .select(col("d1").as("doc_id"),
           concat_ws(" ", col("t1"), col("t2"), col("t3")).as("phrase"))
-    // stats pass: full adjacency → top-k phrases (deterministic cut)
-    val probes = adjacency(leg(1), leg(2), leg(3))
+    // stats pass: lead-window trigrams → top-k phrases (deterministic
+    // cut); one shuffle keyed by doc_id, positions already dense
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val probes = p
+      .select(col("doc_id"), col("token").as("t1"),
+        lead(col("token"), 1).over(w).as("t2"),
+        lead(col("token"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(" ", col("t1"), col("t2"), col("t3"))
+        .as("phrase"))
       .groupBy("phrase").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("phrase"))
       .limit(k)

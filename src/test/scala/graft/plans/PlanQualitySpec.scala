@@ -218,21 +218,21 @@ class PlanQualitySpec extends SparkSpec {
       l.contains("bkt")), p.take(2500))
   }
 
-  test("bradleyTerry: ONE corpus scan feeds the O(langs²) pair table; " +
-    "both MM iterations run on broadcast-size tables") {
+  test("bradleyTerry: ONE corpus scan feeds the pooled O(langs²) " +
+    "pair table; the MM fixpoint leaves NOTHING corpus-sized in the " +
+    "output plan") {
     // round-12 pin (verdict ask #4): the causal plane's flagship — the
     // corpus collapses to a constant-cardinality pair-count table in a
-    // single groupBy (consecutive-id pairing, no self join), and the
-    // MM fixpoint iterates on that table via broadcast joins. A
-    // refactor that re-scans documents per iteration or shuffles the
-    // iteration tables fails here.
+    // single pooled groupBy (consecutive-id pairing, no self join);
+    // the MM iterations run driver-side on the collected table, so
+    // the OUTPUT plan is a local table + sort: no scan, no join, no
+    // exchange proportional to anything. A refactor that drags the
+    // fixpoint back through the scheduler fails here.
     val df = Learn.bradleyTerry(spark, sfDir)
     val p = plan(df)
-    // the corpus collapse is pooled: every branch reads the cached
-    // O(langs²) wins table, never a fresh corpus scan+shuffle
-    assert(p.contains("InMemoryTableScan"), p.take(1200))
-    assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("LocalTableScan"), p.take(1200))
+    assert(!p.contains("Scan parquet"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
   }
 
   test("sprt/groupSeq: cumulative walks ride per-type windows — no " +

@@ -38,26 +38,32 @@ ALLOW = {
             "that prefix filtering exists to avoid — the production "
             "operator dedup_prefix_jaccard holds shuffle_slope 0.98 "
             "in this same artifact"},
-    # Top-decade-only entries (retire once the Heaps-vocab fixture's
-    # re-measured SCALE.json lands): the sf0.1->sf1.0 flags were the
-    # 31-word fixture's shingle-space saturation (31^3 = 29,791
-    # possible shingles for 2.5M instances — every posting list hot),
-    # not plan growth; base-decade metrics stay GATED.
-    "dedup_prefix_jaccard": {
-        "metrics": {"time_slope3", "shuffle_slope3",
-                    "time_slope_top", "shuffle_slope_top"},
+    # (round 12: the r11 dedup_prefix_jaccard / text_phrase_search
+    # saturation entries RETIRED — under the Heaps fixture the
+    # re-measured curves are clean: prefix_jaccard sf1.0 = 0.40 s /
+    # 0.38 MB shuffle, phrase_search same-regime shuffle_slope_h 1.01
+    # after its stats pass moved from the 3-leg adjacency self-join
+    # to lead() windows.)
+    "dedup_winnow_pairs": {
+        "metrics": {"shuffle_slope_h", "shuffle_slope_h_top"},
         "reason":
-            "top-decade flag is fixture shingle-space saturation "
-            "(31-word vocab => 30k possible shingles), not plan "
-            "growth; sf0.001-0.1 slopes <= 1.0; positional filter "
-            "landed, Heaps-vocab fixture re-measure in flight"},
-    "text_phrase_search": {
-        "metrics": {"time_slope3", "shuffle_slope3",
-                    "time_slope_top", "shuffle_slope_top"},
+            "hot-cap transition, not asymptotic growth: pair mass is "
+            "sum df^2 over sub-64-cap fingerprints, which grows ~n^2 "
+            "until the Zipf head crosses the cap and exactly linearly "
+            "after (sum_{df<=64} df^2 -> 64*c*n). Measured: the h_top "
+            "decade (sf0.1->1.0, mid-transition) reads 1.93, while "
+            "the PROVEN post-transition decade sf1.0->sf3.0 measures "
+            "shuffle slope 1.07 (274->892 MB over 3x data, "
+            "PLANS round-12); driver decades all <= 1.2"},
+    "text_vocab_growth": {
+        "metrics": {"shuffle_slope_top"},
         "reason":
-            "same saturation artifact: every 3-gram posting list is "
-            "hot at sf1.0 under the 31-word fixture vocabulary; "
-            "sf0.001-0.1 slopes <= 1.0"},
+            "cross-REGIME decade: driver sf0.1 draws from 31 words "
+            "(distinct-vocab mass 31) while builder sf1.0 is "
+            "Heaps-distributed (~50k words) — and distinct vocabulary "
+            "IS this operator's output. The same-regime Heaps decades "
+            "measure shuffle_slope_h 0.72/h_top 0.75, sublinear as "
+            "Heaps' law predicts"},
 }
 
 
