@@ -76,10 +76,19 @@ object Scale {
     val hasSfOne = new java.io.File(s"$sfOne/lineitem.parquet").exists()
     val heavyDirs =
       if (hasSfOne) Seq(sfTiny) ++ sfs :+ sfOne else sfTiny +: sfs
-    // builder Heaps-fixture decades for the text family (see heapsSet)
-    val heapsDirs = Seq("data/sf0.01", "data/sf0.1", sfOne)
-    val hasHeaps = heapsDirs.forall(d =>
-      new java.io.File(s"$d/documents.parquet").exists())
+    // builder Heaps-fixture decades for the text family (see
+    // heapsSet); data/sf3.0 extends the curve past the hot-cap /
+    // combine-effectiveness TRANSITIONS (which live in the
+    // sf0.1→sf1.0 decade) so the top-h slope measures the
+    // post-transition asymptote — the number that predicts the next
+    // 100×. Optional by existence, like the sf1.0 point.
+    val heapsAll = Seq("data/sf0.01" -> 0.01, "data/sf0.1" -> 0.1,
+      sfOne -> 1.0, "data/sf3.0" -> 3.0)
+    val heapsPresent = heapsAll.takeWhile { case (d, _) =>
+      new java.io.File(s"$d/documents.parquet").exists() }
+    val heapsDirs = heapsPresent.map(_._1)
+    val heapsSfs = heapsPresent.map(_._2)
+    val hasHeaps = heapsDirs.size >= 3
     val spark = Sessions.local(cpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
     (heavyDirs ++ sfs ++ (if (hasHeaps) heapsDirs else Nil)).distinct
@@ -175,20 +184,26 @@ object Scale {
             s""","time_slope3":$t3d,"shuffle_slope3":$s3d""" +
               s""","time_slope_top":$tTop,"shuffle_slope_top":$sTop"""
           } else ""
-        // the Heaps-regime curve: per-decade slope over the 2-decade
-        // span (sf0.01->sf1.0) plus the top decade alone, same field
-        // semantics as slope2/slope_top but measured entirely inside
-        // the Heaps-vocabulary fixture family
+        // the Heaps-regime curve: per-decade slope over the full span
+        // plus the TOP span alone, same field semantics as
+        // slope2/slope_top but measured entirely inside the Heaps-
+        // vocabulary fixture family. Spans are normalized by the
+        // actual data ratios (the optional sf3.0 point is a
+        // half-decade), so a slope of 1.0 always means linear.
         val heaps = hBySf.map { h =>
           val secH = h.map(p => fmt(p._1)).mkString("[", ",", "]")
           val mbH = h.map(p => fmt(p._2 / MB)).mkString("[", ",", "]")
-          val (t0, s0) = h.head; val (t1, s1) = h(1); val (t2, s2) = h(2)
-          val tH = fmt(math.log10(t2 / t0) / 2)
+          val span = math.log10(heapsSfs.last / heapsSfs.head)
+          val spanTop = math.log10(
+            heapsSfs.last / heapsSfs(heapsSfs.size - 2))
+          val (t0, s0) = h.head
+          val (t1, s1) = h(h.size - 2); val (t2, s2) = h.last
+          val tH = fmt(math.log10(t2 / t0) / span)
           val sH = if (s0 > 1024 && s2 > 1024)
-            fmt(math.log10(s2.toDouble / s0) / 2) else "null"
-          val tHTop = fmt(math.log10(t2 / t1))
+            fmt(math.log10(s2.toDouble / s0) / span) else "null"
+          val tHTop = fmt(math.log10(t2 / t1) / spanTop)
           val sHTop = if (s1 > 1024 && s2 > 1024)
-            fmt(math.log10(s2.toDouble / s1)) else "null"
+            fmt(math.log10(s2.toDouble / s1) / spanTop) else "null"
           s""","sec_h":$secH,"shuffle_mb_h":$mbH""" +
             s""","time_slope_h":$tH,"shuffle_slope_h":$sH""" +
             s""","time_slope_h_top":$tHTop,"shuffle_slope_h_top":$sHTop"""

@@ -925,7 +925,14 @@ object TextAnalysis {
     val bgs = zip_with(
       slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
       (a, b) => concat(a, lit(" "), b))
-    Tables.documents(s, dir)
+    // fanOut (round-12): the double sorted-run fold is the most
+    // compute-dense row-local op in the text family, and the
+    // single-file fixture feeds it ONE input split — measured
+    // 112 s at the builder sf3.0 on one core (per-doc cost also
+    // drifting up under single-task GC pressure) vs linear once
+    // spread. On a real cluster the corpus arrives in many splits;
+    // this restores that shape locally (Tables.fanOut's contract).
+    Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), size(ws).as("n_words"),
         maxRunLen(ws).as("top_word_n"),
         size(bgs).as("n_bigrams"), maxRunLen(bgs).as("top_bigram_n"))
