@@ -293,7 +293,15 @@ object GenData {
       .selectExpr("vec_id",
         "transform(raw, x -> cast(x / nrm as float)) as embedding",
         "label"), "embeddings")
+    // provenance stamp (ADVICE r12): Scale's same-regime Heaps curves
+    // are only meaningful if every dir in the curve was generated with
+    // the SAME documents mode — a stale sat31 tree silently mixing
+    // into a heaps curve defeats the curve's whole purpose. Scale
+    // refuses to emit *_h fields for an unstamped or wrong-mode dir.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/GENMODE"),
+      s"mode=$mode sf=$sf\n".getBytes("UTF-8"))
     println(s"[gendata] sf=$sf -> $outDir (cust=$nCust ord=$nOrd " +
-      s"ev=$nEv doc=$nDoc emb=$nEmb)")
+      s"ev=$nEv doc=$nDoc emb=$nEmb mode=$mode)")
   }
 }

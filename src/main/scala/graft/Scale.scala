@@ -63,6 +63,34 @@ object Scale {
     "text_phrase_search", "text_repetition", "text_vocab_growth",
     "text_dup_coverage")
 
+  /** Graph/CC/ANN heavy queries ALSO measured at data/sf1.0 →
+    * data/sf3.0 (round-13, verdict r12 ask #4): the text family's
+    * sf3.0 half-decade found two real fixes in round 12 (winnow
+    * hot-cap, repetition fanOut), while the graph and ANN families'
+    * post-transition behavior — bounded-round shuffle totals past a
+    * million-node graph, the FAISS √n probe-width rule past sf1.0 —
+    * was design-asserted but unmeasured. These queries get a fifth
+    * measurement pair whose per-decade slope (`*_slope_d`, normalized
+    * by log10(3)) is the largest-scale point on the board for their
+    * families. Uses events/embeddings tables, so the documents
+    * vocabulary regime is irrelevant here — only the size ratio is.
+    */
+  def deepSet: Set[String] = Set(
+    "graph_kcore_sample", "graph_bfs_hops_sample",
+    "graph_modularity_sample", "dedup_cc_invariants",
+    "sim_ivfpq_topk", "sim_knn_graph", "graph_pagerank",
+    "graph_triangles", "graph_local_cc")
+
+  /** Generation-mode stamp of a GenData fixture dir (ADVICE r12):
+    * None for a pre-stamp or foreign tree.
+    */
+  def genMode(d: String): Option[String] = {
+    val f = new java.io.File(s"$d/GENMODE")
+    if (!f.exists()) None
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\\s+").headOption.map(_.stripPrefix("mode="))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sfTiny = "/root/testdata/sf0.001"
@@ -84,11 +112,35 @@ object Scale {
     // 100×. Optional by existence, like the sf1.0 point.
     val heapsAll = Seq("data/sf0.01" -> 0.01, "data/sf0.1" -> 0.1,
       sfOne -> 1.0, "data/sf3.0" -> 3.0)
+    // regime purity is the whole point of the *_h curve, so it is
+    // ASSERTED, not trusted (ADVICE r12): each dir must exist AND be
+    // stamped mode=heaps by GenData; the curve truncates at the first
+    // dir failing either test, and any later dir that would have
+    // qualified is warned about (a takeWhile hole would otherwise
+    // silently disable the curve's top points)
     val heapsPresent = heapsAll.takeWhile { case (d, _) =>
-      new java.io.File(s"$d/documents.parquet").exists() }
+      new java.io.File(s"$d/documents.parquet").exists() &&
+        genMode(d).contains("heaps") }
+    heapsAll.drop(heapsPresent.size).foreach { case (d, _) =>
+      val exists = new java.io.File(s"$d/documents.parquet").exists()
+      if (exists && !genMode(d).contains("heaps"))
+        System.err.println(s"[scale] WARNING: $d exists but is " +
+          s"stamped ${genMode(d).getOrElse("<unstamped>")} — " +
+          "regenerate with `runMain graft.GenData <sf> " + d +
+          " heaps` to extend the Heaps curve")
+      else if (exists)
+        System.err.println(s"[scale] WARNING: $d exists but a " +
+          "smaller Heaps dir is missing/unstamped — curve truncated " +
+          s"before it (using ${heapsPresent.map(_._1).mkString(", ")})")
+    }
     val heapsDirs = heapsPresent.map(_._1)
     val heapsSfs = heapsPresent.map(_._2)
     val hasHeaps = heapsDirs.size >= 3
+    // graph/CC/ANN fifth pair: the sf1.0 -> sf3.0 half-decade
+    val deepAll = Seq(sfOne -> 1.0, "data/sf3.0" -> 3.0)
+    val hasDeep = deepAll.forall { case (d, _) =>
+      new java.io.File(s"$d/events.parquet").exists() &&
+        new java.io.File(s"$d/embeddings.parquet").exists() }
     val spark = Sessions.local(cpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
     (heavyDirs ++ sfs ++ (if (hasHeaps) heapsDirs else Nil)).distinct
@@ -144,14 +196,19 @@ object Scale {
           if (hasHeaps && heapsSet(name))
             Some(heapsDirs.map(d => timeAndShuffle(name, d)))
           else None
-        (name, Some((bySf, timeSlope, shuffleSlope, hBySf)))
+        // graph/CC/ANN sf1.0 -> sf3.0 pair (round-13)
+        val dBySf =
+          if (hasDeep && deepSet(name))
+            Some(deepAll.map { case (d, _) => timeAndShuffle(name, d) })
+          else None
+        (name, Some((bySf, timeSlope, shuffleSlope, hBySf, dBySf)))
       } catch { case e: Throwable =>
         System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
         (name, None)
       }
     }
     val qJson = rows.collect {
-      case (name, Some((bySf, tsl, shsl, hBySf))) =>
+      case (name, Some((bySf, tsl, shsl, hBySf, dBySf))) =>
         val secArr = bySf.map(p => fmt(p._1)).mkString("[", ",", "]")
         val mbArr = bySf.map(p => fmt(p._2 / MB)).mkString("[", ",", "]")
         val shuffleJson = shsl.map(v => fmt(v)).getOrElse("null")
@@ -208,15 +265,28 @@ object Scale {
             s""","time_slope_h":$tH,"shuffle_slope_h":$sH""" +
             s""","time_slope_h_top":$tHTop,"shuffle_slope_h_top":$sHTop"""
         }.getOrElse("")
+        // the graph/CC/ANN sf1.0 -> sf3.0 pair: a half-decade, so the
+        // per-decade slope normalizes by log10(3) — 1.0 = linear
+        val deep = dBySf.map { dd =>
+          val secD = dd.map(p => fmt(p._1)).mkString("[", ",", "]")
+          val mbD = dd.map(p => fmt(p._2 / MB)).mkString("[", ",", "]")
+          val span = math.log10(deepAll.last._2 / deepAll.head._2)
+          val (t0, s0) = dd.head; val (t1, s1) = dd.last
+          val tD = fmt(math.log10(t1 / t0) / span)
+          val sD = if (s0 > 1024 && s1 > 1024)
+            fmt(math.log10(s1.toDouble / s0) / span) else "null"
+          s""","sec_d":$secD,"shuffle_mb_d":$mbD""" +
+            s""","time_slope_d":$tD,"shuffle_slope_d":$sD"""
+        }.getOrElse("")
         s""""$name":{"sec":$secArr,"shuffle_mb":$mbArr,""" +
           s""""time_slope":${fmt(tsl)},"shuffle_slope":$shuffleJson""" +
-          s"""$slope2$slope3$heaps}"""
+          s"""$slope2$slope3$heaps$deep}"""
     }.mkString("{", ",", "}")
     // flag superlinear growth here too (scalecheck.py re-derives it):
     // shuffle above the 1 MB floor at the larger sf growing steeper
     // than the 10x data jump allows
     val flagged = rows.collect {
-      case (name, Some((bySf, tsl, shsl, _)))
+      case (name, Some((bySf, tsl, shsl, _, _)))
         if shsl.exists(v => v > 1.3 && bySf.last._2 > 1048576) ||
           tsl > 1.3 => name
     }.sorted

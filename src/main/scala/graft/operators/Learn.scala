@@ -75,7 +75,9 @@ object Learn {
     * distribution, not a sample.
     */
   def scoreQualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val w = trainQualityClassifier(s, dir).collect()
+    val w = graft.DriverState
+      .collectBounded(trainQualityClassifier(s, dir), 16,
+        "scoreQualityClassifier.weights") // O(d), d = 3 features
       .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
     val z = lit(w("bias")) * lit(1.0) +
       lit(w("x_chars_h")) * (col("n_chars") / 100.0) +
@@ -111,7 +113,9 @@ object Learn {
     * weights re-entering as literals, one codegen pass).
     */
   private[operators] def scoredDocs(s: SparkSession, dir: String): DataFrame = {
-    val w = trainQualityClassifier(s, dir).collect()
+    val w = graft.DriverState
+      .collectBounded(trainQualityClassifier(s, dir), 16,
+        "scoredDocs.weights") // O(d), d = 3 features
       .map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
     val z = lit(w("bias")) * lit(1.0) +
       lit(w("x_chars_h")) * (col("n_chars") / 100.0) +
@@ -415,7 +419,14 @@ object Learn {
     // line). All arithmetic is the same clamped integer chain the
     // DataFrame form ran — Long./ on non-negative operands IS
     // Spark's div — so the DuckDB oracle replays it unchanged.
-    val winRows = wins.collect()
+    // bound guard (round-12 verdict ask #6): the collected wins table
+    // is ≤ |langs|·(|langs|−1) directed pairs by construction — the
+    // language domain is single-digit in every fixture, 4096 covers a
+    // 64-language corpus with margin while still failing loudly long
+    // before driver memory is at risk if pairing ever regressed to a
+    // data-proportional key
+    val winRows = graft.DriverState
+      .collectBounded(wins, 4096, "bradleyTerry.wins")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val wMap = winRows.map { case (i, j, nw) => (i, j) -> nw }.toMap
       .withDefaultValue(0L)

@@ -909,7 +909,10 @@ private[graft] object AnalyticsOracles {
       // wraps at n ≈ 5.4e6 per type) with the VARCHAR hop for its
       // double conversion; the z-sum 1.959964 + 0.841621 is the same
       // precomputed literal 2.801585; sqrt inputs are identical
-      // rounded doubles on both engines (see Analytics.powerMde)
+      // rounded doubles on both engines (see Analytics.powerMde).
+      // var_num is emitted as VARCHAR on BOTH sides: HUGEINT vs
+      // Spark's DECIMAL(38,0) are value-equal but canonicalize
+      // differently in Arrow export — the round-12 driver hash fail
       """WITH e AS (SELECT event_type,
         |    ((user_id % 2147483648) * 2654435761) % 100 < 50 AS tr,
         |    CAST(round("value") AS BIGINT) AS x FROM events),
@@ -920,8 +923,8 @@ private[graft] object AnalyticsOracles {
         |    CAST(SUM(x * x) AS BIGINT) AS sxx
         |  FROM e GROUP BY 1)
         |SELECT event_type, n, n_treat, n - n_treat AS n_ctrl,
-        |  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
-        |    AS var_num,
+        |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |    AS VARCHAR) AS var_num,
         |  round(CAST(CAST(CAST(n AS HUGEINT) * sxx -
         |      CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) /
         |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS s2,

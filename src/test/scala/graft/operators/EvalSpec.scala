@@ -411,8 +411,15 @@ class EvalSpec extends SparkSpec {
     "z-sum formula on the conservative arm size") {
     val rows = Analytics.powerMde(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), BigInt(r.getDecimal(4).toBigInteger),
+        r.getLong(3), BigInt(r.getString(4)),
         r.getDouble(5), r.getDouble(6)))
+    // hash-stable emission (round-12 driver gate): the wide variance
+    // numerator rides as a plain digit string — no sign, no exponent,
+    // no leading zeros — so both engines' Arrow exports are identical
+    rows.foreach { case (_, _, _, _, v, _, _) =>
+      assert(v >= 0, "variance numerator must be non-negative") }
+    assert(Analytics.powerMde(spark, sfDir).schema("var_num").dataType ==
+      org.apache.spark.sql.types.StringType)
     assert(rows.nonEmpty)
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"), col("value")).collect()
@@ -440,6 +447,15 @@ class EvalSpec extends SparkSpec {
 
   test("neymanAlloc: moments/isqrt/floor-allocation replay; the " +
     "budget is spent exactly; bigger N·σ never gets less") {
+    // schema pin (round-12 verdict item 1's twin check): every output
+    // column except the key is BIGINT on BOTH engines — the widened
+    // HUGEINT/DECIMAL arithmetic is internal only, so no wide-integer
+    // physical type can reach the driver's hash (see powerMde's
+    // var_num for what happens when one does)
+    val nSchema = Pipelines.neymanAlloc(spark, sfDir).schema
+    nSchema.fields.filter(_.name != "segment").foreach(f =>
+      assert(f.dataType == org.apache.spark.sql.types.LongType,
+        s"${f.name}: ${f.dataType}"))
     val rows = Pipelines.neymanAlloc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),

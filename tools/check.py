@@ -33,6 +33,61 @@ import duckdb
 import pyarrow.parquet as pq
 
 
+# ---- physical-type gate (round-13; VERDICT r12 ask #2) -------------
+# The driver's hash canonicalizes by Arrow PHYSICAL type, so a
+# value-equal column whose types drift (Spark decimal128(38,0) vs
+# DuckDB's HUGEINT export) passes a pure value compare here and fails
+# the real gate — exactly how r12 shipped its one red row
+# (agg_power_mde). Type diffs are now FAIL unless the pair normalizes
+# to the same class below. The classes are the empirically
+# driver-tolerated ones: every equivalence listed here rode a PASSING
+# row through the r12 driver artifact (349 greens). Anything outside
+# them — decimals, mismatched integer signs/widths beyond the listed
+# pairs, nested layout drift — is a gate FAIL until the QUERY is fixed
+# (emit a hash-stable type on both sides), never silently tolerated.
+def _tclass(t):
+    s = str(t)
+    # DuckDB exports VARCHAR as string or large_string depending on
+    # version; Spark parquet round-trips as string. Same driver class.
+    if s in ("string", "large_string"):
+        return "string"
+    # DuckDB COUNT/SUM yield int64; Spark emits int32 for pyspark-side
+    # ints only (not produced here) — keep integer widths DISTINCT
+    # except the int64/uint64 pair DuckDB uses for some catalog funcs.
+    if s in ("int64", "uint64"):
+        return "int64"
+    # timestamp unit drift: Spark writes us, DuckDB exports us — equal
+    # units pass identity; differing units normalize to the value
+    # grain only when both are timestamp without tz
+    if s.startswith("timestamp[us]") or s.startswith("timestamp[ns]"):
+        return "timestamp" + s[s.index("]") + 1:]
+    # nested types: normalize the element/field types recursively via
+    # the string form (list<large_string> vs list<string>)
+    for a, b in (("large_string", "string"), ("large_list", "list")):
+        if a in s:
+            s = s.replace(a, b)
+    return s
+
+
+def type_drift(scols, spark_tbl, oracle_tbl):
+    """Columns whose Arrow types differ in a way the driver's hash may
+    not tolerate: {col: (spark_type, oracle_type)}."""
+    out = {}
+    for c in scols:
+        st = spark_tbl.schema.field(c).type
+        ot = oracle_tbl.schema.field(c).type
+        if str(st) != str(ot) and _tclass(st) != _tclass(ot):
+            out[c] = (str(st), str(ot))
+    return out
+
+
+# marker the oracle child prefixes to its error text so the parent can
+# classify a spill-disk ENOSPC against the ACTUAL configured spill dir
+# (ADVICE r12: the previous literal-substring '/spill' check broke for
+# path forms DuckDB cites differently)
+_SPILL_MARK = "SPILL_DIR="
+
+
 def _views(con, sf_dir):
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         t = os.path.basename(p)[:-8]
@@ -42,6 +97,8 @@ def _views(con, sf_dir):
 def _run_oracle(sf_dir, sql, out_path, err_path):
     """Child-process body: one oracle, one fresh DuckDB, result to
     parquet. Any failure leaves its message in err_path."""
+    # computed before the try so the error path can always name it
+    spill = os.path.join(os.path.dirname(out_path), "spill")
     try:
         con = duckdb.connect()
         # fail fast and clean instead of driving the box into swap: an
@@ -53,7 +110,6 @@ def _run_oracle(sf_dir, sql, out_path, err_path):
         # spill into the shared cwd ./.tmp and delete each other's
         # temp blocks mid-query (observed as a bogus IO-error FAIL on
         # a correct oracle at sf1.0)
-        spill = os.path.join(os.path.dirname(out_path), "spill")
         con.execute(f"SET temp_directory='{spill}'")
         # spill is bounded too: a recursive-CTE replay that wants more
         # than this of disk is the same prohibitive-oracle class as a
@@ -65,7 +121,9 @@ def _run_oracle(sf_dir, sql, out_path, err_path):
         pq.write_table(con.execute(sql).fetch_arrow_table(), out_path)
     except Exception as e:  # noqa: BLE001 — the parent reports it
         with open(err_path, "w") as f:
-            f.write(str(e))
+            # first line names the configured spill dir so the parent
+            # can classify ENOSPC against the REAL path, not a literal
+            f.write(f"{_SPILL_MARK}{spill}\n{e}")
         sys.exit(1)
 
 
@@ -187,16 +245,23 @@ def main(sf_dir, out_dir, artifact=None, timeout=None, resume=False,
             print(f"EXCLUDE {name}: {reason}", flush=True)
             excluded[name] = reason
             record(name, f"excluded: {reason}"); continue
+        # DuckDB's own spill-exhaustion texts only: a raw ENOSPC from
+        # any other source (disk filled by an unrelated process) stays
+        # an investigable FAIL rather than a recorded exclusion. The
+        # ENOSPC case is matched against the child's ACTUAL configured
+        # spill dir (the SPILL_DIR= marker line), not a literal
+        # substring (ADVICE r12).
+        spill_dir = None
+        if err is not None and err.startswith(_SPILL_MARK):
+            head, _, body = err.partition("\n")
+            spill_dir = head[len(_SPILL_MARK):]
+            err = body or head
         if err is not None and ("Out of Memory" in err
-                                # DuckDB's own spill-exhaustion texts
-                                # only: a raw ENOSPC from any other
-                                # source (disk filled by an unrelated
-                                # process) stays an investigable FAIL
-                                # rather than a recorded exclusion
                                 or "space in temporary directory" in err
                                 or "max_temp_directory_size" in err
                                 or ("No space left on device" in err
-                                    and "/spill" in err)):
+                                    and spill_dir is not None
+                                    and spill_dir in err)):
             # prohibitive-oracle class, like a timeout: DuckDB could not
             # hold the replay at this sf — an explicit exclusion, not a
             # wrong answer (the sf1.0 run surfaced this on the graph
@@ -225,20 +290,22 @@ def main(sf_dir, out_dir, artifact=None, timeout=None, resume=False,
         for i, (rs, ro) in enumerate(zip(s, o)):
             if rs != ro:
                 mismatch = (i, rs, ro); break
-        # schema (type) check, informational
-        stypes = {c: str(spark_tbl.schema.field(c).type) for c in scols}
-        otypes = {c: str(oracle_tbl.schema.field(c).type) for c in scols}
-        tdiff = {c: (stypes[c], otypes[c])
-                 for c in scols if stypes[c] != otypes[c]}
+        # physical-type gate: value-equal but type-drifted columns FAIL
+        # here so the builder's mirror catches the driver's hash-fail
+        # class (r12's agg_power_mde) before the driver does
+        drift = type_drift(scols, spark_tbl, oracle_tbl)
         if mismatch:
             i, rs, ro = mismatch
             print(f"FAIL {name}: row {i}\n  spark : {rs}\n  oracle: {ro}",
                   flush=True)
             record(name, f"fail: value mismatch at row {i}")
-        else:
-            extra = f" [type diffs: {tdiff}]" if tdiff else ""
-            print(f"PASS {name} ({spark_tbl.num_rows} rows){extra}",
+        elif drift:
+            print(f"FAIL {name}: arrow type drift (values equal): "
+                  f"{drift} — emit a hash-stable type on both sides",
                   flush=True)
+            record(name, f"fail: arrow type drift {drift}")
+        else:
+            print(f"PASS {name} ({spark_tbl.num_rows} rows)", flush=True)
             record(name, "pass")
     n_pass, n_fail, _ = counts()
     print(f"\n{n_pass} pass, {n_fail} fail"

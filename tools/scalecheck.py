@@ -127,8 +127,15 @@ def main(path, threshold=1.3):
             v = q.get(k)
             if v is not None and v > threshold and big_mb_h > 1.0:
                 reasons.append(f"{k} {v:.2f}")
+        # *_d fields: the graph/CC/ANN sf1.0->sf3.0 pair (round-13,
+        # Scale.deepSet) — already per-decade normalized by Scale, so
+        # the same threshold applies; its 1 MB floor from its own pair
+        big_mb_d = (q.get("shuffle_mb_d") or [0])[-1]
+        v = q.get("shuffle_slope_d")
+        if v is not None and v > threshold and big_mb_d > 1.0:
+            reasons.append(f"shuffle_slope_d {v:.2f}")
         for k in ("time_slope3", "time_slope_top",
-                  "time_slope_h", "time_slope_h_top"):
+                  "time_slope_h", "time_slope_h_top", "time_slope_d"):
             v = q.get(k)
             if v is not None and v > threshold:
                 reasons.append(f"{k} {v:.2f}")
