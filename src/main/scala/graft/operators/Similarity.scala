@@ -929,8 +929,16 @@ object Similarity {
     val probesDf = broadcast(
       probeRows.toSeq.toDF("query_id", "qv"))
     // exact distance through the argmin kernel with a 1-codeword
-    // "book" — element 1 of the result IS the squared L2 distance
-    val exact = shortlist
+    // "book" — element 1 of the result IS the squared L2 distance.
+    // The shortlist side is BROADCAST by construction, not by the
+    // planner's estimate: it is ≤ |queries|·shortlistSize rows (a few
+    // hundred), but it hangs off a window+filter whose size Catalyst
+    // can't see, so without the hint the join falls to sort-merge and
+    // shuffles the ENTIRE embedding table on cand_id — measured at
+    // the sf3.0 deep point as a 9.4 MB exchange that was absent at
+    // sf1.0 (the corpus had crossed the auto-broadcast estimate);
+    // at 10⁹ vectors that shuffle is the whole corpus per rerank.
+    val exact = broadcast(shortlist)
       .join(emb.select(col("vec_id").as("cand_id"), col("v")), "cand_id")
       .join(probesDf, "query_id")
       .withColumn("dist", round(element_at(
@@ -1018,7 +1026,13 @@ object Similarity {
     }
     import s.implicits._
     val lutDf = broadcast(lut.toDF("query_id", "sub", "code", "d"))
-    val scored = candPairs
+    // candPairs is the BROADCAST side by construction: ≤ |queries| ·
+    // cellsPerProbe · max-cell-occupancy rows (√n-growth — ~45 MB at
+    // 10⁹ vectors), while codesLong is the full O(n) code table. The
+    // sf3.0 plan probe showed the planner building the hash side from
+    // codesLong once its estimate crossed the threshold — broadcast
+    // of the corpus-sized side, exactly backwards at scale.
+    val scored = broadcast(candPairs)
       .join(codesLong, Seq("cand_id"))
       .join(lutDf, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("cand_id"))
