@@ -94,10 +94,22 @@ def main(path, threshold=1.3):
         ssl = q.get("shuffle_slope")
         tsl = q.get("time_slope")
         big_mb = q.get("shuffle_mb", [0, 0])[-1]
+        # absolute floor for TIME slopes, mirroring the 1 MB shuffle
+        # floor: a wall time under 0.5 s on local[32] is scheduler
+        # latency (±50-100 ms/run), so a ratio between two such
+        # points is noise, not growth — round 13 measured a
+        # zero-shuffle 24 ms query "tripling" inside one sweep and
+        # sitting dead flat in isolation. Shuffle slopes (plan-
+        # determined) still gate those queries; if real work ever
+        # grows, the top point crosses the floor and the gate
+        # re-engages.
+        def twall(key):
+            arr = q.get(key) or [0]
+            return arr[-1]
         reasons = []
         if ssl is not None and ssl > threshold and big_mb > 1.0:
             reasons.append(f"shuffle_slope {ssl:.2f}")
-        if tsl is not None and tsl > threshold:
+        if tsl is not None and tsl > threshold and twall("sec") >= 0.5:
             reasons.append(f"time_slope {tsl:.2f}")
         # multi-decade gate (3-/4-point heavy entries): per-decade
         # slopes over the full 100x (slope2) and 1000x (slope3) spans,
@@ -113,7 +125,7 @@ def main(path, threshold=1.3):
             n4 += 1
         if ssl2 is not None and ssl2 > threshold and big_mb > 1.0:
             reasons.append(f"shuffle_slope2 {ssl2:.2f}")
-        if tsl2 is not None and tsl2 > threshold:
+        if tsl2 is not None and tsl2 > threshold and twall("sec") >= 0.5:
             reasons.append(f"time_slope2 {tsl2:.2f}")
         # *_h fields: the builder Heaps-fixture same-regime curve for
         # the text family (Scale.heapsSet) — gated like the driver
@@ -134,10 +146,13 @@ def main(path, threshold=1.3):
         v = q.get("shuffle_slope_d")
         if v is not None and v > threshold and big_mb_d > 1.0:
             reasons.append(f"shuffle_slope_d {v:.2f}")
-        for k in ("time_slope3", "time_slope_top",
-                  "time_slope_h", "time_slope_h_top", "time_slope_d"):
+        for k, wall_key in (("time_slope3", "sec"),
+                            ("time_slope_top", "sec"),
+                            ("time_slope_h", "sec_h"),
+                            ("time_slope_h_top", "sec_h"),
+                            ("time_slope_d", "sec_d")):
             v = q.get(k)
-            if v is not None and v > threshold:
+            if v is not None and v > threshold and twall(wall_key) >= 0.5:
                 reasons.append(f"{k} {v:.2f}")
         if reasons:
             flagged.append((name, q, reasons))
