@@ -239,9 +239,7 @@ object StreamingAnalogs {
     // instead). Restored after start: conf is read at query planning.
     // (restored only after the drain: start() is async and the first
     // batch snapshots the conf into the checkpoint's offset metadata)
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+    withStateConf(s, 4) {
       agg.writeStream
         .outputMode("update")
         .option("checkpointLocation", s"$base/ckpt")
@@ -255,7 +253,7 @@ object StreamingAnalogs {
         }
         .start()
         .drainRecorded()
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.read.parquet(s"$base/table")
       .select(col("day_start"), col("n_events"), col("total_amount"),
         col("n_credit"))
@@ -315,9 +313,7 @@ object StreamingAnalogs {
         col("session_amount"))
     // state sized to key cardinality (~101 open sessions), not core
     // count — see feedDaily's note; restored after the drain
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+    withStateConf(s, 4) {
       sess.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
@@ -327,7 +323,7 @@ object StreamingAnalogs {
         }
         .start()
         .drainRecorded()
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.read.parquet(s"$base/table")
       .orderBy("user_id", "session_start")
   }
@@ -365,9 +361,7 @@ object StreamingAnalogs {
       .withWatermark("ts", "2 days")
       .dropDuplicatesWithinWatermark("id")
     // state sized to key cardinality — see feedDaily's note
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+    withStateConf(s, 4) {
       dedup.writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
@@ -377,7 +371,7 @@ object StreamingAnalogs {
         }
         .start()
         .drainRecorded()
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.read.parquet(s"$base/table")
       .select(col("id"), col("ts"), col("kind"), col("amount"))
       .orderBy("id")
@@ -753,9 +747,7 @@ object StreamingAnalogs {
     val agg = enriched.groupBy(col("kind"), col("rate_version"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("cents") * col("rate")).as("revenue_cents"))
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+    withStateConf(s, 4) {
       agg.writeStream
         .outputMode("update")
         .option("checkpointLocation", s"$base/ckpt")
@@ -772,7 +764,7 @@ object StreamingAnalogs {
         }
         .start()
         .drainRecorded()
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.read.parquet(s"$base/table")
       .select(col("kind"), col("rate_version").cast("long")
         .as("rate_version"), col("n_events"), col("revenue_cents"))
@@ -913,34 +905,67 @@ object StreamingAnalogs {
       .orderBy("domain")
   }
 
-  /** Shared transformWithState drain harness: RocksDB state-store
-    * provider (TWS requires it) and key-cardinality-sized shuffle
-    * partitions set for the drain and restored after; update-mode
+  /** Per-drain state-store posture, set for the drain and restored
+    * after: key-cardinality-sized shuffle partitions always (see
+    * feedDaily's note: state-store fixed cost is per PARTITION per
+    * batch, so partitions track key count, not cores), plus — only
+    * where `rocksdb = true` — the RocksDB provider with CHANGELOG
+    * checkpointing (commit appends the batch's changelog instead of
+    * uploading a full snapshot every batch). The flag is MEASURED,
+    * not doctrinal: on the transformWithState drains (which require
+    * RocksDB anyway) changelog checkpointing cut per-batch state
+    * commit ~170 → ~62 ms; on the 4-partition windowed-agg drains
+    * the same flip made things WORSE (batch-0 addBatch 1082 → 3859
+    * ms from cold instance opens, steady-state commit no better than
+    * the HDFS-backed store at this state size), so those keep the
+    * default provider. At production state sizes the calculus shifts
+    * toward RocksDB for the aggs too — that is a deployment conf,
+    * and this helper is the one knob to turn. Restored only after
+    * the drain — start() is async and the first batch snapshots
+    * confs into the checkpoint's metadata.
+    */
+  private def withStateConf[T](s: SparkSession, partitions: Int,
+      rocksdb: Boolean = false)(body: => T): T = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val savedProvider = s.conf.getOption(providerKey)
+    val savedChangelog = s.conf.getOption(changelogKey)
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      if (rocksdb) {
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        s.conf.set(changelogKey, "true")
+      }
+      s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      body
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+      savedChangelog match {
+        case Some(v) => s.conf.set(changelogKey, v)
+        case None => s.conf.unset(changelogKey)
+      }
+    }
+  }
+
+  /** Shared transformWithState drain harness: the withStateConf
+    * posture (TWS requires RocksDB) around an update-mode
     * AvailableNow drain into `$base/table`, dynamic-partition-
     * overwritten by `kind` so the table keeps each key's LATEST
-    * emission — the four TWS feed drains differ only in their query
+    * emission — the TWS feed drains differ only in their query
     * and output schema.
     */
   private def drainTwsToTable(s: SparkSession, base: String,
       out: DataFrame): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.streaming.Trigger
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val savedProvider = s.conf.getOption(providerKey)
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
-      // changelog checkpointing: commit appends the batch's changelog
-      // instead of uploading a full RocksDB snapshot every batch —
-      // measured ~170 -> ~40 ms of per-batch state commit on these
-      // drains, and at real stream volumes it is the documented
-      // production posture for frequent small commits (snapshots
-      // still happen, in the background maintenance task)
-      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-        "changelogCheckpointing.enabled", "true")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+    withStateConf(s, 2, rocksdb = true) {
       out.writeStream
         .outputMode("update")
         .option("checkpointLocation", s"$base/ckpt")
@@ -953,12 +978,6 @@ object StreamingAnalogs {
         }
         .start()
         .drainRecorded()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      savedProvider match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
     }
   }
 
@@ -1514,9 +1533,7 @@ object StreamingAnalogs {
       .agg(count(lit(1)).as("n_admitted"),
         sum(col("cents")).as("cents_admitted"),
         max(col("id")).as("max_id"))
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+    withStateConf(s, 4) {
       agg.writeStream
         .outputMode("update")
         .option("checkpointLocation", s"$base/ckpt")
@@ -1529,7 +1546,7 @@ object StreamingAnalogs {
         }
         .start()
         .drainRecorded()
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.read.parquet(s"$base/table")
       .select(col("kind"), col("n_admitted"), col("cents_admitted"),
         col("max_id"))
