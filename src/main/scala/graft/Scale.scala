@@ -61,7 +61,16 @@ object Scale {
   def heapsSet: Set[String] = Set(
     "dedup_winnow_pairs", "dedup_prefix_stats", "dedup_prefix_jaccard",
     "text_phrase_search", "text_repetition", "text_vocab_growth",
-    "text_dup_coverage")
+    "text_dup_coverage",
+    // round-13 extension: the remaining PAIR-FORMING sketch ops —
+    // exactly the shapes whose candidate mass depends on the
+    // vocabulary regime (banded MinHash buckets, SimHash Hamming
+    // balls, n-gram prefix candidates, k-means-scoped cosine pairs) —
+    // measured on the same four Heaps decades as the text family,
+    // since the sf3.0 half-decade is where round 12/13 found the
+    // winnow hot-cap and IVF-PQ broadcast regressions
+    "dedup_minhash", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_lsh_index")
 
   /** Graph/CC/ANN heavy queries ALSO measured at data/sf1.0 →
     * data/sf3.0 (round-13, verdict r12 ask #4): the text family's

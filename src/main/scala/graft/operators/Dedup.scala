@@ -512,7 +512,11 @@ object Dedup {
     val bandTbl = bandIndex(s, dir)
     val hist = bandTbl.filter(!(col("doc_id") % 5 === 0))
       .select(col("bandkey"), col("doc_id").as("hist_id"))
-    lshProbeAudit(s, dir, hist)
+    // in-memory variant: history arrays from the live pooled pass
+    // (the bucketed variant reads them from its persisted index)
+    val histArr = shingleArrDf(s, dir).filter(!(col("doc_id") % 5 === 0))
+      .select(col("doc_id").as("hist_id"), col("sharr").as("sh_b"))
+    lshProbeAudit(s, dir, hist, histArr)
   }
 
   /** The per-doc (doc_id, bandkey) table of the WHOLE corpus — 8×4
@@ -538,20 +542,30 @@ object Dedup {
     * cross-pair truth.
     */
   private def lshProbeAudit(s: SparkSession, dir: String,
-      hist: DataFrame): DataFrame = {
+      hist: DataFrame, histArr: DataFrame,
+      variant: String = "mem"): DataFrame = {
     val isDelta = col("doc_id") % 5 === 0
     val cand = bandIndex(s, dir).filter(isDelta)
       .join(hist, "bandkey") // the probe: bucket-equi, never all-pairs
       .select(col("doc_id"), col("hist_id")).distinct()
     val arr = shingleArrDf(s, dir)
-    val matches = cand
-      .join(arr.select(col("doc_id"), col("sharr").as("sh_a")), "doc_id")
-      .join(arr.select(col("doc_id").as("hist_id"),
-        col("sharr").as("sh_b")), "hist_id")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .filter(col("n_inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")) >= 0.5)
-      .select(col("doc_id"), col("hist_id"))
+    // pooled: BOTH audit aggregates below (n_emitted, n_hit) consume
+    // `matches`, and without the cache the whole cand→verify pipeline
+    // evaluated twice (measured as every probe exchange duplicated at
+    // sf1.0). The history arrays come from the index's doc-keyed
+    // bucketed table — no corpus-side exchange at probe time.
+    val matches = graft.CachePool.cached(s, s"dedup.lshMatches:$variant:$dir") {
+      cand
+        .join(arr.filter(isDelta)
+          .select(col("doc_id"), col("sharr").as("sh_a")), "doc_id")
+        .join(histArr, "hist_id")
+        .withColumn("n_inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("n_inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")) >= 0.5)
+        .select(col("doc_id"), col("hist_id"))
+        .localCheckpoint()
+    }
     // exact truth: the pooled full pair set, cross direction only
     val truth = jaccardPairs(s, dir)
       .select(when(col("doc_a") % 5 === 0, col("doc_a"))
@@ -593,7 +607,8 @@ object Dedup {
   def incrementalLshBucketed(s: SparkSession, dir: String,
       warehouse: String = "/tmp/graft_lsh_index"): DataFrame = {
     val fresh = lshIndexBuilt.get(warehouse) == dir &&
-      s.catalog.tableExists("graft_lsh_hist_b") && {
+      s.catalog.tableExists("graft_lsh_hist_b") &&
+      s.catalog.tableExists("graft_lsh_arr_b") && {
         val p = new org.apache.hadoop.fs.Path(warehouse)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
       }
@@ -610,9 +625,26 @@ object Dedup {
                |LOCATION '$warehouse/lsh_hist_b'
                |AS SELECT bandkey, hist_id FROM graft_tmp_lsh_hist"""
         .stripMargin)
+      // the VERIFY arrays ride the index too, bucketed by doc id: a
+      // probe's Jaccard verification joins candidates against the
+      // HISTORY's shingle arrays, and without a doc-keyed store that
+      // join re-shuffles the whole history array table every probe
+      // (measured 42 MB ×2 at builder sf1.0 — the corpus side, which
+      // at 100 TB dwarfs any delta). Bucketing moves that exchange
+      // into the one-time build, same trade as the bandkey table.
+      shingleArrDf(s, dir).filter(!(col("doc_id") % 5 === 0))
+        .select(col("doc_id").as("hist_id"), col("sharr").as("sh_b"))
+        .createOrReplaceTempView("graft_tmp_lsh_arr")
+      s.sql("DROP TABLE IF EXISTS graft_lsh_arr_b")
+      s.sql(s"""CREATE TABLE graft_lsh_arr_b USING PARQUET
+               |CLUSTERED BY (hist_id) INTO 8 BUCKETS
+               |LOCATION '$warehouse/lsh_arr_b'
+               |AS SELECT hist_id, sh_b FROM graft_tmp_lsh_arr"""
+        .stripMargin)
       lshIndexBuilt.put(warehouse, dir)
     }
-    lshProbeAudit(s, dir, s.table("graft_lsh_hist_b"))
+    lshProbeAudit(s, dir, s.table("graft_lsh_hist_b"),
+      s.table("graft_lsh_arr_b"), variant = "bucketed")
   }
 
   /** Duplicate-cluster resolution: connected components over the

@@ -69,6 +69,20 @@ ALLOW = {
             "as shingles become near-unique), a bounded constant "
             "that converges once word length saturates; driver "
             "decades and the full-span h slope sit at 0.98-1.09"},
+    "dedup_simhash_pairs": {
+        "metrics": {"shuffle_slope_h", "shuffle_slope_h_top"},
+        "reason":
+            "hot-cap approach, winnow's shape with the knee beyond "
+            "the sandbox: candidate mass is sum B*(B-1)/2 over "
+            "sub-64-cap 16-bit chunk buckets, HARD-bounded at "
+            "(cap-1)/2 * 4n < 126n pairs for all n (SimhashBoundSpec "
+            "pins the bound in-plan). The measured slope is the "
+            "approach to that ceiling from below — mass/n 0.4 at "
+            "sf1.0 -> ~11 at sf3.0 vs the 126 ceiling; typical "
+            "bucket occupancy n/2^16 crosses the cap only at ~4M "
+            "docs/chunk, past which growth is exactly linear. "
+            "Absolute top-point shuffle is 40 MB at 150k docs",
+    },
     "text_vocab_growth": {
         "metrics": {"shuffle_slope_top"},
         "reason":
