@@ -36,4 +36,58 @@ object Broadcasts {
     val t = thresholdBytes(s)
     if (t > 0 && rows <= t / math.max(1L, bytesPerRow)) broadcast(df) else df
   }
+
+  /** `broadcast(df)` with the caller's CONSTRUCTION bound made
+    * load-bearing (round-13 verdict ask #2 — `DriverState
+    * .collectBounded`'s discipline extended to broadcast hints whose
+    * bound is an ARGUMENT, not a plan fact). The ANN pipelines
+    * broadcast sides that are small by construction — a shortlist is
+    * ≤ |queries|·shortlistSize rows, an IVF candidate set ≤
+    * |queries|·cellsPerProbe·occupancy — but nothing in the PLAN says
+    * so, and a parameter drift (wider shortlist, denser cells) would
+    * ship an un-bounded side to the driver and every executor with no
+    * failure until the OOM. This guard counts the side against the
+    * declared bound and fails loudly the moment construction no
+    * longer implies small.
+    *
+    * The count is capped at `bound + 1` rows via limit(), so the
+    * verification job never scans past one row of violation. Callers
+    * whose side is expensive to re-evaluate pool it (CachePool) FIRST
+    * so the guard's count reads the cache, not the pipeline. When the
+    * caller already paid for an exact count (a memoized cardinality),
+    * pass it as `knownRows` and the guard runs zero extra jobs.
+    */
+  def bounded(df: DataFrame, bound: Long, what: String,
+      knownRows: Long = -1L): DataFrame = {
+    val n =
+      if (knownRows >= 0L) knownRows
+      else {
+        val lim =
+          if (bound >= Int.MaxValue - 1L) Int.MaxValue
+          else (bound + 1L).toInt
+        df.limit(lim).count()
+      }
+    require(n <= bound,
+      s"$what: broadcast side holds ${if (knownRows >= 0) "" else "≥ "}" +
+        s"$n rows, past its declared construction bound of $bound — a " +
+        "parameter or geometry drift has un-bounded the build side; fix " +
+        "the construction or re-derive the bound from it, do not drop " +
+        "the broadcast guard")
+    broadcast(df)
+  }
+
+  /** Row budget for broadcasting a table whose cardinality GROWS with
+    * the corpus (the IVF centroid table: n/occupancy rows): the
+    * session's auto-broadcast threshold divided by the caller's
+    * per-row byte estimate, floored at the 10 MB Spark default when
+    * auto-broadcast is disabled (an explicit hint ignores the -1
+    * sentinel, so "disabled" must not read as "unbounded"). Crossing
+    * this budget is the signal to re-derive the index geometry
+    * (nlist ~ √n), not to broadcast harder.
+    */
+  def rowBudget(s: SparkSession, bytesPerRow: Long): Long = {
+    val t = thresholdBytes(s)
+    val budget = if (t > 0) t else 10L << 20
+    math.max(1L, budget / math.max(1L, bytesPerRow))
+  }
 }

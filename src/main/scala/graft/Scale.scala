@@ -90,15 +90,37 @@ object Scale {
     "sim_ivfpq_topk", "sim_knn_graph", "graph_pagerank",
     "graph_triangles", "graph_local_cc")
 
+  /** Full (mode, sf) provenance stamp of a GenData fixture dir:
+    * None for a pre-stamp or foreign tree; sf None for a pre-round-13
+    * stamp that carried only the mode token.
+    */
+  def genStamp(d: String): Option[(String, Option[Double])] = {
+    val f = new java.io.File(s"$d/GENMODE")
+    if (!f.exists()) None
+    else {
+      val toks = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").split("\\s+")
+      val mode = toks.find(_.startsWith("mode=")).map(_.stripPrefix("mode="))
+      val sf = toks.find(_.startsWith("sf=")).map(_.stripPrefix("sf="))
+        .flatMap(t => scala.util.Try(t.toDouble).toOption)
+      mode.map(m => (m, sf))
+    }
+  }
+
   /** Generation-mode stamp of a GenData fixture dir (ADVICE r12):
     * None for a pre-stamp or foreign tree.
     */
-  def genMode(d: String): Option[String] = {
-    val f = new java.io.File(s"$d/GENMODE")
-    if (!f.exists()) None
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .split("\\s+").headOption.map(_.stripPrefix("mode="))
-  }
+  def genMode(d: String): Option[String] = genStamp(d).map(_._1)
+
+  /** Regime purity for a curve point = BOTH stamp tokens match
+    * (ADVICE r13): validating only mode= let an sf1.0 heaps tree
+    * copied into data/sf3.0 pass as the top decade, silently
+    * corrupting the very slopes the stamp protects. The expected sf
+    * comes from the curve table (heapsAll/deepAll), never the dir
+    * name.
+    */
+  def genModeAt(d: String, mode: String, sf: Double): Boolean =
+    genStamp(d).exists { case (m, s) => m == mode && s.contains(sf) }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -127,15 +149,17 @@ object Scale {
     // dir failing either test, and any later dir that would have
     // qualified is warned about (a takeWhile hole would otherwise
     // silently disable the curve's top points)
-    val heapsPresent = heapsAll.takeWhile { case (d, _) =>
+    val heapsPresent = heapsAll.takeWhile { case (d, sf) =>
       new java.io.File(s"$d/documents.parquet").exists() &&
-        genMode(d).contains("heaps") }
-    heapsAll.drop(heapsPresent.size).foreach { case (d, _) =>
+        genModeAt(d, "heaps", sf) }
+    heapsAll.drop(heapsPresent.size).foreach { case (d, sf) =>
       val exists = new java.io.File(s"$d/documents.parquet").exists()
-      if (exists && !genMode(d).contains("heaps"))
+      if (exists && !genModeAt(d, "heaps", sf))
         System.err.println(s"[scale] WARNING: $d exists but is " +
-          s"stamped ${genMode(d).getOrElse("<unstamped>")} — " +
-          "regenerate with `runMain graft.GenData <sf> " + d +
+          s"stamped ${genStamp(d).map { case (m, s) =>
+            s"mode=$m sf=${s.getOrElse("<none>")}"
+          }.getOrElse("<unstamped>")} (want mode=heaps sf=$sf) — " +
+          "regenerate with `runMain graft.GenData " + sf + " " + d +
           " heaps` to extend the Heaps curve")
       else if (exists)
         System.err.println(s"[scale] WARNING: $d exists but a " +
@@ -147,9 +171,14 @@ object Scale {
     val hasHeaps = heapsDirs.size >= 3
     // graph/CC/ANN fifth pair: the sf1.0 -> sf3.0 half-decade
     val deepAll = Seq(sfOne -> 1.0, "data/sf3.0" -> 3.0)
-    val hasDeep = deepAll.forall { case (d, _) =>
+    // the deep pair reads events/embeddings (vocabulary regime
+    // irrelevant, mode unchecked) but the SIZE ratio is the whole
+    // measurement, so the stamped sf must match the expected scale
+    // (ADVICE r13 — a renamed tree must not fake a decade)
+    val hasDeep = deepAll.forall { case (d, sf) =>
       new java.io.File(s"$d/events.parquet").exists() &&
-        new java.io.File(s"$d/embeddings.parquet").exists() }
+        new java.io.File(s"$d/embeddings.parquet").exists() &&
+        genStamp(d).exists(_._2.contains(sf)) }
     val spark = Sessions.local(cpus, "graft-scale")
     spark.sparkContext.setLogLevel("WARN")
     (heavyDirs ++ sfs ++ (if (hasHeaps) heapsDirs else Nil)).distinct

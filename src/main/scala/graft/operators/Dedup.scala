@@ -564,7 +564,10 @@ object Dedup {
         .filter(col("n_inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")) >= 0.5)
         .select(col("doc_id"), col("hist_id"))
-        .localCheckpoint()
+        // no localCheckpoint here (ADVICE r13): cached() already
+        // materializes eagerly via count() OUTSIDE the memo lock; an
+        // in-build checkpoint ran its job while HOLDING the lock and
+        // double-stored the table (checkpoint partitions + cache)
     }
     // exact truth: the pooled full pair set, cross direction only
     val truth = jaccardPairs(s, dir)

@@ -40,10 +40,30 @@ class IvfPqPlanProbe extends SparkSpec {
     out.toSeq
   }
 
+  /** On-disk footprint of a parquet path that may be a SINGLE FILE
+    * (driver testdata) or a DIRECTORY of part files (Spark-written
+    * fixtures) — File.length() on a directory returns the ~4 KB dirent
+    * size, which would make the corpusBytes/4 threshold below fail
+    * every exchange spuriously (ADVICE r13).
+    */
+  private def parquetBytes(path: java.io.File): Long =
+    if (path.isDirectory)
+      path.listFiles().map(parquetBytes).sum
+    else if (path.getName.startsWith(".") || path.getName.startsWith("_"))
+      0L // checksums/_SUCCESS markers are not data
+    else path.length()
+
   test("ivfPqTopK shuffles stay candidate-bounded — no corpus-sized " +
     "exchange (the sf3.0 deep-point regression)") {
+    // one decade above SparkSpec.sfDir on purpose: at sf0.001 the
+    // bounded exchanges and a corpus-sized one are both ~KBs and the
+    // /4 separation threshold has no signal
     val dir = "/root/testdata/sf0.01"
-    val corpusBytes = new java.io.File(s"$dir/embeddings.parquet").length()
+    val corpusBytes = parquetBytes(
+      new java.io.File(s"$dir/embeddings.parquet"))
+    assert(corpusBytes > 64 * 1024,
+      s"corpus sizing degenerate ($corpusBytes B) — the threshold " +
+        "below would fail every exchange for the wrong reason")
     val ex = exchangeBytes(dir)
     assert(ex.nonEmpty) // the bounded groupBy/window exchanges exist
     // every exchange must be far below the corpus parquet size: the
