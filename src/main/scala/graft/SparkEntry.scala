@@ -107,7 +107,7 @@ object SparkEntry {
     // ST3 end-to-end STREAMING run: DSv2 MicroBatchStream drained with
     // Trigger.AvailableNow through update-mode foreachBatch upsert,
     // then the materialized table read back for the oracle compare
-    "stream_feed_daily" -> (graft.streaming.StreamingAnalogs.feedDaily _),
+    "stream_feed_daily" -> ((s, d) => graft.streaming.StreamingAnalogs.feedDaily(s, d)),
     "stream_sessionize" -> (graft.streaming.StreamingAnalogs.feedSessions _),
     // running distinct per key: KMV sketch as transformWithState state
     "stream_distinct_running" ->
@@ -145,7 +145,7 @@ object SparkEntry {
     "stream_ewma" -> (graft.streaming.StreamingAnalogs.feedEwma _),
     // streaming one-sided CUSUM drift alarm: four longs of TWS state
     // per key, integer-exact; oracle replays the closed form
-    "stream_cusum" -> (graft.streaming.StreamingAnalogs.feedCusum _),
+    "stream_cusum" -> ((s, d) => graft.streaming.StreamingAnalogs.feedCusum(s, d)),
     // streaming open-interval concurrency: priority-queue state of
     // open ends, logical event-time sweep (deterministic, no timers)
     "stream_concurrency" ->

@@ -211,7 +211,13 @@ object StreamingAnalogs {
     * always re-processes — a production deploy would KEEP it and
     * resume from the committed offset instead.
     */
-  def feedDaily(s: SparkSession, dir: String): DataFrame = {
+  def feedDaily(s: SparkSession, dir: String, totalRows: Long = 5000L,
+      rowsPerTrigger: Long = 1000L): DataFrame = {
+    // feed-size parameters exist for AmortizationProfile's batch-size
+    // sweep (round-13 verdict ask #3); the gate/bench defaults are the
+    // original 5 × 1000-row microbatches. Batch parallelism follows
+    // batch size (~64k rows/partition) so a million-row batch isn't
+    // squeezed through the small drain's 4 splits.
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.streaming.Trigger
     val base = s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_daily"
@@ -219,9 +225,10 @@ object StreamingAnalogs {
     val hfs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     hfs.delete(path, true)
     val feed = s.readStream.format("graft.sources.FeedSource")
-      .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000) // 5 capped microbatches per drain
-      .option("partitionsPerBatch", 4)
+      .option("totalRows", totalRows)
+      .option("rowsPerTrigger", rowsPerTrigger)
+      .option("partitionsPerBatch",
+        math.min(32L, math.max(4L, rowsPerTrigger / 65536L)).toInt)
       .load()
     val agg = feed.withWatermark("ts", "2 days")
       .groupBy(window(col("ts"), "1 day").as("w"))
@@ -678,7 +685,10 @@ object StreamingAnalogs {
     * k_ref = 50000 is the generator's domain midpoint, so both kinds
     * hover near criticality and exercise the max(0, ·) reflection.
     */
-  def feedCusum(s: SparkSession, dir: String): DataFrame = {
+  def feedCusum(s: SparkSession, dir: String, totalRows: Long = 5000L,
+      rowsPerTrigger: Long = 1000L): DataFrame = {
+    // feed-size parameters for AmortizationProfile's batch-size sweep
+    // (round-13 verdict ask #3); gate/bench defaults unchanged
     val base =
       s"/tmp/graft_streams/${new java.io.File(dir).getName}/feed_cusum"
     val path = new org.apache.hadoop.fs.Path(base)
@@ -686,9 +696,10 @@ object StreamingAnalogs {
     hfs.delete(path, true)
     import s.implicits._
     val feed = s.readStream.format("graft.sources.FeedSource")
-      .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
-      .option("partitionsPerBatch", 4)
+      .option("totalRows", totalRows)
+      .option("rowsPerTrigger", rowsPerTrigger)
+      .option("partitionsPerBatch",
+        math.min(32L, math.max(4L, rowsPerTrigger / 65536L)).toInt)
       .load()
       .select(col("kind"), col("id"),
         ((col("id") * lit(2654435761L)) % lit(100000L)).as("cents"))
