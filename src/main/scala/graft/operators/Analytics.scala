@@ -476,6 +476,63 @@ object Analytics {
       .drop("bkt"), n)
   }
 
+  /** Multi-dimension form of the bucketed global-rank core: rank the
+    * SAME frame independently on several value columns with ONE
+    * quantile-bounds job (multi-column approxQuantile) and ONE
+    * bucket-count job (the per-dimension marginals ride an exploded
+    * (dim, bkt) pair stream) instead of one of each per dimension —
+    * rfmSegments' three rankings ran six driver jobs through the
+    * single-column core; this runs two. Rank semantics are exactly
+    * withGlobalRank's (same bounds per column, same ordered-bucket
+    * assignment, same per-bucket row_number + literal prefix-sum
+    * offsets, same (value, key) tie-break), so the ranks are
+    * bit-identical — only the JOB count changes. Returns the frame
+    * with one `grn_<i>` column per spec, plus the row count.
+    */
+  private[operators] def withGlobalRanksMulti(s: SparkSession,
+      in: DataFrame, keyCol: String,
+      specs: Seq[(String, Boolean)]): (DataFrame, Long) = {
+    val nBuckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val allBounds = in.stat.approxQuantile(
+      specs.map(_._1).toArray, probs, 0.001)
+    val perDim = specs.zipWithIndex.map { case ((valueCol, desc), i) =>
+      val bounds0 = allBounds(i).distinct.sorted.toSeq
+      val bounds = if (desc) bounds0.reverse else bounds0
+      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + (if (desc) when(col(valueCol) < lit(b), 1)
+               else when(col(valueCol) > lit(b), 1)).otherwise(0)
+      }
+      (i, valueCol, desc, bucket)
+    }
+    val bucketed = in.select(col("*") +:
+      perDim.map { case (i, _, _, b) => b.as(s"bkt_$i") }: _*)
+    val marginals = bucketed
+      .select(explode(array(perDim.map { case (i, _, _, _) =>
+        struct(lit(i).as("dim"), col(s"bkt_$i").as("bkt")) }: _*)).as("p"))
+      .groupBy(col("p.dim").as("dim"), col("p.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val n = marginals.filter(_._1 == 0).map(_._3).sum
+    val ranked = perDim.foldLeft(bucketed) {
+      case (acc, (i, valueCol, desc, _)) =>
+        val counts = marginals.filter(_._1 == i)
+          .map(t => (t._2, t._3)).sortBy(_._1)
+        val offsets = counts.zip(counts.scanLeft(0L)(_ + _._2))
+          .map { case ((b, _), off) => (b, off) }.toSeq
+        val offExpr =
+          if (offsets.isEmpty) lit(0L)
+          else element_at(map(offsets.flatMap {
+            case (b, o) => Seq(lit(b), lit(o)) }: _*), col(s"bkt_$i"))
+        val localW = Window.partitionBy(col(s"bkt_$i"))
+          .orderBy(if (desc) col(valueCol).desc else col(valueCol),
+            col(keyCol))
+        acc.withColumn(s"grn_$i", offExpr + row_number().over(localW))
+          .drop(s"bkt_$i")
+    }
+    (ranked, n)
+  }
+
   def spendStanding(s: SparkSession, dir: String): DataFrame = {
     val spend = custSpend(s, dir)
     val (ranked, n) = withGlobalSpendRank(s, spend, descending = false)
@@ -722,17 +779,21 @@ object Analytics {
             .as("recency"),
           col("frequency"), col("monetary_cents"))
     }
-    def scored(in: DataFrame, valueCol: String, scoreCol: String,
-        descending: Boolean): DataFrame = {
-      val (ranked, n) = withGlobalRank(s, in, valueCol, "o_custkey",
-        descending)
-      ranked.withColumn(scoreCol,
-        expr(s"cast(5 - (grn - 1L) * 5L div ${n}L as int)")).drop("grn")
-    }
-    val cells = scored(scored(scored(base,
-        "recency", "r_score", descending = false),
-        "frequency", "f_score", descending = true),
-        "monetary_cents", "m_score", descending = true)
+    // all three rankings through the multi-dimension rank core: one
+    // quantile-bounds job + one marginals job for the trio (the
+    // chained single-column form re-ran both per dimension — six
+    // driver jobs for two jobs' worth of information; guide §1.2's
+    // "don't compute things you throw away")
+    val (ranked, n) = withGlobalRanksMulti(s, base, "o_custkey",
+      Seq(("recency", false), ("frequency", true),
+        ("monetary_cents", true)))
+    def score(i: Int) =
+      expr(s"cast(5 - (grn_$i - 1L) * 5L div ${n}L as int)")
+    val cells = ranked
+      .withColumn("r_score", score(0))
+      .withColumn("f_score", score(1))
+      .withColumn("m_score", score(2))
+      .drop("grn_0", "grn_1", "grn_2")
     cells.groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"),
         min(col("o_custkey")).as("min_custkey"))

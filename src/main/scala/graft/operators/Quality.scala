@@ -763,8 +763,15 @@ object Quality {
     */
   def skewGini(s: SparkSession, dir: String): DataFrame = {
     def giniOf(name: String, keyed: DataFrame): DataFrame = {
-      val counts = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
-        .withColumn("cnt_d", col("cnt").cast("double"))
+      // pooled: the rank core executes this frame three times
+      // (quantile-bounds job, bucket-count job, final Σ aggregate) —
+      // uncached, each re-folds the FACT table; materialized it is a
+      // key-ndv-sized table read three times (guide §2.4: one
+      // exchange, shared)
+      val counts = graft.CachePool.cached(s, s"dq.keyCounts:$dir:$name") {
+        keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+          .withColumn("cnt_d", col("cnt").cast("double"))
+      }
       val (ranked, n) = Analytics.withGlobalRank(s, counts,
         "cnt_d", "k", descending = false)
       ranked.agg(sum(col("grn") * col("cnt")).as("s_ix"),

@@ -597,17 +597,21 @@ object Similarity {
     * construction (diverseSubset is the cluster-quota cousin; MMR is
     * the order-sensitive greedy).
     *
-    * Spark-first shape: the greedy is UNROLLED at plan time — k is a
-    * small fixed constant, so each step is one argmax aggregation
-    * (`max_by` with an id tie-break) over the pooled candidate table
-    * anti-joined against the picks so far, with redundancy read from
-    * the pooled pairwise-sim table. No driver loop touches data: per
-    * step the driver adds plan nodes, not rows, and every intermediate
-    * is ≤ |probes| rows. At 100 TB the pool per query is ANN-bounded
-    * (pool=20 here), so post-pool work is O(probes·pool²) regardless
-    * of corpus size — the pool construction is the only corpus-scale
+    * Spark-first shape: the POOL construction is the only corpus-scale
     * pass (broadcast probes × streamed corpus, or the annLsh bucket
-    * path for data-proportional probe sets).
+    * path for data-proportional probe sets); everything after it is
+    * bounded by construction at probes·pool² rows. The greedy itself
+    * runs DRIVER-SIDE over the collected pool — the
+    * `DriverState.collectBounded` legality class (Bradley–Terry's MM
+    * fixpoint, the classifier-weight re-entries): the k-step argmax
+    * recurrence over ≤ probes·pool integer rows as ~5 distributed
+    * argmax jobs with localCheckpoint lineage cuts was pure scheduler
+    * latency (measured 2.8 s of wall for ≤ 80 rows of state at sf0.1,
+    * round 14; the unrolled-plan history is in git). The similarity
+    * integers are COLLECTED FROM THE PLAN (round(cos·1000) computed by
+    * the same pooled pairwise pass as before), so no float ever
+    * recomputes on the driver — the greedy is pure BIGINT arithmetic
+    * on plan-produced values and lands on identical picks.
     *
     * Cross-engine determinism: every score is integer arithmetic —
     * similarities become round(cos·1000) BIGINTs, λ=0.7 becomes the
@@ -652,44 +656,41 @@ object Similarity {
             * lit(1000)).cast("long").as("sim_m"))
     }
     val cands = poolDf.select("query_id", "cand_id", "rel_m")
-    // argmax with min-cand_id tie-break: lexicographic max_by over
-    // (score, -cand). Each step's |probes|-row result is
-    // localCheckpoint'ed (the labelPropagation lineage cut): step t's
-    // plan references EVERY prior step, so without the cut the greedy
-    // re-executes O(k²) subplans — measured 10.9 s vs 2.4 s at sf0.1
-    def pick(scored: DataFrame, step: Int): DataFrame =
-      scored.groupBy("query_id").agg(max_by(
-          struct(col("cand_id"), col("rel_m"), col("maxsim_m"),
-            col("score_m")),
-          struct(col("score_m"), (-col("cand_id")).as("nc"))).as("w"))
-        .select(col("query_id"), lit(step).as("step"), col("w.cand_id"),
-          col("w.rel_m"), col("w.maxsim_m"), col("w.score_m"))
-        .localCheckpoint()
-    val first = pick(cands
-      .withColumn("maxsim_m", lit(0L))
-      .withColumn("score_m", lit(700L) * col("rel_m")), 1)
-    val steps = (2 to k).foldLeft(List(first)) { case (acc, t) =>
-      val sel = acc.map(_.select("query_id", "cand_id")).reduce(_ union _)
-      val selR = sel.select(col("query_id").as("sq"),
-        col("cand_id").as("sel_id"))
-      // every remaining candidate has a sim row to every selected one
-      // (the pool pair table is complete minus self-pairs), so the
-      // redundancy join is inner and drops nothing
-      val maxsim = simMat
-        .join(selR, col("query_id") === col("sq") &&
-          col("b_cand") === col("sel_id"))
-        .groupBy(col("query_id"), col("a_cand"))
-        .agg(max(col("sim_m")).as("maxsim_m"))
-        .select(col("query_id"), col("a_cand").as("cand_id"),
-          col("maxsim_m"))
-      val scored = cands
-        .join(sel, Seq("query_id", "cand_id"), "left_anti")
-        .join(maxsim, Seq("query_id", "cand_id"))
-        .withColumn("score_m",
-          lit(700L) * col("rel_m") - lit(300L) * col("maxsim_m"))
-      pick(scored, t) :: acc
-    }
-    steps.reverse.reduce(_ union _).orderBy("query_id", "step")
+    // driver-side greedy, bounds structural: ≤ probes·pool candidate
+    // rows and ≤ probes·pool·(pool−1) sim rows — constants of the
+    // operator, never data-proportional. Both tables come out of the
+    // SAME pooled plans the unrolled form read, so every integer the
+    // greedy compares is plan-produced.
+    val candRows = graft.DriverState.collectBounded(cands,
+      nProbes * pool, "mmrRerank.pool")
+    val simRows = graft.DriverState.collectBounded(simMat,
+      nProbes * pool * pool, "mmrRerank.simMat")
+    val simByKey = simRows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val picks = candRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .flatMap { case (q, rows) =>
+        var remaining = rows.map(r => (r.getLong(1), r.getLong(2))).toList
+        var selected = List.empty[Long]
+        (1 to math.min(k, remaining.size)).map { step =>
+          // argmax with min-cand_id tie-break: lexicographic max over
+          // (score, −cand) — the struct(score_m, nc) order of the
+          // unrolled plan. Every remaining candidate has a sim row to
+          // every selected one (the pool pair table is complete minus
+          // self-pairs), so the map lookup is total.
+          val best = remaining.map { case (c, rm) =>
+            val ms =
+              if (selected.isEmpty) 0L
+              else selected.map(sel => simByKey((q, c, sel))).max
+            (c, rm, ms, 700L * rm - 300L * ms)
+          }.maxBy { case (c, _, _, sc) => (sc, -c) }
+          selected ::= best._1
+          remaining = remaining.filterNot(_._1 == best._1)
+          (q, step, best._1, best._2, best._3, best._4)
+        }
+      }
+    import s.implicits._
+    picks.toDF("query_id", "step", "cand_id", "rel_m", "maxsim_m",
+      "score_m").orderBy("query_id", "step")
   }
 
   /** Distributed k-means (Lloyd) over the embedding corpus — the

@@ -316,13 +316,7 @@ object TextAnalysis {
     * O(tokens) rows, never O(docs²).
     */
   def dupCoverage(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val sh = Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ts) - ${k - 1}), i -> " +
-          s"array_join(slice(ts, i, $k), ' '))")).as("sh"))
-      .distinct()
+    val sh = docShingles(s, dir, k)
     val df_ = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     sh.join(df_, "sh")
       .groupBy("doc_id")
@@ -331,6 +325,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"), col("n_dup"),
         expr("n_dup * 1000000L div n_shingles").as("dup_ppm"))
       .orderBy("doc_id")
+  }
+
+  /** Pooled positional k-gram shingles (doc_id, pos, sh), 1-based
+    * positions — dupSpans reads it directly and docShingles derives
+    * the distinct space from it; the two dup-diagnostic queries
+    * otherwise each re-ran the tokenize+shingle corpus pass the other
+    * had just done (guide §2.4's shared-exchange posture, applied at
+    * the pool layer like winnowArr/termFreq).
+    */
+  private def posShingles(s: SparkSession, dir: String,
+      k: Int): DataFrame =
+    graft.CachePool.cached(s, s"text.posShingles:$dir:$k") {
+      Tables.fanOut(Tables.documents(s, dir))
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(ts) - ${k - 1}), i -> " +
+            s"array_join(slice(ts, i, $k), ' '))")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          col("col").as("sh"))
+    }
+
+  /** Pooled DISTINCT (doc_id, sh) k-gram space — dupCoverage reads it
+    * from both sides of its df join; dupSpans' document-frequency
+    * side shares the same build.
+    */
+  private def docShingles(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    // resolve the positional pool entry BEFORE entering this entry's
+    // build — a nested cached() call inside the closure would run the
+    // inner materialization job while holding the pool's memo lock
+    // (the round-13 ADVICE class)
+    val pos = posShingles(s, dir, k)
+    graft.CachePool.cached(s, s"text.docShingles:$dir:$k") {
+      pos.select("doc_id", "sh").distinct()
+    }
   }
 
   /** Maximal duplicated-span extraction — the REMOVAL companion of
@@ -351,14 +381,8 @@ object TextAnalysis {
     * q − p + 8. Pair space O(tokens); windows partition by doc.
     */
   def dupSpans(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val sh = Tables.fanOut(Tables.documents(s, dir))
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(ts) - ${k - 1}), i -> " +
-          s"array_join(slice(ts, i, $k), ' '))")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sh"))
-    val df_ = sh.select("doc_id", "sh").distinct()
+    val sh = posShingles(s, dir, k)
+    val df_ = docShingles(s, dir, k)
       .groupBy("sh").agg(count(lit(1)).as("df"))
     val dup = sh.join(df_, "sh").filter(col("df") > 1)
       .select("doc_id", "pos")
@@ -1516,19 +1540,21 @@ object TextAnalysis {
     * terms' posting lists on (doc, adjacent positions), never by
     * re-scanning text. Two passes over the pooled postings:
     *
-    * 1. STATS: every trigram instance materializes via lead(token)
-    *    windows over (doc, pos) — ONE postings shuffle keyed by
-    *    doc_id (round-12; the earlier 3-way position-adjacency
-    *    self-join shuffled the postings three times and its legs
-    *    flipped broadcast→shuffled across the sf0.1→1.0 decade,
-    *    which read as a 1.73 shuffle slope on the Heaps fixture) —
-    *    and a TakeOrdered under (count desc, phrase) picks the probe
-    *    phrases deterministically. This is the offline index-stats
-    *    pass; at 100 TB it is the one corpus-linear job here (the
-    *    per-phrase combine is structurally combine-ineffective on a
-    *    realistic corpus — distinct trigrams grow ~linearly with
-    *    tokens — so its shuffle IS the trigram mass; docs bound the
-    *    window partitions).
+    * 1. STATS: every trigram instance materializes ROW-LOCALLY from
+    *    the document's own token array (transform over positions —
+    *    adjacency inside one doc never needs a shuffle), and a
+    *    TakeOrdered under (count desc, phrase) picks the probe
+    *    phrases deterministically. History: a 3-way position-
+    *    adjacency self-join (3 postings shuffles, broadcast flips
+    *    across decades), then a lead-window over (doc, pos)
+    *    (round-12: ONE postings shuffle + sort); round 14 removes
+    *    that exchange+sort too — the window only ever reassembled
+    *    per-doc adjacency the doc row already had (guide §2.4:
+    *    remove shuffles outright). The one corpus-linear shuffle
+    *    left is the trigram-count aggregate itself (the per-phrase
+    *    combine is structurally combine-ineffective on a realistic
+    *    corpus — distinct trigrams grow ~linearly with tokens — so
+    *    its shuffle IS the trigram mass).
     * 2. PROBE: the runtime path — postings are first pruned to the
     *    ≤ 3k distinct probe TERMS by a broadcast semi join (posting-
     *    list retrieval: touched rows ∝ the queried terms' document
@@ -1550,16 +1576,15 @@ object TextAnalysis {
         .join(l3, col("d1") === col("d3") && col("p3") === col("p1") + 2)
         .select(col("d1").as("doc_id"),
           concat_ws(" ", col("t1"), col("t2"), col("t3")).as("phrase"))
-    // stats pass: lead-window trigrams → top-k phrases (deterministic
-    // cut); one shuffle keyed by doc_id, positions already dense
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val probes = p
-      .select(col("doc_id"), col("token").as("t1"),
-        lead(col("token"), 1).over(w).as("t2"),
-        lead(col("token"), 2).over(w).as("t3"))
-      .filter(col("t3").isNotNull)
-      .select(concat_ws(" ", col("t1"), col("t2"), col("t3"))
-        .as("phrase"))
+    // stats pass: row-local trigrams off each doc's token array →
+    // top-k phrases (deterministic cut); the only exchange is the
+    // count aggregate's
+    val probes = Tables.fanOut(Tables.documents(s, dir))
+      .select(tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> " +
+          "concat_ws(' ', ts[i - 1], ts[i], ts[i + 1]))")).as("phrase"))
       .groupBy("phrase").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("phrase"))
       .limit(k)
