@@ -18,6 +18,23 @@ import graft.streaming.StreamStats.RecordedQuery
   */
 object StreamingAnalogs {
 
+  /** Admission cap for the GATE drains' deterministic 5000-row feed.
+    * Every drained result below is a pure function of the feed
+    * content, not of how admission chops it (the sf0.01/sf0.001
+    * oracle gates re-prove that on every change), so the batch count
+    * is pure per-batch engine floor — measured at 0.2-0.7 s/batch of
+    * WAL + planning + state commit REGARDLESS of batch size
+    * (AmortizationProfile, round 13/14). 2500 keeps the multi-batch
+    * path the gate exists to exercise — state saved in batch 1,
+    * restored in batch 2, watermark-flush batch after — at half the
+    * fixed cost of the old 1000-row chop; the many-batch behaviors
+    * (crash drills, replay, admission capping) are driven by the
+    * MemoryStream specs, not the gate. Production batch sizing is the
+    * measured 10^5-10^6-row regime, parameterized on the two drains
+    * AmortizationProfile sweeps.
+    */
+  val GateTrigger = 2500L
+
   case class Event(ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
@@ -212,7 +229,7 @@ object StreamingAnalogs {
     * resume from the committed offset instead.
     */
   def feedDaily(s: SparkSession, dir: String, totalRows: Long = 5000L,
-      rowsPerTrigger: Long = 1000L): DataFrame = {
+      rowsPerTrigger: Long = GateTrigger): DataFrame = {
     // feed-size parameters exist for AmortizationProfile's batch-size
     // sweep (round-13 verdict ask #3); the gate/bench defaults are the
     // original 5 × 1000-row microbatches. Batch parallelism follows
@@ -303,7 +320,7 @@ object StreamingAnalogs {
     hfs.delete(path, true)
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
     val sess = feed
@@ -361,7 +378,7 @@ object StreamingAnalogs {
     hfs.delete(path, true)
     def src(): DataFrame = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
     val dedup = src().union(src())
@@ -686,7 +703,7 @@ object StreamingAnalogs {
     * hover near criticality and exercise the max(0, ·) reflection.
     */
   def feedCusum(s: SparkSession, dir: String, totalRows: Long = 5000L,
-      rowsPerTrigger: Long = 1000L): DataFrame = {
+      rowsPerTrigger: Long = GateTrigger): DataFrame = {
     // feed-size parameters for AmortizationProfile's batch-size sweep
     // (round-13 verdict ask #3); gate/bench defaults unchanged
     val base =
@@ -748,7 +765,7 @@ object StreamingAnalogs {
       (lit(100L) + lit(7L) * col("id")).as("rate"))
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
       .select(col("kind"), col("ts"),
@@ -795,7 +812,7 @@ object StreamingAnalogs {
     import s.implicits._
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
       .select(col("kind"), col("id"),
@@ -826,7 +843,7 @@ object StreamingAnalogs {
     import s.implicits._
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
       // same derived user domain as feedSessions (~101 users)
@@ -891,7 +908,7 @@ object StreamingAnalogs {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
       .select(when(col("id") % 10 < 5, "head")
@@ -1088,7 +1105,7 @@ object StreamingAnalogs {
     val h = (col("id") * lit(2654435761L)) % lit(100000L)
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
       .select(col("kind"), tokenOf(h).as("token"), col("id"))
@@ -1211,7 +1228,7 @@ object StreamingAnalogs {
     import s.implicits._
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
       // amount cents straight from the generator law (amount itself
@@ -1304,7 +1321,7 @@ object StreamingAnalogs {
       .cast("double") / lit(100.0), lit(1e-6))
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
       .select(col("kind"), col("id"), (log(u) / w).as("es_key"))
@@ -1402,7 +1419,7 @@ object StreamingAnalogs {
     import s.implicits._
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
       // 10 synthetic days of 500 ids each; same 101-user domain
@@ -1492,7 +1509,7 @@ object StreamingAnalogs {
     import s.implicits._
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
       .select(col("kind"), col("id"),
@@ -1533,7 +1550,7 @@ object StreamingAnalogs {
       .select(col("id").as("seen_id"))
     val feed = s.readStream.format("graft.sources.FeedSource")
       .option("totalRows", 5000)
-      .option("rowsPerTrigger", 1000)
+      .option("rowsPerTrigger", GateTrigger)
       .option("partitionsPerBatch", 4)
       .load()
       .select(col("kind"), col("id"),
