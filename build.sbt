@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized so a full 350-query sweep's pooled caches + 32
+  // concurrent task buffers never evict mid-sweep (at 8g the pass-2
+  // "cache hits" of the big-array dedup pools silently recomputed
+  // under storage eviction — measured 8.3 s vs 1.0 s warm for
+  // dedup_prefix_jaccard, round 14); still env-overridable for
+  // smaller hosts
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -292,7 +292,7 @@ object Similarity {
   def nnDescentRound(s: SparkSession, dir: String, k: Int = 5,
       withCounts: Boolean = false): DataFrame = {
     val knn = directedKnn(s, dir, k)
-    val refined = refineOnce(s, dir, knn, k)
+    val refined = refinedRound1(s, dir, knn, k)
     val counted = probeHitCurve(s, dir, k,
       Seq("seed_hits" -> knn, "refined_hits" -> refined))
     val out =
@@ -323,12 +323,18 @@ object Similarity {
       rounds: Int = 2, withCounts: Boolean = false): DataFrame = {
     require(rounds >= 1, "nnDescent: need at least one round")
     val seed = directedKnn(s, dir, k)
-    // lineage cut between rounds only — the FINAL round's list is
-    // consumed once by the hit eval, so checkpointing it would be a
-    // pure extra materialization
+    // intermediate rounds are POOLED, not localCheckpoint'ed: the cut
+    // serves the same purpose (step r+1 and the hit eval both read
+    // round r without re-executing it), but a checkpoint re-ran the
+    // whole refine pipeline on EVERY invocation while the pool builds
+    // it once per (dir, k, r) — and round 1 is byte-identical to
+    // nnDescentRound's refined list, so the two NN-descent queries now
+    // share one build (the directedKnn-seed discipline, one level up).
+    // The FINAL round's list is consumed once by the hit eval, so
+    // materializing it would be pure extra cost either way.
     val lists = (1 to rounds).scanLeft(seed) { (l, r) =>
-      val next = refineOnce(s, dir, l, k)
-      if (r < rounds) next.localCheckpoint() else next
+      if (r < rounds) refinedRound1Chain(s, dir, l, k, r)
+      else refineOnce(s, dir, l, k)
     }
     val named = lists.zipWithIndex.map { case (l, r) =>
       s"hits_r$r" -> l }
@@ -342,6 +348,23 @@ object Similarity {
           (col(s"hits_r$rounds") >= 1L).as("found_any"): _*)
     out.orderBy("vec_id")
   }
+
+  /** Pooled refinement round r over `list` — the plan is built
+    * OUTSIDE the pool's build closure (a nested cached() inside it
+    * would run jobs under the memo lock; round-13 ADVICE class).
+    */
+  private def refinedRound1Chain(s: SparkSession, dir: String,
+      list: DataFrame, k: Int, r: Int): DataFrame = {
+    val next = refineOnce(s, dir, list, k)
+    graft.CachePool.cached(s, s"sim.nndRound:$dir:$k:$r")(next)
+  }
+
+  /** NN-descent round 1 off the shared seed, pooled under the tag
+    * nnDescentRound and nnDescent's chain both resolve.
+    */
+  private def refinedRound1(s: SparkSession, dir: String,
+      list: DataFrame, k: Int): DataFrame =
+    refinedRound1Chain(s, dir, list, k, 1)
 
   /** One NN-descent refinement: rescore the undirected 2-hop
     * candidate set of `list` (∪ the list itself) exactly and keep

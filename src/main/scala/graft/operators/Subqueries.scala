@@ -243,6 +243,16 @@ object Subqueries {
     * supplier-proportional but heavily filtered; Spark's null-aware
     * anti join requires a broadcastable build side and the single
     * COUNT(DISTINCT) plans as a two-level aggregate — no Expand.
+    *
+    * Round 14: the classic form derives a DISTINCT (partkey, suppkey)
+    * "partsupp" subquery from lineitem FIRST — a full-corpus exchange
+    * before any predicate. COUNT(DISTINCT l_suppkey) per group is
+    * insensitive to duplicate (partkey, suppkey) rows, so that
+    * distinct bought nothing the final aggregate doesn't already do;
+    * dropping it lets the broadcast part filter prune the fact scan
+    * before the one remaining exchange (guide §2.3: aggregate/filter
+    * before you shuffle). Values identical — the oracle replays the
+    * classic derived-table form.
     */
   def q16SupplierCount(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir).createOrReplaceTempView("graft_tmp_li16")
@@ -251,8 +261,7 @@ object Subqueries {
     s.sql(
       """SELECT p_brand, p_type, p_size,
         | COUNT(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM (SELECT DISTINCT l_partkey, l_suppkey
-        |      FROM graft_tmp_li16) ps
+        |FROM graft_tmp_li16
         |JOIN graft_tmp_part16 ON p_partkey = l_partkey
         |WHERE p_brand <> 'Brand#13'
         |  AND p_size IN (1, 7, 14, 23, 30, 36, 42, 49)
