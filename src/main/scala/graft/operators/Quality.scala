@@ -260,18 +260,28 @@ object Quality {
       round(col("value") * 100).cast("long").as("vc"))
 
   /** Per-group DISCRETE lower median (rank (n+1) div 2) of `valueCol`
-    * via a per-group window — exact, test-scale form. n derives from
-    * the input itself; both MAD passes feed one row per event so the
-    * counts agree across passes.
+    * — exact, via VALUE COUNTS: a map-side-combined (group, value)
+    * aggregate, then cumulative counts over the value-ndv rows pick
+    * the first value whose cumulative count reaches the rank. Same
+    * value as the old row_number-over-every-row form (the rank-th
+    * element of the sorted multiset), but the per-group window sorts
+    * ndv(value) rows instead of every event — for integer cents, the
+    * bounded-domain form that stays exact at any corpus size (the
+    * row-sort form put a whole group in one task; guide §2.3:
+    * aggregate before you shuffle).
     */
   private def groupLowerMedian(df: DataFrame, valueCol: String,
       out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("event_type").orderBy(valueCol)
-    val counts = df.groupBy("event_type").agg(count(lit(1)).as("n"))
-    df.withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), "event_type")
-      .filter(col("rn") === expr("(n + 1) div 2"))
+    val vc = df.groupBy(col("event_type"), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+    val run = Window.partitionBy("event_type").orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("event_type")
+    vc.withColumn("cum", sum(col("c")).over(run))
+      .withColumn("n", sum(col("c")).over(whole))
+      .filter(col("cum") >= expr("(n + 1) div 2") &&
+        col("cum") - col("c") < expr("(n + 1) div 2"))
       .select(col("event_type"), col(valueCol).as(out))
   }
 
@@ -762,35 +772,69 @@ object Quality {
     * DuckDB replays it bit-identically.
     */
   def skewGini(s: SparkSession, dir: String): DataFrame = {
-    def giniOf(name: String, keyed: DataFrame): DataFrame = {
-      // pooled: the rank core executes this frame three times
-      // (quantile-bounds job, bucket-count job, final Σ aggregate) —
-      // uncached, each re-folds the FACT table; materialized it is a
-      // key-ndv-sized table read three times (guide §2.4: one
-      // exchange, shared)
-      val counts = graft.CachePool.cached(s, s"dq.keyCounts:$dir:$name") {
+    // per-key frequency tables pooled (each was re-folded from the
+    // FACT table three times by the rank core's jobs), then all three
+    // keys ranked through ONE shared-bounds bucketed pass: quantile
+    // bounds affect only bucket BALANCE, never ranks (equal values
+    // never split across buckets; the rank is the position in the
+    // per-key (cnt, k) total order), so one approxQuantile job over
+    // the union and one (key_col, bkt) marginals job replace two jobs
+    // per key — the withGlobalRanksMulti discipline applied across
+    // stacked key domains instead of side-by-side columns.
+    def keyCounts(name: String, keyed: DataFrame): DataFrame =
+      graft.CachePool.cached(s, s"dq.keyCounts:$dir:$name") {
         keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
           .withColumn("cnt_d", col("cnt").cast("double"))
-      }
-      val (ranked, n) = Analytics.withGlobalRank(s, counts,
-        "cnt_d", "k", descending = false)
-      ranked.agg(sum(col("grn") * col("cnt")).as("s_ix"),
-          sum(col("cnt")).as("s_x"))
-        .select(lit(name).as("key_col"), lit(n).as("n_keys"),
-          col("s_x").as("total_rows"),
-          (lit(2L) * col("s_ix") - lit(n + 1) * col("s_x"))
-            .as("gini_num"),
-          (lit(n) * col("s_x")).as("gini_den"))
-        .withColumn("gini_ppm",
-          expr("gini_num * 1000000L div gini_den"))
-        .withColumn("gini", col("gini_num").cast("double") /
-          col("gini_den").cast("double"))
-    }
+      }.select(lit(name).as("key_col"), col("k").cast("long").as("k"),
+        col("cnt"), col("cnt_d"))
     val li = Tables.lineitem(s, dir)
-    giniOf("l_suppkey", li.select(col("l_suppkey").as("k")))
-      .unionAll(giniOf("l_partkey", li.select(col("l_partkey").as("k"))))
-      .unionAll(giniOf("user_id",
+    val all = keyCounts("l_suppkey", li.select(col("l_suppkey").as("k")))
+      .unionByName(keyCounts("l_partkey",
+        li.select(col("l_partkey").as("k"))))
+      .unionByName(keyCounts("user_id",
         Tables.events(s, dir).select(col("user_id").as("k"))))
+    val nBuckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val bounds = all.stat.approxQuantile("cnt_d",
+      (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+      .distinct.sorted.toSeq
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("cnt_d") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = all.withColumn("bkt", bucket)
+    val marg = bucketed.groupBy("key_col", "bkt")
+      .agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val keys = marg.map(_._1).distinct.sorted
+    val offMap = keys.toSeq.flatMap { kc =>
+      val counts = marg.filter(_._1 == kc).map(t => (t._2, t._3))
+        .sortBy(_._1).toSeq
+      counts.zip(counts.scanLeft(0L)(_ + _._2)).map {
+        case ((b, _), off) => (s"$kc:$b", off) }
+    }
+    val nPerKey = keys.toSeq.map(kc =>
+      kc -> marg.filter(_._1 == kc).map(_._3).sum)
+    val offExpr = element_at(
+      map(offMap.flatMap { case (k2, o) => Seq(lit(k2), lit(o)) }: _*),
+      concat_ws(":", col("key_col"), col("bkt")))
+    val nExpr = element_at(
+      map(nPerKey.flatMap { case (k2, o) => Seq(lit(k2), lit(o)) }: _*),
+      col("key_col"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key_col", "bkt").orderBy(col("cnt_d"), col("k"))
+    bucketed.withColumn("grn", offExpr + row_number().over(w))
+      .withColumn("nk", nExpr)
+      .groupBy("key_col")
+      .agg(sum(col("grn") * col("cnt")).as("s_ix"),
+        sum(col("cnt")).as("s_x"), max(col("nk")).as("n_keys"))
+      .select(col("key_col"), col("n_keys"),
+        col("s_x").as("total_rows"),
+        (lit(2L) * col("s_ix") - (col("n_keys") + 1) * col("s_x"))
+          .as("gini_num"),
+        (col("n_keys") * col("s_x")).as("gini_den"))
+      .withColumn("gini_ppm",
+        expr("gini_num * 1000000L div gini_den"))
+      .withColumn("gini", col("gini_num").cast("double") /
+        col("gini_den").cast("double"))
       .orderBy("key_col")
   }
 
