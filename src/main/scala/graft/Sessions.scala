@@ -36,6 +36,18 @@ object Sessions {
       b.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.extensions", "graft.plans.GraftExtensions")
         .config("spark.sql.adaptive.enabled", "true")
+        // AQE coalescing respects advisoryPartitionSizeInBytes (64 MB
+        // default) instead of re-inflating every small shuffle to
+        // defaultParallelism-many tasks: parallelismFirst=true is the
+        // small-cluster convenience default, and Spark's tuning guide
+        // itself recommends false so post-shuffle partitions are sized
+        // to the DATA (optimization guide §2.2 — fewer, larger reduce
+        // partitions). Measured on the round-14 box: a 20-query mixed
+        // subset 37.4 -> 33.4 s at sf0.1; at cluster scale the same
+        // setting is what sizes reducers to ~64 MB instead of to the
+        // core count.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+          "false")
         // StreamStats decomposes drain wall time from recentProgress,
         // which Spark caps (default 100 events) — a drain with more
         // microbatches would silently undercount the setup/drain/

@@ -228,12 +228,19 @@ object Dedup {
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docSrc = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"))
-    val shSrc = shingleDf(s, dir).join(docSrc, "doc_id")
-      .select(col("sh"), col("source")).distinct()
-    val shared = shSrc.as("a").join(shSrc.as("b"),
-        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"),
-        col("b.source").as("source_b"))
+    // one exchange keyed by sh (collect_set partial-aggregates
+    // map-side), then the per-shingle source set expands to ordered
+    // pairs ROW-LOCALLY — the old (sh, source)-distinct + self-join
+    // shape shuffled the full shingle mass twice for the same pair
+    // multiset (guide §2.4); the expansion is bounded at |sources|²
+    // per shingle, a domain constant
+    val shared = shingleDf(s, dir).join(docSrc, "doc_id")
+      .groupBy(col("sh")).agg(collect_set(col("source")).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(col("srcs")).as("sa"), col("srcs"))
+      .select(col("sa"), explode(col("srcs")).as("sb"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
       .agg(count(lit(1)).as("n_shared_shingles"))
     val cross = pairSizeCounts(s, dir)
       .join(docSrc.withColumnRenamed("doc_id", "doc_a")

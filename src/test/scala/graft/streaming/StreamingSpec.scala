@@ -420,13 +420,20 @@ class StreamingSpec extends SparkSpec {
     // first three days are full (1440 min), the fourth partial
     assert(out.take(3).forall(_.getLong(1) == 1440L), out.mkString("\n"))
     // the drain really went through admission control: 5000 rows at
-    // 1000/trigger = 5 data microbatches in the checkpoint log (plus
-    // possibly one trailing empty batch advancing the watermark)
+    // GateTrigger/trigger = ceil(5000/GateTrigger) data microbatches
+    // in the checkpoint log (plus possibly one trailing empty batch
+    // advancing the watermark) — derived from the shared constant so
+    // the pin follows the gate's admission size
+    val dataBatches =
+      ((5000L + StreamingAnalogs.GateTrigger - 1) /
+        StreamingAnalogs.GateTrigger).toInt
+    assert(dataBatches >= 2, "gate admission must stay multi-batch")
     val base = s"/tmp/graft_streams/${new java.io.File(sfDir).getName}" +
       "/feed_daily/ckpt/commits"
     val commits = new java.io.File(base).listFiles()
       .count(f => f.getName.forall(_.isDigit))
-    assert(commits >= 5 && commits <= 6, s"$commits commits")
+    assert(commits >= dataBatches && commits <= dataBatches + 1,
+      s"$commits commits")
   }
 
   test("streaming CDC apply: each microbatch MERGEs into the " +
